@@ -1,0 +1,2 @@
+from .cleaning import CleanSpec, ENTITY_SPECS, clean  # noqa: F401
+from .diff import missing_rows, present_rows, snapshot_diff  # noqa: F401

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` (one JVM); the configs below are the
+ones that also matter on a real multi-executor cluster at ~100 TB:
+AQE (runtime re-planning, skew-join splitting, partition coalescing),
+explicit shuffle parallelism, UTC session time zone (oracle parity with
+DuckDB), and Arrow for the few Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "lms_erp_data_integration_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster you would size it to ~2-3x total executor cores, or simply
+    let AQE coalesce from a high initial number; both paths are AQE'd.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    cpus = DEFAULT_CPUS if "local" in master else "200"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # At 100 TB: keep scan partitions bounded so a single task's
+        # input fits comfortably in executor memory.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Broadcast threshold: dimension tables (region/nation/mirrors)
+        # are small; 64 MiB keeps them on the broadcast path.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores ts as TIMESTAMP(NANOS); Spark can't read
+        # nanos natively — read as long, Catalog converts to a microsecond
+        # timestamp (same truncation DuckDB applies).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,82 @@
+"""Unit tests for the snapshot-diff family (SURVEY.md section 2.4),
+on FIXTURES.md section C-style synthetic ERP/mirror frames covering:
+adds, drops, no-ops, other-term exclusion."""
+
+from __future__ import annotations
+
+import pytest
+
+from lms_erp_data_integration_spark.operators import (
+    missing_rows,
+    present_rows,
+    snapshot_diff,
+)
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def erp(spark):
+    rows = [
+        ("C1", 1001, "student", "S1", "21", "1S"),  # in both -> no-op
+        ("C1", 1002, "student", "S1", "21", "1S"),  # add
+        ("C2", 1003, "teacher", "S2", "21", "1S"),  # add
+        ("C9", 1009, "student", "S9", "20", "2S"),  # other term
+    ]
+    return spark.createDataFrame(
+        rows,
+        "course_id string, user_id long, role string, section_id string,"
+        " yr_cde string, trm_cde string",
+    )
+
+
+@pytest.fixture(scope="module")
+def mirror(spark):
+    rows = [
+        ("C1", 1001, "student", "S1", "21", "1S", -1),  # no-op
+        ("C3", 1004, "student", "S3", "21", "1S", -1),  # drop (SIS-managed)
+        ("C4", 1005, "student", "S4", "21", "1S", 0),  # manual -> never drop
+    ]
+    return spark.createDataFrame(
+        rows,
+        "course_id string, user_id long, role string, section_id string,"
+        " yr_cde string, trm_cde string, created_by_sis int",
+    )
+
+
+KEYS = ["course_id", "user_id", "role", "section_id"]
+
+
+def term_slice(df, yr="21", trm="1S"):
+    return df.where((F.col("yr_cde") == yr) & (F.col("trm_cde") == trm))
+
+
+def test_missing_rows(spark, erp, mirror):
+    out = missing_rows(term_slice(erp), term_slice(mirror), KEYS)
+    got = {(r["course_id"], r["user_id"]) for r in out.collect()}
+    assert got == {("C1", 1002), ("C2", 1003)}
+
+
+def test_present_rows(spark, erp, mirror):
+    out = present_rows(term_slice(erp), term_slice(mirror), KEYS)
+    assert [(r["course_id"], r["user_id"]) for r in out.collect()] == [("C1", 1001)]
+
+
+def test_snapshot_diff_daily_enrollment(spark, erp, mirror):
+    """Q5: adds active, drops deleted — drops only for created_by_sis=-1."""
+    truth = term_slice(erp)
+    sis_mirror = term_slice(mirror).where(F.col("created_by_sis") == -1)
+    out = snapshot_diff(truth, sis_mirror, KEYS)
+    got = {(r["course_id"], r["user_id"], r["status"]) for r in out.collect()}
+    assert got == {
+        ("C1", 1002, "active"),
+        ("C2", 1003, "active"),
+        ("C3", 1004, "deleted"),
+    }
+    # manual row C4 (created_by_sis=0) must never be dropped
+    assert ("C4", 1005, "deleted") not in got
+
+
+def test_anti_join_broadcasts_mirror(spark, erp, mirror):
+    out = missing_rows(term_slice(erp), term_slice(mirror), KEYS)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
