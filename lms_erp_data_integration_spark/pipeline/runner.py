@@ -1,0 +1,117 @@
+"""Ordered sink runner + run report.
+
+The reference applies the seven update files to Canvas in a fixed
+FK-dependency order (``src/canvas.py:107-133``: faculty_users ->
+student_users -> courses -> sections -> enrollments ->
+ctl_library_courses -> ctl_library_sections) and then aggregates
+per-entity change statistics into a text report
+(``src/canvas.py:136-162``).
+
+Here the order is encoded as DAG edges over sink calls; each sink
+consumes a DataFrame. The run report is computed *before* applying
+(an improvement the reference cannot do — it only learns counts from
+Canvas's import response): per-entity row counts and, where a status
+column exists, add/delete splits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# FK-dependency order (src/canvas.py:108-116)
+UPDATE_ORDER: tuple[str, ...] = (
+    "faculty_users",
+    "student_users",
+    "courses",
+    "sections",
+    "enrollments",
+    "ctl_library_courses",
+    "ctl_library_sections",
+)
+
+# update file -> Canvas object kind (src/canvas.py:137-145)
+ENTITY_KIND: dict[str, str] = {
+    "faculty_users": "Account",
+    "student_users": "Account",
+    "courses": "Course",
+    "sections": "CourseSection",
+    "enrollments": "Enrollment",
+    "ctl_library_courses": "Course",
+    "ctl_library_sections": "CourseSection",
+}
+
+Sink = Callable[[str, DataFrame], None]
+
+
+def run_report(updates: Mapping[str, DataFrame]) -> DataFrame:
+    """Per-entity change statistics as a small DataFrame
+    (``src/canvas.py:136-162`` semantics, computed engine-side).
+
+    Columns: entity, kind, n_rows, n_active, n_deleted.
+    """
+    parts = []
+    for name in UPDATE_ORDER:
+        if name not in updates:
+            continue
+        df = updates[name]
+        status = (
+            F.col("status") if "status" in df.columns else F.lit("active")
+        )
+        parts.append(
+            df.agg(
+                F.lit(name).alias("entity"),
+                F.lit(ENTITY_KIND.get(name, "Unknown")).alias("kind"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(status == "active", 1).otherwise(0)).alias("n_active"),
+                F.sum(F.when(status == "deleted", 1).otherwise(0)).alias("n_deleted"),
+            )
+        )
+    if not parts:
+        raise ValueError("no updates supplied")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+class SyncPipeline:
+    """Drives update application in FK order through a sink callable.
+
+    The sink abstracts the reference's SIS-import REST POST
+    (``src/canvas.py:118-133``); the engine core stays self-contained
+    (tests use a recording sink; a CSV sink gives file parity).
+    """
+
+    def __init__(self, sink: Sink, order: Sequence[str] = UPDATE_ORDER):
+        self.sink = sink
+        self.order = tuple(order)
+
+    def apply(self, updates: Mapping[str, DataFrame]) -> list[str]:
+        """Apply updates in dependency order; returns the order used.
+
+        Unknown update names are rejected (mirrors the strictness of
+        the reference's mirror-table allowlist)."""
+        unknown = set(updates) - set(self.order)
+        if unknown:
+            raise NameError(f"unknown update entities: {sorted(unknown)}")
+        applied = []
+        for name in self.order:
+            if name in updates:
+                self.sink(name, updates[name])
+                applied.append(name)
+        return applied
+
+
+def csv_sink(base_path: str) -> Sink:
+    """Sink writing Canvas-SIS-import-shaped CSV files
+    (``src/jenzabar.py:64-66`` file layout)."""
+
+    def _sink(name: str, df: DataFrame) -> None:
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(
+            f"{base_path.rstrip('/')}/{name}"
+        )
+
+    return _sink

@@ -1,0 +1,334 @@
+"""The seven sync-diff queries (SURVEY.md section 2.4, Q1-Q7) expressed
+over the driver's test tables.
+
+The reference diffs "ERP truth for the working term" against "Canvas
+mirror state" (``src/jenzabar.py:50-80``). The test catalog has no
+ERP/Canvas tables, so each query derives the two sides deterministically
+from the TPC-H-ish tables (role mapping per FIXTURES.md section E) and
+then applies the engine's generic snapshot-diff operators — the same
+operators unit-tested on FIXTURES section C shaped frames:
+
+- "term" analog      -> order/ship YEAR (truth=1996, mirror=1995)
+- ERP user rosters   -> customer, split by c_mktsegment
+  (faculty=AUTOMOBILE, students=BUILDING)
+- Canvas users mirror-> customers with a 1995 order
+- ERP course catalog -> part (p_size >= 25 = "offered this term")
+- Canvas courses mirror -> parts shipped in 1995
+- ERP sections       -> distinct (part, supplier) shipped in 1996
+- Canvas sections mirror -> same pairs shipped in 1995
+- enrollments        -> distinct (customer, order-priority) per year
+
+Every query is a parameterized snapshot anti-join: filter to the term
+slice, broadcast the bounded mirror side, left-anti on the key. At
+100 TB the truth side never shuffles (broadcast anti-join) and the term
+filter prunes partitions when the tables are laid out
+``partitionBy(term)`` — see pipeline/mirror.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators.diff import missing_rows, snapshot_diff
+from .registry import query
+
+TRUTH_YEAR = 1996  # the "working term"
+MIRROR_YEAR = 1995  # state already in the LMS
+
+
+def _mirror_users(cat: Catalog) -> DataFrame:
+    return (
+        cat.orders.where(F.year("o_orderdate") == MIRROR_YEAR)
+        .select(F.col("o_custkey").alias("user_id"))
+        .distinct()
+    )
+
+
+def _missing_users(spark: SparkSession, sf_dir: str, segment: str) -> DataFrame:
+    """Q1/Q2 shape: roster anti-join mirror -> SIS users file
+    (FIXTURES.md section D schema)."""
+    cat = Catalog(spark, sf_dir)
+    roster = cat.customer.where(F.col("c_mktsegment") == segment).select(
+        F.col("c_custkey").alias("user_id"), F.col("c_name").alias("login_id")
+    )
+    return (
+        missing_rows(roster, _mirror_users(cat), ["user_id"])
+        .withColumn("status", F.lit("active"))
+        .select("user_id", "login_id", "status")
+    )
+
+
+_USERS_ORACLE = """
+SELECT c_custkey AS user_id, c_name AS login_id, 'active' AS status
+FROM customer
+WHERE c_mktsegment = '{seg}'
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+"""
+
+
+@query("sync_missing_faculty_users", _USERS_ORACLE.format(seg="AUTOMOBILE"))
+def missing_faculty_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 MissingFacultyUsers (``src/jenzabar.py:52``)."""
+    return _missing_users(spark, sf_dir, "AUTOMOBILE")
+
+
+@query("sync_missing_student_users", _USERS_ORACLE.format(seg="BUILDING"))
+def missing_student_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 MissingStudentUsers (``src/jenzabar.py:53``)."""
+    return _missing_users(spark, sf_dir, "BUILDING")
+
+
+@query(
+    "sync_missing_courses",
+    """
+SELECT 'CRS-' || CAST(p_partkey AS VARCHAR) AS course_id,
+       p_brand AS short_name, p_name AS long_name,
+       '961S' AS term_id, 'active' AS status
+FROM part
+WHERE p_size >= 25
+  AND p_partkey NOT IN (
+    SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995)
+""",
+)
+def missing_courses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 MissingCourses (``src/jenzabar.py:54``): catalog rows for the
+    term absent from the course mirror -> SIS courses file."""
+    cat = Catalog(spark, sf_dir)
+    catalog_ = cat.part.where(F.col("p_size") >= 25)
+    mirror = (
+        cat.lineitem.where(F.year("l_shipdate") == MIRROR_YEAR)
+        .select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    return missing_rows(catalog_, mirror, ["p_partkey"]).select(
+        F.concat(F.lit("CRS-"), F.col("p_partkey").cast("string")).alias("course_id"),
+        F.col("p_brand").alias("short_name"),
+        F.col("p_name").alias("long_name"),
+        F.lit("961S").alias("term_id"),
+        F.lit("active").alias("status"),
+    )
+
+
+@query(
+    "sync_missing_sections",
+    """
+WITH truth AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE year(l_shipdate) = 1996),
+mirror AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE year(l_shipdate) = 1995)
+SELECT 'CRS-' || CAST(l_partkey AS VARCHAR) AS course_id,
+       'SEC-' || CAST(l_partkey AS VARCHAR) || '-'
+               || CAST(l_suppkey AS VARCHAR) AS section_id,
+       'Section ' || CAST(l_suppkey AS VARCHAR) AS name,
+       'active' AS status
+FROM truth
+WHERE NOT EXISTS (
+  SELECT 1 FROM mirror m
+  WHERE m.l_partkey = truth.l_partkey AND m.l_suppkey = truth.l_suppkey)
+""",
+)
+def missing_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 MissingSections (``src/jenzabar.py:55``): composite-key
+    anti-join -> SIS sections file."""
+    cat = Catalog(spark, sf_dir)
+
+    def pairs(year: int) -> DataFrame:
+        return (
+            cat.lineitem.where(F.year("l_shipdate") == year)
+            .select("l_partkey", "l_suppkey")
+            .distinct()
+        )
+
+    return missing_rows(
+        pairs(TRUTH_YEAR), pairs(MIRROR_YEAR), ["l_partkey", "l_suppkey"]
+    ).select(
+        F.concat(F.lit("CRS-"), F.col("l_partkey").cast("string")).alias("course_id"),
+        F.concat(
+            F.lit("SEC-"),
+            F.col("l_partkey").cast("string"),
+            F.lit("-"),
+            F.col("l_suppkey").cast("string"),
+        ).alias("section_id"),
+        F.concat(F.lit("Section "), F.col("l_suppkey").cast("string")).alias("name"),
+        F.lit("active").alias("status"),
+    )
+
+
+@query(
+    "sync_daily_enrollment",
+    """
+WITH truth AS (
+  SELECT DISTINCT o_custkey AS user_id, o_orderpriority AS course_id
+  FROM orders WHERE year(o_orderdate) = 1996),
+mirror AS (
+  SELECT DISTINCT o_custkey AS user_id, o_orderpriority AS course_id
+  FROM orders WHERE year(o_orderdate) = 1995)
+SELECT user_id, course_id, 'active' AS status FROM truth
+WHERE NOT EXISTS (SELECT 1 FROM mirror m
+  WHERE m.user_id = truth.user_id AND m.course_id = truth.course_id)
+UNION ALL
+SELECT user_id, course_id, 'deleted' AS status FROM mirror
+WHERE NOT EXISTS (SELECT 1 FROM truth t
+  WHERE t.user_id = mirror.user_id AND t.course_id = mirror.course_id)
+""",
+)
+def daily_enrollment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 DailyEnrollment (``src/jenzabar.py:56``) — the bidirectional
+    add/drop diff (README.md:4 "create and remove")."""
+    cat = Catalog(spark, sf_dir)
+
+    def enrollments(year: int) -> DataFrame:
+        return (
+            cat.orders.where(F.year("o_orderdate") == year)
+            .select(
+                F.col("o_custkey").alias("user_id"),
+                F.col("o_orderpriority").alias("course_id"),
+            )
+            .distinct()
+        )
+
+    return snapshot_diff(
+        enrollments(TRUTH_YEAR), enrollments(MIRROR_YEAR), ["user_id", "course_id"]
+    )
+
+
+@query(
+    "sync_ctl_library_courses",
+    """
+WITH shells AS (
+  SELECT DISTINCT p_brand, p_size FROM part WHERE p_size >= 25),
+mirror AS (
+  SELECT DISTINCT p.p_brand, p.p_size
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE year(l.l_shipdate) = 1995)
+SELECT 'CTL-' || shells.p_brand || '-' || CAST(shells.p_size AS VARCHAR)
+         AS course_id,
+       shells.p_brand AS short_name,
+       'CTL Library ' || shells.p_brand AS long_name,
+       '961S' AS term_id, 'active' AS status
+FROM shells
+WHERE NOT EXISTS (SELECT 1 FROM mirror m
+  WHERE m.p_brand = shells.p_brand AND m.p_size = shells.p_size)
+""",
+)
+def ctl_library_courses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 CtlLibraryCourses (``src/jenzabar.py:57``): synthesized
+    auxiliary course shells (per brand x size) minus those already
+    mirrored."""
+    cat = Catalog(spark, sf_dir)
+    shells = cat.part.where(F.col("p_size") >= 25).select("p_brand", "p_size").distinct()
+    mirrored = (
+        cat.lineitem.where(F.year("l_shipdate") == MIRROR_YEAR)
+        .join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("p_brand", "p_size")
+        .distinct()
+    )
+    return missing_rows(shells, mirrored, ["p_brand", "p_size"]).select(
+        F.concat(
+            F.lit("CTL-"), F.col("p_brand"), F.lit("-"), F.col("p_size").cast("string")
+        ).alias("course_id"),
+        F.col("p_brand").alias("short_name"),
+        F.concat(F.lit("CTL Library "), F.col("p_brand")).alias("long_name"),
+        F.lit("961S").alias("term_id"),
+        F.lit("active").alias("status"),
+    )
+
+
+@query(
+    "sync_ctl_library_sections",
+    """
+WITH shells AS (
+  SELECT DISTINCT p_brand, p_type, p_size FROM part WHERE p_size >= 25),
+mirror AS (
+  SELECT DISTINCT p.p_brand, p.p_type, p.p_size
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE year(l.l_shipdate) = 1995)
+SELECT 'SEC-CTL-' || shells.p_brand || '-' || shells.p_type || '-'
+         || CAST(shells.p_size AS VARCHAR) AS section_id,
+       'CTL-' || shells.p_brand || '-' || CAST(shells.p_size AS VARCHAR)
+         AS course_id,
+       shells.p_type AS name, 'active' AS status
+FROM shells
+WHERE NOT EXISTS (SELECT 1 FROM mirror m
+  WHERE m.p_brand = shells.p_brand AND m.p_type = shells.p_type
+    AND m.p_size = shells.p_size)
+""",
+)
+def ctl_library_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 CtlLibrarySections (``src/jenzabar.py:58``)."""
+    cat = Catalog(spark, sf_dir)
+    keys = ["p_brand", "p_type", "p_size"]
+    shells = cat.part.where(F.col("p_size") >= 25).select(*keys).distinct()
+    mirrored = (
+        cat.lineitem.where(F.year("l_shipdate") == MIRROR_YEAR)
+        .join(
+            F.broadcast(cat.part.select("p_partkey", *keys)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(*keys)
+        .distinct()
+    )
+    return missing_rows(shells, mirrored, keys).select(
+        F.concat(
+            F.lit("SEC-CTL-"),
+            F.col("p_brand"),
+            F.lit("-"),
+            F.col("p_type"),
+            F.lit("-"),
+            F.col("p_size").cast("string"),
+        ).alias("section_id"),
+        F.concat(
+            F.lit("CTL-"), F.col("p_brand"), F.lit("-"), F.col("p_size").cast("string")
+        ).alias("course_id"),
+        F.col("p_type").alias("name"),
+        F.lit("active").alias("status"),
+    )
+
+
+@query(
+    "sync_clean_users",
+    """
+WITH raw AS (
+  SELECT CASE WHEN c_custkey % 53 = 0
+              THEN 'sdemo' || CAST(c_custkey AS VARCHAR)
+              WHEN c_custkey % 97 = 0 THEN NULL
+              ELSE CAST(c_custkey AS VARCHAR) END AS user_id,
+         c_custkey AS canvas_user_id, c_name AS login_id
+  FROM customer)
+SELECT user_id AS id_num, canvas_user_id AS canvas_user, login_id,
+       DATE '2021-09-01' AS load_date
+FROM raw
+WHERE user_id IS NOT NULL AND regexp_full_match(user_id, '[0-9]+')
+""",
+)
+def clean_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused user-cleaning pipeline (``src/canvas.py:62-104``:
+    P1+P2+F1+F2+T3) over a raw-report-shaped projection of customer,
+    with deterministic junk ids injected to exercise the filters."""
+    import datetime as dt
+
+    from ..operators.cleaning import ENTITY_SPECS, clean
+    from ..runparams import RunParams
+
+    cat = Catalog(spark, sf_dir)
+    raw = cat.customer.select(
+        F.when(
+            F.col("c_custkey") % 53 == 0,
+            F.concat(F.lit("sdemo"), F.col("c_custkey").cast("string")),
+        )
+        .when(F.col("c_custkey") % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_custkey").cast("string"))
+        .alias("user_id"),
+        F.col("c_custkey").alias("canvas_user_id"),
+        F.col("c_name").alias("login_id"),
+    )
+    params = RunParams(term_id="961S", run_date=dt.date(2021, 9, 1))
+    return clean(raw, ENTITY_SPECS["users"], params)

@@ -1,0 +1,102 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at a scale factor and
+compares it against its DuckDB ``oracle_sql()`` twin: row count, column
+names (sorted), and order-insensitive values. Exits non-zero on any
+mismatch. Usage:
+
+    python scripts/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from lms_erp_data_integration_spark.catalog import TABLES  # noqa: E402
+from lms_erp_data_integration_spark.session import get_spark  # noqa: E402
+
+
+def norm(v):
+    """Normalize a cell for comparison across engines."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def frame_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="parity")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(s_rows)} rows (no oracle)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            d_cols = [d[0] for d in cur.description]
+            d_rows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        sk_cols, sk = frame_key(s_cols, s_rows)
+        dk_cols, dk = frame_key(d_cols, d_rows)
+        if sk_cols != dk_cols:
+            print(f"FAIL  {name}: columns {sk_cols} != {dk_cols}")
+            failed.append(name)
+        elif len(sk) != len(dk):
+            print(f"FAIL  {name}: rows {len(sk)} != {len(dk)}")
+            failed.append(name)
+        elif sk != dk:
+            bad = next(i for i, (a, b) in enumerate(zip(sk, dk)) if a != b)
+            print(f"FAIL  {name}: values differ, first at sorted row {bad}:")
+            print(f"      spark : {sk[bad]}")
+            print(f"      duckdb: {dk[bad]}")
+            failed.append(name)
+        else:
+            print(f"OK    {name}: {len(sk)} rows")
+    spark.stop()
+    if failed:
+        print(f"\n{len(failed)} FAILED: {failed}")
+        return 1
+    print("\nall queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,74 @@
+"""Mirror writes, ordered sink application, run report (SURVEY.md M5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lms_erp_data_integration_spark.pipeline import (
+    SyncPipeline,
+    UPDATE_ORDER,
+    mirror_table_name,
+    run_report,
+    write_mirror,
+)
+from lms_erp_data_integration_spark.pipeline.mirror import read_mirror
+from pyspark.sql import functions as F
+
+
+def test_mirror_allowlist():
+    assert mirror_table_name("users") == "rpc_re_canvas_users"
+    # exact reference behavior: NameError (src/jenzabar.py:42-43)
+    with pytest.raises(NameError):
+        mirror_table_name("grades")
+
+
+def test_mirror_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("C1", "21", "1S"), ("C2", "21", "2S")],
+        "crs_cde string, yr_cde string, trm_cde string",
+    )
+    path = write_mirror(df, "courses", str(tmp_path))
+    assert path.endswith("rpc_re_canvas_courses")
+    back = read_mirror(spark, "courses", str(tmp_path))
+    assert back.count() == 2
+    # partition pruning: a term-sliced read scans one partition only
+    pruned = back.where((F.col("yr_cde") == "21") & (F.col("trm_cde") == "1S"))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(yr_cde" in plan
+
+
+def test_pipeline_fk_order_and_report(spark):
+    users = spark.createDataFrame(
+        [(1, "a", "active")], "user_id long, login_id string, status string"
+    )
+    enr = spark.createDataFrame(
+        [(1, "C1", "active"), (2, "C1", "deleted")],
+        "user_id long, course_id string, status string",
+    )
+    updates = {"enrollments": enr, "student_users": users}
+    seen: list[str] = []
+    pipe = SyncPipeline(lambda name, df: seen.append(name))
+    applied = pipe.apply(updates)
+    # FK order preserved regardless of dict order (canvas.py:108-116)
+    assert applied == ["student_users", "enrollments"] == seen
+
+    report = {r["entity"]: r for r in run_report(updates).collect()}
+    assert report["enrollments"]["n_active"] == 1
+    assert report["enrollments"]["n_deleted"] == 1
+    assert report["student_users"]["n_rows"] == 1
+    assert report["student_users"]["kind"] == "Account"
+
+    with pytest.raises(NameError):
+        pipe.apply({"grades": users})
+
+
+def test_update_order_matches_reference():
+    assert UPDATE_ORDER == (
+        "faculty_users",
+        "student_users",
+        "courses",
+        "sections",
+        "enrollments",
+        "ctl_library_courses",
+        "ctl_library_sections",
+    )
