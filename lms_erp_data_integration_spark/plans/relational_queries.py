@@ -1,0 +1,449 @@
+"""General relational surface (SURVEY.md section 7 M6).
+
+The reference's Python layer has no joins/aggregations beyond the SQL
+diff queries, but the engine must answer arbitrary analytics over the
+catalog (driver checks the section 2 inventory against TPC-H-ish data).
+Each plan here is a thin, idiomatic DataFrame composition — joins
+(inner/semi/anti/broadcast), groupBy/rollup, windows, top-k, set ops,
+pivot — paired with a DuckDB oracle.
+
+Float determinism: double addition is not associative, and Spark's
+partial-aggregation order differs from DuckDB's. Every money/measure
+aggregate therefore casts its operand to DECIMAL first (exact,
+associative), sums exactly, and casts the final result to double —
+bit-identical across engines. Window *running* sums keep doubles: both
+engines accumulate in identical frame order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from .registry import query
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+@query(
+    "rel_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2)))
+       * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide aggregate over the fact table. Map-side
+    partial aggregation shuffles only 4 groups x partial states."""
+    li = Catalog(spark, sf_dir).lineitem
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * (1 + _dec("l_tax"))).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "rel_q3_shipping_priority",
+    """
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1996-03-15' AND l_shipdate > DATE '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10 (exact
+    decimal ordering, orderkey tie-break)."""
+    cat = Catalog(spark, sf_dir)
+    rev = F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+    return (
+        cat.customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < F.lit("1996-03-15").cast("date"))
+        .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.lit("1996-03-15").cast("date"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "rel_q5_region_revenue",
+    """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; nation/region go broadcast, the
+    fact-side joins shuffle on their keys with AQE."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cat.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "rel_top_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) t
+WHERE rnk <= 3
+""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window row_number (K1 generalized)."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        Catalog(spark, sf_dir)
+        .orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query(
+    "rel_latest_event_per_user",
+    """
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 max-by-timestamp top-1 (``tests/test_connect.py:70-79``),
+    per user."""
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        Catalog(spark, sf_dir)
+        .events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+@query(
+    "rel_running_total_per_user",
+    """
+SELECT user_id, event_id, ts,
+       SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS running_value
+FROM events WHERE user_id <= 20
+""",
+)
+def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running window sum — doubles are safe here: both engines
+    accumulate in identical (ts, event_id) frame order."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        Catalog(spark, sf_dir)
+        .events.where(F.col("user_id") <= 20)
+        .select(
+            "user_id", "event_id", "ts", F.sum("value").over(w).alias("running_value")
+        )
+    )
+
+
+@query(
+    "rel_rollup_revenue",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (grouping-sets family)."""
+    return (
+        Catalog(spark, sf_dir)
+        .lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "rel_customer_order_setops",
+    """
+WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1995),
+     c96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1996)
+SELECT 'only_1995' AS tag, o_custkey FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96) a
+UNION ALL
+SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96) b
+""",
+)
+def customer_order_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT / UNION ALL surface."""
+    o = Catalog(spark, sf_dir).orders
+
+    def keys(year: int) -> DataFrame:
+        return o.where(F.year("o_orderdate") == year).select("o_custkey").distinct()
+
+    only95 = keys(1995).exceptAll(keys(1996)).withColumn("tag", F.lit("only_1995"))
+    both = keys(1995).intersect(keys(1996)).withColumn("tag", F.lit("both"))
+    return only95.unionByName(both).select("tag", "o_custkey")
+
+
+@query(
+    "rel_semi_anti_counts",
+    """
+SELECT
+  (SELECT COUNT(*) FROM customer WHERE EXISTS
+    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+  (SELECT COUNT(*) FROM customer WHERE NOT EXISTS
+    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders
+""",
+)
+def semi_anti_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti as EXISTS / NOT EXISTS."""
+    cat = Catalog(spark, sf_dir)
+    keys = cat.orders.select(F.col("o_custkey").alias("c_custkey"))
+    semi = cat.customer.join(keys, "c_custkey", "left_semi").count()
+    anti = cat.customer.join(keys, "c_custkey", "left_anti").count()
+    return (
+        Catalog(spark, sf_dir)
+        .spark.range(1)
+        .select(
+            F.lit(semi).alias("n_with_orders"),
+            F.lit(anti).alias("n_without_orders"),
+        )
+    )
+
+
+@query(
+    "rel_pivot_order_status",
+    """
+SELECT year(o_orderdate) AS order_year,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+FROM orders GROUP BY year(o_orderdate)
+""",
+)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order value per year by status."""
+    return (
+        Catalog(spark, sf_dir)
+        .orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            "o_orderstatus",
+            _dec("o_totalprice").alias("price"),
+        )
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("price").cast("double"))
+    )
+
+
+@query(
+    "rel_distinct_aggregates",
+    """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Catalog(spark, sf_dir)
+        .orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+@query(
+    "rel_events_hourly",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate in batch form (streaming twin lives in
+    streaming/windows.py)."""
+    return (
+        Catalog(spark, sf_dir)
+        .events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@query(
+    "rel_sessionize_events",
+    """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30 min starts a new session, cumulative
+    sum assigns ids (guide 'Common OLAP patterns')."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ev = Catalog(spark, sf_dir).events
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    return (
+        ev.withColumn(
+            "new_session",
+            F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "rel_term_successor",
+    """
+WITH terms AS (
+  SELECT substr(CAST(year(o_orderdate) AS VARCHAR), 3, 2)
+           || CASE WHEN month(o_orderdate) <= 6 THEN '1S' ELSE '2S' END
+           AS term_id
+  FROM orders)
+SELECT term_id,
+       CASE WHEN substr(term_id, 3, 2) = '2S'
+            THEN printf('%02d', CAST(substr(term_id, 1, 2) AS INTEGER) + 1)
+                 || '1S'
+            ELSE substr(term_id, 1, 2) || '2S' END AS next_term_id,
+       COUNT(*) AS n_orders
+FROM terms GROUP BY term_id
+""",
+)
+def term_successor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/T6 term arithmetic (``src/integrator.py:27-36``) applied
+    cluster-side to a term column derived from order dates."""
+    from ..functions.terms import term_successor_expr
+
+    o = Catalog(spark, sf_dir).orders
+    term = F.concat(
+        F.substring(F.year("o_orderdate").cast("string"), 3, 2),
+        F.when(F.month("o_orderdate") <= 6, "1S").otherwise("2S"),
+    )
+    return (
+        o.select(term.alias("term_id"))
+        .groupBy("term_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("next_term_id", term_successor_expr(F.col("term_id")))
+        .select("term_id", "next_term_id", "n_orders")
+    )

@@ -37,7 +37,9 @@ def norm(v):
 
 def frame_key(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    out = sorted(
+        (tuple(norm(r[i]) for i in order) for r in rows), key=repr
+    )
     return [cols[i] for i in order], out
 
 
