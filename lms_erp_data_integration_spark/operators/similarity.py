@@ -1,0 +1,162 @@
+"""Embedding similarity search (SURVEY.md M7): brute-force cosine top-k
+baseline and an IVF (inverted-file) bucketed variant as the scale path.
+
+Numeric determinism: elements are cast float->double (exact), products
+of two floats are exact in double (24+24 < 53 mantissa bits), and both
+Spark's ``aggregate`` fold and DuckDB's ``list_dot_product`` sum
+sequentially in index order — so cosine scores are bit-identical across
+engines and the oracles can compare at full precision.
+
+Scale design: brute force is O(|Q| x n) — fine for small query sets but
+not for n x n. The IVF path assigns every vector to its nearest
+centroid (narrow map), then searches only the probed cluster:
+the candidate set shrinks by ~1/n_clusters, and the cluster assignment
+is a broadcast join against the (tiny) centroid table. At 100 TB the
+corpus is partitioned by cluster id so a probe touches only matching
+partitions (partition pruning on the assignment column). Papers:
+PAPERS.md EDBT'20 (incremental top-k), ICDE'21 REPOSE, SIGMOD'20
+adaptive similarity search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (matches DuckDB list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: (query_id, embedding). Output: (query_id, neighbor_id,
+    score, rank) — rank deterministic via (score desc, neighbor_id).
+    The query side is broadcast: the corpus scan never shuffles; only
+    the tiny per-query top-k heads move."""
+    q = queries.select(
+        F.col("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        .join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col(vec_col), F.col("_qv")).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (argmax,
+    ties -> lower centroid_id). centroids: (centroid_id, embedding) —
+    tiny, broadcast."""
+    c = centroids.select(
+        F.col("centroid_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = vectors.join(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("_cv")).alias("_sim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: search only the query's probed (nearest)
+    cluster. Same output shape as brute_force_topk; recall < 1 by
+    construction — the oracle replicates the identical algorithm."""
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    q_assigned = ivf_assign(
+        queries.select(F.col("query_id").alias(id_col), vec_col),
+        centroids,
+        id_col,
+        vec_col,
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "centroid_id")
+    scored = (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col), "centroid_id"
+        )
+        .join(F.broadcast(q_assigned), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col(vec_col), F.col("_qv")).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def near_duplicate_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (i < j, cosine >= threshold).
+    All-pairs here; at scale, LSH-bucket (random hyperplanes) or IVF
+    first and compare within buckets only."""
+    left = vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("_vi"))
+    right = vectors.select(F.col(id_col).alias("j"), F.col(vec_col).alias("_vj"))
+    return (
+        left.crossJoin(right)
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j", cosine(F.col("_vi"), F.col("_vj")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis operators for LLM-data pipelines (north-star surface,
+SURVEY.md section 7 M7): tokenization, quality scoring, language id,
+document fingerprinting.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` — zero
+Python UDFs — so the whole stage is whole-stage-codegen'd and scales
+linearly with the corpus: at 100 TB these are embarrassingly parallel
+narrow maps over the document partitions.
+
+Determinism contract: each expression has an exact ANSI-SQL twin
+(plans/llm_queries.py) so results hash-match DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Fingerprint modulus/base: fold fits 64-bit (h < 2^31, h*131 + 127 < 2^39).
+FP_MOD = 2_147_483_647
+FP_BASE = 131
+
+# Tiny marker dictionaries for the n-gram-ish language heuristic. The
+# heuristic is intentionally simple and fully SQL-expressible; real
+# corpora would swap in a trained model via mapInPandas.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("de", "shi", "le", "bu"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization: ``split(trim(text), '\\s+')``."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword count: runs of letters, runs of digits, and
+    single other non-space characters each count as one token."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)))
+
+
+def token_occurrences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per token occurrence (order preserved via pos)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "token"),
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct n-word shingles per document — the unit for Jaccard /
+    MinHash dedup. Built with transform over a token array (no UDF)."""
+    toks = ws_tokens(F.col(text_col))
+    # guard: a doc with fewer than n tokens has no shingles (a negative
+    # sequence bound would otherwise build a descending index array and
+    # crash element_at)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def stopword_count(text: Column) -> Column:
+    toks = ws_tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def quality_exprs(text: Column) -> dict[str, Column]:
+    """Quality-scoring features: length, token count, punctuation
+    ratio, stopword ratio, mean token length."""
+    toks = ws_tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = F.size(
+        F.regexp_extract_all(text, F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0))
+    )
+    n_stop = stopword_count(text)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)),
+        "stopword_ratio": n_stop / F.greatest(n_tokens, F.lit(1)),
+        "mean_token_len": (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)),
+    }
+
+
+def language_id_expr(text: Column) -> Column:
+    """Marker-word voting: per language, count marker hits among the
+    first tokens; pick the max (ties broken by language code order,
+    deterministic); no hits at all -> 'und'."""
+    toks = ws_tokens(F.lower(text))
+
+    def marker_hits(markers: tuple[str, ...]):
+        # single-arg lambda: a second (defaulted) parameter would make
+        # PySpark pass the array index into it
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [
+        (lang, marker_hits(markers)) for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reversed so that earlier language codes win ties
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Polynomial rolling hash over characters:
+    ``h = (h * 131 + codepoint) mod (2^31 - 1)`` — an order-sensitive
+    document fingerprint (unlike md5, prefix-extendable for rolling
+    windows)."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
+    )

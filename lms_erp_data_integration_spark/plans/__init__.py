@@ -3,3 +3,4 @@ from .registry import QUERIES, ORACLES, query, all_queries  # noqa: F401
 # Importing the plan modules populates the registry.
 from . import sync_queries  # noqa: F401, E402
 from . import relational_queries  # noqa: F401, E402
+from . import llm_queries  # noqa: F401, E402

@@ -1,0 +1,388 @@
+"""LLM-data-pipeline queries (SURVEY.md M7 north star): dedup,
+similarity search, text analysis, multimodal metadata — over the
+``documents`` and ``embeddings`` tables.
+
+Oracle strategy: every hash/LSH algorithm uses an md5-derived hash
+family that DuckDB reproduces exactly (``('0x' || substr(md5(x),1,15))
+::BIGINT``), so the oracles replicate the ENTIRE pipeline — including
+LSH's own false negatives — and comparisons are bit-exact. Cosine
+scores are bit-identical too: float->double casts are exact, float
+products are exact in double, and both engines fold sums sequentially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text as tx
+from .registry import query
+
+# ---------------------------------------------------------------- dedup
+
+@query(
+    "llm_dedup_exact",
+    """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy). The test corpus has no exact dups,
+    so a deterministic 10% resample is unioned in as planted copies."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return dd.exact_duplicates(docs.unionByName(planted))
+
+
+_MINHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+shing AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || shingle),
+                             1, 15))::BIGINT) AS minhash
+  FROM shing, unnest(range(0, 16)) AS s(seed)
+  GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM mh GROUP BY doc_id, seed // 2),
+cands AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT c.i, c.j, COUNT(*) AS inter
+  FROM cands c
+  JOIN shing si ON si.doc_id = c.i
+  JOIN shing sj ON sj.doc_id = c.j AND sj.shingle = si.shingle
+  GROUP BY c.i, c.j)
+SELECT i, j, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = i
+JOIN sizes sb ON sb.doc_id = j
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+"""
+
+
+@query("llm_dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(8 bands x 2 rows) + exact-Jaccard verify at
+    0.8 over 3-word shingles. The oracle replicates the full LSH
+    pipeline, so even its false negatives match."""
+    docs = Catalog(spark, sf_dir).documents
+    return dd.minhash_near_duplicates(
+        docs, threshold=0.8, num_hashes=16, bands=8, shingle_n=3
+    )
+
+
+@query(
+    "llm_dedup_ngram_jaccard",
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+shing AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT p.i, p.j, COUNT(*) AS inter
+  FROM pairs p
+  JOIN shing si ON si.doc_id = p.i
+  JOIN shing sj ON sj.doc_id = p.j AND sj.shingle = si.shingle
+  GROUP BY p.i, p.j)
+SELECT i, j, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = i
+JOIN sizes sb ON sb.doc_id = j
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup baseline (inverted-index join) —
+    ground truth for the MinHash path."""
+    docs = Catalog(spark, sf_dir).documents
+    return dd.ngram_jaccard_duplicates(docs, threshold=0.8, shingle_n=3)
+
+
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+bitv AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+  FROM th, unnest(range(0, 32)) AS b(bit)
+  GROUP BY doc_id, bit),
+sigs AS (
+  SELECT doc_id,
+         SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sig
+  FROM bitv GROUP BY doc_id)
+SELECT a.doc_id AS i, b.doc_id AS j,
+       bit_count(xor(a.sig, b.sig)) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+@query("llm_dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit, md5 token hashes) near-dup pairs at Hamming<=3."""
+    docs = Catalog(spark, sf_dir).documents
+    return dd.simhash_near_duplicates(docs, max_hamming=3, bits=32)
+
+
+# ----------------------------------------------------------- similarity
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "llm_sim_topk_bruteforce",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS score
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors — the ANN baseline."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.brute_force_topk(emb, queries, k=10)
+
+
+@query(
+    "llm_sim_ivf_topk",
+    f"""
+WITH cent AS (
+  SELECT label AS centroid_id, arg_min(embedding, vec_id)::DOUBLE[] AS cv
+  FROM embeddings GROUP BY label),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {_COS.format(a="e.embedding::DOUBLE[]", b="c.cv")} DESC,
+             c.centroid_id) AS rn
+    FROM embeddings e, cent c) t WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, centroid_id
+  FROM assigned WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_COS.format(a="a.embedding::DOUBLE[]", b="q.qv")} AS score
+  FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
+  WHERE a.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
+""",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10: centroid per label (min-vec_id representative),
+    1-probe search within the assigned cluster — the scale path; the
+    oracle replicates the same algorithm including its recall loss."""
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = emb.groupBy(F.col("label").alias("centroid_id")).agg(
+        F.min_by("embedding", "vec_id").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_topk(emb, queries, centroids, k=10)
+
+
+@query(
+    "llm_sim_near_dup_embeddings",
+    f"""
+SELECT a.vec_id AS i, b.vec_id AS j,
+       {_COS.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")} >= 0.35
+""",
+)
+def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. Threshold 0.35 sits at
+    the ~99.9th percentile of this corpus's pair-cosine distribution
+    (no planted dups; max pair cosine ~0.5-0.6)."""
+    return sim.near_duplicate_pairs(Catalog(spark, sf_dir).embeddings, 0.35)
+
+
+# ------------------------------------------------------------- text ops
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in tx.STOPWORDS)
+
+
+@query(
+    "llm_text_quality",
+    rf"""
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         regexp_split_to_array(trim(text), '\s+') AS w,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+  FROM documents)
+SELECT doc_id, lang, source,
+  length(text) AS n_chars,
+  len(w) AS n_tokens,
+  len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))
+    * 1.0 / greatest(length(text), 1) AS punct_ratio,
+  len(list_filter(wl, x -> x IN ({_STOP_SQL})))
+    * 1.0 / greatest(len(w), 1) AS stopword_ratio,
+  (length(text) - len(w) + 1) * 1.0 / greatest(len(w), 1) AS mean_token_len
+FROM t
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document (length/punct/stopword
+    ratios) — all JVM-side expressions, no UDF."""
+    docs = Catalog(spark, sf_dir).documents
+    e = tx.quality_exprs(F.col("text"))
+    return docs.select(
+        "doc_id", "lang", "source", *[c.alias(n) for n, c in e.items()]
+    )
+
+
+@query(
+    "llm_text_token_counts",
+    r"""
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+    AS n_bpe_ish_tokens
+FROM documents
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish (letter-run / digit-run / symbol) token
+    counts."""
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        F.size(tx.ws_tokens(F.col("text"))).alias("n_ws_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish_tokens"),
+    )
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: (
+            "len(list_filter(wl, x -> x IN ("
+            + ", ".join(f"'{m}'" for m in markers)
+            + ")))"
+        )
+        for lang, markers in sorted(tx.LANG_MARKERS.items())
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND {score[lang]} = {best} THEN '{lang}'"
+        for lang in sorted(tx.LANG_MARKERS)
+    ) + " ELSE 'und' END"
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+  FROM documents)
+SELECT lang, predicted_lang, COUNT(*) AS n FROM (
+  SELECT lang, {case} AS predicted_lang FROM t) s
+GROUP BY lang, predicted_lang
+"""
+
+
+@query("llm_text_language_id", _lang_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language id vs the labeled ``lang`` column —
+    output is the confusion matrix."""
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.select(
+            "lang", tx.language_id_expr(F.col("text")).alias("predicted_lang")
+        )
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "llm_text_fingerprint",
+    f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(text, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+    (a, b) -> (a * {tx.FP_BASE} + b) % {tx.FP_MOD}) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint per doc."""
+    docs = Catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id", tx.fingerprint_expr(F.col("text")).alias("fingerprint")
+    )
+
+
+# ------------------------------------------------------------ multimodal
+
+@query(
+    "llm_multimodal_payload_meta",
+    """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  sha256(text) AS payload_sha256,
+  64 + octet_length(encode(text)) % 576 AS width,
+  64 + (octet_length(encode(text)) * 7) % 448 AS height
+FROM documents
+""",
+)
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing in pure relational form: treat the utf-8
+    payload as an opaque binary column and derive typed metadata
+    (size, content hash, deterministic fake dimensions). The real
+    decode path (images/audio) lives in operators/multimodal.py as
+    mapInPandas plumbing with a stubbed decoder."""
+    docs = Catalog(spark, sf_dir).documents
+    payload = F.encode(F.col("text"), "UTF-8")
+    n_bytes = F.length(payload)
+    return docs.select(
+        "doc_id",
+        n_bytes.cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+        (F.lit(64) + n_bytes % 576).cast("long").alias("width"),
+        (F.lit(64) + (n_bytes * 7) % 448).cast("long").alias("height"),
+    )

@@ -1,0 +1,161 @@
+"""Unit tests for the LLM-data operators (SURVEY.md M7) on inline
+frames with known answers."""
+
+from __future__ import annotations
+
+import pytest
+
+from lms_erp_data_integration_spark.operators import dedup as dd
+from lms_erp_data_integration_spark.operators import multimodal as mm
+from lms_erp_data_integration_spark.operators import similarity as sim
+from lms_erp_data_integration_spark.operators import text as tx
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different words entirely here now folks"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    out = dd.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["keeper_id"] == 1 and out[0]["n_copies"] == 2
+
+
+def test_word_shingles(spark, docs):
+    sh = tx.word_shingles(docs.where(F.col("doc_id") == 1), "doc_id", "text", 3)
+    got = {r["shingle"] for r in sh.collect()}
+    assert "the quick brown" in got and "the lazy dog" in got
+    assert len(got) == 7  # 9 tokens -> 7 trigrams
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    out = dd.ngram_jaccard_duplicates(docs, threshold=0.5).collect()
+    pairs = {(r["i"], r["j"]): r["jaccard"] for r in out}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0  # near dup
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_agrees_with_exact_on_high_jaccard(spark, docs):
+    exact = {
+        (r["i"], r["j"])
+        for r in dd.ngram_jaccard_duplicates(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["i"], r["j"])
+        for r in dd.minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert lsh <= exact  # LSH+verify can only miss, never invent
+    assert (1, 4) in lsh  # identical docs always collide
+
+
+def test_simhash_identical_docs_zero_distance(spark, docs):
+    out = dd.simhash_near_duplicates(docs, max_hamming=3, bits=32).collect()
+    d = {(r["i"], r["j"]): r["hamming"] for r in out}
+    assert d[(1, 4)] == 0
+
+
+def test_cosine_topk(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.05]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = vecs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.brute_force_topk(vecs, queries, k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [3, 1]
+
+
+def test_ivf_search_within_cluster(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.95, 0.05], 0),
+            (2, [0.0, 1.0], 1),
+            (3, [0.05, 0.95], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    centroids = vecs.groupBy(F.col("label").alias("centroid_id")).agg(
+        F.min_by("embedding", "vec_id").alias("embedding")
+    )
+    queries = vecs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivf_topk(vecs, queries, centroids, k=10).collect()
+    # only the same-cluster neighbor is searched
+    assert [r["neighbor_id"] for r in out] == [1]
+
+
+def test_language_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "el gato de la casa que habla"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", tx.language_id_expr(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got == {1: "en", 2: "es", 3: "und"}
+    q = df.select(*[c.alias(n) for n, c in tx.quality_exprs(F.col("text")).items()])
+    row = q.collect()[0]
+    assert row["n_tokens"] == 8 and row["punct_ratio"] == 0.0
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "ba")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", tx.fingerprint_expr(F.col("text")).alias("fp")
+    ).collect()}
+    # h("ab") = (0*131+97)*131+98 ; order matters
+    assert out[1] == 97 * 131 + 98
+    assert out[2] == 98 * 131 + 97
+    assert out[1] != out[2]
+
+
+def test_multimodal_mapinpandas_plumbing(spark, docs):
+    with_payload = mm.attach_payload(docs)
+    meta = mm.extract_image_meta(with_payload)
+    rows = {r["doc_id"]: r for r in meta.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    r1 = rows[1]
+    n = len("the quick brown fox jumps over the lazy dog".encode())
+    assert r1["n_bytes"] == n
+    assert r1["width"] == 64 + n % 576 and r1["channels"] == 3
+    assert r1["pixel_mean"] > 0
+
+
+def test_multimodal_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_stub(b"bytes")
+
+
+def test_frame_sampling(spark, docs):
+    frames = mm.sample_frames(mm.attach_payload(docs), every_n_bytes=16)
+    per_doc = {
+        r["doc_id"]: r["count"]
+        for r in frames.groupBy("doc_id").count().collect()
+    }
+    assert per_doc[1] == 3  # 43 bytes -> offsets 0,16,32
