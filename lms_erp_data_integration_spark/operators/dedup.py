@@ -27,12 +27,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import word_shingles
+from .text import shingle_array, word_shingles
 
 
 def _md5_int(col: Column) -> Column:
     """First 60 bits of md5 as a non-negative bigint (15 hex chars)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _md5_int28(col: Column) -> Column:
+    """First 28 bits of md5 (7 hex chars) — small enough that an affine
+    rehash a*h+b stays inside 64-bit before the modulus."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+# Affine MinHash family over the 28-bit md5 base hash:
+# h_i(s) = (A[i] * base(s) + B[i]) mod MH_MOD.  A[i]*base < 2^31 * 2^28
+# = 2^59: no 64-bit overflow. Constants derived from the FNV primes;
+# shared with the DuckDB oracle generator.
+MH_MOD = 2_147_483_647
+
+
+def mh_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    a = [(16_777_619 * (i + 1)) % MH_MOD for i in range(num_hashes)]
+    b = [(2_166_136_261 * (i + 1)) % MH_MOD for i in range(num_hashes)]
+    return a, b
 
 
 def exact_duplicates(
@@ -51,48 +70,71 @@ def exact_duplicates(
 
 
 def minhash_signatures(
-    shingled: DataFrame, num_hashes: int, id_col: str = "doc_id"
+    df: DataFrame,
+    num_hashes: int,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sets_col: str | None = None,
 ) -> DataFrame:
-    """(id, seed, minhash) — min over shingles of the seeded md5 hash.
+    """(id, sigs: array<long>[num_hashes]) — minhash signature per doc.
 
-    The seed explosion is a cheap row multiplier (num_hashes is small);
-    the heavy reduction is the min-aggregate, which combines map-side.
-    """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        shingled.select(F.col(id_col), F.col("shingle"), seeds)
-        .select(
-            id_col,
-            "seed",
-            _md5_int(
-                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+    Entirely NARROW: the distinct shingle array and its base md5 hashes
+    are materialized per row, then each signature slot is an array_min
+    fold of an affine rehash — one md5 per shingle, zero shuffles.
+    (The classic explode(seed) + groupBy(min) formulation shuffles
+    num_hashes x shingle-count rows; this computes the same values in
+    a single codegen'd projection.)
+
+    Pass ``sets_col`` to reuse a precomputed (ideally cached) distinct
+    shingle-array column instead of shingling ``text_col``."""
+    a, b = mh_params(num_hashes)
+    shset = (
+        F.col(sets_col)
+        if sets_col
+        else F.array_distinct(shingle_array(F.col(text_col), shingle_n))
     )
+    # persist: CollapseProject would otherwise inline _hs into every
+    # signature slot and recompute shingling+md5 16x per row
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(shset, lambda s: _md5_int28(s)).alias("_hs"),
+    ).persist()
+    def slot(i: int):
+        # closure factory: a defaulted second lambda param would make
+        # PySpark pass the array index into it
+        return F.array_min(
+            F.transform(F.col("_hs"), lambda h: (F.lit(a[i]) * h + F.lit(b[i])) % MH_MOD)
+        )
+
+    sigs = F.array(*[slot(i) for i in range(num_hashes)])
+    return hashed.where(F.size("_hs") > 0).select(F.col(id_col), sigs.alias("sigs"))
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int, rows_per_band: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Band the signature matrix and emit distinct candidate (i, j) pairs
-    (i < j) that agree on at least one full band."""
-    banded = (
-        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                ",", F.sort_array(F.collect_list(F.struct("seed", "minhash"))).minhash
-            ).alias("band_key")
-        )
+    """Band the signature arrays and emit distinct candidate (i, j)
+    pairs (i < j) that agree on at least one full band. The only
+    shuffle in the LSH path: an equi-join on (band, band_key), sized by
+    collisions rather than n^2."""
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda k: F.concat_ws(
+            ",",
+            *[
+                F.element_at(
+                    F.col("sigs"), (k * rows_per_band + r + 1).cast("int")
+                ).cast("string")
+                for r in range(rows_per_band)
+            ],
+        ),
     )
-    left = banded.select(
-        F.col(id_col).alias("i"), F.col("band"), F.col("band_key")
+    banded = signatures.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
     )
-    right = banded.select(
-        F.col(id_col).alias("j"), F.col("band"), F.col("band_key")
-    )
+    left = banded.select(F.col(id_col).alias("i"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("j"), "band", "band_key")
     return (
         left.join(right, ["band", "band_key"])
         .where(F.col("i") < F.col("j"))
@@ -142,11 +184,26 @@ def minhash_near_duplicates(
     false positives are removed by the verify join.
     """
     rows_per_band = num_hashes // bands
-    shingled = word_shingles(df, id_col, text_col, n=shingle_n)
-    sigs = minhash_signatures(shingled, num_hashes, id_col)
+    # one cached pass builds the per-doc shingle SET arrays; signatures
+    # and the verify join both read it (cache prevents CollapseProject
+    # from re-inlining the shingling into every consumer)
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias("shset"),
+    ).persist()
+    sigs = minhash_signatures(sets, num_hashes, id_col=id_col, sets_col="shset")
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
-    return jaccard_on_pairs(shingled, cands, id_col).where(
-        F.col("jaccard") >= threshold
+    # exact-Jaccard verify on candidates only, via array_intersect on
+    # the cached set arrays — no exploded-shingle shuffle at all
+    si = sets.select(F.col(id_col).alias("i"), F.col("shset").alias("_sh_i"))
+    sj = sets.select(F.col(id_col).alias("j"), F.col("shset").alias("_sh_j"))
+    inter = F.size(F.array_intersect(F.col("_sh_i"), F.col("_sh_j")))
+    union = F.size("_sh_i") + F.size("_sh_j") - inter
+    return (
+        cands.join(si, "i")
+        .join(sj, "j")
+        .select("i", "j", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -158,17 +215,32 @@ def ngram_jaccard_duplicates(
     text_col: str = "text",
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via inverted-index self-join —
-    the ground-truth baseline for the LSH path."""
-    shingled = word_shingles(df, id_col, text_col, n=shingle_n)
-    pairs = (
-        shingled.select(F.col(id_col).alias("i"), "shingle")
-        .join(shingled.select(F.col(id_col).alias("j"), "shingle"), "shingle")
+    the ground-truth baseline for the LSH path.
+
+    The posting-list join directly PRODUCES the intersection counts
+    (group the joined rows by pair) — no separate candidate-distinct +
+    re-join pass, which would scan the shingle table three times."""
+    shingled = word_shingles(df, id_col, text_col, n=shingle_n).persist()
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    si = shingled.select(F.col(id_col).alias("i"), "shingle")
+    sj = shingled.select(F.col(id_col).alias("j"), "shingle")
+    inter = (
+        si.join(sj, "shingle")
         .where(F.col("i") < F.col("j"))
-        .select("i", "j")
-        .distinct()
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return jaccard_on_pairs(shingled, pairs, id_col).where(
-        F.col("jaccard") >= threshold
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("i"), F.col("n").alias("ni")), "i")
+        .join(sizes.select(F.col(id_col).alias("j"), F.col("n").alias("nj")), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -210,18 +282,42 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """SimHash near-dup pairs: signature + all-pairs Hamming filter
-    (block on signature prefix at scale; exact all-pairs here keeps the
-    oracle twin simple)."""
-    sigs = simhash_signatures(df, bits, id_col, text_col)
-    left = sigs.select(F.col(id_col).alias("i"), F.col("sig").alias("sig_i"))
-    right = sigs.select(F.col(id_col).alias("j"), F.col("sig").alias("sig_j"))
-    return (
-        left.crossJoin(right)
-        .where(F.col("i") < F.col("j"))
-        .withColumn(
-            "hamming", F.bit_count(F.expr("sig_i ^ sig_j"))
+    """SimHash near-dup pairs via pigeonhole blocking — EXACT, not
+    approximate: split the signature into ``max_hamming + 1`` blocks;
+    any pair within that Hamming distance must agree on at least one
+    whole block, so equi-joining per block finds every qualifying pair
+    while the quadratic comparison shrinks to within-bucket pairs.
+    This is the 100 TB shape: shuffles scale with collisions, not n^2,
+    and the result set is identical to the all-pairs scan (the DuckDB
+    oracle keeps the simple all-pairs form)."""
+    sigs = simhash_signatures(df, bits, id_col, text_col).persist()
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    blocked = sigs.select(
+        id_col,
+        "sig",
+        *[
+            F.shiftright(F.col("sig"), k * block_bits)
+            .bitwiseAND(F.lit((1 << block_bits) - 1))
+            .alias(f"b{k}")
+            for k in range(n_blocks)
+        ],
+    )
+    cands = None
+    for k in range(n_blocks):
+        li = blocked.select(
+            F.col(id_col).alias("i"), F.col("sig").alias("sig_i"), f"b{k}"
         )
+        rj = blocked.select(
+            F.col(id_col).alias("j"), F.col("sig").alias("sig_j"), f"b{k}"
+        )
+        c = li.join(rj, f"b{k}").where(F.col("i") < F.col("j")).select(
+            "i", "j", "sig_i", "sig_j"
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sig_i ^ sig_j")))
         .where(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")
     )

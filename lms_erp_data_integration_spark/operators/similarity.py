@@ -143,6 +143,17 @@ def ivf_topk(
     )
 
 
+def normalize(arr: Column) -> Column:
+    """Unit-normalize a vector (elements cast to double first)."""
+    d = _to_double(arr)
+    n = F.sqrt(
+        F.aggregate(
+            F.zip_with(d, d, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return F.transform(d, lambda x: x / n)
+
+
 def near_duplicate_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -150,13 +161,29 @@ def near_duplicate_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (i < j, cosine >= threshold).
-    All-pairs here; at scale, LSH-bucket (random hyperplanes) or IVF
-    first and compare within buckets only."""
-    left = vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("_vi"))
-    right = vectors.select(F.col(id_col).alias("j"), F.col(vec_col).alias("_vj"))
+
+    Vectors are unit-normalized ONCE (n norms instead of 2 per pair),
+    so each pair costs a single dot-product fold — 3x fewer array folds
+    than the naive cosine. All-pairs here; at scale, LSH-bucket
+    (random hyperplanes) or IVF first and compare within buckets only."""
+    # persist: without it Catalyst collapses this projection into the
+    # join and re-normalizes BOTH vectors for every pair
+    normed = vectors.select(
+        F.col(id_col), normalize(F.col(vec_col)).alias("_nv")
+    ).persist()
+    left = normed.select(F.col(id_col).alias("i"), F.col("_nv").alias("_vi"))
+    right = normed.select(F.col(id_col).alias("j"), F.col("_nv").alias("_vj"))
     return (
         left.crossJoin(right)
         .where(F.col("i") < F.col("j"))
-        .select("i", "j", cosine(F.col("_vi"), F.col("_vj")).alias("cosine"))
+        .select(
+            "i",
+            "j",
+            F.aggregate(
+                F.zip_with(F.col("_vi"), F.col("_vj"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )

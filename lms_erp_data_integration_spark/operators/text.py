@@ -53,28 +53,33 @@ def token_occurrences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles for one document (order preserved,
+    duplicates included) — pure Column expression, no shuffle.
+
+    Built by zip_with-ing n shifted slices of the token array. The
+    token split appears only as an ARGUMENT expression (evaluated once
+    per row) — referencing it inside a transform lambda would make
+    Catalyst re-split the document once per shingle (quadratic)."""
+    toks = ws_tokens(text)
+    # greatest(.., 0) guards docs shorter than n tokens: slice(_, 1, 0)
+    # is empty, and zip_with of empties stays empty
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    parts = [F.slice(toks, F.lit(j + 1), cnt) for j in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.zip_with(out, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return out
+
+
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """Distinct n-word shingles per document — the unit for Jaccard /
-    MinHash dedup. Built with transform over a token array (no UDF)."""
-    toks = ws_tokens(F.col(text_col))
-    # guard: a doc with fewer than n tokens has no shingles (a negative
-    # sequence bound would otherwise build a descending index array and
-    # crash element_at)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
-    ).otherwise(F.array().cast("array<int>"))
-    shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return (
-        df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
-        .distinct()
-    )
+    MinHash dedup."""
+    return df.select(
+        F.col(id_col), F.explode(shingle_array(F.col(text_col), n)).alias("shingle")
+    ).distinct()
 
 
 def stopword_count(text: Column) -> Column:

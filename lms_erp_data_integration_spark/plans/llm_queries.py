@@ -44,22 +44,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_duplicates(docs.unionByName(planted))
 
 
-_MINHASH_ORACLE = r"""
+def _minhash_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
+    a, b = dd.mh_params(num_hashes)
+    a_sql = "[" + ", ".join(map(str, a)) + "]"
+    b_sql = "[" + ", ".join(map(str, b)) + "]"
+    return rf"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
 shing AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+base AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+  FROM shing),
 mh AS (
   SELECT doc_id, seed,
-         MIN(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || shingle),
-                             1, 15))::BIGINT) AS minhash
-  FROM shing, unnest(range(0, 16)) AS s(seed)
+         MIN(({a_sql}[seed + 1] * h + {b_sql}[seed + 1]) % {dd.MH_MOD})
+           AS minhash
+  FROM base, unnest(range(0, {num_hashes})) AS s(seed)
   GROUP BY doc_id, seed),
 banded AS (
-  SELECT doc_id, seed // 2 AS band,
+  SELECT doc_id, seed // {rows_per_band} AS band,
          string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
-  FROM mh GROUP BY doc_id, seed // 2),
+  FROM mh GROUP BY doc_id, seed // {rows_per_band}),
 cands AS (
   SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
   FROM banded a JOIN banded b
@@ -77,6 +85,9 @@ JOIN sizes sa ON sa.doc_id = i
 JOIN sizes sb ON sb.doc_id = j
 WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
 """
+
+
+_MINHASH_ORACLE = _minhash_oracle()
 
 
 @query("llm_dedup_minhash_lsh", _MINHASH_ORACLE)
@@ -229,11 +240,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_sim_near_dup_embeddings",
-    f"""
-SELECT a.vec_id AS i, b.vec_id AS j,
-       {_COS.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_COS.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")} >= 0.35
+    """
+WITH nv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS v
+  FROM embeddings)
+SELECT a.vec_id AS i, b.vec_id AS j, list_dot_product(a.v, b.v) AS cosine
+FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) >= 0.35
 """,
 )
 def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,6 +41,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # At 100 TB: keep scan partitions bounded so a single task's
         # input fits comfortably in executor memory.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -1,0 +1,90 @@
+"""Structured Streaming variants of the daily snapshot diff
+(SURVEY.md M8) — the reference re-runs a full batch diff daily
+(``DailyEnrollment.sql``, ``src/jenzabar.py:56``); the streaming form
+processes increments with watermarked event-time windows instead.
+
+The batch twin of ``hourly_event_counts`` is the registered
+``rel_events_hourly`` query — the streaming aggregation produces the
+same rows once the watermark closes each window (verified in tests via
+the memory sink + ``processAllAvailable``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. The nanos ts arrives
+    as long (session conf) and is converted exactly like the batch
+    Catalog path — one schema for both modes."""
+    batch_schema = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    )
+    # file-stream sources take a directory; pathGlobFilter selects the
+    # events table out of the shared sf dir
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_event_counts(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling 1-hour window per event_type with late-data watermark.
+    Streaming twin of ``rel_events_hourly``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_event_value(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Sliding windows (1 h, slide 15 min): each event lands in 4
+    windows — overlap handled by the engine's window generator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, mode: str = "complete"
+) -> DataFrame:
+    """Drive a bounded file-source stream to completion synchronously
+    (memory sink; local smoke-test harness, guide 'Structured
+    Streaming').
+
+    Default mode 'complete': with a bounded file source nothing ever
+    advances the watermark past the last window, so append mode would
+    hold the tail windows back forever; complete emits every window and
+    lets tests compare 1:1 against the batch twin."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
