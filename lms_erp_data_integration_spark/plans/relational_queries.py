@@ -447,3 +447,132 @@ def term_successor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("next_term_id", term_successor_expr(F.col("term_id")))
         .select("term_id", "next_term_id", "n_orders")
     )
+
+
+@query(
+    "rel_q6_revenue_filter",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + filter + agg — the pushdown
+    showcase (every predicate reaches the parquet reader)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "rel_events_props_json",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: extract a JSON field from the props
+    string column and aggregate it (get_json_object stays JVM-side)."""
+    ev = Catalog(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "rel_string_surface",
+    """
+SELECT upper(substr(p_name, 1, 3)) || '-' || replace(p_type, ' ', '_') AS code,
+       reverse(p_brand) AS rev_brand,
+       length(trim(p_name)) AS name_len,
+       COUNT(*) AS n
+FROM part
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2, 3
+""",
+)
+def string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The section 2.6 scalar-string surface in one plan: substring,
+    concat, upper, replace, reverse, trim, length, LIKE."""
+    p = Catalog(spark, sf_dir).part
+    return (
+        p.where(F.col("p_name").like("%a%"))
+        .groupBy(
+            F.concat(
+                F.upper(F.substring("p_name", 1, 3)),
+                F.lit("-"),
+                F.replace(F.col("p_type"), F.lit(" "), F.lit("_")),
+            ).alias("code"),
+            F.reverse(F.col("p_brand")).alias("rev_brand"),
+            F.length(F.trim(F.col("p_name"))).alias("name_len"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "rel_percentiles_acctbal",
+    """
+SELECT c_mktsegment,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS median_bal,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS p90_bal,
+       COUNT(*) AS n
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def percentiles_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use the
+    same linear interpolation on the sorted values)."""
+    c = Catalog(spark, sf_dir).customer
+    return c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.5)).alias("median_bal"),
+        F.percentile("c_acctbal", F.lit(0.9)).alias("p90_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "rel_cube_order_stats",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations (rollup's sibling)."""
+    return (
+        Catalog(spark, sf_dir)
+        .orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )

@@ -1,0 +1,3 @@
+from .csv import ENTITY_CSV_SCHEMAS, read_entity_csv, write_sis_csv  # noqa: F401
+from .rest import ReportSource, SISImportSink  # noqa: F401
+from .jdbc import jdbc_options  # noqa: F401

@@ -1,0 +1,39 @@
+"""JDBC source/sink options (SURVEY.md S5/S8 external variant).
+
+The reference connects to SQL Server via SQLAlchemy/pyODBC
+(``src/jenzabar.py:14-16``) and refreshes mirrors with DELETE + batched
+INSERT (``:46-47``). The Spark-native equivalents are
+``spark.read/write.jdbc`` with ``truncate`` overwrite and an explicit
+``batchsize``; no JDBC driver ships in this environment, so the engine
+only *builds* the option sets (pure, unit-testable) and callers attach
+them where a driver exists.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote
+
+
+def jdbc_options(
+    host: str,
+    database: str,
+    user: str,
+    password: str,
+    table: str,
+    batchsize: int = 10_000,
+    truncate: bool = True,
+) -> dict[str, str]:
+    """Option map for ``spark.read/write.format('jdbc')``. The password
+    is URL-escaped exactly like the reference's connection string
+    (``src/jenzabar.py:14-16``). ``batchsize`` replaces the reference's
+    100-row pandas chunks (``jenzabar.py:47``) — 10k rows per round trip
+    is the sane JDBC default; ``truncate`` preserves snapshot-overwrite
+    semantics without dropping the table."""
+    return {
+        "url": f"jdbc:sqlserver://{host};databaseName={database}",
+        "dbtable": table,
+        "user": user,
+        "password": quote(password, safe=""),
+        "batchsize": str(batchsize),
+        "truncate": str(truncate).lower(),
+    }
