@@ -154,6 +154,87 @@ def normalize(arr: Column) -> Column:
     return F.transform(d, lambda x: x / n)
 
 
+def hyperplanes(tables: int, bits: int, dim: int) -> list[list[list[float]]]:
+    """Deterministic random hyperplanes for sign-LSH, derived from md5
+    in plain Python — the same literals are inlined into the Spark plan
+    and the DuckDB oracle, so both engines bucket identically."""
+    import hashlib
+
+    def comp(t: int, b: int, d: int) -> float:
+        h = hashlib.md5(f"{t}:{b}:{d}".encode()).hexdigest()[:7]
+        return (int(h, 16) % 2001 - 1000) / 1000.0
+
+    return [
+        [[comp(t, b, d) for d in range(dim)] for b in range(bits)]
+        for t in range(tables)
+    ]
+
+
+def lsh_bucketed_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    tables: int = 4,
+    bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH near-dup pairs: L hash tables of k
+    sign bits; candidate pairs share a bucket in >= 1 table, then exact
+    normalized-cosine verification at ``threshold``.
+
+    The scale path: the bucket equi-join shuffles collisions, not n^2.
+    Recall < 1 by construction (P[collide] = (1 - theta/pi)^k per
+    table); the oracle replicates the identical pipeline, so results
+    still compare bit-exactly."""
+    planes = hyperplanes(tables, bits, dim)
+    v = _to_double(F.col(vec_col))
+
+    def bucket(t: int) -> Column:
+        acc = F.lit(0)
+        for b in range(bits):
+            r = F.array(*[F.lit(x) for x in planes[t][b]])
+            d = F.aggregate(
+                F.zip_with(v, r, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        return acc
+
+    buckets = vectors.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[bucket(t) for t in range(tables)])).alias(
+            "table", "bucket"
+        ),
+    ).persist()
+    cands = (
+        buckets.select(F.col(id_col).alias("i"), "table", "bucket")
+        .join(
+            buckets.select(F.col(id_col).alias("j"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+    normed = vectors.select(F.col(id_col), normalize(F.col(vec_col)).alias("_nv")).persist()
+    return (
+        cands.join(normed.select(F.col(id_col).alias("i"), F.col("_nv").alias("_vi")), "i")
+        .join(normed.select(F.col(id_col).alias("j"), F.col("_nv").alias("_vj")), "j")
+        .select(
+            "i",
+            "j",
+            F.aggregate(
+                F.zip_with(F.col("_vi"), F.col("_vj"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def near_duplicate_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -402,3 +402,83 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(64) + n_bytes % 576).cast("long").alias("width"),
         (F.lit(64) + (n_bytes * 7) % 448).cast("long").alias("height"),
     )
+
+
+@query(
+    "llm_text_top_terms",
+    r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents)
+SELECT token, n, rnk FROM (
+  SELECT token, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+  FROM toks GROUP BY token) t
+WHERE rnk <= 20
+""",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 term frequencies (explode -> count ->
+    deterministic top-k)."""
+    from pyspark.sql import Window as W
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    w = W.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        docs.select(toks)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+    )
+
+
+def _hyperplane_oracle(tables: int = 4, bits: int = 4, dim: int = 64) -> str:
+    planes = sim.hyperplanes(tables, bits, dim)
+    bucket_cases = []
+    for t in range(tables):
+        parts = []
+        for b in range(bits):
+            lit = "[" + ", ".join(repr(x) for x in planes[t][b]) + "]::DOUBLE[]"
+            parts.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0 "
+                f"THEN {1 << b} ELSE 0 END)"
+            )
+        bucket_cases.append("(" + " + ".join(parts) + f") AS b{t}")
+    bcols = ",\n         ".join(bucket_cases)
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM sigs" for t in range(tables)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding,
+         {bcols}
+  FROM embeddings),
+buckets AS (
+  {unions}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+nv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS v
+  FROM embeddings)
+SELECT c.i, c.j, list_dot_product(a.v, b.v) AS cosine
+FROM cands c JOIN nv a ON a.vec_id = c.i JOIN nv b ON b.vec_id = c.j
+WHERE list_dot_product(a.v, b.v) >= 0.35
+"""
+
+
+@query("llm_sim_lsh_hyperplane", _hyperplane_oracle())
+def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-dup pairs (4 tables x 4 bits) with exact
+    cosine verification — the bucketed scale path beside the exact
+    all-pairs llm_sim_near_dup_embeddings; the oracle replicates the
+    pipeline including its recall loss."""
+    return sim.lsh_bucketed_near_duplicates(
+        Catalog(spark, sf_dir).embeddings, threshold=0.35, tables=4, bits=4
+    )

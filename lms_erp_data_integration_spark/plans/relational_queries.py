@@ -576,3 +576,38 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("o_totalprice")).cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "rel_asof_last_purchase",
+    """
+WITH errors AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase')
+SELECT e.user_id, e.event_id, e.ts, p.purchase_id, p.purchase_value
+FROM errors e ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/relational.py): for every error event, the
+    user's latest purchase at or before it. Union+window composition —
+    one shuffle on the key, no range explosion (DuckDB's native ASOF
+    JOIN is the oracle)."""
+    from ..operators.relational import asof_join
+
+    ev = Catalog(spark, sf_dir).events
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        errors, purchases, "user_id", "ts", "ts", ["purchase_id", "purchase_value"]
+    )
