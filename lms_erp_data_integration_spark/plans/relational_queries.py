@@ -611,3 +611,47 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         errors, purchases, "user_id", "ts", "ts", ["purchase_id", "purchase_value"]
     )
+
+
+@query(
+    "rel_parameterized_sql",
+    """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE year(o_orderdate) = 1996 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+)
+def parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 parity: a parameterized spark.sql() text over registered
+    views with NAMED parameters — the Spark-native form of the
+    reference's `pd.read_sql(text, params=[yr, trm])`
+    (``src/jenzabar.py:69-75``); params never string-interpolate, so no
+    injection surface."""
+    Catalog(spark, sf_dir).register_all()
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE year(o_orderdate) = :yr AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"yr": 1996, "status": "O"},
+    )
+
+
+@query("rel_approx_distinct")  # no oracle: HLL sketch is engine-specific
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-distinct surface (HyperLogLog++): sketch results are
+    engine-specific so this is a rows-only check; the exact companion
+    is rel_distinct_aggregates."""
+    return (
+        Catalog(spark, sf_dir)
+        .lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
