@@ -139,3 +139,24 @@ def fingerprint_expr(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
     )
+
+
+# Tiny sentiment lexicons (EDBT'16 lexicon-scoring pattern, SURVEY M7);
+# real corpora would load AFINN/VADER-style tables as a broadcast dim.
+POSITIVE_WORDS = ("fast", "good", "great", "small", "big")
+NEGATIVE_WORDS = ("slow", "bad", "error", "late")
+
+
+def sentiment_exprs(text: Column) -> dict[str, Column]:
+    """Lexicon sentiment: (pos - neg) / tokens in [-1, 1]."""
+    toks = ws_tokens(F.lower(text))
+
+    def hits(words: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    n_pos, n_neg = hits(POSITIVE_WORDS), hits(NEGATIVE_WORDS)
+    return {
+        "n_pos": n_pos.cast("long"),
+        "n_neg": n_neg.cast("long"),
+        "sentiment": (n_pos - n_neg) / F.greatest(F.size(toks), F.lit(1)),
+    }

@@ -482,3 +482,31 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucketed_near_duplicates(
         Catalog(spark, sf_dir).embeddings, threshold=0.35, tables=4, bits=4
     )
+
+
+def _sentiment_oracle() -> str:
+    pos = ", ".join(f"'{w}'" for w in tx.POSITIVE_WORDS)
+    neg = ", ".join(f"'{w}'" for w in tx.NEGATIVE_WORDS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+  FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(wl, x -> x IN ({pos}))) AS n_pos,
+         len(list_filter(wl, x -> x IN ({neg}))) AS n_neg,
+         (len(list_filter(wl, x -> x IN ({pos})))
+          - len(list_filter(wl, x -> x IN ({neg}))))
+           * 1.0 / greatest(len(wl), 1) AS sentiment
+  FROM t)
+SELECT doc_id, lang, n_pos, n_neg, sentiment FROM scored
+"""
+
+
+@query("llm_text_sentiment", _sentiment_oracle())
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring per document."""
+    docs = Catalog(spark, sf_dir).documents
+    e = tx.sentiment_exprs(F.col("text"))
+    return docs.select("doc_id", "lang", *[c.alias(n) for n, c in e.items()])
