@@ -95,3 +95,17 @@ def test_clean_is_single_narrow_stage(spark, raw_users):
     out = clean(raw_users, ENTITY_SPECS["users"], PARAMS)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_exclude_prefix(spark):
+    """F3 (dormant in the reference, canvas.py:89): prefix exclusion."""
+    from lms_erp_data_integration_spark.operators.cleaning import CleanSpec
+
+    spec = CleanSpec(
+        cols_to_keep=("user_id",), exclude_prefix={"user_id": "CanvasStu"}
+    )
+    raw = spark.createDataFrame(
+        [("CanvasStu1",), ("1001",)], "user_id string"
+    )
+    out = clean(raw, spec, PARAMS)
+    assert [r["user_id"] for r in out.collect()] == ["1001"]
