@@ -159,3 +159,20 @@ def test_frame_sampling(spark, docs):
         for r in frames.groupBy("doc_id").count().collect()
     }
     assert per_doc[1] == 3  # 43 bytes -> offsets 0,16,32
+
+
+def test_near_dup_fast_equals_exprs(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7) + 0.1 * d for d in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    fast = {
+        (r["i"], r["j"]): r["cosine"]
+        for r in sim.near_duplicate_pairs(vecs, 0.99).collect()
+    }
+    exprs = {
+        (r["i"], r["j"]): r["cosine"]
+        for r in sim.near_duplicate_pairs_exprs(vecs, 0.99).collect()
+    }
+    assert fast == exprs  # bit-for-bit, including threshold boundaries
+    assert len(fast) > 0
