@@ -24,6 +24,10 @@ def main() -> int:
         if only and name not in only:
             continue
         df = fn(spark, sf_dir)
+        # execute THIS dataframe's own QueryExecution (collect, not a
+        # write, which would build a separate plan): under AQE the final
+        # plan with runtime-chosen joins only exists after the action
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         joins = re.findall(
             r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
@@ -32,11 +36,10 @@ def main() -> int:
             plan,
         )
         n_exchange = plan.count("Exchange ")
-        n_codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
         scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         print(f"\n=== {name}")
-        print(f"  exchanges={n_exchange} codegen_stages={n_codegen}")
+        print(f"  exchanges={n_exchange} (AQE string includes pre+post plans)")
         for kind, side in joins:
             print(f"  join: {kind} {side}")
         for s in scans:

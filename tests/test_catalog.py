@@ -1,0 +1,51 @@
+"""Catalog schema contracts: exact expected types for the driver's
+tables — guards against silent schema drift (the engine declares, never
+infers; SURVEY.md section 1.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lms_erp_data_integration_spark.catalog import Catalog, TABLES
+
+EXPECTED = {
+    "region": "struct<r_regionkey:int,r_name:string>",
+    "nation": "struct<n_nationkey:int,n_name:string,n_regionkey:int>",
+    "customer": (
+        "struct<c_custkey:bigint,c_name:string,c_nationkey:int,"
+        "c_acctbal:double,c_mktsegment:string>"
+    ),
+    "supplier": (
+        "struct<s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double>"
+    ),
+    "part": (
+        "struct<p_partkey:bigint,p_name:string,p_brand:string,p_type:string,"
+        "p_size:int,p_retailprice:double>"
+    ),
+    "orders": (
+        "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,"
+        "o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string>"
+    ),
+    "lineitem": (
+        "struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,"
+        "l_linenumber:int,l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_tax:double,l_returnflag:string,"
+        "l_linestatus:string,l_shipdate:timestamp_ntz>"
+    ),
+    # ts converted nanos->micros by the Catalog (session TZ = UTC)
+    "events": (
+        "struct<event_id:bigint,ts:timestamp,user_id:bigint,"
+        "event_type:string,value:double,props:string>"
+    ),
+    "documents": (
+        "struct<doc_id:bigint,text:string,lang:string,source:string,"
+        "n_chars:bigint>"
+    ),
+    "embeddings": "struct<vec_id:bigint,embedding:array<float>,label:int>",
+}
+
+
+@pytest.mark.parametrize("table", TABLES)
+def test_table_schema(spark, sf_dir, table):
+    got = Catalog(spark, sf_dir).table(table).schema.simpleString()
+    assert got == EXPECTED[table], f"{table}: {got}"
