@@ -105,21 +105,48 @@ def ivf_assign(
     )
 
 
+def ivf_probe_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, centroid_id) rows for each of the ``nprobe`` nearest
+    centroids — multi-probe generalization of :func:`ivf_assign`."""
+    c = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("_cv"))
+    scored = vectors.join(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("_cv")).alias("_sim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nprobe)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     centroids: DataFrame,
     k: int = 10,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF approximate top-k: search only the query's probed (nearest)
-    cluster. Same output shape as brute_force_topk; recall < 1 by
-    construction — the oracle replicates the identical algorithm."""
+    """IVF approximate top-k: search the query's ``nprobe`` nearest
+    clusters (each corpus vector lives in exactly one cluster). Same
+    output shape as brute_force_topk; recall grows with nprobe and the
+    oracle replicates the identical algorithm."""
     assigned = ivf_assign(vectors, centroids, id_col, vec_col)
-    q_assigned = ivf_assign(
+    q_assigned = ivf_probe_assign(
         queries.select(F.col("query_id").alias(id_col), vec_col),
         centroids,
+        nprobe,
         id_col,
         vec_col,
     ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "centroid_id")

@@ -510,3 +510,50 @@ def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
     e = tx.sentiment_exprs(F.col("text"))
     return docs.select("doc_id", "lang", *[c.alias(n) for n, c in e.items()])
+
+
+@query(
+    "llm_sim_ivf_multiprobe",
+    f"""
+WITH cent AS (
+  SELECT label AS centroid_id, arg_min(embedding, vec_id)::DOUBLE[] AS cv
+  FROM embeddings GROUP BY label),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {_COS.format(a="e.embedding::DOUBLE[]", b="c.cv")} DESC,
+             c.centroid_id) AS rn
+    FROM embeddings e, cent c) t WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, qv, centroid_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS qv, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {_COS.format(a="e.embedding::DOUBLE[]", b="c.cv")} DESC,
+             c.centroid_id) AS rn
+    FROM embeddings e, cent c WHERE e.vec_id < 5) t WHERE rn <= 2),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_COS.format(a="a.embedding::DOUBLE[]", b="q.qv")} AS score
+  FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
+  WHERE a.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
+""",
+)
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-10 (nprobe=2): searching the two nearest
+    clusters per query trades compute for recall — the standard IVF
+    recall knob, exercised end-to-end with an identical-algorithm
+    oracle."""
+    emb = Catalog(spark, sf_dir).embeddings
+    centroids = emb.groupBy(F.col("label").alias("centroid_id")).agg(
+        F.min_by("embedding", "vec_id").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_topk(emb, queries, centroids, k=10, nprobe=2)

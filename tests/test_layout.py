@@ -1,0 +1,55 @@
+"""Storage-layout utilities: partition pruning, bucketed co-location."""
+
+from __future__ import annotations
+
+from lms_erp_data_integration_spark.catalog import Catalog
+from lms_erp_data_integration_spark.pipeline.layout import (
+    bucketed_table,
+    prune_report,
+    write_layout,
+)
+from pyspark.sql import functions as F
+
+
+def test_partition_layout_prunes(spark, sf_dir, tmp_path):
+    docs = Catalog(spark, sf_dir).documents
+    out = str(tmp_path / "docs_by_lang")
+    write_layout(docs, out, partition_cols=["lang"])
+    rep = prune_report(spark, out, "lang = 'en'")
+    assert rep["read_files"] < rep["total_files"]
+    # values survive the layout round-trip
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.where("lang = 'en'").count() == docs.where("lang = 'en'").count()
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    # warehouse dir is a static conf; tables land in ./spark-warehouse
+    # (gitignored) and are dropped below
+    cat = Catalog(spark, sf_dir)
+    # disable broadcast so the small test tables exercise the
+    # sort-merge path that bucketing exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed_table(cat.orders, spark, "b_orders", "o_custkey", 4)
+        bucketed_table(
+            cat.customer.select(F.col("c_custkey").alias("o_custkey"), "c_name"),
+            spark,
+            "b_customer",
+            "o_custkey",
+            4,
+        )
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located bucketed join: sort-merge with NO hash exchange
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
