@@ -1,0 +1,94 @@
+"""Property-based tests (SURVEY.md section 5 upgrade over the
+reference's absent unit tests): hypothesis drives the pure scalar
+functions; seeded random frames drive the operator invariants (one
+Spark job per property, not per example)."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lms_erp_data_integration_spark.functions import next_term_id
+from lms_erp_data_integration_spark.operators import snapshot_diff
+from lms_erp_data_integration_spark.operators.dedup import (
+    minhash_near_duplicates,
+    ngram_jaccard_duplicates,
+)
+from pyspark.sql import functions as F
+
+# Domain: the reference's term ids are EXACTLY 2-char year + semester
+# (integrator.py slices [:2]/[2:4]); year 99's successor leaves the
+# domain ("1001S"), so double-successor properties stop at 98.
+terms = st.tuples(
+    st.integers(min_value=0, max_value=98), st.sampled_from(["1S", "2S"])
+).map(lambda t: f"{t[0]:02d}{t[1]}")
+
+
+@given(terms)
+def test_term_successor_alternates_semesters(term):
+    nxt = next_term_id(term)
+    assert nxt[-2:] != term[2:4]  # semester always flips
+    # two successors advance exactly one year
+    nxt2 = next_term_id(nxt)
+    assert int(nxt2[:-2]) == int(term[:2]) + 1
+    assert nxt2[-2:] == term[2:4]
+
+
+@given(terms)
+def test_term_successor_year_monotone(term):
+    nxt = next_term_id(term)
+    yr, nyr = int(term[:2]), int(nxt[:-2])
+    assert nyr == yr + (1 if term[2:4] == "2S" else 0)
+
+
+def _random_frames(spark, seed: int):
+    rng = random.Random(seed)
+    keys = [(rng.randrange(20), rng.randrange(5)) for _ in range(60)]
+    truth = spark.createDataFrame(
+        list({k for k in keys if rng.random() < 0.7}), "a long, b long"
+    )
+    mirror = spark.createDataFrame(
+        list({k for k in keys if rng.random() < 0.7}), "a long, b long"
+    )
+    return truth, mirror
+
+
+def test_snapshot_diff_partitions_key_space(spark):
+    """adds ∪ drops ∪ no-ops == truth ∪ mirror, pairwise disjoint."""
+    for seed in (1, 2, 3):
+        truth, mirror = _random_frames(spark, seed)
+        out = snapshot_diff(truth, mirror, ["a", "b"])
+        adds = {(r["a"], r["b"]) for r in out.where("status='active'").collect()}
+        drops = {(r["a"], r["b"]) for r in out.where("status='deleted'").collect()}
+        t = {(r["a"], r["b"]) for r in truth.collect()}
+        m = {(r["a"], r["b"]) for r in mirror.collect()}
+        assert adds == t - m
+        assert drops == m - t
+        assert adds.isdisjoint(drops)
+
+
+def test_minhash_subset_of_exact_on_random_docs(spark):
+    """LSH+verify never invents a pair the exact baseline lacks."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(40):
+        base = [rng.choice(vocab) for _ in range(15)]
+        rows.append((i, " ".join(base)))
+        if rng.random() < 0.3:  # planted near-dup
+            mutated = list(base)
+            mutated[rng.randrange(15)] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["i"], r["j"])
+        for r in ngram_jaccard_duplicates(docs, threshold=0.6).collect()
+    }
+    lsh = {
+        (r["i"], r["j"])
+        for r in minhash_near_duplicates(docs, threshold=0.6).collect()
+    }
+    assert lsh <= exact
+    assert len(exact) > 0  # planted dups found by the baseline
