@@ -244,6 +244,81 @@ def ngram_jaccard_duplicates(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (member, cluster_id)
+    with cluster_id = min doc id in the component (the keeper).
+
+    Iterative min-label propagation: each round joins every node's
+    label with its neighbors' labels and keeps the min; converges in
+    O(diameter) rounds (dedup clusters are shallow). This is the
+    canonical iterative-algorithm shape Spark handles with a driver
+    loop over lazy joins — checkpoint-friendly at scale (each round is
+    one shuffle on the edge key).
+    """
+    edges = (
+        pairs.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+        .unionByName(pairs.select(F.col("j").alias("src"), F.col("i").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # localCheckpoint (eager) each round: FULLY materializes the round
+    # and truncates lineage. A lazy persist + partial action (limit/
+    # take) leaves the cache incomplete, so every later round recomputes
+    # the whole chain — exponential blowup on deep graphs.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: follow label -> label(label), halving path
+        # lengths each round => O(log diameter) convergence instead of
+        # O(diameter)
+        lookup = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("_ll")
+        )
+        new_labels = (
+            stepped.join(lookup, "label", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} rounds"
+        )
+    return labels.select(F.col("node").alias("member"), F.col("label").alias("cluster_id"))
+
+
 def simhash_signatures(
     df: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

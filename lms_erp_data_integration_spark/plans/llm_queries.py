@@ -557,3 +557,41 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim.ivf_topk(emb, queries, centroids, k=10, nprobe=2)
+
+
+@query(
+    "llm_dedup_clusters",
+    r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+shing AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT i, j FROM inter
+  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+edges AS (
+  SELECT i AS src, j AS dst FROM pairs
+  UNION SELECT j AS src, i AS dst FROM pairs),
+reach AS (
+  SELECT src AS node, dst AS target FROM edges
+  UNION
+  SELECT r.node, e.dst AS target FROM reach r JOIN edges e ON e.src = r.target
+)
+SELECT node AS member, least(node, MIN(target)) AS cluster_id
+FROM reach GROUP BY node
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (iterative min-label
+    propagation) over the exact-Jaccard pair graph; cluster_id = min
+    member = keeper. Oracle: recursive CTE transitive closure."""
+    docs = Catalog(spark, sf_dir).documents
+    pairs = dd.ngram_jaccard_duplicates(docs, threshold=0.8, shingle_n=3)
+    return dd.duplicate_clusters(pairs.select("i", "j"))

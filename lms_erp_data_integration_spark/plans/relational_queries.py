@@ -732,3 +732,54 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", F.col("_rev").cast("double").alias("revenue"), "n_name"
         )
     )
+
+
+@query(
+    "rel_unpivot_part_measures",
+    """
+SELECT p_partkey, measure, CAST(value AS DOUBLE) AS value
+FROM (SELECT p_partkey, p_size::DOUBLE AS size, p_retailprice AS price
+      FROM part WHERE p_partkey <= 200)
+UNPIVOT (value FOR measure IN (size, price))
+""",
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via stack — pivot's inverse."""
+    p = Catalog(spark, sf_dir).part.where(F.col("p_partkey") <= 200)
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'price', p_retailprice)"
+        " AS (measure, value)",
+    )
+
+
+@query(
+    "rel_event_deltas",
+    """
+SELECT user_id, event_id,
+       value - LAG(value) OVER w AS value_delta,
+       CAST(date_diff('second', LAG(ts) OVER w, ts) AS BIGINT) AS seconds_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY LAG(ts) OVER w IS NOT NULL
+""",
+)
+def event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag surface: per-user deltas between consecutive events."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+            (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+            ).alias("seconds_since_prev"),
+            F.lag("ts").over(w).alias("_prev"),
+        )
+        .where(F.col("_prev").isNotNull())
+        .drop("_prev")
+    )

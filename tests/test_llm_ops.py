@@ -176,3 +176,14 @@ def test_near_dup_fast_equals_exprs(spark):
     }
     assert fast == exprs  # bit-for-bit, including threshold boundaries
     assert len(fast) > 0
+
+
+def test_duplicate_clusters_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)], "i long, j long"
+    )
+    out = {
+        r["member"]: r["cluster_id"]
+        for r in dd.duplicate_clusters(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
