@@ -783,3 +783,67 @@ def event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_prev").isNotNull())
         .drop("_prev")
     )
+
+
+@query(
+    "rel_session_window_native",
+    """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id <= 10 WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gaps)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+""",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (gap-merged event-time sessions,
+    also usable in streaming) — the oracle replicates its semantics
+    with lag/cumsum: window end = last event + gap."""
+    ev = Catalog(spark, sf_dir).events.where(F.col("user_id") <= 10)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "rel_salted_join_revenue",
+    """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salted join in the checked surface: salting replicates
+    the dimension over salt buckets, the result is provably identical
+    to the plain join (oracle = plain SQL join)."""
+    from ..operators.relational import salted_join
+
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    joined = salted_join(o, cat.customer.select("c_custkey", "c_mktsegment"), "c_custkey", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
