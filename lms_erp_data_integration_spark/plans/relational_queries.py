@@ -847,3 +847,128 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "rel_q18_large_orders",
+    """
+SELECT c_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_custkey, o_orderkey, o_orderdate
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate + HAVING over a 3-way join."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .where(F.col("_qty") > 250)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "rel_left_outer_customer_orders",
+    """
+SELECT c_custkey, c_mktsegment,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+         AS total_spend
+FROM customer LEFT JOIN (SELECT * FROM orders
+  WHERE year(o_orderdate) = 1996) o ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+""",
+)
+def left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join: customers kept with zero 1996 orders (COUNT of
+    the null-extended key is 0; spend coalesces to 0). The year filter
+    guarantees genuinely unmatched left rows in this corpus."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(
+            cat.orders.where(F.year("o_orderdate") == 1996),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "rel_full_outer_year_diff",
+    """
+WITH y96 AS (
+  SELECT o_custkey, COUNT(*) AS n96 FROM orders
+  WHERE year(o_orderdate) = 1996 GROUP BY o_custkey),
+y97 AS (
+  SELECT o_custkey, COUNT(*) AS n97 FROM orders
+  WHERE year(o_orderdate) = 1997 GROUP BY o_custkey)
+SELECT COALESCE(y96.o_custkey, y97.o_custkey) AS custkey,
+       COALESCE(n96, 0) AS n96, COALESCE(n97, 0) AS n97,
+       COALESCE(n97, 0) - COALESCE(n96, 0) AS delta
+FROM y96 FULL OUTER JOIN y97 ON y96.o_custkey = y97.o_custkey
+""",
+)
+def full_outer_year_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-customer order-count delta between two
+    years, keeping customers present in either."""
+    o = Catalog(spark, sf_dir).orders
+
+    def per_year(year: int, alias: str) -> DataFrame:
+        return (
+            o.where(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    a, b = per_year(1996, "n96"), per_year(1997, "n97")
+    return (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.o_custkey") == F.col("b.o_custkey"), "full")
+        .select(
+            F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+            F.coalesce(F.col("n96"), F.lit(0)).alias("n96"),
+            F.coalesce(F.col("n97"), F.lit(0)).alias("n97"),
+            (
+                F.coalesce(F.col("n97"), F.lit(0)) - F.coalesce(F.col("n96"), F.lit(0))
+            ).alias("delta"),
+        )
+    )
+
+
+@query(
+    "rel_date_surface",
+    """
+SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+       month(o_orderdate) AS mth, day(o_orderdate) AS dom,
+       COUNT(*) AS n
+FROM orders GROUP BY 1, 2, 3, 4
+""",
+)
+def date_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface: year/quarter/month/day extraction."""
+    o = Catalog(spark, sf_dir).orders
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+    ).agg(F.count(F.lit(1)).alias("n"))
