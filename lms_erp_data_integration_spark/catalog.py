@@ -40,17 +40,22 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
         self._cache: dict[str, DataFrame] = {}
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark rejects
+        # outright unless it is surfaced as a long. The conf is
+        # runtime-settable, so set it here rather than relying on the
+        # session having been built by get_spark() — callers may hand us a
+        # vanilla SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
         if name not in self._cache:
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
-            if name == "events":
-                # ts is TIMESTAMP(NANOS) in the file, surfaced as long
-                # nanos (spark.sql.legacy.parquet.nanosAsLong). Convert to
-                # a microsecond timestamp with integer division — NOT
-                # float division, which loses precision above 2^53 ns.
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                # ts surfaces as long nanos (nanosAsLong). Convert to a
+                # microsecond timestamp with integer division — NOT float
+                # division, which loses precision above 2^53 ns.
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
