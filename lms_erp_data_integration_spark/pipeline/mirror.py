@@ -35,7 +35,12 @@ def write_mirror(df: DataFrame, entity: str, base_path: str) -> str:
     path = f"{base_path.rstrip('/')}/{mirror_table_name(entity)}"
     writer = df.write.mode("overwrite")
     if all(c in df.columns for c in TERM_COLS):
-        writer = writer.partitionBy(*TERM_COLS)
+        # dynamic mode: only the (yr_cde, trm_cde) partitions present in
+        # df are replaced — refreshing one term must not wipe the others.
+        # Set per-writer so the semantics hold on any session.
+        writer = writer.partitionBy(*TERM_COLS).option(
+            "partitionOverwriteMode", "dynamic"
+        )
     writer.parquet(path)
     return path
 

@@ -397,11 +397,16 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     ev = Catalog(spark, sf_dir).events
-    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    # microsecond-precision gap: cast('long') truncates to seconds, which
+    # disagrees with the oracle's `ts - LAG(ts) > INTERVAL 30 MINUTE`
+    # whenever a gap lands inside (1800 s, 1801 s)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     return (
         ev.withColumn(
             "new_session",
-            F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+            F.when(
+                F.lag("ts").over(w).isNull() | (gap > 1800 * 1_000_000), 1
+            ).otherwise(0),
         )
         .withColumn("session_id", F.sum("new_session").over(cum))
         .groupBy("user_id", "session_id")

@@ -52,6 +52,9 @@ def get_spark(
         # nanos natively — read as long, Catalog converts to a microsecond
         # timestamp (same truncation DuckDB applies).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Mirror refreshes overwrite only the partitions present in
+        # the incoming snapshot (per-term), never the whole table.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -11,8 +11,6 @@ them where a driver exists.
 
 from __future__ import annotations
 
-from urllib.parse import quote
-
 
 def jdbc_options(
     host: str,
@@ -23,17 +21,20 @@ def jdbc_options(
     batchsize: int = 10_000,
     truncate: bool = True,
 ) -> dict[str, str]:
-    """Option map for ``spark.read/write.format('jdbc')``. The password
-    is URL-escaped exactly like the reference's connection string
-    (``src/jenzabar.py:14-16``). ``batchsize`` replaces the reference's
-    100-row pandas chunks (``jenzabar.py:47``) — 10k rows per round trip
-    is the sane JDBC default; ``truncate`` preserves snapshot-overwrite
-    semantics without dropping the table."""
+    """Option map for ``spark.read/write.format('jdbc')``. Unlike the
+    reference's connection string (``src/jenzabar.py:14-16``), which must
+    URL-escape the password to embed it in the URL, Spark passes the
+    discrete ``password`` option verbatim to the driver — so it goes in
+    raw (escaping here would corrupt any password containing @ : %).
+    ``batchsize`` replaces the reference's 100-row pandas chunks
+    (``jenzabar.py:47``) — 10k rows per round trip is the sane JDBC
+    default; ``truncate`` preserves snapshot-overwrite semantics without
+    dropping the table."""
     return {
         "url": f"jdbc:sqlserver://{host};databaseName={database}",
         "dbtable": table,
         "user": user,
-        "password": quote(password, safe=""),
+        "password": password,
         "batchsize": str(batchsize),
         "truncate": str(truncate).lower(),
     }

@@ -55,9 +55,14 @@ class ReportSource:
         assert isinstance(blob, (bytes, bytearray))
         out: list[str] = []
         # spark.read.csv cannot open zips: explicit unzip (canvas.py:50-52)
+        base = Path(dest_dir).resolve()
         with zipfile.ZipFile(io.BytesIO(blob)) as zf:
             for name in zf.namelist():
-                target = Path(dest_dir) / name
+                # zip-slip guard: a member named '../x' or '/abs/x' must
+                # not escape dest_dir (extractall-equivalent sanitization)
+                target = (base / name.lstrip("/")).resolve()
+                if not target.is_relative_to(base):
+                    raise ValueError(f"zip member escapes dest dir: {name!r}")
                 target.parent.mkdir(parents=True, exist_ok=True)
                 target.write_bytes(zf.read(name))
                 out.append(str(target))

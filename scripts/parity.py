@@ -5,7 +5,11 @@ compares it against its DuckDB ``oracle_sql()`` twin: row count, column
 names (sorted), and order-insensitive values. Exits non-zero on any
 mismatch. Usage:
 
-    python scripts/parity.py [sf_dir] [query ...]
+    python scripts/parity.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` builds a bare SparkSession (like the driver's harness)
+instead of the tuned ``get_spark`` one, so session-config assumptions
+get caught here first.
 """
 
 from __future__ import annotations
@@ -44,9 +48,24 @@ def frame_key(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(app_name="parity")
+    argv = list(sys.argv[1:])
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .appName("parity-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="parity")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

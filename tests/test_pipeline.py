@@ -37,6 +37,24 @@ def test_mirror_roundtrip_partitioned(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(yr_cde" in plan
 
 
+def test_mirror_overwrite_is_per_partition(spark, tmp_path):
+    """Refreshing one term must not wipe the other terms' mirror data
+    (dynamic partition overwrite, not static)."""
+    both = spark.createDataFrame(
+        [("C1", "21", "1S"), ("C2", "21", "2S")],
+        "crs_cde string, yr_cde string, trm_cde string",
+    )
+    write_mirror(both, "courses", str(tmp_path))
+    refresh_1s = spark.createDataFrame(
+        [("C9", "21", "1S")], "crs_cde string, yr_cde string, trm_cde string"
+    )
+    write_mirror(refresh_1s, "courses", str(tmp_path))
+    back = read_mirror(spark, "courses", str(tmp_path))
+    rows = {(r.crs_cde, r.trm_cde) for r in back.collect()}
+    # 1S replaced, 2S untouched
+    assert rows == {("C9", "1S"), ("C2", "2S")}
+
+
 def test_pipeline_fk_order_and_report(spark):
     users = spark.createDataFrame(
         [(1, "a", "active")], "user_id long, login_id string, status string"

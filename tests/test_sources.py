@@ -60,6 +60,27 @@ def test_report_source_poll_unzip(tmp_path):
     assert fake.report_polls == 2  # polled until complete
 
 
+def test_report_source_rejects_zip_slip(tmp_path):
+    """A member path like '../evil' must not escape the stage dir."""
+
+    def evil(method, url, payload):
+        if url.endswith("/reports") and method == "POST":
+            return {"id": 1}
+        if "/reports/1" in url:
+            return {"status": "complete", "attachment_url": "http://x/z.zip"}
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("../evil.csv", "boom\n")
+        return buf.getvalue()
+
+    src = ReportSource(evil, "http://c", poll_seconds=0.0)
+    dest = tmp_path / "stage"
+    dest.mkdir()
+    with pytest.raises(ValueError, match="escapes"):
+        src.fetch("211S", str(dest))
+    assert not (tmp_path / "evil.csv").exists()
+
+
 def test_sis_import_sink_polls_to_100():
     fake = FakeCanvas()
     sink = SISImportSink(fake, "http://canvas", poll_seconds=0.0)
@@ -94,5 +115,7 @@ def test_entity_csv_roundtrip(spark, tmp_path):
 def test_jdbc_options_escape_and_batch():
     opts = jdbc_options("db.host", "ERP", "svc", "p@ss;word", "rpc_re_canvas_users")
     assert opts["url"] == "jdbc:sqlserver://db.host;databaseName=ERP"
-    assert opts["password"] == "p%40ss%3Bword"  # URL-escaped (jenzabar.py:14-16)
+    # the discrete 'password' option is passed verbatim to the driver —
+    # URL-escaping it (as the reference does for its URL) would corrupt it
+    assert opts["password"] == "p@ss;word"
     assert opts["batchsize"] == "10000" and opts["truncate"] == "true"
