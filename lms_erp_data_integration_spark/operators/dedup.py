@@ -24,10 +24,11 @@ LSH's own false negatives; correctness checks are bit-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .text import shingle_array, word_shingles
+from ..caching import tracked_persist
+from .text import shingle_array
 
 
 def _md5_int(col: Column) -> Column:
@@ -96,10 +97,12 @@ def minhash_signatures(
     )
     # persist: CollapseProject would otherwise inline _hs into every
     # signature slot and recompute shingling+md5 16x per row
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(shset, lambda s: _md5_int28(s)).alias("_hs"),
-    ).persist()
+    hashed = tracked_persist(
+        df.select(
+            F.col(id_col),
+            F.transform(shset, lambda s: _md5_int28(s)).alias("_hs"),
+        )
+    )
     def slot(i: int):
         # closure factory: a defaulted second lambda param would make
         # PySpark pass the array index into it
@@ -187,10 +190,14 @@ def minhash_near_duplicates(
     # one cached pass builds the per-doc shingle SET arrays; signatures
     # and the verify join both read it (cache prevents CollapseProject
     # from re-inlining the shingling into every consumer)
-    sets = df.select(
-        F.col(id_col),
-        F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias("shset"),
-    ).persist()
+    sets = tracked_persist(
+        df.select(
+            F.col(id_col),
+            F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias(
+                "shset"
+            ),
+        )
+    )
     sigs = minhash_signatures(sets, num_hashes, id_col=id_col, sets_col="shset")
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
     # exact-Jaccard verify on candidates only, via array_intersect on
@@ -207,39 +214,61 @@ def minhash_near_duplicates(
     )
 
 
+# Posting-list cap for the exact n-gram-Jaccard join: shingles present
+# in more docs than this are excluded from CANDIDATE GENERATION (never
+# from the Jaccard value itself). Shared with the DuckDB oracles.
+NGRAM_MAX_DOC_FREQ = 100
+
+
 def ngram_jaccard_duplicates(
     df: DataFrame,
     threshold: float = 0.8,
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: int = NGRAM_MAX_DOC_FREQ,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via inverted-index self-join —
-    the ground-truth baseline for the LSH path.
+    """Exact n-gram Jaccard via inverted-index self-join — the
+    ground-truth baseline for the LSH path.
 
-    The posting-list join directly PRODUCES the intersection counts
-    (group the joined rows by pair) — no separate candidate-distinct +
-    re-join pass, which would scan the shingle table three times."""
-    shingled = word_shingles(df, id_col, text_col, n=shingle_n).persist()
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    si = shingled.select(F.col(id_col).alias("i"), "shingle")
-    sj = shingled.select(F.col(id_col).alias("j"), "shingle")
-    inter = (
-        si.join(sj, "shingle")
-        .where(F.col("i") < F.col("j"))
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col(id_col).alias("i"), F.col("n").alias("ni")), "i")
-        .join(sizes.select(F.col(id_col).alias("j"), F.col("n").alias("nj")), "j")
-        .select(
-            "i",
-            "j",
-            (F.col("inter") / (F.col("ni") + F.col("nj") - F.col("inter"))).alias(
-                "jaccard"
+    Hot-shingle guard: a shingle whose posting list exceeds
+    ``max_doc_freq`` docs is dropped before the self-join, bounding the
+    join at O(n_shingles x max_doc_freq) pairs — without it one
+    stopword shingle at web scale is a quadratic blowup. Jaccard is
+    then computed on the FULL shingle sets (array_intersect on the
+    cached set arrays), so the guard only limits candidate recall: a
+    missed pair must share *only* hot shingles, which at threshold 0.8
+    means virtually the whole document is stop-boilerplate. The DuckDB
+    oracle replicates the guard, so results stay bit-exact."""
+    sets = tracked_persist(
+        df.select(
+            F.col(id_col),
+            F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias(
+                "_shset"
             ),
         )
+    )
+    shingled = sets.select(F.col(id_col), F.explode("_shset").alias("shingle"))
+    # document frequency via window over the shingle key: the count and
+    # the subsequent self-join share one hash-partitioning on `shingle`
+    posting = shingled.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    ).where(F.col("_df") <= max_doc_freq)
+    cands = (
+        posting.select(F.col(id_col).alias("i"), "shingle")
+        .join(posting.select(F.col(id_col).alias("j"), "shingle"), "shingle")
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+    si = sets.select(F.col(id_col).alias("i"), F.col("_shset").alias("_sh_i"))
+    sj = sets.select(F.col(id_col).alias("j"), F.col("_shset").alias("_sh_j"))
+    inter = F.size(F.array_intersect(F.col("_sh_i"), F.col("_sh_j")))
+    union = F.size("_sh_i") + F.size("_sh_j") - inter
+    return (
+        cands.join(si, "i")
+        .join(sj, "j")
+        .select("i", "j", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -365,7 +394,7 @@ def simhash_near_duplicates(
     This is the 100 TB shape: shuffles scale with collisions, not n^2,
     and the result set is identical to the all-pairs scan (the DuckDB
     oracle keeps the simple all-pairs form)."""
-    sigs = simhash_signatures(df, bits, id_col, text_col).persist()
+    sigs = tracked_persist(simhash_signatures(df, bits, id_col, text_col))
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
     blocked = sigs.select(

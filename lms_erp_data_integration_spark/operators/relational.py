@@ -76,9 +76,14 @@ def salted_join(
     right side is replicated ``salt`` times. The shuffle then spreads
     each hot key over ``salt`` reducers. Result identical to a plain
     join. (AQE's skew-join split handles most cases automatically —
-    salting is the explicit fallback for extreme single-key skew.)"""
+    salting is the explicit fallback for extreme single-key skew.)
+
+    The salt hashes the full row, NOT ``monotonically_increasing_id()``:
+    the id is assigned per task attempt, so a retried task would re-salt
+    its rows differently — a deterministic row hash is retry-safe."""
     salted_l = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(salt))
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)),
     )
     replicated_r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -229,12 +231,14 @@ def lsh_bucketed_near_duplicates(
             acc = acc + F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
         return acc
 
-    buckets = vectors.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[bucket(t) for t in range(tables)])).alias(
-            "table", "bucket"
-        ),
-    ).persist()
+    buckets = tracked_persist(
+        vectors.select(
+            F.col(id_col),
+            F.posexplode(F.array(*[bucket(t) for t in range(tables)])).alias(
+                "table", "bucket"
+            ),
+        )
+    )
     cands = (
         buckets.select(F.col(id_col).alias("i"), "table", "bucket")
         .join(
@@ -245,7 +249,9 @@ def lsh_bucketed_near_duplicates(
         .select("i", "j")
         .distinct()
     )
-    normed = vectors.select(F.col(id_col), normalize(F.col(vec_col)).alias("_nv")).persist()
+    normed = tracked_persist(
+        vectors.select(F.col(id_col), normalize(F.col(vec_col)).alias("_nv"))
+    )
     return (
         cands.join(normed.select(F.col(id_col).alias("i"), F.col("_nv").alias("_vi")), "i")
         .join(normed.select(F.col(id_col).alias("j"), F.col("_nv").alias("_vj")), "j")
@@ -325,9 +331,9 @@ def near_duplicate_pairs_exprs(
     environments where the corpus must stay distributed end-to-end."""
     # persist: without it Catalyst collapses this projection into the
     # join and re-normalizes BOTH vectors for every pair
-    normed = vectors.select(
-        F.col(id_col), normalize(F.col(vec_col)).alias("_nv")
-    ).persist()
+    normed = tracked_persist(
+        vectors.select(F.col(id_col), normalize(F.col(vec_col)).alias("_nv"))
+    )
     left = normed.select(F.col(id_col).alias("i"), F.col("_nv").alias("_vi"))
     right = normed.select(F.col(id_col).alias("j"), F.col("_nv").alias("_vj"))
     return (

@@ -103,16 +103,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_dedup_ngram_jaccard",
-    r"""
+    rf"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
 shing AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+cold AS (
+  SELECT shingle FROM shing GROUP BY shingle
+  HAVING COUNT(*) <= {dd.NGRAM_MAX_DOC_FREQ}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+  FROM shing a
+  JOIN cold c ON c.shingle = a.shingle
+  JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
 inter AS (
   SELECT p.i, p.j, COUNT(*) AS inter
   FROM pairs p
@@ -127,8 +132,10 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup baseline (inverted-index join) —
-    ground truth for the MinHash path."""
+    """Exact n-gram-Jaccard near-dup baseline (inverted-index join with
+    a hot-shingle posting-list cap) — ground truth for the MinHash
+    path. The oracle mirrors the cap: candidates come from cold
+    shingles only, Jaccard from the full sets."""
     docs = Catalog(spark, sf_dir).documents
     return dd.ngram_jaccard_duplicates(docs, threshold=0.8, shingle_n=3)
 
@@ -255,8 +262,15 @@ WHERE list_dot_product(a.v, b.v) >= 0.35
 def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs. Threshold 0.35 sits at
     the ~99.9th percentile of this corpus's pair-cosine distribution
-    (no planted dups; max pair cosine ~0.5-0.6)."""
-    return sim.near_duplicate_pairs(Catalog(spark, sf_dir).embeddings, 0.35)
+    (no planted dups; max pair cosine ~0.5-0.6).
+
+    Registered on the fully-distributed expression form — no driver
+    materialization in the plan. The numpy mapInPandas variant
+    (``near_duplicate_pairs``) is bit-identical and kept as an
+    explicitly-bounded utility for small corpora."""
+    return sim.near_duplicate_pairs_exprs(
+        Catalog(spark, sf_dir).embeddings, 0.35
+    )
 
 
 # ------------------------------------------------------------- text ops
@@ -561,17 +575,27 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_dedup_clusters",
-    r"""
+    rf"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
 shing AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+cold AS (
+  SELECT shingle FROM shing GROUP BY shingle
+  HAVING COUNT(*) <= {dd.NGRAM_MAX_DOC_FREQ}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM shing a
+  JOIN cold c ON c.shingle = a.shingle
+  JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
 inter AS (
-  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS inter
-  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id),
+  SELECT p.i, p.j, COUNT(*) AS inter
+  FROM cands p
+  JOIN shing si ON si.doc_id = p.i
+  JOIN shing sj ON sj.doc_id = p.j AND sj.shingle = si.shingle
+  GROUP BY p.i, p.j),
 pairs AS (
   SELECT i, j FROM inter
   JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
@@ -632,7 +656,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()
-    scored = tf.join(F.broadcast(df_), "term").select(
+    # no broadcast hint on df_: the vocabulary table is O(distinct
+    # terms) — unbounded at web scale. AQE picks broadcast when small.
+    scored = tf.join(df_, "term").select(
         "doc_id",
         "term",
         F.round(

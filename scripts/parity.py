@@ -22,6 +22,7 @@ import duckdb
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from lms_erp_data_integration_spark.caching import release_cached  # noqa: E402
 from lms_erp_data_integration_spark.catalog import TABLES  # noqa: E402
 from lms_erp_data_integration_spark.session import get_spark  # noqa: E402
 
@@ -84,6 +85,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             failed.append(name)
             continue
+        finally:
+            release_cached()
         if name not in oracles:
             print(f"rows-only  {name}: {len(s_rows)} rows (no oracle)")
             continue

@@ -44,6 +44,27 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert all(3 not in p for p in pairs)
 
 
+def test_ngram_jaccard_hot_shingle_guard(spark, docs):
+    # with max_doc_freq=1 every shared shingle is "hot": no candidate
+    # can form, proving the posting-list join is bounded by the cap
+    out = dd.ngram_jaccard_duplicates(docs, threshold=0.5, max_doc_freq=1)
+    assert out.count() == 0
+    from lms_erp_data_integration_spark.caching import release_cached
+
+    release_cached()
+
+
+def test_release_cached_unpersists(spark, docs):
+    from lms_erp_data_integration_spark.caching import release_cached
+
+    release_cached()  # drop anything earlier tests left behind
+    dd.ngram_jaccard_duplicates(docs, threshold=0.5).collect()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() > 0  # operator did cache
+    assert release_cached() > 0
+    assert jsc.getPersistentRDDs().size() == 0  # and it was all freed
+
+
 def test_minhash_agrees_with_exact_on_high_jaccard(spark, docs):
     exact = {
         (r["i"], r["j"])
