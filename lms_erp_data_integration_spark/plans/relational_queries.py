@@ -647,17 +647,35 @@ def parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("rel_approx_distinct")  # no oracle: HLL sketch is engine-specific
+@query(
+    "rel_approx_distinct",
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_tol
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate-distinct surface (HyperLogLog++): sketch results are
-    engine-specific so this is a rows-only check; the exact companion
-    is rel_distinct_aggregates."""
+    """Approximate-distinct surface (HyperLogLog++). The raw sketch
+    estimate is engine-specific, so the checkable contract emits the
+    deterministic columns plus ``within_tol``: |approx - exact| must be
+    within 3x the sketch's rsd (default 0.05). The oracle asserts
+    within_tol TRUE — if the estimate ever drifts out of tolerance the
+    hash flips and the check fails."""
+    est = F.approx_count_distinct("l_partkey")  # rsd 0.05
+    exact = F.countDistinct("l_partkey")
     return (
         Catalog(spark, sf_dir)
         .lineitem.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
+        .agg(est.alias("_approx"), exact.alias("exact_parts"))
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 0.15 * F.col("exact_parts")
+            ).alias("within_tol"),
         )
     )
 
