@@ -199,6 +199,81 @@ def hyperplanes(tables: int, bits: int, dim: int) -> list[list[list[float]]]:
     ]
 
 
+def lsh_bucket_rows(
+    vectors: DataFrame,
+    planes: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = True,
+) -> DataFrame:
+    """(id, table, bucket) sign-LSH bucket assignments.
+
+    Two bit-identical implementations:
+
+    - *vectorized* (default): one Arrow-batched numpy pass per batch.
+      Each plane's dot product is elementwise product + ``cumsum`` —  a
+      strictly SEQUENTIAL accumulation, unlike np.dot/BLAS which
+      reorder additions — so the sign (hence the bucket) matches the
+      expression fold bit-for-bit. ~5x faster than the interpreted
+      higher-order-function fold, which doesn't codegen.
+    - *expression*: pure-Column form, the oracle twin — kept because it
+      is trivially transcribable to the DuckDB oracle SQL and has no
+      Python in the plan.
+    """
+    tables, bits = len(planes), len(planes[0])
+    if not vectorized:
+        v = _to_double(F.col(vec_col))
+
+        def bucket(t: int) -> Column:
+            acc = F.lit(0)
+            for b in range(bits):
+                r = F.array(*[F.lit(x) for x in planes[t][b]])
+                d = F.aggregate(
+                    F.zip_with(v, r, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                acc = acc + F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+            return acc
+
+        return vectors.select(
+            F.col(id_col),
+            F.posexplode(F.array(*[bucket(t) for t in range(tables)])).alias(
+                "table", "bucket"
+            ),
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(planes, dtype=np.float64)  # (tables, bits, dim)
+
+    def op(batches):
+        for batch in batches:
+            ids = batch[id_col].to_numpy()
+            if len(ids) == 0:
+                continue
+            V = np.array(
+                [np.asarray(x, dtype=np.float64) for x in batch[vec_col]]
+            )
+            buckets = np.zeros((len(ids), tables), dtype=np.int64)
+            for t in range(tables):
+                for b in range(bits):
+                    d = (V * P[t, b]).cumsum(axis=1)[:, -1]
+                    buckets[:, t] += (d >= 0).astype(np.int64) << b
+            yield pd.DataFrame(
+                {
+                    id_col: np.tile(ids, tables),
+                    "table": np.repeat(np.arange(tables, dtype=np.int32), len(ids)),
+                    "bucket": buckets.T.reshape(-1),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        op, f"{id_col} long, table int, bucket int"
+    )
+
+
 def lsh_bucketed_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.35,
@@ -207,6 +282,7 @@ def lsh_bucketed_near_duplicates(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH near-dup pairs: L hash tables of k
     sign bits; candidate pairs share a bucket in >= 1 table, then exact
@@ -215,29 +291,11 @@ def lsh_bucketed_near_duplicates(
     The scale path: the bucket equi-join shuffles collisions, not n^2.
     Recall < 1 by construction (P[collide] = (1 - theta/pi)^k per
     table); the oracle replicates the identical pipeline, so results
-    still compare bit-exactly."""
+    still compare bit-exactly (see :func:`lsh_bucket_rows` for why the
+    vectorized bucketing keeps bit-parity)."""
     planes = hyperplanes(tables, bits, dim)
-    v = _to_double(F.col(vec_col))
-
-    def bucket(t: int) -> Column:
-        acc = F.lit(0)
-        for b in range(bits):
-            r = F.array(*[F.lit(x) for x in planes[t][b]])
-            d = F.aggregate(
-                F.zip_with(v, r, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            acc = acc + F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-        return acc
-
     buckets = tracked_persist(
-        vectors.select(
-            F.col(id_col),
-            F.posexplode(F.array(*[bucket(t) for t in range(tables)])).alias(
-                "table", "bucket"
-            ),
-        )
+        lsh_bucket_rows(vectors, planes, id_col, vec_col, vectorized)
     )
     cands = (
         buckets.select(F.col(id_col).alias("i"), "table", "bucket")

@@ -112,6 +112,30 @@ def test_entity_csv_roundtrip(spark, tmp_path):
         read_entity_csv(spark, out, "grades")
 
 
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real spark.read/write.jdbc round-trip through the Derby embedded
+    driver that ships in the Spark distribution — closes the S5 source
+    end-to-end (no external DB needed; same truncate/batchsize options
+    the production path uses)."""
+    url = f"jdbc:derby:{tmp_path}/erpdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [(1001, 11, "alice"), (1002, 12, "bob")],
+        "user_id long, canvas_user_id long, login_id string",
+    )
+    df.write.jdbc(url, "rpc_re_canvas_users", mode="overwrite", properties=props)
+    back = spark.read.jdbc(url, "rpc_re_canvas_users", properties=props)
+    assert sorted((r.user_id, r.login_id) for r in back.collect()) == [
+        (1001, "alice"),
+        (1002, "bob"),
+    ]
+    # snapshot-overwrite semantics: second write replaces, not appends
+    df.limit(1).write.jdbc(
+        url, "rpc_re_canvas_users", mode="overwrite", properties=props
+    )
+    assert spark.read.jdbc(url, "rpc_re_canvas_users", properties=props).count() == 1
+
+
 def test_jdbc_options_escape_and_batch():
     opts = jdbc_options("db.host", "ERP", "svc", "p@ss;word", "rpc_re_canvas_users")
     assert opts["url"] == "jdbc:sqlserver://db.host;databaseName=ERP"
