@@ -671,3 +671,148 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+# -------------------------------------------------- corpus curation ops
+
+
+@query(
+    "llm_sample_stratified",
+    """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+      < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus curation: keep 50%
+    of English, 20% of everything else, selected by an md5 hash of the
+    id — reproducible across runs/engines, no RNG state. A narrow
+    filter that pushes to the scan: zero shuffles at any scale."""
+    docs = Catalog(spark, sf_dir).documents
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
+    ).cast("long") % 100
+    rate = F.when(F.col("lang") == "en", 50).otherwise(20)
+    return docs.where(bucket < rate).select("doc_id", "lang", "source")
+
+
+@query(
+    "llm_dedup_apply",
+    rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+shing AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+cold AS (
+  SELECT shingle FROM shing GROUP BY shingle
+  HAVING COUNT(*) <= {dd.NGRAM_MAX_DOC_FREQ}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM shing a
+  JOIN cold c ON c.shingle = a.shingle
+  JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT p.i, p.j, COUNT(*) AS inter
+  FROM cands p
+  JOIN shing si ON si.doc_id = p.i
+  JOIN shing sj ON sj.doc_id = p.j AND sj.shingle = si.shingle
+  GROUP BY p.i, p.j),
+pairs AS (
+  SELECT i, j FROM inter
+  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+edges AS (
+  SELECT i AS src, j AS dst FROM pairs
+  UNION SELECT j AS src, i AS dst FROM pairs),
+reach AS (
+  SELECT src AS node, dst AS target FROM edges
+  UNION
+  SELECT r.node, e.dst AS target FROM reach r JOIN edges e ON e.src = r.target),
+clusters AS (
+  SELECT node AS member, least(node, MIN(target)) AS cluster_id
+  FROM reach GROUP BY node)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT member FROM clusters WHERE member <> cluster_id)
+""",
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the CLEANED corpus: drop every near-dup cluster
+    member except the keeper (min id). This is the end-to-end 'apply'
+    step a training-data pipeline actually ships — cluster ids come
+    from the same exact-Jaccard + connected-components path as
+    llm_dedup_clusters; survivors leave via a broadcast anti-join (the
+    drop list is tiny relative to the corpus)."""
+    docs = Catalog(spark, sf_dir).documents
+    pairs = dd.ngram_jaccard_duplicates(docs, threshold=0.8, shingle_n=3)
+    clusters = dd.duplicate_clusters(pairs.select("i", "j"))
+    losers = clusters.where(F.col("member") != F.col("cluster_id")).select(
+        F.col("member").alias("doc_id")
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "llm_emb_quantize",
+    """
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM d)
+SELECT vec_id, scale,
+       list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+FROM s WHERE scale > 0
+""",
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (scale =
+    max|x| / 127). floor(x/scale + 0.5) instead of round() because the
+    two engines disagree on round-half semantics while floor is exact;
+    float->double casts and the divisions are bit-identical. Narrow
+    per-row map — no shuffle."""
+    emb = Catalog(spark, sf_dir).embeddings
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / 127.0
+    return (
+        emb.select(F.col("vec_id"), v.alias("_v"), scale.alias("scale"))
+        .where(F.col("scale") > 0)
+        .select(
+            "vec_id",
+            "scale",
+            F.transform(
+                F.col("_v"), lambda x: F.floor(x / F.col("scale") + 0.5)
+            ).alias("q"),
+        )
+    )
+
+
+@query(
+    "llm_corpus_stats",
+    r"""
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+       SUM(length(text)) AS total_chars,
+       SUM(length(text)) * 1.0 / COUNT(*) AS mean_chars
+FROM documents
+GROUP BY source, lang
+""",
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus rollup — the curation dashboard query.
+    One partial-aggregated shuffle on a low-cardinality key."""
+    docs = Catalog(spark, sf_dir).documents
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tx.ws_tokens(F.col("text")))).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        (F.sum(F.length("text")) / F.count(F.lit(1))).alias("mean_chars"),
+    )
