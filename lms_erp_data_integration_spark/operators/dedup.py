@@ -24,7 +24,7 @@ LSH's own false negatives; correctness checks are bit-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import tracked_persist
@@ -249,26 +249,58 @@ def ngram_jaccard_duplicates(
         )
     )
     shingled = sets.select(F.col(id_col), F.explode("_shset").alias("shingle"))
-    # document frequency via window over the shingle key: the count and
-    # the subsequent self-join share one hash-partitioning on `shingle`
-    posting = shingled.withColumn(
-        "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
-    ).where(F.col("_df") <= max_doc_freq)
-    cands = (
+    # hot shingles: tiny by construction (df > cap), so broadcast; the
+    # big exploded table is then guarded by a NARROW anti-join
+    hot = (
+        shingled.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("shingle")
+    )
+    posting = shingled.join(F.broadcast(hot), "shingle", "left_anti")
+    # the guarded self-join PRODUCES the cold-shingle intersection
+    # counts directly (groupBy pair == candidate dedup, no separate
+    # distinct + re-join pass)
+    inter_cold = (
         posting.select(F.col(id_col).alias("i"), "shingle")
         .join(posting.select(F.col(id_col).alias("j"), "shingle"), "shingle")
         .where(F.col("i") < F.col("j"))
-        .select("i", "j")
-        .distinct()
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("_ic"))
     )
-    si = sets.select(F.col(id_col).alias("i"), F.col("_shset").alias("_sh_i"))
-    sj = sets.select(F.col(id_col).alias("j"), F.col("_shset").alias("_sh_j"))
-    inter = F.size(F.array_intersect(F.col("_sh_i"), F.col("_sh_j")))
-    union = F.size("_sh_i") + F.size("_sh_j") - inter
+    # hot-shingle correction: Jaccard must count the FULL intersection,
+    # so add back shared hot shingles — but only for the (small) set of
+    # surviving candidate pairs, never via a hot-shingle self-join
+    hot_post = shingled.join(F.broadcast(hot), "shingle", "left_semi")
+    inter_hot = (
+        inter_cold.select("i", "j")
+        .join(hot_post.select(F.col(id_col).alias("i"), "shingle"), "i")
+        .join(
+            hot_post.select(F.col(id_col).alias("j"), "shingle"),
+            ["j", "shingle"],
+        )
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("_ih"))
+    )
+    sizes = sets.select(F.col(id_col), F.size("_shset").alias("n"))
+    inter = (
+        inter_cold.join(inter_hot, ["i", "j"], "left")
+        .select(
+            "i",
+            "j",
+            (F.col("_ic") + F.coalesce(F.col("_ih"), F.lit(0))).alias("_in"),
+        )
+    )
     return (
-        cands.join(si, "i")
-        .join(sj, "j")
-        .select("i", "j", (inter / union).alias("jaccard"))
+        inter.join(sizes.select(F.col(id_col).alias("i"), F.col("n").alias("ni")), "i")
+        .join(sizes.select(F.col(id_col).alias("j"), F.col("n").alias("nj")), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("_in") / (F.col("ni") + F.col("nj") - F.col("_in"))).alias(
+                "jaccard"
+            ),
+        )
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -286,9 +318,20 @@ def duplicate_clusters(
     loop over lazy joins — checkpoint-friendly at scale (each round is
     one shuffle on the edge key).
     """
+    # both edge directions from ONE pass over `pairs` (explode, not a
+    # self-union: each union branch would re-execute the whole upstream
+    # pair pipeline — measured 2x the dominant cost for LSH/Jaccard
+    # inputs)
     edges = (
-        pairs.select(F.col("i").alias("src"), F.col("j").alias("dst"))
-        .unionByName(pairs.select(F.col("j").alias("src"), F.col("i").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("i").alias("src"), F.col("j").alias("dst")),
+                    F.struct(F.col("j").alias("src"), F.col("i").alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .distinct()
         .localCheckpoint()
     )

@@ -378,6 +378,83 @@ def near_duplicate_pairs(
     )
 
 
+def near_duplicate_pairs_blocked(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_blocks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed blocked all-pairs cosine: hash each vector into one
+    of ``n_blocks`` blocks, pack blocks into rows, cross-join the
+    O(B^2/2) block pairs, and compare each pair of blocks with one
+    vectorized numpy kernel per task. No driver materialization (the
+    corpus never leaves the executors) and no per-pair interpreted
+    expression — the distributed answer to both weak forms.
+
+    Bit-parity with the expression/oracle form: norms and pair scores
+    accumulate via elementwise product + ``cumsum`` (strictly
+    sequential additions, unlike BLAS dot), identical to the fold order
+    of :func:`near_duplicate_pairs_exprs`.
+
+    Scale: work is inherently O(n^2 / P) — this is the exact baseline;
+    LSH (:func:`lsh_bucketed_near_duplicates`) is the approximate scale
+    path. ``n_blocks`` should grow ~sqrt(corpus) so one block pair
+    (2n/B vectors) stays comfortably inside a task's memory."""
+    import numpy as np
+    import pandas as pd
+
+    packed = (
+        vectors.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+            F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).alias(
+                "_r"
+            ),
+        )
+        .groupBy("_blk")
+        .agg(F.collect_list("_r").alias("_rows"))
+    )
+    a = packed.select(F.col("_blk").alias("_blka"), F.col("_rows").alias("_ra"))
+    b = packed.select(F.col("_blk").alias("_blkb"), F.col("_rows").alias("_rb"))
+    block_pairs = a.join(b, F.col("_blka") <= F.col("_blkb"))
+
+    def unpack(rows):
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        V = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
+        norms = np.sqrt((V * V).cumsum(axis=1)[:, -1])
+        return ids, V / norms[:, None]
+
+    def op(batches):
+        for batch in batches:
+            out_i: list[int] = []
+            out_j: list[int] = []
+            out_c: list[float] = []
+            for blka, blkb, ra, rb in zip(
+                batch["_blka"], batch["_blkb"], batch["_ra"], batch["_rb"]
+            ):
+                ia, NA = unpack(ra)
+                ib, NB = unpack(rb)
+                # sequential-order pair scores: cumsum over the dim axis
+                S = (NA[:, None, :] * NB[None, :, :]).cumsum(axis=2)[:, :, -1]
+                mask = S >= threshold
+                # same block appears once (blka == blkb): halve via
+                # id order; distinct blocks hold each unordered pair
+                # exactly once already
+                mask &= (
+                    ia[:, None] < ib[None, :]
+                    if blka == blkb
+                    else ia[:, None] != ib[None, :]
+                )
+                rows_k, cols_k = np.nonzero(mask)
+                ii, jj = ia[rows_k], ib[cols_k]
+                out_i.extend(np.minimum(ii, jj).tolist())
+                out_j.extend(np.maximum(ii, jj).tolist())
+                out_c.extend(S[rows_k, cols_k].tolist())
+            yield pd.DataFrame({"i": out_i, "j": out_j, "cosine": out_c})
+
+    return block_pairs.mapInPandas(op, "i long, j long, cosine double")
+
+
 def near_duplicate_pairs_exprs(
     vectors: DataFrame,
     threshold: float = 0.95,

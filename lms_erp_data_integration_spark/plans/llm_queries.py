@@ -264,11 +264,12 @@ def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ~99.9th percentile of this corpus's pair-cosine distribution
     (no planted dups; max pair cosine ~0.5-0.6).
 
-    Registered on the fully-distributed expression form — no driver
-    materialization in the plan. The numpy mapInPandas variant
-    (``near_duplicate_pairs``) is bit-identical and kept as an
-    explicitly-bounded utility for small corpora."""
-    return sim.near_duplicate_pairs_exprs(
+    Registered on the blocked distributed form: corpus blocks compared
+    pairwise with one numpy kernel per task — no driver
+    materialization, no per-pair interpreted expression. The
+    expression-only and driver-broadcast variants are bit-identical
+    twins kept for the oracle and for bounded corpora respectively."""
+    return sim.near_duplicate_pairs_blocked(
         Catalog(spark, sf_dir).embeddings, 0.35
     )
 
@@ -648,13 +649,20 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     because JVM Math.log and libm can differ in the last ulp)."""
     from pyspark.sql import Window as W
 
+    from ..caching import tracked_persist
+
     docs = Catalog(spark, sf_dir).documents
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is cached and REUSED for document frequency: since tf already
+    # holds one row per (doc, term), df is a plain count — no second
+    # pass over the exploded token table, no countDistinct
+    tf = tracked_persist(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()
     # no broadcast hint on df_: the vocabulary table is O(distinct
     # terms) — unbounded at web scale. AQE picks broadcast when small.
