@@ -995,3 +995,169 @@ def date_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("mth"),
         F.dayofmonth("o_orderdate").alias("dom"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "rel_q14_promo_revenue",
+    """
+SELECT CAST(CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS DOUBLE) AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue
+    share). Decimal sums keep both sums exact; one double division at
+    the end is order-independent. The part side joins broadcast
+    (small dim at any SF after the date filter prunes lineitem)."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("date"))
+    )
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(cat.part.select("p_partkey", "p_type"),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("_p"),
+            F.sum(rev).cast("double").alias("_t"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            (100.0 * F.col("_p") / F.col("_t")).alias("promo_revenue_pct"),
+            "n_lines",
+        )
+    )
+
+
+@query(
+    "rel_q19_disjunctive_filter",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 25)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 60)
+""",
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicates spanning both join sides.
+    Catalyst extracts the common single-side conjuncts (brand/size on
+    part, quantity bounds on lineitem) and pushes them below the join,
+    so each scan prunes before the equi-join; the residual disjunction
+    evaluates post-join."""
+    cat = Catalog(spark, sf_dir)
+    j = cat.lineitem.join(
+        cat.part, F.col("p_partkey") == F.col("l_partkey")
+    )
+    def arm(brand, smin, smax, qmin, qmax):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & (F.col("l_quantity") >= qmin)
+            & (F.col("l_quantity") <= qmax)
+        )
+    pred = arm("Brand#1", 1, 15, 1, 25) | arm("Brand#2", 10, 30, 10, 40) | arm(
+        "Brand#3", 20, 50, 20, 60
+    )
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return j.where(pred).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "rel_q22_inactive_balance",
+    """
+WITH avg_bal AS (
+  SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS a
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT substr(c_name, 17, 2) AS cgroup,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer, avg_bal
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '1996-01-01'
+                    AND o_orderdate < DATE '1997-01-01')
+GROUP BY substr(c_name, 17, 2)
+""",
+)
+def q22_inactive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (avg balance of
+    positive accounts) + NOT EXISTS anti-join (customers with no 1996
+    orders — every customer has *some* order in this data, so the
+    inactivity window keeps the result non-trivial) + substring
+    grouping. The scalar aggregate broadcasts as a 1-row cross join;
+    the anti-join shuffles on custkey. Decimal average keeps the
+    threshold comparison exact across engines."""
+    cat = Catalog(spark, sf_dir)
+    cust = cat.customer
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(_dec("c_acctbal")).alias("a"))
+    )
+    o96 = cat.orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(_dec("c_acctbal") > F.col("a"))
+        .join(o96, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 17, 2).alias("cgroup"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "rel_q12_priority_class",
+    """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus
+""",
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted to the schema: linestatus in place of
+    shipmode): join + conditional two-way counts. Both CASE branches
+    aggregate in one shuffle — never two filtered passes."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    ).select("l_orderkey", "l_linestatus")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        cat.orders.select("o_orderkey", "o_orderpriority")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
