@@ -280,18 +280,20 @@ SELECT
 """,
 )
 def semi_anti_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_semi / left_anti as EXISTS / NOT EXISTS."""
+    """left_semi / left_anti as EXISTS / NOT EXISTS — ONE lazy plan: a
+    left join against the distinct key set tags each customer, and a
+    single conditional aggregate produces both counts (no eager driver
+    .count() actions, no double scan of either table)."""
     cat = Catalog(spark, sf_dir)
-    keys = cat.orders.select(F.col("o_custkey").alias("c_custkey"))
-    semi = cat.customer.join(keys, "c_custkey", "left_semi").count()
-    anti = cat.customer.join(keys, "c_custkey", "left_anti").count()
-    return (
-        Catalog(spark, sf_dir)
-        .spark.range(1)
-        .select(
-            F.lit(semi).alias("n_with_orders"),
-            F.lit(anti).alias("n_without_orders"),
-        )
+    keys = cat.orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    tagged = cat.customer.select("c_custkey").join(
+        keys.withColumn("_hit", F.lit(1)), "c_custkey", "left"
+    )
+    return tagged.agg(
+        F.count(F.col("_hit")).alias("n_with_orders"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias(
+            "n_without_orders"
+        ),
     )
 
 
