@@ -4,3 +4,4 @@ from .registry import QUERIES, ORACLES, query, all_queries  # noqa: F401
 from . import sync_queries  # noqa: F401, E402
 from . import relational_queries  # noqa: F401, E402
 from . import llm_queries  # noqa: F401, E402
+from . import streaming_queries  # noqa: F401, E402

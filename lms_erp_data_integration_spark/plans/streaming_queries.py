@@ -1,0 +1,84 @@
+"""Registered Structured Streaming queries (SURVEY.md M8).
+
+Each entry drives a REAL streaming execution (file source ->
+watermarked aggregation -> memory sink, ``processAllAvailable``) to
+completion and returns the sink contents as a batch DataFrame — so the
+driver's correctness harness hash-checks an actual streaming run
+against the same DuckDB oracle as the batch twin. On a bounded input
+the stream must produce exactly the batch answer; these queries prove
+that end-to-end, not just in pytest.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.windows import (
+    events_stream,
+    hourly_event_counts,
+    run_to_memory_sink,
+)
+from .registry import query
+
+# memory-sink names are session-global; a counter keeps repeat
+# invocations (parity + bench in one session) from colliding
+_SINK_SEQ = itertools.count()
+
+
+@query(
+    "stream_events_hourly",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window hourly counts, same oracle as the
+    batch ``rel_events_hourly``: watermarked event-time aggregation
+    over the events file stream, complete-mode memory sink (a bounded
+    source never advances the watermark past the tail windows, so
+    append would withhold them)."""
+    out = run_to_memory_sink(
+        hourly_event_counts(events_stream(spark, sf_dir)),
+        f"stream_events_hourly_{next(_SINK_SEQ)}",
+    )
+    return out.select(
+        F.col("hour").cast("timestamp_ntz"), "event_type", "n", "total_value"
+    )
+
+
+@query(
+    "stream_stateful_user_totals",
+    """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_value_micros
+FROM events GROUP BY user_id
+""",
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) driven as a
+    real stream and hash-checked: per-user running totals in exact
+    integer micro-units (int64 state — order-independent, so the final
+    state equals the SQL aggregate bit-for-bit on a bounded source)."""
+    from ..streaming.stateful import running_user_totals_micros
+
+    out = run_to_memory_sink(
+        running_user_totals_micros(events_stream(spark, sf_dir)),
+        f"stream_stateful_user_totals_{next(_SINK_SEQ)}",
+        mode="update",
+    )
+    # update-mode sink keeps one row per (user, micro-batch); the final
+    # state is the row with the highest n_events (strictly increasing
+    # across batches — total_value_micros alone could decrease when
+    # values go negative, so max over the struct, not the columns)
+    return (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value_micros")).alias("_s"))
+        .select("user_id", "_s.n_events", "_s.total_value_micros")
+    )

@@ -21,6 +21,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table. The nanos ts arrives
     as long (session conf) and is converted exactly like the batch
     Catalog path — one schema for both modes."""
+    # same runtime conf Catalog sets: events ts is TIMESTAMP(NANOS),
+    # readable only as long — required here too when the caller hands
+    # us a vanilla session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = (
         spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
     )
