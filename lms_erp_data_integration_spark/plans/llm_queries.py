@@ -824,3 +824,22 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         (F.sum(F.length("text")) / F.count(F.lit(1))).alias("mean_chars"),
     )
+
+
+@query(
+    "llm_multimodal_frame_sample",
+    """
+SELECT doc_id, frame_offset, substr(text, 1, 8) AS frame_prefix
+FROM documents,
+     unnest(range(0, greatest(octet_length(encode(text)), 1), 1024))
+       AS t(frame_offset)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame-sampling plumbing: one row per 1024-byte offset of
+    each opaque payload (operators/multimodal.py:sample_frames) — pure
+    JVM-side explode over a sequence, no UDF, no shuffle."""
+    from ..operators.multimodal import attach_payload, sample_frames
+
+    docs = Catalog(spark, sf_dir).documents
+    return sample_frames(attach_payload(docs))

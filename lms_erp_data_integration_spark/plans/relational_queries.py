@@ -1163,3 +1163,61 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "rel_range_join_balance_bands",
+    """
+WITH stats AS (
+  SELECT MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx FROM customer),
+bands AS (
+  SELECT k,
+         mn + k * ((mx - mn) / 5) AS lo,
+         mn + (k + 1) * ((mx - mn) / 5) AS hi,
+         k = 4 AS last_band
+  FROM range(5) t(k), stats)
+SELECT k AS band,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer JOIN bands
+  ON c_acctbal >= lo AND (c_acctbal < hi OR (last_band AND c_acctbal <= hi))
+GROUP BY k
+""",
+)
+def range_join_balance_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: each customer lands in one of five
+    equal-width balance bands via a non-equi join. The band table is
+    derived in-query (O(1) rows) and broadcast, so the 'range join'
+    executes as a BroadcastNestedLoopJoin with a residual interval
+    predicate — the right plan when one side is tiny; both engines
+    compute identical double band bounds, so assignment matches
+    bit-for-bit."""
+    cat = Catalog(spark, sf_dir)
+    cust = cat.customer
+    stats = cust.agg(
+        F.min("c_acctbal").alias("mn"), F.max("c_acctbal").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / 5
+    bands = (
+        spark.range(5)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "k",
+            (F.col("mn") + F.col("k") * width).alias("lo"),
+            (F.col("mn") + (F.col("k") + 1) * width).alias("hi"),
+            (F.col("k") == 4).alias("last_band"),
+        )
+    )
+    on = (F.col("c_acctbal") >= F.col("lo")) & (
+        (F.col("c_acctbal") < F.col("hi"))
+        | (F.col("last_band") & (F.col("c_acctbal") <= F.col("hi")))
+    )
+    return (
+        cust.join(F.broadcast(bands), on)
+        .groupBy(F.col("k").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
