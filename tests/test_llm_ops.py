@@ -197,6 +197,11 @@ def test_near_dup_fast_equals_exprs(spark):
     }
     assert fast == exprs  # bit-for-bit, including threshold boundaries
     assert len(fast) > 0
+    blocked = {
+        (r["i"], r["j"]): r["cosine"]
+        for r in sim.near_duplicate_pairs_blocked(vecs, 0.99, n_blocks=4).collect()
+    }
+    assert blocked == exprs  # distributed blocked form, same bits
 
 
 def test_duplicate_clusters_components(spark):

@@ -59,3 +59,27 @@ def test_stateful_running_totals(spark, sf_dir):
     assert {
         (r["user_id"], r["n_events"]) for r in latest.collect()
     } == {(r["user_id"], r["n_events"]) for r in batch.collect()}
+
+
+def test_registered_streaming_queries_match_batch(spark, sf_dir):
+    """The two registered streaming queries (the ones the driver
+    hash-checks) produce exactly their batch-twin answers."""
+    from lms_erp_data_integration_spark.plans.registry import QUERIES
+
+    hourly = QUERIES["stream_events_hourly"](spark, sf_dir)
+    batch = QUERIES["rel_events_hourly"](spark, sf_dir)
+    key = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert key(hourly) == key(batch)
+
+    totals = QUERIES["stream_stateful_user_totals"](spark, sf_dir)
+    batch_totals = (
+        Catalog(spark, sf_dir)
+        .events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "total_value_micros"
+            ),
+        )
+    )
+    assert key(totals) == key(batch_totals)
