@@ -485,3 +485,77 @@ def near_duplicate_pairs_exprs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def kmeans_assignments(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means -> final (id, cid) assignment — the
+    IVF index TRAINING step (ivf_topk consumes externally-given
+    centroids; this learns them).
+
+    Exactness design, so a SQL oracle can replicate every iteration
+    bit-for-bit:
+
+    - vectors are pre-scaled to integer micro-units (floor(x*1e6+0.5)),
+      stored as doubles: every value and every per-dimension sum stays
+      under 2^53, so cluster sums are EXACT and order-independent —
+      no float-mean divergence across engines or partitionings.
+    - centroids are kept as (per-dim sums S, count n); the mean S_d/n
+      is ONE exactly-rounded IEEE division per dimension, identical in
+      both engines, and the squared distance folds sequentially — so
+      every iteration's argmin matches the oracle bit-for-bit. (The
+      order-dependent hazard is the SUM, which integer scaling makes
+      exact; per-element float ops are deterministic.)
+    - ties break to the lower centroid id; init = the k lowest-id
+      vectors (deterministic, no RNG).
+
+    Scale: each iteration is one broadcast join (k centroids) + one
+    row_number window + one posexplode/groupBy — shuffles bounded by
+    n x dim, never n x k x dim. Empty clusters drop out of the state
+    (both engines)."""
+    vi = F.transform(
+        _to_double(F.col(vec_col)),
+        lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("double"),
+    )
+    v = tracked_persist(vectors.select(F.col(id_col), vi.alias("_vi")))
+    state = v.where(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"),
+        F.col("_vi").alias("_S"),
+        F.lit(1).cast("double").alias("_n"),
+    )
+    assign = None
+    for _ in range(iterations):
+        diff = F.zip_with(
+            F.col("_vi"), F.col("_S"), lambda x, s: x - s / F.col("_n")
+        )
+        dist = F.aggregate(
+            F.zip_with(diff, diff, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = v.join(F.broadcast(state)).select(
+            F.col(id_col), F.col("_vi"), F.col("cid"), dist.alias("_dist")
+        )
+        w = W.partitionBy(id_col).orderBy("_dist", "cid")
+        assign = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(id_col, "_vi", "cid")
+        )
+        exploded = assign.select("cid", F.posexplode("_vi").alias("_d", "_x"))
+        sums = exploded.groupBy("cid", "_d").agg(
+            F.sum("_x").alias("_sd"), F.count(F.lit(1)).alias("_cnt")
+        )
+        state = sums.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_d", "_sd"))),
+                lambda s: s["_sd"],
+            ).alias("_S"),
+            F.max("_cnt").cast("double").alias("_n"),
+        )
+    return assign.select(F.col(id_col), F.col("cid"))

@@ -843,3 +843,57 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     return sample_frames(attach_payload(docs))
+
+
+_KMEANS_DIST = (
+    "list_dot_product("
+    "list_transform(range(0, 64), d -> {v}[d+1] - {c}.s[d+1] / {c}.n), "
+    "list_transform(range(0, 64), d -> {v}[d+1] - {c}.s[d+1] / {c}.n))"
+)
+
+
+@query(
+    "llm_sim_kmeans_assign",
+    f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * 1000000 + 0.5)) AS vi
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cid, vi AS s, 1 AS n FROM v WHERE vec_id < 8),
+d1 AS (
+  SELECT v.vec_id, c0.cid, {_KMEANS_DIST.format(v="v.vi", c="c0")} AS dist
+  FROM v, c0),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1),
+s1 AS (
+  SELECT a1.cid, t.d, SUM(v.vi[t.d + 1]) AS sd, COUNT(*) AS cnt
+  FROM a1 JOIN v USING (vec_id), range(64) t(d)
+  GROUP BY a1.cid, t.d),
+c1 AS (SELECT cid, list(sd ORDER BY d) AS s, MAX(cnt) AS n
+       FROM s1 GROUP BY cid),
+d2 AS (
+  SELECT v.vec_id, c1.cid, {_KMEANS_DIST.format(v="v.vi", c="c1")} AS dist
+  FROM v, c1),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1)
+SELECT vec_id, cid FROM a2
+""",
+)
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 iterations) — learns the
+    IVF centroids instead of taking them as given. The oracle unrolls
+    both iterations in SQL; integer-scaled sums + exactly-rounded mean
+    division keep every iteration's argmin bit-identical (see
+    operators/similarity.py:kmeans_assignments)."""
+    return sim.kmeans_assignments(
+        Catalog(spark, sf_dir).embeddings, k=8, iterations=2
+    )

@@ -213,3 +213,25 @@ def test_duplicate_clusters_components(spark):
         for r in dd.duplicate_clusters(pairs).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_kmeans_assignments_partition_and_determinism(spark):
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i % 3) * 10 + d % 2) for d in range(4)])
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    a = sim.kmeans_assignments(vecs, k=3, iterations=2)
+    rows = {r["vec_id"]: r["cid"] for r in a.collect()}
+    assert len(rows) == 30  # every vector assigned exactly once
+    # three well-separated planted clusters must be recovered: all
+    # vectors with the same i%3 share a centroid
+    groups = {m: {v for v, c in rows.items() if c == m} for m in set(rows.values())}
+    assert sorted(len(g) for g in groups.values()) == [10, 10, 10]
+    for g in groups.values():
+        assert len({v % 3 for v in g}) == 1
+    # deterministic: a second run gives the identical assignment
+    b = {r["vec_id"]: r["cid"] for r in sim.kmeans_assignments(vecs, k=3, iterations=2).collect()}
+    assert rows == b
