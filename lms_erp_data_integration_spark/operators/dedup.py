@@ -468,3 +468,40 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")
     )
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    shingle_n: int = 3,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval contamination check: for every (train doc, eval doc)
+    pair sharing at least ``min_shared`` distinct word n-grams, emit
+    the pair and its overlap count.
+
+    Scale posture: the eval side (benchmarks) is tiny relative to a
+    100 TB train corpus, so its posting list is broadcast and the train
+    corpus is scanned once with a narrow map-side hash join — no
+    shuffle of train postings, no all-pairs blowup. The overlap count
+    per pair is bounded by the eval doc's shingle count."""
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(
+            F.array_distinct(shingle_array(F.col(text_col), shingle_n))
+        ).alias("shingle"),
+    )
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(
+            F.array_distinct(shingle_array(F.col(text_col), shingle_n))
+        ).alias("shingle"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .where(F.col("shared_ngrams") >= min_shared)
+    )

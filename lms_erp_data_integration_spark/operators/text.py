@@ -160,3 +160,30 @@ def sentiment_exprs(text: Column) -> dict[str, Column]:
         "n_neg": n_neg.cast("long"),
         "sentiment": (n_pos - n_neg) / F.greatest(F.size(toks), F.lit(1)),
     }
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signal: fraction of duplicate
+    tokens and duplicate word-trigrams per document. High duplicate
+    fractions flag boilerplate / degenerate generations for corpus
+    filtering. Pure narrow expressions — no shuffle, scales linearly."""
+    toks = ws_tokens(F.col(text_col))
+    tri = shingle_array(F.col(text_col), 3)
+
+    def dup_frac(arr: Column) -> Column:
+        n, nd = F.size(arr), F.size(F.array_distinct(arr))
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            (n - nd) / n.cast("double")
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        dup_frac(toks).alias("dup_token_frac"),
+        F.size(tri).cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct(tri)).cast("long").alias("n_distinct_trigrams"),
+        dup_frac(tri).alias("dup_trigram_frac"),
+    )

@@ -897,3 +897,64 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_assignments(
         Catalog(spark, sf_dir).embeddings, k=8, iterations=2
     )
+
+
+@query(
+    "llm_text_repetition",
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+tri AS (
+  SELECT doc_id, w,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          FOR i IN range(1, len(w) - 1)] AS t
+  FROM toks)
+SELECT doc_id,
+  len(w) AS n_tokens,
+  len(list_distinct(w)) AS n_distinct_tokens,
+  CASE WHEN len(w) = 0 THEN 0.0
+       ELSE (len(w) - len(list_distinct(w))) * 1.0 / len(w)
+  END AS dup_token_frac,
+  len(t) AS n_trigrams,
+  len(list_distinct(t)) AS n_distinct_trigrams,
+  CASE WHEN len(t) = 0 THEN 0.0
+       ELSE (len(t) - len(list_distinct(t))) * 1.0 / len(t)
+  END AS dup_trigram_frac
+FROM tri
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: duplicate-token and
+    duplicate-trigram fractions per document (degenerate/boilerplate
+    detector). Narrow expressions only — no shuffle."""
+    return tx.repetition_stats(Catalog(spark, sf_dir).documents)
+
+
+@query(
+    "llm_contamination_ngram",
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+SELECT train_id, eval_id, COUNT(*) AS shared_ngrams
+FROM tr JOIN ev USING (shingle)
+GROUP BY train_id, eval_id
+HAVING COUNT(*) >= 2
+""",
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: word-trigram overlap between the
+    train corpus and a held-out eval slice (doc_id % 50 = 0 stands in
+    for the benchmark). Eval postings broadcast; the train corpus is
+    scanned once, map-side."""
+    docs = Catalog(spark, sf_dir).documents
+    return dd.cross_corpus_contamination(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        shingle_n=3,
+        min_shared=2,
+    )

@@ -1221,3 +1221,38 @@ def range_join_balance_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
         )
     )
+
+
+@query(
+    "rel_moving_window_range",
+    """
+SELECT user_id, event_id, ts,
+  SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS hour_sum_micros,
+  COUNT(*) OVER w AS hour_cnt
+FROM events WHERE user_id <= 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+)
+def moving_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user trailing-1-hour sum and count.
+    Spark's rangeBetween needs a numeric ordering key, so the frame is
+    expressed over unix_micros(ts) with a 3.6e9-microsecond preceding
+    bound — identical to the oracle's INTERVAL frame at microsecond
+    precision. Values are summed in exact int64 micro-units (the
+    round(x*1e6) convention shared with the stateful streaming query),
+    so sliding-frame accumulation order can't cause float drift."""
+    ev = Catalog(spark, sf_dir).events.where(F.col("user_id") <= 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    micros = F.round(F.col("value") * 1_000_000).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(micros).over(w).alias("hour_sum_micros"),
+        F.count(F.lit(1)).over(w).alias("hour_cnt"),
+    )

@@ -235,3 +235,40 @@ def test_kmeans_assignments_partition_and_determinism(spark):
     # deterministic: a second run gives the identical assignment
     b = {r["vec_id"]: r["cid"] for r in sim.kmeans_assignments(vecs, k=3, iterations=2).collect()}
     assert rows == b
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (1, "a b c d e"),                # no repetition
+        (2, "x y x y x y x y"),          # heavy token + trigram repeats
+        (3, "solo"),                     # < 3 tokens: zero trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.repetition_stats(df).collect()}
+    assert out[1]["dup_token_frac"] == 0.0
+    assert out[1]["dup_trigram_frac"] == 0.0
+    # doc 2: 8 tokens, 2 distinct -> 6/8; 6 trigrams, 2 distinct -> 4/6
+    assert out[2]["n_tokens"] == 8 and out[2]["n_distinct_tokens"] == 2
+    assert out[2]["dup_token_frac"] == 6 / 8
+    assert out[2]["n_trigrams"] == 6 and out[2]["n_distinct_trigrams"] == 2
+    assert out[2]["dup_trigram_frac"] == 4 / 6
+    # doc 3: no trigrams -> guarded zero, not null/NaN
+    assert out[3]["n_trigrams"] == 0 and out[3]["dup_trigram_frac"] == 0.0
+
+
+def test_cross_corpus_contamination(spark):
+    train = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),   # shares 3 trigrams w/ eval 1
+            (11, "alpha beta gamma nothing else"),    # shares 1 trigram
+            (12, "totally unrelated words right here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = dd.cross_corpus_contamination(train, ev, shingle_n=3, min_shared=2)
+    rows = {(r["train_id"], r["eval_id"]): r["shared_ngrams"] for r in out.collect()}
+    assert rows == {(10, 1): 3}
