@@ -82,3 +82,47 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct("n_events", "total_value_micros")).alias("_s"))
         .select("user_id", "_s.n_events", "_s.total_value_micros")
     )
+
+
+@query(
+    "stream_session_windows",
+    """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id <= 10 WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gaps),
+agg AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, sid),
+wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events WHERE user_id <= 10)
+SELECT user_id, session_start, session_end, n_events
+FROM agg, wm WHERE session_end < w
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window run as a REAL append-mode stream: the
+    bounded source's final watermark (max ts - 1 h) withholds open tail
+    sessions, and the oracle applies the identical cutoff — so the
+    hash-check verifies both the gap-merge semantics and the
+    append-mode emission rule."""
+    from ..streaming.windows import session_event_windows
+
+    out = run_to_memory_sink(
+        session_event_windows(events_stream(spark, sf_dir)),
+        f"stream_session_windows_{next(_SINK_SEQ)}",
+        mode="append",
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz"),
+        F.col("session_end").cast("timestamp_ntz"),
+        "n_events",
+    )

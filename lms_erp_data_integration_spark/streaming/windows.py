@@ -92,3 +92,28 @@ def run_to_memory_sink(
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def session_event_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    max_user: int = 10,
+) -> DataFrame:
+    """Streaming session windows (gap-merged, per user) — the streaming
+    twin of ``rel_session_window_native``. Session windows only run in
+    append/update mode, so on a bounded source the final watermark
+    (max event time - delay) withholds any still-open tail sessions;
+    the oracle applies the same cutoff."""
+    return (
+        events.where(F.col("user_id") <= max_user)
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
