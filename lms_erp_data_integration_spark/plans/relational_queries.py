@@ -1256,3 +1256,46 @@ def moving_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(micros).over(w).alias("hour_sum_micros"),
         F.count(F.lit(1)).over(w).alias("hour_cnt"),
     )
+
+
+@query(
+    "rel_udaf_median_value",
+    """
+SELECT user_id,
+       median(CAST(round(value * 1000000) AS BIGINT)) AS median_micros,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+""",
+)
+def udaf_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via an Arrow-batched grouped-agg pandas UDF:
+    exact per-user median (a holistic aggregate Spark has no built-in
+    exact function for). Values are int64 micro-units so the even-count
+    midpoint average is exact in double on both engines.
+
+    Scale note: GROUPED_AGG materializes one group per call — correct
+    for bounded per-user histories; an unbounded-group percentile
+    should use approx_percentile (see rel_percentiles_acctbal)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's signature inference
+    # can't resolve for locally-imported names
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_micros(v):
+        import numpy as np
+
+        return float(np.median(v))
+
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one
+    # agg(), so the row count is a pandas aggregate too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    ev = Catalog(spark, sf_dir).events
+    micros = F.round(F.col("value") * 1_000_000).cast("long")
+    return ev.groupBy("user_id").agg(
+        median_micros(micros).alias("median_micros"),
+        n_rows(micros).alias("n_events"),
+    )
