@@ -47,3 +47,56 @@ def write_mirror(df: DataFrame, entity: str, base_path: str) -> str:
 
 def read_mirror(spark: SparkSession, entity: str, base_path: str) -> DataFrame:
     return spark.read.parquet(f"{base_path.rstrip('/')}/{mirror_table_name(entity)}")
+
+
+def upsert_mirror(
+    spark: SparkSession,
+    updates: DataFrame,
+    entity: str,
+    base_path: str,
+    key_cols: tuple[str, ...],
+) -> str:
+    """MERGE-style upsert: replace-or-insert ``updates`` rows by key,
+    rewriting ONLY the (yr_cde, trm_cde) partitions the updates touch.
+
+    The scalable alternative to snapshot overwrite when a day's delta
+    is a sliver of the mirror: untouched term partitions are never
+    read or written. Affected-partition discovery collects the
+    DISTINCT term tuples of the delta — a handful of values by
+    construction (terms, not rows), so the driver collect is bounded.
+
+    Plain-parquet caveat (documented, inherent): without a table
+    format there is no snapshot isolation across partitions; each
+    partition swap is atomic, the set of swaps is not. A lakehouse
+    deployment would land this same plan on Delta/Iceberg MERGE.
+    """
+    path = f"{base_path.rstrip('/')}/{mirror_table_name(entity)}"
+    missing = [c for c in (*TERM_COLS, *key_cols) if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates missing required columns {missing}")
+    from pyspark.sql import functions as F
+
+    terms = [tuple(r) for r in updates.select(*TERM_COLS).distinct().collect()]
+    term_pred = None
+    for yr, trm in terms:
+        p = (F.col(TERM_COLS[0]) == yr) & (F.col(TERM_COLS[1]) == trm)
+        term_pred = p if term_pred is None else (term_pred | p)
+    existing = spark.read.parquet(path).where(term_pred)
+    # partition-column type inference may read term cols back with a
+    # narrower type than the delta carries — align to the delta schema
+    # so the union below can't silently coerce
+    existing = existing.withColumns(
+        {c: F.col(c).cast(updates.schema[c].dataType) for c in TERM_COLS}
+    )
+    # keep existing rows whose key is NOT updated, then add the delta;
+    # the anti-join runs only over the touched partitions
+    merged = existing.join(
+        updates.select(*key_cols).distinct(), list(key_cols), "left_anti"
+    ).unionByName(updates)
+    (
+        merged.write.mode("overwrite")
+        .partitionBy(*TERM_COLS)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    return path

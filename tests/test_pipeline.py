@@ -90,3 +90,42 @@ def test_update_order_matches_reference():
         "ctl_library_courses",
         "ctl_library_sections",
     )
+
+
+def test_upsert_mirror_partition_scoped(spark, tmp_path):
+    from lms_erp_data_integration_spark.pipeline.mirror import (
+        read_mirror,
+        upsert_mirror,
+        write_mirror,
+    )
+
+    base = str(tmp_path / "mirror")
+    initial = spark.createDataFrame(
+        [
+            ("2025", "FA", 1, "alice"),
+            ("2025", "FA", 2, "bob"),
+            ("2026", "SP", 3, "carol"),
+        ],
+        "yr_cde string, trm_cde string, id long, name string",
+    )
+    write_mirror(initial, "users", base)
+
+    # update key 2, insert key 4 — both in the 2025/FA partition only
+    delta = spark.createDataFrame(
+        [("2025", "FA", 2, "bob2"), ("2025", "FA", 4, "dan")],
+        "yr_cde string, trm_cde string, id long, name string",
+    )
+    upsert_mirror(spark, delta, "users", base, key_cols=("id",))
+
+    # partition discovery re-infers yr_cde as int on read-back —
+    # normalize to str so the assertion pins values, not inference
+    rows = {
+        r["id"]: (str(r["yr_cde"]), r["trm_cde"], r["name"])
+        for r in read_mirror(spark, "users", base).collect()
+    }
+    assert rows == {
+        1: ("2025", "FA", "alice"),
+        2: ("2025", "FA", "bob2"),
+        4: ("2025", "FA", "dan"),
+        3: ("2026", "SP", "carol"),  # untouched partition intact
+    }
