@@ -29,7 +29,7 @@ division of two exact sums — bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
@@ -88,17 +88,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     pairs = ps.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
-    min_bal = pairs.groupBy(F.col("l_partkey").alias("mb_partkey")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    # per-part scalar MIN as a window over one shuffle — the
+    # groupBy + join-back decorrelation would recompute the distinct
+    # pairs twice and add a fact-fact merge join
+    min_bal = F.min("s_acctbal").over(W.partitionBy("l_partkey"))
     parts = cat.part.where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
     return (
-        parts.join(pairs, F.col("p_partkey") == F.col("l_partkey"))
-        .join(
-            min_bal,
-            (F.col("mb_partkey") == F.col("p_partkey"))
-            & (F.col("s_acctbal") == F.col("min_bal")),
-        )
+        pairs.withColumn("_min_bal", min_bal)
+        .where(F.col("s_acctbal") == F.col("_min_bal"))
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
         .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
         .limit(100)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")

@@ -92,3 +92,23 @@ def test_minhash_subset_of_exact_on_random_docs(spark):
     }
     assert lsh <= exact
     assert len(exact) > 0  # planted dups found by the baseline
+
+
+def test_repetition_stats_invariants_random_docs(spark):
+    """Distinct counts never exceed totals; fractions stay in [0,1];
+    a doc repeated k times has identical stats each time (purity)."""
+    from lms_erp_data_integration_spark.operators.text import repetition_stats
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(6)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in repetition_stats(docs).collect():
+        assert 0 <= r["n_distinct_tokens"] <= r["n_tokens"]
+        assert 0 <= r["n_distinct_trigrams"] <= r["n_trigrams"]
+        assert 0.0 <= r["dup_token_frac"] <= 1.0
+        assert 0.0 <= r["dup_trigram_frac"] <= 1.0
+        assert r["n_trigrams"] == max(r["n_tokens"] - 2, 0)
