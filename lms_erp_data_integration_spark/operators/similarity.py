@@ -559,3 +559,60 @@ def kmeans_assignments(
             F.max("_cnt").cast("double").alias("_n"),
         )
     return assign.select(F.col(id_col), F.col("cid"))
+
+
+def pq_codes(
+    vectors: DataFrame,
+    subspaces: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization: split each vector into ``subspaces``
+    contiguous slices and assign every slice to its nearest of ``k``
+    per-subspace centroids — the memory-compression path for ANN at
+    corpus scale (64 floats -> ``subspaces`` small codes; distance
+    tables then work on codes, not raw vectors).
+
+    Centroids are the slices of the ``k`` lowest-id vectors
+    (deterministic init, matching kmeans_assignments); micro-unit
+    integer scaling keeps every distance an exact integer-valued
+    double, so the argmin is order-independent and bit-equal to the
+    SQL oracle. Single shuffle: subspace slices explode narrowly, the
+    centroid table (subspaces x k rows) broadcasts, and argmin is
+    min(struct(dist, cid)) in one groupBy."""
+    vi = F.transform(
+        _to_double(F.col(vec_col)),
+        lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("double"),
+    )
+    slices = F.array(
+        *[
+            F.slice(F.col("_vi"), s * sub_dim + 1, sub_dim)
+            for s in range(subspaces)
+        ]
+    )
+    sub = vectors.select(F.col(id_col), vi.alias("_vi")).select(
+        F.col(id_col), F.posexplode(slices).alias("s", "sv")
+    )
+    cent = sub.where(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), "s", F.col("sv").alias("cv")
+    )
+    diff = F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: a - b)
+    dist = F.aggregate(
+        F.zip_with(diff, diff, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        sub.join(F.broadcast(cent), "s")
+        .groupBy(id_col, "s")
+        .agg(F.min(F.struct(dist.alias("d"), F.col("cid"))).alias("_m"))
+        .select(F.col(id_col), F.col("s"), F.col("_m.cid").alias("cid"))
+    )
+    return best.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("cid"))).alias(f"code_{s}")
+            for s in range(subspaces)
+        ]
+    )

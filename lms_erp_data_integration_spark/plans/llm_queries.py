@@ -958,3 +958,47 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3,
         min_shared=2,
     )
+
+
+_PQ_DIST = (
+    "list_dot_product("
+    "list_transform(range(0, 16), d -> sub.sv[d+1] - cent.cv[d+1]), "
+    "list_transform(range(0, 16), d -> sub.sv[d+1] - cent.cv[d+1]))"
+)
+
+
+@query(
+    "llm_sim_pq_codes",
+    f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * 1000000 + 0.5)) AS vi
+  FROM embeddings),
+sub AS (
+  SELECT vec_id, t.s, vi[t.s*16+1 : t.s*16+16] AS sv
+  FROM v, range(4) t(s)),
+cent AS (SELECT vec_id AS cid, s, sv AS cv FROM sub WHERE vec_id < 4),
+scored AS (
+  SELECT sub.vec_id, sub.s, cent.cid, {_PQ_DIST} AS dist
+  FROM sub JOIN cent USING (s)),
+best AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cid) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT vec_id,
+  MAX(CASE WHEN s = 0 THEN cid END) AS code_0,
+  MAX(CASE WHEN s = 1 THEN cid END) AS code_1,
+  MAX(CASE WHEN s = 2 THEN cid END) AS code_2,
+  MAX(CASE WHEN s = 3 THEN cid END) AS code_3
+FROM best GROUP BY vec_id
+""",
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook assignment (4 subspaces x 16 dims,
+    k=4 per subspace): the ANN memory-compression path — 64 floats
+    become 4 codes. Deterministic init + exact integer-scaled
+    distances keep the argmin bit-equal to the oracle."""
+    return sim.pq_codes(Catalog(spark, sf_dir).embeddings)

@@ -272,3 +272,26 @@ def test_cross_corpus_contamination(spark):
     out = dd.cross_corpus_contamination(train, ev, shingle_n=3, min_shared=2)
     rows = {(r["train_id"], r["eval_id"]): r["shared_ngrams"] for r in out.collect()}
     assert rows == {(10, 1): 3}
+
+
+def test_pq_codes_planted_subspaces(spark):
+    # 4 seed vectors (ids 0-3) are the centroids; vectors 10-13 copy
+    # seed (i % 4) exactly, so every subspace code must equal i % 4
+    import random
+
+    rng = random.Random(3)
+    seeds = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(4)]
+    rows = [(i, seeds[i]) for i in range(4)]
+    rows += [(10 + i, list(seeds[i % 4])) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in sim.pq_codes(df).collect()}
+    assert len(out) == 8
+    for i in range(4):
+        r = out[10 + i]
+        assert (
+            r["code_0"] == r["code_1"] == r["code_2"] == r["code_3"] == i % 4
+        ), r
+    # seeds map to themselves
+    for i in range(4):
+        r = out[i]
+        assert r["code_0"] == r["code_1"] == r["code_2"] == r["code_3"] == i
