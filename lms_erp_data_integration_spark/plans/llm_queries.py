@@ -1002,3 +1002,105 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     become 4 codes. Deterministic init + exact integer-scaled
     distances keep the argmin bit-equal to the oracle."""
     return sim.pq_codes(Catalog(spark, sf_dir).embeddings)
+
+
+@query(
+    "llm_quality_gate",
+    rf"""
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         regexp_split_to_array(trim(text), '\s+') AS w,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+  FROM documents),
+tri AS (
+  SELECT doc_id, lang, source, w, wl,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          FOR i IN range(1, len(w) - 1)] AS tt
+  FROM t),
+sig AS (
+  SELECT doc_id, lang, source,
+    len(w) AS n_tokens,
+    len(list_filter(wl, x -> x IN ({_STOP_SQL})))
+      * 1.0 / greatest(len(w), 1) AS stopword_ratio,
+    CASE WHEN len(tt) = 0 THEN 0.0
+         ELSE (len(tt) - len(list_distinct(tt))) * 1.0 / len(tt)
+    END AS dup_trigram_frac
+  FROM tri)
+SELECT doc_id, lang, source, n_tokens, stopword_ratio, dup_trigram_frac
+FROM sig
+WHERE n_tokens BETWEEN 20 AND 100000
+  AND stopword_ratio >= 0.05
+  AND dup_trigram_frac <= 0.5
+""",
+)
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style quality gate: token-count bounds,
+    minimum stopword ratio (gibberish filter), maximum
+    duplicate-trigram fraction (degenerate-repetition filter). One
+    narrow filter over the corpus — the signals compose into a single
+    codegen'd stage, no shuffle."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = tx.ws_tokens(F.col("text"))
+    toks_l = tx.ws_tokens(F.lower(F.col("text")))
+    tri = tx.shingle_array(F.col("text"), 3)
+    stop_ratio = F.size(
+        F.filter(toks_l, lambda x: x.isin(*tx.STOPWORDS))
+    ) / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_tri, n_tri_d = F.size(tri), F.size(F.array_distinct(tri))
+    dup_tri = F.when(n_tri == 0, F.lit(0.0)).otherwise(
+        (n_tri - n_tri_d) / n_tri.cast("double")
+    )
+    out = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        dup_tri.alias("dup_trigram_frac"),
+    )
+    return out.where(
+        F.col("n_tokens").between(20, 100000)
+        & (F.col("stopword_ratio") >= 0.05)
+        & (F.col("dup_trigram_frac") <= 0.5)
+    )
+
+
+@query(
+    "llm_corpus_mix",
+    r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents),
+ranked AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum_tok
+  FROM toks)
+SELECT source, doc_id, n_tok, cum_tok
+FROM ranked WHERE cum_tok <= 300
+""",
+)
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing: per source, admit documents in
+    deterministic md5 order until the source's token budget is
+    reached — the 'sample each source to a target token share'
+    pipeline stage. Exact integer cumulative sums; one shuffle on
+    source."""
+    from pyspark.sql import Window as W
+
+    docs = Catalog(spark, sf_dir).documents
+    n_tok = F.size(tx.ws_tokens(F.col("text"))).cast("long")
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = docs.select(
+        "doc_id", "source", n_tok.alias("n_tok")
+    ).withColumn("cum_tok", F.sum("n_tok").over(w))
+    return ranked.where(F.col("cum_tok") <= 300).select(
+        "source", "doc_id", "n_tok", "cum_tok"
+    )

@@ -1,0 +1,58 @@
+"""Physical-plan regression tests: lock the scale invariants that
+SCALE.md claims — no cartesian products in registered queries, filters
+pushed to scans, column-pruned reads. Runs at sf0.001 (plan SHAPE is
+what's asserted; AQE may upgrade joins at tiny scale but never
+introduces a cartesian product or un-pushes a filter)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries whose plans intentionally contain a 1-row scalar broadcast
+# (BroadcastNestedLoopJoin of a single aggregate row) — everything
+# else must be free of nested-loop joins too.
+SCALAR_JOIN_OK = {"rel_q11_important_parts", "rel_q15_top_supplier"}
+
+SAMPLE = [
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q16_supplier_counts",
+    "rel_q21_waiting_supplier",
+    "sync_daily_enrollment",
+    "llm_quality_gate",
+    "llm_contamination_ngram",
+    "rel_q11_important_parts",
+]
+
+
+def _executed_plan(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    df.collect()  # materialize so AQE's final plan exists
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_no_cartesian_product(spark, name):
+    plan = _executed_plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    if name not in SCALAR_JOIN_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = _executed_plan(spark, "rel_q1_pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: the q1 scan must not read join keys it never uses
+    read = plan.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in read and "l_suppkey" not in read
+
+
+def test_quality_gate_single_stage(spark):
+    # a narrow filter pipeline: no Exchange at all in the final plan
+    plan = _executed_plan(spark, "llm_quality_gate")
+    assert "Exchange" not in plan
