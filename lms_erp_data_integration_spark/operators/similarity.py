@@ -561,6 +561,61 @@ def kmeans_assignments(
     return assign.select(F.col(id_col), F.col("cid"))
 
 
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance between two slice arrays —
+    exact when both carry integer-valued doubles."""
+    diff = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(
+        F.zip_with(diff, diff, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_parts(
+    vectors: DataFrame,
+    subspaces: int,
+    sub_dim: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared PQ machinery: (sub, cent, best) where ``sub`` is the
+    narrow (id, s, slice) explosion, ``cent`` the subspaces x k
+    centroid table (slices of the k lowest-id vectors), and ``best``
+    the per-(id, subspace) nearest-centroid assignment."""
+    vi = F.transform(
+        _to_double(F.col(vec_col)),
+        lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("double"),
+    )
+    slices = F.array(
+        *[
+            F.slice(F.col("_vi"), s * sub_dim + 1, sub_dim)
+            for s in range(subspaces)
+        ]
+    )
+    sub = vectors.select(F.col(id_col), vi.alias("_vi")).select(
+        F.col(id_col), F.posexplode(slices).alias("s", "sv")
+    )
+    cent = sub.where(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), "s", F.col("sv").alias("cv")
+    )
+    best = (
+        sub.join(F.broadcast(cent), "s")
+        .groupBy(id_col, "s")
+        .agg(
+            F.min(
+                F.struct(
+                    _sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+                    F.col("cid"),
+                )
+            ).alias("_m")
+        )
+        .select(F.col(id_col), F.col("s"), F.col("_m.cid").alias("cid"))
+    )
+    return sub, cent, best
+
+
 def pq_codes(
     vectors: DataFrame,
     subspaces: int = 4,
@@ -582,37 +637,57 @@ def pq_codes(
     SQL oracle. Single shuffle: subspace slices explode narrowly, the
     centroid table (subspaces x k rows) broadcasts, and argmin is
     min(struct(dist, cid)) in one groupBy."""
-    vi = F.transform(
-        _to_double(F.col(vec_col)),
-        lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("double"),
-    )
-    slices = F.array(
-        *[
-            F.slice(F.col("_vi"), s * sub_dim + 1, sub_dim)
-            for s in range(subspaces)
-        ]
-    )
-    sub = vectors.select(F.col(id_col), vi.alias("_vi")).select(
-        F.col(id_col), F.posexplode(slices).alias("s", "sv")
-    )
-    cent = sub.where(F.col(id_col) < k).select(
-        F.col(id_col).alias("cid"), "s", F.col("sv").alias("cv")
-    )
-    diff = F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: a - b)
-    dist = F.aggregate(
-        F.zip_with(diff, diff, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    best = (
-        sub.join(F.broadcast(cent), "s")
-        .groupBy(id_col, "s")
-        .agg(F.min(F.struct(dist.alias("d"), F.col("cid"))).alias("_m"))
-        .select(F.col(id_col), F.col("s"), F.col("_m.cid").alias("cid"))
-    )
+    _, _, best = _pq_parts(vectors, subspaces, sub_dim, k, id_col, vec_col)
     return best.groupBy(id_col).agg(
         *[
             F.max(F.when(F.col("s") == s, F.col("cid"))).alias(f"code_{s}")
             for s in range(subspaces)
         ]
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    n_queries: int = 5,
+    topk: int = 10,
+    subspaces: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) approximate top-k: score every
+    corpus vector against each query as the SUM over subspaces of the
+    query-to-centroid distance for the vector's code — the lookup that
+    makes PQ search O(corpus x subspaces) table additions instead of
+    O(corpus x dim) float math.
+
+    Scale: the distance table (queries x subspaces x k rows) and the
+    code assignments join broadcast-side; the only corpus-sized
+    shuffle is the per-(query, vector) sum — and every addend is an
+    exact integer-valued double, so the ranking is order-independent
+    and oracle-exact."""
+    sub, cent, best = _pq_parts(
+        vectors, subspaces, sub_dim, k, id_col, vec_col
+    )
+    q = sub.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), "s", F.col("sv").alias("qv")
+    )
+    dtable = q.join(F.broadcast(cent), "s").select(
+        "query_id",
+        "s",
+        "cid",
+        _sq_dist(F.col("qv"), F.col("cv")).alias("_dd"),
+    )
+    adc = (
+        best.join(F.broadcast(dtable), ["s", "cid"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("_dd").alias("adist"))
+    )
+    w = W.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adist", "rank")
     )

@@ -1104,3 +1104,51 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("cum_tok") <= 300).select(
         "source", "doc_id", "n_tok", "cum_tok"
     )
+
+
+@query(
+    "llm_sim_pq_adc_topk",
+    f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * 1000000 + 0.5)) AS vi
+  FROM embeddings),
+sub AS (
+  SELECT vec_id, t.s, vi[t.s*16+1 : t.s*16+16] AS sv
+  FROM v, range(4) t(s)),
+cent AS (SELECT vec_id AS cid, s, sv AS cv FROM sub WHERE vec_id < 4),
+scored AS (
+  SELECT sub.vec_id, sub.s, cent.cid, {_PQ_DIST} AS dist
+  FROM sub JOIN cent USING (s)),
+best AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cid) AS rn
+    FROM scored) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, s, sv AS qv FROM sub WHERE vec_id < 5),
+dt AS (
+  SELECT q.query_id, cent.s, cent.cid,
+         list_dot_product(
+           list_transform(range(0, 16), d -> q.qv[d+1] - cent.cv[d+1]),
+           list_transform(range(0, 16), d -> q.qv[d+1] - cent.cv[d+1]))
+           AS dd
+  FROM q JOIN cent ON q.s = cent.s),
+adc AS (
+  SELECT dt.query_id, best.vec_id AS neighbor_id, SUM(dt.dd) AS adist
+  FROM best JOIN dt ON best.s = dt.s AND best.cid = dt.cid
+  WHERE best.vec_id <> dt.query_id
+  GROUP BY dt.query_id, best.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adist, neighbor_id) AS rank
+  FROM adc)
+SELECT query_id, neighbor_id, adist, rank FROM ranked WHERE rank <= 10
+""",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 for 5 queries: corpus vectors are
+    scored via per-subspace distance-table lookups on their codes —
+    the compressed-domain search that pairs with llm_sim_pq_codes."""
+    return sim.pq_adc_topk(Catalog(spark, sf_dir).embeddings)
