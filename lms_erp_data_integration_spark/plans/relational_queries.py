@@ -1299,3 +1299,63 @@ def udaf_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         median_micros(micros).alias("median_micros"),
         n_rows(micros).alias("n_events"),
     )
+
+
+@query(
+    "rel_resample_ffill",
+    """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events WHERE user_id <= 5 GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM b),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         arg_max(value, ts) AS v
+  FROM events WHERE user_id <= 5 GROUP BY 1, 2),
+j AS (
+  SELECT g.user_id, g.hour, h.v
+  FROM grid g LEFT JOIN hourly h USING (user_id, hour))
+SELECT user_id, hour, v,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+FROM j
+""",
+)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per-user hourly grid from
+    first to last observation (sequence + explode — the grid is
+    generated distributed, sized by each user's own span), latest
+    observation per hour (max_by ts), then forward fill via
+    last(ignorenulls) over an ordered window. (user, ts) pairs are
+    unique in the data, so the per-hour pick is deterministic; values
+    pass through untouched — no float arithmetic to diverge."""
+    ev = Catalog(spark, sf_dir).events.where(F.col("user_id") <= 5)
+    b = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = b.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.max_by("value", "ts").alias("v"))
+    j = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
+    )
