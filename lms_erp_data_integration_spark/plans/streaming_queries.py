@@ -126,3 +126,35 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("timestamp_ntz"),
         "n_events",
     )
+
+
+@query(
+    "stream_attribution_join",
+    """
+SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+       a.ts AS view_ts, b.ts AS purchase_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+""",
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join driven as a REAL stream (two filtered
+    views of the same watermarked file stream, time-range join
+    condition → bounded state): on a bounded source the emitted match
+    set equals the batch join bit-for-bit, which the oracle checks."""
+    from ..streaming.windows import attribution_join
+
+    out = run_to_memory_sink(
+        attribution_join(events_stream(spark, sf_dir)),
+        f"stream_attribution_join_{next(_SINK_SEQ)}",
+        mode="append",
+    )
+    return out.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.col("view_ts").cast("timestamp_ntz"),
+        F.col("purchase_ts").cast("timestamp_ntz"),
+    )

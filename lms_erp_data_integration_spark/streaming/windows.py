@@ -117,3 +117,42 @@ def session_event_windows(
             "n_events",
         )
     )
+
+
+def attribution_join(
+    events: DataFrame,
+    max_delay: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the
+    view events it follows within ``max_delay`` for the same user.
+    Both sides carry watermarks and the join has a time-range bound,
+    so the state store evicts views older than the delay — bounded
+    state at any stream length. Inner joins emit on match, so a
+    bounded source yields exactly the batch join's rows."""
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"""v_user = user_id
+            AND purchase_ts > view_ts
+            AND purchase_ts <= view_ts + interval {max_delay}"""
+        ),
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
