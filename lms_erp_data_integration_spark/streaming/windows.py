@@ -11,10 +11,23 @@ the memory sink + ``processAllAvailable``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+
+# State-store partition count for streaming runs. Unlike batch shuffles
+# (where AQE coalesces empty partitions away), every state partition
+# costs a state-store task + checkpoint write PER MICRO-BATCH whether or
+# not it holds keys — so the right number tracks the key cardinality /
+# executor count, not the batch shuffle default. On a real cluster this
+# would be sized to the executor fleet; for the bounded local runs a
+# handful of fuller partitions beats 32 near-empty ones by ~10x.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,17 +93,33 @@ def run_to_memory_sink(
     Default mode 'complete': with a bounded file source nothing ever
     advances the watermark past the last window, so append mode would
     hold the tail windows back forever; complete emits every window and
-    lets tests compare 1:1 against the batch twin."""
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
+    lets tests compare 1:1 against the batch twin.
+
+    ``spark.sql.shuffle.partitions`` is scoped to
+    ``STREAM_STATE_PARTITIONS`` for the duration of the run: a streaming
+    query pins its state-store partition count from this conf at first
+    start, and each state partition costs a checkpoint task per
+    micro-batch even when empty — the batch default (32 here) is sized
+    for shuffle width, not state width. Restored afterwards so batch
+    plans in the same session are unaffected."""
+    spark = stream_df.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
     )
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
