@@ -422,15 +422,24 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     `qty*5*cnt < sum_qty` so the comparison happens in exact decimals —
     no float-division boundary flakiness between engines."""
     cat = Catalog(spark, sf_dir)
-    pq = cat.lineitem.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+    # Push the brand filter below BOTH uses of lineitem: the per-part
+    # aggregate only matters for parts that survive the brand predicate,
+    # so restrict first via a broadcast join and aggregate the ~1/25
+    # surviving rows instead of the whole table. The per-part totals are
+    # identical (the filter is a whole-group predicate on l_partkey).
+    brand_parts = F.broadcast(
+        cat.part.where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    )
+    li = cat.lineitem.select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).join(brand_parts, F.col("p_partkey") == F.col("l_partkey")).drop(
+        "p_partkey"
+    )
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
         F.sum(_dec("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
     )
     return (
-        cat.lineitem.join(
-            F.broadcast(cat.part.where(F.col("p_brand") == "Brand#3")),
-            F.col("p_partkey") == F.col("l_partkey"),
-        )
-        .join(pq, F.col("pq_partkey") == F.col("l_partkey"))
+        li.join(pq, F.col("pq_partkey") == F.col("l_partkey"))
         .where(_dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
             (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
