@@ -1,0 +1,495 @@
+"""Behavioral-analytics and data-quality queries.
+
+Extends the engine beyond the reference's sync surface with the
+analysis layer an LMS/ERP warehouse team runs on top of the mirrored
+data (funnel conversion, cohort retention, outlier screens, column
+profiling, fuzzy entity matching) plus three more LLM-corpus operators
+(unigram language-model scoring, pattern redaction, count-min-sketch
+heavy hitters). Every query follows the registry contract: a
+declarative Catalyst plan plus a DuckDB oracle with aligned column
+names; value columns that would be order-sensitive double sums are
+carried as exact integers/decimals instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators import text as tx
+from .registry import query
+
+# ------------------------------------------------------- event funnels
+
+
+@query(
+    "rel_funnel_conversion",
+    """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 'view' AS stage, 1 AS stage_ord, COUNT(*) AS n_users FROM v
+  UNION ALL SELECT 'click', 2, COUNT(*) FROM c
+  UNION ALL SELECT 'purchase', 3, COUNT(*) FROM p)
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    advances a stage only with an event strictly after their entry into
+    the previous stage (earliest-chain semantics).
+
+    Scale: three aggregations and two joins, all keyed on ``user_id`` —
+    one shuffle partitioning reused end-to-end, state per user is one
+    timestamp. No window over the full event stream."""
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_type", "ts")
+
+    def stage(etype: str, prev: DataFrame | None) -> DataFrame:
+        df = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            df = df.join(prev, "user_id").where(F.col("ts") > F.col("t_prev"))
+        return df.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    v = stage("view", None)
+    c = stage("click", v)
+    p = stage("purchase", c)
+    rows = [
+        (v, "view", 1),
+        (c, "click", 2),
+        (p, "purchase", 3),
+    ]
+    counts = [
+        df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(ordn).alias("stage_ord"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        for df, name, ordn in rows
+    ]
+    out = counts[0]
+    for extra in counts[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+@query(
+    "rel_cohort_retention",
+    """
+WITH firstday AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id),
+act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT f.cohort_day, datediff('day', f.cohort_day, a.day) AS day_offset,
+       COUNT(*) AS n_users
+FROM act a JOIN firstday f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.day)
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-seen
+    day, counted on each subsequent active day (day offset).
+
+    Scale: the distinct (user, day) set and the first-day aggregate
+    both partition on ``user_id``; the final rollup is over the tiny
+    (cohort, offset) grid. No full-history window functions."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firstday = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = ev.distinct()
+    return (
+        act.join(firstday, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --------------------------------------------------- statistical screens
+
+
+@query(
+    "rel_outlier_iqr",
+    """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS v_micros
+  FROM events),
+q AS (
+  SELECT event_type,
+         percentile_cont(0.25) WITHIN GROUP (ORDER BY v_micros) AS q1,
+         percentile_cont(0.75) WITHIN GROUP (ORDER BY v_micros) AS q3
+  FROM v GROUP BY event_type)
+SELECT v.event_type,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN v.v_micros < q.q1 - 1.5 * (q.q3 - q.q1)
+                  OR v.v_micros > q.q3 + 1.5 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END) AS n_outliers,
+       q.q1 AS q1_micros, q.q3 AS q3_micros
+FROM v JOIN q ON v.event_type = q.event_type
+GROUP BY v.event_type, q.q1, q.q3
+""",
+)
+def outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen per event type (1.5x IQR beyond the
+    exact interpolated quartiles). Values are pre-scaled to integer
+    micro-units so the quartile interpolation arithmetic is identical
+    in both engines.
+
+    Scale: quartiles here are exact (sorted per group) for parity; an
+    unbounded group would use ``approx_percentile`` — same fences, one
+    sketch pass. The per-group quartile table is tiny and broadcast."""
+    v = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micros"),
+    )
+    q = v.groupBy("event_type").agg(
+        F.percentile("v_micros", F.lit(0.25)).alias("q1"),
+        F.percentile("v_micros", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    return (
+        v.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when((F.col("v_micros") < lo) | (F.col("v_micros") > hi), 1)
+                .otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_outliers",
+            F.col("q1").alias("q1_micros"),
+            F.col("q3").alias("q3_micros"),
+        )
+    )
+
+
+@query(
+    "rel_profile_columns",
+    """
+SELECT * FROM (
+  SELECT 'c_name' AS col_name, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(c_name) AS n_nulls,
+         COUNT(DISTINCT c_name) AS n_distinct,
+         MIN(c_name) AS min_str, MAX(c_name) AS max_str,
+         CAST(NULL AS DECIMAL(18,2)) AS min_num,
+         CAST(NULL AS DECIMAL(18,2)) AS max_num
+  FROM customer
+  UNION ALL
+  SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+         COUNT(DISTINCT c_mktsegment), MIN(c_mktsegment),
+         MAX(c_mktsegment), NULL, NULL
+  FROM customer
+  UNION ALL
+  SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal),
+         COUNT(DISTINCT c_acctbal), NULL, NULL,
+         MIN(CAST(c_acctbal AS DECIMAL(18,2))),
+         MAX(CAST(c_acctbal AS DECIMAL(18,2)))
+  FROM customer
+  UNION ALL
+  SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
+         COUNT(DISTINCT c_nationkey), NULL, NULL,
+         CAST(MIN(c_nationkey) AS DECIMAL(18,2)),
+         CAST(MAX(c_nationkey) AS DECIMAL(18,2))
+  FROM customer)
+""",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling operator (null counts, exact cardinality,
+    min/max) — the data-quality screen run before any sync or training
+    job admits a table.
+
+    Scale: one aggregate per profiled column over a column-pruned scan;
+    exact COUNT(DISTINCT) is kept for oracle parity, a 100 TB profile
+    would switch to ``approx_count_distinct`` (same plan shape, no
+    second shuffle)."""
+    cust = Catalog(spark, sf_dir).customer
+    null_dec = F.lit(None).cast("decimal(18,2)")
+    null_str = F.lit(None).cast("string")
+
+    def prof_str(col: str) -> DataFrame:
+        return cust.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).alias("min_str"),
+            F.max(col).alias("max_str"),
+            null_dec.alias("min_num"),
+            null_dec.alias("max_num"),
+        )
+
+    def prof_num(col: str) -> DataFrame:
+        return cust.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            null_str.alias("min_str"),
+            null_str.alias("max_str"),
+            F.min(F.col(col).cast("decimal(18,2)")).alias("min_num"),
+            F.max(F.col(col).cast("decimal(18,2)")).alias("max_num"),
+        )
+
+    out = prof_str("c_name")
+    for extra in (
+        prof_str("c_mktsegment"),
+        prof_num("c_acctbal"),
+        prof_num("c_nationkey"),
+    ):
+        out = out.unionByName(extra)
+    return out
+
+
+# ------------------------------------------------ fuzzy entity matching
+
+
+@query(
+    "rel_fuzzy_part_match",
+    """
+WITH names AS (
+  SELECT p_name, split_part(p_name, ' ', 2) AS block, COUNT(*) AS n
+  FROM part GROUP BY p_name, split_part(p_name, ' ', 2))
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist,
+       a.n AS n_a, b.n AS n_b
+FROM names a JOIN names b
+  ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution at the canonical-value level:
+    distinct part names are blocked on their noun token, and name pairs
+    within Levenshtein distance 2 surface as merge candidates, each
+    carrying the entity counts it would merge — the standard
+    block-then-verify shape for reconciling an entity registry.
+
+    Scale: the expensive edit-distance verify runs on DISTINCT names
+    (vocabulary-sized, not table-sized), the self-join is an equi-join
+    on the blocking key, and the output is bounded by the name
+    vocabulary squared per block — invariant to row-count growth. A
+    skewed block would be capped like the hot-shingle guard in
+    ``operators/dedup.py``."""
+    names = (
+        Catalog(spark, sf_dir)
+        .part.groupBy(
+            "p_name", F.split("p_name", " ").getItem(1).alias("block")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), "block", F.col("n").alias("n_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), "block", F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )
+
+
+# ------------------------------------------------- LLM corpus additions
+
+
+@query(
+    "llm_text_unigram_lm",
+    r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents),
+cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT SUM(c) AS n FROM cnt),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(LN(CAST(c.c AS DOUBLE) / t2.n) * 1000000) AS BIGINT)
+           AS lp_micros
+  FROM tok t JOIN cnt c ON t.w = c.w CROSS JOIN tot t2)
+SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp_micros) AS sum_logprob_micros
+FROM scored GROUP BY doc_id
+""",
+)
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: each document's total corpus
+    log-likelihood — the cheap perplexity proxy used to rank training
+    text before an expensive model-based score. Per-token log-probs are
+    quantized to integer micro-nats in the plan so the document sum is
+    exact-integer (order-independent) for the oracle hash.
+
+    Scale: token explode -> one groupBy for the vocabulary -> hash join
+    tokens-to-vocab. The vocabulary join key is the token itself;
+    stop-word skew is bounded because the vocab side carries one row
+    per word. The corpus total is a 1-row cross join, not a collect."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(tx.ws_tokens(F.col("text"))).alias("w")
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("n")) * 1_000_000
+            )
+            .cast("long")
+            .alias("lp_micros"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp_micros").alias("sum_logprob_micros"),
+    )
+
+
+@query(
+    "llm_pii_redaction",
+    r"""
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       SUM(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')))
+         AS n_digit_chars,
+       SUM(CASE WHEN regexp_matches(props, '[0-9]') THEN 1 ELSE 0 END)
+         AS n_rows_redacted,
+       MIN(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS sample_redacted
+FROM events GROUP BY event_type
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-redaction scrub (the PII-removal pass of a training-data
+    pipeline): numeric identifiers in the event payload are masked with
+    a placeholder token, and the per-type audit trail (rows touched,
+    characters removed) is emitted alongside a deterministic redacted
+    sample.
+
+    Scale: pure ``regexp_replace``/``length`` expressions — single
+    narrow codegen stage, one tiny per-type aggregate; the same
+    expressions redact in place when materializing a cleaned corpus."""
+    ev = Catalog(spark, sf_dir).events.select("event_type", "props")
+    digits_removed = F.length("props") - F.length(
+        F.regexp_replace("props", "[0-9]", "")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(digits_removed).alias("n_digit_chars"),
+        F.sum(
+            F.when(F.col("props").rlike("[0-9]"), 1).otherwise(0)
+        ).alias("n_rows_redacted"),
+        F.min(F.regexp_replace("props", "[0-9]+", "<NUM>")).alias(
+            "sample_redacted"
+        ),
+    )
+
+
+CMS_WIDTH = 1024
+CMS_DEPTH = 3
+CMS_TOPK = 20
+
+
+@query(
+    "llm_heavy_hitters_cms",
+    r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents),
+cnt AS (SELECT w, COUNT(*) AS exact_cnt FROM tok GROUP BY w)
+SELECT w, exact_cnt, TRUE AS cms_within_bound
+FROM cnt ORDER BY exact_cnt DESC, w LIMIT 20
+""",
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: the token-frequency sketch a
+    100 TB corpus scan would maintain instead of an exact vocabulary.
+    The sketch (depth 3 x width 1024, xxhash64 rows) is built in one
+    aggregation; the top-k tokens' sketch estimates are then checked
+    against their exact counts — CMS never underestimates, and the
+    emitted boolean asserts the overestimate stays within 1% of the
+    corpus mass (the oracle pins it TRUE, so a collision blowout fails
+    the hash).
+
+    Scale: the sketch is CMS_DEPTH x CMS_WIDTH cells REGARDLESS of
+    corpus size — a constant-size broadcast — while the exact top-k
+    side exists here only to audit the sketch. At 100 TB only the
+    sketch pass and a candidate-set probe survive."""
+    docs = Catalog(spark, sf_dir).documents.select("text")
+    tok = docs.select(F.explode(tx.ws_tokens(F.col("text"))).alias("w"))
+
+    # sketch: per (seed, bucket) counts — one shuffle of at most
+    # DEPTH * WIDTH groups (map-side partial aggregation collapses the
+    # token stream before the exchange)
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    ).alias("seed")
+    sketch = (
+        tok.select("w", seeds)
+        .select(
+            "seed",
+            F.pmod(F.xxhash64("w", F.col("seed")), F.lit(CMS_WIDTH)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    total = cnt.agg(F.sum("exact_cnt").alias("n_total"))
+    top = (
+        cnt.orderBy(F.desc("exact_cnt"), F.asc("w"))
+        .limit(CMS_TOPK)
+        .crossJoin(F.broadcast(total))
+    )
+    probes = top.select(
+        "w",
+        "exact_cnt",
+        "n_total",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias(
+            "seed"
+        ),
+    ).select(
+        "w",
+        "exact_cnt",
+        "n_total",
+        "seed",
+        F.pmod(F.xxhash64("w", F.col("seed")), F.lit(CMS_WIDTH)).alias(
+            "bucket"
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("w", "exact_cnt", "n_total")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select(
+        "w",
+        "exact_cnt",
+        (
+            (F.col("cms_est") >= F.col("exact_cnt"))
+            & (
+                F.col("cms_est")
+                <= F.col("exact_cnt") + F.col("n_total") / 100
+            )
+        ).alias("cms_within_bound"),
+    )
