@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from ..catalog import Catalog
+from ..operators import similarity as sim
 from ..operators import text as tx
 from .registry import query
 
@@ -492,4 +495,168 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.col("exact_cnt") + F.col("n_total") / 100
             )
         ).alias("cms_within_bound"),
+    )
+
+
+# ------------------------------------------------ remaining SQL surface
+
+
+@query(
+    "rel_window_rank_surface",
+    """
+SELECT o_custkey, o_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       PERCENT_RANK() OVER w AS prnk,
+       CUME_DIST() OVER w AS cdist,
+       NTILE(4) OVER w AS quartile
+FROM orders WHERE o_custkey <= 50
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+""",
+)
+def window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface (rank / dense_rank /
+    percent_rank / cume_dist / ntile) in one pass over a single window
+    definition. The ordering key is decimal-cast with an orderkey
+    tiebreak so both engines rank an identical total order;
+    percent_rank and cume_dist are exact rational formulas, safe to
+    hash as doubles.
+
+    Scale: one shuffle on the partition key, one sort per partition;
+    all five functions share the frame."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)"), "o_orderkey"
+    )
+    return (
+        Catalog(spark, sf_dir)
+        .orders.where(F.col("o_custkey") <= 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+
+
+@query(
+    "rel_stats_moments",
+    """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_qty_price,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n
+         AS covar_pop,
+       sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n)
+         AS stddev_pop_qty
+FROM m
+""",
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (Pearson correlation, population
+    covariance and stddev) assembled from EXACT decimal moments: the
+    built-in ``corr``/``covar_pop`` accumulate doubles in partition
+    order and are not reproducible across engines, so the moments are
+    summed as decimals (associative, exact) and the float math happens
+    once per group in a fixed expression tree — bit-equal everywhere.
+
+    Scale: a single grouped aggregation with map-side partials; the
+    five decimal sums shuffle one row per group."""
+    li = Catalog(spark, sf_dir).lineitem
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        ((n * sxy - sx * sy)
+         / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+         ).alias("corr_qty_price"),
+        ((sxy - sx * sy / n) / n).alias("covar_pop"),
+        F.sqrt((sxx - sx * sx / n) / n).alias("stddev_pop_qty"),
+    )
+
+
+@query(
+    "rel_array_hof_surface",
+    """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id < 200)
+SELECT vec_id,
+       len(e) AS dim,
+       len(list_filter(e, x -> x > 0)) AS n_pos,
+       CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), e),
+                              (acc, x) -> acc + x) * 1000000) AS BIGINT)
+         AS sum_micros,
+       CAST(ROUND(list_dot_product(e, e) * 1000000) AS BIGINT)
+         AS sumsq_micros,
+       CAST(ROUND(list_dot_product(e, list_reverse(e)) * 1000000) AS BIGINT)
+         AS revdot_micros,
+       CAST(ROUND(list_max(e) * 1000000) AS BIGINT) AS max_micros
+FROM v
+""",
+)
+def array_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface (transform / filter /
+    aggregate / zip_with / reverse / array_max) over the embedding
+    column, all folds sequential so DuckDB's list functions reproduce
+    them bit-for-bit; float-derived values are quantized to micro-units
+    in the plan before hashing.
+
+    Scale: per-row narrow expressions, no shuffle at all; HOFs don't
+    enter whole-stage codegen, so a throughput-critical version would
+    move to an Arrow-batched pandas UDF (the trade documented on the
+    LSH bucketing op)."""
+    e = sim._to_double(F.col("embedding"))
+    micros = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
+    return (
+        Catalog(spark, sf_dir)
+        .embeddings.where(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+            micros(
+                F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x)
+            ).alias("sum_micros"),
+            micros(sim.dot(F.col("embedding"), F.col("embedding"))).alias(
+                "sumsq_micros"
+            ),
+            micros(
+                sim.dot(F.col("embedding"), F.reverse(F.col("embedding")))
+            ).alias("revdot_micros"),
+            micros(F.array_max(e)).alias("max_micros"),
+        )
     )
