@@ -660,3 +660,99 @@ def array_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             micros(F.array_max(e)).alias("max_micros"),
         )
     )
+
+
+# ---------------------------------------------------- graph & sequences
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT e.dst AS node, 150000 + (85 * SUM(r.r // d.deg)) // 100 AS r
+  FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst)"""
+
+
+@query(
+    "rel_pagerank_parts",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),"""
+    + _pagerank_iter_sql("r0", "r1")
+    + ","
+    + _pagerank_iter_sql("r1", "r2")
+    + ","
+    + _pagerank_iter_sql("r2", "r3")
+    + """
+SELECT node AS p_partkey, r AS rank_micros FROM r3
+""",
+)
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts are linked when
+    they appear in the same order), three iterations of exact
+    integer-scaled rank propagation — the oracle unrolls the identical
+    recurrence as chained CTEs, so the hash check covers every
+    iteration's arithmetic, not just the final ranking.
+
+    Scale: see ``operators/graph.py`` for the per-round cost. The edge
+    build uses ONE shuffle (group baskets by order, then generate pairs
+    narrowly from each basket array) instead of the naive
+    distinct + self-join, which costs two wide shuffles of the full
+    line-item table; per-order baskets are small, so the in-basket
+    pair expansion is bounded (a pathological mega-basket would be
+    capped before the explode)."""
+    from ..operators.graph import pagerank_micros
+
+    baskets = (
+        Catalog(spark, sf_dir)
+        .lineitem.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    edges = (
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    return pagerank_micros(edges, iterations=3).select(
+        F.col("node").alias("p_partkey"), F.col("r").alias("rank_micros")
+    )
+
+
+@query(
+    "rel_event_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (the path-analysis matrix behind "what do users do
+    after X"). The per-user ordering carries an event_id tiebreak so
+    both engines walk an identical sequence.
+
+    Scale: one window pass partitioned by user, one tiny grouped
+    count — the transition matrix is |event_types|^2 rows."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

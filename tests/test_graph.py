@@ -1,0 +1,50 @@
+"""pagerank_micros unit tests (exact integer recurrence)."""
+
+from __future__ import annotations
+
+from lms_erp_data_integration_spark.operators.graph import pagerank_micros
+
+
+def test_pagerank_two_node_cycle(spark):
+    # a <-> b: symmetric, deg 1 each. Every iteration maps r -> 150000
+    # + (85 * r) // 100; from 1_000_000: 1_000_000 -> 1_000_000 (fixed
+    # point of the scaled recurrence).
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["r"] for r in pagerank_micros(edges, 3).collect()}
+    assert got == {"a": 1_000_000, "b": 1_000_000}
+
+
+def test_pagerank_star_hand_computed(spark):
+    # hub h links to s1..s3 and back (symmetric star). deg(h)=3,
+    # deg(s)=1. r0 = 1_000_000 each.
+    # iter: h gets sum of three spokes' r div 1; s gets r(h) div 3.
+    edges = spark.createDataFrame(
+        [("h", "s1"), ("h", "s2"), ("h", "s3"),
+         ("s1", "h"), ("s2", "h"), ("s3", "h")],
+        "src string, dst string",
+    )
+
+    def step(rh, rs):
+        nh = 150_000 + (85 * (3 * rs)) // 100
+        ns = 150_000 + (85 * (rh // 3)) // 100
+        return nh, ns
+
+    rh, rs = 1_000_000, 1_000_000
+    for _ in range(3):
+        rh, rs = step(rh, rs)
+    got = {r["node"]: r["r"] for r in pagerank_micros(edges, 3).collect()}
+    assert got == {"h": rh, "s1": rs, "s2": rs, "s3": rs}
+
+
+def test_pagerank_integer_division_truncates(spark):
+    # deg(h)=3 with rank not divisible by 3: contributions use exact
+    # integer div (floor), matching the SQL oracle's // semantics.
+    edges = spark.createDataFrame(
+        [("h", "s1"), ("h", "s2"), ("h", "s3"),
+         ("s1", "h"), ("s2", "h"), ("s3", "h")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r["r"] for r in pagerank_micros(edges, 1).collect()}
+    assert out["s1"] == 150_000 + (85 * (1_000_000 // 3)) // 100
