@@ -756,3 +756,86 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ------------------------------------------------- warehouse utilities
+
+
+@query(
+    "rel_scd2_user_history",
+    """
+SELECT user_id, event_type AS state, ts AS valid_from,
+       COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id),
+                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+       CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM events WHERE user_id <= 50
+""",
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log: each
+    state change opens a validity interval closed by the next change
+    (lead over a deterministic per-key ordering), with the open tail
+    flagged current and capped at the sentinel high date — the standard
+    dimension-history shape a warehouse derives from the reference's
+    daily mirror snapshots.
+
+    Scale: one window pass partitioned by the dimension key; no joins.
+    Incremental maintenance reuses the partition-scoped MERGE upsert
+    (``pipeline/mirror.py``) to close only the affected keys' tails."""
+    ev = Catalog(spark, sf_dir).events.where(F.col("user_id") <= 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            nxt, F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
+        ).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@query(
+    "rel_key_skew_profile",
+    """
+WITH k AS (
+  SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM k)
+SELECT k.key, k.n, (k.n * 1000000) // t.total AS share_ppm,
+       t.n_keys AS n_distinct_keys
+FROM k, t
+ORDER BY k.n DESC, k.key LIMIT 10
+""",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the top heavy keys of a prospective
+    shuffle key with their exact parts-per-million share of the table —
+    the diagnostic that decides between a plain shuffle join, AQE skew
+    handling, or explicit salting (``operators/relational.salted_join``).
+
+    Scale: one grouped count (map-side partials), a 1-row total, and a
+    top-k sort over the per-key counts — the profile never materializes
+    more than the key histogram."""
+    k = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = k.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_distinct_keys")
+    )
+    return (
+        k.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "n",
+            F.expr("(n * 1000000) div total").alias("share_ppm"),
+            "n_distinct_keys",
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(10)
+    )
