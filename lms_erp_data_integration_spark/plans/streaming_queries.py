@@ -158,3 +158,28 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_ts").cast("timestamp_ntz"),
         F.col("purchase_ts").cast("timestamp_ntz"),
     )
+
+
+@query(
+    "stream_sliding_counts",
+    """
+WITH w AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           - k * INTERVAL '15 minutes' AS window_start
+  FROM events, unnest([0, 1, 2, 3]) AS t(k))
+SELECT window_start, COUNT(*) AS n FROM w GROUP BY window_start
+""",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1 h length, 15 min slide): every
+    event lands in exactly four overlapping windows. The oracle
+    regenerates the same four epoch-aligned window starts per event
+    (Spark's window generator and DuckDB's time_bucket share the epoch
+    origin), so the hash check covers the overlap assignment."""
+    from ..streaming.windows import sliding_event_value
+
+    out = run_to_memory_sink(
+        sliding_event_value(events_stream(spark, sf_dir)),
+        f"stream_sliding_counts_{next(_SINK_SEQ)}",
+    )
+    return out.select(F.col("window_start").cast("timestamp_ntz"), "n")
