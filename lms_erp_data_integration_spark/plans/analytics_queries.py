@@ -839,3 +839,142 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("key"))
         .limit(10)
     )
+
+
+@query(
+    "rel_window_value_surface",
+    """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+         ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_ok,
+       NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+         ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_ok,
+       LAG(o_orderkey, 1, -1) OVER w AS prev_ok,
+       LEAD(o_orderkey, 2) OVER w AS next2_ok
+FROM orders WHERE o_custkey <= 50
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+""",
+)
+def window_value_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value-function surface: first_value / last_value /
+    nth_value over an explicit unbounded frame (last_value's default
+    frame ends at CURRENT ROW — the classic trap — so the frame is
+    spelled out identically in both engines), plus lag with an
+    explicit default and a 2-step lead.
+
+    Scale: single window pass, same partition/sort reused by all five
+    functions."""
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey").orderBy(price, "o_orderkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        Catalog(spark, sf_dir)
+        .orders.where(F.col("o_custkey") <= 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_ok"),
+            F.last("o_orderkey").over(w_full).alias("last_ok"),
+            F.nth_value("o_orderkey", 2).over(w_full).alias("second_ok"),
+            F.lag("o_orderkey", 1, -1).over(w).alias("prev_ok"),
+            F.lead("o_orderkey", 2).over(w).alias("next2_ok"),
+        )
+    )
+
+
+@query(
+    "rel_grouping_sets",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+""",
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the registered rollup/cube):
+    three chosen aggregation grains in one pass, with GROUPING()
+    flags disambiguating real NULLs from subtotal rows.
+
+    Scale: one shuffle; Spark expands the sets with a single Expand
+    node feeding one hash aggregate — grains share the scan."""
+    orders = Catalog(spark, sf_dir).orders
+    return orders.groupingSets(
+        [
+            ["o_orderstatus"],
+            ["o_orderpriority"],
+            ["o_orderstatus", "o_orderpriority"],
+        ],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.grouping("o_orderpriority").alias("g_priority"),
+    )
+
+
+@query(
+    "rel_approx_percentile_contract",
+    """
+WITH v AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer)
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY bal_cents)
+         AS exact_median_cents,
+       TRUE AS approx_within_tol
+FROM v GROUP BY c_mktsegment
+""",
+)
+def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile with a checkable contract (the pattern
+    established by ``rel_approx_distinct`` for HLL): the exact median
+    is hashed, while the sketch estimate is asserted within 1% of the
+    group's value range — the oracle pins the boolean TRUE, so a
+    sketch drifting out of tolerance fails the hash without making the
+    hash depend on sketch internals.
+
+    Scale: at 100 TB the exact-percentile column is dropped and the
+    sketch IS the answer — single pass, mergeable partials, no
+    per-group sort."""
+    v = Catalog(spark, sf_dir).customer.select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    g = v.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("bal_cents", F.lit(0.5)).alias("exact_median_cents"),
+        F.percentile_approx("bal_cents", F.lit(0.5), F.lit(10_000)).alias(
+            "approx_median_cents"
+        ),
+        F.max("bal_cents").alias("_max"),
+        F.min("bal_cents").alias("_min"),
+    )
+    tol = (F.col("_max") - F.col("_min")) / 100
+    return g.select(
+        "c_mktsegment",
+        "n",
+        "exact_median_cents",
+        (
+            F.abs(
+                F.col("approx_median_cents") - F.col("exact_median_cents")
+            )
+            <= tol
+        ).alias("approx_within_tol"),
+    )

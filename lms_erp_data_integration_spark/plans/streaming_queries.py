@@ -183,3 +183,36 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stream_sliding_counts_{next(_SINK_SEQ)}",
     )
     return out.select(F.col("window_start").cast("timestamp_ntz"), "n")
+
+
+@query(
+    "stream_dedup_events",
+    """
+SELECT event_type, COUNT(*) AS n
+FROM (SELECT DISTINCT event_id, event_type FROM events)
+GROUP BY event_type
+""",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: two copies of the event stream are
+    unioned (every event arrives twice) and collapsed with
+    ``dropDuplicatesWithinWatermark`` on the event id before a
+    downstream aggregation — the bounded-state streaming dedup whose
+    state evicts with the watermark instead of growing forever like
+    plain dropDuplicates. The oracle is the single-copy distinct
+    count, so the hash fails if any duplicate survives or any original
+    is lost."""
+    from ..streaming.windows import events_stream
+
+    one = events_stream(spark, sf_dir)
+    two = events_stream(spark, sf_dir)
+    deduped = (
+        one.unionByName(two)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = run_to_memory_sink(
+        agg, f"stream_dedup_events_{next(_SINK_SEQ)}", mode="complete"
+    )
+    return out.select("event_type", "n")
