@@ -56,3 +56,37 @@ def test_quality_gate_single_stage(spark):
     # a narrow filter pipeline: no Exchange at all in the final plan
     plan = _executed_plan(spark, "llm_quality_gate")
     assert "Exchange" not in plan
+
+
+ANALYTICS_SAMPLE = [
+    "rel_funnel_conversion",
+    "rel_cohort_retention",
+    "rel_scd2_user_history",
+    "rel_pagerank_parts",
+    "llm_text_unigram_lm",
+]
+
+
+@pytest.mark.parametrize("name", ANALYTICS_SAMPLE)
+def test_analytics_no_cartesian_product(spark, name):
+    plan = _executed_plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_array_hof_surface_no_shuffle(spark):
+    # narrow per-row expressions: no Exchange in the final plan
+    plan = _executed_plan(spark, "rel_array_hof_surface")
+    assert "Exchange" not in plan
+
+
+def test_scd2_filter_pushdown(spark):
+    plan = _executed_plan(spark, "rel_scd2_user_history")
+    assert "PushedFilters: [" in plan
+    assert "user_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_key_skew_profile_prunes_to_one_column(spark):
+    plan = _executed_plan(spark, "rel_key_skew_profile")
+    read = plan.split("ReadSchema")[1][:200]
+    assert "o_custkey" in read
+    assert "o_totalprice" not in read and "o_orderdate" not in read
