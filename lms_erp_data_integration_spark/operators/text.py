@@ -162,6 +162,39 @@ def sentiment_exprs(text: Column) -> dict[str, Column]:
     }
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed token-window chunking with overlap (``chunk_size - stride``
+    tokens shared between consecutive chunks) — the context-window
+    packing step ahead of tokenization in a training-data pipeline.
+
+    posexplode over a generated starts sequence keeps this a narrow
+    per-row flatMap: no shuffle, output rows ∝ input tokens, so at
+    100 TB it rides the document partitioning untouched."""
+    toks = ws_tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    ex = df.select(
+        F.col(id_col),
+        toks.alias("w"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    chunk = F.slice(F.col("w"), F.col("start_tok") + 1, chunk_size)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1152,3 +1152,63 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored via per-subspace distance-table lookups on their codes —
     the compressed-domain search that pairs with llm_sim_pq_codes."""
     return sim.pq_adc_topk(Catalog(spark, sf_dir).embeddings)
+
+
+@query(
+    "llm_chunk_documents",
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents),
+st AS (
+  SELECT doc_id, w, CAST(s AS BIGINT) AS start_tok
+  FROM toks, unnest(range(0, greatest(len(w), 1), 48)) AS t(s))
+SELECT doc_id,
+       start_tok // 48 AS chunk_idx,
+       start_tok,
+       len(list_slice(w, start_tok + 1, start_tok + 64)) AS n_tok,
+       array_to_string(list_slice(w, start_tok + 1, start_tok + 64), ' ')
+         AS chunk_text
+FROM st
+""",
+)
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking, 64-token chunks on a 48-token stride
+    (16-token overlap): the context-window packing step a training
+    pipeline runs between cleaning and tokenization. Narrow flatMap
+    (posexplode of a per-row starts sequence) — zero shuffle."""
+    return tx.chunk_documents(Catalog(spark, sf_dir).documents)
+
+
+@query(
+    "llm_shard_assignment",
+    """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32
+           AS shard
+  FROM documents)
+SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM s GROUP BY shard
+""",
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding: stable md5-derived shard id per
+    document plus per-shard balance stats. This is the assignment step
+    ahead of a bucketed training-data write (repartition(n, shard) /
+    bucketBy) — content-independent, retry-safe, and the stats verify
+    the 32-way split stays balanced. One 32-key groupBy with map-side
+    partial aggregation; no other shuffle."""
+    docs = Catalog(spark, sf_dir).documents
+    shard = (dd._md5_int(F.col("doc_id").cast("string")) % 32).alias("shard")
+    return (
+        docs.select(shard, "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
