@@ -1212,3 +1212,63 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "llm_pack_sequences",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32
+           AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t)
+SELECT shard, cum_before // 256 AS bin,
+       COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY shard, cum_before // 256
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard sequential sequence packing: documents are assigned to
+    training bins of a 256-token budget by the running token count
+    within their shard (a doc lands in the bin where it starts — the
+    concatenate-and-split packing GPT-style pipelines use).
+
+    The window is PARTITIONED BY the md5 shard, so at 100 TB the sort
+    is per-shard-partition, never global — packing parallelism equals
+    shard count, and composes with llm_shard_assignment's bucketed
+    write."""
+    from pyspark.sql.window import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    t = docs.select(
+        "doc_id",
+        (dd._md5_int(F.col("doc_id").cast("string")) % 32).alias("shard"),
+        F.size(tx.ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    return (
+        c.withColumn("bin", F.expr("cum_before div 256"))
+        .groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

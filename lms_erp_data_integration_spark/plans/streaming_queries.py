@@ -216,3 +216,53 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg, f"stream_dedup_events_{next(_SINK_SEQ)}", mode="complete"
     )
     return out.select("event_type", "n")
+
+
+@query(
+    "stream_static_enrich",
+    """
+SELECT n.n_name AS nation, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(e.value * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_value_micros
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream inner-joins a static
+    customer->nation dimension (broadcast — the static side is re-read
+    per micro-batch, so keeping it broadcast-small is the scale
+    contract) and aggregates per nation in exact integer micros.
+
+    This is the canonical streaming lookup-enrich pattern: no state is
+    kept for the join itself (only the downstream aggregation), so at
+    100 TB/day the state footprint is one row per nation regardless of
+    stream length. Oracle = the equivalent batch 3-way join."""
+    from ..catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    dim = (
+        cat.customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", F.round(F.col("value") * 1_000_000).cast("long").alias("v_micros")
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_micros").alias("total_value_micros"),
+        )
+    )
+    out = run_to_memory_sink(
+        agg, f"stream_static_enrich_{next(_SINK_SEQ)}", mode="complete"
+    )
+    return out.select("nation", "n_events", "total_value_micros")
