@@ -295,3 +295,30 @@ def test_pq_codes_planted_subspaces(spark):
     for i in range(4):
         r = out[i]
         assert r["code_0"] == r["code_1"] == r["code_2"] == r["code_3"] == i
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    # 100 tokens -> starts 0, 48, 96: chunks clamp at the doc tail
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = tx.chunk_documents(df, chunk_size=64, stride=48)
+    rows = {r["chunk_idx"]: r for r in out.collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert [rows[i]["start_tok"] for i in range(3)] == [0, 48, 96]
+    assert [rows[i]["n_tok"] for i in range(3)] == [64, 52, 4]
+    # consecutive full chunks share chunk_size - stride = 16 tokens
+    c0 = rows[0]["chunk_text"].split(" ")
+    c1 = rows[1]["chunk_text"].split(" ")
+    assert c0[48:] == c1[:16]
+    # every token is covered: union of chunks == original token set
+    covered = set()
+    for r in rows.values():
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == set(text.split(" "))
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(7, "only four tokens here")], "doc_id long, text string")
+    out = tx.chunk_documents(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_tok"] == 4 and out[0]["chunk_text"] == "only four tokens here"
