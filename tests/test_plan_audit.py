@@ -90,3 +90,31 @@ def test_key_skew_profile_prunes_to_one_column(spark):
     read = plan.split("ReadSchema")[1][:200]
     assert "o_custkey" in read
     assert "o_totalprice" not in read and "o_orderdate" not in read
+
+
+def test_chunk_documents_shuffle_free(spark):
+    # posexplode flatMap: rows multiply, nothing shuffles
+    plan = _executed_plan(spark, "llm_chunk_documents")
+    assert "Exchange" not in plan
+
+
+def _final_plan(plan: str) -> str:
+    # an AdaptiveSparkPlan string repeats nodes under "== Initial Plan
+    # ==" — count structure only in the final section
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_shard_assignment_single_shuffle(spark):
+    plan = _final_plan(_executed_plan(spark, "llm_shard_assignment"))
+    assert plan.count("Exchange") == 1
+
+
+def test_pack_sequences_no_global_sort(spark):
+    # the packing window is PARTITIONED BY shard: exactly one shuffle
+    # (on shard), and every Sort is per-partition (global=false) — a
+    # global sort here would be the 100 TB bottleneck
+    plan = _final_plan(_executed_plan(spark, "llm_pack_sequences"))
+    assert plan.count("Exchange") == 1
+    import re
+    for m in re.finditer(r"Sort \[.*?\], (true|false),", plan):
+        assert m.group(1) == "false", m.group(0)
