@@ -1359,3 +1359,31 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
     )
+
+
+@query(
+    "rel_events_variant",
+    """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decade
+  FROM events)
+SELECT event_type, k_decade, COUNT(*) AS n
+FROM x GROUP BY event_type, k_decade
+""",
+)
+def events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): props parses ONCE
+    into the binary variant encoding, then fields extract typed via
+    ``variant_get`` — at scale this replaces per-access string JSON
+    re-parsing (get_json_object) with a single decode plus cheap typed
+    reads, the same shape Snowflake/Iceberg variant columns use.
+    Histogram of k by decade per event type; oracle extracts from the
+    JSON text directly."""
+    ev = Catalog(spark, sf_dir).events
+    v = ev.withColumn("_v", F.parse_json("props"))
+    return (
+        v.select("event_type", F.expr("variant_get(_v, '$.k', 'bigint') div 10").alias("k_decade"))
+        .groupBy("event_type", "k_decade")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
