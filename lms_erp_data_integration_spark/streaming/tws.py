@@ -1,0 +1,83 @@
+"""Second-generation custom stateful operator via Spark 4's
+``transformWithStateInPandas`` (the arbitrary-state successor to
+``applyInPandasWithState``): typed per-key state handles (value / list
+/ map), timers, and TTL — the API new streaming operators should
+target.
+
+Requires the RocksDB state-store provider
+(``spark.sql.streaming.stateStore.providerClass``) and the
+``protobuf`` Python package at EXECUTION time (the TWS worker speaks
+protobuf to the state server). This container ships pyspark 4.1.2
+without ``protobuf``, so the operator is environment-gated like the
+multimodal codecs: plan construction and the processor are real and
+unit-tested; end-to-end execution is covered by a test that skips
+when ``google.protobuf`` is absent (``tests/test_streaming.py``), and
+the operator is intentionally NOT a registered query — a driver run
+would need protobuf installed.
+
+State here is a single int64 ValueState per user: order-independent
+integer accumulation, so on a bounded source the final state equals
+the SQL aggregate bit-for-bit — same determinism contract as
+``stateful.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value_micros long"
+_STATE_SCHEMA = "n_events long, total_value_micros long"
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """Per-user running (count, exact integer sum) in a ValueState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n, tot = self._totals.get() if self._totals.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            tot += int(pdf["v_micros"].sum())
+        self._totals.update((n, tot))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_micros": [tot],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals through ``transformWithStateInPandas``.
+
+    At 100 TB the state shards by user across the RocksDB state store
+    exactly like the v1 operator; what TWS adds is the typed state
+    surface (list/map state, timers, TTL) without changing the
+    partitioning story."""
+    scaled = events.select(
+        "user_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micros"),
+    )
+    return scaled.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

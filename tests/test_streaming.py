@@ -83,3 +83,76 @@ def test_registered_streaming_queries_match_batch(spark, sf_dir):
         )
     )
     assert key(totals) == key(batch_totals)
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_tws_plan_builds(spark, sf_dir):
+    """transformWithStateInPandas: plan construction + schema are real
+    even where the protobuf runtime dependency is missing."""
+    from lms_erp_data_integration_spark.streaming.tws import (
+        tws_running_user_totals,
+    )
+    from lms_erp_data_integration_spark.streaming.windows import events_stream
+
+    out = tws_running_user_totals(events_stream(spark, sf_dir))
+    assert out.isStreaming
+    assert out.schema.simpleString() == (
+        "struct<user_id:bigint,n_events:bigint,total_value_micros:bigint>"
+    )
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(), reason="TWS execution needs the protobuf package"
+)
+def test_tws_executes_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from lms_erp_data_integration_spark.streaming.tws import (
+        tws_running_user_totals,
+    )
+    from lms_erp_data_integration_spark.streaming.windows import (
+        events_stream,
+        run_to_memory_sink,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_memory_sink(
+            tws_running_user_totals(events_stream(spark, sf_dir)),
+            "tws_exec_test",
+            mode="update",
+        )
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value_micros"])
+            for r in out.groupBy("user_id")
+            .agg(SF.max(SF.struct("n_events", "total_value_micros")).alias("s"))
+            .select("user_id", "s.*")
+            .collect()
+        }
+    finally:
+        spark.conf.unset(key)
+    from lms_erp_data_integration_spark.catalog import Catalog
+
+    ev = Catalog(spark, sf_dir).events
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.sum(SF.round(SF.col("value") * 1_000_000).cast("long")).alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
