@@ -1387,3 +1387,37 @@ def events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "k_decade")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "rel_bitmap_distinct",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via bitmap aggregates (Spark 3.5+):
+    user ids fold into fixed 4 KB bitmaps per (event_type, bucket),
+    then bucket cardinalities sum. Unlike COUNT(DISTINCT) — whose
+    partial state grows with the number of distinct keys and forces a
+    full expand-shuffle of the key space — bitmap state is
+    constant-size per bucket, so the exact count scales like an
+    ordinary sum. The oracle is plain COUNT(DISTINCT): identical
+    result, different (scalable) physical strategy."""
+    ev = Catalog(spark, sf_dir).events
+    per_bucket = (
+        ev.select("event_type", F.col("user_id").alias("uid"))
+        .groupBy(
+            "event_type",
+            F.bitmap_bucket_number(F.col("uid")).alias("_bucket"),
+        )
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position(F.col("uid"))
+            ).alias("_bm")
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("_bm")).alias("n_users")
+    )
