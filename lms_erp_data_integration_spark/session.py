@@ -55,6 +55,13 @@ def get_spark(
         # Mirror refreshes overwrite only the partitions present in
         # the incoming snapshot (per-term), never the whole table.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Runtime semi-join reduction: when a selective dimension
+        # filter feeds a shuffle join, inject a bloom filter on the
+        # fact side so filtered-out rows never shuffle. Invisible at
+        # test scale (creation-side threshold), decisive at 100 TB.
+        # (Only the bloomFilter conf: the 3.x semiJoinReduction key is
+        # gone in Spark 4 and setting it breaks RuntimeConfig.get.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
