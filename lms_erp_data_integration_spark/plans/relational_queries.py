@@ -1421,3 +1421,52 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.bitmap_count("_bm")).alias("n_users")
     )
+
+
+@query(
+    "rel_recursive_month_spine",
+    """
+WITH RECURSIVE spine(mon, end_mon) AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
+  FROM orders
+  UNION ALL
+  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE), end_mon
+  FROM spine WHERE mon < end_mon
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT spine.mon, COALESCE(monthly.n, 0) AS n_orders
+FROM spine LEFT JOIN monthly ON spine.mon = monthly.mon
+""",
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): generate the complete month
+    spine between the first and last order date — the calendar-fill
+    every reporting layer needs, with gap months surfacing as zero
+    rows the raw GROUP BY would silently drop. The recursion bound
+    rides in-row (end_mon), so the step needs no scalar subquery, and
+    depth = month span (~80), far under Spark's recursion limit.
+    The oracle is the same recursive SQL in DuckDB."""
+    Catalog(spark, sf_dir).register_all()
+    return spark.sql(
+        """
+WITH RECURSIVE spine(mon, end_mon) AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
+  FROM orders
+  UNION ALL
+  SELECT add_months(mon, 1), end_mon FROM spine WHERE mon < end_mon
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT spine.mon, COALESCE(monthly.n, CAST(0 AS BIGINT)) AS n_orders
+FROM spine LEFT JOIN monthly ON spine.mon = monthly.mon
+"""
+    )
