@@ -1470,3 +1470,48 @@ SELECT spine.mon, COALESCE(monthly.n, CAST(0 AS BIGINT)) AS n_orders
 FROM spine LEFT JOIN monthly ON spine.mon = monthly.mon
 """
     )
+
+
+@query(
+    "rel_try_arithmetic",
+    """
+WITH x AS (
+  SELECT l_returnflag,
+         l_extendedprice / NULLIF(l_quantity - 1, 0) AS safe_ratio,
+         TRY_CAST(substr(CAST(l_extendedprice AS VARCHAR), 1, 3) AS INTEGER)
+           AS price_prefix
+  FROM lineitem)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       SUM(CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END) AS n_div_null,
+       SUM(CAST(floor(COALESCE(safe_ratio, 0) * 1000000 + 0.5) AS BIGINT))
+         AS sum_ratio_micros,
+       SUM(CASE WHEN price_prefix IS NULL THEN 1 ELSE 0 END) AS n_cast_null,
+       SUM(COALESCE(price_prefix, 0)) AS sum_prefix
+FROM x GROUP BY l_returnflag
+""",
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe scalar surface: ``try_divide`` nulls out the
+    quantity-1 rows instead of erroring (or yielding Infinity), and
+    ``try_cast`` nulls un-parseable string prefixes — the error-safe
+    semantics a pipeline needs under ANSI mode at scale, where one bad
+    row must not kill a 10^9-row stage. Ratios accumulate as exact
+    integer micros (floor(x*1e6+0.5)) so the sums are
+    order-independent and hash-stable; the oracle expresses
+    try_divide as division by NULLIF."""
+    li = Catalog(spark, sf_dir).lineitem
+    safe_ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 1)
+    prefix = F.substring(
+        F.col("l_extendedprice").cast("string"), 1, 3
+    ).try_cast("int")
+    x = li.select("l_returnflag", safe_ratio.alias("r"), prefix.alias("p"))
+    return x.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("r").isNull(), 1).otherwise(0)).alias("n_div_null"),
+        F.sum(
+            F.floor(F.coalesce(F.col("r"), F.lit(0.0)) * 1_000_000 + 0.5).cast("long")
+        ).alias("sum_ratio_micros"),
+        F.sum(F.when(F.col("p").isNull(), 1).otherwise(0)).alias("n_cast_null"),
+        F.sum(F.coalesce(F.col("p"), F.lit(0)).cast("long")).alias("sum_prefix"),
+    )
