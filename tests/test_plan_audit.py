@@ -118,3 +118,35 @@ def test_pack_sequences_no_global_sort(spark):
     import re
     for m in re.finditer(r"Sort \[.*?\], (true|false),", plan):
         assert m.group(1) == "false", m.group(0)
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """The session enables runtime bloom-filter join reduction; with
+    the size thresholds scoped down, a selective dim filter feeding a
+    shuffle join must inject a bloom_filter_agg on the fact side —
+    the 100 TB semi-join reduction path."""
+    from pyspark.sql import functions as F
+
+    from lms_erp_data_integration_spark.catalog import Catalog
+
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        cat = Catalog(spark, SF_DIR)
+        sel = cat.orders.where(F.col("o_orderpriority") == "1-URGENT")
+        agg = (
+            cat.lineitem.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan
