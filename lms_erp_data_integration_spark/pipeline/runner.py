@@ -83,25 +83,64 @@ class SyncPipeline:
     The sink abstracts the reference's SIS-import REST POST
     (``src/canvas.py:118-133``); the engine core stays self-contained
     (tests use a recording sink; a CSV sink gives file parity).
-    """
 
-    def __init__(self, sink: Sink, order: Sequence[str] = UPDATE_ORDER):
+    With ``observe=True``, each update is instrumented with a Spark
+    ``Observation`` so the change counts piggyback on the sink's own
+    action — unlike :func:`run_report`, which costs one extra
+    aggregation pass per entity. At 100 TB that difference is a full
+    re-scan of every update; observed metrics are free. Metrics land
+    in ``self.observed`` after ``apply`` (requires each sink call to
+    run exactly the kind of action a write is)."""
+
+    def __init__(
+        self,
+        sink: Sink,
+        order: Sequence[str] = UPDATE_ORDER,
+        observe: bool = False,
+    ):
         self.sink = sink
         self.order = tuple(order)
+        self.observe = observe
+        self.observed: dict[str, dict] = {}
 
     def apply(self, updates: Mapping[str, DataFrame]) -> list[str]:
         """Apply updates in dependency order; returns the order used.
 
         Unknown update names are rejected (mirrors the strictness of
         the reference's mirror-table allowlist)."""
+        from pyspark.sql import Observation
+
         unknown = set(updates) - set(self.order)
         if unknown:
             raise NameError(f"unknown update entities: {sorted(unknown)}")
         applied = []
+        self.observed = {}
+        observations: dict[str, Observation] = {}
         for name in self.order:
             if name in updates:
-                self.sink(name, updates[name])
+                df = updates[name]
+                if self.observe:
+                    status = (
+                        F.col("status")
+                        if "status" in df.columns
+                        else F.lit("active")
+                    )
+                    obs = Observation(f"sync_{name}")
+                    df = df.observe(
+                        obs,
+                        F.count(F.lit(1)).alias("n_rows"),
+                        F.sum(F.when(status == "active", 1).otherwise(0)).alias(
+                            "n_active"
+                        ),
+                        F.sum(F.when(status == "deleted", 1).otherwise(0)).alias(
+                            "n_deleted"
+                        ),
+                    )
+                    observations[name] = obs
+                self.sink(name, df)
                 applied.append(name)
+        for name, obs in observations.items():
+            self.observed[name] = dict(obs.get)
         return applied
 
 

@@ -129,3 +129,32 @@ def test_upsert_mirror_partition_scoped(spark, tmp_path):
         4: ("2025", "FA", "dan"),
         3: ("2026", "SP", "carol"),  # untouched partition intact
     }
+
+
+def test_pipeline_observed_metrics(spark):
+    """observe=True: change counts ride the sink's own action (no
+    extra aggregation pass), matching run_report's numbers."""
+    enr = spark.createDataFrame(
+        [(1, "C1", "active"), (2, "C1", "deleted"), (3, "C2", "active")],
+        "user_id long, course_id string, status string",
+    )
+    users = spark.createDataFrame(
+        [(1, "a")], "user_id long, login_id string"
+    )
+    counted: list[int] = []
+    pipe = SyncPipeline(
+        lambda name, df: counted.append(df.count()), observe=True
+    )
+    pipe.apply({"enrollments": enr, "student_users": users})
+    assert counted == [1, 3]
+    assert pipe.observed["enrollments"] == {
+        "n_rows": 3,
+        "n_active": 2,
+        "n_deleted": 1,
+    }
+    # no status column -> everything counts as active
+    assert pipe.observed["student_users"] == {
+        "n_rows": 1,
+        "n_active": 1,
+        "n_deleted": 0,
+    }
