@@ -114,14 +114,9 @@ def minhash_signatures(
     return hashed.where(F.size("_hs") > 0).select(F.col(id_col), sigs.alias("sigs"))
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int, rows_per_band: int, id_col: str = "doc_id"
-) -> DataFrame:
-    """Band the signature arrays and emit distinct candidate (i, j)
-    pairs (i < j) that agree on at least one full band. The only
-    shuffle in the LSH path: an equi-join on (band, band_key), sized by
-    collisions rather than n^2."""
-    band_keys = F.transform(
+def _band_keys(bands: int, rows_per_band: int) -> Column:
+    """Array of per-band composite keys over the ``sigs`` column."""
+    return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda k: F.concat_ws(
             ",",
@@ -133,8 +128,18 @@ def lsh_candidate_pairs(
             ],
         ),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int, rows_per_band: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature arrays and emit distinct candidate (i, j)
+    pairs (i < j) that agree on at least one full band. The only
+    shuffle in the LSH path: an equi-join on (band, band_key), sized by
+    collisions rather than n^2."""
     banded = signatures.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
+        F.col(id_col),
+        F.posexplode(_band_keys(bands, rows_per_band)).alias("band", "band_key"),
     )
     left = banded.select(F.col(id_col).alias("i"), "band", "band_key")
     right = banded.select(F.col(id_col).alias("j"), "band", "band_key")
@@ -210,6 +215,71 @@ def minhash_near_duplicates(
         cands.join(si, "i")
         .join(sj, "j")
         .select("i", "j", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_minhash_duplicates(
+    index_df: DataFrame,
+    batch_df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest dedup: near-dup pairs between a NEW batch and
+    an existing INDEX, never within either side.
+
+    This is the steady-state shape of corpus dedup at 100 TB: the
+    index signatures are computed once (in production: persisted as a
+    bucketed table keyed by (band, band_key)); each arriving batch
+    costs only its own signatures plus a band equi-join sized by
+    collisions — re-deduping the whole corpus per ingest would be a
+    full O(corpus) rescan every day. Returns (new_id, index_id,
+    jaccard >= threshold)."""
+    rows_per_band = num_hashes // bands
+
+    def _sets(d: DataFrame) -> DataFrame:
+        return tracked_persist(
+            d.select(
+                F.col(id_col),
+                F.array_distinct(
+                    shingle_array(F.col(text_col), shingle_n)
+                ).alias("shset"),
+            )
+        )
+
+    sets_idx, sets_new = _sets(index_df), _sets(batch_df)
+    sig_idx = minhash_signatures(
+        sets_idx, num_hashes, id_col=id_col, sets_col="shset"
+    )
+    sig_new = minhash_signatures(
+        sets_new, num_hashes, id_col=id_col, sets_col="shset"
+    )
+    bk = _band_keys(bands, rows_per_band)
+    bi = sig_idx.select(
+        F.col(id_col).alias("index_id"), F.posexplode(bk).alias("band", "band_key")
+    )
+    bn = sig_new.select(
+        F.col(id_col).alias("new_id"), F.posexplode(bk).alias("band", "band_key")
+    )
+    cands = (
+        bi.join(bn, ["band", "band_key"]).select("index_id", "new_id").distinct()
+    )
+    si = sets_idx.select(
+        F.col(id_col).alias("index_id"), F.col("shset").alias("_sh_i")
+    )
+    sn = sets_new.select(
+        F.col(id_col).alias("new_id"), F.col("shset").alias("_sh_j")
+    )
+    inter = F.size(F.array_intersect(F.col("_sh_i"), F.col("_sh_j")))
+    union = F.size("_sh_i") + F.size("_sh_j") - inter
+    return (
+        cands.join(si, "index_id")
+        .join(sn, "new_id")
+        .select("new_id", "index_id", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -1272,3 +1272,65 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+def _incremental_minhash_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
+    a, b = dd.mh_params(num_hashes)
+    a_sql = "[" + ", ".join(map(str, a)) + "]"
+    b_sql = "[" + ", ".join(map(str, b)) + "]"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+shing AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+base AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+  FROM shing),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(({a_sql}[seed + 1] * h + {b_sql}[seed + 1]) % {dd.MH_MOD})
+           AS minhash
+  FROM base, unnest(range(0, {num_hashes})) AS s(seed)
+  GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, seed // {rows_per_band} AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM mh GROUP BY doc_id, seed // {rows_per_band}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS new_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT c.index_id, c.new_id, COUNT(*) AS inter
+  FROM cands c
+  JOIN shing si ON si.doc_id = c.index_id
+  JOIN shing sj ON sj.doc_id = c.new_id AND sj.shingle = si.shingle
+  GROUP BY c.index_id, c.new_id)
+SELECT new_id, index_id,
+       inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = index_id
+JOIN sizes sb ON sb.doc_id = new_id
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+"""
+
+
+@query("llm_dedup_incremental", _incremental_minhash_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the deterministic 20% slice
+    (doc_id % 5 = 0) plays the NEW batch, the remaining 80% the
+    existing INDEX. Candidates pair batch docs against index docs only
+    (the band equi-join never self-joins either side), which is the
+    steady-state per-ingest cost a 100 TB corpus actually pays. The
+    oracle replicates the whole two-sided LSH pipeline including its
+    false negatives."""
+    docs = Catalog(spark, sf_dir).documents
+    index_df = docs.where(F.col("doc_id") % 5 != 0)
+    batch_df = docs.where(F.col("doc_id") % 5 == 0)
+    return dd.incremental_minhash_duplicates(
+        index_df, batch_df, threshold=0.8, num_hashes=16, bands=8, shingle_n=3
+    )
