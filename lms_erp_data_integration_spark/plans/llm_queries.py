@@ -1334,3 +1334,61 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_minhash_duplicates(
         index_df, batch_df, threshold=0.8, num_hashes=16, bands=8, shingle_n=3
     )
+
+
+def _lsh_histogram_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
+    a, b = dd.mh_params(num_hashes)
+    a_sql = "[" + ", ".join(map(str, a)) + "]"
+    b_sql = "[" + ", ".join(map(str, b)) + "]"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+shing AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+base AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+  FROM shing),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(({a_sql}[seed + 1] * h + {b_sql}[seed + 1]) % {dd.MH_MOD})
+           AS minhash
+  FROM base, unnest(range(0, {num_hashes})) AS s(seed)
+  GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, seed // {rows_per_band} AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM mh GROUP BY doc_id, seed // {rows_per_band}),
+buckets AS (
+  SELECT band, band_key, COUNT(*) AS bucket_size
+  FROM banded GROUP BY band, band_key)
+SELECT bucket_size, COUNT(*) AS n_buckets,
+       SUM(bucket_size * (bucket_size - 1) // 2) AS candidate_pairs
+FROM buckets GROUP BY bucket_size
+"""
+
+
+@query("llm_lsh_bucket_histogram", _lsh_histogram_oracle())
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index health check: the bucket-size histogram and the
+    candidate-pair count each size contributes (k docs -> k(k-1)/2
+    pairs). This is the pre-flight a 100 TB dedup runs BEFORE the
+    join: a fat bucket here is the quadratic blowup the band
+    parameters exist to prevent, caught for the cost of one
+    aggregation instead of a runaway join."""
+    docs = Catalog(spark, sf_dir).documents
+    sigs = dd.minhash_signatures(docs, num_hashes=16)
+    banded = sigs.select(
+        F.col("doc_id"),
+        F.posexplode(dd._band_keys(8, 2)).alias("band", "band_key"),
+    )
+    buckets = banded.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return buckets.groupBy("bucket_size").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.expr("bucket_size * (bucket_size - 1) div 2")
+        ).alias("candidate_pairs"),
+    )
