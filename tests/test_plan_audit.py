@@ -150,3 +150,10 @@ def test_runtime_bloom_filter_injects(spark):
         for k, v in prev.items():
             spark.conf.set(k, v)
     assert "bloom_filter_agg" in plan
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    # batch-vs-index candidates come from the band equi-join only
+    plan = _executed_plan(spark, "llm_dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
