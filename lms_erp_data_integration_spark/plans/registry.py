@@ -37,5 +37,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Names to surface first in ``all_queries()``. The driver's correctness
+# gate checks only the FIRST 50 registry entries per round, so this list
+# rotates per round to get every query a driver-verified row at its
+# current code (r2 verdict: 73 of 123 had never been checked). Set by
+# ``plans/__init__.py`` after all plan modules have registered.
+PRIORITY: list[str] = []
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return dict(QUERIES)
+    """Registry view, priority names first (insertion order preserved)."""
+    ordered = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
+    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
+    return ordered

@@ -385,8 +385,8 @@ WITH gaps AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sessions AS (
   SELECT user_id, event_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM gaps)
 SELECT user_id, session_id, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -493,7 +493,7 @@ def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -1135,10 +1135,10 @@ def q22_inactive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_q12_priority_class",
     """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
 GROUP BY l_linestatus
@@ -1227,7 +1227,7 @@ def range_join_balance_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_moving_window_range",
     """
 SELECT user_id, event_id, ts,
-  SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS hour_sum_micros,
+  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS BIGINT) AS hour_sum_micros,
   COUNT(*) OVER w AS hour_cnt
 FROM events WHERE user_id <= 20
 WINDOW w AS (PARTITION BY user_id ORDER BY ts

@@ -91,11 +91,28 @@ def main() -> int:
             print(f"rows-only  {name}: {len(s_rows)} rows (no oracle)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            arrow = con.execute(oracles[name]).fetch_arrow_table()
+            d_cols = arrow.column_names
+            d_rows = [
+                tuple(row[c] for c in d_cols) for row in arrow.to_pylist()
+            ]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        # The driver hashes typed (Arrow) values, so an oracle emitting a
+        # type Spark can't produce — e.g. DuckDB widening an integer SUM
+        # to HUGEINT (int128) — hash-mismatches even when values agree.
+        # Catch it here: the r2 judge traced all four r2 hash failures to
+        # exactly this. Fix is CAST(... AS BIGINT) in the oracle string.
+        wide = [
+            f.name
+            for f in arrow.schema
+            if str(f.type) in ("decimal128(38, 0)", "int128")
+            or "decimal256" in str(f.type)
+        ]
+        if wide:
+            print(f"FAIL  {name}: oracle emits non-Spark types {wide}")
             failed.append(name)
             continue
         sk_cols, sk = frame_key(s_cols, s_rows)
