@@ -157,3 +157,15 @@ def test_incremental_dedup_no_cartesian(spark):
     plan = _executed_plan(spark, "llm_dedup_incremental")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_apply_no_mandatory_broadcast(spark):
+    """The loser set in llm_dedup_apply is corpus-proportional at scale
+    (often 30%+ of docs), so its anti-join must carry NO user broadcast
+    hint — the join strategy is AQE's choice. A hint would survive into
+    the optimized logical plan as a `leftHint=`/`rightHint=(strategy=
+    broadcast)` marker on the Join node; assert it is absent (AQE may
+    still *choose* broadcast at sf0.001, which is fine and expected)."""
+    df = entry_mod.queries()["llm_dedup_apply"](spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
