@@ -326,7 +326,7 @@ def lsh_bucketed_near_duplicates(
     )
 
 
-def near_duplicate_pairs(
+def near_duplicate_pairs_local(
     vectors: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
@@ -384,6 +384,7 @@ def near_duplicate_pairs_blocked(
     n_blocks: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_rows: int = 100_000,
 ) -> DataFrame:
     """Distributed blocked all-pairs cosine: hash each vector into one
     of ``n_blocks`` blocks, pack blocks into rows, cross-join the
@@ -400,7 +401,10 @@ def near_duplicate_pairs_blocked(
     Scale: work is inherently O(n^2 / P) — this is the exact baseline;
     LSH (:func:`lsh_bucketed_near_duplicates`) is the approximate scale
     path. ``n_blocks`` should grow ~sqrt(corpus) so one block pair
-    (2n/B vectors) stays comfortably inside a task's memory."""
+    (2n/B vectors) stays comfortably inside a task's memory; the
+    kernel FAILS FAST (ValueError) if a packed block exceeds
+    ``max_block_rows`` elements, turning the sqrt-n sizing contract
+    into an enforced one instead of a silent executor OOM."""
     import numpy as np
     import pandas as pd
 
@@ -419,6 +423,13 @@ def near_duplicate_pairs_blocked(
     block_pairs = a.join(b, F.col("_blka") <= F.col("_blkb"))
 
     def unpack(rows):
+        if len(rows) > max_block_rows:
+            raise ValueError(
+                f"near_duplicate_pairs_blocked: packed block holds "
+                f"{len(rows)} vectors > max_block_rows={max_block_rows}; "
+                f"raise n_blocks (~sqrt(corpus)) so block pairs fit in "
+                f"task memory"
+            )
         ids = np.array([r["id"] for r in rows], dtype=np.int64)
         V = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
         norms = np.sqrt((V * V).cumsum(axis=1)[:, -1])
@@ -461,7 +472,7 @@ def near_duplicate_pairs_exprs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Expression-only form of :func:`near_duplicate_pairs` (no Python,
+    """Expression-only form of :func:`near_duplicate_pairs_local` (no Python,
     no driver materialization) — same results bit-for-bit; kept for
     environments where the corpus must stay distributed end-to-end."""
     # persist: without it Catalyst collapses this projection into the

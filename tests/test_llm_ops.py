@@ -189,7 +189,7 @@ def test_near_dup_fast_equals_exprs(spark):
     )
     fast = {
         (r["i"], r["j"]): r["cosine"]
-        for r in sim.near_duplicate_pairs(vecs, 0.99).collect()
+        for r in sim.near_duplicate_pairs_local(vecs, 0.99).collect()
     }
     exprs = {
         (r["i"], r["j"]): r["cosine"]
@@ -202,6 +202,17 @@ def test_near_dup_fast_equals_exprs(spark):
         for r in sim.near_duplicate_pairs_blocked(vecs, 0.99, n_blocks=4).collect()
     }
     assert blocked == exprs  # distributed blocked form, same bits
+
+
+def test_near_dup_blocked_enforces_block_size(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="max_block_rows"):
+        sim.near_duplicate_pairs_blocked(
+            vecs, 0.5, n_blocks=2, max_block_rows=5
+        ).collect()
 
 
 def test_duplicate_clusters_components(spark):
