@@ -136,9 +136,9 @@ q AS (
   FROM v GROUP BY event_type)
 SELECT v.event_type,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN v.v_micros < q.q1 - 1.5 * (q.q3 - q.q1)
+       CAST(SUM(CASE WHEN v.v_micros < q.q1 - 1.5 * (q.q3 - q.q1)
                   OR v.v_micros > q.q3 + 1.5 * (q.q3 - q.q1)
-                THEN 1 ELSE 0 END) AS n_outliers,
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        q.q1 AS q1_micros, q.q3 AS q3_micros
 FROM v JOIN q ON v.event_type = q.event_type
 GROUP BY v.event_type, q.q1, q.q3
@@ -328,7 +328,8 @@ scored AS (
          CAST(ROUND(LN(CAST(c.c AS DOUBLE) / t2.n) * 1000000) AS BIGINT)
            AS lp_micros
   FROM tok t JOIN cnt c ON t.w = c.w CROSS JOIN tot t2)
-SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp_micros) AS sum_logprob_micros
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(lp_micros) AS BIGINT) AS sum_logprob_micros
 FROM scored GROUP BY doc_id
 """,
 )
@@ -372,10 +373,11 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 SELECT event_type,
        COUNT(*) AS n_rows,
-       SUM(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')))
-         AS n_digit_chars,
-       SUM(CASE WHEN regexp_matches(props, '[0-9]') THEN 1 ELSE 0 END)
-         AS n_rows_redacted,
+       CAST(SUM(length(props)
+                - length(regexp_replace(props, '[0-9]', '', 'g')))
+         AS BIGINT) AS n_digit_chars,
+       CAST(SUM(CASE WHEN regexp_matches(props, '[0-9]') THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_rows_redacted,
        MIN(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS sample_redacted
 FROM events GROUP BY event_type
 """,
@@ -668,7 +670,8 @@ def array_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_iter_sql(prev: str, out: str) -> str:
     return f"""
 {out} AS (
-  SELECT e.dst AS node, 150000 + (85 * SUM(r.r // d.deg)) // 100 AS r
+  SELECT e.dst AS node,
+         CAST(150000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
   FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
   GROUP BY e.dst)"""
 
@@ -805,7 +808,7 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH k AS (
   SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey),
 t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM k)
-SELECT k.key, k.n, (k.n * 1000000) // t.total AS share_ppm,
+SELECT k.key, k.n, CAST((k.n * 1000000) // t.total AS BIGINT) AS share_ppm,
        t.n_keys AS n_distinct_keys
 FROM k, t
 ORDER BY k.n DESC, k.key LIMIT 10

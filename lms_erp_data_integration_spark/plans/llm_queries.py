@@ -810,8 +810,9 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 SELECT source, lang,
        COUNT(*) AS n_docs,
-       SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
-       SUM(length(text)) AS total_chars,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+         AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
        SUM(length(text)) * 1.0 / COUNT(*) AS mean_chars
 FROM documents
 GROUP BY source, lang
@@ -1109,10 +1110,10 @@ WITH toks AS (
   FROM documents),
 ranked AS (
   SELECT doc_id, source, n_tok,
-         SUM(n_tok) OVER (PARTITION BY source
+         CAST(SUM(n_tok) OVER (PARTITION BY source
                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND CURRENT ROW) AS cum_tok
+                               AND CURRENT ROW) AS BIGINT) AS cum_tok
   FROM toks)
 SELECT source, doc_id, n_tok, cum_tok
 FROM ranked WHERE cum_tok <= 300
@@ -1223,7 +1224,8 @@ WITH s AS (
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32
            AS shard
   FROM documents)
-SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM s GROUP BY shard
 """,
@@ -1261,12 +1263,12 @@ WITH t AS (
   FROM documents),
 c AS (
   SELECT doc_id, shard, n_tok,
-         COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS cum_before
+           AS BIGINT) AS cum_before
   FROM t)
 SELECT shard, cum_before // 256 AS bin,
-       COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM c GROUP BY shard, cum_before // 256
 """,
@@ -1399,7 +1401,8 @@ buckets AS (
   SELECT band, band_key, COUNT(*) AS bucket_size
   FROM banded GROUP BY band, band_key)
 SELECT bucket_size, COUNT(*) AS n_buckets,
-       SUM(bucket_size * (bucket_size - 1) // 2) AS candidate_pairs
+       CAST(SUM(bucket_size * (bucket_size - 1) // 2) AS BIGINT)
+         AS candidate_pairs
 FROM buckets GROUP BY bucket_size
 """
 

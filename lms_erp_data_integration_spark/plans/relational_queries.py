@@ -1483,11 +1483,13 @@ WITH x AS (
   FROM lineitem)
 SELECT l_returnflag,
        COUNT(*) AS n,
-       SUM(CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END) AS n_div_null,
-       SUM(CAST(floor(COALESCE(safe_ratio, 0) * 1000000 + 0.5) AS BIGINT))
-         AS sum_ratio_micros,
-       SUM(CASE WHEN price_prefix IS NULL THEN 1 ELSE 0 END) AS n_cast_null,
-       SUM(COALESCE(price_prefix, 0)) AS sum_prefix
+       CAST(SUM(CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_null,
+       CAST(SUM(CAST(floor(COALESCE(safe_ratio, 0) * 1000000 + 0.5) AS BIGINT))
+         AS BIGINT) AS sum_ratio_micros,
+       CAST(SUM(CASE WHEN price_prefix IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cast_null,
+       CAST(SUM(COALESCE(price_prefix, 0)) AS BIGINT) AS sum_prefix
 FROM x GROUP BY l_returnflag
 """,
 )
