@@ -52,18 +52,63 @@ def main() -> int:
         # unpersist the query's tracked intermediates (timed: cache
         # lifecycle is part of the query's real cost)
         release_cached()
-    total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(
-        json.dumps(
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    timings = {n: round(t, 3) for n, t in timings.items()}
+
+    # Full per-query detail goes to a file (the driver captures only the
+    # last ~2000 chars of stdout — BENCH_r01–r03 all had "parsed": null
+    # because the 123-query one-liner overflowed that window).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_full.json"), "w") as f:
+        json.dump(
+            {"sf": sf_val, "total_sec": total, "queries": timings},
+            f,
+            separators=(",", ":"),
+        )
+
+    # The ONE stdout JSON line must fit the driver's 2000-char tail
+    # capture in full or it can't be parsed. Summary fields first, then
+    # a headline "queries" dict: a pinned representative core plus the
+    # slowest remaining queries, greedily packed under the budget.
+    pinned = [
+        "sync_daily_enrollment",
+        "rel_q1_pricing_summary",
+        "llm_dedup_minhash_lsh",
+        "llm_dedup_clusters",
+        "llm_sim_ivf_topk",
+        "llm_quality_gate",
+        "stream_events_hourly",
+        "rel_pagerank_parts",
+    ]
+    headline = {n: timings[n] for n in pinned if n in timings}
+    by_cost = sorted(
+        (n for n in timings if n not in headline),
+        key=lambda n: -timings[n],
+    )
+
+    def line_for(qs: dict) -> str:
+        return json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "detail": "bench_full.json",
+                "queries": qs,
+            },
+            separators=(",", ":"),
         )
-    )
+
+    budget = 1900
+    for n in by_cost:
+        trial = dict(headline)
+        trial[n] = timings[n]
+        if len(line_for(trial)) > budget:
+            break
+        headline = trial
+    print(line_for(headline))
     spark.stop()
     return 0
 

@@ -186,31 +186,37 @@ def outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rel_profile_columns",
     """
-SELECT * FROM (
-  SELECT 'c_name' AS col_name, COUNT(*) AS n_rows,
-         COUNT(*) - COUNT(c_name) AS n_nulls,
-         COUNT(DISTINCT c_name) AS n_distinct,
-         MIN(c_name) AS min_str, MAX(c_name) AS max_str,
-         CAST(NULL AS DECIMAL(18,2)) AS min_num,
-         CAST(NULL AS DECIMAL(18,2)) AS max_num
-  FROM customer
-  UNION ALL
-  SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
-         COUNT(DISTINCT c_mktsegment), MIN(c_mktsegment),
-         MAX(c_mktsegment), NULL, NULL
-  FROM customer
-  UNION ALL
-  SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal),
-         COUNT(DISTINCT c_acctbal), NULL, NULL,
-         MIN(CAST(c_acctbal AS DECIMAL(18,2))),
-         MAX(CAST(c_acctbal AS DECIMAL(18,2)))
-  FROM customer
-  UNION ALL
-  SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
-         COUNT(DISTINCT c_nationkey), NULL, NULL,
-         CAST(MIN(c_nationkey) AS DECIMAL(18,2)),
-         CAST(MAX(c_nationkey) AS DECIMAL(18,2))
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(c_name) AS nn_name,
+         COUNT(DISTINCT c_name) AS nd_name,
+         MIN(c_name) AS min_name, MAX(c_name) AS max_name,
+         COUNT(c_mktsegment) AS nn_seg,
+         COUNT(DISTINCT c_mktsegment) AS nd_seg,
+         MIN(c_mktsegment) AS min_seg, MAX(c_mktsegment) AS max_seg,
+         COUNT(c_acctbal) AS nn_bal,
+         COUNT(DISTINCT c_acctbal) AS nd_bal,
+         MIN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS min_bal,
+         MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS max_bal,
+         COUNT(c_nationkey) AS nn_nat,
+         COUNT(DISTINCT c_nationkey) AS nd_nat,
+         MIN(CAST(c_nationkey AS BIGINT) * 100) AS min_nat,
+         MAX(CAST(c_nationkey AS BIGINT) * 100) AS max_nat
   FROM customer)
+SELECT 'c_name' AS col_name, n_rows, n_rows - nn_name AS n_nulls,
+       nd_name AS n_distinct, min_name AS min_str, max_name AS max_str,
+       CAST(NULL AS BIGINT) AS min_num_cents,
+       CAST(NULL AS BIGINT) AS max_num_cents
+FROM s
+UNION ALL
+SELECT 'c_mktsegment', n_rows, n_rows - nn_seg, nd_seg,
+       min_seg, max_seg, NULL, NULL FROM s
+UNION ALL
+SELECT 'c_acctbal', n_rows, n_rows - nn_bal, nd_bal,
+       NULL, NULL, min_bal, max_bal FROM s
+UNION ALL
+SELECT 'c_nationkey', n_rows, n_rows - nn_nat, nd_nat,
+       NULL, NULL, min_nat, max_nat FROM s
 """,
 )
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,46 +224,56 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max) — the data-quality screen run before any sync or training
     job admits a table.
 
-    Scale: one aggregate per profiled column over a column-pruned scan;
-    exact COUNT(DISTINCT) is kept for oracle parity, a 100 TB profile
-    would switch to ``approx_count_distinct`` (same plan shape, no
-    second shuffle)."""
+    Numeric min/max are emitted as BIGINT *cents* (``round(x*100)``
+    applied per row, identically in the DuckDB oracle) — the repo's
+    exact-integer convention, so the driver hash never depends on
+    decimal/float rendering.
+
+    Scale: ONE aggregate over ONE column-pruned scan of the table (the
+    previous shape unioned four full-table aggregates = four scans; at
+    100 TB a 4x scan multiplier on a profiling pre-flight is real
+    money), then a ``stack`` unpivot of the single stats row. The
+    multi-column COUNT(DISTINCT) expands the input 4x inside the
+    aggregate (Spark's Expand operator), still one pass over parquet;
+    a 100 TB profile would switch to ``approx_count_distinct`` which
+    drops the Expand entirely (same plan shape otherwise)."""
     cust = Catalog(spark, sf_dir).customer
-    null_dec = F.lit(None).cast("decimal(18,2)")
-    null_str = F.lit(None).cast("string")
-
-    def prof_str(col: str) -> DataFrame:
-        return cust.agg(
-            F.lit(col).alias("col_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
-            F.countDistinct(col).alias("n_distinct"),
-            F.min(col).alias("min_str"),
-            F.max(col).alias("max_str"),
-            null_dec.alias("min_num"),
-            null_dec.alias("max_num"),
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    nat_cents = F.col("c_nationkey").cast("long") * 100
+    s = cust.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_name").alias("nn_name"),
+        F.countDistinct("c_name").alias("nd_name"),
+        F.min("c_name").alias("min_name"),
+        F.max("c_name").alias("max_name"),
+        F.count("c_mktsegment").alias("nn_seg"),
+        F.countDistinct("c_mktsegment").alias("nd_seg"),
+        F.min("c_mktsegment").alias("min_seg"),
+        F.max("c_mktsegment").alias("max_seg"),
+        F.count("c_acctbal").alias("nn_bal"),
+        F.countDistinct("c_acctbal").alias("nd_bal"),
+        F.min(cents).alias("min_bal"),
+        F.max(cents).alias("max_bal"),
+        F.count("c_nationkey").alias("nn_nat"),
+        F.countDistinct("c_nationkey").alias("nd_nat"),
+        F.min(nat_cents).alias("min_nat"),
+        F.max(nat_cents).alias("max_nat"),
+    )
+    return s.select(
+        F.expr(
+            """stack(4,
+  'c_name', n_rows, n_rows - nn_name, nd_name,
+      min_name, max_name, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  'c_mktsegment', n_rows, n_rows - nn_seg, nd_seg,
+      min_seg, max_seg, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  'c_acctbal', n_rows, n_rows - nn_bal, nd_bal,
+      CAST(NULL AS STRING), CAST(NULL AS STRING), min_bal, max_bal,
+  'c_nationkey', n_rows, n_rows - nn_nat, nd_nat,
+      CAST(NULL AS STRING), CAST(NULL AS STRING), min_nat, max_nat
+) AS (col_name, n_rows, n_nulls, n_distinct,
+      min_str, max_str, min_num_cents, max_num_cents)"""
         )
-
-    def prof_num(col: str) -> DataFrame:
-        return cust.agg(
-            F.lit(col).alias("col_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
-            F.countDistinct(col).alias("n_distinct"),
-            null_str.alias("min_str"),
-            null_str.alias("max_str"),
-            F.min(F.col(col).cast("decimal(18,2)")).alias("min_num"),
-            F.max(F.col(col).cast("decimal(18,2)")).alias("max_num"),
-        )
-
-    out = prof_str("c_name")
-    for extra in (
-        prof_str("c_mktsegment"),
-        prof_num("c_acctbal"),
-        prof_num("c_nationkey"),
-    ):
-        out = out.unionByName(extra)
-    return out
+    )
 
 
 # ------------------------------------------------ fuzzy entity matching

@@ -200,25 +200,34 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_running_total_per_user",
     """
 SELECT user_id, event_id, ts,
-       SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS running_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS running_value_cents
 FROM events WHERE user_id <= 20
 """,
 )
 def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running window sum — doubles are safe here: both engines
-    accumulate in identical (ts, event_id) frame order."""
+    """Running window sum in exact integer cents. Raw-double running
+    sums are NOT portable even with an identical frame order: DuckDB's
+    windowed SUM accumulates via a segment tree (pairwise), Spark
+    sequentially, so the float rounding diverges. Per-row
+    ``round(value*100)`` is deterministic in both engines and the
+    BIGINT running sum is exact."""
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         Catalog(spark, sf_dir)
         .events.where(F.col("user_id") <= 20)
         .select(
-            "user_id", "event_id", "ts", F.sum("value").over(w).alias("running_value")
+            "user_id",
+            "event_id",
+            "ts",
+            F.sum(cents).over(w).alias("running_value_cents"),
         )
     )
 
@@ -1002,13 +1011,14 @@ def date_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rel_q14_promo_revenue",
     """
-SELECT CAST(CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+SELECT CAST(100.0 AS DOUBLE)
+       * CAST(SUM(CASE WHEN p_type = 'PROMO'
              THEN CAST(l_extendedprice AS DECIMAL(18,2))
                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
              ELSE 0 END) AS DOUBLE)
        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-       AS DOUBLE) AS promo_revenue_pct,
+       AS promo_revenue_pct,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
@@ -1016,9 +1026,13 @@ WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue
-    share). Decimal sums keep both sums exact; one double division at
-    the end is order-independent. The part side joins broadcast
-    (small dim at any SF after the date filter prunes lineitem)."""
+    share). Decimal sums keep both sums exact; the final double
+    arithmetic is the *same op sequence* in both engines —
+    ``(100.0 * double(P)) / double(T)`` — so the IEEE result is
+    bit-identical (the old oracle multiplied by 100.0 in DECIMAL
+    before the double cast, diverging in the last bits). The part
+    side joins broadcast (small dim at any SF after the date filter
+    prunes lineitem)."""
     cat = Catalog(spark, sf_dir)
     li = cat.lineitem.where(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("date"))

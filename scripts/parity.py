@@ -14,10 +14,12 @@ get caught here first.
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, ".")
 
@@ -28,11 +30,21 @@ from lms_erp_data_integration_spark.session import get_spark  # noqa: E402
 
 
 def norm(v):
-    """Normalize a cell for comparison across engines."""
+    """Normalize a cell for comparison across engines.
+
+    Exactly as strict as the driver's value hash: floats compare at
+    full ``repr`` precision (shortest round-trip — bit-identical
+    doubles or bust) and Decimals at exact text including scale. The
+    old 9-significant-digit float rounding let ``rel_profile_columns``
+    pass locally and fail the driver hash in r3; any query that fails
+    at full precision gets the exact-integer (cents/micros) treatment
+    instead of a looser comparator."""
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
@@ -93,23 +105,34 @@ def main() -> int:
         try:
             arrow = con.execute(oracles[name]).fetch_arrow_table()
             d_cols = arrow.column_names
-            d_rows = [
-                tuple(row[c] for c in d_cols) for row in arrow.to_pylist()
-            ]
+            # Positional extraction (not to_pylist's dict-per-row): an
+            # oracle with duplicate output column names must not
+            # silently collapse columns and compare wrong values.
+            d_rows = list(
+                zip(*[col.to_pylist() for col in arrow.columns])
+            )
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
             failed.append(name)
             continue
         # The driver hashes typed (Arrow) values, so an oracle emitting a
         # type Spark can't produce — e.g. DuckDB widening an integer SUM
-        # to HUGEINT (int128) — hash-mismatches even when values agree.
-        # Catch it here: the r2 judge traced all four r2 hash failures to
-        # exactly this. Fix is CAST(... AS BIGINT) in the oracle string.
+        # to HUGEINT (int128, surfaced in Arrow as decimal128(38,0)) —
+        # hash-mismatches even when values agree. Catch it here: the r2
+        # judge traced all four r2 hash failures to exactly this. Fix is
+        # CAST(... AS BIGINT) in the oracle string. Known false
+        # positive: an oracle *intentionally* emitting DECIMAL(38,0)
+        # would be flagged too — none exists today; whitelist per-query
+        # here if one ever does.
         wide = [
             f.name
             for f in arrow.schema
-            if str(f.type) in ("decimal128(38, 0)", "int128")
-            or "decimal256" in str(f.type)
+            if (
+                pa.types.is_decimal(f.type)
+                and f.type.precision == 38
+                and f.type.scale == 0
+            )
+            or pa.types.is_decimal256(f.type)
         ]
         if wide:
             print(f"FAIL  {name}: oracle emits non-Spark types {wide}")
