@@ -17,52 +17,77 @@ from ..caching import tracked_persist
 
 
 def pagerank_micros(
-    edges: DataFrame, iterations: int = 3, damping_pct: int = 85
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Iterative PageRank in exact integer micro-units.
 
     ``edges`` is a directed edge list (``src``, ``dst``); every node is
     assumed to have at least one out-edge (true for symmetric
-    co-occurrence graphs — otherwise add dangling-mass handling).
+    co-occurrence graphs — a graph with sinks needs dangling-mass
+    handling added: collect the dangling rank per round and
+    redistribute it uniformly, one extra node-sized aggregate).
     Per iteration: each node sends ``rank div out_degree`` to each
     neighbor (integer division), and ranks update as
     ``(1 - d) + d * sum(contributions)`` in the same integer scale.
 
-    Scale: the adjacency is persisted once and never reshuffled; each
-    round broadcast-joins the node-sized rank vector against it and
-    partially aggregates into node-count groups. The broadcast holds
-    while the node set fits executor memory (catalog-sized graphs);
-    a web-scale node set would switch the hint off and let both sides
-    shuffle on the node key, reusing the same partitioning every
-    round. A run at depth >> 3 would localCheckpoint the rank vector
-    per round like ``dedup.duplicate_clusters`` to cut lineage growth.
+    Scale: the (often expensive) input edge lineage is evaluated ONCE
+    — the raw edge list is persisted first, and the out-degree table,
+    initial ranks, and every round's join all derive from that persisted
+    copy (degree-join-then-persist variants re-run the edge build two
+    or three times; a window-count degree attach pays a full sort of
+    the edge list). The degree table is node-sized and partially
+    aggregated map-side. Each round joins the node-sized rank vector
+    against the persisted edges and partially aggregates into
+    node-count groups.
+
+    ``broadcast_ranks=True`` (default) broadcast-joins the degree and
+    rank vectors each round — right while the node set fits executor
+    memory (catalog-sized graphs), and the persisted edge list then
+    never reshuffles at all. At web-scale node counts a forced
+    broadcast would OOM the driver, so pass ``False``: the edge list
+    is instead hash-partitioned on ``src`` before the persist, and
+    both node-sized tables arrive already partitioned on the node key
+    from their own aggregates, so every round reuses that one
+    partitioning. A run at depth >> 3 would localCheckpoint the rank
+    vector per round like ``dedup.duplicate_clusters`` to cut lineage
+    growth.
     """
-    # adjacency with the out-degree attached once via a BROADCAST join
-    # (the degree table is node-sized), persisted so the three rounds
-    # scan it without re-deriving the edge build. The rank vector is
-    # node-sized too, so every round is a broadcast join over the
-    # persisted adjacency plus one partial-aggregated shuffle of
-    # node-count groups — the edge list itself never reshuffles.
     edges = edges.select("src", "dst")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    adj = tracked_persist(edges.join(F.broadcast(deg), "src"))
+    if not broadcast_ranks:
+        edges = edges.repartition("src")
+    edges = tracked_persist(edges)
+    # distinct column names on the node-sized tables: both derive from
+    # the same persisted edges, so shared names would trip the
+    # ambiguous-self-join check
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("dsrc"), "deg"
+    )
     rank = deg.select(
-        F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r")
+        F.col("dsrc").alias("node"), F.lit(1_000_000).cast("long").alias("r")
     )
     keep = 100 - damping_pct
+
+    def side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_ranks else df
+
     for _ in range(iterations):
         rank = (
-            adj.join(F.broadcast(rank), adj["src"] == F.col("node"))
+            edges.join(side(deg), F.col("src") == F.col("dsrc"))
+            .join(side(rank), F.col("src") == F.col("node"))
             .select(
-                F.col("dst").alias("node"),
+                F.col("dst").alias("node2"),
                 F.expr("r div deg").alias("c"),
             )
-            .groupBy("node")
+            .groupBy("node2")
             .agg(
                 (
                     F.lit(keep * 10_000)
                     + F.expr(f"({damping_pct} * sum(c)) div 100")
                 ).alias("r")
             )
+            .select(F.col("node2").alias("node"), "r")
         )
     return rank
