@@ -52,13 +52,22 @@ class Catalog:
             raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
         if name not in self._cache:
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
-            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            ts_type = dict(df.dtypes).get("ts") if name == "events" else None
+            if ts_type == "bigint":
                 # ts surfaces as long nanos (nanosAsLong). Convert to a
                 # microsecond timestamp with integer division — NOT float
                 # division, which loses precision above 2^53 ns.
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
+            elif ts_type == "timestamp_ntz":
+                # Newer driver data stores ts as TIMESTAMP(MICROS) without
+                # isAdjustedToUTC, which Spark surfaces as TIMESTAMP_NTZ.
+                # The session timezone is pinned to UTC (session.py), so
+                # casting to the session-local TIMESTAMP is value-preserving
+                # and keeps every downstream plan, window, and DuckDB oracle
+                # on the semantics verified in rounds 1-3.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             self._cache[name] = df
         return self._cache[name]
 

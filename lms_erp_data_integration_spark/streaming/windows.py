@@ -49,7 +49,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Mirror the batch Catalog's ts normalization so batch and stream
+    # share one schema: long nanos -> µs timestamp (old driver data),
+    # TIMESTAMP_NTZ µs -> session-local timestamp (new driver data;
+    # session TZ pinned to UTC so the cast is value-preserving).
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_event_counts(

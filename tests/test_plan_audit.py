@@ -7,6 +7,7 @@ introduces a cartesian product or un-pushes a filter)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 
@@ -169,3 +170,46 @@ def test_dedup_apply_no_mandatory_broadcast(spark):
     df = entry_mod.queries()["llm_dedup_apply"](spark, SF_DIR)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in logical
+    # Self-validating control: the same marker MUST appear on a frame
+    # that is positively hinted, otherwise a Spark version that formats
+    # JoinHint differently would make the absence assertion vacuous.
+    assert "strategy=broadcast" in _hinted_control_plan(spark)
+
+
+def _hinted_control_plan(spark):
+    """Optimized-plan text of a join whose build side carries an
+    explicit F.broadcast hint — the positive control for every
+    'no broadcast hint' assertion in this module."""
+    left = spark.range(10).withColumnRenamed("id", "k")
+    right = spark.range(5).withColumnRenamed("id", "k")
+    hinted = left.join(F.broadcast(right), "k")
+    return hinted._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pagerank_broadcast_escape_hatch(spark):
+    """pagerank_micros(broadcast_ranks=False) must emit NO broadcast
+    hint — the rank vector is node-count-sized, and a forced broadcast
+    at web-scale node counts would OOM the driver. The default (True)
+    keeps the hint for catalog-sized graphs; both are asserted so the
+    marker format stays self-validating."""
+    from lms_erp_data_integration_spark.operators.graph import (
+        pagerank_micros,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1)], "src long, dst long"
+    )
+    off = pagerank_micros(edges, 2, broadcast_ranks=False)
+    assert (
+        "strategy=broadcast"
+        not in off._jdf.queryExecution().optimizedPlan().toString()
+    )
+    on = pagerank_micros(edges, 2, broadcast_ranks=True)
+    assert (
+        "strategy=broadcast"
+        in on._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # same exact integer result either way
+    assert sorted(map(tuple, off.collect())) == sorted(
+        map(tuple, on.collect())
+    )
