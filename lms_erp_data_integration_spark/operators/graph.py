@@ -34,37 +34,48 @@ def pagerank_micros(
     ``(1 - d) + d * sum(contributions)`` in the same integer scale.
 
     Scale: the (often expensive) input edge lineage is evaluated ONCE
-    — the raw edge list is persisted first, and the out-degree table,
-    initial ranks, and every round's join all derive from that persisted
-    copy (degree-join-then-persist variants re-run the edge build two
-    or three times; a window-count degree attach pays a full sort of
-    the edge list). The degree table is node-sized and partially
-    aggregated map-side. Each round joins the node-sized rank vector
-    against the persisted edges and partially aggregates into
-    node-count groups.
+    — multi-edges are collapsed to ``(src, dst, cnt)`` and persisted,
+    out-degree (with multiplicity) is folded into that same persisted
+    adjacency table, and every round's join derives from it. Rounds
+    therefore scan distinct pairs, not raw edges (co-occurrence graphs
+    are heavily multi-edged), and do ONE node-sized join each instead
+    of a degree join plus a rank join. The degree and rank tables are
+    node-sized and partially aggregated map-side.
 
-    ``broadcast_ranks=True`` (default) broadcast-joins the degree and
-    rank vectors each round — right while the node set fits executor
-    memory (catalog-sized graphs), and the persisted edge list then
-    never reshuffles at all. At web-scale node counts a forced
-    broadcast would OOM the driver, so pass ``False``: the edge list
-    is instead hash-partitioned on ``src`` before the persist, and
-    both node-sized tables arrive already partitioned on the node key
-    from their own aggregates, so every round reuses that one
-    partitioning. A run at depth >> 3 would localCheckpoint the rank
-    vector per round like ``dedup.duplicate_clusters`` to cut lineage
-    growth.
+    ``broadcast_ranks=True`` (default) broadcast-joins the rank vector
+    each round — right while the node set fits executor memory
+    (catalog-sized graphs), and the persisted adjacency then never
+    reshuffles at all. At web-scale node counts a forced broadcast
+    would OOM the driver, so pass ``False``: the adjacency is instead
+    hash-partitioned on ``src`` before the persist, and the rank
+    vector arrives partitioned on the node key from its own aggregate,
+    so every round reuses that one partitioning. A run at depth >> 3
+    would localCheckpoint the rank vector per round like
+    ``dedup.duplicate_clusters`` to cut lineage growth.
     """
-    edges = edges.select("src", "dst")
-    if not broadcast_ranks:
-        edges = edges.repartition("src")
-    edges = tracked_persist(edges)
-    # distinct column names on the node-sized tables: both derive from
-    # the same persisted edges, so shared names would trip the
-    # ambiguous-self-join check
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+    # Collapse multi-edges ONCE before iterating: k parallel src->dst
+    # edges each contribute (r div deg), i.e. exactly cnt * (r div deg)
+    # — the recurrence is unchanged but every round now scans distinct
+    # pairs instead of the raw edge list (co-occurrence graphs are
+    # heavily multi-edged: the sf0.1 part graph is 2.4M raw edges but
+    # far fewer distinct pairs). Out-degree (with multiplicity) is
+    # folded into the same adjacency table, so each round does ONE
+    # node-sized join, not two.
+    pairs = tracked_persist(
+        edges.select("src", "dst").groupBy("src", "dst").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    deg = pairs.groupBy("src").agg(F.sum("cnt").alias("deg")).select(
         F.col("src").alias("dsrc"), "deg"
     )
+    adj = pairs.join(
+        F.broadcast(deg) if broadcast_ranks else deg,
+        F.col("src") == F.col("dsrc"),
+    ).select("src", "dst", "cnt", "deg")
+    if not broadcast_ranks:
+        adj = adj.repartition("src")
+    adj = tracked_persist(adj)
     rank = deg.select(
         F.col("dsrc").alias("node"), F.lit(1_000_000).cast("long").alias("r")
     )
@@ -75,11 +86,10 @@ def pagerank_micros(
 
     for _ in range(iterations):
         rank = (
-            edges.join(side(deg), F.col("src") == F.col("dsrc"))
-            .join(side(rank), F.col("src") == F.col("node"))
+            adj.join(side(rank), F.col("src") == F.col("node"))
             .select(
                 F.col("dst").alias("node2"),
-                F.expr("r div deg").alias("c"),
+                (F.col("cnt") * F.expr("r div deg")).alias("c"),
             )
             .groupBy("node2")
             .agg(

@@ -2,13 +2,16 @@
 as opaque ``binary`` payloads with typed metadata, processed by
 Arrow-batched ``mapInPandas`` operators.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBS: ``decode_image_stub`` raises ``NotImplementedError`` unless
-``fake=True``, in which case it produces a deterministic fake decode
-(dimensions/pixel-mean derived from the payload bytes). Everything
-Spark-side — schemas, batch iteration, partitioning, UDF signatures —
-is real and tested; swapping in Pillow/librosa later only changes the
-kernel body.
+The container has no image/audio codec libraries, but the simple
+uncompressed raster formats need none: ``decode_image`` is a real
+pure-numpy decoder for PPM (P6), PGM (P5) and uncompressed 8/24/32-bit
+BMP — enough to exercise the full decode path on real bytes. Payloads
+in any other format fall back to ``decode_image_stub``, which raises
+``NotImplementedError`` unless ``fake=True`` (deterministic fake
+decode, dimensions/pixel-mean derived from the payload bytes).
+Everything Spark-side — schemas, batch iteration, partitioning, UDF
+signatures — is identical either way; swapping in Pillow/librosa later
+only widens the recognized-format set.
 
 Scale posture: payloads stay in executor memory one Arrow batch at a
 time (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch
@@ -18,8 +21,10 @@ narrow map — at 100 TB it parallelizes per input split with no shuffle.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -36,6 +41,100 @@ IMAGE_META_SCHEMA = T.StructType(
         T.StructField("pixel_mean", T.DoubleType()),
     ]
 )
+
+
+def _decode_pnm(payload: bytes) -> dict | None:
+    """PPM (P6, 3-channel) / PGM (P5, 1-channel) binary rasters: ASCII
+    header ``magic width height maxval`` with ``#`` comments, then one
+    whitespace byte, then big-endian samples."""
+    if payload[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 3 if payload[:2] == b"P6" else 1
+    # header tokenizer: whitespace-separated ints, '#' starts a comment
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tok = payload[pos:end]
+            if not tok.isdigit():
+                return None
+            fields.append(int(tok))
+            pos = end
+    if len(fields) < 3 or pos >= len(payload):
+        return None
+    width, height, maxval = fields
+    pos += 1  # the single whitespace byte after maxval
+    bytes_per = 1 if maxval < 256 else 2
+    need = width * height * channels * bytes_per
+    if maxval <= 0 or len(payload) - pos < need:
+        return None
+    dt = np.uint8 if bytes_per == 1 else np.dtype(">u2")
+    px = np.frombuffer(payload, dtype=dt, count=width * height * channels,
+                       offset=pos)
+    return {
+        "n_bytes": len(payload),
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixel_mean": float(px.mean()) if px.size else 0.0,
+    }
+
+
+def _decode_bmp(payload: bytes) -> dict | None:
+    """Uncompressed (BI_RGB) 8/24/32-bit BMP: little-endian header,
+    4-byte-aligned row stride, bottom-up unless height < 0."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if (
+        compression != 0
+        or planes != 1
+        or bpp not in (8, 24, 32)
+        or width <= 0
+        or height == 0
+    ):
+        return None
+    rows = abs(height)
+    channels = bpp // 8
+    stride = (width * channels + 3) & ~3
+    if len(payload) - data_off < stride * rows:
+        return None
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * rows, offset=data_off
+    ).reshape(rows, stride)
+    px = raw[:, : width * channels]  # drop the per-row alignment pad
+    return {
+        "n_bytes": len(payload),
+        "width": width,
+        "height": rows,
+        "channels": channels,
+        "pixel_mean": float(px.mean()) if px.size else 0.0,
+    }
+
+
+def decode_image(payload: bytes) -> dict | None:
+    """Real decode for the codec-free raster formats (PPM/PGM/BMP).
+    Returns the IMAGE_META dict, or None when the payload is not a
+    recognized format — callers fall back to ``decode_image_stub``."""
+    if not payload:
+        return None
+    try:
+        return _decode_pnm(payload) or _decode_bmp(payload)
+    except (ValueError, struct.error):
+        return None
 
 
 def decode_image_stub(payload: bytes, fake: bool = False) -> dict:
@@ -68,7 +167,13 @@ def extract_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_image_stub(p, fake=True) for p in pdf["payload"]]
+            # real decode when the payload is a recognized raster
+            # format, deterministic fake otherwise — one schema both
+            # ways, so mixed-format corpora work batch-by-batch
+            metas = [
+                decode_image(p) or decode_image_stub(p, fake=True)
+                for p in pdf["payload"]
+            ]
             out = pd.DataFrame(metas)
             out.insert(0, "doc_id", pdf[id_col].values)
             yield out

@@ -173,6 +173,78 @@ def test_multimodal_stub_raises_without_fake():
         mm.decode_image_stub(b"bytes")
 
 
+def _ppm_bytes(w, h, pixels):
+    """Minimal binary PPM (P6) with a comment line in the header."""
+    return (
+        b"P6\n# synthetic test raster\n%d %d\n255\n" % (w, h)
+        + bytes(pixels)
+    )
+
+
+def _bmp_bytes(w, h, rows_bottom_up):
+    """Uncompressed 24-bit BMP; each row padded to a 4-byte stride."""
+    import struct as st
+
+    stride = (w * 3 + 3) & ~3
+    data = b"".join(
+        bytes(r) + b"\x00" * (stride - w * 3) for r in rows_bottom_up
+    )
+    header = st.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                  2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def test_decode_image_real_ppm():
+    # 2x2 RGB, 12 samples 0..11 -> mean 5.5
+    meta = mm.decode_image(_ppm_bytes(2, 2, range(12)))
+    assert meta == {
+        "n_bytes": len(_ppm_bytes(2, 2, range(12))),
+        "width": 2,
+        "height": 2,
+        "channels": 3,
+        "pixel_mean": 5.5,
+    }
+    # PGM single-channel
+    pgm = b"P5\n3 1\n255\n" + bytes([10, 20, 30])
+    m = mm.decode_image(pgm)
+    assert (m["width"], m["height"], m["channels"]) == (3, 1, 1)
+    assert m["pixel_mean"] == 20.0
+
+
+def test_decode_image_real_bmp():
+    # 3x2 BGR rows (bottom-up); mean over the 18 payload samples,
+    # alignment padding excluded
+    rows = [list(range(9)), list(range(9, 18))]
+    meta = mm.decode_image(_bmp_bytes(3, 2, rows))
+    assert (meta["width"], meta["height"], meta["channels"]) == (3, 2, 3)
+    assert meta["pixel_mean"] == sum(range(18)) / 18
+
+
+def test_decode_image_unrecognized_returns_none():
+    assert mm.decode_image(b"the quick brown fox") is None
+    assert mm.decode_image(b"") is None
+    assert mm.decode_image(b"P6\n2 2\n255\n\x00") is None  # truncated
+    assert mm.decode_image(b"BM" + b"\x00" * 10) is None  # short header
+
+
+def test_multimodal_real_decode_through_spark(spark):
+    """The mapInPandas path must route recognized rasters through the
+    real decoder and everything else through the deterministic fake —
+    mixed in one DataFrame."""
+    ppm = _ppm_bytes(2, 2, range(12))
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in mm.extract_image_meta(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (2, 2)
+    assert rows[1]["pixel_mean"] == 5.5
+    fake = mm.decode_image_stub(b"not an image", fake=True)
+    assert rows[2]["width"] == fake["width"]
+    assert rows[2]["pixel_mean"] == pytest.approx(fake["pixel_mean"])
+
+
 def test_frame_sampling(spark, docs):
     frames = mm.sample_frames(mm.attach_payload(docs), every_n_bytes=16)
     per_doc = {
