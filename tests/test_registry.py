@@ -31,6 +31,31 @@ def test_all_queries_orders_priority_first_and_drops_nothing():
     assert sorted(names) == sorted(plans.QUERIES), "reordering lost queries"
 
 
+def test_changed_queries_enter_driver_window():
+    """Rotation policy (r3 verdict #9): any query whose plan function
+    or oracle SQL changed since its last driver-window round MUST be in
+    the current PRIORITY window, so the driver re-verifies it at its
+    new code this round. The manifest is stamped per rotation by
+    ``scripts/update_checked_hashes.py``."""
+    import json
+
+    from tests.query_hashes import MANIFEST_PATH, query_source_hash
+
+    with open(MANIFEST_PATH) as f:
+        manifest = json.load(f)
+    stale = [
+        n
+        for n in plans.QUERIES
+        if manifest.get(n) != query_source_hash(n)
+        and n not in registry.PRIORITY
+    ]
+    assert not stale, (
+        "queries changed since their last driver check but not in the "
+        f"current driver window: {stale} — add them to PRIORITY or "
+        "re-stamp with scripts/update_checked_hashes.py"
+    )
+
+
 def test_entry_points_expose_registry():
     import __spark_entry__ as entry_mod
 
