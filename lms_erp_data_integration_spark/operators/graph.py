@@ -21,6 +21,8 @@ def pagerank_micros(
     iterations: int = 3,
     damping_pct: int = 85,
     broadcast_ranks: bool = True,
+    collapse_multi_edges: bool = False,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Iterative PageRank in exact integer micro-units.
 
@@ -34,13 +36,25 @@ def pagerank_micros(
     ``(1 - d) + d * sum(contributions)`` in the same integer scale.
 
     Scale: the (often expensive) input edge lineage is evaluated ONCE
-    — multi-edges are collapsed to ``(src, dst, cnt)`` and persisted,
-    out-degree (with multiplicity) is folded into that same persisted
-    adjacency table, and every round's join derives from it. Rounds
-    therefore scan distinct pairs, not raw edges (co-occurrence graphs
-    are heavily multi-edged), and do ONE node-sized join each instead
-    of a degree join plus a rank join. The degree and rank tables are
+    — the edge list is persisted, out-degree (with multiplicity) is
+    folded into a persisted ``(src, dst, cnt, deg)`` adjacency via one
+    node-sized join up front, and every round's join derives from
+    that. Rounds therefore do ONE node-sized join each instead of a
+    degree join plus a rank join. The degree and rank tables are
     node-sized and partially aggregated map-side.
+    ``collapse_multi_edges=True`` additionally pre-groups parallel
+    edges into ``cnt`` so rounds scan distinct pairs — a win exactly
+    when the graph is heavily multi-edged, at the price of a full-width
+    ``groupBy(src, dst)`` shuffle (benchmarked a net loss on the
+    near-unique-pair part graph, so opt-in).
+
+    ``degrees`` (columns ``node``, ``deg``) lets the caller supply
+    out-degrees computed UPSTREAM of the edge expansion — e.g. from
+    basket sizes before the quadratic pair explode. That collapses the
+    build to a single pass and a single persist (no edges persist just
+    to derive degrees from the expanded list). Contract: ``degrees``
+    must cover exactly the nodes with at least one out-edge, with
+    multi-edge multiplicity.
 
     ``broadcast_ranks=True`` (default) broadcast-joins the rank vector
     each round — right while the node set fits executor memory
@@ -49,31 +63,49 @@ def pagerank_micros(
     would OOM the driver, so pass ``False``: the adjacency is instead
     hash-partitioned on ``src`` before the persist, and the rank
     vector arrives partitioned on the node key from its own aggregate,
-    so every round reuses that one partitioning. A run at depth >> 3
-    would localCheckpoint the rank vector per round like
-    ``dedup.duplicate_clusters`` to cut lineage growth.
+    so every round reuses that one partitioning. The node-sized rank
+    vector is localCheckpoint'ed between rounds (same pattern as
+    ``dedup.duplicate_clusters``): driver-side re-optimization of the
+    deepening plan at AQE stage boundaries otherwise dominates the
+    actual work.
     """
-    # Collapse multi-edges ONCE before iterating: k parallel src->dst
-    # edges each contribute (r div deg), i.e. exactly cnt * (r div deg)
-    # — the recurrence is unchanged but every round now scans distinct
-    # pairs instead of the raw edge list (co-occurrence graphs are
-    # heavily multi-edged: the sf0.1 part graph is 2.4M raw edges but
-    # far fewer distinct pairs). Out-degree (with multiplicity) is
-    # folded into the same adjacency table, so each round does ONE
-    # node-sized join, not two.
-    pairs = tracked_persist(
-        edges.select("src", "dst").groupBy("src", "dst").agg(
+    edges = edges.select("src", "dst")
+    if collapse_multi_edges:
+        # k parallel src->dst edges each contribute (r div deg), i.e.
+        # exactly cnt * (r div deg) — the recurrence is unchanged but
+        # every round scans distinct pairs instead of raw edges. Worth
+        # the full-width groupBy(src,dst) shuffle ONLY on genuinely
+        # multi-edged graphs (repeat co-purchases, web links): the
+        # sf0.1 part graph is 2.4M raw edges vs 2.39M distinct pairs,
+        # where this path measurably LOSES (benchmarked r4) — hence
+        # opt-in, not default.
+        edges = edges.groupBy("src", "dst").agg(
             F.count(F.lit(1)).alias("cnt")
         )
-    )
-    deg = pairs.groupBy("src").agg(F.sum("cnt").alias("deg")).select(
-        F.col("src").alias("dsrc"), "deg"
-    )
-    adj = pairs.join(
+    else:
+        edges = edges.withColumn("cnt", F.lit(1).cast("long"))
+    # Out-degree (with multiplicity) folds into the persisted adjacency
+    # via ONE node-sized join up front, so each round does a single
+    # rank join instead of rank + degree.
+    if degrees is None:
+        # deg must come from the expanded edge list: persist it (two
+        # consumers), then derive deg — partial-aggregated map-side to
+        # node count, a narrow shuffle.
+        if not broadcast_ranks:
+            edges = edges.repartition("src")
+        edges = tracked_persist(edges)
+        deg = edges.groupBy("src").agg(F.sum("cnt").alias("deg")).select(
+            F.col("src").alias("dsrc"), "deg"
+        )
+    else:
+        deg = degrees.select(
+            F.col("node").alias("dsrc"), F.col("deg").cast("long").alias("deg")
+        )
+    adj = edges.join(
         F.broadcast(deg) if broadcast_ranks else deg,
         F.col("src") == F.col("dsrc"),
     ).select("src", "dst", "cnt", "deg")
-    if not broadcast_ranks:
+    if degrees is not None and not broadcast_ranks:
         adj = adj.repartition("src")
     adj = tracked_persist(adj)
     rank = deg.select(
@@ -84,7 +116,7 @@ def pagerank_micros(
     def side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_ranks else df
 
-    for _ in range(iterations):
+    for i in range(iterations):
         rank = (
             adj.join(side(rank), F.col("src") == F.col("node"))
             .select(
@@ -100,4 +132,13 @@ def pagerank_micros(
             )
             .select(F.col("node2").alias("node"), "r")
         )
+        if i < iterations - 1:
+            # Truncate lineage between rounds (same pattern as
+            # dedup.duplicate_clusters): without this, round N's plan
+            # nests all prior rounds and the DRIVER-side cost —
+            # re-optimizing the deepening plan at every AQE stage
+            # boundary — dwarfs the actual node-sized work (measured
+            # ~2-4 s of planning per stage at 3 rounds, vs ~100 ms of
+            # execution). The checkpointed vector is node-sized.
+            rank = rank.localCheckpoint(eager=True)
     return rank

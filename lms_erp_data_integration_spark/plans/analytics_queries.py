@@ -724,20 +724,35 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct + self-join, which costs two wide shuffles of the full
     line-item table; per-order baskets are small, so the in-basket
     pair expansion is bounded (a pathological mega-basket would be
-    capped before the explode)."""
+    capped before the explode). Out-degrees are computed UPSTREAM of
+    the quadratic expansion — a part's degree is the sum of
+    ``basket_size - 1`` over its baskets, one narrow explode of the
+    persisted baskets — so the expanded edge list is consumed exactly
+    once (straight into the adjacency persist), never materialized a
+    second time just to count itself."""
+    from ..caching import tracked_persist
     from ..operators.graph import pagerank_micros
 
-    baskets = (
+    baskets = tracked_persist(
         Catalog(spark, sf_dir)
         .lineitem.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    degrees = (
+        baskets.select(
+            F.explode("parts").alias("node"),
+            (F.size("parts") - 1).cast("long").alias("d"),
+        )
+        .groupBy("node")
+        .agg(F.sum("d").alias("deg"))
+        .where(F.col("deg") > 0)
     )
     edges = (
         baskets.select(F.explode("parts").alias("src"), "parts")
         .select("src", F.explode("parts").alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
-    return pagerank_micros(edges, iterations=3).select(
+    return pagerank_micros(edges, iterations=3, degrees=degrees).select(
         F.col("node").alias("p_partkey"), F.col("r").alias("rank_micros")
     )
 

@@ -48,3 +48,19 @@ def test_pagerank_integer_division_truncates(spark):
     )
     out = {r["node"]: r["r"] for r in pagerank_micros(edges, 1).collect()}
     assert out["s1"] == 150_000 + (85 * (1_000_000 // 3)) // 100
+
+
+def test_pagerank_provided_degrees_matches_derived(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1), (2, 3), (3, 1)], "src long, dst long"
+    )
+    from pyspark.sql import functions as F
+
+    degrees = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    derived = sorted(map(tuple, pagerank_micros(edges, 3).collect()))
+    provided = sorted(
+        map(tuple, pagerank_micros(edges, 3, degrees=degrees).collect())
+    )
+    assert derived == provided
