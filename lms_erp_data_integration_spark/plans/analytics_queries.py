@@ -276,6 +276,152 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_dq_expectations",
+    """
+WITH base AS (
+  SELECT COUNT(*) AS n,
+         COUNT(DISTINCT o_orderkey) AS nd_key,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_cust,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS bad_price,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_date
+  FROM orders),
+fk AS (
+  SELECT COUNT(*) AS orphans
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL)
+SELECT 'orderkey_unique' AS check_name,
+       CAST(n - nd_key AS BIGINT) AS violations,
+       (n = nd_key) AS passed FROM base
+UNION ALL SELECT 'custkey_not_null', null_cust, null_cust = 0 FROM base
+UNION ALL SELECT 'totalprice_positive', bad_price, bad_price = 0 FROM base
+UNION ALL SELECT 'orderstatus_in_domain', bad_status, bad_status = 0
+  FROM base
+UNION ALL SELECT 'orderdate_complete', null_date, null_date = 0 FROM base
+UNION ALL SELECT 'custkey_fk_customer', CAST(orphans AS BIGINT),
+  orphans = 0 FROM fk
+""",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite over ``orders`` (the
+    Deequ-style admission gate a pipeline runs before trusting a
+    snapshot): key uniqueness, not-null completeness, value bounds,
+    categorical domain membership, and referential integrity to
+    ``customer`` — each reported as (check_name, violations, passed).
+
+    Scale: every row-local check folds into ONE aggregate over one
+    column-pruned scan of orders (violations counted with conditional
+    sums; uniqueness as ``n - count_distinct``), then a ``stack``
+    unpivot of the single observation row — adding a check adds a
+    column, not a scan. The FK check is the one necessarily-relational
+    piece: an anti-join against customer keys, its strategy left to
+    AQE (the dimension side broadcasts while it fits; at 100 TB both
+    sides shuffle on the key). Total: one fact scan + one key join,
+    independent of the number of checks."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders
+    obs = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("bad_status"),
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("null_date"),
+    )
+    row_checks = obs.select(
+        F.expr(
+            """stack(5,
+  'orderkey_unique',       n - nd_key, n = nd_key,
+  'custkey_not_null',      null_cust,  null_cust = 0,
+  'totalprice_positive',   bad_price,  bad_price = 0,
+  'orderstatus_in_domain', bad_status, bad_status = 0,
+  'orderdate_complete',    null_date,  null_date = 0
+) AS (check_name, violations, passed)"""
+        )
+    )
+    orphans = (
+        orders.join(
+            cat.customer.select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(
+            F.lit("custkey_fk_customer").alias("check_name"),
+            "violations",
+            (F.col("violations") == 0).alias("passed"),
+        )
+    )
+    return row_checks.unionByName(orphans)
+
+
+@query(
+    "rel_incremental_agg_merge",
+    """
+SELECT o_orderstatus,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(MIN(ROUND(o_totalprice * 100)) AS BIGINT) AS min_cents,
+       CAST(MAX(ROUND(o_totalprice * 100)) AS BIGINT) AS max_cents
+FROM orders
+GROUP BY o_orderstatus, EXTRACT(year FROM o_orderdate)
+""",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the (status, year) sales
+    rollup is computed as two independent PARTIAL aggregate states — a
+    "base" snapshot (orders before 1998) and a "delta" batch (1998+) —
+    merged algebraically (counts and sums add, mins/maxes combine).
+    The oracle computes the rollup DIRECTLY over all orders, so the
+    driver hash proves state-merge == full recompute, the invariant an
+    incremental materialized view relies on.
+
+    Scale: this is the pattern that turns a 100 TB nightly recompute
+    into a delta-sized one — the base state is group-count-sized
+    (persisted/stored once), each new batch aggregates only its own
+    rows, and the merge is an aggregation over two group-count-sized
+    states. All measures are exact integer cents, so merge order
+    cannot perturb the result (float partial sums would)."""
+    orders = Catalog(spark, sf_dir).orders
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cut = F.lit("1998-01-01").cast("date")
+
+    def state(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                "o_orderstatus",
+                F.year("o_orderdate").cast("long").alias("order_year"),
+            ).agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).alias("total_cents"),
+                F.min(cents).alias("min_cents"),
+                F.max(cents).alias("max_cents"),
+            )
+        )
+
+    base = state(orders.where(F.col("o_orderdate") < cut))
+    delta = state(orders.where(F.col("o_orderdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus", "order_year")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+
+
 # ------------------------------------------------ fuzzy entity matching
 
 

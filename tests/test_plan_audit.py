@@ -65,7 +65,21 @@ ANALYTICS_SAMPLE = [
     "rel_scd2_user_history",
     "rel_pagerank_parts",
     "llm_text_unigram_lm",
+    "rel_dq_expectations",
+    "rel_incremental_agg_merge",
 ]
+
+
+def test_dq_expectations_single_fact_scan_for_row_checks(spark):
+    """All five row-local checks fold into ONE aggregate: the executed
+    plan must scan orders exactly twice total — once for the combined
+    observation row, once for the FK anti-join — no matter how many
+    checks the suite carries."""
+    plan = _executed_plan(spark, "rel_dq_expectations")
+    # AQE's toString repeats every scan under "== Initial Plan ==" —
+    # count only the final-plan section
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("orders.parquet") == 2
 
 
 @pytest.mark.parametrize("name", ANALYTICS_SAMPLE)
