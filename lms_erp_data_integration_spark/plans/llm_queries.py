@@ -903,6 +903,47 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .registry import ORACLES as _ORACLES  # noqa: E402  (needs kmeans above)
+
+
+@query(
+    "llm_dedup_semantic_kmeans",
+    f"""
+SELECT vec_id, cid,
+       MIN(vec_id) OVER (PARTITION BY cid) AS keeper_id,
+       vec_id <> MIN(vec_id) OVER (PARTITION BY cid) AS is_dup
+FROM ({_ORACLES["llm_sim_kmeans_assign"]}) assign
+""",
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): cluster embeddings with k-means, then deduplicate WITHIN
+    clusters — here the prototype form that keeps one representative
+    (min vec_id) per cluster and marks the rest. The oracle reuses the
+    unrolled two-iteration k-means SQL verbatim (so the hash covers the
+    clustering too) plus a keeper window.
+
+    Scale: the point of clustering first is that the quadratic step
+    never runs globally — assignment is linear passes (k centroids
+    broadcast), and any within-cluster refinement (e.g. cosine
+    near-dup via ``llm_sim_near_dup_embeddings`` semantics per
+    cluster) is bounded by cluster size, not corpus size. k scales
+    with corpus/target-cluster-size; the keeper window shuffles once
+    on ``cid``."""
+    from pyspark.sql import Window as W
+
+    assign = sim.kmeans_assignments(
+        Catalog(spark, sf_dir).embeddings, k=8, iterations=2
+    )
+    keeper = F.min("vec_id").over(W.partitionBy("cid"))
+    return assign.select(
+        "vec_id",
+        "cid",
+        keeper.alias("keeper_id"),
+        (F.col("vec_id") != keeper).alias("is_dup"),
+    )
+
+
 @query(
     "llm_text_repetition",
     r"""
