@@ -58,11 +58,16 @@ def test_release_cached_unpersists(spark, docs):
     from lms_erp_data_integration_spark.caching import release_cached
 
     release_cached()  # drop anything earlier tests left behind
-    dd.ngram_jaccard_duplicates(docs, threshold=0.5).collect()
     jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() > 0  # operator did cache
+    # Baseline-relative, not == 0: localCheckpoint RDDs from earlier
+    # tests in this shared session (e.g. pagerank's per-round lineage
+    # truncation) also appear in getPersistentRDDs and are reclaimed
+    # by the ContextCleaner on GC, not by release_cached().
+    base = jsc.getPersistentRDDs().size()
+    dd.ngram_jaccard_duplicates(docs, threshold=0.5).collect()
+    assert jsc.getPersistentRDDs().size() > base  # operator did cache
     assert release_cached() > 0
-    assert jsc.getPersistentRDDs().size() == 0  # and it was all freed
+    assert jsc.getPersistentRDDs().size() == base  # tracked caches freed
 
 
 def test_minhash_agrees_with_exact_on_high_jaccard(spark, docs):
