@@ -85,6 +85,56 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dq_gate",
+    """
+SELECT COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error_events,
+       CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS nonpositive_value,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS null_user,
+       CAST(SUM(CASE WHEN event_type NOT IN
+              ('view','click','signup','purchase','error')
+            THEN 1 ELSE 0 END) AS BIGINT) AS bad_event_type
+FROM events
+""",
+)
+def stream_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``rel_dq_expectations``: the data-quality
+    observation an ingest pipeline keeps continuously updated — error
+    rate, value bounds, null keys, domain membership — as ONE global
+    streaming aggregate in complete mode, hash-checked against the
+    whole-table oracle (on a bounded source the final observation must
+    equal the batch answer exactly).
+
+    Scale: violation counters are algebraic (conditional sums), so the
+    streaming state is a single constant-size row regardless of event
+    volume — the cheapest possible always-on DQ monitor; per-key
+    variants shard the same state by key like
+    ``stream_stateful_user_totals``."""
+    ev = events_stream(spark, sf_dir)
+    gate = ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias(
+            "n_error_events"
+        ),
+        F.sum((F.col("value") <= 0).cast("long")).alias("nonpositive_value"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_user"),
+        F.sum(
+            (
+                ~F.col("event_type").isin(
+                    "view", "click", "signup", "purchase", "error"
+                )
+            ).cast("long")
+        ).alias("bad_event_type"),
+    )
+    return run_to_memory_sink(
+        gate, f"stream_dq_gate_{next(_SINK_SEQ)}", mode="complete"
+    )
+
+
+@query(
     "stream_session_windows",
     """
 WITH gaps AS (
