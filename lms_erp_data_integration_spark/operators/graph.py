@@ -23,14 +23,18 @@ def pagerank_micros(
     broadcast_ranks: bool = True,
     collapse_multi_edges: bool = False,
     degrees: DataFrame | None = None,
+    handle_dangling: bool = False,
 ) -> DataFrame:
     """Iterative PageRank in exact integer micro-units.
 
-    ``edges`` is a directed edge list (``src``, ``dst``); every node is
-    assumed to have at least one out-edge (true for symmetric
-    co-occurrence graphs — a graph with sinks needs dangling-mass
-    handling added: collect the dangling rank per round and
-    redistribute it uniformly, one extra node-sized aggregate).
+    ``edges`` is a directed edge list (``src``, ``dst``). The default
+    path assumes every node has at least one out-edge (true for
+    symmetric co-occurrence graphs) and skips sink bookkeeping;
+    ``handle_dangling=True`` switches to the full formulation — the
+    node universe becomes ``src ∪ dst`` and each round the rank mass
+    on sink nodes is redistributed uniformly inside the damping term
+    (see ``_iterate_with_dangling``). On a sinkless graph both paths
+    produce identical ranks for the receiving nodes.
     Per iteration: each node sends ``rank div out_degree`` to each
     neighbor (integer division), and ranks update as
     ``(1 - d) + d * sum(contributions)`` in the same integer scale.
@@ -108,14 +112,19 @@ def pagerank_micros(
     if degrees is not None and not broadcast_ranks:
         adj = adj.repartition("src")
     adj = tracked_persist(adj)
-    rank = deg.select(
-        F.col("dsrc").alias("node"), F.lit(1_000_000).cast("long").alias("r")
-    )
     keep = 100 - damping_pct
 
     def side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_ranks else df
 
+    if handle_dangling:
+        return _iterate_with_dangling(
+            adj, deg, side, iterations, damping_pct, keep
+        )
+
+    rank = deg.select(
+        F.col("dsrc").alias("node"), F.lit(1_000_000).cast("long").alias("r")
+    )
     for i in range(iterations):
         rank = (
             adj.join(side(rank), F.col("src") == F.col("node"))
@@ -140,5 +149,68 @@ def pagerank_micros(
             # boundary — dwarfs the actual node-sized work (measured
             # ~2-4 s of planning per stage at 3 rounds, vs ~100 ms of
             # execution). The checkpointed vector is node-sized.
+            rank = rank.localCheckpoint(eager=True)
+    return rank
+
+
+def _iterate_with_dangling(
+    adj: DataFrame,
+    deg: DataFrame,
+    side,
+    iterations: int,
+    damping_pct: int,
+    keep: int,
+) -> DataFrame:
+    """Dangling-mass PageRank rounds: the node universe is
+    ``distinct(src) ∪ distinct(dst)``; each round the rank mass sitting
+    on sink nodes (no out-edges) is collected into ONE scalar and
+    redistributed uniformly inside the damping term —
+    ``r'(v) = (1-d) + d * (Σ contributions(v) + dangling div n)``, all
+    in exact integer micro-units (``div`` truncation loses < n micro
+    per round, never re-ordered).
+
+    Scale: the extra cost per round is one node-sized anti-join + one
+    global sum (a scalar broadcast — same pattern as the q11/q15
+    scalar subqueries) and a node-sized left join to give sinks and
+    source-less nodes their rows. Everything stays node-count-sized;
+    the edge-sized join is unchanged from the sinkless path."""
+    nodes = tracked_persist(
+        adj.select(F.col("src").alias("node"))
+        .union(adj.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+    rank = nodes.select("node", F.lit(1_000_000).cast("long").alias("r"))
+    for i in range(iterations):
+        contrib = (
+            adj.join(side(rank), F.col("src") == F.col("node"))
+            .select(
+                F.col("dst").alias("node2"),
+                (F.col("cnt") * F.expr("r div deg")).alias("c"),
+            )
+            .groupBy("node2")
+            .agg(F.sum("c").alias("sc"))
+        )
+        dangling = F.broadcast(
+            rank.join(
+                side(deg), F.col("node") == F.col("dsrc"), "left_anti"
+            ).agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dang_sum"))
+        )
+        rank = (
+            nodes.join(contrib, F.col("node") == F.col("node2"), "left")
+            .crossJoin(dangling)
+            .crossJoin(n_nodes)
+            .select(
+                "node",
+                (
+                    F.lit(keep * 10_000)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(sc, 0)"
+                        " + dang_sum div n_nodes)) div 100"
+                    )
+                ).alias("r"),
+            )
+        )
+        if i < iterations - 1:
             rank = rank.localCheckpoint(eager=True)
     return rank

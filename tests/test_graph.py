@@ -64,3 +64,37 @@ def test_pagerank_provided_degrees_matches_derived(spark):
         map(tuple, pagerank_micros(edges, 3, degrees=degrees).collect())
     )
     assert derived == provided
+
+
+def test_pagerank_dangling_mass_hand_computed(spark):
+    """1->2, 2->3, 3 is a sink. n=3, all start at 1e6 micro.
+    Round 1: dangling = r(3) = 1e6, share = 1e6 div 3 = 333333;
+      r(1) = 150000 + (85 *  333333) div 100            =  433333
+      r(2) = 150000 + (85 * (1000000 + 333333)) div 100 = 1283333
+      r(3) = r(2)                                       = 1283333
+    Total 2999999 — mass conserved up to div truncation (< n micro)."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r["node"]: r["r"]
+        for r in pagerank_micros(
+            edges, iterations=1, handle_dangling=True
+        ).collect()
+    }
+    assert got == {1: 433333, 2: 1283333, 3: 1283333}
+    assert sum(got.values()) == 2999999
+
+
+def test_pagerank_dangling_noop_on_sinkless_graph(spark):
+    """With no sinks the dangling share is zero every round, so the
+    full formulation must equal the fast path exactly."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1)], "src long, dst long"
+    )
+    fast = dict(
+        (r["node"], r["r"]) for r in pagerank_micros(edges, 3).collect()
+    )
+    full = dict(
+        (r["node"], r["r"])
+        for r in pagerank_micros(edges, 3, handle_dangling=True).collect()
+    )
+    assert fast == full
