@@ -72,3 +72,81 @@ def prune_report(spark: SparkSession, path: str, predicate: str) -> dict:
         .count()
     )
     return {"total_files": total, "read_files": read}
+
+
+def list_table_files(spark: SparkSession, path: str) -> DataFrame:
+    """Inventory the data files under a table path as a DataFrame
+    (file, bytes) via the Hadoop FileSystem API — works unchanged on
+    local disk, HDFS, or an object store. Driver-side listing is
+    metadata-sized (one row per file), never data-sized."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    rows = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if name.endswith(".parquet"):
+            rows.append((name, int(st.getLen())))
+    return spark.createDataFrame(rows, "file string, bytes long")
+
+
+def compaction_plan(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    small_file_bytes: int | None = None,
+) -> DataFrame:
+    """Plan small-file compaction: files below ``small_file_bytes``
+    (default: half the target) are binned greedily — in deterministic
+    file-name order — into merge groups of ~``target_file_bytes``
+    (cumulative-sum bucketing). Returns (group_id, file, bytes);
+    right-sized files get no group (NULL) and are left untouched.
+
+    Scale: compaction is THE recurring maintenance op for
+    streaming/micro-batch sinks at 100 TB — thousands of tiny files
+    per trigger destroy scan parallelism economics (one task per file,
+    footer overhead per file). The plan itself is metadata-sized; the
+    rewrite cost is proportional to the small files only, never a full
+    table rewrite."""
+    from pyspark.sql.window import Window
+
+    if small_file_bytes is None:
+        small_file_bytes = target_file_bytes // 2
+    files = list_table_files(spark, path)
+    w = Window.orderBy("file").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return files.select(
+        F.when(
+            F.col("bytes") < small_file_bytes,
+            ((F.sum("bytes").over(w) - 1) / target_file_bytes).cast("long"),
+        ).alias("group_id"),
+        "file",
+        "bytes",
+    )
+
+
+def compact_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> dict:
+    """Execute a full-table compaction rewrite: read, repartition to
+    ceil(total_bytes / target), write. Returns before/after file
+    counts. (A production pipeline applies ``compaction_plan`` per
+    partition and rewrites only the affected groups; this helper is
+    the whole-table form for bounded tables.)"""
+    files = list_table_files(spark, src_path)
+    agg = files.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bytes").alias("b")
+    ).first()
+    n_out = max(1, int((agg["b"] + target_file_bytes - 1)
+                       // target_file_bytes))
+    spark.read.parquet(src_path).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+    after = list_table_files(spark, dst_path).count()
+    return {"files_before": int(agg["n"]), "files_after": int(after)}

@@ -53,3 +53,38 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_compaction_plan_and_rewrite(spark, sf_dir, tmp_path):
+    from lms_erp_data_integration_spark.pipeline.layout import (
+        compact_table,
+        compaction_plan,
+        list_table_files,
+    )
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(40).write.parquet(src)
+    inv = list_table_files(spark, src)
+    assert inv.count() == 40
+    total = inv.agg(__import__("pyspark").sql.functions.sum("bytes")).first()[0]
+
+    plan = compaction_plan(spark, src, target_file_bytes=total // 4)
+    rows = plan.collect()
+    # every tiny file is grouped, groups are contiguous and ~4 of them
+    assert all(r["group_id"] is not None for r in rows)
+    n_groups = len({r["group_id"] for r in rows})
+    assert 3 <= n_groups <= 6
+    # big-enough files stay untouched: raise the small-file floor above
+    # every file size and the plan must leave all files ungrouped
+    noop = compaction_plan(
+        spark, src, target_file_bytes=total // 4, small_file_bytes=1
+    )
+    assert all(r["group_id"] is None for r in noop.collect())
+
+    stats = compact_table(spark, src, dst, target_file_bytes=total // 4)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] <= 6
+    # content preserved
+    assert spark.read.parquet(dst).count() == orders.count()
