@@ -422,6 +422,62 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_cascade_delete_impact",
+    """
+WITH victims AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+ord AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM victims))
+SELECT 'customer' AS table_name, 1 AS fk_depth,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM victims) AS affected_rows
+UNION ALL
+SELECT 'orders', 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM ord)
+UNION ALL
+SELECT 'lineitem', 3,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM ord))
+""",
+)
+def cascade_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-request impact analysis (GDPR right-to-be-forgotten
+    pre-flight): given a victim set of customers, count the rows each
+    FK-dependent table would lose, in dependency order — the dry-run a
+    sync/governance pipeline executes before the FK-ordered deletes
+    the reference applies on its update path (SURVEY.md O1, reversed
+    for deletion).
+
+    Scale: each level is a LEFT SEMI join on the parent's key set —
+    the victim key sets are deletion-sized, so every semi-join
+    broadcasts (AQE's call, no hint), and the fact tables are scanned
+    once each with only their key columns read. No row data moves,
+    only counts."""
+    cat = Catalog(spark, sf_dir)
+    victims = cat.customer.where(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey"
+    )
+    ords = cat.orders.join(
+        victims, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("o_orderkey")
+    items = cat.lineitem.join(
+        ords, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+
+    def level(df: DataFrame, name: str, depth: int) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("affected_rows")).select(
+            F.lit(name).alias("table_name"),
+            F.lit(depth).alias("fk_depth"),
+            "affected_rows",
+        )
+
+    return (
+        level(victims, "customer", 1)
+        .unionByName(level(ords, "orders", 2))
+        .unionByName(level(items, "lineitem", 3))
+    )
+
+
 # ------------------------------------------------ fuzzy entity matching
 
 
