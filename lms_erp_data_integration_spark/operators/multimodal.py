@@ -154,6 +154,99 @@ def decode_image_stub(payload: bytes, fake: bool = False) -> dict:
     }
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def _decode_pixels(payload: bytes) -> tuple | None:
+    """(H, W, C) uint8 numpy array for recognized rasters, else None.
+    8-bit only (the resize path's input contract)."""
+    meta = decode_image(payload)
+    if meta is None:
+        return None
+    w, h, c = meta["width"], meta["height"], meta["channels"]
+    if payload[:2] == b"P6" or payload[:2] == b"P5":
+        # re-tokenize to find the data offset (same walk as _decode_pnm)
+        pos, fields = 2, []
+        while len(fields) < 3:
+            ch = payload[pos : pos + 1]
+            if ch == b"#":
+                pos = payload.find(b"\n", pos) + 1
+            elif ch.isspace():
+                pos += 1
+            else:
+                end = pos
+                while not payload[end : end + 1].isspace():
+                    end += 1
+                fields.append(int(payload[pos:end]))
+                pos = end
+        pos += 1
+        if fields[2] >= 256:
+            return None  # 16-bit samples: not supported by resize
+        arr = np.frombuffer(payload, np.uint8, count=w * h * c, offset=pos)
+        return arr.reshape(h, w, c)
+    # BMP: bottom-up rows, stride-padded
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    height_signed = struct.unpack_from("<i", payload, 22)[0]
+    stride = (w * c + 3) & ~3
+    raw = np.frombuffer(
+        payload, np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * c].reshape(h, w, c)
+    return raw[::-1] if height_signed > 0 else raw
+
+
+def resize_nearest(payload: bytes, out_w: int, out_h: int) -> dict | None:
+    """Nearest-neighbor resize for recognized 8-bit rasters — the
+    standard pre-embedding normalization step, pure numpy (integer
+    index maps, no interpolation arithmetic, so results are exactly
+    reproducible). Returns RESIZED row fields sans doc_id, or None
+    for unrecognized payloads."""
+    px = _decode_pixels(payload)
+    if px is None:
+        return None
+    h, w, c = px.shape
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    out = px[yi][:, xi]
+    return {
+        "width": out_w,
+        "height": out_h,
+        "channels": c,
+        "pixels": out.tobytes(),
+    }
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas resize stage: recognized rasters are decoded and
+    nearest-neighbor-resized to (out_w, out_h); unrecognized payloads
+    are dropped (a training pipeline routes them to a dead-letter
+    side output instead — same plumbing, different sink). Narrow
+    per-batch map; payloads never shuffle and never hit the driver."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                r = resize_nearest(p, out_w, out_h)
+                if r is not None:
+                    rows.append({"doc_id": i, **r})
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "pixels"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, RESIZED_SCHEMA)
+
+
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize an opaque binary payload column (stand-in for real
     image/audio bytes)."""

@@ -410,3 +410,41 @@ def test_chunk_documents_short_doc_single_chunk(spark):
     out = tx.chunk_documents(df).collect()
     assert len(out) == 1
     assert out[0]["n_tok"] == 4 and out[0]["chunk_text"] == "only four tokens here"
+
+
+def test_resize_nearest_ppm_exact():
+    # 2x2 RGB -> 4x4: nearest-neighbor must replicate each source
+    # pixel into a 2x2 block, exactly
+    import numpy as np
+
+    src = _ppm_bytes(2, 2, range(12))
+    r = mm.resize_nearest(src, 4, 4)
+    assert (r["width"], r["height"], r["channels"]) == (4, 4, 3)
+    out = np.frombuffer(r["pixels"], np.uint8).reshape(4, 4, 3)
+    srcpx = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    assert (out == srcpx.repeat(2, 0).repeat(2, 1)).all()
+    # downscale back: picks the top-left of each block
+    r2 = mm.resize_nearest(_ppm_bytes(2, 2, range(12)), 1, 1)
+    assert np.frombuffer(r2["pixels"], np.uint8).tolist() == [0, 1, 2]
+
+
+def test_resize_nearest_bmp_row_order():
+    # BMP rows are stored bottom-up; resize must see top-down pixels:
+    # a 1x2 image (top=10, bottom=200) downsized to 1x1 keeps the TOP
+    import numpy as np
+
+    bmp = _bmp_bytes(1, 2, [[200, 200, 200], [10, 10, 10]])
+    r = mm.resize_nearest(bmp, 1, 1)
+    assert np.frombuffer(r["pixels"], np.uint8).tolist() == [10, 10, 10]
+
+
+def test_resize_images_through_spark(spark):
+    ppm = _ppm_bytes(2, 2, range(12))
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    rows = mm.resize_images(df, 4, 4).collect()
+    # unrecognized payload dropped, raster resized
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["width"] == 4 and len(bytes(rows[0]["pixels"])) == 48
