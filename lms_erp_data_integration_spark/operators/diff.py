@@ -78,3 +78,78 @@ def snapshot_diff(
         .withColumn(status_col, F.lit(drop_status))
     )
     return adds.unionByName(drops)
+
+
+def bucket_checksums(
+    df: DataFrame,
+    checksum_col,
+    bucket_col,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-bucket row count + commutative integer checksum — one half
+    of a Merkle-style reconciliation (see ``drift_buckets``).
+
+    ``checksum_col`` must be a deterministic integer expression over
+    the row (portable across engines — NOT ``hash()``, whose seed and
+    algorithm differ between Spark and other systems); the per-bucket
+    checksum is its SUM, which is order- and partition-independent.
+    Output: (bucket, n_rows, checksum).
+    """
+    return (
+        df.select(
+            (bucket_col % n_buckets).cast("long").alias("bucket"),
+            checksum_col.cast("long").alias("_ck"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_ck").alias("checksum"),
+        )
+    )
+
+
+def drift_buckets(
+    source: DataFrame,
+    mirror: DataFrame,
+    checksum_col,
+    bucket_col,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Merkle-style mirror-drift detection: compare per-bucket
+    (count, checksum) summaries of source and mirror and return ONLY
+    the buckets that disagree, with both sides' summaries.
+
+    Scale: this is how a 100 TB mirror is verified WITHOUT a 100 TB
+    join — each side is one aggregation pass producing ``n_buckets``
+    rows, the compare is bucket-count-sized, and only differing
+    buckets (usually none) need a row-level ``snapshot_diff`` scoped
+    to ``bucket_col % n_buckets = b``. A full-table row diff as the
+    first step would shuffle both tables; this never does.
+    Output: (bucket, src_rows, src_checksum, mir_rows, mir_checksum).
+    """
+    src = bucket_checksums(source, checksum_col, bucket_col, n_buckets)
+    mir = bucket_checksums(mirror, checksum_col, bucket_col, n_buckets)
+    s = src.select(
+        F.col("bucket"),
+        F.col("n_rows").alias("src_rows"),
+        F.col("checksum").alias("src_checksum"),
+    )
+    m = mir.select(
+        F.col("bucket").alias("mbucket"),
+        F.col("n_rows").alias("mir_rows"),
+        F.col("checksum").alias("mir_checksum"),
+    )
+    return (
+        s.join(m, F.col("bucket") == F.col("mbucket"), "full_outer")
+        .select(
+            F.coalesce(F.col("bucket"), F.col("mbucket")).alias("bucket"),
+            F.coalesce(F.col("src_rows"), F.lit(0)).alias("src_rows"),
+            F.coalesce(F.col("src_checksum"), F.lit(0)).alias("src_checksum"),
+            F.coalesce(F.col("mir_rows"), F.lit(0)).alias("mir_rows"),
+            F.coalesce(F.col("mir_checksum"), F.lit(0)).alias("mir_checksum"),
+        )
+        .where(
+            (F.col("src_rows") != F.col("mir_rows"))
+            | (F.col("src_checksum") != F.col("mir_checksum"))
+        )
+    )

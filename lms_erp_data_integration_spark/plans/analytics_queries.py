@@ -478,6 +478,55 @@ def cascade_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_mirror_drift_buckets",
+    """
+WITH ck AS (
+  SELECT o_orderkey % 64 AS bucket,
+         o_orderkey * 1000003 + o_custkey AS rck,
+         o_orderkey
+  FROM orders),
+src AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS src_rows,
+         CAST(SUM(rck) AS BIGINT) AS src_checksum
+  FROM ck GROUP BY bucket),
+mir AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS mir_rows,
+         CAST(SUM(rck) AS BIGINT) AS mir_checksum
+  FROM ck WHERE o_orderkey % 9973 <> 0 GROUP BY bucket)
+SELECT bucket,
+       COALESCE(src_rows, 0) AS src_rows,
+       COALESCE(src_checksum, 0) AS src_checksum,
+       COALESCE(mir_rows, 0) AS mir_rows,
+       COALESCE(mir_checksum, 0) AS mir_checksum
+FROM src FULL OUTER JOIN mir USING (bucket)
+WHERE COALESCE(src_rows, 0) <> COALESCE(mir_rows, 0)
+   OR COALESCE(src_checksum, 0) <> COALESCE(mir_checksum, 0)
+""",
+)
+def mirror_drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style mirror reconciliation (the scale-correct form of
+    the reference's implicit "is the mirror current?" question): a
+    simulated drifted mirror (orders minus every 9973rd key) is
+    compared to the source via per-bucket counts + commutative integer
+    checksums; only disagreeing buckets surface, each pre-scoped for a
+    row-level snapshot_diff.
+
+    Scale: one aggregation pass per side (map-side partial to 64
+    bucket rows), a bucket-count-sized compare, and NO table-level
+    join or shuffle — at 100 TB the row diff runs only inside the
+    (typically few) drifted buckets. The checksum is a portable
+    integer expression, not engine-specific hash()."""
+    from ..operators.diff import drift_buckets
+
+    orders = Catalog(spark, sf_dir).orders
+    checksum = F.col("o_orderkey") * 1000003 + F.col("o_custkey")
+    mirror = orders.where(F.col("o_orderkey") % 9973 != 0)
+    return drift_buckets(
+        orders, mirror, checksum, F.col("o_orderkey"), n_buckets=64
+    )
+
+
 # ------------------------------------------------ fuzzy entity matching
 
 

@@ -80,3 +80,31 @@ def test_anti_join_broadcasts_mirror(spark, erp, mirror):
     out = missing_rows(term_slice(erp), term_slice(mirror), KEYS)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_drift_buckets_detects_only_drifted(spark):
+    from pyspark.sql import functions as F
+
+    from lms_erp_data_integration_spark.operators.diff import drift_buckets
+
+    src = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    ck = F.col("k") * 1000003 + F.col("v")
+    # identical mirror: no drift rows at all
+    assert drift_buckets(src, src, ck, F.col("k"), 16).count() == 0
+    # drop one row (k=130 -> bucket 2) and corrupt one value
+    # (k=37 -> bucket 5): exactly those two buckets must surface
+    mirror = src.where(F.col("k") != 130).withColumn(
+        "v", F.when(F.col("k") == 37, F.lit(0)).otherwise(F.col("v"))
+    )
+    got = {
+        r["bucket"]: r for r in drift_buckets(
+            src, mirror, ck, F.col("k"), 16
+        ).collect()
+    }
+    assert set(got) == {130 % 16, 37 % 16}
+    assert got[130 % 16]["src_rows"] == got[130 % 16]["mir_rows"] + 1
+    # the corrupted bucket has equal counts but differing checksums
+    assert got[37 % 16]["src_rows"] == got[37 % 16]["mir_rows"]
+    assert got[37 % 16]["src_checksum"] != got[37 % 16]["mir_checksum"]
