@@ -153,3 +153,50 @@ def drift_buckets(
             | (F.col("src_checksum") != F.col("mir_checksum"))
         )
     )
+
+
+def reconcile_mirror(
+    source: DataFrame,
+    mirror: DataFrame,
+    keys: Sequence[str],
+    checksum_col,
+    bucket_col,
+    n_buckets: int = 64,
+    status_col: str = "status",
+) -> DataFrame:
+    """Two-phase mirror repair: find drifted buckets by checksum
+    (``drift_buckets``), then run the row-level ``snapshot_diff`` ONLY
+    inside those buckets — both sides are pre-filtered by a broadcast
+    semi-join on the (bucket-count-sized) drifted-bucket set, never a
+    driver collect.
+
+    Because all drift lives in drifted buckets by construction, the
+    scoped diff returns exactly the full-table diff — at the cost of
+    two aggregation passes plus a diff over the drifted slice, instead
+    of an all-table anti-join pair. At 100 TB with localized drift
+    that is the difference between reading everything twice and
+    reading a few buckets."""
+    drifted = drift_buckets(
+        source, mirror, checksum_col, bucket_col, n_buckets
+    ).select("bucket")
+
+    def scoped(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_b", (bucket_col % n_buckets).cast("long"))
+            .join(
+                F.broadcast(drifted),
+                F.col("_b") == F.col("bucket"),
+                "left_semi",
+            )
+            .drop("_b")
+        )
+
+    return snapshot_diff(
+        scoped(source),
+        scoped(mirror),
+        keys,
+        status_col=status_col,
+        add_status="missing_in_mirror",
+        drop_status="extra_in_mirror",
+        broadcast_right=False,
+    )

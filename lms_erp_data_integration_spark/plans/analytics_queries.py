@@ -527,6 +527,40 @@ def mirror_drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_mirror_reconcile_rows",
+    """
+SELECT o_orderkey, 'missing_in_mirror' AS status
+FROM orders WHERE o_orderkey % 9973 = 0
+""",
+)
+def mirror_reconcile_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase two of Merkle reconciliation: the row-level repair diff,
+    computed ONLY inside the drifted buckets (broadcast semi-join on
+    the drift_buckets output — no driver collect). The oracle states
+    the ground truth directly (every 9973rd key is missing from the
+    simulated mirror), so the hash proves the bucket-scoped diff finds
+    exactly the full-table diff.
+
+    Scale: see ``operators/diff.py:reconcile_mirror`` — checksum
+    passes + a diff over the drifted slice instead of an all-table
+    anti-join pair; with localized drift the row-level work reads a
+    few buckets, not the table."""
+    from ..operators.diff import reconcile_mirror
+
+    orders = Catalog(spark, sf_dir).orders
+    checksum = F.col("o_orderkey") * 1000003 + F.col("o_custkey")
+    mirror = orders.where(F.col("o_orderkey") % 9973 != 0)
+    return reconcile_mirror(
+        orders,
+        mirror,
+        ["o_orderkey"],
+        checksum,
+        F.col("o_orderkey"),
+        n_buckets=64,
+    )
+
+
 # ------------------------------------------------ fuzzy entity matching
 
 

@@ -108,3 +108,34 @@ def test_drift_buckets_detects_only_drifted(spark):
     # the corrupted bucket has equal counts but differing checksums
     assert got[37 % 16]["src_rows"] == got[37 % 16]["mir_rows"]
     assert got[37 % 16]["src_checksum"] != got[37 % 16]["mir_checksum"]
+
+
+def test_reconcile_mirror_scoped_equals_full_diff(spark):
+    from pyspark.sql import functions as F
+
+    from lms_erp_data_integration_spark.operators.diff import (
+        reconcile_mirror,
+        snapshot_diff,
+    )
+
+    src = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    mirror = src.where(~F.col("k").isin(42, 137)).unionByName(
+        spark.createDataFrame([(9999, 0)], "k long, v long")
+    )
+    ck = F.col("k") * 1000003 + F.col("v")
+    scoped = reconcile_mirror(src, mirror, ["k"], ck, F.col("k"), 16)
+    full = snapshot_diff(
+        src, mirror, ["k"],
+        add_status="missing_in_mirror", drop_status="extra_in_mirror",
+    )
+    assert sorted(map(tuple, scoped.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    got = {(r["k"], r["status"]) for r in scoped.collect()}
+    assert got == {
+        (42, "missing_in_mirror"),
+        (137, "missing_in_mirror"),
+        (9999, "extra_in_mirror"),
+    }
