@@ -945,6 +945,66 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_semantic_verified",
+    f"""
+WITH nv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS v
+  FROM embeddings)
+SELECT aa.vec_id AS i, bb.vec_id AS j, aa.cid,
+       list_dot_product(na.v, nb.v) AS cosine
+FROM ({_ORACLES["llm_sim_kmeans_assign"]}) aa
+JOIN ({_ORACLES["llm_sim_kmeans_assign"]}) bb
+  ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+JOIN nv na ON na.vec_id = aa.vec_id
+JOIN nv nb ON nb.vec_id = bb.vec_id
+WHERE list_dot_product(na.v, nb.v) >= 0.35
+""",
+)
+def dedup_semantic_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SemDeDup: k-means clustering, then exact cosine
+    verification of pairs WITHIN each cluster — the threshold form of
+    `llm_dedup_semantic_kmeans`'s prototype form. Output (i, j, cid,
+    cosine) for within-cluster pairs at cosine >= 0.35; the oracle
+    re-runs the unrolled k-means and the same normalized dot product.
+
+    Scale: the pair join is keyed on the cluster id, so candidate
+    generation is SUM of per-cluster quadratics, bounded by the
+    largest cluster — k is chosen (corpus / target cluster size) to
+    keep that term executor-sized, and a fat cluster shows up in
+    `llm_lsh_bucket_histogram`-style pre-flight counts before any join
+    runs. One shuffle on cid, one on the pair's id side for the
+    vector fetch."""
+    emb = Catalog(spark, sf_dir).embeddings
+    assign = sim.kmeans_assignments(emb, k=8, iterations=2)
+    normed = emb.select("vec_id", sim.normalize(F.col("embedding")).alias("v"))
+    a = assign.join(normed, "vec_id").select(
+        F.col("vec_id").alias("i"), "cid", F.col("v").alias("_vi")
+    )
+    b = assign.join(normed, "vec_id").select(
+        F.col("vec_id").alias("j"),
+        F.col("cid").alias("_cidb"),
+        F.col("v").alias("_vj"),
+    )
+    return (
+        a.join(b, (F.col("cid") == F.col("_cidb")) & (F.col("i") < F.col("j")))
+        .select(
+            "i",
+            "j",
+            "cid",
+            F.aggregate(
+                F.zip_with(F.col("_vi"), F.col("_vj"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.35)
+    )
+
+
+@query(
     "llm_text_repetition",
     r"""
 WITH toks AS (
