@@ -561,6 +561,66 @@ def mirror_reconcile_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_cdc_log_compaction",
+    """
+WITH log AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS value_micros
+  FROM events),
+latest AS (
+  SELECT user_id, op, value_micros, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log)
+SELECT user_id, value_micros AS last_value_micros, ts AS last_ts
+FROM latest WHERE rn = 1 AND op = 'U'
+""",
+)
+def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (last-writer-wins upsert apply with
+    tombstones): the events table read as an ordered change log —
+    'error' events act as deletes, everything else as upserts — and
+    compacted to current state: the latest surviving value per key,
+    keys whose latest op is a delete dropped entirely. This is the
+    materialize step of any log-shipped mirror (Kafka-compaction /
+    CDC-apply semantics) and the streaming-sync family's batch twin.
+
+    Scale: ONE shuffle on the key with a deterministic tie-broken
+    top-1 window (ts, then event_id — never ambiguous under
+    concurrent timestamps); values carried as exact integer micros.
+    At 100 TB the log arrives partitioned by key (Kafka/CDC topics
+    already are), so AQE sees a pre-partitioned exchange; compaction
+    state per key is one row."""
+    ev = Catalog(spark, sf_dir).events
+    from pyspark.sql import Window as W
+
+    log = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round(F.col("value") * 1_000_000)
+        .cast("long")
+        .alias("value_micros"),
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("value_micros").alias("last_value_micros"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
 # ------------------------------------------------ fuzzy entity matching
 
 
