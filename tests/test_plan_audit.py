@@ -67,7 +67,21 @@ ANALYTICS_SAMPLE = [
     "llm_text_unigram_lm",
     "rel_dq_expectations",
     "rel_incremental_agg_merge",
+    "rel_mirror_drift_buckets",
+    "rel_mirror_reconcile_rows",
+    "rel_cdc_log_compaction",
+    "rel_cascade_delete_impact",
+    "llm_dedup_semantic_verified",
 ]
+
+
+def test_cdc_compaction_single_keyed_shuffle(spark):
+    """Log compaction must cost exactly one keyed exchange (the window
+    partitioning) — a second exchange would mean the plan re-shuffles
+    the compacted output."""
+    plan = _executed_plan(spark, "rel_cdc_log_compaction")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
 
 
 def test_dq_expectations_single_fact_scan_for_row_checks(spark):
