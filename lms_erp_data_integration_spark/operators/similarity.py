@@ -569,6 +569,11 @@ def kmeans_assignments(
             ).alias("_S"),
             F.max("_cnt").cast("double").alias("_n"),
         )
+        # k-row state: truncate lineage between iterations (same
+        # pattern as graph.pagerank_micros) — the deepening nested-HOF
+        # plan otherwise costs more in driver-side re-optimization at
+        # every AQE stage boundary than the cluster-sums job itself.
+        state = state.localCheckpoint(eager=True)
     return assign.select(F.col(id_col), F.col("cid"))
 
 
@@ -701,4 +706,80 @@ def pq_adc_topk(
         adc.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "adist", "rank")
+    )
+
+
+def cluster_verified_pairs(
+    assign: DataFrame,
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    max_cluster_rows: int = 100_000,
+) -> DataFrame:
+    """Within-cluster exact cosine pairs (i < j, cosine >= threshold)
+    — the SemDeDup verification step, one vectorized numpy kernel per
+    cluster instead of an interpreted HOF fold per pair.
+
+    Bit-parity with the expression/oracle form: norms and pair scores
+    accumulate via elementwise product + ``cumsum`` (strictly
+    sequential additions), identical to the sequential fold the SQL
+    oracle and `F.aggregate` twin use — same trick as
+    :func:`near_duplicate_pairs_blocked`.
+
+    Scale: clusters are packed into one row each (collect_list after a
+    keyed shuffle), so the quadratic term is per-cluster and runs
+    inside one task; the kernel fails fast if a cluster exceeds
+    ``max_cluster_rows`` (pick k ~ corpus/target-cluster-size and
+    check the cluster-size histogram first, exactly like the LSH
+    fat-bucket pre-flight)."""
+    import numpy as np
+    import pandas as pd
+
+    packed = (
+        vectors.join(assign, id_col)
+        .select(
+            F.col(cid_col),
+            F.struct(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+            ).alias("_r"),
+        )
+        .groupBy(cid_col)
+        .agg(F.collect_list("_r").alias("_rows"))
+    )
+
+    def op(batches):
+        for batch in batches:
+            out: dict[str, list] = {"i": [], "j": [], "cid": [], "cosine": []}
+            for cid, rows in zip(batch[cid_col], batch["_rows"]):
+                if len(rows) > max_cluster_rows:
+                    raise ValueError(
+                        f"cluster_verified_pairs: cluster {cid} holds "
+                        f"{len(rows)} vectors > max_cluster_rows="
+                        f"{max_cluster_rows}; raise k so clusters fit "
+                        f"in task memory"
+                    )
+                if len(rows) < 2:
+                    continue
+                rows = sorted(rows, key=lambda r: r["id"])
+                ids = np.array([r["id"] for r in rows], dtype=np.int64)
+                V = np.array(
+                    [np.asarray(r["v"], dtype=np.float64) for r in rows]
+                )
+                norms = np.sqrt((V * V).cumsum(axis=1)[:, -1])
+                N = V / norms[:, None]
+                iu, ju = np.triu_indices(len(rows), k=1)
+                scores = (N[iu] * N[ju]).cumsum(axis=1)[:, -1]
+                m = scores >= threshold
+                out["i"].extend(ids[iu[m]].tolist())
+                out["j"].extend(ids[ju[m]].tolist())
+                out["cid"].extend([cid] * int(m.sum()))
+                out["cosine"].extend(scores[m].tolist())
+            yield pd.DataFrame(
+                out, columns=["i", "j", "cid", "cosine"]
+            )
+
+    return packed.mapInPandas(
+        op, "i long, j long, cid long, cosine double"
     )

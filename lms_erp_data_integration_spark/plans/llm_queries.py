@@ -977,31 +977,11 @@ def dedup_semantic_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     `llm_lsh_bucket_histogram`-style pre-flight counts before any join
     runs. One shuffle on cid, one on the pair's id side for the
     vector fetch."""
+    from ..caching import tracked_persist
+
     emb = Catalog(spark, sf_dir).embeddings
     assign = sim.kmeans_assignments(emb, k=8, iterations=2)
-    normed = emb.select("vec_id", sim.normalize(F.col("embedding")).alias("v"))
-    a = assign.join(normed, "vec_id").select(
-        F.col("vec_id").alias("i"), "cid", F.col("v").alias("_vi")
-    )
-    b = assign.join(normed, "vec_id").select(
-        F.col("vec_id").alias("j"),
-        F.col("cid").alias("_cidb"),
-        F.col("v").alias("_vj"),
-    )
-    return (
-        a.join(b, (F.col("cid") == F.col("_cidb")) & (F.col("i") < F.col("j")))
-        .select(
-            "i",
-            "j",
-            "cid",
-            F.aggregate(
-                F.zip_with(F.col("_vi"), F.col("_vj"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= 0.35)
-    )
+    return sim.cluster_verified_pairs(assign, emb, threshold=0.35)
 
 
 @query(

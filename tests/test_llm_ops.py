@@ -448,3 +448,56 @@ def test_resize_images_through_spark(spark):
     # unrecognized payload dropped, raster resized
     assert [r["doc_id"] for r in rows] == [1]
     assert rows[0]["width"] == 4 and len(bytes(rows[0]["pixels"])) == 48
+
+
+def test_cluster_verified_pairs_matches_expression_form(spark):
+    """The numpy cluster kernel must equal the F.aggregate fold
+    expression form bit-for-bit (cumsum sequential accumulation)."""
+    import math
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.2, 0.1], 0),
+            (1, [0.9, 0.25, 0.05], 0),
+            (2, [0.1, 1.0, 0.3], 1),
+            (3, [0.12, 0.95, 0.33], 1),
+            (4, [0.5, 0.5, 0.5], 1),
+        ],
+        "vec_id long, embedding array<float>, cid long",
+    )
+    assign = vecs.select("vec_id", "cid")
+    fast = {
+        (r["i"], r["j"]): r["cosine"]
+        for r in sim.cluster_verified_pairs(
+            assign, vecs.drop("cid"), threshold=0.0
+        ).collect()
+    }
+    a = assign.join(
+        vecs.select("vec_id", sim.normalize(F.col("embedding")).alias("v")),
+        "vec_id",
+    )
+    b = a.select(
+        F.col("vec_id").alias("j"),
+        F.col("cid").alias("_cidb"),
+        F.col("v").alias("_vj"),
+    )
+    expr = {
+        (r["i"], r["j"]): r["cosine"]
+        for r in a.select(
+            F.col("vec_id").alias("i"), "cid", F.col("v").alias("_vi")
+        )
+        .join(b, (F.col("cid") == F.col("_cidb")) & (F.col("i") < F.col("j")))
+        .select(
+            "i",
+            "j",
+            F.aggregate(
+                F.zip_with(F.col("_vi"), F.col("_vj"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("cosine"),
+        )
+        .collect()
+    }
+    assert set(fast) == set(expr) == {(0, 1), (2, 3), (2, 4), (3, 4)}
+    for k in expr:
+        assert math.isclose(fast[k], expr[k], rel_tol=0.0, abs_tol=0.0), k
