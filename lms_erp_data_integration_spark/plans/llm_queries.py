@@ -945,6 +945,36 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_cluster_histogram",
+    f"""
+SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS verify_pairs
+FROM ({_ORACLES["llm_sim_kmeans_assign"]}) assign
+GROUP BY cid
+""",
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size pre-flight for semantic dedup (the k-means analog
+    of `llm_lsh_bucket_histogram`): per-cluster member count and the
+    quadratic pair count the within-cluster verification would pay —
+    run BEFORE `llm_dedup_semantic_verified` so a fat cluster (k too
+    small, or a degenerate embedding mode) is a one-aggregation
+    observation, not a task OOM inside the pair kernel.
+
+    Scale: one aggregation over the assignment (k rows out); the
+    decision rule is ``max(verify_pairs)`` vs task memory, the same
+    contract `cluster_verified_pairs.max_cluster_rows` enforces."""
+    assign = sim.kmeans_assignments(
+        Catalog(spark, sf_dir).embeddings, k=8, iterations=2
+    )
+    n = F.count(F.lit(1))
+    return assign.groupBy("cid").agg(
+        n.alias("cluster_size"),
+        (n * (n - F.lit(1)) / F.lit(2)).cast("long").alias("verify_pairs"),
+    )
+
+
+@query(
     "llm_dedup_semantic_verified",
     f"""
 WITH nv AS (
