@@ -509,3 +509,16 @@ def test_cluster_verified_pairs_matches_expression_form(spark):
     assert set(fast) == set(expr) == {(0, 1), (2, 3), (2, 4), (3, 4)}
     for k in expr:
         assert math.isclose(fast[k], expr[k], rel_tol=0.0, abs_tol=0.0), k
+
+
+def test_decode_image_16bit_ppm():
+    # maxval 65535 -> big-endian 2-byte samples; mean over raw sample
+    # values; resize declines (8-bit contract) but decode succeeds
+    import struct as st
+
+    samples = [0, 1000, 30000, 65535, 12, 7]  # 2x1 RGB
+    ppm = b"P6\n2 1\n65535\n" + st.pack(">6H", *samples)
+    meta = mm.decode_image(ppm)
+    assert (meta["width"], meta["height"], meta["channels"]) == (2, 1, 3)
+    assert meta["pixel_mean"] == sum(samples) / 6
+    assert mm.resize_nearest(ppm, 1, 1) is None
