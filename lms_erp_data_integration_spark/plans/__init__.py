@@ -13,12 +13,17 @@ from . import analytics_queries  # noqa: F401, E402
 # driver's correctness gate hashes only the first 50 ``queries()``
 # entries per round. This window covers: the 8 core sync queries (kept
 # verified every round), the re-fixed ``rel_profile_columns`` (r3's one
-# red row — min/max now BIGINT cents), all 28 queries that have never
-# had a driver row, the 7 whose only driver row predates the r2 dedup/
-# text optimizations, and 6 float-heavy queries re-entered because the
-# local parity normalizer was tightened to driver-hash strictness this
-# round. After this window every registered query has had a driver row,
-# and 115/123 at current-or-newer code.
+# red row — min/max now BIGINT cents), all 28 queries that had never
+# had a driver row as of r3, the 7 whose only driver row predates the
+# r2 dedup/text optimizations, and 6 float-heavy queries re-entered
+# because the local parity normalizer was tightened to driver-hash
+# strictness this round. After this window every query registered at
+# rotation time has had a driver row. The 10 queries ADDED during r4
+# (dq/incremental/cascade/drift/reconcile/cdc, semantic dedup family,
+# stream_dq_gate) are stamped in tests/checked_hashes.json and enter
+# the r5 window (policy pinned by
+# tests/test_registry.py::test_changed_queries_enter_driver_window);
+# all pass local parity at driver-hash strictness.
 registry.PRIORITY = [
     # core reference surface (keep verified every round)
     "sync_missing_faculty_users",
