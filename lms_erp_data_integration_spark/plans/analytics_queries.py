@@ -621,6 +621,55 @@ def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_join_size_profile",
+    """
+WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+b AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1),
+j AS (SELECT a.k, ca, cb FROM a JOIN b USING (k))
+SELECT CAST(SUM(ca * cb) AS BIGINT) AS join_rows,
+       CAST(COUNT(*) AS BIGINT) AS matching_keys,
+       CAST(MAX(ca * cb) AS BIGINT) AS max_key_rows,
+       CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS left_keys,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS right_keys
+FROM j
+""",
+)
+def join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality profiler: the exact output size, matching-key
+    count, and worst single-key contribution of orders ⋈ lineitem on
+    the order key — the pre-flight that prices a shuffle join (and
+    exposes key skew: ``max_key_rows`` vs ``join_rows/matching_keys``)
+    before anyone runs it.
+
+    Scale: |join| = Σ_k ca(k)·cb(k) needs only the two per-key COUNT
+    tables — each a map-side-partial aggregate to key-count size —
+    joined on the key: never the join itself. At 100 TB this is the
+    difference between an O(keys) estimate pass and materializing a
+    possibly-exploding join; the same shape with HLL per bucket gives
+    the approximate form when even key-count tables are too big."""
+    cat = Catalog(spark, sf_dir)
+    a = cat.orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = cat.lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    j = a.join(b, "k").select((F.col("ca") * F.col("cb")).alias("kk"))
+    stats = j.agg(
+        F.sum("kk").alias("join_rows"),
+        F.count(F.lit(1)).alias("matching_keys"),
+        F.max("kk").alias("max_key_rows"),
+    )
+    return (
+        stats.crossJoin(
+            F.broadcast(a.agg(F.count(F.lit(1)).alias("left_keys")))
+        ).crossJoin(
+            F.broadcast(b.agg(F.count(F.lit(1)).alias("right_keys")))
+        )
+    )
+
+
 # ------------------------------------------------ fuzzy entity matching
 
 
