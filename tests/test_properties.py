@@ -112,3 +112,69 @@ def test_repetition_stats_invariants_random_docs(spark):
         assert 0.0 <= r["dup_token_frac"] <= 1.0
         assert 0.0 <= r["dup_trigram_frac"] <= 1.0
         assert r["n_trigrams"] == max(r["n_tokens"] - 2, 0)
+
+
+def test_drift_buckets_finds_exactly_perturbed_buckets(spark):
+    """Seeded random mirrors: drift_buckets must flag a bucket IFF the
+    mirror's rows in that bucket differ from the source's (drops,
+    additions, or value corruption)."""
+    from lms_erp_data_integration_spark.operators.diff import drift_buckets
+
+    n_buckets = 8
+    for seed in (11, 12, 13):
+        rng = random.Random(seed)
+        rows = [(k, rng.randrange(1000)) for k in range(200)]
+        src = spark.createDataFrame(rows, "k long, v long")
+        mrows = dict(rows)
+        for _ in range(rng.randrange(1, 6)):
+            victim = rng.randrange(200)
+            if rng.random() < 0.5:
+                mrows.pop(victim, None)  # drop
+            else:
+                mrows[victim] = mrows.get(victim, 0) + 1  # corrupt
+        mirror = spark.createDataFrame(list(mrows.items()), "k long, v long")
+        expect = {
+            k % n_buckets
+            for k in set(dict(rows)) | set(mrows)
+            if dict(rows).get(k) != mrows.get(k)
+        }
+        ck = F.col("k") * 1000003 + F.col("v")
+        got = {
+            r["bucket"]
+            for r in drift_buckets(
+                src, mirror, ck, F.col("k"), n_buckets
+            ).collect()
+        }
+        assert got == expect, f"seed={seed}"
+
+
+def test_cdc_compaction_equals_sequential_fold(spark):
+    """Seeded random change logs: the windowed compaction must equal a
+    driver-side sequential replay (last op wins, tombstone deletes)."""
+    from pyspark.sql import Window as W
+
+    for seed in (21, 22):
+        rng = random.Random(seed)
+        log = [
+            (
+                i,  # seq (stands in for ts tie-break)
+                rng.randrange(10),  # key
+                rng.choice(["U", "U", "U", "D"]),
+                rng.randrange(1000),
+            )
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(log, "seq long, k long, op string, v long")
+        w = W.partitionBy("k").orderBy(F.col("seq").desc())
+        got = {
+            (r["k"], r["v"])
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("op") == "U"))
+            .select("k", "v")
+            .collect()
+        }
+        state: dict[int, int | None] = {}
+        for _, k, op, v in log:
+            state[k] = v if op == "U" else None
+        want = {(k, v) for k, v in state.items() if v is not None}
+        assert got == want, f"seed={seed}"
