@@ -18,9 +18,9 @@ from . import analytics_queries  # noqa: F401, E402
 # r2 dedup/text optimizations, and 6 float-heavy queries re-entered
 # because the local parity normalizer was tightened to driver-hash
 # strictness this round. After this window every query registered at
-# rotation time has had a driver row. The 10 queries ADDED during r4
-# (dq/incremental/cascade/drift/reconcile/cdc, semantic dedup family,
-# stream_dq_gate) are stamped in tests/checked_hashes.json and enter
+# rotation time has had a driver row. The 11 queries ADDED during r4
+# (dq/incremental/cascade/drift/reconcile/cdc/join-size, semantic
+# dedup family, stream_dq_gate) are stamped in checked_hashes.json and enter
 # the r5 window (policy pinned by
 # tests/test_registry.py::test_changed_queries_enter_driver_window);
 # all pass local parity at driver-hash strictness.

@@ -72,6 +72,7 @@ ANALYTICS_SAMPLE = [
     "rel_cdc_log_compaction",
     "rel_cascade_delete_impact",
     "llm_dedup_semantic_verified",
+    "rel_join_size_profile",
 ]
 
 
