@@ -9,21 +9,22 @@ from . import llm_queries  # noqa: F401, E402
 from . import streaming_queries  # noqa: F401, E402
 from . import analytics_queries  # noqa: F401, E402
 
-# Round-4 driver-window rotation (r3 verdict "Next round" #2). The
+# Round-5 driver-window rotation (r4 verdict "Next round" #3). The
 # driver's correctness gate hashes only the first 50 ``queries()``
 # entries per round. This window covers: the 8 core sync queries (kept
-# verified every round), the re-fixed ``rel_profile_columns`` (r3's one
-# red row — min/max now BIGINT cents), all 28 queries that had never
-# had a driver row as of r3, the 7 whose only driver row predates the
-# r2 dedup/text optimizations, and 6 float-heavy queries re-entered
-# because the local parity normalizer was tightened to driver-hash
-# strictness this round. After this window every query registered at
-# rotation time has had a driver row. The 11 queries ADDED during r4
-# (dq/incremental/cascade/drift/reconcile/cdc/join-size, semantic
-# dedup family, stream_dq_gate) are stamped in checked_hashes.json and enter
-# the r5 window (policy pinned by
-# tests/test_registry.py::test_changed_queries_enter_driver_window);
-# all pass local parity at driver-hash strictness.
+# verified every round), the 3 r4 reds re-fixed this round
+# (in-bounds SCD2 sentinel, stringified quantized vector, BIGINT-cents
+# grouping-sets total — all driver-canonicalization fixes, now also
+# guarded by tests/test_registry.py::test_no_unhashable_output_columns
+# and test_timestamp_outputs_within_pandas_bounds), the 11 queries
+# added during r4 that have never had a driver row (semantic-dedup
+# family, DQ gates, drift/reconcile, CDC compaction, cascade impact,
+# join-size profiler, stream_dq_gate), any query added or changed in
+# r5, and re-verification fillers drawn from the queries whose last
+# driver row is oldest (r2). Manifest policy (r4 ADVICE): stamps are
+# only written for queries sitting in the current window —
+# test_manifest_entries_were_driver_windowed rejects pre-stamped
+# never-checked queries.
 registry.PRIORITY = [
     # core reference surface (keep verified every round)
     "sync_missing_faculty_users",
@@ -34,53 +35,50 @@ registry.PRIORITY = [
     "sync_ctl_library_courses",
     "sync_ctl_library_sections",
     "sync_clean_users",
-    # r3's one red row, re-fixed this round (BIGINT-cents min/max)
-    "rel_profile_columns",
-    # never driver-checked: relational surface
-    "rel_recursive_month_spine",
-    "rel_try_arithmetic",
-    "rel_pagerank_parts",
-    "rel_event_transitions",
+    # r4's three red rows, re-fixed this round
     "rel_scd2_user_history",
-    "rel_key_skew_profile",
-    "rel_window_value_surface",
-    "rel_grouping_sets",
-    "rel_approx_percentile_contract",
-    # never driver-checked: text analysis family
-    "llm_text_fingerprint",
-    "llm_text_top_terms",
-    "llm_text_sentiment",
-    "llm_text_tfidf_top_terms",
-    "llm_text_repetition",
-    "llm_text_unigram_lm",
-    "llm_contamination_ngram",
-    "llm_quality_gate",
-    # never driver-checked: corpus-prep family
-    "llm_sample_stratified",
     "llm_emb_quantize",
-    "llm_corpus_stats",
-    "llm_corpus_mix",
-    "llm_chunk_documents",
-    "llm_shard_assignment",
-    "llm_pack_sequences",
-    "llm_pii_redaction",
-    "llm_heavy_hitters_cms",
-    # never driver-checked: multimodal plumbing
-    "llm_multimodal_payload_meta",
-    "llm_multimodal_frame_sample",
-    # last driver row r1, code optimized in r2 — re-verify at current code
-    "llm_dedup_exact",
-    "llm_dedup_minhash_lsh",
-    "llm_dedup_ngram_jaccard",
-    "llm_dedup_simhash",
-    "llm_text_language_id",
-    "llm_text_quality",
-    "llm_text_token_counts",
-    # float-heavy queries re-entered under the tightened parity norm
-    "rel_percentiles_acctbal",
-    "rel_approx_distinct",
-    "rel_q1_pricing_summary",
-    "rel_q14_promo_revenue",
-    "rel_udaf_median_value",
-    "rel_asof_last_purchase",
+    "rel_grouping_sets",
+    # added in r4, never driver-checked
+    "llm_dedup_semantic_kmeans",
+    "llm_dedup_semantic_verified",
+    "llm_dedup_cluster_histogram",
+    "stream_dq_gate",
+    "rel_dq_expectations",
+    "rel_incremental_agg_merge",
+    "rel_cascade_delete_impact",
+    "rel_mirror_drift_buckets",
+    "rel_mirror_reconcile_rows",
+    "rel_cdc_log_compaction",
+    "rel_join_size_profile",
+    # re-verification fillers: last driver row r2 (oldest); displaced
+    # from the END of this list as r5 adds new queries
+    "rel_q3_shipping_priority",
+    "rel_q5_region_revenue",
+    "rel_top_orders_per_customer",
+    "rel_latest_event_per_user",
+    "rel_running_total_per_user",
+    "rel_rollup_revenue",
+    "rel_customer_order_setops",
+    "rel_semi_anti_counts",
+    "rel_pivot_order_status",
+    "rel_distinct_aggregates",
+    "rel_events_hourly",
+    "rel_term_successor",
+    "rel_q6_revenue_filter",
+    "rel_string_surface",
+    "rel_cube_order_stats",
+    "rel_parameterized_sql",
+    "rel_q4_order_priority",
+    "rel_q10_returned_items",
+    "rel_unpivot_part_measures",
+    "rel_event_deltas",
+    "rel_session_window_native",
+    "rel_salted_join_revenue",
+    "rel_q18_large_orders",
+    "rel_left_outer_customer_orders",
+    "rel_full_outer_year_diff",
+    "rel_date_surface",
+    "rel_q19_disjunctive_filter",
+    "rel_q22_inactive_balance",
 ]

@@ -1195,7 +1195,7 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, event_type AS state, ts AS valid_from,
        COALESCE(LEAD(ts) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id),
-                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+                TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
        CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) IS NULL
             THEN 1 ELSE 0 END AS is_current
@@ -1208,7 +1208,10 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lead over a deterministic per-key ordering), with the open tail
     flagged current and capped at the sentinel high date — the standard
     dimension-history shape a warehouse derives from the reference's
-    daily mirror snapshots.
+    daily mirror snapshots.  The sentinel is 2200-01-01 (not the
+    conventional 9999-12-31) so downstream pandas/Arrow consumers with
+    nanosecond timestamps can represent it; ``is_current`` carries the
+    semantics, the sentinel is cosmetic.
 
     Scale: one window pass partitioned by the dimension key; no joins.
     Incremental maintenance reuses the partition-scoped MERGE upsert
@@ -1221,7 +1224,7 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("state"),
         F.col("ts").alias("valid_from"),
         F.coalesce(
-            nxt, F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
+            nxt, F.lit("2200-01-01 00:00:00").cast("timestamp_ntz")
         ).alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
@@ -1323,7 +1326,8 @@ def window_value_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
        GROUPING(o_orderstatus) AS g_status,
        GROUPING(o_orderpriority) AS g_priority
 FROM orders
@@ -1334,7 +1338,10 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
 def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond the registered rollup/cube):
     three chosen aggregation grains in one pass, with GROUPING()
-    flags disambiguating real NULLs from subtotal rows.
+    flags disambiguating real NULLs from subtotal rows.  The price
+    total is exact BIGINT cents (repo convention): a raw
+    SUM(DECIMAL(18,2)) widens to DECIMAL(28,2) in Spark but
+    DECIMAL(38,2) in DuckDB, which is representationally unportable.
 
     Scale: one shuffle; Spark expands the sets with a single Expand
     node feeding one hash aggregate — grains share the scan."""
@@ -1349,7 +1356,9 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
         F.grouping("o_orderstatus").alias("g_status"),
         F.grouping("o_orderpriority").alias("g_priority"),
     )

@@ -779,7 +779,9 @@ s AS (
          list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
   FROM d)
 SELECT vec_id, scale,
-       list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+       array_to_string(
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)),
+         ',') AS q
 FROM s WHERE scale > 0
 """,
 )
@@ -788,7 +790,13 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     max|x| / 127). floor(x/scale + 0.5) instead of round() because the
     two engines disagree on round-half semantics while floor is exact;
     float->double casts and the divisions are bit-identical. Narrow
-    per-row map — no shuffle."""
+    per-row map — no shuffle.
+
+    The quantized vector is emitted comma-joined as a STRING, not an
+    array: array-typed output columns are unhashable by row-sorting
+    pandas consumers (r4 driver err), so arrays stay internal and the
+    external surface is scalar-only (enforced by
+    ``tests/test_registry.py::test_no_unhashable_output_columns``)."""
     emb = Catalog(spark, sf_dir).embeddings
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(v, F.abs)) / 127.0
@@ -798,8 +806,14 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "scale",
-            F.transform(
-                F.col("_v"), lambda x: F.floor(x / F.col("scale") + 0.5)
+            F.array_join(
+                F.transform(
+                    F.col("_v"),
+                    lambda x: F.floor(x / F.col("scale") + 0.5).cast(
+                        "string"
+                    ),
+                ),
+                ",",
             ).alias("q"),
         )
     )

@@ -56,6 +56,105 @@ def test_changed_queries_enter_driver_window():
     )
 
 
+def test_manifest_entries_were_driver_windowed():
+    """Manifest-integrity policy (r4 ADVICE, medium): a stamp in
+    checked_hashes.json means "the driver verified this query at this
+    hash" — so every stamped query must either have an actual driver
+    row (a key in some CORRECTNESS_r*.json) or be sitting in the
+    CURRENT window about to get one. Pre-stamping a never-checked query
+    would silently exempt it from driver verification forever."""
+    import glob
+    import json
+    import os
+
+    from tests.query_hashes import MANIFEST_PATH
+
+    with open(MANIFEST_PATH) as f:
+        manifest = json.load(f)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = set()
+    for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            checked.update(json.load(f))
+    orphans = [
+        n
+        for n in manifest
+        if n not in checked and n not in registry.PRIORITY
+    ]
+    assert not orphans, (
+        "manifest stamps for queries that never sat in a driver window "
+        f"and are not in the current one: {orphans} — remove the stamp "
+        "or rotate them into PRIORITY"
+    )
+
+
+def test_no_unhashable_output_columns(spark, sf_dir):
+    """Driver-canonicalization contract, proved empirically in r4: the
+    driver row-sorts results with pandas, so (a) array/map/struct
+    output columns are unhashable (``llm_emb_quantize`` driver err:
+    ``TypeError: unhashable type: 'list'``). Every registered query's
+    EXTERNAL schema must be scalar-only — arrays stay internal
+    (serialize with ``array_join`` at the boundary)."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name, fn in plans.QUERIES.items():
+        df = fn(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            )
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, (
+        "array/map/struct output columns break the driver's pandas "
+        f"row-sort hash — serialize to scalars: {offenders}"
+    )
+
+
+def test_timestamp_outputs_within_pandas_bounds(spark, sf_dir):
+    """Driver-canonicalization contract, proved empirically in r4: the
+    driver materializes results through pandas nanosecond timestamps,
+    so any timestamp value outside [1678, 2262] raises
+    ``OutOfBoundsDatetime`` (``rel_scd2_user_history`` driver err on
+    the 9999-12-31 SCD2 sentinel). Check actual min/max of every
+    timestamp output column at sf0.001."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    lo = datetime.datetime(1678, 1, 1)
+    hi = datetime.datetime(2262, 1, 1)
+    offenders = []
+    for name, fn in plans.QUERIES.items():
+        df = fn(spark, sf_dir)
+        ts_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(
+                f.dataType, (T.TimestampType, T.TimestampNTZType)
+            )
+        ]
+        if not ts_cols:
+            continue
+        aggs = []
+        for c in ts_cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        row = df.agg(*aggs).first()
+        for c in ts_cols:
+            mn, mx = row[f"min_{c}"], row[f"max_{c}"]
+            if mn is not None and (mn < lo or mx > hi):
+                offenders.append(f"{name}.{c}: [{mn}, {mx}]")
+    assert not offenders, (
+        "timestamp outputs outside pandas ns bounds overflow the "
+        f"driver's oracle harness: {offenders}"
+    )
+
+
 def test_entry_points_expose_registry():
     import __spark_entry__ as entry_mod
 
