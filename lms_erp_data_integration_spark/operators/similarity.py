@@ -540,7 +540,7 @@ def kmeans_assignments(
         F.lit(1).cast("double").alias("_n"),
     )
     assign = None
-    for _ in range(iterations):
+    for it in range(iterations):
         diff = F.zip_with(
             F.col("_vi"), F.col("_S"), lambda x, s: x - s / F.col("_n")
         )
@@ -573,7 +573,10 @@ def kmeans_assignments(
         # pattern as graph.pagerank_micros) — the deepening nested-HOF
         # plan otherwise costs more in driver-side re-optimization at
         # every AQE stage boundary than the cluster-sums job itself.
-        state = state.localCheckpoint(eager=True)
+        # Skipped after the LAST assignment: only `assign` is returned,
+        # so materializing the final cluster sums would be a wasted job.
+        if it < iterations - 1:
+            state = state.localCheckpoint(eager=True)
     return assign.select(F.col(id_col), F.col("cid"))
 
 

@@ -118,10 +118,17 @@ def compaction_plan(
     w = Window.orderBy("file").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # The running total counts SMALL-file bytes only: letting
+    # right-sized files inflate it would split interleaved small files
+    # into extra under-filled groups (and skip group ids).
+    small = F.col("bytes") < small_file_bytes
+    small_bytes = F.when(small, F.col("bytes")).otherwise(F.lit(0))
     return files.select(
         F.when(
-            F.col("bytes") < small_file_bytes,
-            ((F.sum("bytes").over(w) - 1) / target_file_bytes).cast("long"),
+            small,
+            ((F.sum(small_bytes).over(w) - 1) / target_file_bytes).cast(
+                "long"
+            ),
         ).alias("group_id"),
         "file",
         "bytes",

@@ -1023,7 +1023,10 @@ def dedup_semantic_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector fetch."""
     from ..caching import tracked_persist
 
-    emb = Catalog(spark, sf_dir).embeddings
+    # persisted: feeds both the k-means rounds and the pair kernel's
+    # two vector fetches — unpersisted it would re-scan the source per
+    # consumer
+    emb = tracked_persist(Catalog(spark, sf_dir).embeddings)
     assign = sim.kmeans_assignments(emb, k=8, iterations=2)
     return sim.cluster_verified_pairs(assign, emb, threshold=0.35)
 

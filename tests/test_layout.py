@@ -76,8 +76,9 @@ def test_compaction_plan_and_rewrite(spark, sf_dir, tmp_path):
     assert all(r["group_id"] is not None for r in rows)
     n_groups = len({r["group_id"] for r in rows})
     assert 3 <= n_groups <= 6
-    # big-enough files stay untouched: raise the small-file floor above
-    # every file size and the plan must leave all files ungrouped
+    # big-enough files stay untouched: lower the small-file floor below
+    # every file size (1 byte) so no file qualifies as small and the
+    # plan must leave all files ungrouped
     noop = compaction_plan(
         spark, src, target_file_bytes=total // 4, small_file_bytes=1
     )
@@ -88,3 +89,29 @@ def test_compaction_plan_and_rewrite(spark, sf_dir, tmp_path):
     assert stats["files_after"] <= 6
     # content preserved
     assert spark.read.parquet(dst).count() == orders.count()
+
+
+def test_compaction_plan_interleaved_large_files(spark, tmp_path):
+    """Large files interleaved with small ones must not inflate the
+    running total: the cumulative sum bins SMALL-file bytes only, so
+    smalls on either side of a big file still pack into full groups
+    with contiguous ids (regression: big bytes used to push every
+    following small file into its own under-filled group)."""
+    from lms_erp_data_integration_spark.pipeline.layout import (
+        compaction_plan,
+    )
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    # names sort: f00..f09; evens big (1000 B), odds small (10 B)
+    for i in range(10):
+        size = 1000 if i % 2 == 0 else 10
+        (d / f"f{i:02d}.parquet").write_bytes(b"\0" * size)
+    plan = compaction_plan(
+        spark, str(d), target_file_bytes=20, small_file_bytes=100
+    )
+    rows = {r["file"].rsplit("/", 1)[-1]: r["group_id"] for r in plan.collect()}
+    assert all(rows[f"f{i:02d}.parquet"] is None for i in range(0, 10, 2))
+    # 5 smalls x 10 B at 20 B/group -> groups 0,0,1,1,2 in name order
+    got = [rows[f"f{i:02d}.parquet"] for i in range(1, 10, 2)]
+    assert got == [0, 0, 1, 1, 2], got
