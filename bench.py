@@ -41,8 +41,27 @@ def main() -> int:
         cat.table(t).schema  # footer read only
     from lms_erp_data_integration_spark.caching import release_cached
 
+    # One full query as warm-up, NOT counted in totals: the first query
+    # of a session pays 3-7 s of whole-stage-codegen JIT that its twin
+    # queries don't (r4: sync_missing_faculty_users 3.0 s vs its
+    # identical-shape twin's 0.8 s). Recorded separately as warmup_sec
+    # so round-over-round per-query comparison stops whipsawing on
+    # which query ran first.
+    warm_name = "sync_missing_faculty_users"
+    t0 = time.perf_counter()
+    try:
+        force(qs[warm_name](spark, sf_dir))
+    except Exception:  # noqa: BLE001
+        pass
+    warmup_sec = round(time.perf_counter() - t0, 3)
+    release_cached()
+
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    # Deterministic alphabetical run order (registry order shifts as
+    # the PRIORITY window rotates, which made per-query numbers
+    # incomparable across rounds).
+    for name in sorted(qs):
+        fn = qs[name]
         t0 = time.perf_counter()
         try:
             force(fn(spark, sf_dir))
@@ -62,7 +81,14 @@ def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_full.json"), "w") as f:
         json.dump(
-            {"sf": sf_val, "total_sec": total, "queries": timings},
+            {
+                "sf": sf_val,
+                "total_sec": total,
+                "warmup_sec": warmup_sec,
+                "warmup_query": warm_name,
+                "run_order": "sorted",
+                "queries": timings,
+            },
             f,
             separators=(",", ":"),
         )
@@ -95,6 +121,7 @@ def main() -> int:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "warmup_sec": warmup_sec,
                 "detail": "bench_full.json",
                 "queries": qs,
             },
