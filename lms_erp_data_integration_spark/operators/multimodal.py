@@ -2,10 +2,11 @@
 as opaque ``binary`` payloads with typed metadata, processed by
 Arrow-batched ``mapInPandas`` operators.
 
-The container has no image/audio codec libraries, but the simple
-uncompressed raster formats need none: ``decode_image`` is a real
-pure-numpy decoder for PPM (P6), PGM (P5) and uncompressed 8/24/32-bit
-BMP — enough to exercise the full decode path on real bytes. Payloads
+The container has no image/audio codec libraries, but several real
+formats need none: ``decode_image`` is a real pure-numpy decoder for
+PPM (P6), PGM (P5), uncompressed 8/24/32-bit BMP, and — via stdlib
+``zlib`` plus the five PNG scanline filters reconstructed in numpy —
+non-interlaced 8-bit PNG (gray/RGB/gray+alpha/RGBA). Payloads
 in any other format fall back to ``decode_image_stub``, which raises
 ``NotImplementedError`` unless ``fake=True`` (deterministic fake
 decode, dimensions/pixel-mean derived from the payload bytes).
@@ -125,14 +126,127 @@ def _decode_bmp(payload: bytes) -> dict | None:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # palette (3) unsupported
+
+
+def _png_pixels(payload: bytes) -> np.ndarray | None:
+    """(H, W, C) uint8 array for a non-interlaced 8-bit-depth PNG
+    (color types gray/RGB/gray+alpha/RGBA), else None. Needs only
+    stdlib ``zlib``: concatenate the IDAT chunks, inflate, then undo
+    the per-scanline filter (None/Sub/Up/Average/Paeth). Palette
+    images are skipped — their samples are indices, so every numeric
+    feature downstream (pixel_mean, resize) would be wrong.
+
+    Filters Sub and Up vectorize fully (a wrapping cumsum per channel
+    lane / a wrapping row add); Average and Paeth are sequential by
+    definition (each byte depends on the reconstructed left neighbor)
+    and fall back to a per-byte loop on the rows that use them."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(payload):
+            return None
+        if typ == b"IHDR":
+            ihdr = payload[pos + 8 : pos + 8 + ln]
+        elif typ == b"IDAT":
+            idat.append(payload[pos + 8 : pos + 8 + ln])
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    c = _PNG_CHANNELS.get(ctype)
+    if (
+        c is None
+        or depth != 8
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or w <= 0
+        or h <= 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * c
+    if len(raw) < h * (stride + 1):
+        return None
+    raw = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    filters, lines = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    zero_row = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f, line = int(filters[y]), lines[y]
+        prev = out[y - 1] if y else zero_row
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub: wrapping cumsum within each channel lane
+            lanes = line.reshape(-1, c).astype(np.uint32)
+            out[y] = (
+                np.cumsum(lanes, axis=0, dtype=np.uint32) & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up: uint8 add wraps mod 256 natively
+            out[y] = line + prev
+        elif f == 3:  # Average (sequential: needs reconstructed left)
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - c]) if x >= c else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth (sequential)
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else cc
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            return None
+    return out.reshape(h, w, c)
+
+
+def _decode_png(payload: bytes) -> dict | None:
+    """IMAGE_META dict for a supported PNG, else None."""
+    px = _png_pixels(payload)
+    if px is None:
+        return None
+    h, w, c = px.shape
+    return {
+        "n_bytes": len(payload),
+        "width": w,
+        "height": h,
+        "channels": c,
+        "pixel_mean": float(px.mean()),
+    }
+
+
 def decode_image(payload: bytes) -> dict | None:
-    """Real decode for the codec-free raster formats (PPM/PGM/BMP).
+    """Real decode for the codec-free formats (PPM/PGM/BMP/PNG).
     Returns the IMAGE_META dict, or None when the payload is not a
     recognized format — callers fall back to ``decode_image_stub``."""
     if not payload:
         return None
     try:
-        return _decode_pnm(payload) or _decode_bmp(payload)
+        return (
+            _decode_pnm(payload)
+            or _decode_bmp(payload)
+            or _decode_png(payload)
+        )
     except (ValueError, struct.error):
         return None
 
@@ -168,6 +282,8 @@ RESIZED_SCHEMA = T.StructType(
 def _decode_pixels(payload: bytes) -> tuple | None:
     """(H, W, C) uint8 numpy array for recognized rasters, else None.
     8-bit only (the resize path's input contract)."""
+    if payload.startswith(_PNG_SIG):
+        return _png_pixels(payload)
     meta = decode_image(payload)
     if meta is None:
         return None

@@ -522,3 +522,131 @@ def test_decode_image_16bit_ppm():
     assert (meta["width"], meta["height"], meta["channels"]) == (2, 1, 3)
     assert meta["pixel_mean"] == sum(samples) / 6
     assert mm.resize_nearest(ppm, 1, 1) is None
+
+
+def _png_bytes(arr, filters=None):
+    """Minimal PNG encoder for tests: 8-bit depth, color type from the
+    channel count, one IDAT chunk, caller-chosen per-row filter types
+    (default 0/None) applied exactly per the spec — so the decoder's
+    five unfilter paths are each exercised against ground truth."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    filters = filters or [0] * h
+    stride = w * c
+    flat = arr.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    recon = np.zeros((h, stride), np.int32)
+    for y in range(h):
+        recon[y] = flat[y]
+        prev = recon[y - 1] if y else np.zeros(stride, np.int32)
+        f = filters[y]
+        line = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = recon[y][x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+            line[x] = (flat[y][x] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(line.astype(np.uint8).tobytes())
+
+    def chunk(typ, data):
+        out = st.pack(">I", len(data)) + typ + data
+        return out + st.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filter_types():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    # one row per filter type (0..4), row 0 must not be Up-dependent
+    png = _png_bytes(arr, filters=[0, 1, 2, 3, 4])
+    px = mm._png_pixels(png)
+    assert px is not None and px.shape == (5, 4, 3)
+    assert (px == arr).all()
+    meta = mm.decode_image(png)
+    assert meta["width"] == 4 and meta["height"] == 5
+    assert meta["channels"] == 3
+    assert meta["pixel_mean"] == float(arr.mean())
+
+
+def test_decode_png_channel_variants_and_resize():
+    import numpy as np
+
+    for c in (1, 2, 4):
+        arr = np.arange(2 * 3 * c, dtype=np.uint8).reshape(2, 3, c)
+        meta = mm.decode_image(_png_bytes(arr, filters=[4, 1]))
+        assert (meta["height"], meta["width"], meta["channels"]) == (2, 3, c)
+    # resize path reads PNG pixels top-down like PPM
+    arr = np.zeros((2, 2, 3), np.uint8)
+    arr[0] = 200  # top row bright
+    r = mm.resize_nearest(_png_bytes(arr), 1, 1)
+    assert r is not None and r["pixels"][0] == 200
+
+
+def test_decode_png_rejects_unsupported():
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    arr = np.zeros((2, 2, 3), np.uint8)
+    good = _png_bytes(arr)
+    assert mm.decode_image(good) is not None
+    # corrupt zlib stream
+    bad = good.replace(b"IDAT", b"IDAt")
+    assert mm.decode_image(bad) is None
+    # interlaced: flip the interlace byte inside IHDR (offset: sig 8 +
+    # len 4 + type 4 + 12-byte prefix of the 13-byte IHDR payload)
+    interlaced = bytearray(good)
+    interlaced[8 + 8 + 12] = 1
+    assert mm.decode_image(bytes(interlaced)) is None
+    # truncated mid-chunk
+    assert mm.decode_image(good[: len(good) - 20]) is None
+
+
+def test_multimodal_png_through_spark(spark):
+    """extract_image_meta on REAL PNG bytes end-to-end (r4 verdict #6):
+    mixed corpus of PNG / PPM / unrecognized payloads through the
+    mapInPandas decode stage, every row decoded by the right kernel."""
+    import numpy as np
+
+    arr = np.full((3, 2, 3), 10, np.uint8)
+    png = _png_bytes(arr, filters=[0, 2, 1])
+    ppm = _ppm_bytes(2, 2, range(12))
+    rows = [(1, bytearray(png)), (2, bytearray(ppm)), (3, b"not an image")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in mm.extract_image_meta(df).collect()
+    }
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (2, 3, 3)
+    assert got[1]["pixel_mean"] == 10.0
+    assert got[2]["width"] == 2 and got[2]["channels"] == 3
+    # unrecognized falls back to the deterministic fake, same schema
+    assert got[3]["n_bytes"] == len(b"not an image")
