@@ -51,6 +51,10 @@ registry.PRIORITY = [
     "rel_mirror_reconcile_rows",
     "rel_cdc_log_compaction",
     "rel_join_size_profile",
+    # refactored onto operators/profiling.py in r5 (plan unchanged,
+    # hash changed) — re-enter the window per the rotation policy
+    "rel_key_skew_profile",
+    "llm_lsh_bucket_histogram",
     # re-verification fillers: last driver row r2 (oldest); displaced
     # from the END of this list as r5 adds new queries
     "rel_q3_shipping_priority",
@@ -79,6 +83,4 @@ registry.PRIORITY = [
     "rel_left_outer_customer_orders",
     "rel_full_outer_year_diff",
     "rel_date_surface",
-    "rel_q19_disjunctive_filter",
-    "rel_q22_inactive_balance",
 ]

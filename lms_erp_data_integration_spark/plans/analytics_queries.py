@@ -647,26 +647,14 @@ def join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined on the key: never the join itself. At 100 TB this is the
     difference between an O(keys) estimate pass and materializing a
     possibly-exploding join; the same shape with HLL per bucket gives
-    the approximate form when even key-count tables are too big."""
+    the approximate form when even key-count tables are too big.
+    Delegates to ``operators/profiling.py`` (the unified pre-flight
+    module)."""
+    from ..operators import profiling
+
     cat = Catalog(spark, sf_dir)
-    a = cat.orders.groupBy(F.col("o_orderkey").alias("k")).agg(
-        F.count(F.lit(1)).alias("ca")
-    )
-    b = cat.lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
-        F.count(F.lit(1)).alias("cb")
-    )
-    j = a.join(b, "k").select((F.col("ca") * F.col("cb")).alias("kk"))
-    stats = j.agg(
-        F.sum("kk").alias("join_rows"),
-        F.count(F.lit(1)).alias("matching_keys"),
-        F.max("kk").alias("max_key_rows"),
-    )
-    return (
-        stats.crossJoin(
-            F.broadcast(a.agg(F.count(F.lit(1)).alias("left_keys")))
-        ).crossJoin(
-            F.broadcast(b.agg(F.count(F.lit(1)).alias("right_keys")))
-        )
+    return profiling.join_size_profile(
+        cat.orders, cat.lineitem, "o_orderkey", "l_orderkey"
     )
 
 
@@ -1250,25 +1238,12 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one grouped count (map-side partials), a 1-row total, and a
     top-k sort over the per-key counts — the profile never materializes
-    more than the key histogram."""
-    k = (
-        Catalog(spark, sf_dir)
-        .orders.groupBy(F.col("o_custkey").alias("key"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    t = k.agg(
-        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_distinct_keys")
-    )
-    return (
-        k.crossJoin(F.broadcast(t))
-        .select(
-            "key",
-            "n",
-            F.expr("(n * 1000000) div total").alias("share_ppm"),
-            "n_distinct_keys",
-        )
-        .orderBy(F.desc("n"), F.asc("key"))
-        .limit(10)
+    more than the key histogram. Delegates to
+    ``operators/profiling.py`` (the unified pre-flight module)."""
+    from ..operators import profiling
+
+    return profiling.key_skew_profile(
+        Catalog(spark, sf_dir).orders, "o_custkey", top_k=10
     )
 
 

@@ -977,14 +977,18 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one aggregation over the assignment (k rows out); the
     decision rule is ``max(verify_pairs)`` vs task memory, the same
-    contract `cluster_verified_pairs.max_cluster_rows` enforces."""
+    contract `cluster_verified_pairs.max_cluster_rows` enforces.
+    Delegates to ``operators/profiling.py`` (the unified pre-flight
+    module)."""
+    from ..operators import profiling
+
     assign = sim.kmeans_assignments(
         Catalog(spark, sf_dir).embeddings, k=8, iterations=2
     )
-    n = F.count(F.lit(1))
-    return assign.groupBy("cid").agg(
-        n.alias("cluster_size"),
-        (n * (n - F.lit(1)) / F.lit(2)).cast("long").alias("verify_pairs"),
+    return profiling.bucket_sizes(assign, ["cid"]).select(
+        "cid",
+        F.col("bucket_size").alias("cluster_size"),
+        F.col("candidate_pairs").alias("verify_pairs"),
     )
 
 
@@ -1542,19 +1546,14 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs). This is the pre-flight a 100 TB dedup runs BEFORE the
     join: a fat bucket here is the quadratic blowup the band
     parameters exist to prevent, caught for the cost of one
-    aggregation instead of a runaway join."""
+    aggregation instead of a runaway join. Delegates to
+    ``operators/profiling.py`` (the unified pre-flight module)."""
+    from ..operators import profiling
+
     docs = Catalog(spark, sf_dir).documents
     sigs = dd.minhash_signatures(docs, num_hashes=16)
     banded = sigs.select(
         F.col("doc_id"),
         F.posexplode(dd._band_keys(8, 2)).alias("band", "band_key"),
     )
-    buckets = banded.groupBy("band", "band_key").agg(
-        F.count(F.lit(1)).alias("bucket_size")
-    )
-    return buckets.groupBy("bucket_size").agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(
-            F.expr("bucket_size * (bucket_size - 1) div 2")
-        ).alias("candidate_pairs"),
-    )
+    return profiling.bucket_size_histogram(banded, ["band", "band_key"])
