@@ -25,11 +25,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.terms import resolve_term
+from ..operators import dq
 from ..operators.cleaning import ENTITY_SPECS, clean
 from ..operators.diff import missing_rows, snapshot_diff
 from ..runparams import RunParams
 from .mirror import read_mirror, write_mirror
 from .runner import Sink, SyncPipeline, run_report
+
+# Mirror admission expectations (r4 verdict #8): the invariants the
+# cleaning specs are SUPPOSED to guarantee, re-checked fail-closed at
+# the mirror boundary so a spec regression (or a raw feed the spec
+# doesn't cover) can never silently poison the diff queries downstream.
+# Reference analog: the allowlist + sdemo/id-number invariants were the
+# reference's implicit admission contract. A function, not a module
+# constant: Column construction needs an active SparkContext.
+def mirror_checks() -> dict[str, list[dq.Check]]:
+    return {
+        "users": [
+            dq.RowCheck("id_num_not_null", F.col("id_num").isNull()),
+            dq.RowCheck(
+                "id_num_numeric", ~F.col("id_num").rlike("^[0-9]+$")
+            ),
+            dq.UniqueCheck("id_num_unique", ("id_num",)),
+        ],
+        "courses": [
+            dq.RowCheck("crs_cde_not_null", F.col("crs_cde").isNull()),
+            dq.RowCheck("term_stamped", F.col("yr_cde").isNull()),
+        ],
+        "sections": [
+            dq.RowCheck(
+                "section_id_not_null", F.col("section_id").isNull()
+            ),
+            dq.RowCheck(
+                "created_by_sis_bit", ~F.col("created_by_sis").isin(-1, 0)
+            ),
+        ],
+        "enrollments": [
+            dq.RowCheck("user_id_not_null", F.col("user_id").isNull()),
+            dq.RowCheck(
+                "created_by_sis_bit", ~F.col("created_by_sis").isin(-1, 0)
+            ),
+        ],
+    }
 
 
 def convert_term_id(canvas_terms: DataFrame, sis_term_id: str) -> int | None:
@@ -58,19 +95,27 @@ class SyncEngine:
         mirror_path: str,
         term: str = "current",
         run_date=None,
+        dq_gate: bool = True,
     ):
         self.spark = spark
         self.erp = erp
         self.mirror_path = mirror_path
+        self.dq_gate = dq_gate
         term_id = resolve_term(erp["reg_config"], term)
         self.params = RunParams(term_id=term_id, run_date=run_date) if run_date else RunParams(term_id=term_id)
 
     # ------------------------------------------------------------- E2
     def update_mirror_tables(self, raw_reports: dict[str, DataFrame]) -> None:
-        """Clean each raw provisioning-report frame and overwrite its
-        mirror (``integrator.py:40-50``)."""
+        """Clean each raw provisioning-report frame, admission-gate it
+        against :func:`mirror_checks` (fail-closed: a
+        :class:`~..operators.dq.DQGateError` aborts the refresh BEFORE
+        the mirror overwrite, so the previous good snapshot survives),
+        then overwrite its mirror (``integrator.py:40-50``)."""
+        checks = mirror_checks() if self.dq_gate else {}
         for entity, raw in raw_reports.items():
             cleaned = clean(raw, ENTITY_SPECS[entity], self.params)
+            if self.dq_gate:
+                dq.enforce(cleaned, checks.get(entity, []), label=entity)
             write_mirror(cleaned, entity, self.mirror_path)
 
     def mirror(self, entity: str) -> DataFrame:

@@ -322,44 +322,30 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece: an anti-join against customer keys, its strategy left to
     AQE (the dimension side broadcasts while it fits; at 100 TB both
     sides shuffle on the key). Total: one fact scan + one key join,
-    independent of the number of checks."""
+    independent of the number of checks. Delegates to
+    ``operators/dq.py`` — the same suite machinery
+    ``pipeline.engine.SyncEngine`` runs as its mirror admission
+    gate."""
+    from ..operators import dq
+
     cat = Catalog(spark, sf_dir)
-    orders = cat.orders
-    obs = orders.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("o_orderkey").alias("nd_key"),
-        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
-        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
-        F.sum(
-            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
-        ).alias("bad_status"),
-        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("null_date"),
-    )
-    row_checks = obs.select(
-        F.expr(
-            """stack(5,
-  'orderkey_unique',       n - nd_key, n = nd_key,
-  'custkey_not_null',      null_cust,  null_cust = 0,
-  'totalprice_positive',   bad_price,  bad_price = 0,
-  'orderstatus_in_domain', bad_status, bad_status = 0,
-  'orderdate_complete',    null_date,  null_date = 0
-) AS (check_name, violations, passed)"""
-        )
-    )
-    orphans = (
-        orders.join(
-            cat.customer.select("c_custkey"),
-            F.col("o_custkey") == F.col("c_custkey"),
-            "left_anti",
-        )
-        .agg(F.count(F.lit(1)).alias("violations"))
-        .select(
-            F.lit("custkey_fk_customer").alias("check_name"),
-            "violations",
-            (F.col("violations") == 0).alias("passed"),
-        )
-    )
-    return row_checks.unionByName(orphans)
+    checks = [
+        dq.UniqueCheck("orderkey_unique", ("o_orderkey",)),
+        dq.RowCheck("custkey_not_null", F.col("o_custkey").isNull()),
+        dq.RowCheck("totalprice_positive", F.col("o_totalprice") <= 0),
+        dq.RowCheck(
+            "orderstatus_in_domain",
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        dq.RowCheck("orderdate_complete", F.col("o_orderdate").isNull()),
+        dq.FkCheck(
+            "custkey_fk_customer",
+            ("o_custkey",),
+            cat.customer,
+            ("c_custkey",),
+        ),
+    ]
+    return dq.dq_report(cat.orders, checks)
 
 
 @query(

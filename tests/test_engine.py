@@ -153,3 +153,71 @@ def test_mirror_cleaning_contracts(engine):
     sections = engine.mirror("sections")
     bits = {r["crs_cde"]: r["created_by_sis"] for r in sections.collect()}
     assert bits == {"MATH101": -1, "OLD1": 0}
+
+
+def test_dq_gate_blocks_poisoned_mirror(spark, tmp_path):
+    """Fail-closed admission (r4 verdict #8): a raw users report with a
+    duplicated id must abort the mirror refresh BEFORE the overwrite,
+    leaving no partial state for the diff queries to read. The sdemo
+    rows the cleaning spec filters never reach the gate."""
+    import os
+
+    from lms_erp_data_integration_spark.operators.dq import DQGateError
+    from lms_erp_data_integration_spark.pipeline.engine import SyncEngine
+
+    erp = {
+        "reg_config": spark.createDataFrame(
+            [("21 ", "1S ")], "CUR_YR_DFLT string, CUR_TRM_DFLT string"
+        )
+    }
+    mirror = str(tmp_path / "mirror")
+    eng = SyncEngine(spark, erp, mirror, term="current")
+    users = spark.createDataFrame(
+        [
+            ("1001", 11, "stu.a"),
+            ("1001", 12, "stu.a.dup"),  # duplicate id -> gate trips
+            ("sdemo9", 13, "sdemo+x"),  # filtered upstream of the gate
+        ],
+        "user_id string, canvas_user_id long, login_id string",
+    )
+    with pytest.raises(DQGateError) as ei:
+        eng.update_mirror_tables({"users": users})
+    assert any(n == "id_num_unique" for n, _ in ei.value.failed)
+    # fail-closed: nothing written for the poisoned entity
+    assert not os.path.exists(os.path.join(mirror, "users"))
+    # the same report deduplicated passes the gate and lands
+    eng.update_mirror_tables({"users": users.limit(1)})
+    assert eng.mirror("users").count() == 1
+
+
+def test_dq_report_unit(spark):
+    """dq_report over a constructed frame: one row per check, exact
+    violation counts, FK orphans via anti-join."""
+    from pyspark.sql import functions as F
+
+    from lms_erp_data_integration_spark.operators import dq
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, -5), (2, 3), (None, 4)], "k int, v int"
+    )
+    dim = spark.createDataFrame([(1,), (3,)], "dk int")
+    rep = {
+        r["check_name"]: r
+        for r in dq.dq_report(
+            df,
+            [
+                dq.RowCheck("k_not_null", F.col("k").isNull()),
+                dq.RowCheck("v_positive", F.col("v") <= 0),
+                dq.UniqueCheck("k_unique", ("k",)),
+                dq.FkCheck("k_fk_dim", ("k",), dim, ("dk",)),
+            ],
+        ).collect()
+    }
+    assert rep["k_not_null"]["violations"] == 1
+    assert rep["v_positive"]["violations"] == 1
+    # 4 rows, 2 distinct non-null k -> 2 "duplicates" (dup + null row)
+    assert rep["k_unique"]["violations"] == 2
+    assert not rep["k_unique"]["passed"]
+    # k=2 and k=NULL rows have no dim match
+    assert rep["k_fk_dim"]["violations"] == 2
+    assert rep["v_positive"]["passed"] is False
