@@ -290,26 +290,28 @@ def incremental_minhash_duplicates(
 NGRAM_MAX_DOC_FREQ = 100
 
 
-def ngram_jaccard_duplicates(
+def _shingle_pair_stats(
     df: DataFrame,
-    threshold: float = 0.8,
-    shingle_n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_doc_freq: int = NGRAM_MAX_DOC_FREQ,
+    shingle_n: int,
+    id_col: str,
+    text_col: str,
+    max_doc_freq: int,
 ) -> DataFrame:
-    """Exact n-gram Jaccard via inverted-index self-join — the
-    ground-truth baseline for the LSH path.
+    """Shared exact-overlap machinery for the set-similarity family:
+    candidate pairs from an inverted index over cold shingles, with
+    exact intersection and set sizes — (i, j, _in, ni, nj).
+    :func:`ngram_jaccard_duplicates` and
+    :func:`ngram_containment_duplicates` differ only in the measure
+    they derive from these counts.
 
     Hot-shingle guard: a shingle whose posting list exceeds
     ``max_doc_freq`` docs is dropped before the self-join, bounding the
     join at O(n_shingles x max_doc_freq) pairs — without it one
-    stopword shingle at web scale is a quadratic blowup. Jaccard is
-    then computed on the FULL shingle sets (array_intersect on the
-    cached set arrays), so the guard only limits candidate recall: a
-    missed pair must share *only* hot shingles, which at threshold 0.8
-    means virtually the whole document is stop-boilerplate. The DuckDB
-    oracle replicates the guard, so results stay bit-exact."""
+    stopword shingle at web scale is a quadratic blowup. The
+    intersection is then corrected to count the FULL shingle sets, so
+    the guard only limits candidate recall: a missed pair must share
+    *only* hot shingles. The DuckDB oracles replicate the guard, so
+    results stay bit-exact."""
     sets = tracked_persist(
         df.select(
             F.col(id_col),
@@ -381,18 +383,63 @@ def ngram_jaccard_duplicates(
             (F.col("_ic") + F.coalesce(F.col("_ih"), F.lit(0))).alias("_in"),
         )
     )
-    return (
-        inter.join(sizes.select(F.col(id_col).alias("i"), F.col("n").alias("ni")), "i")
-        .join(sizes.select(F.col(id_col).alias("j"), F.col("n").alias("nj")), "j")
-        .select(
-            "i",
-            "j",
-            (F.col("_in") / (F.col("ni") + F.col("nj") - F.col("_in"))).alias(
-                "jaccard"
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
+    return inter.join(
+        sizes.select(F.col(id_col).alias("i"), F.col("n").alias("ni")), "i"
+    ).join(
+        sizes.select(F.col(id_col).alias("j"), F.col("n").alias("nj")), "j"
     )
+
+
+def ngram_jaccard_duplicates(
+    df: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = NGRAM_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index self-join — the
+    ground-truth baseline for the LSH path (machinery and hot-shingle
+    guard in :func:`_shingle_pair_stats`)."""
+    stats = _shingle_pair_stats(df, shingle_n, id_col, text_col, max_doc_freq)
+    return stats.select(
+        "i",
+        "j",
+        (F.col("_in") / (F.col("ni") + F.col("nj") - F.col("_in"))).alias(
+            "jaccard"
+        ),
+    ).where(F.col("jaccard") >= threshold)
+
+
+def ngram_containment_duplicates(
+    df: DataFrame,
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = NGRAM_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT,
+    max(|A∩B|/|A|, |A∩B|/|B|) = |A∩B|/min(|A|,|B|): catches a document
+    embedded inside a larger one (quotation, concatenated crawl dumps,
+    boilerplate wrapping), which Jaccard misses because the size
+    mismatch dilutes the union. The standard complement to Jaccard in
+    web-corpus dedup (Broder's containment measure).
+
+    Same inverted-index machinery, candidates and cost bounds as the
+    Jaccard form (:func:`_shingle_pair_stats`); only the measure
+    differs. Output: (i, j, containment, jaccard) at containment >=
+    ``threshold`` — Jaccard included so a consumer can see *why* the
+    pair was invisible to the symmetric measure."""
+    stats = _shingle_pair_stats(df, shingle_n, id_col, text_col, max_doc_freq)
+    return stats.select(
+        "i",
+        "j",
+        (F.col("_in") / F.least("ni", "nj")).alias("containment"),
+        (F.col("_in") / (F.col("ni") + F.col("nj") - F.col("_in"))).alias(
+            "jaccard"
+        ),
+    ).where(F.col("containment") >= threshold)
 
 
 def duplicate_clusters(

@@ -113,6 +113,47 @@ def bucket_sizes(df: DataFrame, bucket_cols: list[str]) -> DataFrame:
     )
 
 
+def equi_width_histogram(
+    df: DataFrame, col: str, buckets: int = 20
+) -> DataFrame:
+    """Equi-width value histogram of a numeric column: (bucket_id, n,
+    share_ppm), bucket width = (max-min)/buckets computed from the
+    data, top value clamped into the last bucket. The value-shape
+    complement of :func:`key_skew_profile` — reads a distribution
+    before choosing range-partition bounds, salting thresholds, or
+    sort keys.
+
+    Two passes over one column-pruned scan: a 1-row min/max aggregate
+    (broadcast) and the bucketed count. Every arithmetic step is an
+    exactly-rounded IEEE double op, so bucket assignment is
+    deterministic across engines."""
+    mm = df.agg(
+        F.min(col).alias("_lo"),
+        F.max(col).alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    bucketed = df.select(F.col(col).alias("_x")).crossJoin(F.broadcast(mm))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(buckets))
+    bid = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(buckets - 1),
+            F.floor((F.col("_x") - F.col("_lo")) / width).cast("int"),
+        )
+    )
+    return (
+        bucketed.groupBy(bid.alias("bucket_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("_n").alias("_total"),
+        )
+        .select(
+            "bucket_id",
+            "n",
+            F.expr("(n * 1000000) div _total").alias("share_ppm"),
+        )
+    )
+
+
 def bucket_size_histogram(
     df: DataFrame, bucket_cols: list[str]
 ) -> DataFrame:

@@ -55,6 +55,12 @@ registry.PRIORITY = [
     # hash changed) — re-enter the window per the rotation policy
     "rel_key_skew_profile",
     "llm_lsh_bucket_histogram",
+    # added in r5 — must be driver-verified this round
+    "llm_dedup_containment",
+    "llm_sample_importance",
+    "llm_emb_norm_stats",
+    "rel_event_burst_pairs",
+    "rel_value_histogram",
     # re-verification fillers: last driver row r2 (oldest); displaced
     # from the END of this list as r5 adds new queries
     "rel_q3_shipping_priority",
@@ -78,9 +84,4 @@ registry.PRIORITY = [
     "rel_unpivot_part_measures",
     "rel_event_deltas",
     "rel_session_window_native",
-    "rel_salted_join_revenue",
-    "rel_q18_large_orders",
-    "rel_left_outer_customer_orders",
-    "rel_full_outer_year_diff",
-    "rel_date_surface",
 ]

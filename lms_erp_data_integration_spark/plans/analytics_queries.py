@@ -1205,6 +1205,103 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_event_burst_pairs",
+    """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE user_id <= 60)
+SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+       abs(b.us - a.us) AS delta_micros
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+WHERE abs(b.us - a.us) <= 600000000
+""",
+)
+def event_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self range-join: pairs of events from the same user within 10
+    minutes of each other (burst/co-occurrence detection). The oracle
+    states the naive O(n² per user) interval self-join; the plan runs
+    the SCALE form — a time-bucketed equi-join: each event joins only
+    its own and adjacent 10-minute buckets (3 candidate buckets, each
+    pair matched exactly once since one bucket offset equals the
+    partner's), then the exact |Δt| filter. Candidates are bounded by
+    per-bucket density, never per-user history length.
+
+    Scale: the shuffle key is (user_id, bucket) — fine-grained and
+    time-local, so a year of history adds buckets (parallelism), not
+    per-key width; the equivalent range-join hint form is
+    ``/*+ RANGE_JOIN(e, 600000000) */`` on engines that support it."""
+    ev = (
+        Catalog(spark, sf_dir)
+        .events.where(F.col("user_id") <= 60)
+        .select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+    )
+    bucket = F.expr("us div 600000000")  # exact integer floor-div
+    a = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("e1"),
+        F.col("us").alias("us1"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("nb"),
+    )
+    b = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("e2"),
+        F.col("us").alias("us2"),
+        bucket.alias("nb"),
+    )
+    return (
+        a.join(b, ["user_id", "nb"])
+        .where(
+            (F.col("e1") < F.col("e2"))
+            & (F.abs(F.col("us2") - F.col("us1")) <= 600_000_000)
+        )
+        .select(
+            "user_id",
+            "e1",
+            "e2",
+            F.abs(F.col("us2") - F.col("us1")).alias("delta_micros"),
+        )
+    )
+
+
+@query(
+    "rel_value_histogram",
+    """
+WITH mm AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+         COUNT(*) AS total
+  FROM orders)
+SELECT CASE WHEN hi = lo THEN 0
+            ELSE LEAST(19, CAST(floor((o_totalprice - lo)
+                                      / ((hi - lo) / 20.0)) AS INT))
+       END AS bucket_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((COUNT(*) * 1000000) // MAX(total) AS BIGINT) AS share_ppm
+FROM orders, mm
+GROUP BY 1
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of the order price — the
+    value-shape complement of ``rel_key_skew_profile``: read a
+    distribution before choosing range-partition bounds, salting
+    thresholds, or sort keys. Bucket assignment is deterministic
+    across engines because every step is an exactly-rounded IEEE
+    double op. Delegates to ``operators/profiling.py`` (the unified
+    pre-flight module).
+
+    Scale: a 1-row broadcast min/max plus one bucketed count over a
+    column-pruned scan."""
+    from ..operators import profiling
+
+    return profiling.equi_width_histogram(
+        Catalog(spark, sf_dir).orders, "o_totalprice", buckets=20
+    )
+
+
+@query(
     "rel_key_skew_profile",
     """
 WITH k AS (

@@ -140,6 +140,55 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_duplicates(docs, threshold=0.8, shingle_n=3)
 
 
+@query(
+    "llm_dedup_containment",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+shing AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+cold AS (
+  SELECT shingle FROM shing GROUP BY shingle
+  HAVING COUNT(*) <= {dd.NGRAM_MAX_DOC_FREQ}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM shing a
+  JOIN cold c ON c.shingle = a.shingle
+  JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT p.i, p.j, COUNT(*) AS inter
+  FROM pairs p
+  JOIN shing si ON si.doc_id = p.i
+  JOIN shing sj ON sj.doc_id = p.j AND sj.shingle = si.shingle
+  GROUP BY p.i, p.j)
+SELECT i, j,
+       inter * 1.0 / least(sa.n, sb.n) AS containment,
+       inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = i
+JOIN sizes sb ON sb.doc_id = j
+WHERE inter * 1.0 / least(sa.n, sb.n) >= 0.9
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT
+    (|A∩B|/min(|A|,|B|) >= 0.9): catches a document embedded inside a
+    larger one — quotation, concatenated crawl dumps, boilerplate
+    wrapping — which Jaccard misses because the size mismatch dilutes
+    the union (Broder's containment measure, the standard complement
+    in web-corpus dedup). Jaccard is emitted alongside so a consumer
+    sees why the pair was invisible to the symmetric measure.
+
+    Scale: identical inverted-index machinery, hot-shingle posting cap
+    and cost bounds as ``llm_dedup_ngram_jaccard``
+    (``operators/dedup._shingle_pair_stats``) — only the derived
+    measure differs."""
+    docs = Catalog(spark, sf_dir).documents
+    return dd.ngram_containment_duplicates(docs, threshold=0.9, shingle_n=3)
+
+
 _SIMHASH_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
@@ -704,6 +753,89 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long") % 100
     rate = F.when(F.col("lang") == "en", 50).otherwise(20)
     return docs.where(bucket < rate).select("doc_id", "lang", "source")
+
+
+@query(
+    "llm_sample_importance",
+    """
+SELECT doc_id, lang, source,
+       LEAST(90, GREATEST(10, n_chars // 20)) AS rate_pct
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+      < LEAST(90, GREATEST(10, n_chars // 20))
+""",
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling: each document's
+    keep-rate derives from a per-document quality signal (here length,
+    clamped to [10%, 90%]) instead of its group — the standard
+    up-weight-the-good-data curation step, distinct from the
+    group-quota form in ``llm_sample_stratified``. Selection hashes
+    the id (md5), so the sample is reproducible across runs and
+    engines with no RNG state.
+
+    Scale: a narrow filter over a column-pruned scan — the rate
+    expression and hash are row-local, zero shuffles at any scale."""
+    docs = Catalog(spark, sf_dir).documents
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
+    ).cast("long") % 100
+    rate = F.least(
+        F.lit(90), F.greatest(F.lit(10), F.expr("n_chars div 20"))
+    )
+    return docs.where(bucket < rate).select(
+        "doc_id", "lang", "source", rate.alias("rate_pct")
+    )
+
+
+@query(
+    "llm_emb_norm_stats",
+    """
+WITH n AS (
+  SELECT label,
+         CAST(floor(sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))
+                    * 1000000 + 0.5) AS BIGINT) AS norm_micros
+  FROM embeddings)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MIN(norm_micros) AS min_norm_micros,
+       MAX(norm_micros) AS max_norm_micros,
+       CAST(SUM(norm_micros) // COUNT(*) AS BIGINT) AS avg_norm_micros
+FROM n GROUP BY label
+""",
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm profile per label — the ANN pre-flight that
+    catches un-normalized vectors, degenerate all-zero rows, and
+    per-class norm drift BEFORE anyone builds an IVF index or trusts a
+    dot product as a cosine. Norms are exact integer micros per row
+    (floor(x*1e6+0.5) of a deterministic sequential-fold sqrt), so the
+    grouped MIN/MAX/AVG are bit-portable — a raw double SUM would
+    depend on partial-aggregation order.
+
+    Scale: one narrow per-row map + one grouped aggregate with
+    map-side partials; output is label-cardinality-sized."""
+    emb = Catalog(spark, sf_dir).embeddings
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_micros = F.floor(F.sqrt(dot) * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        emb.select("label", norm_micros.alias("norm_micros"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm_micros").alias("min_norm_micros"),
+            F.max("norm_micros").alias("max_norm_micros"),
+            F.expr("sum(norm_micros) div count(*)").alias(
+                "avg_norm_micros"
+            ),
+        )
+    )
 
 
 @query(

@@ -650,3 +650,24 @@ def test_multimodal_png_through_spark(spark):
     assert got[2]["width"] == 2 and got[2]["channels"] == 3
     # unrecognized falls back to the deterministic fake, same schema
     assert got[3]["n_bytes"] == len(b"not an image")
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long one: containment fires at
+    1.0 while Jaccard stays far below any dedup threshold — the case
+    the asymmetric measure exists for."""
+    from lms_erp_data_integration_spark.operators import dedup as dd
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)], "doc_id long, text string"
+    )
+    rows = dd.ngram_containment_duplicates(docs, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["i"], r["j"]) == (1, 2)
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < 0.5
+    # and the symmetric form indeed misses it at its threshold
+    assert dd.ngram_jaccard_duplicates(docs, threshold=0.8).count() == 0

@@ -27,6 +27,9 @@ SAMPLE = [
     "llm_quality_gate",
     "llm_contamination_ngram",
     "rel_q11_important_parts",
+    # bucketed self range-join: must stay an equi-join on
+    # (user_id, bucket), never a nested-loop interval join
+    "rel_event_burst_pairs",
 ]
 
 

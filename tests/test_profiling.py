@@ -62,3 +62,23 @@ def test_bucket_sizes_and_histogram_agree(spark):
     assert sum(r["candidate_pairs"] for r in per_bucket.values()) == sum(
         h["candidate_pairs"] * 1 for h in hist.values()
     )
+
+
+def test_equi_width_histogram(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+    rows = {
+        r["bucket_id"]: r
+        for r in profiling.equi_width_histogram(df, "v", buckets=10).collect()
+    }
+    # width = 9.9: bucket 0 gets [0, 9.9) = 10 values, last bucket
+    # clamps the max in
+    assert sum(r["n"] for r in rows.values()) == 100
+    assert rows[0]["n"] == 10
+    assert 9 in rows and rows[9]["n"] >= 1
+    assert rows[0]["share_ppm"] == 100_000
+    # degenerate all-equal column: everything lands in bucket 0
+    one = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    got = profiling.equi_width_histogram(one, "v", buckets=10).collect()
+    assert len(got) == 1 and got[0]["bucket_id"] == 0 and got[0]["n"] == 2
