@@ -61,6 +61,10 @@ registry.PRIORITY = [
     "llm_emb_norm_stats",
     "rel_event_burst_pairs",
     "rel_value_histogram",
+    "llm_sim_ivf_recall",
+    "llm_minhash_accuracy",
+    "llm_corpus_rebalance",
+    "llm_tokenizer_fertility",
     # re-verification fillers: last driver row r2 (oldest); displaced
     # from the END of this list as r5 adds new queries
     "rel_q3_shipping_priority",
@@ -80,8 +84,4 @@ registry.PRIORITY = [
     "rel_cube_order_stats",
     "rel_parameterized_sql",
     "rel_q4_order_priority",
-    "rel_q10_returned_items",
-    "rel_unpivot_part_measures",
-    "rel_event_deltas",
-    "rel_session_window_native",
 ]

@@ -140,6 +140,106 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_duplicates(docs, threshold=0.8, shingle_n=3)
 
 
+def _minhash_accuracy_oracle(
+    num_hashes: int = 16, rows_per_band: int = 2
+) -> str:
+    a, b = dd.mh_params(num_hashes)
+    a_sql = "[" + ", ".join(map(str, a)) + "]"
+    b_sql = "[" + ", ".join(map(str, b)) + "]"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+shing AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+base AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+  FROM shing),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(({a_sql}[seed + 1] * h + {b_sql}[seed + 1]) % {dd.MH_MOD})
+           AS minhash
+  FROM base, unnest(range(0, {num_hashes})) AS s(seed)
+  GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, seed // {rows_per_band} AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM mh GROUP BY doc_id, seed // {rows_per_band}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.i, c.j, COUNT(*) AS est_matches
+  FROM cands c
+  JOIN mh ma ON ma.doc_id = c.i
+  JOIN mh mb ON mb.doc_id = c.j AND mb.seed = ma.seed
+            AND mb.minhash = ma.minhash
+  GROUP BY c.i, c.j),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT c.i, c.j, COUNT(*) AS inter
+  FROM cands c
+  JOIN shing si ON si.doc_id = c.i
+  JOIN shing sj ON sj.doc_id = c.j AND sj.shingle = si.shingle
+  GROUP BY c.i, c.j)
+SELECT x.i, x.j,
+       CAST(e.est_matches AS BIGINT) AS est_matches,
+       e.est_matches / {float(num_hashes)} AS est_jaccard,
+       x.inter * 1.0 / (sa.n + sb.n - x.inter) AS jaccard
+FROM inter x
+JOIN est e ON e.i = x.i AND e.j = x.j
+JOIN sizes sa ON sa.doc_id = x.i
+JOIN sizes sb ON sb.doc_id = x.j
+"""
+
+
+@query("llm_minhash_accuracy", _minhash_accuracy_oracle())
+def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration audit: for every LSH candidate pair, the
+    MinHash-ESTIMATED Jaccard (matching signature slots / 16) next to
+    the exact Jaccard — the residual between the two columns is the
+    sketch error that decides whether 16 hashes suffice or the band
+    scheme needs more rows. Run on the candidate set (collision-sized,
+    never all-pairs), so the audit costs barely more than the dedup
+    itself.
+
+    Scale: signatures and shingle sets are both narrow per-doc
+    builds; the only shuffles are the band equi-join (collision-bound)
+    and the pair verify joins, identical to the production LSH path."""
+    docs = Catalog(spark, sf_dir).documents
+    shingled = tx.word_shingles(docs, "doc_id", "text", 3)
+    sigs = dd.minhash_signatures(docs, num_hashes=16)
+    cands = dd.lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
+    exact = dd.jaccard_on_pairs(shingled, cands)
+    est_matches = F.size(
+        F.filter(
+            F.zip_with(F.col("_si"), F.col("_sj"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ).cast("long")
+    est = (
+        cands.join(
+            sigs.select(F.col("doc_id").alias("i"), F.col("sigs").alias("_si")),
+            "i",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("j"), F.col("sigs").alias("_sj")),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            est_matches.alias("est_matches"),
+            (est_matches / F.lit(16.0)).alias("est_jaccard"),
+        )
+    )
+    return est.join(exact, ["i", "j"]).select(
+        "i", "j", "est_matches", "est_jaccard", "jaccard"
+    )
+
+
 @query(
     "llm_dedup_containment",
     rf"""
@@ -292,6 +392,64 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim.ivf_topk(emb, queries, centroids, k=10)
+
+
+from .registry import ORACLES as _ORACLES  # noqa: E402  (composes the two registered search oracles above)
+
+
+@query(
+    "llm_sim_ivf_recall",
+    f"""
+WITH bf AS ({{bf}}),
+ivf AS ({{ivf}})
+SELECT bf.query_id,
+       CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(ivf.neighbor_id) * 100 // COUNT(*) AS BIGINT)
+         AS recall_pct
+FROM bf LEFT JOIN ivf
+  ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+""".format(
+        bf=_ORACLES["llm_sim_topk_bruteforce"],
+        ivf=_ORACLES["llm_sim_ivf_topk"],
+    ),
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality audit: recall@10 of the IVF(1-probe) search
+    against the exact brute-force baseline, per query — the number a
+    team actually watches when tuning nprobe/k before shipping an
+    index. Composes the two registered searches; the oracle re-runs
+    both SQL forms and the same left-join overlap count.
+
+    Scale: the audit runs on a SAMPLE of queries (here the 5 fixed
+    probes) — recall estimation never needs the full corpus of
+    queries, so the brute-force side stays bounded while the corpus
+    grows."""
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = emb.groupBy(F.col("label").alias("centroid_id")).agg(
+        F.min_by("embedding", "vec_id").alias("embedding")
+    )
+    bf = sim.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = sim.ivf_topk(emb, queries, centroids, k=10).select(
+        F.col("query_id").alias("qi"), F.col("neighbor_id").alias("ni")
+    )
+    j = bf.join(
+        ivf,
+        (F.col("query_id") == F.col("qi"))
+        & (F.col("neighbor_id") == F.col("ni")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("ni").alias("hits"),
+        F.count(F.lit(1)).alias("k"),
+        F.expr("count(ni) * 100 div count(*)").alias("recall_pct"),
+    )
 
 
 @query(
@@ -1403,6 +1561,101 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cum_tok", F.sum("n_tok").over(w))
     return ranked.where(F.col("cum_tok") <= 300).select(
         "source", "doc_id", "n_tok", "cum_tok"
+    )
+
+
+@query(
+    "llm_corpus_rebalance",
+    """
+WITH k AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM k),
+tgt AS (
+  SELECT lang, n_docs,
+         CASE WHEN lang = 'en' THEN 400000 ELSE 150000 END AS target_ppm
+  FROM k)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST((n_docs * 1000000) // total AS BIGINT) AS share_ppm,
+       CAST(target_ppm AS BIGINT) AS target_ppm,
+       LEAST(1000000, CAST((target_ppm * total) // n_docs AS BIGINT))
+         AS keep_rate_ppm
+FROM tgt, t
+""",
+)
+def corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix rebalancing plan: given a target language mix (40% en, 15%
+    each other), compute the per-group deterministic keep-rate that
+    moves the corpus toward it (clamped at 100% — down-sampling only;
+    an over-represented target surfaces as rate 1e6, the signal to
+    up-sample elsewhere or add data). The output feeds the same
+    md5-bucket selection as ``llm_sample_importance`` — plan and
+    apply stay separate so the plan is reviewable.
+
+    Scale: one grouped count (map-side partials) + a broadcast 1-row
+    total; output is group-cardinality-sized. Exact integer ppm
+    arithmetic throughout."""
+    docs = Catalog(spark, sf_dir).documents
+    k = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = k.agg(F.sum("n_docs").alias("total"))
+    target = F.when(F.col("lang") == "en", 400_000).otherwise(150_000)
+    return k.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        F.expr("(n_docs * 1000000) div total").alias("share_ppm"),
+        target.cast("long").alias("target_ppm"),
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr(
+                "(CASE WHEN lang = 'en' THEN 400000 ELSE 150000 END"
+                " * total) div n_docs"
+            ),
+        ).alias("keep_rate_ppm"),
+    )
+
+
+@query(
+    "llm_tokenizer_fertility",
+    r"""
+WITH t AS (
+  SELECT lang,
+         strlen(text) AS n_bytes,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST((SUM(n_bytes) * 1000) // SUM(n_tok) AS BIGINT)
+         AS bytes_per_token_milli
+FROM t GROUP BY lang
+""",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility proxy per language: UTF-8 bytes per
+    whitespace token (milli-units, exact integer division). The
+    compression-rate table a tokenizer evaluation starts from — CJK
+    languages show multi-byte inflation immediately (zh here runs ~3x
+    the Latin-script languages). Byte lengths, not char lengths:
+    that's what a byte-level BPE actually consumes.
+
+    Scale: narrow per-row expressions + one grouped aggregate with
+    map-side partials; output is language-cardinality-sized."""
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        docs.select(
+            "lang",
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            F.size(tx.ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.expr("(sum(n_bytes) * 1000) div sum(n_tok)").alias(
+                "bytes_per_token_milli"
+            ),
+        )
     )
 
 
