@@ -178,3 +178,91 @@ def test_cdc_compaction_equals_sequential_fold(spark):
             state[k] = v if op == "U" else None
         want = {(k, v) for k, v in state.items() if v is not None}
         assert got == want, f"seed={seed}"
+
+
+def test_containment_dominates_jaccard_on_random_docs(spark):
+    """For every candidate pair, containment >= jaccard (the union is
+    at least the smaller set), and at threshold 0 the containment path
+    emits exactly the exact-baseline candidate pairs with identical
+    jaccard values — the two measures derive from one machinery."""
+    from lms_erp_data_integration_spark.operators.dedup import (
+        ngram_containment_duplicates,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = []
+    for i in range(30):
+        base = [rng.choice(vocab) for _ in range(12)]
+        rows.append((i, " ".join(base)))
+        if rng.random() < 0.4:  # planted: prefix containment
+            rows.append((1000 + i, " ".join(base + base[:4])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r["i"], r["j"]): (r["containment"], r["jaccard"])
+        for r in ngram_containment_duplicates(docs, threshold=0.0).collect()
+    }
+    exact = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in ngram_jaccard_duplicates(docs, threshold=0.0).collect()
+    }
+    assert set(cont) == set(exact)
+    for pair, (c, j) in cont.items():
+        assert c >= j - 1e-12, pair
+        assert abs(j - exact[pair]) < 1e-12, pair
+    assert len(cont) > 0
+
+
+def test_minhash_estimate_bounded_on_random_docs(spark):
+    """Sketch-calibration invariants: est_matches ∈ [2, 16] for LSH
+    candidates (one agreeing band guarantees 2 matching slots), est =
+    matches/16 exactly, and identical docs estimate 1.0 with exact
+    jaccard 1.0."""
+    from lms_erp_data_integration_spark.operators import dedup as dd
+    from lms_erp_data_integration_spark.operators import text as tx
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = []
+    for i in range(25):
+        base = " ".join(rng.choice(vocab) for _ in range(14))
+        rows.append((i, base))
+        if i % 5 == 0:
+            rows.append((1000 + i, base))  # identical twin
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shingled = tx.word_shingles(docs, "doc_id", "text", 3)
+    sigs = dd.minhash_signatures(docs, num_hashes=16)
+    cands = dd.lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
+    exact = dd.jaccard_on_pairs(shingled, cands)
+    est = (
+        cands.join(
+            sigs.select(F.col("doc_id").alias("i"), F.col("sigs").alias("_si")),
+            "i",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("j"), F.col("sigs").alias("_sj")),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("_si"), F.col("_sj"), lambda x, y: x == y
+                    ),
+                    lambda m: m,
+                )
+            ).alias("est_matches"),
+        )
+    )
+    rows_out = est.join(exact, ["i", "j"]).collect()
+    assert rows_out
+    twins = 0
+    for r in rows_out:
+        assert 2 <= r["est_matches"] <= 16, (r["i"], r["j"])
+        if r["i"] + 1000 == r["j"]:
+            twins += 1
+            assert r["est_matches"] == 16
+            assert r["jaccard"] == 1.0
+    assert twins > 0
