@@ -65,6 +65,7 @@ registry.PRIORITY = [
     "llm_minhash_accuracy",
     "llm_corpus_rebalance",
     "llm_tokenizer_fertility",
+    "rel_lateral_topk",
     # re-verification fillers: last driver row r2 (oldest); displaced
     # from the END of this list as r5 adds new queries
     "rel_q3_shipping_priority",
@@ -83,5 +84,4 @@ registry.PRIORITY = [
     "rel_string_surface",
     "rel_cube_order_stats",
     "rel_parameterized_sql",
-    "rel_q4_order_priority",
 ]

@@ -173,6 +173,33 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+WHERE c.c_custkey <= 200
+"""
+
+
+@query("rel_lateral_topk", _LATERAL_TOPK_SQL)
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-k: each customer cross-applied to its
+    own ORDER BY ... LIMIT 3 order subquery — the per-row-table form
+    of top-k-per-group, complementing the window-function form
+    (``rel_top_orders_per_customer``). Same ANSI text runs on both
+    engines; Spark decorrelates the lateral subquery into a
+    ranked-window join rather than re-executing it per outer row.
+
+    Scale: after decorrelation the plan is one shuffle on the
+    correlation key + a per-key rank — identical cost shape to the
+    window form; customers without orders drop out (inner lateral) on
+    both engines."""
+    Catalog(spark, sf_dir).register_all()
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
 @query(
     "rel_latest_event_per_user",
     """
