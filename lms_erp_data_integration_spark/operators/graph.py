@@ -214,3 +214,73 @@ def _iterate_with_dangling(
         if i < iterations - 1:
             rank = rank.localCheckpoint(eager=True)
     return rank
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle count via DEGREE ORIENTATION — the
+    standard scalable formulation: orient every undirected edge from
+    its lower-(degree, id) endpoint to the higher one, generate wedges
+    only along the orientation, and close them with a semi-join.
+    Out-degree under this orientation is O(sqrt(m)) for any graph, so
+    wedge generation is bounded by sum(out_deg^2) = O(m^1.5) — never
+    the naive sum(deg^2), which one celebrity node makes quadratic.
+
+    Input: distinct undirected edges as (u, v) with u < v. Output: one
+    row (n_nodes, n_edges, triangles). Each triangle is counted
+    exactly once: for oriented edge (a, b), the common out-neighbors
+    |adj+(a) ∩ adj+(b)| are exactly the apexes closing it.
+
+    Rather than materializing the wedge set (measured 4-5x slower at
+    sf0.1: ~10M wedge rows shuffled twice), out-adjacency is packed
+    into one sorted array per node — bounded by the O(sqrt(m))
+    oriented out-degree, so collect_list is executor-safe at any
+    skew — and each edge does one narrow array_intersect. Two
+    node-keyed joins of edge-sized rows, zero wedge-sized shuffles.
+    No driver state."""
+    und = tracked_persist(edges.select("u", "v"))
+    deg = tracked_persist(
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = und.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v"
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = tracked_persist(
+        e.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    adj = oriented.groupBy("a").agg(
+        F.array_sort(F.collect_list("b")).alias("nbrs")
+    )
+    tri = (
+        oriented.join(
+            adj.select(F.col("a"), F.col("nbrs").alias("na")), "a"
+        )
+        .join(
+            adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")),
+            "b",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("na", "nb"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("triangles")
+        )
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nn.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "triangles")
+    )

@@ -66,6 +66,8 @@ registry.PRIORITY = [
     "llm_corpus_rebalance",
     "llm_tokenizer_fertility",
     "rel_lateral_topk",
+    "rel_triangle_count",
+    "llm_corpus_divergence",
     # re-verification fillers: last driver row r2 (oldest); displaced
     # from the END of this list as r5 adds new queries
     "rel_q3_shipping_priority",
@@ -82,6 +84,4 @@ registry.PRIORITY = [
     "rel_term_successor",
     "rel_q6_revenue_filter",
     "rel_string_surface",
-    "rel_cube_order_stats",
-    "rel_parameterized_sql",
 ]

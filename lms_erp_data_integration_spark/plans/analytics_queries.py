@@ -753,6 +753,81 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_corpus_divergence",
+    r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents),
+sc AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sc GROUP BY source),
+cc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+ct AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cc),
+contrib AS (
+  SELECT sc.source, st.n AS n_tokens,
+         sc.c * CAST(ROUND(LN((CAST(sc.c AS DOUBLE) * ct.n)
+                              / (CAST(st.n AS DOUBLE) * cc.c))
+                           * 1000000) AS BIGINT) AS m
+  FROM sc
+  JOIN cc ON cc.w = sc.w
+  JOIN st ON st.source = sc.source
+  CROSS JOIN ct)
+SELECT source,
+       MAX(n_tokens) AS n_tokens,
+       CAST(CAST(SUM(m) AS BIGINT) // MAX(n_tokens) AS BIGINT)
+         AS kl_micronats
+FROM contrib GROUP BY source
+""",
+)
+def corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift detector: per-source KL divergence
+    KL(P_source || P_corpus) over the unigram distribution, in exact
+    integer micro-nats — the drift score a corpus-curation pipeline
+    watches when a new crawl/source lands (a source whose language
+    model diverges from the pool gets human eyes before it trains).
+    Per-term log-ratio contributions are quantized per (source, term)
+    then summed as integers, so the score is partial-aggregation-order
+    independent (same convention as ``llm_text_unigram_lm``); every
+    source term exists in the pooled corpus by construction, so no
+    smoothing term is needed.
+
+    Scale: token explode -> two grouped counts (source×term and term,
+    both map-side-partial) -> a vocabulary-keyed hash join -> one
+    grouped sum; output is source-cardinality-sized. The corpus total
+    is a broadcast 1-row cross join."""
+    docs = Catalog(spark, sf_dir).documents.select("source", "text")
+    tok = docs.select(
+        "source", F.explode(tx.ws_tokens(F.col("text"))).alias("w")
+    )
+    sc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    cc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    ct = cc.agg(F.sum("cw").alias("nt"))
+    contrib = (
+        sc.join(cc, "w")
+        .join(st.select("source", F.col("n").alias("n_tokens")), "source")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.col("c")
+                * F.round(
+                    F.log(
+                        (F.col("c").cast("double") * F.col("nt"))
+                        / (F.col("n_tokens").cast("double") * F.col("cw"))
+                    )
+                    * 1_000_000
+                ).cast("long")
+            ).alias("m"),
+        )
+    )
+    return contrib.groupBy("source").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.expr("sum(m) div max(n_tokens)").alias("kl_micronats"),
+    )
+
+
+@query(
     "llm_pii_redaction",
     r"""
 SELECT event_type,
@@ -1058,6 +1133,80 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
          CAST(150000 + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r
   FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
   GROUP BY e.dst)"""
+
+
+@query(
+    "rel_triangle_count",
+    """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey % 2 = 0),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges) t
+  GROUP BY node),
+e AS (
+  SELECT edges.u, edges.v, du.deg AS du, dv.deg AS dv
+  FROM edges
+  JOIN deg du ON du.node = edges.u
+  JOIN deg dv ON dv.node = edges.v),
+oriented AS (
+  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b
+  FROM e),
+wedges AS (
+  SELECT e1.a AS a, e2.b AS c
+  FROM oriented e1 JOIN oriented e2 ON e1.b = e2.a),
+closed AS (
+  SELECT w.a, w.c FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM oriented o
+                WHERE o.a = w.a AND o.b = w.c))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS triangles
+FROM closed
+""",
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the part co-purchase graph (distinct
+    undirected edges from parts sharing an order) by DEGREE
+    ORIENTATION: wedges generate only from each edge's lower-(deg, id)
+    endpoint, so generation is bounded by Σ out-deg² = O(m^1.5)
+    regardless of skew — one celebrity part cannot make the wedge set
+    quadratic, the failure mode of the naive formulation. The global
+    clustering signal behind recommender/graph-feature pipelines.
+
+    Scale: two node-keyed shuffles (wedge equi-join + closing
+    semi-join); no iteration, no driver state
+    (``operators/graph.py:triangle_count``). The registered exercise
+    samples half the orders (even keys) — wedge volume grows ~m^1.5,
+    and the exact full-graph count is the same operator on the
+    unfiltered edge set."""
+    from ..operators.graph import triangle_count
+
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.where(F.col("l_orderkey") % 2 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_count(edges)
 
 
 @query(

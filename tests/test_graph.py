@@ -98,3 +98,23 @@ def test_pagerank_dangling_noop_on_sinkless_graph(spark):
         for r in pagerank_micros(edges, 3, handle_dangling=True).collect()
     )
     assert fast == full
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 plus a pendant: C(4,3)=4 triangles, counted once each under
+    degree orientation regardless of skewed degrees."""
+    from lms_erp_data_integration_spark.operators.graph import (
+        triangle_count,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 9)], "u long, v long")
+    row = triangle_count(edges).first()
+    assert row["triangles"] == 4
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 7
+    # triangle-free graph: a star (all wedges, no closures)
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "u long, v long"
+    )
+    assert triangle_count(star).first()["triangles"] == 0
