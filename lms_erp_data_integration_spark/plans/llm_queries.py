@@ -208,9 +208,14 @@ def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: signatures and shingle sets are both narrow per-doc
     builds; the only shuffles are the band equi-join (collision-bound)
     and the pair verify joins, identical to the production LSH path."""
+    from ..caching import tracked_persist
+
     docs = Catalog(spark, sf_dir).documents
-    shingled = tx.word_shingles(docs, "doc_id", "text", 3)
-    sigs = dd.minhash_signatures(docs, num_hashes=16)
+    shingled = tracked_persist(tx.word_shingles(docs, "doc_id", "text", 3))
+    # persisted: the signature build (md5 per shingle x 16 affine
+    # folds) feeds the band join AND both sides of the estimate join —
+    # unpersisted it would recompute three times
+    sigs = tracked_persist(dd.minhash_signatures(docs, num_hashes=16))
     cands = dd.lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
     exact = dd.jaccard_on_pairs(shingled, cands)
     est_matches = F.size(
