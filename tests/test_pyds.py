@@ -59,3 +59,71 @@ def test_dotted_transport_reference(spark, tmp_path):
 def test_unknown_entity_raises(spark, tmp_path):
     with pytest.raises(Exception, match="grades"):
         _load(spark, tmp_path, "grades").collect()
+
+
+def test_streaming_reader_two_runs(spark, tmp_path):
+    """Streaming form: two bounded report runs — each one micro-batch
+    of the full REST cycle, offsets advance by run counter, rows land
+    typed; after max_runs the reader reports no new data. (Python
+    stream sources fall back to single-batch under availableNow, so
+    the test polls a continuous query for both batches.)"""
+    import time
+
+    from lms_erp_data_integration_spark.sources.pyds import (
+        register_canvas_report,
+    )
+
+    register_canvas_report(spark)
+    q = (
+        spark.readStream.format("canvas_report")
+        .option("entity", "users")
+        .option("stage_dir", str(tmp_path / "stage"))
+        .option("transport", "fake")
+        .option("max_runs", "2")
+        .load()
+        .writeStream.format("memory")
+        .queryName("pyds_stream")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM pyds_stream").count() >= 6:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM pyds_stream").collect()
+    # 3 users per report run x 2 runs
+    assert len(rows) == 6
+    assert {r["login_id"] for r in rows} == {"alice", "bob", "carol"}
+    assert all(isinstance(r["canvas_user_id"], int) for r in rows)
+    # both run dirs staged (replay source for readBetweenOffsets)
+    assert (tmp_path / "stage" / "run_1" / "users.csv").exists()
+    assert (tmp_path / "stage" / "run_2" / "users.csv").exists()
+
+
+def test_streaming_reader_replay_between_offsets(tmp_path):
+    """readBetweenOffsets replays committed batches from the staged
+    run dirs without a second REST round-trip."""
+    from lms_erp_data_integration_spark.sources.csv import (
+        ENTITY_CSV_SCHEMAS,
+    )
+    from lms_erp_data_integration_spark.sources.pyds import (
+        CanvasReportStreamReader,
+    )
+
+    opts = {
+        "entity": "users",
+        "stage_dir": str(tmp_path / "stage"),
+        "transport": "fake",
+    }
+    r = CanvasReportStreamReader(opts, ENTITY_CSV_SCHEMAS["users"])
+    it1, o1 = r.read(r.initialOffset())
+    rows1 = list(it1)
+    it2, o2 = r.read(o1)
+    assert o1 == {"run": 1} and o2 == {"run": 2}
+    assert len(rows1) == 3
+    replay = list(r.readBetweenOffsets({"run": 0}, {"run": 2}))
+    assert len(replay) == 6
+    assert replay[:3] == rows1
