@@ -157,3 +157,75 @@ def compact_table(
     ).parquet(dst_path)
     after = list_table_files(spark, dst_path).count()
     return {"files_before": int(agg["n"]), "files_after": int(after)}
+
+
+def zorder_value(cols: list[str], bits: int = 16) -> "F.Column":
+    """Morton (Z-order) key from 2+ numeric columns: each column is
+    min-max scaled to ``bits`` buckets (requires window-free constants
+    — see :func:`write_zorder`, which computes the bounds), then bit
+    positions are interleaved. Entirely JVM-side shift/or expressions —
+    whole-stage-codegen'd, no UDF.
+
+    Input columns must already be integer bucket ids in [0, 2^bits).
+    """
+    z = F.lit(0).cast("long")
+    for b in range(bits - 1, -1, -1):
+        for c in cols:
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(
+                F.lit(1)
+            )
+            z = F.shiftleft(z, 1).bitwiseOR(bit)
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 10,
+) -> None:
+    """Z-order-clustered Parquet write: rows are range-partitioned and
+    sorted by the Morton interleave of ``cols``, so each output file
+    covers a compact hyper-rectangle of the key space — a predicate on
+    ANY subset of the z-columns prunes files via their min/max
+    statistics, where linear sort order only prunes on its leading
+    column. THE layout technique for multi-dimension point/range
+    lookups at 100 TB (Delta/Iceberg OPTIMIZE ZORDER is this exact
+    idea); pruning effect is observable via :func:`prune_report`.
+
+    Cost: one 1-row min/max aggregate + one range shuffle + local
+    sort — the same shape as any clustered rewrite."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    mm = df.agg(*aggs)
+    scaled = df.crossJoin(F.broadcast(mm))
+    bucket_cols = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
+        width = (hi - lo).cast("double") / F.lit(float(1 << bits))
+        b = F.when(hi == lo, F.lit(0)).otherwise(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c) - lo).cast("double") / width).cast(
+                    "int"
+                ),
+            )
+        )
+        bucket_cols.append(b.alias(f"_zb_{c}"))
+    scaled = scaled.select("*", *bucket_cols)
+    z = zorder_value([f"_zb_{c}" for c in cols], bits)
+    out = (
+        scaled.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop(
+            "_z",
+            *[f"_zb_{c}" for c in cols],
+            *[f"_lo_{c}" for c in cols],
+            *[f"_hi_{c}" for c in cols],
+        )
+    )
+    out.write.mode("overwrite").parquet(path)

@@ -115,3 +115,60 @@ def test_compaction_plan_interleaved_large_files(spark, tmp_path):
     # 5 smalls x 10 B at 20 B/group -> groups 0,0,1,1,2 in name order
     got = [rows[f"f{i:02d}.parquet"] for i in range(1, 10, 2)]
     assert got == [0, 0, 1, 1, 2], got
+
+
+def test_zorder_write_prunes_2d_box(spark, tmp_path):
+    """Z-order clustering: a 2-D box predicate must prune strictly
+    more files than a linear sort on one key, because each z-ordered
+    file covers a compact rectangle while linear files span the full
+    range of the second column. Content must survive the rewrite."""
+    from pyspark.sql import functions as F
+
+    from lms_erp_data_integration_spark.pipeline.layout import (
+        prune_report,
+        write_zorder,
+    )
+
+    grid = (
+        spark.range(0, 128 * 128)
+        .select(
+            (F.col("id") % 128).alias("x"),
+            (F.col("id") / 128).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+    lin, zo = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    # linear layout: range-partitioned+sorted on x only
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(lin)
+    )
+    write_zorder(grid, zo, ["x", "y"], n_files=16)
+    box = "x BETWEEN 10 AND 20 AND y BETWEEN 10 AND 20"
+    rl, rz = prune_report(spark, lin, box), prune_report(spark, zo, box)
+    assert rz["total_files"] >= 8
+    # the box predicate touches a small corner: z-order reads fewer
+    # files than the x-only sort, which prunes on x but not y
+    assert rz["read_files"] < rl["read_files"]
+    # and the clustered copy is lossless
+    assert spark.read.parquet(zo).count() == 128 * 128
+    assert (
+        spark.read.parquet(zo).agg(F.sum("payload")).first()[0]
+        == grid.agg(F.sum("payload")).first()[0]
+    )
+
+
+def test_zorder_value_interleave_exact():
+    """Morton interleave of known 2-bit coordinates: (x=0b11, y=0b01)
+    -> bits x1 y1 x0 y0 = 0b1011 = 11."""
+    from lms_erp_data_integration_spark.pipeline.layout import (
+        zorder_value,
+    )
+    from lms_erp_data_integration_spark.session import get_spark
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    df = spark.createDataFrame([(3, 1)], "a int, b int").select(
+        zorder_value(["a", "b"], bits=2).alias("z")
+    )
+    assert df.first()["z"] == 0b1011
