@@ -68,6 +68,7 @@ registry.PRIORITY = [
     "rel_lateral_topk",
     "rel_triangle_count",
     "llm_corpus_divergence",
+    "rel_salted_distinct",
     # re-verification fillers: last driver row r2 (oldest); displaced
     # from the END of this list as r5 adds new queries
     "rel_q3_shipping_priority",
@@ -83,5 +84,4 @@ registry.PRIORITY = [
     "rel_events_hourly",
     "rel_term_successor",
     "rel_q6_revenue_filter",
-    "rel_string_surface",
 ]

@@ -1354,6 +1354,45 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_salted_distinct",
+    """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe EXACT distinct count: two-phase aggregation salted on
+    ``custkey % 64``. Because the salt partitions the counted key
+    space disjointly, per-(group, salt) distinct counts SUM exactly —
+    no approximation. The pattern that saves a COUNT(DISTINCT) whose
+    group key is badly skewed (3 statuses here): a plain distinct
+    aggregate funnels each group's entire key set through one
+    partition, while the salted form spreads it over 64 and the final
+    merge moves only 64 small rows per group. The oracle states the
+    plain COUNT(DISTINCT) — the driver hash proves the two-phase form
+    is exactly equal.
+
+    Scale: phase 1 shuffles on (group, salt) — 64x the parallelism of
+    the group key; phase 2 aggregates group x 64 rows. The bitmap
+    (``rel_bitmap_distinct``) and HLL (``rel_approx_distinct``) forms
+    are the constant-state alternatives; this one stays exact."""
+    orders = Catalog(spark, sf_dir).orders
+    p1 = orders.groupBy(
+        "o_orderstatus",
+        F.pmod(F.col("o_custkey"), F.lit(64)).alias("_salt"),
+    ).agg(
+        F.countDistinct("o_custkey").alias("_nd"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return p1.groupBy("o_orderstatus").agg(
+        F.sum("_nd").cast("long").alias("n_customers"),
+        F.sum("_n").cast("long").alias("n_orders"),
+    )
+
+
+@query(
     "rel_event_burst_pairs",
     """
 WITH e AS (
