@@ -69,6 +69,7 @@ registry.PRIORITY = [
     "rel_triangle_count",
     "llm_corpus_divergence",
     "rel_salted_distinct",
+    "llm_text_entropy",
     # re-verification fillers: last driver row r2 (oldest); displaced
     # from the END of this list as r5 adds new queries
     "rel_q3_shipping_priority",
@@ -83,5 +84,4 @@ registry.PRIORITY = [
     "rel_distinct_aggregates",
     "rel_events_hourly",
     "rel_term_successor",
-    "rel_q6_revenue_filter",
 ]

@@ -828,6 +828,58 @@ def corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_text_entropy",
+    """
+WITH ch AS (
+  SELECT doc_id, unnest(split(text, '')) AS c FROM documents),
+cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+n AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM cc GROUP BY doc_id),
+contrib AS (
+  SELECT cc.doc_id, n.n,
+         cc.k * CAST(ROUND(LN(CAST(cc.k AS DOUBLE) / n.n) * 1000000)
+                     AS BIGINT) AS m
+  FROM cc JOIN n ON n.doc_id = cc.doc_id)
+SELECT doc_id, MAX(n) AS n_chars,
+       CAST(-(CAST(SUM(m) AS BIGINT)) // MAX(n) AS BIGINT)
+         AS entropy_micronats
+FROM contrib GROUP BY doc_id
+""",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document in exact integer
+    micro-nats — the cheap junk detector: binary blobs and base64 read
+    high, repeated-character spam reads near zero, natural language
+    sits in a stable band per script. Per-character-class log
+    contributions are quantized then integer-summed (the
+    ``llm_text_unigram_lm`` portability convention), so the score is
+    aggregation-order independent.
+
+    Scale: character explode (bounded by corpus bytes) -> two grouped
+    counts partitioned by doc -> one narrow join back on doc_id; no
+    global state, no vocabulary broader than (doc, char)."""
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    ch = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    n = cc.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    contrib = cc.join(n, "doc_id").select(
+        "doc_id",
+        "n",
+        (
+            F.col("k")
+            * F.round(
+                F.log(F.col("k").cast("double") / F.col("n")) * 1_000_000
+            ).cast("long")
+        ).alias("m"),
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.max("n").alias("n_chars"),
+        F.expr("-sum(m) div max(n)").alias("entropy_micronats"),
+    )
+
+
+@query(
     "llm_pii_redaction",
     r"""
 SELECT event_type,
