@@ -1713,6 +1713,58 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_sim_kmeans_purity",
+    f"""
+WITH a AS ({{assign}}),
+cl AS (
+  SELECT a.cid, e.label, COUNT(*) AS k
+  FROM a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY a.cid, e.label),
+r AS (
+  SELECT cid, label, k,
+         ROW_NUMBER() OVER (PARTITION BY cid
+                            ORDER BY k DESC, label) AS rn
+  FROM cl),
+sz AS (SELECT cid, CAST(SUM(k) AS BIGINT) AS n FROM cl GROUP BY cid)
+SELECT r.cid, sz.n AS n_members, r.label AS majority_label,
+       CAST(r.k AS BIGINT) AS majority_count,
+       CAST((r.k * 1000000) // sz.n AS BIGINT) AS purity_ppm
+FROM r JOIN sz ON sz.cid = r.cid WHERE rn = 1
+""".format(assign=_ORACLES["llm_sim_kmeans_assign"]),
+)
+def sim_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit: per-cluster majority-label purity of
+    the k-means assignment against the ground-truth label column —
+    the number that says whether the IVF partitioning actually
+    respects the data's structure before anyone trusts its recall.
+    Ties break to the lower label (deterministic across engines);
+    purity in exact integer ppm.
+
+    Scale: one (cluster x label) grouped count (k x labels rows) +
+    one window over it — evaluation never rescans the vectors beyond
+    the assignment pass itself."""
+    from pyspark.sql import Window
+
+    emb = Catalog(spark, sf_dir).embeddings
+    assign = sim.kmeans_assignments(emb, k=8, iterations=2)
+    cl = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("k"), F.asc("label"))
+    r = cl.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    sz = cl.groupBy("cid").agg(F.sum("k").alias("n"))
+    return r.join(sz, "cid").select(
+        "cid",
+        F.col("n").alias("n_members"),
+        F.col("label").alias("majority_label"),
+        F.col("k").alias("majority_count"),
+        F.expr("(k * 1000000) div n").alias("purity_ppm"),
+    )
+
+
+@query(
     "llm_chunk_documents",
     r"""
 WITH toks AS (
