@@ -71,6 +71,7 @@ registry.PRIORITY = [
     "rel_salted_distinct",
     "llm_text_entropy",
     "llm_sim_kmeans_purity",
+    "llm_sim_pq_recall",
     # re-verification fillers: last driver row r2 (oldest); displaced
     # from the END of this list as r5 adds new queries
     "rel_q3_shipping_priority",
@@ -83,5 +84,4 @@ registry.PRIORITY = [
     "rel_semi_anti_counts",
     "rel_pivot_order_status",
     "rel_distinct_aggregates",
-    "rel_events_hourly",
 ]

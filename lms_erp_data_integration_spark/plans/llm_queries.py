@@ -1713,6 +1713,101 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_sim_pq_recall",
+    f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * 1000000 + 0.5)) AS vi
+  FROM embeddings),
+exact AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_dot_product(
+           list_transform(range(0, 64), d -> e.vi[d+1] - q.vi[d+1]),
+           list_transform(range(0, 64), d -> e.vi[d+1] - q.vi[d+1]))
+           AS dist
+  FROM v e, v q WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+eranked AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dist, neighbor_id) AS rank
+    FROM exact) t WHERE rank <= 10),
+adc AS ({_ORACLES["llm_sim_pq_adc_topk"]})
+SELECT e.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(a.neighbor_id) * 100 // COUNT(*) AS BIGINT)
+         AS recall_pct
+FROM eranked e LEFT JOIN adc a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+""",
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantization-loss audit: recall@10 of the compressed-domain
+    ADC search against the EXACT top-10 under the SAME metric
+    (integer-scaled squared L2) — so the residual is pure quantization
+    error, not metric mismatch. Completes the audit family: IVF recall
+    measures partition pruning loss, this measures code-book loss.
+
+    Scale: the exact side runs only for the bounded query sample (5
+    probes x corpus, one narrow fold per pair); the ADC side is the
+    production compressed search. Recall estimation never needs
+    corpus-sized query sets."""
+    emb = Catalog(spark, sf_dir).embeddings
+    vi = F.transform(
+        _to_double_col("embedding"),
+        lambda x: F.floor(x * 1_000_000 + F.lit(0.5)),
+    )
+    v = emb.select("vec_id", vi.alias("vi"))
+    q = v.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("vi").alias("qv")
+    )
+    diff = F.zip_with(F.col("vi"), F.col("qv"), lambda a, b: a - b)
+    dist = F.aggregate(
+        F.zip_with(diff, diff, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        "dist", F.col("neighbor_id")
+    )
+    exact = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist.alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    adc = sim.pq_adc_topk(emb).select(
+        F.col("query_id").alias("qi"), F.col("neighbor_id").alias("ni")
+    )
+    j = exact.join(
+        adc,
+        (F.col("query_id") == F.col("qi"))
+        & (F.col("neighbor_id") == F.col("ni")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("ni").alias("hits"),
+        F.count(F.lit(1)).alias("k"),
+        F.expr("count(ni) * 100 div count(*)").alias("recall_pct"),
+    )
+
+
+def _to_double_col(name: str):
+    return F.transform(F.col(name), lambda x: x.cast("double"))
+
+
+@query(
     "llm_sim_kmeans_purity",
     f"""
 WITH a AS ({{assign}}),
