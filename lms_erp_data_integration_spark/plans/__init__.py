@@ -72,6 +72,7 @@ registry.PRIORITY = [
     "llm_text_entropy",
     "llm_sim_kmeans_purity",
     "llm_sim_pq_recall",
+    "rel_temporal_state_join",
     # re-verification fillers: last driver row r2 (oldest); displaced
     # from the END of this list as r5 adds new queries
     "rel_q3_shipping_priority",
@@ -83,5 +84,4 @@ registry.PRIORITY = [
     "rel_customer_order_setops",
     "rel_semi_anti_counts",
     "rel_pivot_order_status",
-    "rel_distinct_aggregates",
 ]

@@ -1542,6 +1542,69 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_temporal_state_join",
+    """
+WITH hist AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                  TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+  FROM events WHERE user_id <= 30 AND event_type <> 'purchase'),
+obs AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE user_id <= 30 AND event_type = 'purchase')
+SELECT o.event_id, o.user_id, h.state,
+       CAST(ROUND(o.value * 100) AS BIGINT) AS value_cents
+FROM obs o JOIN hist h
+  ON h.user_id = o.user_id
+ AND o.ts >= h.valid_from AND o.ts < h.valid_to
+""",
+)
+def temporal_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval temporal join — the effective-dated dimension
+    lookup every warehouse runs: each purchase event joins the SCD2
+    state interval (built from the non-purchase change log, half-open
+    [valid_from, valid_to)) that was current at its timestamp. At most
+    one interval matches per event by construction (purchases before a
+    user's first state change drop out of the inner join), which the
+    driver hash proves.
+
+    Scale: an equi-join on the entity key with the interval predicate
+    as residual — per-key interval lists are change-history-sized, so
+    the sort-merge/hash join stays key-partitioned with no interval
+    blow-up; the pathological case (one entity, millions of intervals)
+    is the key-skew profile's job to catch first."""
+    ev = Catalog(spark, sf_dir).events.where(F.col("user_id") <= 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            F.lead("ts").over(w),
+            F.lit("2200-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("valid_to"),
+    )
+    obs = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return (
+        obs.join(
+            hist,
+            (obs["user_id"] == hist["user_id"])
+            & (obs["ts"] >= hist["valid_from"])
+            & (obs["ts"] < hist["valid_to"]),
+        )
+        .select(
+            "event_id",
+            obs["user_id"],
+            "state",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+
+
+@query(
     "rel_key_skew_profile",
     """
 WITH k AS (
