@@ -73,6 +73,8 @@ registry.PRIORITY = [
     "llm_sim_kmeans_purity",
     "llm_sim_pq_recall",
     "rel_temporal_state_join",
+    "llm_bpe_top_pairs",
+    "llm_pack_efficiency",
     # re-verification fillers: last driver row r2 (oldest); displaced
     # from the END of this list as r5 adds new queries
     "rel_q3_shipping_priority",
@@ -83,5 +85,4 @@ registry.PRIORITY = [
     "rel_rollup_revenue",
     "rel_customer_order_setops",
     "rel_semi_anti_counts",
-    "rel_pivot_order_status",
 ]

@@ -1980,6 +1980,94 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_bpe_top_pairs",
+    r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents),
+ch AS (SELECT split(w, '') AS cs FROM toks),
+pairs AS (
+  SELECT cs[i] || ' ' || cs[i+1] AS pair
+  FROM ch, unnest(range(1, len(cs))) AS t(i))
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+""",
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training inner loop, one step: count every
+    adjacent symbol pair within words across the corpus and rank —
+    the top pair is the next merge a byte-pair encoder would learn.
+    (A full trainer iterates this with the merged symbol substituted;
+    each iteration is this exact aggregation over the rewritten
+    symbol stream.)
+
+    Scale: pair explosion is corpus-bytes-bounded and narrow; the
+    count shuffles on the pair vocabulary (bounded by symbol-pair
+    cardinality, with map-side partial aggregation eating the heavy
+    hitters), then a top-k sort over vocabulary-sized counts."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        F.explode(tx.ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    cs = F.split(F.col("w"), "")
+    pairs = (
+        toks.where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(cs, 1, F.size(cs) - 1),
+                    F.slice(cs, 2, F.size(cs) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@query(
+    "llm_pack_efficiency",
+    f"""
+WITH p AS ({{pack}})
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((SUM(n_tokens) * 1000000) // (COUNT(*) * 256) AS BIGINT)
+         AS fill_ppm,
+       CAST(SUM(CASE WHEN n_tokens > 256 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overflow_bins
+FROM p GROUP BY shard
+""".format(pack=_ORACLES["llm_pack_sequences"]),
+)
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report per shard: bin count, token fill
+    ratio against the 256-token budget (exact ppm), and bins whose
+    starting document overruns the budget — the padding-waste number a
+    training team watches, since unfilled context windows burn compute
+    pro rata. Derived from the registered packing plan, so the audit
+    and the production packing can never disagree.
+
+    Scale: one aggregation over the (shard x bin) packing output —
+    metadata-sized relative to the corpus."""
+    packed = pack_sequences(spark, sf_dir)
+    n = F.count(F.lit(1))
+    return packed.groupBy("shard").agg(
+        n.alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr("(sum(n_tokens) * 1000000) div (count(*) * 256)").alias(
+            "fill_ppm"
+        ),
+        F.sum((F.col("n_tokens") > 256).cast("long")).alias(
+            "n_overflow_bins"
+        ),
+    )
+
+
 def _incremental_minhash_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
     a, b = dd.mh_params(num_hashes)
     a_sql = "[" + ", ".join(map(str, a)) + "]"
