@@ -84,5 +84,4 @@ registry.PRIORITY = [
     "rel_running_total_per_user",
     "rel_rollup_revenue",
     "rel_customer_order_setops",
-    "rel_semi_anti_counts",
 ]
