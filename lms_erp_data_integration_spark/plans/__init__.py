@@ -75,6 +75,8 @@ registry.PRIORITY = [
     "rel_temporal_state_join",
     "llm_bpe_top_pairs",
     "llm_pack_efficiency",
+    "rel_dim_surrogate_keys",
+    "llm_dedup_rate_by_source",
     # re-verification fillers: last driver row r2 (oldest); displaced
     # from the END of this list as r5 adds new queries
     "rel_q3_shipping_priority",
@@ -83,5 +85,4 @@ registry.PRIORITY = [
     "rel_latest_event_per_user",
     "rel_running_total_per_user",
     "rel_rollup_revenue",
-    "rel_customer_order_setops",
 ]

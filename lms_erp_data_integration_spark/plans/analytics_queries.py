@@ -1406,6 +1406,86 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_dim_surrogate_keys",
+    """
+WITH dims AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source)
+SELECT lang, source, n_docs,
+       CAST(DENSE_RANK() OVER (ORDER BY lang, source) AS BIGINT)
+         AS dim_key
+FROM dims
+""",
+)
+def dim_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key assignment for a dimension: dense
+    rank over the natural key's stable order — reproducible across
+    runs and engines, unlike ``monotonically_increasing_id`` (values
+    depend on partition layout) or sequence tables (stateful).
+
+    Scale posture — the part that matters: the global-order window
+    runs on the DISTINCT dimension table (vocabulary-sized, here
+    lang x source), never the fact table; facts then pick up keys via
+    an ordinary broadcast/hash join on the natural key. A global rank
+    over facts would funnel 100 TB through one partition — the
+    classic trap this query's shape avoids by construction."""
+    dims = (
+        Catalog(spark, sf_dir)
+        .documents.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.orderBy("lang", "source")
+    return dims.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.dense_rank().over(w).cast("long").alias("dim_key"),
+    )
+
+
+@query(
+    "llm_dedup_rate_by_source",
+    """
+WITH h AS (SELECT doc_id, source, md5(text) AS hsh FROM documents),
+g AS (SELECT hsh, COUNT(*) AS k FROM h GROUP BY hsh)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN g.k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST((SUM(CASE WHEN g.k > 1 THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS dup_ppm
+FROM h JOIN g ON g.hsh = h.hsh
+GROUP BY source
+""",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication diagnostics by provenance: the fraction of each
+    source's documents that sit in a multi-document exact-hash group —
+    the triage table that says WHICH feed ships duplicates before
+    anyone tunes near-dup thresholds (a source at 30% exact-dup ppm
+    has an ingestion bug, not a similarity problem).
+
+    Scale: content hashes are md5(text) computed in one narrow pass;
+    the group-size join is hash-keyed; output is source-cardinality-
+    sized. Same skeleton as ``llm_dedup_exact``, aggregated to the
+    management view."""
+    docs = Catalog(spark, sf_dir).documents
+    h = docs.select("doc_id", "source", F.md5("text").alias("hsh"))
+    g = h.groupBy("hsh").agg(F.count(F.lit(1)).alias("k"))
+    dup = (F.col("k") > 1).cast("long")
+    return (
+        h.join(g, "hsh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup).alias("n_dup_docs"),
+            F.expr(
+                "(sum(CAST(k > 1 AS BIGINT)) * 1000000) div count(*)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
+@query(
     "rel_salted_distinct",
     """
 SELECT o_orderstatus,
