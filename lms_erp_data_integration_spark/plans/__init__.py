@@ -84,5 +84,4 @@ registry.PRIORITY = [
     "rel_top_orders_per_customer",
     "rel_latest_event_per_user",
     "rel_running_total_per_user",
-    "rel_rollup_revenue",
 ]
