@@ -1506,8 +1506,11 @@ def salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain COUNT(DISTINCT) — the driver hash proves the two-phase form
     is exactly equal.
 
-    Scale: phase 1 shuffles on (group, salt) — 64x the parallelism of
-    the group key; phase 2 aggregates group x 64 rows. The bitmap
+    Scale: Spark compiles this to three keyed exchanges — (group,
+    salt, key) for the distinct expansion, (group, salt), then the
+    3-row (group) merge — and every pre-merge exchange carries the
+    salt or the full key, so no stage funnels a group's key set
+    through one partition (plan-audit-tested). The bitmap
     (``rel_bitmap_distinct``) and HLL (``rel_approx_distinct``) forms
     are the constant-state alternatives; this one stays exact."""
     orders = Catalog(spark, sf_dir).orders

@@ -63,6 +63,11 @@ def test_quality_gate_single_stage(spark):
 
 
 ANALYTICS_SAMPLE = [
+    "rel_temporal_state_join",
+    "rel_salted_distinct",
+    "rel_triangle_count",
+    "llm_corpus_divergence",
+    "rel_lateral_topk",
     "rel_funnel_conversion",
     "rel_cohort_retention",
     "rel_scd2_user_history",
@@ -245,3 +250,39 @@ def test_pagerank_broadcast_escape_hatch(spark):
     assert sorted(map(tuple, off.collect())) == sorted(
         map(tuple, on.collect())
     )
+
+
+def test_salted_distinct_exchanges_carry_salt(spark):
+    """The salted exact-distinct compiles to three keyed exchanges —
+    (group, salt, key) for the distinct expansion, (group, salt) for
+    the per-salt counts, (group) for the final merge. What matters for
+    skew safety: EVERY exchange before the final 3-row merge carries
+    the salt (or the full key), so no stage funnels a group's whole
+    key set through one partition; and no Expand node appears."""
+    plan = _final_plan(_executed_plan(spark, "rel_salted_distinct"))
+    assert plan.count("Exchange hashpartitioning") == 3
+    import re
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    wide = [k for k in keys if "_groupingexpression" in k or "custkey" in k]
+    assert len(wide) == 2, keys  # only the final merge keys on group alone
+    assert "Expand" not in plan
+
+
+def test_lateral_topk_decorrelates(spark):
+    """The correlated LATERAL LIMIT subquery must decorrelate into a
+    ranked-window join (WindowGroupLimit pushdown) — never a per-outer-
+    row re-execution (nested loop)."""
+    plan = _executed_plan(spark, "rel_lateral_topk")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_value_histogram_single_wide_agg(spark):
+    """The equi-width histogram reads one column and aggregates; the
+    min/max pass is a 1-row broadcast, so the only hash exchange is
+    the bucket count's."""
+    plan = _final_plan(_executed_plan(spark, "rel_value_histogram"))
+    read = plan.split("ReadSchema")[1][:200]
+    assert "o_totalprice" in read
+    assert "o_orderkey" not in read

@@ -266,3 +266,73 @@ def test_minhash_estimate_bounded_on_random_docs(spark):
             assert r["est_matches"] == 16
             assert r["jaccard"] == 1.0
     assert twins > 0
+
+
+def test_triangle_count_matches_bruteforce_random_graphs(spark):
+    """Degree-oriented adjacency-intersection count equals the O(n^3)
+    brute force on random graphs of varied density."""
+    import itertools
+
+    from lms_erp_data_integration_spark.operators.graph import (
+        triangle_count,
+    )
+
+    for seed, n, p in [(3, 12, 0.3), (7, 10, 0.6), (11, 14, 0.15)]:
+        rng = random.Random(seed)
+        edges = [
+            (u, v)
+            for u, v in itertools.combinations(range(n), 2)
+            if rng.random() < p
+        ]
+        eset = set(edges)
+        expected = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if (a, b) in eset and (b, c) in eset and (a, c) in eset
+        )
+        df = spark.createDataFrame(edges or [(0, 1)], "u long, v long")
+        got = triangle_count(df).first()["triangles"]
+        if not edges:
+            continue
+        assert got == expected, (seed, got, expected)
+
+
+def test_entropy_and_divergence_invariants(spark):
+    """Entropy: 0 for a single repeated character, <= ln(alphabet)
+    (micro-nats) in general. KL divergence: 0 when a source IS the
+    corpus distribution, > 0 when it diverges."""
+    import math
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    # build a tiny corpus parquet the queries can read
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaaaaaaaa", "en", "sameA"),
+            (1, "aaaaaaaaaa", "en", "sameA"),
+            (2, "abababababab", "en", "mix"),
+            (3, "abcdefghij", "en", "mix"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        ent = {
+            r["doc_id"]: r["entropy_micronats"]
+            for r in qs["llm_text_entropy"](spark, d).collect()
+        }
+        assert ent[0] == 0 and ent[1] == 0
+        # two equiprobable symbols: exactly ln(2) micro-nats
+        assert abs(ent[2] - round(math.log(2) * 1_000_000)) <= 1
+        # ten distinct symbols: ln(10)
+        assert abs(ent[3] - round(math.log(10) * 1_000_000)) <= 10
+        kl = {
+            r["source"]: r["kl_micronats"]
+            for r in qs["llm_corpus_divergence"](spark, d).collect()
+        }
+        # the all-'a' source diverges from the pooled mix; both >= 0
+        assert all(v >= 0 for v in kl.values())
+        assert kl["sameA"] > 0
