@@ -77,11 +77,11 @@ registry.PRIORITY = [
     "llm_pack_efficiency",
     "rel_dim_surrogate_keys",
     "llm_dedup_rate_by_source",
+    "stream_value_histogram",
     # re-verification fillers: last driver row r2 (oldest); displaced
     # from the END of this list as r5 adds new queries
     "rel_q3_shipping_priority",
     "rel_q5_region_revenue",
     "rel_top_orders_per_customer",
     "rel_latest_event_per_user",
-    "rel_running_total_per_user",
 ]

@@ -316,3 +316,34 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg, f"stream_static_enrich_{next(_SINK_SEQ)}", mode="complete"
     )
     return out.select("nation", "n_events", "total_value_micros")
+
+
+@query(
+    "stream_value_histogram",
+    """
+SELECT date_trunc('hour', ts) AS hour,
+       LEAST(9, CAST(floor(value / 50.0) AS INT)) AS bucket_id,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY date_trunc('hour', ts), LEAST(9, CAST(floor(value / 50.0) AS INT))
+""",
+)
+def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fixed-bounds value histogram per tumbling hour (10
+    buckets of width 50) — in-flight distribution monitoring, the
+    streaming complement of the batch equi-width profiler: drift shows
+    as bucket mass shifting window over window. Real watermarked
+    stream to a complete-mode memory sink; on the bounded source the
+    result hash-equals the batch grouping the oracle states.
+
+    State: (windows x 10) rows, constant per window; fixed bounds
+    because streaming state cannot depend on a global min/max."""
+    from ..streaming.windows import windowed_value_histogram
+
+    out = run_to_memory_sink(
+        windowed_value_histogram(events_stream(spark, sf_dir)),
+        f"stream_value_histogram_{next(_SINK_SEQ)}",
+    )
+    return out.select(
+        F.col("hour").cast("timestamp_ntz"), "bucket_id", "n"
+    )

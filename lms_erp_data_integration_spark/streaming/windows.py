@@ -194,3 +194,31 @@ def attribution_join(
             AND purchase_ts <= view_ts + interval {max_delay}"""
         ),
     ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+
+def windowed_value_histogram(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    bucket_width: float = 50.0,
+    buckets: int = 10,
+) -> DataFrame:
+    """Fixed-bounds value histogram per tumbling hour — distribution
+    monitoring IN FLIGHT (drift shows up as mass shifting between
+    buckets window over window, hours before an aggregate average
+    moves). Bounds are fixed, not data-derived: streaming state must
+    not depend on global min/max, which a stream never has; the
+    equi-width data-derived form is the batch
+    ``profiling.equi_width_histogram``.
+
+    State: (windows x buckets) rows — constant per window, no
+    per-key growth."""
+    bucket = F.least(
+        F.lit(buckets - 1),
+        F.floor(F.col("value") / F.lit(bucket_width)).cast("int"),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), bucket.alias("bucket_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour"), "bucket_id", "n")
+    )
