@@ -645,3 +645,59 @@ def cross_corpus_contamination(
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .where(F.col("shared_ngrams") >= min_shared)
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate detection: hash every ``span_tokens``-
+    token sliding window, flag spans occurring in >= ``min_docs``
+    documents, and report per document how many of its distinct spans
+    are duplicated elsewhere (the relational form of suffix-array
+    substring dedup a la "Deduplicating Training Data Makes Language
+    Models Better" — exact-match spans, no suffix array needed because
+    fixed-length windows reduce it to a hash-groupBy).
+
+    Whole-document dedup misses the dominant failure mode in web-scale
+    corpora: boilerplate and quotations duplicated INSIDE otherwise
+    unique pages. This finds those at span granularity.
+
+    Scale posture: span arrays are built narrowly per row (shifted-
+    slice zip_with — no per-span re-tokenize), distinct-within-doc
+    BEFORE the explode bounds a doc's contribution by its token count,
+    and the corpus-wide span table is aggregated with map-side partials
+    on a 60-bit hash — never the span text. The dup-span side of the
+    final join holds only hashes seen >= ``min_docs`` times, which AQE
+    broadcasts when small; a boilerplate span shared by millions of
+    docs is ONE row on that side, so hot spans cannot skew the join.
+    Total cost is linear in corpus token count with one shuffle."""
+    spans = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingle_array(F.col(text_col), span_tokens),
+                    lambda s: _md5_int(s),
+                )
+            )
+        ).alias("h"),
+    )
+    spans = tracked_persist(spans)
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return (
+        spans.join(dup, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("n_docs").alias("n_dup_spans"),
+        )
+        .where(F.col("n_dup_spans") > 0)
+    )

@@ -2182,3 +2182,50 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(dd._band_keys(8, 2)).alias("band", "band_key"),
     )
     return profiling.bucket_size_histogram(banded, ["band", "band_key"])
+
+
+@query(
+    "llm_dup_span_detect",
+    r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM corpus),
+spans AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')),
+                         1, 15))::BIGINT AS h
+  FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+  WHERE len(w) >= 8),
+dup AS (
+  SELECT h, COUNT(*) AS n_docs FROM spans GROUP BY h HAVING COUNT(*) >= 2),
+per_doc AS (
+  SELECT s.doc_id, COUNT(*) AS n_spans, COUNT(d.h) AS n_dup_spans
+  FROM spans s LEFT JOIN dup d USING (h)
+  GROUP BY s.doc_id)
+SELECT doc_id, n_spans, n_dup_spans
+FROM per_doc WHERE n_dup_spans > 0
+""",
+)
+def dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate-span detection (8-token exact
+    windows): per document, how many of its distinct spans also occur
+    in at least one other document. Whole-doc dedup (`llm_dedup_exact`)
+    misses boilerplate duplicated INSIDE unique pages; this is the
+    span-granularity check that catches it. A deterministic 10%
+    resample is unioned in as planted whole-copy documents (same
+    convention as `llm_dedup_exact`), on top of whatever natural span
+    sharing the corpus has.
+
+    Scale: linear in corpus tokens, one shuffle of 60-bit hashes with
+    map-side partials; see ``operators/dedup.py:duplicate_span_stats``.
+    """
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return dd.duplicate_span_stats(
+        docs.unionByName(planted), span_tokens=8, min_docs=2
+    )
