@@ -2229,3 +2229,47 @@ def dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_span_stats(
         docs.unionByName(planted), span_tokens=8, min_docs=2
     )
+
+
+@query(
+    "llm_winnow_fingerprint",
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+hs AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w) - 1),
+             i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+                                  1, 7))::BIGINT) AS h
+  FROM toks WHERE len(w) >= 3),
+win AS (
+  SELECT doc_id, h,
+         list_distinct(list_transform(range(1, len(h) - 2),
+             i -> least(h[i], h[i+1], h[i+2], h[i+3]))) AS s
+  FROM hs WHERE len(h) >= 4)
+SELECT doc_id, len(h) AS n_kgrams, len(s) AS n_selected,
+       CAST(list_aggregate(s, 'sum') AS BIGINT) AS fp_checksum
+FROM win
+""",
+)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection per document: min-hash of
+    every 4-window of 3-word k-gram hashes, distinct — the classic
+    guaranteed-recall document sketch (any shared 6-word run between
+    two docs shares a fingerprint). Output is the fingerprint SIZE and
+    an exact integer checksum (sum of the distinct selected 28-bit
+    hashes), which pins the entire selected set bit-for-bit without
+    emitting an array column (driver hash cannot sort arrays).
+
+    Scale: zero shuffles — selection is a narrow per-row fold; see
+    ``operators/dedup.py:winnow_fingerprints``."""
+    docs = Catalog(spark, sf_dir).documents
+    fp = dd.winnow_fingerprints(docs, shingle_n=3, window=4)
+    return fp.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("fingerprint").alias("n_selected"),
+        F.aggregate(
+            F.col("fingerprint"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("fp_checksum"),
+    )
