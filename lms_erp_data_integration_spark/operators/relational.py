@@ -89,3 +89,77 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return salted_l.join(replicated_r, [on, "_salt"], how).drop("_salt")
+
+
+def interval_max_concurrency(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Maximum number of concurrently-open intervals per key, by
+    sweep line: every interval contributes +1 at its start and -1 at
+    its (half-open) end, deltas are pre-aggregated per distinct
+    boundary timestamp, and the running sum's maximum is the answer.
+
+    The naive formulation is a range self-join (for each interval,
+    count overlapping intervals) — O(n^2) per key and unusable at
+    scale. The sweep line is O(n log n), and the running sum is
+    computed in TWO phases so no single task ever sorts a key's full
+    history: a windowed cumulative sum WITHIN (key, time-bucket)
+    partitions, plus a per-bucket offset obtained by cumulating the
+    tiny (key x bucket) total table. At 100 TB the heavy window is
+    bounded by one bucket of one key; the offset table is
+    keys x buckets rows and broadcast into the final join. Ties at
+    identical timestamps are exact: deltas are summed per distinct
+    timestamp BEFORE cumulating (ends cancel starts), so the maximum
+    is order-independent and engine-portable.
+
+    Returns (key, n_intervals, max_concurrent)."""
+    starts = df.select(
+        F.col(key_col).alias("k"),
+        F.col(start_col).alias("t"),
+        F.lit(1).alias("d"),
+    )
+    ends = df.select(
+        F.col(key_col).alias("k"),
+        F.col(end_col).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy("k", "t")
+        .agg(
+            F.sum("d").alias("net"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_starts"),
+        )
+        .withColumn("bucket", F.date_trunc(bucket, F.col("t")))
+    )
+    w_local = (
+        W.partitionBy("k", "bucket")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = net.withColumn("local_run", F.sum("net").over(w_local))
+    totals = net.groupBy("k", "bucket").agg(F.sum("net").alias("bucket_net"))
+    w_prev = (
+        W.partitionBy("k")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "k",
+        "bucket",
+        F.coalesce(F.sum("bucket_net").over(w_prev), F.lit(0)).alias("offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["k", "bucket"])
+        .groupBy(F.col("k").alias(key_col))
+        .agg(
+            F.sum("n_starts").cast("long").alias("n_intervals"),
+            F.max(F.col("local_run") + F.col("offset"))
+            .cast("long")
+            .alias("max_concurrent"),
+        )
+    )

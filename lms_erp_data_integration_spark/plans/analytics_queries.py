@@ -1859,3 +1859,55 @@ def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= tol
         ).alias("approx_within_tol"),
     )
+
+
+@query(
+    "rel_interval_overlap",
+    """
+WITH iv AS (
+  SELECT event_type, ts AS s,
+         ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e
+  FROM events),
+b AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM iv),
+net AS (
+  SELECT event_type, t, SUM(d) AS net,
+         SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_starts
+  FROM b GROUP BY event_type, t),
+run AS (
+  SELECT event_type, n_starts,
+         SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running
+  FROM net)
+SELECT event_type,
+       CAST(SUM(n_starts) AS BIGINT) AS n_intervals,
+       CAST(MAX(running) AS BIGINT) AS max_concurrent
+FROM run GROUP BY event_type
+""",
+)
+def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: each event opens a half-open
+    interval [ts, ts + value minutes) and the answer is the maximum
+    number simultaneously open — the capacity-planning question every
+    ops team asks of a session/usage log. Computed by sweep line
+    (O(n log n)) instead of the naive O(n^2) range self-join; the
+    running sum is two-phase (per-day local cumsum + tiny per-day
+    offset table) so no task ever sorts a key's full history — see
+    ``operators/relational.py:interval_max_concurrency``. The oracle
+    uses the single-phase window formulation, pinning the two-phase
+    decomposition's equivalence. Durations are floor(value*60) whole
+    seconds so boundary timestamps are engine-exact."""
+    from ..operators import relational as rel
+
+    ev = Catalog(spark, sf_dir).table("events")
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.expr(
+            "timestampadd(SECOND, CAST(floor(value * 60) AS BIGINT), ts)"
+        ).alias("e"),
+    )
+    return rel.interval_max_concurrency(iv, "event_type", "s", "e")
