@@ -78,10 +78,8 @@ registry.PRIORITY = [
     "rel_dim_surrogate_keys",
     "llm_dedup_rate_by_source",
     "stream_value_histogram",
-    # re-verification fillers: last driver row r2 (oldest); displaced
-    # from the END of this list as r5 adds new queries
-    "rel_q3_shipping_priority",
-    "rel_q5_region_revenue",
-    "rel_top_orders_per_customer",
-    "rel_latest_event_per_user",
+    "llm_dup_span_detect",
+    "llm_winnow_fingerprint",
+    "rel_interval_overlap",
+    "llm_emb_label_drift",
 ]

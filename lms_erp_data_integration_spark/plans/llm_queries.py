@@ -2273,3 +2273,88 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fingerprint"), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("fp_checksum"),
     )
+
+
+@query(
+    "llm_emb_label_drift",
+    """
+WITH ex AS (
+  SELECT label, i AS dim,
+         CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT) AS vm
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+per AS (
+  SELECT label, dim, SUM(vm) AS s, COUNT(*) AS n
+  FROM ex GROUP BY label, dim),
+gsum AS (SELECT dim, SUM(s) AS g FROM per GROUP BY dim),
+v AS (
+  SELECT label,
+         list(s::DOUBLE ORDER BY dim) AS sl,
+         list(g::DOUBLE ORDER BY dim) AS gl,
+         MAX(n) AS n_vecs
+  FROM per JOIN gsum USING (dim)
+  GROUP BY label)
+SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(floor(list_dot_product(sl, gl)
+                  / (sqrt(list_dot_product(sl, sl))
+                     * sqrt(list_dot_product(gl, gl)))
+                  * 1000000 + 0.5) AS BIGINT) AS cos_to_global_micros
+FROM v
+""",
+)
+def emb_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift per label: cosine between each
+    label's centroid and the global centroid — the monitoring query
+    that catches a data source (or model version) whose embeddings
+    have shifted away from the corpus before anyone retrains an IVF
+    index on them. Cosine is scale-invariant, so it is computed on the
+    per-(label, dim) SUM vectors directly — no per-dim division, and
+    the sums are exact integer micros (floor(v*1e6+0.5) per element),
+    making the heavy aggregation bit-portable; only the final
+    32-element dot/sqrt/divide runs in doubles (sequential fold, same
+    order both engines).
+
+    Scale posture: posexplode is narrow (rows = vectors x dims);
+    groupBy(label, dim) partial-aggregates map-side down to
+    labels x dims rows; the global centroid is a dim-sized broadcast.
+    One shuffle of pre-aggregated integers — this is how centroid
+    drift is computed over billions of embeddings without moving a
+    single raw vector twice."""
+    emb = Catalog(spark, sf_dir).embeddings
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "p", "v"
+        ),
+    ).select(
+        "label",
+        (F.col("p") + 1).alias("dim"),
+        F.floor(F.col("v") * 1_000_000 + F.lit(0.5)).cast("long").alias("vm"),
+    )
+    per = ex.groupBy("label", "dim").agg(
+        F.sum("vm").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    gsum = per.groupBy("dim").agg(F.sum("s").alias("g"))
+    j = per.join(F.broadcast(gsum), "dim")
+    v = j.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.sort_array(F.collect_list(F.struct("dim", "s"))).alias("_sl"),
+        F.sort_array(F.collect_list(F.struct("dim", "g"))).alias("_gl"),
+    )
+    sl = F.transform(F.col("_sl"), lambda x: x["s"].cast("double"))
+    gl = F.transform(F.col("_gl"), lambda x: x["g"].cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = dot(sl, gl) / (F.sqrt(dot(sl, sl)) * F.sqrt(dot(gl, gl)))
+    return v.select(
+        "label",
+        "n_vecs",
+        F.floor(cos * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("cos_to_global_micros"),
+    )

@@ -671,3 +671,84 @@ def test_containment_catches_embedded_doc(spark):
     assert r["jaccard"] < 0.5
     # and the symmetric form indeed misses it at its threshold
     assert dd.ngram_jaccard_duplicates(docs, threshold=0.8).count() == 0
+
+
+# ------------------------------------------------- r5: span dedup, winnowing
+
+
+def test_duplicate_span_stats_planted_copy(spark):
+    from lms_erp_data_integration_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    base = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"x{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r for r in duplicate_span_stats(df, span_tokens=8).collect()
+    }
+    # docs 1 and 2 are identical: all 13 distinct 8-token spans duplicated
+    assert set(rows) == {1, 2}
+    for d in (1, 2):
+        assert rows[d]["n_spans"] == 13
+        assert rows[d]["n_dup_spans"] == 13
+
+
+def test_duplicate_span_stats_partial_overlap(spark):
+    from lms_erp_data_integration_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 shared tokens
+    a = shared + " " + " ".join(f"a{i}" for i in range(10))
+    b = shared + " " + " ".join(f"b{i}" for i in range(10))
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r for r in duplicate_span_stats(df, span_tokens=8).collect()
+    }
+    # only spans fully inside the shared 10-token prefix are duplicated:
+    # 10 - 8 + 1 = 3 of each doc's 13 spans
+    assert rows[1]["n_spans"] == 13 and rows[1]["n_dup_spans"] == 3
+    assert rows[2]["n_dup_spans"] == 3
+
+
+def test_winnow_fingerprints_density_and_no_miss(spark):
+    from lms_erp_data_integration_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(50)]
+    shared_run = " ".join(f"r{i}" for i in range(6))  # window+n-1 = 6 words
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    d1 = doc(40) + " " + shared_run + " " + doc(40)
+    d2 = doc(30) + " " + shared_run + " " + doc(30)
+    df = spark.createDataFrame([(1, d1), (2, d2)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in winnow_fingerprints(df).collect()}
+    # winnowing guarantee: any shared run of window + shingle_n - 1 = 6
+    # words shares at least one selected fingerprint
+    assert set(out[1]["fingerprint"]) & set(out[2]["fingerprint"])
+    for r in out.values():
+        # density: selected count is well below the k-gram count and at
+        # least the 1/window floor
+        assert r["n_kgrams"] // 4 <= len(r["fingerprint"]) < r["n_kgrams"]
+
+
+def test_winnow_fingerprints_short_doc_dropped(spark):
+    from lms_erp_data_integration_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e f g")], ["doc_id", "text"]
+    )
+    # doc 1 has 3 k-grams (< window=4) -> dropped; doc 2 has 5 -> kept
+    out = {r["doc_id"] for r in winnow_fingerprints(df).collect()}
+    assert out == {2}

@@ -75,3 +75,69 @@ def test_salted_join_equals_plain_join(spark):
     salted = salted_join(left, right, "k", salt=4).select("k", "lv", "rv")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
     assert salted.count() == 900 + 2  # hot key 900 rows + ids 10, 20
+
+
+# ---------------------------------------------- r5: interval sweep line
+
+
+def test_interval_max_concurrency_hand_example(spark):
+    import datetime as dt
+
+    from lms_erp_data_integration_spark.operators.relational import (
+        interval_max_concurrency,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def iv(key, s_off, e_off):
+        return (
+            key,
+            t0 + dt.timedelta(minutes=s_off),
+            t0 + dt.timedelta(minutes=e_off),
+        )
+
+    df = spark.createDataFrame(
+        [
+            # key a: 3 overlapping at minute 2.5; back-to-back at 10
+            iv("a", 0, 5),
+            iv("a", 1, 4),
+            iv("a", 2, 3),
+            iv("a", 5, 10),   # half-open: [0,5) and [5,10) never overlap
+            iv("a", 10, 11),
+            # key b: disjoint
+            iv("b", 0, 1),
+            iv("b", 2, 3),
+        ],
+        ["k", "s", "e"],
+    )
+    out = {
+        r["k"]: r for r in interval_max_concurrency(df, "k", "s", "e").collect()
+    }
+    assert out["a"]["n_intervals"] == 5
+    assert out["a"]["max_concurrent"] == 3
+    assert out["b"]["n_intervals"] == 2
+    assert out["b"]["max_concurrent"] == 1
+
+
+def test_interval_max_concurrency_bucket_boundary(spark):
+    import datetime as dt
+
+    from lms_erp_data_integration_spark.operators.relational import (
+        interval_max_concurrency,
+    )
+
+    # intervals spanning the day-bucket boundary: the two-phase offset
+    # must carry still-open intervals into the next bucket
+    d1 = dt.datetime(2024, 1, 1, 23, 0)
+    d2 = dt.datetime(2024, 1, 2, 1, 0)
+    df = spark.createDataFrame(
+        [
+            ("k", d1, d2),                                   # open across midnight
+            ("k", d1 + dt.timedelta(minutes=30), d2),         # also open
+            ("k", dt.datetime(2024, 1, 2, 0, 30), d2),        # starts day 2
+        ],
+        ["k", "s", "e"],
+    )
+    out = interval_max_concurrency(df, "k", "s", "e").collect()[0]
+    assert out["n_intervals"] == 3
+    assert out["max_concurrent"] == 3  # all three open at 00:30 day 2
