@@ -286,3 +286,40 @@ def test_value_histogram_single_wide_agg(spark):
     read = plan.split("ReadSchema")[1][:200]
     assert "o_totalprice" in read
     assert "o_orderkey" not in read
+
+
+def test_winnow_fingerprint_shuffle_free_selection(spark):
+    # winnowing selection is a pure narrow fold: the only exchange in
+    # the whole query is none at all (per-doc output, no aggregation)
+    plan = _executed_plan(spark, "llm_winnow_fingerprint")
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_span_detect_aggregates_before_join(spark):
+    # the dup-side of the span join must be the AGGREGATED hash table
+    # (one row per duplicated hash), never raw postings joined to raw
+    # postings — and no nested-loop anywhere
+    plan = _executed_plan(spark, "llm_dup_span_detect")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial aggregation runs map-side before the span-hash exchange
+    assert "HashAggregate" in plan
+
+
+def test_interval_overlap_offsets_broadcast(spark):
+    # the two-phase cumsum joins the per-bucket offset table via
+    # broadcast — the big deltas table must not shuffle for that join
+    plan = _executed_plan(spark, "rel_interval_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_emb_label_drift_no_raw_vector_join(spark):
+    # drift is computed on pre-aggregated (label, dim) integer sums;
+    # the global-centroid join is a dim-sized broadcast and the plan
+    # never joins raw embedding rows
+    plan = _executed_plan(spark, "llm_emb_label_drift")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
