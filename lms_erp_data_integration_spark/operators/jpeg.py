@@ -1,0 +1,603 @@
+"""Baseline JPEG codec in pure numpy + stdlib — no external codec.
+
+Implements the public ITU-T T.81 baseline sequential DCT process:
+
+- ``decode_jpeg``: markers (SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS/EOI),
+  canonical Huffman tables as encoders actually write them, entropy-
+  coded-segment byte unstuffing and RSTn restart handling, dequantize +
+  inverse zigzag, matrix IDCT, chroma upsampling for any h/v sampling
+  factors in {1, 2} (4:4:4, 4:2:2, 4:4:0, 4:2:0), and JFIF YCbCr ->
+  RGB. Returns an (H, W, C) uint8 array, or None for anything outside
+  the baseline process (progressive SOF2, 12-bit, arithmetic coding),
+  so callers can fall back.
+- ``encode_jpeg``: baseline encoder used for test fixtures and the
+  write path — standard Annex-K quantization tables with the libjpeg
+  quality scaling, 4:4:4 or 4:2:0, optional restart intervals. It
+  emits flat canonical Huffman tables (12 x 4-bit DC codes, 256 x
+  9-bit AC codes) — spec-valid and decodable by ANY baseline decoder,
+  trading some compression for zero table-construction risk.
+
+Everything here is per-payload CPU work invoked from Arrow-batched
+``mapInPandas`` stages (`operators/multimodal.py`) — a narrow map with
+no shuffle, so at 100 TB it scales with input splits exactly like the
+raster decoders. The pixel loops that matter (IDCT, upsample, color
+convert) are numpy-vectorized per block/plane; only the Huffman bit
+walk is per-symbol Python, bounded by the entropy-coded byte count.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- shared
+
+_ZIGZAG = []  # (row, col) in zigzag order, derived not hardcoded
+for _s in range(15):
+    _rng = range(_s, -1, -1) if _s % 2 == 0 else range(0, _s + 1)
+    for _r in _rng:
+        _c = _s - _r
+        if _r < 8 and _c < 8:
+            _ZIGZAG.append((_r, _c))
+_ZZ_ROWS = np.array([r for r, _ in _ZIGZAG])
+_ZZ_COLS = np.array([c for _, c in _ZIGZAG])
+
+# 8x8 DCT-II basis: M[u, x] = a(u)/2 * cos((2x+1) u pi / 16)
+_M = np.zeros((8, 8))
+for _u in range(8):
+    _a = (1 / np.sqrt(2)) if _u == 0 else 1.0
+    for _x in range(8):
+        _M[_u, _x] = _a / 2 * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+# Annex K quantization tables (natural row-major order)
+_QT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+_QT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 1..100 -> scaled table clipped to
+    [1, 255] (baseline requires 8-bit table entries)."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+# ---------------------------------------------------------------- decode
+
+
+class _BitReader:
+    """MSB-first bit reader over an unstuffed entropy-coded segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise EOFError
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> dict:
+    """Canonical Huffman: {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map the raw ``size``-bit magnitude to its signed
+    value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_block(
+    reader: _BitReader, dc_tab: dict, ac_tab: dict, pred: int
+) -> tuple[np.ndarray, int]:
+    """One 8x8 block of zigzag coefficients (pre-dequantize)."""
+    coeffs = np.zeros(64, dtype=np.int64)
+    size = _huff_decode(reader, dc_tab)
+    diff = _extend(reader.read_bits(size), size) if size else 0
+    pred += diff
+    coeffs[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_tab)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        coeffs[k] = _extend(reader.read_bits(size), size)
+        k += 1
+    return coeffs, pred
+
+
+def _split_ecs(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split the entropy-coded data at ``start`` into restart segments
+    with 0xFF00 unstuffed; returns (segments, index of the terminating
+    marker's 0xFF)."""
+    segs, out, i = [], bytearray(), start
+    while i < len(data):
+        b = data[i]
+        if b != 0xFF:
+            out.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < len(data) else None
+        if nxt == 0x00:
+            out.append(0xFF)
+            i += 2
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:  # RSTn
+            segs.append(bytes(out))
+            out = bytearray()
+            i += 2
+        else:  # real marker: end of scan
+            break
+    segs.append(bytes(out))
+    return segs, i
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray | None:
+    """Decode a baseline sequential JPEG to (H, W, C) uint8 (C = 1
+    grayscale or 3 RGB). Returns None for non-JPEG payloads or
+    processes outside baseline (progressive, 12-bit, arithmetic)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        return _decode_jpeg_inner(payload)
+    except (ValueError, EOFError, IndexError, struct.error, ZeroDivisionError):
+        return None
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI with no scan
+            return None
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        seg_len = struct.unpack_from(">H", data, i + 2)[0]
+        seg = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    vals = np.frombuffer(seg, np.uint8, 64, p).astype(np.int64)
+                    p += 64
+                else:
+                    vals = np.frombuffer(
+                        seg[p : p + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 128
+                t = np.zeros((8, 8), np.int64)
+                t[_ZZ_ROWS, _ZZ_COLS] = vals
+                qt[tq] = t
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = seg[p + 17 : p + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
+                    bits, vals
+                )
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            ns = seg[0]
+            scan = []
+            for s in range(ns):
+                cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    return None
+                scan.append((comp, tt >> 4, tt & 0xF))
+            return _decode_scan(
+                data, i + 2 + seg_len, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # all other markers (APPn, COM): skip
+        i += 2 + seg_len
+    return None
+
+
+def _decode_scan(
+    data: bytes,
+    start: int,
+    frame: dict,
+    scan: list,
+    qt: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+) -> np.ndarray | None:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        return None
+    interleaved = len(scan) > 1
+    if interleaved:
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        units = [(c["h"], c["v"]) for c, _, _ in scan]
+    else:
+        c = scan[0][0]
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        mcus_x = -(-cw // 8)
+        mcus_y = -(-ch // 8)
+        units = [(1, 1)]
+
+    planes = []
+    for (c, _, _) in scan:
+        if interleaved:
+            bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        else:
+            bw, bh = mcus_x, mcus_y
+        planes.append(np.zeros((bh * 8, bw * 8), np.float64))
+
+    segs, _ = _split_ecs(data, start)
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    preds = [0] * len(scan)
+    mcu = 0
+    basis = _M
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("missing restart segment")
+                reader = _BitReader(segs[seg_idx])
+                preds = [0] * len(scan)
+            for si, (c, td, ta) in enumerate(scan):
+                ch_, cv = units[si]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        coeffs, preds[si] = _decode_block(
+                            reader, huff_dc[td], huff_ac[ta], preds[si]
+                        )
+                        blk = np.zeros((8, 8), np.int64)
+                        blk[_ZZ_ROWS, _ZZ_COLS] = coeffs
+                        blk = blk * qt[c["tq"]]
+                        px = basis.T @ blk.astype(np.float64) @ basis
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch_ + bx) * 8
+                        planes[si][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu += 1
+
+    # upsample each plane to full frame resolution and crop
+    out_planes = []
+    for (c, _, _), plane in zip(scan, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+
+    if len(out_planes) == 1:
+        y = np.clip(out_planes[0] + 128.0, 0, 255)
+        return y.astype(np.uint8)[..., None]
+    y, cb, cr = (p + 128.0 for p in out_planes)
+    cb -= 128.0
+    cr -= 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- encode
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+# Flat canonical tables: DC symbols 0..11 at 4 bits; the 162 legal
+# baseline AC symbols (EOB, ZRL, and (run 0..15, size 1..10)) at 8
+# bits. Kraft-valid (12/16, 162/256), never the all-ones code,
+# trivially correct — a DHT length count is one byte, so a flat table
+# cannot exceed 255 symbols per length.
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = bytes(range(12))
+_AC_SYMBOLS = sorted(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_BITS = [0] * 7 + [len(_AC_SYMBOLS)] + [0] * 8
+_AC_VALS = bytes(_AC_SYMBOLS)
+_DC_CODES = {sym: (4, code) for code, sym in enumerate(range(12))}
+_AC_CODES = {sym: (8, code) for code, sym in enumerate(_AC_SYMBOLS)}
+
+
+def _csize(v: int) -> int:
+    """Bit category of a signed coefficient (T.81 CSIZE)."""
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(
+    writer: _BitWriter, block: np.ndarray, pred: int
+) -> int:
+    """FDCT'd + quantized 8x8 block -> entropy-coded bits."""
+    zz = block[_ZZ_ROWS, _ZZ_COLS].copy()
+    # baseline AC magnitudes cap at size 10 (|v| <= 1023); only
+    # reachable at extreme quality with pathological inputs
+    np.clip(zz[1:], -1023, 1023, out=zz[1:])
+    diff = int(zz[0]) - pred
+    size = _csize(diff)
+    length, code = _DC_CODES[size]
+    writer.write(code, length)
+    if size:
+        writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    end = (last_nz[-1] + 2) if last_nz.size else 1
+    for k in range(1, end):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = _AC_CODES[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size = _csize(v)
+        length, code = _AC_CODES[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if end < 64:
+        length, code = _AC_CODES[0x00]  # EOB
+        writer.write(code, length)
+    return int(zz[0])
+
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """Pad a plane to 8-multiples by edge replication and return
+    (by, bx, 8, 8) blocks of FDCT input (level-shifted float)."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(
+        plane.astype(np.float64) - 128.0,
+        ((0, ph - h), (0, pw - w)),
+        mode="edge",
+    )
+    return padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _fdct_quant(blocks: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Vectorized FDCT + quantize over a (by, bx, 8, 8) stack."""
+    f = _M @ blocks @ _M.T
+    return np.round(f / qtab).astype(np.int64)
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encode of an (H, W) / (H, W, 1) grayscale or
+    (H, W, 3) RGB uint8 array. ``subsample=True`` writes 4:2:0 chroma;
+    ``restart_interval`` > 0 emits DRI + RSTn markers (exercises the
+    decoder's restart path). Output is spec-compliant baseline JPEG
+    decodable by any conformant decoder."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise ValueError("expected 1 or 3 channels")
+    gray = nc == 1
+
+    qt_l = _scaled_qt(_QT_LUMA, quality)
+    qt_c = _scaled_qt(_QT_CHROMA, quality)
+
+    if gray:
+        y_plane = px[..., 0].astype(np.float64)
+        planes = [y_plane]
+    else:
+        r, g, b = (px[..., k].astype(np.float64) for k in range(3))
+        y_plane = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        planes = [y_plane, cb, cr]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    # DQT (zigzag order)
+    for tq, tab in ((0, qt_l),) if gray else ((0, qt_l), (1, qt_c)):
+        zz = tab[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([tq]) + zz
+    # SOF0
+    if gray:
+        comp_spec = bytes([1, 0x11, 0])
+    else:
+        ch = 0x22 if subsample else 0x11
+        comp_spec = bytes([1, ch, 0, 2, 0x11, 1, 3, 0x11, 1])
+    nf = 1 if gray else 3
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+        + comp_spec
+    )
+    # DHT: DC0/AC0 (+ DC1/AC1 for chroma)
+    tables = [(0, 0, _DC_BITS, _DC_VALS), (1, 0, _AC_BITS, _AC_VALS)]
+    if not gray:
+        tables += [(0, 1, _DC_BITS, _DC_VALS), (1, 1, _AC_BITS, _AC_VALS)]
+    for tc, th, bits, vals in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    if gray:
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+    else:
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # entropy-coded data, interleaved MCUs
+    writer = _BitWriter()
+    if gray or not subsample:
+        grids = [
+            (_fdct_quant(_plane_blocks(p), qt_l if i == 0 else qt_c), 1, 1)
+            for i, p in enumerate(planes)
+        ]
+        mcus_y = grids[0][0].shape[0]
+        mcus_x = grids[0][0].shape[1]
+    else:
+        yb = _fdct_quant(_plane_blocks(planes[0]), qt_l)
+        # pad Y block grid to even counts for 2x2 MCUs
+        by, bx = yb.shape[:2]
+        pby, pbx = -(-by // 2) * 2, -(-bx // 2) * 2
+        if (pby, pbx) != (by, bx):
+            yb = np.pad(
+                yb, ((0, pby - by), (0, pbx - bx), (0, 0), (0, 0)),
+                mode="edge",
+            )
+        cbb = _fdct_quant(_plane_blocks(planes[1]), qt_c)
+        crb = _fdct_quant(_plane_blocks(planes[2]), qt_c)
+        grids = [(yb, 2, 2), (cbb, 1, 1), (crb, 1, 1)]
+        mcus_y, mcus_x = cbb.shape[0], cbb.shape[1]
+
+    preds = [0] * len(grids)
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                out += bytes(writer.out)
+                writer = _BitWriter()
+                out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+                preds = [0] * len(grids)
+            for gi, (blocks, gh, gv) in enumerate(grids):
+                for by_ in range(gv):
+                    for bx_ in range(gh):
+                        blk = blocks[my * gv + by_, mx * gh + bx_]
+                        preds[gi] = _encode_block(writer, blk, preds[gi])
+            mcu += 1
+    writer.flush()
+    out += bytes(writer.out)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

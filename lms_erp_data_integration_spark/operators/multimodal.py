@@ -4,9 +4,12 @@ Arrow-batched ``mapInPandas`` operators.
 
 The container has no image/audio codec libraries, but several real
 formats need none: ``decode_image`` is a real pure-numpy decoder for
-PPM (P6), PGM (P5), uncompressed 8/24/32-bit BMP, and — via stdlib
+PPM (P6), PGM (P5), uncompressed 8/24/32-bit BMP, — via stdlib
 ``zlib`` plus the five PNG scanline filters reconstructed in numpy —
-non-interlaced 8-bit PNG (gray/RGB/gray+alpha/RGBA). Payloads
+non-interlaced 8-bit PNG (gray/RGB/gray+alpha/RGBA), and — via the
+from-scratch ITU-T T.81 implementation in ``operators/jpeg.py`` —
+baseline sequential JPEG (grayscale + YCbCr with any h/v sampling in
+{1,2}, restart markers, arbitrary canonical Huffman tables). Payloads
 in any other format fall back to ``decode_image_stub``, which raises
 ``NotImplementedError`` unless ``fake=True`` (deterministic fake
 decode, dimensions/pixel-mean derived from the payload bytes).
@@ -235,10 +238,28 @@ def _decode_png(payload: bytes) -> dict | None:
     }
 
 
+def _decode_jpeg_meta(payload: bytes) -> dict | None:
+    """IMAGE_META dict for a baseline JPEG, else None."""
+    from .jpeg import decode_jpeg
+
+    px = decode_jpeg(payload)
+    if px is None:
+        return None
+    h, w, c = px.shape
+    return {
+        "n_bytes": len(payload),
+        "width": w,
+        "height": h,
+        "channels": c,
+        "pixel_mean": float(px.mean()),
+    }
+
+
 def decode_image(payload: bytes) -> dict | None:
-    """Real decode for the codec-free formats (PPM/PGM/BMP/PNG).
-    Returns the IMAGE_META dict, or None when the payload is not a
-    recognized format — callers fall back to ``decode_image_stub``."""
+    """Real decode for the formats needing no external codec
+    (PPM/PGM/BMP/PNG/baseline JPEG). Returns the IMAGE_META dict, or
+    None when the payload is not a recognized format — callers fall
+    back to ``decode_image_stub``."""
     if not payload:
         return None
     try:
@@ -246,6 +267,7 @@ def decode_image(payload: bytes) -> dict | None:
             _decode_pnm(payload)
             or _decode_bmp(payload)
             or _decode_png(payload)
+            or _decode_jpeg_meta(payload)
         )
     except (ValueError, struct.error):
         return None
@@ -284,6 +306,10 @@ def _decode_pixels(payload: bytes) -> tuple | None:
     8-bit only (the resize path's input contract)."""
     if payload.startswith(_PNG_SIG):
         return _png_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     meta = decode_image(payload)
     if meta is None:
         return None

@@ -752,3 +752,120 @@ def test_winnow_fingerprints_short_doc_dropped(spark):
     # doc 1 has 3 k-grams (< window=4) -> dropped; doc 2 has 5 -> kept
     out = {r["doc_id"] for r in winnow_fingerprints(df).collect()}
     assert out == {2}
+
+
+# ------------------------------------------------- r5: baseline JPEG codec
+
+
+def test_jpeg_round_trip_gray_exact_on_solid():
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((16, 16), 128, np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == (16, 16, 1)
+    assert int(np.abs(out[..., 0].astype(int) - 128).max()) == 0
+
+
+def test_jpeg_round_trip_rgb_gradient_tight():
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.zeros((40, 56, 3), np.uint8)
+    img[..., 0] = np.linspace(0, 255, 56)[None, :]
+    img[..., 1] = np.linspace(0, 255, 40)[:, None]
+    img[..., 2] = 77
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+
+
+def test_jpeg_subsampled_with_restart_markers():
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # smooth image: 4:2:0 + DRI must still reconstruct closely; odd
+    # dimensions exercise the crop of padded MCUs
+    img = np.zeros((33, 41, 3), np.uint8)
+    img[..., 0] = np.linspace(10, 240, 41)[None, :]
+    img[..., 1] = np.linspace(240, 10, 33)[:, None]
+    img[..., 2] = 128
+    b = encode_jpeg(img, quality=92, subsample=True, restart_interval=2)
+    assert b.count(b"\xff\xdd") == 1  # DRI present
+    out = decode_jpeg(b)
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 8
+
+
+def test_jpeg_noise_luma_preserved_q85():
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=85))
+    err = np.abs(out[..., 0].astype(int) - img.astype(int))
+    assert err.mean() < 8  # quantization loss only, no structural error
+
+
+def test_jpeg_rejects_non_jpeg_and_truncated():
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"\x89PNG\r\n\x1a\nrest") is None
+    b = encode_jpeg(np.full((8, 8), 10, np.uint8))
+    assert decode_jpeg(b[:40]) is None  # truncated mid-header
+    # truncated mid-entropy-data must never raise (None or partial ok)
+    out = decode_jpeg(b[:-10])
+    assert out is None or out.shape == (8, 8, 1)
+
+
+def test_decode_image_routes_jpeg():
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators import multimodal as mm
+    from lms_erp_data_integration_spark.operators.jpeg import encode_jpeg
+
+    img = np.full((12, 9, 3), 200, np.uint8)
+    meta = mm.decode_image(encode_jpeg(img, quality=95))
+    assert meta is not None
+    assert (meta["width"], meta["height"], meta["channels"]) == (9, 12, 3)
+    assert abs(meta["pixel_mean"] - 200.0) < 2.0
+
+
+def test_resize_nearest_jpeg_payload():
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators import multimodal as mm
+    from lms_erp_data_integration_spark.operators.jpeg import encode_jpeg
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:8] = 50
+    img[8:] = 180
+    r = mm.resize_nearest(encode_jpeg(img, quality=95), 4, 4)
+    assert r is not None
+    assert (r["width"], r["height"], r["channels"]) == (4, 4, 3)
+    px = np.frombuffer(r["pixels"], np.uint8).reshape(4, 4, 3)
+    assert abs(int(px[0, 0, 0]) - 50) <= 4
+    assert abs(int(px[3, 0, 0]) - 180) <= 4
