@@ -869,3 +869,24 @@ def test_resize_nearest_jpeg_payload():
     px = np.frombuffer(r["pixels"], np.uint8).reshape(4, 4, 3)
     assert abs(int(px[0, 0, 0]) - 50) <= 4
     assert abs(int(px[3, 0, 0]) - 180) <= 4
+
+
+def test_multimodal_jpeg_through_spark(spark):
+    """extract_image_meta on REAL baseline-JPEG bytes end-to-end:
+    mixed JPEG / PPM / unrecognized corpus through the mapInPandas
+    decode stage — the compressed-codec gap from the r4 verdict,
+    closed by operators/jpeg.py."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import encode_jpeg
+
+    img = np.full((6, 4, 3), 90, np.uint8)
+    jpg = encode_jpeg(img, quality=95)
+    ppm = _ppm_bytes(2, 2, range(12))
+    rows = [(1, bytearray(jpg)), (2, bytearray(ppm)), (3, b"not an image")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mm.extract_image_meta(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (4, 6, 3)
+    assert abs(got[1]["pixel_mean"] - 90.0) < 2.0
+    assert got[2]["width"] == 2
+    assert got[3]["n_bytes"] == len(b"not an image")
