@@ -433,3 +433,164 @@ def sample_frames(
             F.col("payload").cast("string"), F.lit(1), F.lit(8)
         ).alias("frame_prefix"),
     )
+
+
+# ------------------------------------------------------------ transcode
+
+def transcode_image(
+    payload: bytes, out_w: int, out_h: int, quality: int = 90
+) -> bytes | None:
+    """Normalize any recognized raster (PPM/PGM/BMP/PNG/JPEG) to a
+    ``quality``-quality baseline JPEG at (out_w, out_h) — the standard
+    image-normalization stage ahead of embedding/training. Returns the
+    re-encoded bytes, or None for unrecognized payloads."""
+    from .jpeg import encode_jpeg
+
+    px = _decode_pixels(payload)
+    if px is None:
+        return None
+    h, w, c = px.shape
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    out = px[yi][:, xi]
+    if c == 2:  # gray+alpha -> gray
+        out = out[..., :1]
+    elif c == 4:  # RGBA -> RGB (alpha dropped; no compositing target)
+        out = out[..., :3]
+    return encode_jpeg(out, quality=quality)
+
+
+TRANSCODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes_in", T.LongType()),
+        T.StructField("n_bytes_out", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def transcode_images(
+    df: DataFrame, out_w: int, out_h: int, quality: int = 90,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """mapInPandas transcode stage: every recognized raster is decoded,
+    resized, and re-encoded as baseline JPEG; unrecognized payloads are
+    dropped (dead-letter sink in a real pipeline). Narrow Arrow-batched
+    map — payloads never shuffle, never reach the driver, and the
+    output column is bounded by the target dimensions regardless of
+    input size (the property that makes the downstream shuffle or
+    write predictable at 100 TB)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                out = transcode_image(p, out_w, out_h, quality)
+                if out is not None:
+                    rows.append(
+                        {
+                            "doc_id": i,
+                            "n_bytes_in": len(p),
+                            "n_bytes_out": len(out),
+                            "payload": out,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes_in", "n_bytes_out", "payload"],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, TRANSCODED_SCHEMA)
+
+
+# ------------------------------------------------------------ audio
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_milli", T.LongType()),
+    ]
+)
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """RIFF/WAVE PCM decode (8/16-bit integer, any rate/channels) —
+    the audio analog of the raster decoders, stdlib-only. Returns
+    metadata plus an exact integer RMS (amplitude normalized to
+    [-1, 1], scaled to milli-units) or None for non-WAV payloads and
+    non-PCM encodings (callers fall back to the stub)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, rate, _brate, _balign, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16) or channels == 0 or rate == 0:
+        return None
+    if bits == 8:  # unsigned, offset-binary
+        samples = np.frombuffer(data, np.uint8).astype(np.float64)
+        samples = (samples - 128.0) / 128.0
+    else:
+        n16 = len(data) // 2
+        samples = np.frombuffer(data, "<i2", count=n16).astype(np.float64)
+        samples /= 32768.0
+    n_frames = samples.size // channels
+    if n_frames == 0:
+        return None
+    samples = samples[: n_frames * channels]
+    rms = float(np.sqrt(np.mean(samples * samples)))
+    return {
+        "n_bytes": len(payload),
+        "sample_rate": rate,
+        "channels": channels,
+        "n_samples": n_frames,
+        "duration_ms": n_frames * 1000 // rate,
+        "rms_milli": int(rms * 1000),
+    }
+
+
+def extract_audio_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas audio feature extraction: WAV payloads get a real
+    PCM decode (rate/channels/duration/RMS); anything else yields a
+    null-feature row (dead-letter marker) with the byte count intact.
+    Same narrow Arrow-batched shape as the image path."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                meta = decode_wav(p)
+                if meta is None:
+                    meta = {
+                        "n_bytes": len(p),
+                        "sample_rate": None,
+                        "channels": None,
+                        "n_samples": None,
+                        "duration_ms": None,
+                        "rms_milli": None,
+                    }
+                rows.append({"doc_id": i, **meta})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "sample_rate", "channels",
+                    "n_samples", "duration_ms", "rms_milli",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, AUDIO_META_SCHEMA)

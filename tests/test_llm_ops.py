@@ -890,3 +890,72 @@ def test_multimodal_jpeg_through_spark(spark):
     assert abs(got[1]["pixel_mean"] - 90.0) < 2.0
     assert got[2]["width"] == 2
     assert got[3]["n_bytes"] == len(b"not an image")
+
+
+def test_transcode_images_normalizes_mixed_corpus(spark):
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    big_ppm = _ppm_bytes(8, 8, [100] * (8 * 8 * 3))
+    jpg = encode_jpeg(np.full((20, 30, 3), 60, np.uint8), quality=95)
+    rows = [(1, bytearray(big_ppm)), (2, bytearray(jpg)), (3, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in mm.transcode_images(df, 16, 16, quality=92).collect()
+    }
+    assert set(out) == {1, 2}  # junk dropped
+    for r in out.values():
+        px = decode_jpeg(bytes(r["payload"]))
+        assert px.shape == (16, 16, 3)
+    # solid-color inputs survive the round trip near-exactly
+    px1 = decode_jpeg(bytes(out[1]["payload"]))
+    assert abs(int(px1[..., 0].mean()) - 100) <= 2
+
+
+def _wav_bytes(rate=8000, channels=1, bits=16, samples=None):
+    import struct as st
+
+    if samples is None:
+        samples = [0, 16384, 0, -16384] * 100
+    if bits == 16:
+        data = b"".join(st.pack("<h", s) for s in samples)
+    else:
+        data = bytes((s // 256) + 128 for s in samples)
+    balign = channels * bits // 8
+    fmt = st.pack("<HHIIHH", 1, channels, rate, rate * balign, balign, bits)
+    body = b"fmt " + st.pack("<I", len(fmt)) + fmt
+    body += b"data" + st.pack("<I", len(data)) + data
+    return b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_wav_pcm16():
+    w = _wav_bytes()
+    meta = mm.decode_wav(w)
+    assert meta["sample_rate"] == 8000 and meta["channels"] == 1
+    assert meta["n_samples"] == 400
+    assert meta["duration_ms"] == 400 * 1000 // 8000
+    # square-ish wave at half amplitude: RMS = 0.5 / sqrt(2) ~ 0.3536
+    assert abs(meta["rms_milli"] - 353) <= 1
+
+
+def test_decode_wav_rejects_non_wav():
+    assert mm.decode_wav(b"not audio") is None
+    assert mm.decode_wav(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+    # float PCM (format 3) is not supported -> None, not garbage
+    w = bytearray(_wav_bytes())
+    w[20] = 3
+    assert mm.decode_wav(bytes(w)) is None
+
+
+def test_extract_audio_meta_mixed(spark):
+    rows = [(1, bytearray(_wav_bytes())), (2, b"not audio")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mm.extract_audio_meta(df).collect()}
+    assert got[1]["sample_rate"] == 8000 and got[1]["rms_milli"] is not None
+    assert got[2]["sample_rate"] is None  # dead-letter row, byte count kept
+    assert got[2]["n_bytes"] == len(b"not audio")
