@@ -336,3 +336,59 @@ def test_entropy_and_divergence_invariants(spark):
         # the all-'a' source diverges from the pooled mix; both >= 0
         assert all(v >= 0 for v in kl.values())
         assert kl["sameA"] > 0
+
+
+# ---------------------------------------------- r5: JPEG codec properties
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([1, 3]),
+    st.integers(70, 100),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_round_trip_always_decodes(w, h, nc, quality, seed):
+    """Any uint8 image at any size/quality must survive the round trip:
+    decode(encode(x)) returns the exact dimensions, and the error is
+    bounded by quantization (generous bound; structural bugs produce
+    errors in the hundreds)."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, nc), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert out is not None and out.shape == (h, w, nc)
+    # luma is the structurally-protected channel: compare luminance
+    if nc == 3:
+        wts = np.array([0.299, 0.587, 0.114])
+        a = (out.astype(float) * wts).sum(-1)
+        b = (img.astype(float) * wts).sum(-1)
+    else:
+        a, b = out[..., 0].astype(float), img[..., 0].astype(float)
+    # quantization loss only — structural bugs produce errors ~100+
+    assert np.abs(a - b).mean() < 32
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(2, 20), st.integers(2, 20), st.integers(0, 2**32 - 1))
+def test_jpeg_subsampled_smooth_images_close(w, h, seed):
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(30, 220, 3)
+    img = np.broadcast_to(base, (h, w, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+    assert out.shape == (h, w, 3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 6
