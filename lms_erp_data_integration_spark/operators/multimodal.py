@@ -255,6 +255,37 @@ def _decode_jpeg_meta(payload: bytes) -> dict | None:
     }
 
 
+def encode_png(pixels) -> bytes:
+    """Write a non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA)
+    from an (H, W[, C]) uint8 array — stdlib ``zlib`` only, filter 0
+    on every scanline. Round-trips exactly through ``_png_pixels``;
+    used for fixtures and as the lossless leg of the write path."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + typ + body + struct.pack(
+            ">I", crc
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    scanlines = b"".join(
+        b"\x00" + px[y].tobytes() for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> dict | None:
     """Real decode for the formats needing no external codec
     (PPM/PGM/BMP/PNG/baseline JPEG). Returns the IMAGE_META dict, or

@@ -959,3 +959,19 @@ def test_extract_audio_meta_mixed(spark):
     assert got[1]["sample_rate"] == 8000 and got[1]["rms_milli"] is not None
     assert got[2]["sample_rate"] is None  # dead-letter row, byte count kept
     assert got[2]["n_bytes"] == len(b"not audio")
+
+
+def test_encode_png_lossless_round_trip():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for shape in [(5, 7), (4, 4, 2), (6, 3, 3), (2, 9, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = mm._png_pixels(mm.encode_png(img))
+        ref = img[..., None] if img.ndim == 2 else img
+        assert out is not None and (out == ref).all()
+    # and through the metadata decoder
+    img = np.full((3, 5, 3), 42, np.uint8)
+    meta = mm.decode_image(mm.encode_png(img))
+    assert (meta["width"], meta["height"], meta["channels"]) == (5, 3, 3)
+    assert meta["pixel_mean"] == 42.0
