@@ -148,32 +148,6 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _decode_block(
-    reader: _BitReader, dc_tab: dict, ac_tab: dict, pred: int
-) -> tuple[np.ndarray, int]:
-    """One 8x8 block of zigzag coefficients (pre-dequantize)."""
-    coeffs = np.zeros(64, dtype=np.int64)
-    size = _huff_decode(reader, dc_tab)
-    diff = _extend(reader.read_bits(size), size) if size else 0
-    pred += diff
-    coeffs[0] = pred
-    k = 1
-    while k < 64:
-        rs = _huff_decode(reader, ac_tab)
-        run, size = rs >> 4, rs & 0xF
-        if size == 0:
-            if run == 15:  # ZRL: sixteen zeros
-                k += 16
-                continue
-            break  # EOB
-        k += run
-        if k > 63:
-            raise ValueError("AC run past end of block")
-        coeffs[k] = _extend(reader.read_bits(size), size)
-        k += 1
-    return coeffs, pred
-
-
 def _split_ecs(data: bytes, start: int) -> tuple[list[bytes], int]:
     """Split the entropy-coded data at ``start`` into restart segments
     with 0xFF00 unstuffed; returns (segments, index of the terminating
@@ -200,33 +174,51 @@ def _split_ecs(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
-    """Decode a baseline sequential JPEG to (H, W, C) uint8 (C = 1
-    grayscale or 3 RGB). Returns None for non-JPEG payloads or
-    processes outside baseline (progressive, 12-bit, arithmetic)."""
+    """Decode a baseline-sequential, extended-sequential (Huffman), or
+    PROGRESSIVE (SOF2: spectral selection + successive approximation)
+    JPEG to (H, W, C) uint8 (C = 1 grayscale or 3 RGB). Returns None
+    for non-JPEG payloads and the processes with no stdlib path
+    (12-bit, arithmetic coding, lossless, hierarchical)."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     try:
         return _decode_jpeg_inner(payload)
-    except (ValueError, EOFError, IndexError, struct.error, ZeroDivisionError):
+    except (
+        ValueError,
+        EOFError,
+        IndexError,
+        KeyError,
+        struct.error,
+        ZeroDivisionError,
+    ):
         return None
 
 
 def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
+    """Marker walk + scan accumulation. All entropy decoding lands in
+    per-component ZIGZAG-ordered coefficient grids; reconstruction
+    (dequantize, inverse zigzag, batched matrix IDCT, upsample, color
+    convert) happens once at the end — the architecture progressive
+    JPEG requires, which sequential JPEG is just the 1-scan case of."""
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    coefs: list[np.ndarray] | None = None
     restart_interval = 0
+    saw_scan = False
     i = 2
-    while i + 4 <= len(data):
+    while i + 2 <= len(data):
         if data[i] != 0xFF:
             return None
         marker = data[i + 1]
-        if marker == 0xD9:  # EOI with no scan
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                      0xCE, 0xCF):
+            return None  # lossless / hierarchical / arithmetic processes
+        if i + 4 > len(data):
             return None
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                      0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
         seg_len = struct.unpack_from(">H", data, i + 2)[0]
         seg = data[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -256,7 +248,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                     bits, vals
                 )
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
                 return None
@@ -266,100 +258,259 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
+            if not all(
+                1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps
+            ):
+                return None
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                c["cw"] = -(-(w * c["h"]) // hmax)
+                c["ch"] = -(-(h * c["v"]) // vmax)
+                c["nbw"] = -(-c["cw"] // 8)
+                c["nbh"] = -(-c["ch"] // 8)
+            frame = {
+                "h": h, "w": w, "comps": comps, "hmax": hmax,
+                "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
+                "progressive": marker == 0xC2,
+            }
+            coefs = [
+                np.zeros((c["bh"], c["bw"], 64), np.int32) for c in comps
+            ]
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
-            if frame is None:
+            if frame is None or coefs is None:
                 return None
             ns = seg[0]
             scan = []
             for s in range(ns):
                 cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
-                comp = next(
-                    (c for c in frame["comps"] if c["id"] == cs), None
+                ci = next(
+                    (
+                        k
+                        for k, c in enumerate(frame["comps"])
+                        if c["id"] == cs
+                    ),
+                    None,
                 )
-                if comp is None:
+                if ci is None:
                     return None
-                scan.append((comp, tt >> 4, tt & 0xF))
-            return _decode_scan(
-                data, i + 2 + seg_len, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+                scan.append((ci, tt >> 4, tt & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if frame["progressive"]:
+                if ss > 0 and ns != 1:
+                    raise ValueError("progressive AC scan must be 1-comp")
+                if se > 63 or ss > se:
+                    raise ValueError("bad spectral band")
+            else:
+                ss, se, ah, al = 0, 63, 0, 0  # sequential: full band
+            segs, end = _split_ecs(data, i + 2 + seg_len)
+            _run_scan(
+                frame, coefs, scan, (ss, se, ah, al), huff_dc, huff_ac,
+                restart_interval, segs,
             )
+            saw_scan = True
+            i = end
+            continue
         # all other markers (APPn, COM): skip
         i += 2 + seg_len
-    return None
+    if frame is None or coefs is None or not saw_scan:
+        return None
+    return _reconstruct(frame, coefs, qt)
 
 
-def _decode_scan(
-    data: bytes,
-    start: int,
+def _run_scan(
     frame: dict,
+    coefs: list[np.ndarray],
     scan: list,
-    qt: dict,
+    band: tuple[int, int, int, int],
     huff_dc: dict,
     huff_ac: dict,
     restart_interval: int,
-) -> np.ndarray | None:
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
-        return None
-    interleaved = len(scan) > 1
-    if interleaved:
-        mcus_x = -(-w // (8 * hmax))
-        mcus_y = -(-h // (8 * vmax))
-        units = [(c["h"], c["v"]) for c, _, _ in scan]
-    else:
-        c = scan[0][0]
-        cw = -(-(w * c["h"]) // hmax)
-        ch = -(-(h * c["v"]) // vmax)
-        mcus_x = -(-cw // 8)
-        mcus_y = -(-ch // 8)
-        units = [(1, 1)]
-
-    planes = []
-    for (c, _, _) in scan:
-        if interleaved:
-            bw, bh = mcus_x * c["h"], mcus_y * c["v"]
-        else:
-            bw, bh = mcus_x, mcus_y
-        planes.append(np.zeros((bh * 8, bw * 8), np.float64))
-
-    segs, _ = _split_ecs(data, start)
-    seg_idx = 0
+    segs: list[bytes],
+) -> None:
+    """Decode one scan's entropy data into the coefficient grids.
+    Interleaved scans walk MCUs (h x v blocks per component);
+    single-component scans walk the component's own block grid. RSTn
+    boundaries reset the bit reader, DC predictors, and the EOB run."""
+    ss, se, ah, al = band
+    comps = frame["comps"]
     reader = _BitReader(segs[0])
-    preds = [0] * len(scan)
-    mcu = 0
-    basis = _M
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                seg_idx += 1
-                if seg_idx >= len(segs):
-                    raise ValueError("missing restart segment")
-                reader = _BitReader(segs[seg_idx])
-                preds = [0] * len(scan)
-            for si, (c, td, ta) in enumerate(scan):
-                ch_, cv = units[si]
-                for by in range(cv):
-                    for bx in range(ch_):
-                        coeffs, preds[si] = _decode_block(
-                            reader, huff_dc[td], huff_ac[ta], preds[si]
-                        )
-                        blk = np.zeros((8, 8), np.int64)
-                        blk[_ZZ_ROWS, _ZZ_COLS] = coeffs
-                        blk = blk * qt[c["tq"]]
-                        px = basis.T @ blk.astype(np.float64) @ basis
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch_ + bx) * 8
-                        planes[si][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu += 1
+    seg_idx = 0
+    preds = [0] * len(comps)
+    eob = [0]
+    interleaved = len(scan) > 1
 
-    # upsample each plane to full frame resolution and crop
+    def maybe_restart(unit: int) -> _BitReader:
+        nonlocal seg_idx, preds
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment")
+            preds[:] = [0] * len(comps)
+            eob[0] = 0
+            return _BitReader(segs[seg_idx])
+        return reader
+
+    if interleaved:
+        unit = 0
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                reader = maybe_restart(unit)
+                for ci, td, ta in scan:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = coefs[ci][my * c["v"] + by,
+                                            mx * c["h"] + bx]
+                            _decode_block_into(
+                                reader, blk, huff_dc.get(td),
+                                huff_ac.get(ta), ss, se, ah, al,
+                                preds, ci, eob,
+                            )
+                unit += 1
+    else:
+        ci, td, ta = scan[0]
+        c = comps[ci]
+        unit = 0
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                reader = maybe_restart(unit)
+                blk = coefs[ci][by, bx]
+                _decode_block_into(
+                    reader, blk, huff_dc.get(td), huff_ac.get(ta),
+                    ss, se, ah, al, preds, ci, eob,
+                )
+                unit += 1
+
+
+def _decode_block_into(
+    reader: _BitReader,
+    blk: np.ndarray,
+    dc_tab: dict | None,
+    ac_tab: dict | None,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    preds: list[int],
+    ci: int,
+    eob: list[int],
+) -> None:
+    """One block of one scan, accumulated into ``blk`` (64 zigzag-order
+    int32 coefficients). Handles all four progressive scan kinds; a
+    sequential scan is the (ss=0, se=63, ah=al=0) case."""
+    if ss == 0:
+        if ah == 0:  # DC first (or sequential)
+            size = _huff_decode(reader, dc_tab)
+            diff = _extend(reader.read_bits(size), size) if size else 0
+            preds[ci] += diff
+            blk[0] = preds[ci] << al
+        else:  # DC refinement: one bit
+            if reader.read_bit():
+                blk[0] |= 1 << al
+        k0 = 1
+    else:
+        k0 = ss
+    if se < k0:
+        return
+    if ah == 0:  # AC first / sequential
+        if eob[0] > 0:
+            eob[0] -= 1
+            return
+        k = k0
+        while k <= se:
+            rs = _huff_decode(reader, ac_tab)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                eob[0] = (1 << run) - 1
+                if run:
+                    eob[0] += reader.read_bits(run)
+                break
+            k += run
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(reader.read_bits(size), size) << al
+            k += 1
+    else:
+        _refine_ac(reader, blk, k0, se, al, ac_tab, eob)
+
+
+def _refine_ac(
+    reader: _BitReader,
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    ac_tab: dict,
+    eob: list[int],
+) -> None:
+    """AC successive-approximation refinement (T.81 G.1.2.3, the shape
+    every decoder implements): newly-significant coefficients carry a
+    sign bit; already-nonzero coefficients in the band consume one
+    correction bit each as the scan passes over them — including
+    inside EOB runs."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tab)
+            run, size = rs >> 4, rs & 0xF
+            newval = 0
+            if size:
+                # size is always 1 in a refinement scan
+                newval = p1 if reader.read_bit() else m1
+            elif run != 15:
+                eob[0] = 1 << run
+                if run:
+                    eob[0] += reader.read_bits(run)
+                break
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            if blk[k] != 0 and reader.read_bit() and (int(blk[k]) & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eob[0] -= 1
+
+
+def _reconstruct(
+    frame: dict, coefs: list[np.ndarray], qt: dict
+) -> np.ndarray:
+    """Dequantize + inverse zigzag + batched matrix IDCT per component,
+    then upsample chroma and color-convert (JFIF YCbCr)."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     out_planes = []
-    for (c, _, _), plane in zip(scan, planes):
+    for c, arr in zip(frame["comps"], coefs):
+        q = qt[c["tq"]]
+        bh, bw = arr.shape[:2]
+        nat = np.zeros((bh, bw, 8, 8), np.int64)
+        nat[:, :, _ZZ_ROWS, _ZZ_COLS] = arr
+        px = _M.T @ (nat * q).astype(np.float64) @ _M
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        plane = plane[: c["ch"], : c["cw"]]
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
@@ -600,4 +751,232 @@ def encode_jpeg(
     writer.flush()
     out += bytes(writer.out)
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _emit_scan_header(out: bytearray, comps: list, band) -> None:
+    ss, se, ah, al = band
+    body = bytes([len(comps)])
+    for cid, td, ta in comps:
+        body += bytes([cid, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _encode_dc_scan(out, grids, al, refine):
+    """Interleaved DC scan over all components: first pass codes the
+    point-transformed diffs, refinement appends one bit per block."""
+    writer = _BitWriter()
+    preds = [0] * len(grids)
+    mcus_y = min(g.shape[0] // gv for g, gh, gv in grids)
+    mcus_x = min(g.shape[1] // gh for g, gh, gv in grids)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for gi, (blocks, gh, gv) in enumerate(grids):
+                for by in range(gv):
+                    for bx in range(gh):
+                        dc = int(blocks[my * gv + by, mx * gh + bx][0, 0])
+                        if refine:
+                            writer.write((dc >> al) & 1, 1)
+                            continue
+                        v = dc >> al  # arithmetic shift per T.81 DC
+                        diff = v - preds[gi]
+                        preds[gi] = v
+                        size = _csize(diff)
+                        ln, code = _DC_CODES[size]
+                        writer.write(code, ln)
+                        if size:
+                            writer.write(
+                                diff if diff >= 0 else diff + (1 << size) - 1,
+                                size,
+                            )
+    writer.flush()
+    out += bytes(writer.out)
+
+
+def _encode_ac_scan(out, blocks, nbh, nbw, ss, se, al, refine):
+    """Single-component AC scan (per-block EOB runs of 1)."""
+    writer = _BitWriter()
+    for by in range(nbh):
+        for bx in range(nbw):
+            zz = blocks[by, bx][_ZZ_ROWS, _ZZ_COLS]
+            if not refine:
+                run = 0
+                wrote = False
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    mag = abs(v) >> al  # AC point transform truncates
+                    if mag == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = _AC_CODES[0xF0]
+                        writer.write(code, ln)
+                        run -= 16
+                    size = _csize(mag)
+                    ln, code = _AC_CODES[(run << 4) | size]
+                    writer.write(code, ln)
+                    coded = mag if v >= 0 else -mag
+                    writer.write(
+                        coded if coded >= 0 else coded + (1 << size) - 1,
+                        size,
+                    )
+                    run = 0
+                    wrote = True
+                if run or not wrote:
+                    ln, code = _AC_CODES[0x00]  # EOB (run of 1)
+                    writer.write(code, ln)
+            else:
+                # position-ordered event queue since the last symbol:
+                # None = zero-history position, 0/1 = a correction bit.
+                # The decoder reads correction bits interleaved INSIDE
+                # each ZRL's 16-zero skip and each (run,1)'s run-zero
+                # skip, so the queue must be split at those boundaries
+                # in position order, never flushed wholesale.
+                queue: list[int | None] = []
+                ended_at_se = False
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    mag = abs(v) >> al
+                    hist = abs(v) >> (al + 1)
+                    if hist:  # already significant: correction bit
+                        queue.append(mag & 1)
+                        ended_at_se = False
+                    elif mag:  # newly significant: (run,1) + sign
+                        while sum(1 for q in queue if q is None) > 15:
+                            ln, code = _AC_CODES[0xF0]
+                            writer.write(code, ln)
+                            zeros = 0
+                            while zeros < 16:
+                                item = queue.pop(0)
+                                if item is None:
+                                    zeros += 1
+                                else:
+                                    writer.write(item, 1)
+                        run = sum(1 for q in queue if q is None)
+                        ln, code = _AC_CODES[(run << 4) | 1]
+                        writer.write(code, ln)
+                        writer.write(1 if v > 0 else 0, 1)
+                        for item in queue:
+                            if item is not None:
+                                writer.write(item, 1)
+                        queue = []
+                        ended_at_se = k == se
+                    else:
+                        queue.append(None)
+                        ended_at_se = False
+                if not ended_at_se:
+                    # the decoder walks past se without reading an EOB
+                    # when the band's last symbol sits exactly at se
+                    ln, code = _AC_CODES[0x00]  # EOB, then corrections
+                    writer.write(code, ln)
+                    for item in queue:
+                        if item is not None:
+                            writer.write(item, 1)
+    writer.flush()
+    out += bytes(writer.out)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """Progressive (SOF2) encode: DC-first at Al=1, per-component AC
+    first scans over two spectral bands at Al=1, then DC and AC
+    refinement scans down to Al=0 — the canonical web-JPEG scan
+    script shape. Exists to round-trip-test the progressive decoder
+    with fixtures any conformant decoder also accepts."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise ValueError("expected 1 or 3 channels")
+    gray = nc == 1
+    qt_l = _scaled_qt(_QT_LUMA, quality)
+    qt_c = _scaled_qt(_QT_CHROMA, quality)
+
+    if gray:
+        planes = [px[..., 0].astype(np.float64)]
+    else:
+        r, g, b = (px[..., k].astype(np.float64) for k in range(3))
+        yp = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        planes = [yp, cb, cr]
+
+    # quantized coefficient grids + per-component AC-scan block dims
+    if gray or not subsample:
+        grids = [
+            (_fdct_quant(_plane_blocks(p), qt_l if i == 0 else qt_c), 1, 1)
+            for i, p in enumerate(planes)
+        ]
+        ac_dims = [(g.shape[0], g.shape[1]) for g, _, _ in grids]
+    else:
+        yb = _fdct_quant(_plane_blocks(planes[0]), qt_l)
+        nbh_y, nbw_y = yb.shape[:2]
+        pby, pbx = -(-nbh_y // 2) * 2, -(-nbw_y // 2) * 2
+        if (pby, pbx) != (nbh_y, nbw_y):
+            yb = np.pad(
+                yb, ((0, pby - nbh_y), (0, pbx - nbw_y), (0, 0), (0, 0)),
+                mode="edge",
+            )
+        cbb = _fdct_quant(_plane_blocks(planes[1]), qt_c)
+        crb = _fdct_quant(_plane_blocks(planes[2]), qt_c)
+        grids = [(yb, 2, 2), (cbb, 1, 1), (crb, 1, 1)]
+        ac_dims = [(nbh_y, nbw_y), cbb.shape[:2], crb.shape[:2]]
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    for tq, tab in ((0, qt_l),) if gray else ((0, qt_l), (1, qt_c)):
+        zzt = tab[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([tq]) + zzt
+    if gray:
+        comp_spec = bytes([1, 0x11, 0])
+    else:
+        chh = 0x22 if subsample else 0x11
+        comp_spec = bytes([1, chh, 0, 2, 0x11, 1, 3, 0x11, 1])
+    nf = 1 if gray else 3
+    out += (
+        b"\xff\xc2"  # SOF2: progressive
+        + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+        + comp_spec
+    )
+    tables = [(0, 0, _DC_BITS, _DC_VALS), (1, 0, _AC_BITS, _AC_VALS)]
+    if not gray:
+        tables += [(0, 1, _DC_BITS, _DC_VALS), (1, 1, _AC_BITS, _AC_VALS)]
+    for tc, th, bits, vals in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    ids = [1] if gray else [1, 2, 3]
+    tds = [0] if gray else [0, 1, 1]
+    all_dc = [(ids[i], tds[i], tds[i]) for i in range(nf)]
+
+    # scan script: DC first @Al=1; AC first per comp (two bands for
+    # comp 0) @Al=1; DC refine; AC refine mirrors the first scans
+    _emit_scan_header(out, all_dc, (0, 0, 0, 1))
+    _encode_dc_scan(out, grids, 1, refine=False)
+    ac_script = []
+    for i in range(nf):
+        bands = [(1, 5), (6, 63)] if i == 0 else [(1, 63)]
+        for ss, se in bands:
+            ac_script.append((i, ss, se))
+    for i, ss, se in ac_script:
+        _emit_scan_header(out, [(ids[i], tds[i], tds[i])], (ss, se, 0, 1))
+        nbh, nbw = ac_dims[i]
+        _encode_ac_scan(out, grids[i][0], nbh, nbw, ss, se, 1, refine=False)
+    _emit_scan_header(out, all_dc, (0, 0, 1, 0))
+    _encode_dc_scan(out, grids, 0, refine=True)
+    for i, ss, se in ac_script:
+        _emit_scan_header(out, [(ids[i], tds[i], tds[i])], (ss, se, 1, 0))
+        nbh, nbw = ac_dims[i]
+        _encode_ac_scan(out, grids[i][0], nbh, nbw, ss, se, 0, refine=True)
+    out += b"\xff\xd9"
     return bytes(out)

@@ -975,3 +975,49 @@ def test_encode_png_lossless_round_trip():
     meta = mm.decode_image(mm.encode_png(img))
     assert (meta["width"], meta["height"], meta["channels"]) == (5, 3, 3)
     assert meta["pixel_mean"] == 42.0
+
+
+def test_jpeg_progressive_bit_identical_to_sequential():
+    """Entropy coding is lossless, so progressive (SOF2: DC/AC first +
+    refinement scans, spectral bands, successive approximation) must
+    reconstruct EXACTLY the same pixels as sequential coding of the
+    same quantized blocks — one equality over every scan-kind branch."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (np.full((16, 16), 128, np.uint8), {}),
+        (rng.integers(0, 256, (17, 23), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (12, 20, 3), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (33, 41, 3), dtype=np.uint8),
+         {"subsample": True}),
+    ]
+    for img, kw in cases:
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=90, **kw))
+        seq = decode_jpeg(encode_jpeg(img, quality=90, **kw))
+        assert prog is not None
+        assert (prog == seq).all()
+
+
+def test_jpeg_progressive_marker_and_quality():
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np.zeros((24, 24, 3), np.uint8)
+    img[..., 0] = np.linspace(0, 255, 24)[None, :]
+    img[..., 1] = 100
+    img[..., 2] = np.linspace(255, 0, 24)[:, None]
+    b = encode_jpeg_progressive(img, quality=95)
+    assert b"\xff\xc2" in b and b.count(b"\xff\xda") == 10  # SOF2, 10 scans
+    out = decode_jpeg(b)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 4

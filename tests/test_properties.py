@@ -392,3 +392,31 @@ def test_jpeg_subsampled_smooth_images_close(w, h, seed):
     out = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
     assert out.shape == (h, w, 3)
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 6
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(2, 24),
+    st.integers(2, 24),
+    st.sampled_from([1, 3]),
+    st.integers(70, 100),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_progressive_always_equals_sequential(w, h, nc, quality, seed):
+    """Progressive and sequential are two LOSSLESS entropy codings of
+    the same quantized coefficients, so their decodes must be
+    bit-identical for every image/quality — one property covering DC
+    first/refine, AC first/refine, spectral bands, and EOB handling."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, nc), dtype=np.uint8)
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+    seq = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert prog is not None and (prog == seq).all()
