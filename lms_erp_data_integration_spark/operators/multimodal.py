@@ -286,11 +286,28 @@ def encode_png(pixels) -> bytes:
     )
 
 
+def _decode_gif_meta(payload: bytes) -> dict | None:
+    """IMAGE_META dict for a GIF (first frame), else None."""
+    from .gif import decode_gif
+
+    px = decode_gif(payload)
+    if px is None:
+        return None
+    h, w, c = px.shape
+    return {
+        "n_bytes": len(payload),
+        "width": w,
+        "height": h,
+        "channels": c,
+        "pixel_mean": float(px.mean()),
+    }
+
+
 def decode_image(payload: bytes) -> dict | None:
     """Real decode for the formats needing no external codec
-    (PPM/PGM/BMP/PNG/baseline JPEG). Returns the IMAGE_META dict, or
-    None when the payload is not a recognized format — callers fall
-    back to ``decode_image_stub``."""
+    (PPM/PGM/BMP/PNG/baseline+progressive JPEG/GIF). Returns the
+    IMAGE_META dict, or None when the payload is not a recognized
+    format — callers fall back to ``decode_image_stub``."""
     if not payload:
         return None
     try:
@@ -299,6 +316,7 @@ def decode_image(payload: bytes) -> dict | None:
             or _decode_bmp(payload)
             or _decode_png(payload)
             or _decode_jpeg_meta(payload)
+            or _decode_gif_meta(payload)
         )
     except (ValueError, struct.error):
         return None
@@ -341,6 +359,10 @@ def _decode_pixels(payload: bytes) -> tuple | None:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     meta = decode_image(payload)
     if meta is None:
         return None

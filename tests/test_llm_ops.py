@@ -1021,3 +1021,104 @@ def test_jpeg_progressive_marker_and_quality():
     assert b"\xff\xc2" in b and b.count(b"\xff\xda") == 10  # SOF2, 10 scans
     out = decode_jpeg(b)
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_multimodal_progressive_jpeg_through_spark(spark):
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((10, 6, 3), 120, np.uint8)
+    rows = [(1, bytearray(encode_jpeg_progressive(img, quality=95)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = mm.extract_image_meta(df).collect()[0]
+    assert (got["width"], got["height"], got["channels"]) == (6, 10, 3)
+    assert abs(got["pixel_mean"] - 120.0) < 2.0
+
+
+# ------------------------------------------------------ r5: GIF codec
+
+
+def test_gif_round_trip_all_modes():
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (13, 17))
+    for interlace in (False, True):
+        for compress in (False, True):
+            out = decode_gif(
+                encode_gif(idx, pal, interlace=interlace, compress=compress)
+            )
+            assert out is not None and (out == pal[idx]).all()
+
+
+def test_gif_lzw_width_growth_and_runs():
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(9)
+    # 256-entry palette + big noisy frame: code width grows past 9 bits
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (60, 70))
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+    # constant run: dictionary chains + the KwKwK code path
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    run = np.zeros((50, 60), np.int64)
+    assert (decode_gif(encode_gif(run, pal2)) == pal2[run]).all()
+
+
+def test_gif_rejects_non_gif():
+    from lms_erp_data_integration_spark.operators.gif import decode_gif
+
+    assert decode_gif(b"") is None
+    assert decode_gif(b"not a gif") is None
+    assert decode_gif(b"GIF89a" + b"\x00" * 5) is None
+
+
+_REAL_GIF_DIR = (
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+    "python3.11/idlelib/Icons"
+)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REAL_GIF_DIR),
+    reason="no real-encoder GIF corpus on this host",
+)
+def test_gif_decodes_real_encoder_output():
+    """Files written by real GIF encoders (IDLE's icon set) pin the
+    LZW width-growth rule: a wrong rule desyncs within a few codes and
+    cannot produce full frames."""
+    import glob
+    import os
+
+    from lms_erp_data_integration_spark.operators.gif import decode_gif
+
+    files = sorted(glob.glob(os.path.join(_REAL_GIF_DIR, "*.gif")))
+    assert len(files) >= 5
+    for f in files:
+        out = decode_gif(open(f, "rb").read())
+        assert out is not None and out.ndim == 3 and out.shape[2] == 3
+
+
+def test_decode_image_routes_gif():
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.gif import encode_gif
+
+    pal = np.array([[10, 20, 30], [200, 210, 220]], np.uint8)
+    idx = np.tile(np.array([[0, 1]]), (4, 3))  # 4x6 checkerboard-ish
+    meta = mm.decode_image(encode_gif(idx, pal))
+    assert (meta["width"], meta["height"], meta["channels"]) == (6, 4, 3)
