@@ -305,7 +305,8 @@ def _decode_gif_meta(payload: bytes) -> dict | None:
 
 def decode_image(payload: bytes) -> dict | None:
     """Real decode for the formats needing no external codec
-    (PPM/PGM/BMP/PNG/baseline+progressive JPEG/GIF). Returns the
+    (PPM/PGM/BMP/PNG/baseline+progressive JPEG/GIF/baseline TIFF).
+    Returns the
     IMAGE_META dict, or None when the payload is not a recognized
     format — callers fall back to ``decode_image_stub``."""
     if not payload:
@@ -317,6 +318,7 @@ def decode_image(payload: bytes) -> dict | None:
             or _decode_png(payload)
             or _decode_jpeg_meta(payload)
             or _decode_gif_meta(payload)
+            or _decode_tiff_meta(payload)
         )
     except (ValueError, struct.error):
         return None
@@ -363,6 +365,8 @@ def _decode_pixels(payload: bytes) -> tuple | None:
         from .gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:2] in (b"II", b"MM"):
+        return _decode_tiff_pixels(payload)
     meta = decode_image(payload)
     if meta is None:
         return None
@@ -647,3 +651,207 @@ def extract_audio_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(op, AUDIO_META_SCHEMA)
+
+
+def _decode_tiff_pixels(payload: bytes) -> np.ndarray | None:
+    """(H, W, C) uint8 for a baseline TIFF: both byte orders, 8-bit
+    samples, strip layout, compression none (1) or PackBits (32773),
+    photometric grayscale (incl. white-is-zero) or RGB. Anything else
+    (tiled, LZW/JPEG-in-TIFF, 16-bit, planar) returns None — the
+    deliberate boundary between "stdlib-decodable" and "needs a codec".
+    """
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        return None
+    bo = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        return None
+    if ifd_off + 2 > len(payload):
+        return None
+    n_tags = struct.unpack_from(bo + "H", payload, ifd_off)[0]
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n_tags):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(payload):
+            return None
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", payload, off)
+        tags[tag] = (typ, cnt, payload[off + 8 : off + 12])
+
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4}
+
+    def values(tag: int, default=None):
+        if tag not in tags:
+            return default
+        typ, cnt, inline = tags[tag]
+        unit = sizes.get(typ)
+        if unit is None:
+            return default
+        total = unit * cnt
+        raw = (
+            inline[:total]
+            if total <= 4
+            else payload[
+                struct.unpack_from(bo + "I", inline)[0] :
+            ][:total]
+        )
+        if len(raw) < total:
+            return default
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt is None:
+            return default
+        return list(struct.unpack(bo + fmt * cnt, raw))
+
+    w = (values(256) or [0])[0]
+    h = (values(257) or [0])[0]
+    bits = values(258, [8])
+    compression = (values(259) or [1])[0]
+    photometric = (values(262) or [1])[0]
+    offsets = values(273)
+    spp = (values(277) or [1])[0]
+    rows_per_strip = (values(278) or [h])[0] or h
+    counts = values(279)
+    planar = (values(284) or [1])[0]
+    if (
+        not w
+        or not h
+        or offsets is None
+        or counts is None
+        or any(b != 8 for b in bits)
+        or compression not in (1, 32773)
+        or photometric not in (0, 1, 2)
+        or spp not in (1, 3)
+        or planar != 1
+    ):
+        return None
+
+    def unpackbits(raw: bytes, expect: int) -> bytes | None:
+        out = bytearray()
+        i = 0
+        while i < len(raw) and len(out) < expect:
+            n = raw[i]
+            i += 1
+            if n < 128:
+                out += raw[i : i + n + 1]
+                i += n + 1
+            elif n > 128:
+                if i >= len(raw):
+                    return None
+                out += raw[i : i + 1] * (257 - n)
+                i += 1
+            # n == 128: no-op
+        return bytes(out[:expect]) if len(out) >= expect else None
+
+    rows = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        if nrows <= 0:
+            break
+        expect = nrows * w * spp
+        raw = payload[off : off + cnt]
+        data = raw[:expect] if compression == 1 else unpackbits(raw, expect)
+        if data is None or len(data) < expect:
+            return None
+        rows.append(
+            np.frombuffer(data, np.uint8, expect).reshape(nrows, w, spp)
+        )
+    px = np.concatenate(rows, axis=0)
+    if px.shape[0] != h:
+        return None
+    if photometric == 0:  # white-is-zero grayscale
+        px = 255 - px
+    return px
+
+
+def _decode_tiff_meta(payload: bytes) -> dict | None:
+    px = _decode_tiff_pixels(payload)
+    if px is None:
+        return None
+    h, w, c = px.shape
+    return {
+        "n_bytes": len(payload),
+        "width": w,
+        "height": h,
+        "channels": c,
+        "pixel_mean": float(px.mean()),
+    }
+
+
+def encode_tiff(
+    pixels: np.ndarray, big_endian: bool = False, packbits: bool = False
+) -> bytes:
+    """Minimal single-strip baseline TIFF writer for fixtures:
+    8-bit gray or RGB, optional PackBits (naive literal runs + RLE for
+    repeats), either byte order."""
+    px = np.asarray(pixels, np.uint8)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, c = px.shape
+    bo = ">" if big_endian else "<"
+    data = px.tobytes()
+    if packbits:
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            # repeat run
+            j = i
+            while j + 1 < len(data) and data[j + 1] == data[i] and j - i < 127:
+                j += 1
+            if j > i:
+                out += bytes([257 - (j - i + 1), data[i]])
+                i = j + 1
+                continue
+            # literal run up to next repeat
+            j = i
+            while (
+                j + 1 < len(data)
+                and not (j + 2 < len(data) and data[j + 1] == data[j + 2])
+                and j - i < 127
+            ):
+                j += 1
+            out += bytes([j - i]) + data[i : j + 1]
+            i = j + 1
+        data = bytes(out)
+
+    entries = []
+
+    def tag(t, typ, cnt, val_bytes):
+        entries.append((t, typ, cnt, val_bytes))
+
+    def short(v):
+        return struct.pack(bo + "H", v) + b"\x00\x00"
+
+    def long_(v):
+        return struct.pack(bo + "I", v)
+
+    header = 8
+    n_base_tags = 9  # same tag set either way; 258 is inline for gray
+    ifd_size = 2 + 12 * n_base_tags + 4
+    bits_off = header + ifd_size
+    extra = b""
+    if c == 3:
+        extra = struct.pack(bo + "HHH", 8, 8, 8)
+        data_off = bits_off + len(extra)
+    else:
+        data_off = bits_off
+    tag(256, 3, 1, short(w))
+    tag(257, 3, 1, short(h))
+    if c == 3:
+        tag(258, 3, 3, long_(bits_off))
+    else:
+        tag(258, 3, 1, short(8))
+    tag(259, 3, 1, short(32773 if packbits else 1))
+    tag(262, 3, 1, short(2 if c == 3 else 1))
+    tag(273, 4, 1, long_(data_off))
+    tag(277, 3, 1, short(c))
+    tag(278, 3, 1, short(h))
+    tag(279, 4, 1, long_(len(data)))
+    entries.sort()
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, 8)
+    out += struct.pack(bo + "H", len(entries))
+    for t, typ, cnt, vb in entries:
+        out += struct.pack(bo + "HHI", t, typ, cnt) + vb
+    out += b"\x00\x00\x00\x00"  # next IFD
+    out += extra
+    out += data
+    return bytes(out)

@@ -1122,3 +1122,32 @@ def test_decode_image_routes_gif():
     idx = np.tile(np.array([[0, 1]]), (4, 3))  # 4x6 checkerboard-ish
     meta = mm.decode_image(encode_gif(idx, pal))
     assert (meta["width"], meta["height"], meta["channels"]) == (6, 4, 3)
+
+
+def test_tiff_round_trip_and_routing():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for be in (False, True):
+        for pb in (False, True):
+            img = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+            t = mm.encode_tiff(img, big_endian=be, packbits=pb)
+            out = mm._decode_tiff_pixels(t)
+            assert out is not None and (out == img).all()
+    gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    meta = mm.decode_image(mm.encode_tiff(gray))
+    assert (meta["width"], meta["height"], meta["channels"]) == (11, 9, 1)
+    r = mm.resize_nearest(mm.encode_tiff(gray), 4, 4)
+    assert r is not None and (r["width"], r["height"]) == (4, 4)
+    assert mm._decode_tiff_pixels(b"II\x2b\x00junk") is None
+    # 16-bit/LZW TIFFs must be rejected, not mis-decoded: flip the
+    # compression tag to LZW (5)
+    t = bytearray(mm.encode_tiff(gray))
+    # find compression tag 259 in IFD and set value to 5
+    import struct as st
+    n = st.unpack_from("<H", t, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if st.unpack_from("<H", t, off)[0] == 259:
+            st.pack_into("<H", t, off + 8, 5)
+    assert mm._decode_tiff_pixels(bytes(t)) is None
