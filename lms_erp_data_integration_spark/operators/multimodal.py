@@ -2,15 +2,28 @@
 as opaque ``binary`` payloads with typed metadata, processed by
 Arrow-batched ``mapInPandas`` operators.
 
-The container has no image/audio codec libraries, but several real
-formats need none: ``decode_image`` is a real pure-numpy decoder for
-PPM (P6), PGM (P5), uncompressed 8/24/32-bit BMP, — via stdlib
-``zlib`` plus the five PNG scanline filters reconstructed in numpy —
-non-interlaced 8-bit PNG (gray/RGB/gray+alpha/RGBA), and — via the
-from-scratch ITU-T T.81 implementation in ``operators/jpeg.py`` —
-baseline sequential JPEG (grayscale + YCbCr with any h/v sampling in
-{1,2}, restart markers, arbitrary canonical Huffman tables). Payloads
-in any other format fall back to ``decode_image_stub``, which raises
+The container has no image/audio codec libraries, but the common web
+and archive formats need none — ``decode_image`` is a real pure-
+numpy/stdlib decoder for:
+
+- PPM (P6) / PGM (P5) binary rasters;
+- uncompressed 8/24/32-bit BMP;
+- non-interlaced 8-bit PNG (stdlib ``zlib`` + the five scanline
+  filters reconstructed in numpy; lossless ``encode_png`` writer too);
+- JPEG, baseline AND progressive (the from-scratch ITU-T T.81
+  implementation in ``operators/jpeg.py``: arbitrary canonical
+  Huffman tables, restart markers, h/v sampling in {1,2}, SOF2
+  spectral selection + successive approximation; plus sequential and
+  progressive encoders);
+- GIF87a/89a (``operators/gif.py``: variable-width LZW, interlace,
+  local/global palettes; plus a fixture encoder with real LZW);
+- baseline TIFF (both byte orders, strip layout, PackBits or no
+  compression; plus ``encode_tiff``);
+- RIFF/WAVE PCM audio (``decode_wav``: 8/16-bit, exact integer RMS).
+
+Payloads in any other format (video containers, MP3/AAC,
+12-bit/arithmetic JPEG, tiled/LZW TIFF) are rejected cleanly and fall
+back to ``decode_image_stub``, which raises
 ``NotImplementedError`` unless ``fake=True`` (deterministic fake
 decode, dimensions/pixel-mean derived from the payload bytes).
 Everything Spark-side — schemas, batch iteration, partitioning, UDF
