@@ -91,53 +91,89 @@ def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
 
 
 class _BitReader:
-    """MSB-first bit reader over an unstuffed entropy-coded segment."""
+    """MSB-first bit reader over an unstuffed entropy-coded segment.
 
-    __slots__ = ("data", "pos", "bit")
+    Table-driven: ``peek16``/``skip`` let Huffman decoding resolve one
+    symbol per table lookup instead of one dict probe per bit — the
+    decode hot loop's cost is one int shift + one list index per
+    symbol. Reads past the real stream surface as EOFError only when
+    CONSUMED bits exceed the stream (peeking into virtual 1-padding is
+    legal — encoders pad the final byte with 1s)."""
+
+    __slots__ = ("data", "nbytes", "acc", "nbits", "pos")
 
     def __init__(self, data: bytes):
         self.data = data
+        self.nbytes = len(data)
+        self.acc = 0
+        self.nbits = 0
         self.pos = 0
-        self.bit = 0
 
-    def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise EOFError
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            b = self.data[self.pos] if self.pos < self.nbytes else 0xFF
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFF
             self.pos += 1
-        return b
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        if (self.pos << 3) - self.nbits > (self.nbytes << 3):
+            raise EOFError
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.skip(n)
         return v
 
-
-def _build_huffman(bits: list[int], vals: bytes) -> dict:
-    """Canonical Huffman: {(length, code): symbol}."""
-    table, code, k = {}, 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+    def read_bit(self) -> int:
+        return self.read_bits(1)
 
 
-def _huff_decode(reader: _BitReader, table: dict) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | reader.read_bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+class _HuffTable:
+    """Canonical Huffman table compiled to a 65536-entry peek table:
+    entry i = (symbol, code length) for the 16-bit window i; length 0
+    marks an invalid prefix."""
+
+    __slots__ = ("sym", "length")
+
+    def __init__(self, bits: list[int], vals: bytes):
+        sym = [0] * 65536
+        length = [0] * 65536
+        code, k = 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                start = code << (16 - ln)
+                span = 1 << (16 - ln)
+                sym[start : start + span] = [vals[k]] * span
+                length[start : start + span] = [ln] * span
+                code += 1
+                k += 1
+            code <<= 1
+        self.sym = sym
+        self.length = length
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> _HuffTable:
+    return _HuffTable(bits, vals)
+
+
+def _huff_decode(reader: _BitReader, table: _HuffTable) -> int:
+    w = reader.peek16()
+    ln = table.length[w]
+    if ln == 0:
+        raise ValueError("invalid Huffman code")
+    reader.skip(ln)
+    return table.sym[w]
 
 
 def _extend(v: int, size: int) -> int:
@@ -359,6 +395,7 @@ def _run_scan(
             return _BitReader(segs[seg_idx])
         return reader
 
+    seq_fast = (ss, se, ah, al) == (0, 63, 0, 0)
     if interleaved:
         unit = 0
         for my in range(frame["mcus_y"]):
@@ -370,11 +407,17 @@ def _run_scan(
                         for bx in range(c["h"]):
                             blk = coefs[ci][my * c["v"] + by,
                                             mx * c["h"] + bx]
-                            _decode_block_into(
-                                reader, blk, huff_dc.get(td),
-                                huff_ac.get(ta), ss, se, ah, al,
-                                preds, ci, eob,
-                            )
+                            if seq_fast:
+                                preds[ci] = _decode_block_seq(
+                                    reader, blk, huff_dc[td],
+                                    huff_ac[ta], preds[ci],
+                                )
+                            else:
+                                _decode_block_into(
+                                    reader, blk, huff_dc.get(td),
+                                    huff_ac.get(ta), ss, se, ah, al,
+                                    preds, ci, eob,
+                                )
                 unit += 1
     else:
         ci, td, ta = scan[0]
@@ -384,11 +427,99 @@ def _run_scan(
             for bx in range(c["nbw"]):
                 reader = maybe_restart(unit)
                 blk = coefs[ci][by, bx]
-                _decode_block_into(
-                    reader, blk, huff_dc.get(td), huff_ac.get(ta),
-                    ss, se, ah, al, preds, ci, eob,
-                )
+                if seq_fast:
+                    preds[ci] = _decode_block_seq(
+                        reader, blk, huff_dc[td], huff_ac[ta], preds[ci]
+                    )
+                else:
+                    _decode_block_into(
+                        reader, blk, huff_dc.get(td), huff_ac.get(ta),
+                        ss, se, ah, al, preds, ci, eob,
+                    )
                 unit += 1
+
+
+def _decode_block_seq(
+    reader: _BitReader,
+    blk: np.ndarray,
+    dc_tab: _HuffTable,
+    ac_tab: _HuffTable,
+    pred: int,
+) -> int:
+    """Sequential-scan fast path (ss=0, se=63, ah=al=0): the whole
+    block decodes into a local list with the bit buffer manipulated
+    inline, then lands in the coefficient grid with ONE vectorized
+    assignment — the hot loop has no numpy scalar writes and no
+    per-bit calls. Semantically identical to the general path."""
+    coeffs = [0] * 64
+    data, nbytes = reader.data, reader.nbytes
+    acc, nbits, pos = reader.acc, reader.nbits, reader.pos
+    dc_len, dc_sym = dc_tab.length, dc_tab.sym
+    ac_len, ac_sym = ac_tab.length, ac_tab.sym
+
+    def bail() -> None:
+        reader.acc, reader.nbits, reader.pos = acc, nbits, pos
+        if (pos << 3) - nbits > (nbytes << 3):
+            raise EOFError
+
+    # DC
+    while nbits < 16:
+        acc = ((acc << 8) | (data[pos] if pos < nbytes else 0xFF)) & 0xFFFFFFFFFF
+        pos += 1
+        nbits += 8
+    w = (acc >> (nbits - 16)) & 0xFFFF
+    ln = dc_len[w]
+    if ln == 0:
+        bail()
+        raise ValueError("invalid Huffman code")
+    nbits -= ln
+    size = dc_sym[w]
+    if size:
+        while nbits < size:
+            acc = ((acc << 8) | (data[pos] if pos < nbytes else 0xFF)) & 0xFFFFFFFFFF
+            pos += 1
+            nbits += 8
+        v = (acc >> (nbits - size)) & ((1 << size) - 1)
+        nbits -= size
+        pred += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+    coeffs[0] = pred
+    # AC
+    k = 1
+    while k < 64:
+        while nbits < 16:
+            acc = ((acc << 8) | (data[pos] if pos < nbytes else 0xFF)) & 0xFFFFFFFFFF
+            pos += 1
+            nbits += 8
+        w = (acc >> (nbits - 16)) & 0xFFFF
+        ln = ac_len[w]
+        if ln == 0:
+            bail()
+            raise ValueError("invalid Huffman code")
+        nbits -= ln
+        rs = ac_sym[w]
+        size = rs & 0xF
+        if size == 0:
+            if rs == 0xF0:
+                k += 16
+                continue
+            break  # EOB (eob-run extension impossible: r<15,s=0 => r=0 here
+            # because sequential encoders only emit 0x00; a progressive
+            # stream never routes through this fast path)
+        k += rs >> 4
+        if k > 63:
+            bail()
+            raise ValueError("AC run past band end")
+        while nbits < size:
+            acc = ((acc << 8) | (data[pos] if pos < nbytes else 0xFF)) & 0xFFFFFFFFFF
+            pos += 1
+            nbits += 8
+        v = (acc >> (nbits - size)) & ((1 << size) - 1)
+        nbits -= size
+        coeffs[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+        k += 1
+    bail()
+    blk[:] = coeffs
+    return pred
 
 
 def _decode_block_into(
