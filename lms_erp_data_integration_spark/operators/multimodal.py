@@ -868,3 +868,97 @@ def encode_tiff(
     out += extra
     out += data
     return bytes(out)
+
+
+# ------------------------------------------------- tar shards (WebDataset)
+
+TAR_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("sample_key", T.StringType()),
+        T.StructField("member_ext", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def iter_tar_members(payload: bytes):
+    """Yield (name, bytes) for regular files in an (optionally
+    gzip-compressed) tar archive — the WebDataset shard layout, where
+    one training sample is the group of members sharing a basename
+    stem (``000123.jpg`` + ``000123.json`` + ``000123.txt``).
+    Stdlib ``tarfile`` over a memory buffer; bad archives yield
+    nothing rather than raising."""
+    import io
+    import tarfile
+
+    try:
+        with tarfile.open(fileobj=io.BytesIO(payload), mode="r:*") as tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                f = tf.extractfile(m)
+                if f is None:
+                    continue
+                yield m.name, f.read()
+    except (tarfile.TarError, EOFError, OSError):
+        return
+
+
+def explode_tar_shards(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas shard exploder: each input row holds one tar shard
+    as a binary payload; output is one row per member file with the
+    WebDataset sample key (basename stem) and extension split out, so
+    a downstream ``groupBy(shard_id, sample_key)`` reassembles
+    samples.
+
+    Scale posture: shards (the unit real pipelines move — 100 MB to
+    1 GB each) are processed one Arrow batch at a time inside the
+    task that read them; members never route through the driver, and
+    the sample-reassembly groupBy shuffles at most one shard's members
+    per key because sample keys are shard-local. At 100 TB this is
+    the standard read path: splits = shards, decode = narrow map."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, p in zip(pdf[id_col], pdf["payload"]):
+                for name, data in iter_tar_members(p):
+                    base = name.rsplit("/", 1)[-1]
+                    stem, dot, ext = base.partition(".")
+                    rows.append(
+                        {
+                            "shard_id": sid,
+                            "sample_key": stem,
+                            "member_ext": ext if dot else "",
+                            "n_bytes": len(data),
+                            "payload": data,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "shard_id", "sample_key", "member_ext", "n_bytes",
+                    "payload",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, TAR_MEMBER_SCHEMA)
+
+
+def build_tar_shard(members: list[tuple[str, bytes]], gzipped: bool = False) -> bytes:
+    """Write a tar shard from (name, bytes) pairs — fixture writer and
+    the inverse of ``explode_tar_shards`` for re-sharding pipelines."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    mode = "w:gz" if gzipped else "w"
+    with tarfile.open(fileobj=buf, mode=mode) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 0  # deterministic output
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()

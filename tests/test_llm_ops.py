@@ -1151,3 +1151,44 @@ def test_tiff_round_trip_and_routing():
         if st.unpack_from("<H", t, off)[0] == 259:
             st.pack_into("<H", t, off + 8, 5)
     assert mm._decode_tiff_pixels(bytes(t)) is None
+
+
+def test_explode_tar_shards_webdataset(spark):
+    """WebDataset shard read path: tar shards explode to member rows;
+    groupBy (shard, sample_key) reassembles samples; real image bytes
+    inside members decode through the same kernels."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import encode_jpeg
+
+    jpg = encode_jpeg(np.full((4, 4, 3), 50, np.uint8), quality=95)
+    shard1 = mm.build_tar_shard(
+        [
+            ("000001.jpg", jpg),
+            ("000001.json", b'{"caption": "a"}'),
+            ("000002.jpg", jpg),
+            ("000002.json", b'{"caption": "b"}'),
+        ]
+    )
+    shard2 = mm.build_tar_shard([("000003.txt", b"doc")], gzipped=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(shard1)), (2, bytearray(shard2)), (3, b"junk")],
+        "doc_id long, payload binary",
+    )
+    members = mm.explode_tar_shards(df)
+    rows = members.collect()
+    assert len(rows) == 5  # junk shard contributes nothing
+    samples = {
+        (r["shard_id"], r["sample_key"]): r["cnt"]
+        for r in members.groupBy("shard_id", "sample_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert samples == {(1, "000001"): 2, (1, "000002"): 2, (2, "000003"): 1}
+    # member image bytes decode through the standard kernel chain
+    imgs = mm.extract_image_meta(
+        members.where(F.col("member_ext") == "jpg").select(
+            F.col("sample_key").cast("long").alias("doc_id"), "payload"
+        )
+    ).collect()
+    assert {r["width"] for r in imgs} == {4}
