@@ -962,3 +962,88 @@ def build_tar_shard(members: list[tuple[str, bytes]], gzipped: bool = False) -> 
             info.mtime = 0  # deterministic output
             tf.addfile(info, io.BytesIO(data))
     return buf.getvalue()
+
+
+AUDIO_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("dominant_hz", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("rms_milli", T.LongType()),
+    ]
+)
+
+
+def wav_spectral_features(payload: bytes) -> dict | None:
+    """Frequency-domain features for a PCM WAV via numpy rfft: the
+    dominant frequency (peak magnitude bin, DC excluded) and the
+    spectral centroid — the audio-quality screens (silence, hum,
+    clipping artifacts) a speech corpus runs before transcription.
+    Multi-channel audio is averaged to mono first."""
+    if len(payload) < 44 or payload[:4] != b"RIFF":
+        return None
+    meta = decode_wav(payload)
+    if meta is None:
+        return None
+    pos, data, bits, channels = 12, None, 16, meta["channels"]
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            bits = struct.unpack_from(
+                "<HHIIHH", payload[pos + 8 : pos + 24], 0
+            )[5]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    if data is None:
+        return None
+    if bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        x = np.frombuffer(data, "<i2", count=len(data) // 2).astype(
+            np.float64
+        ) / 32768.0
+    n = (x.size // channels) * channels
+    mono = x[:n].reshape(-1, channels).mean(axis=1)
+    if mono.size < 4:
+        return None
+    spec = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(mono.size, d=1.0 / meta["sample_rate"])
+    mag = spec.copy()
+    mag[0] = 0.0  # DC is offset, not pitch
+    dom = float(freqs[int(np.argmax(mag))])
+    total = float(mag.sum())
+    centroid = float((freqs * mag).sum() / total) if total > 0 else 0.0
+    return {
+        "sample_rate": meta["sample_rate"],
+        "n_samples": meta["n_samples"],
+        "dominant_hz": dom,
+        "spectral_centroid_hz": centroid,
+        "rms_milli": meta["rms_milli"],
+    }
+
+
+def extract_audio_spectral(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas spectral-feature stage over WAV payloads; non-WAV
+    rows are dropped (dead-letter in a real pipeline). Narrow map,
+    FFT cost linear in samples per payload."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                f = wav_spectral_features(p)
+                if f is not None:
+                    rows.append({"doc_id": i, **f})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "dominant_hz",
+                    "spectral_centroid_hz", "rms_milli",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, AUDIO_SPECTRAL_SCHEMA)

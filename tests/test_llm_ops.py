@@ -1192,3 +1192,32 @@ def test_explode_tar_shards_webdataset(spark):
         )
     ).collect()
     assert {r["width"] for r in imgs} == {4}
+
+
+def test_wav_spectral_features_sine():
+    import math
+    import struct as st
+
+    import numpy as np
+
+    # 440 Hz sine at 8 kHz for 1 s
+    rate, hz = 8000, 440.0
+    samples = [
+        int(20000 * math.sin(2 * math.pi * hz * t / rate))
+        for t in range(rate)
+    ]
+    w = _wav_bytes(rate=rate, channels=1, bits=16, samples=samples)
+    f = mm.wav_spectral_features(w)
+    assert f is not None
+    assert abs(f["dominant_hz"] - hz) <= 1.0  # 1 Hz bins at 1 s window
+    assert abs(f["spectral_centroid_hz"] - hz) <= 40.0  # leakage spread
+    assert mm.wav_spectral_features(b"not audio") is None
+
+
+def test_extract_audio_spectral_through_spark(spark):
+    rows = [(1, bytearray(_wav_bytes())), (2, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = mm.extract_audio_spectral(df).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 1
+    # the square-ish test wave alternates at rate/4 = 2 kHz
+    assert abs(got[0]["dominant_hz"] - 2000.0) < 50.0
