@@ -1047,3 +1047,71 @@ def extract_audio_spectral(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(op, AUDIO_SPECTRAL_SCHEMA)
+
+
+def probe_mp4(payload: bytes) -> dict | None:
+    """ISO BMFF (MP4/MOV) structural probe — real box-tree parsing,
+    no codec: brand, movie duration from ``mvhd``, track count, and
+    the first video track's pixel dimensions from ``tkhd``. This is
+    the video-corpus stats pass (length distribution, resolution mix,
+    corrupt-file screen) that needs no frame decoding; actual frame
+    decode stays behind the injectable-codec gate."""
+    if len(payload) < 8:
+        return None
+
+    def boxes(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(data[pos : pos + 4], "big")
+            typ = data[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    return
+                size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+                hdr = 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    top = {t: (a, b) for t, a, b in boxes(payload, 0, len(payload))}
+    if b"ftyp" not in top or b"moov" not in top:
+        return None
+    fa, fb = top[b"ftyp"]
+    brand = payload[fa : fa + 4].decode("latin-1")
+    ma, mb = top[b"moov"]
+    duration_ms = None
+    n_tracks = 0
+    width = height = None
+    for typ, a, b in boxes(payload, ma, mb):
+        if typ == b"mvhd" and b - a >= 20:
+            ver = payload[a]
+            if ver == 1 and b - a >= 28:
+                scale = int.from_bytes(payload[a + 20 : a + 24], "big")
+                dur = int.from_bytes(payload[a + 24 : a + 32], "big")
+            else:
+                scale = int.from_bytes(payload[a + 12 : a + 16], "big")
+                dur = int.from_bytes(payload[a + 16 : a + 20], "big")
+            if scale:
+                duration_ms = dur * 1000 // scale
+        elif typ == b"trak":
+            n_tracks += 1
+            for t2, a2, b2 in boxes(payload, a, b):
+                if t2 == b"tkhd" and b2 - a2 >= 84:
+                    # width/height: last 8 bytes, 16.16 fixed point
+                    w_fx = int.from_bytes(payload[b2 - 8 : b2 - 4], "big")
+                    h_fx = int.from_bytes(payload[b2 - 4 : b2], "big")
+                    if w_fx and h_fx and width is None:
+                        width, height = w_fx >> 16, h_fx >> 16
+    if duration_ms is None and n_tracks == 0:
+        return None
+    return {
+        "brand": brand,
+        "duration_ms": duration_ms,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+    }

@@ -1221,3 +1221,40 @@ def test_extract_audio_spectral_through_spark(spark):
     assert len(got) == 1 and got[0]["doc_id"] == 1
     # the square-ish test wave alternates at rate/4 = 2 kHz
     assert abs(got[0]["dominant_hz"] - 2000.0) < 50.0
+
+
+def _mp4_bytes(duration_s=7, scale=1000, w=640, h=360):
+    """Minimal hand-built ISO BMFF: ftyp + moov(mvhd + trak(tkhd))."""
+    def box(typ, body):
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version+flags
+        + bytes(8)  # ctime/mtime
+        + scale.to_bytes(4, "big")
+        + (duration_s * scale).to_bytes(4, "big")
+        + bytes(80),
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+        + bytes(4)  # duration
+        + bytes(52)  # reserved/matrix
+        + (w << 16).to_bytes(4, "big")
+        + (h << 16).to_bytes(4, "big"),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def test_probe_mp4_structure():
+    meta = mm.probe_mp4(_mp4_bytes())
+    assert meta is not None
+    assert meta["brand"] == "isom"
+    assert meta["duration_ms"] == 7000
+    assert meta["n_tracks"] == 1
+    assert (meta["width"], meta["height"]) == (640, 360)
+    assert mm.probe_mp4(b"not a video") is None
+    assert mm.probe_mp4(_mp4_bytes()[:20]) is None  # moov truncated away
