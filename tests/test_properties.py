@@ -420,3 +420,52 @@ def test_jpeg_progressive_always_equals_sequential(w, h, nc, quality, seed):
     prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
     seq = decode_jpeg(encode_jpeg(img, quality=quality))
     assert prog is not None and (prog == seq).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 30),
+    st.integers(1, 30),
+    st.sampled_from([2, 4, 16, 256]),
+    st.booleans(),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_gif_round_trip_lossless(w, h, npal, interlace, compress, seed):
+    """GIF is lossless: decode(encode(idx, pal)) == pal[idx] for every
+    size, palette, interlace, and compression mode."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+    idx = rng.integers(0, npal, (h, w))
+    out = decode_gif(
+        encode_gif(idx, pal, interlace=interlace, compress=compress)
+    )
+    assert out is not None and (out == pal[idx]).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 30),
+    st.integers(1, 30),
+    st.sampled_from([1, 3]),
+    st.booleans(),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_tiff_round_trip_lossless(w, h, nc, big_endian, packbits, seed):
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, nc), dtype=np.uint8)
+    t = mm.encode_tiff(img, big_endian=big_endian, packbits=packbits)
+    out = mm._decode_tiff_pixels(t)
+    assert out is not None and (out == img).all()
