@@ -220,3 +220,93 @@ def repetition_stats(
         F.size(F.array_distinct(tri)).cast("long").alias("n_distinct_trigrams"),
         dup_frac(tri).alias("dup_trigram_frac"),
     )
+
+
+def html_to_text(html: Column) -> Column:
+    """Strip an HTML page to its visible text — the first step of
+    every web-corpus ingest (the CCNet/C4 pipelines run exactly this
+    class of transform before any quality scoring). Entirely built-in
+    ``regexp_replace`` chains, so it compiles into ONE whole-stage-
+    codegen'd JVM projection: script/style/head subtrees dropped
+    (non-greedy, case-insensitive, dotall), comments dropped, block-
+    level tags become newlines (so paragraph boundaries survive for
+    the chunker), remaining tags erased, the five standard entities
+    decoded, and whitespace runs collapsed."""
+    t = F.regexp_replace(
+        html, r"(?is)<(script|style|head|noscript)\b.*?</\1\s*>", " "
+    )
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t,
+        r"(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|blockquote|section|"
+        r"article|header|footer)\b[^>]*>",
+        "\n",
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, ch in [
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " "),
+    ]:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
+    t = F.regexp_replace(t, r" ?\n[ \n]*", "\n")
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+def link_density_exprs(html: Column) -> dict[str, Column]:
+    """Boilerplate signals from raw HTML: link density (chars inside
+    <a> tags over total visible chars — navigation/footer pages score
+    high) and tag-to-text ratio. Standard readability-style features,
+    all JVM-side."""
+    anchor_text = F.regexp_replace(
+        F.concat_ws(
+            " ",
+            F.regexp_extract_all(
+                html, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), F.lit(1)
+            ),
+        ),
+        r"(?s)<[^>]+>",
+        "",
+    )
+    visible = html_to_text(html)
+    n_vis = F.length(visible)
+    n_tags = F.size(
+        F.regexp_extract_all(html, F.lit(r"(?s)<[^>]+>"), F.lit(0))
+    )
+    return {
+        "link_density": F.when(
+            n_vis > 0, F.length(anchor_text) / n_vis
+        ).otherwise(F.lit(1.0)),
+        "tag_ratio": F.when(
+            n_vis > 0, n_tags.cast("double") / n_vis
+        ).otherwise(F.lit(1.0)),
+        "n_visible_chars": n_vis.cast("long"),
+    }
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL into the dedup key the CCNet-style pipelines
+    group by: scheme and ``www.`` dropped, host lowercased, default
+    ports dropped, tracking query parameters (utm_*, fbclid, gclid,
+    ref) removed, remaining query keys kept in original order,
+    fragment dropped, trailing slash trimmed. Pure built-ins — one
+    narrow projection."""
+    u = F.trim(url)
+    u = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    host = F.lower(F.regexp_extract(u, r"^([^/?]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_replace(u, r"^[^/?]*", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"),
+    )
+    qs = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept))
+    ).otherwise(F.lit(""))
+    return F.concat(host, path, qs)

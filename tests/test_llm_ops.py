@@ -1258,3 +1258,59 @@ def test_probe_mp4_structure():
     assert (meta["width"], meta["height"]) == (640, 360)
     assert mm.probe_mp4(b"not a video") is None
     assert mm.probe_mp4(_mp4_bytes()[:20]) is None  # moov truncated away
+
+
+# --------------------------------------------- r5: web-corpus curation
+
+
+def test_html_to_text_and_link_density(spark):
+    html = (
+        "<html><head><title>T</title><style>p{color:red}</style></head>"
+        "<body><!-- c --><h1>Header</h1><p>Hello &amp; welcome to "
+        "<b>the</b> page.</p><script>var x = \"<p>not text</p>\";"
+        "</script><div><a href='/x'>a link</a> and text</div></body></html>"
+    )
+    nav = (
+        "<body><ul>"
+        + "".join(f"<li><a href='/{i}'>item {i}</a></li>" for i in range(8))
+        + "</ul></body>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, nav)], "id long, html string"
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            tx.html_to_text(F.col("html")).alias("text"),
+            *[
+                c.alias(n)
+                for n, c in tx.link_density_exprs(F.col("html")).items()
+            ],
+        ).collect()
+    }
+    t = out[1]["text"]
+    assert "not text" not in t and "color:red" not in t and "<" not in t
+    assert "Hello & welcome to the page." in t
+    assert t.startswith("Header")  # block tags became line breaks
+    # the nav page is nearly all links; the article page is not
+    assert out[2]["link_density"] > 0.8 > out[1]["link_density"]
+
+
+def test_canonical_url_dedup_key(spark):
+    cases = [
+        # scheme/case/www/port/tracking/fragment/trailing slash all fold
+        ("HTTPS://WWW.Example.com:443/a/b/?utm_source=x&q=1&fbclid=z#f",
+         "example.com/a/b?q=1"),
+        ("http://example.com/a/b?q=1", "example.com/a/b?q=1"),
+        ("example.com/a/b/?q=1&utm_campaign=y", "example.com/a/b?q=1"),
+        # param ORDER is preserved (q=1&r=2 != r=2&q=1 keys differently)
+        ("http://site.org/?r=2&q=1", "site.org?r=2&q=1"),
+        ("http://site.org/", "site.org"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    bad = df.where(tx.canonical_url(F.col("url")) != F.col("want"))
+    rows = bad.select(
+        "url", "want", tx.canonical_url(F.col("url")).alias("got")
+    ).collect()
+    assert not rows, rows
