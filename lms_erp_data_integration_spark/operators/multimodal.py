@@ -1049,6 +1049,38 @@ def extract_audio_spectral(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(op, AUDIO_SPECTRAL_SCHEMA)
 
 
+def _bmff_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO BMFF boxes in a
+    range, handling 64-bit largesize and size-0 (to-end) boxes."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _bmff_find(data: bytes, start: int, end: int, path: list[bytes]):
+    """Walk a box path like [b"mdia", b"minf", b"stbl"]; yields the
+    (start, end) of every box matching the full path."""
+    if not path:
+        yield start, end
+        return
+    for typ, a, b in _bmff_boxes(data, start, end):
+        if typ == path[0]:
+            yield from _bmff_find(data, a, b, path[1:])
+
+
 def probe_mp4(payload: bytes) -> dict | None:
     """ISO BMFF (MP4/MOV) structural probe — real box-tree parsing,
     no codec: brand, movie duration from ``mvhd``, track count, and
@@ -1058,25 +1090,7 @@ def probe_mp4(payload: bytes) -> dict | None:
     decode stays behind the injectable-codec gate."""
     if len(payload) < 8:
         return None
-
-    def boxes(data: bytes, start: int, end: int):
-        pos = start
-        while pos + 8 <= end:
-            size = int.from_bytes(data[pos : pos + 4], "big")
-            typ = data[pos + 4 : pos + 8]
-            hdr = 8
-            if size == 1:  # 64-bit largesize
-                if pos + 16 > end:
-                    return
-                size = int.from_bytes(data[pos + 8 : pos + 16], "big")
-                hdr = 16
-            elif size == 0:  # to end of enclosing box
-                size = end - pos
-            if size < hdr or pos + size > end:
-                return
-            yield typ, pos + hdr, pos + size
-            pos += size
-
+    boxes = _bmff_boxes
     top = {t: (a, b) for t, a, b in boxes(payload, 0, len(payload))}
     if b"ftyp" not in top or b"moov" not in top:
         return None
@@ -1115,3 +1129,162 @@ def probe_mp4(payload: bytes) -> dict | None:
         "width": width,
         "height": height,
     }
+
+
+def mp4_sample_table(payload: bytes) -> list[dict] | None:
+    """Per-sample (frame) byte ranges and decode timestamps for the
+    first track of an ISO BMFF file, from the REAL sample tables
+    (stsz sizes, stsc sample-to-chunk runs, stco/co64 chunk offsets,
+    stts time deltas, mdhd timescale) — the access-unit index every
+    player seeks with, derived without any codec. Frame BYTES are then
+    one slice per sample; only entropy decoding of the codec payload
+    itself stays behind the injectable-codec gate."""
+    if len(payload) < 8:
+        return None
+    tracks = list(
+        _bmff_find(payload, 0, len(payload), [b"moov", b"trak"])
+    )
+    if not tracks:
+        return None
+    ta, tb = tracks[0]
+    timescale = 0
+    for a, b in _bmff_find(payload, ta, tb, [b"mdia", b"mdhd"]):
+        ver = payload[a]
+        timescale = int.from_bytes(
+            payload[a + (20 if ver == 1 else 12) :][:4], "big"
+        )
+    stbl = next(
+        iter(_bmff_find(payload, ta, tb, [b"mdia", b"minf", b"stbl"])),
+        None,
+    )
+    if stbl is None or timescale == 0:
+        return None
+    sa, sb = stbl
+    sizes = offsets = stsc = stts = None
+    co64 = False
+    for typ, a, b in _bmff_boxes(payload, sa, sb):
+        body = payload[a:b]
+        if typ == b"stsz" and len(body) >= 12:
+            uniform = int.from_bytes(body[4:8], "big")
+            count = int.from_bytes(body[8:12], "big")
+            if uniform:
+                sizes = [uniform] * count
+            else:
+                sizes = [
+                    int.from_bytes(body[12 + 4 * i : 16 + 4 * i], "big")
+                    for i in range(count)
+                ]
+        elif typ in (b"stco", b"co64") and len(body) >= 8:
+            co64 = typ == b"co64"
+            unit = 8 if co64 else 4
+            count = int.from_bytes(body[4:8], "big")
+            offsets = [
+                int.from_bytes(
+                    body[8 + unit * i : 8 + unit * (i + 1)], "big"
+                )
+                for i in range(count)
+            ]
+        elif typ == b"stsc" and len(body) >= 8:
+            count = int.from_bytes(body[4:8], "big")
+            stsc = [
+                tuple(
+                    int.from_bytes(
+                        body[8 + 12 * i + 4 * j : 12 + 12 * i + 4 * j],
+                        "big",
+                    )
+                    for j in range(3)
+                )
+                for i in range(count)
+            ]
+        elif typ == b"stts" and len(body) >= 8:
+            count = int.from_bytes(body[4:8], "big")
+            stts = [
+                (
+                    int.from_bytes(body[8 + 8 * i : 12 + 8 * i], "big"),
+                    int.from_bytes(body[12 + 8 * i : 16 + 8 * i], "big"),
+                )
+                for i in range(count)
+            ]
+    if not sizes or not offsets or not stsc or not stts:
+        return None
+    # expand stsc runs into samples-per-chunk for every chunk
+    spc = []
+    for i, (first, n, _sdi) in enumerate(stsc):
+        last = (
+            stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(offsets)
+        )
+        spc.extend([n] * (last - first + 1))
+    # expand stts into per-sample deltas
+    deltas = []
+    for n, d in stts:
+        deltas.extend([d] * n)
+    out = []
+    si = 0
+    t = 0
+    for ci, chunk_off in enumerate(offsets):
+        off = chunk_off
+        for _ in range(spc[ci] if ci < len(spc) else 0):
+            if si >= len(sizes):
+                break
+            out.append(
+                {
+                    "sample_idx": si,
+                    "offset": off,
+                    "n_bytes": sizes[si],
+                    "dts_ms": t * 1000 // timescale,
+                }
+            )
+            off += sizes[si]
+            t += deltas[si] if si < len(deltas) else 0
+            si += 1
+    return out if out else None
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("dts_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def extract_video_frames(
+    df: DataFrame, every_n: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas frame extraction over MP4 payloads: every
+    ``every_n``-th access unit is sliced out by its sample-table byte
+    range with its decode timestamp — real video frame-sampling
+    plumbing (the codec-decode of each frame's bytes is the only
+    stubbed step). Non-MP4 payloads are dropped."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                table = mp4_sample_table(p)
+                if table is None:
+                    continue
+                for s in table[::every_n]:
+                    rows.append(
+                        {
+                            "doc_id": i,
+                            "sample_idx": s["sample_idx"],
+                            "dts_ms": s["dts_ms"],
+                            "n_bytes": s["n_bytes"],
+                            "frame_bytes": p[
+                                s["offset"] : s["offset"] + s["n_bytes"]
+                            ],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_idx", "dts_ms", "n_bytes",
+                    "frame_bytes",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(op, VIDEO_FRAME_SCHEMA)

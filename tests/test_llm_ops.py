@@ -1314,3 +1314,57 @@ def test_canonical_url_dedup_key(spark):
         "url", "want", tx.canonical_url(F.col("url")).alias("got")
     ).collect()
     assert not rows, rows
+
+
+def _mp4_with_samples():
+    """ftyp + mdat(5 fake frames) + moov with REAL sample tables:
+    sizes [3,4,5,6,7], chunks of 2+3 samples, 40 ms deltas."""
+    def box(typ, body):
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    frames = [bytes([0xA0 + i]) * (3 + i) for i in range(5)]
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big"))
+    mdat_body = b"".join(frames)
+    mdat_start = len(ftyp) + 8  # frames begin after mdat header
+    mdat = box(b"mdat", mdat_body)
+    chunk_offsets = [mdat_start, mdat_start + 3 + 4]
+
+    i32 = lambda v: v.to_bytes(4, "big")
+    stsz = box(b"stsz", bytes(4) + i32(0) + i32(5)
+               + b"".join(i32(3 + i) for i in range(5)))
+    stco = box(b"stco", bytes(4) + i32(2)
+               + b"".join(i32(o) for o in chunk_offsets))
+    stsc = box(b"stsc", bytes(4) + i32(2)
+               + i32(1) + i32(2) + i32(1)
+               + i32(2) + i32(3) + i32(1))
+    stts = box(b"stts", bytes(4) + i32(1) + i32(5) + i32(40))
+    stbl = box(b"stbl", stsz + stco + stsc + stts)
+    mdhd = box(b"mdhd", bytes(4) + bytes(8) + i32(1000) + i32(200) + bytes(4))
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + minf)
+    tkhd = box(b"tkhd", bytes(84) + (320 << 16).to_bytes(4, "big")
+               + (240 << 16).to_bytes(4, "big"))
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(b"mvhd", bytes(4) + bytes(8) + i32(1000) + i32(200) + bytes(80))
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov, frames
+
+
+def test_mp4_sample_table_and_frame_extraction(spark):
+    payload, frames = _mp4_with_samples()
+    table = mm.mp4_sample_table(payload)
+    assert table is not None and len(table) == 5
+    assert [s["n_bytes"] for s in table] == [3, 4, 5, 6, 7]
+    assert [s["dts_ms"] for s in table] == [0, 40, 80, 120, 160]
+    # the byte ranges really slice out the frames
+    for s, f in zip(table, frames):
+        assert payload[s["offset"] : s["offset"] + s["n_bytes"]] == f
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, b"not video")],
+        "doc_id long, payload binary",
+    )
+    got = mm.extract_video_frames(df, every_n=2).collect()
+    assert sorted(r["sample_idx"] for r in got) == [0, 2, 4]
+    by_idx = {r["sample_idx"]: bytes(r["frame_bytes"]) for r in got}
+    assert by_idx[0] == frames[0] and by_idx[4] == frames[4]
