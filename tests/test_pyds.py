@@ -127,3 +127,59 @@ def test_streaming_reader_replay_between_offsets(tmp_path):
     replay = list(r.readBetweenOffsets({"run": 0}, {"run": 2}))
     assert len(replay) == 6
     assert replay[:3] == rows1
+
+
+# ------------------------------------------- r5: webdataset data source
+
+
+def test_webdataset_source_reads_shards(spark, tmp_path):
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators import multimodal as mm
+    from lms_erp_data_integration_spark.operators.jpeg import encode_jpeg
+    from lms_erp_data_integration_spark.sources.webdataset import (
+        register_webdataset,
+    )
+    from pyspark.sql import functions as F
+
+    jpg = encode_jpeg(np.full((4, 4, 3), 70, np.uint8), quality=95)
+    for i in range(3):
+        members = []
+        for k in range(2):
+            key = f"{i}_{k:04d}"
+            members.append((f"{key}.jpg", jpg))
+            members.append((f"{key}.json", b'{"c": "x"}'))
+        shard = mm.build_tar_shard(members, gzipped=(i == 2))
+        suffix = ".tar.gz" if i == 2 else ".tar"
+        with open(tmp_path / f"shard-{i}{suffix}", "wb") as f:
+            f.write(shard)
+
+    register_webdataset(spark)
+    df = (
+        spark.read.format("webdataset")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    assert df.count() == 12  # 3 shards x 2 samples x 2 members
+    # one partition per shard file
+    assert df.rdd.getNumPartitions() == 3
+    # sample reassembly: every (shard, key) has both members
+    pairs = (
+        df.groupBy("shard", "sample_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(pairs) == 6 and all(r["n"] == 2 for r in pairs)
+    # ext filter pushes member pruning into the reader itself
+    jpgs = (
+        spark.read.format("webdataset")
+        .option("path", str(tmp_path))
+        .option("exts", "jpg")
+        .load()
+    )
+    assert jpgs.count() == 6
+    # member bytes decode through the standard image kernels
+    metas = mm.extract_image_meta(
+        jpgs.select(F.monotonically_increasing_id().alias("doc_id"), "payload")
+    ).collect()
+    assert all(r["width"] == 4 for r in metas)
