@@ -1,0 +1,221 @@
+"""WARC (Web ARChive) parsing + a Spark 4 Python Data Source — the
+Common Crawl ingest path, stdlib-only.
+
+    spark.dataSource.register(WarcDataSource)
+    df = (spark.read.format("warc")
+          .option("path", "/crawl/segments")     # dir, file, or glob
+          .option("record_type", "response")     # optional filter
+          .load())
+
+Schema: ``warc_file string, record_type string, target_uri string,
+http_status int, content_type string, n_bytes long, body binary``.
+
+Format notes (ISO 28500, the public WARC 1.0/1.1 spec): a WARC file
+is a sequence of records — ``WARC/1.x`` version line, CRLF header
+block, CRLF CRLF, ``Content-Length`` bytes of block, CRLF CRLF. In
+``.warc.gz`` files each record is its own gzip MEMBER (the spec's
+record-at-time compression), so members can be decompressed
+independently; ``_gunzip_members`` walks the member chain with
+stdlib zlib. ``response`` records carry an HTTP message as the
+block: status line + headers + CRLF CRLF + payload, split here so
+downstream gets the raw page bytes ready for
+``operators/text.py:html_to_text``.
+
+Scale posture: Common Crawl ships ~100 MB–1 GB ``.warc.gz`` segment
+files — the natural split. One input partition per file; each task
+decompresses and parses only its own segment, payloads never touch
+the driver, and a ``record_type`` filter prunes inside the reader.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream; raw input is
+    returned unchanged when it isn't gzip."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    out = bytearray()
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        out += d.decompress(rest)
+        out += d.flush()
+        rest = d.unused_data
+    return bytes(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("latin-1").lower()] = (
+                v.strip().decode("latin-1")
+            )
+    return headers
+
+
+def split_http_response(block: bytes) -> tuple[int | None, str, bytes]:
+    """(status, content-type, payload) from an HTTP response message;
+    (None, "", block) when the block isn't one."""
+    if not block.startswith(b"HTTP/"):
+        return None, "", block
+    head, sep, payload = block.partition(b"\r\n\r\n")
+    if not sep:
+        return None, "", block
+    first, _, rest = head.partition(b"\r\n")
+    parts = first.split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, "", block
+    ctype = _parse_headers(rest).get("content-type", "")
+    return status, ctype, payload
+
+
+def iter_warc_records(payload: bytes) -> Iterator[dict]:
+    """Yield parsed records from a WARC (or .warc.gz) byte string:
+    ``{record_type, target_uri, http_status, content_type, body}``.
+    Response records have their HTTP envelope split off; other types
+    (request, metadata, warcinfo) pass their block through. Malformed
+    trailing data ends iteration rather than raising."""
+    data = _gunzip_members(payload)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        if not data[pos : pos + 5] == b"WARC/":
+            return
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        headers = _parse_headers(data[pos:head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        block_start = head_end + 4
+        if block_start + length > n:
+            return
+        block = data[block_start : block_start + length]
+        rtype = headers.get("warc-type", "")
+        uri = headers.get("warc-target-uri", "")
+        if rtype == "response":
+            status, ctype, body = split_http_response(block)
+        else:
+            status, ctype, body = None, headers.get("content-type", ""), block
+        yield {
+            "record_type": rtype,
+            "target_uri": uri,
+            "http_status": status,
+            "content_type": ctype,
+            "body": body,
+        }
+        pos = block_start + length
+
+
+def build_warc(records: list[dict], gzipped: bool = False) -> bytes:
+    """Fixture/re-shard writer: serialize records (fields as accepted
+    by ``iter_warc_records``; ``body`` is the block, or for
+    ``response`` records the payload to wrap in a minimal HTTP 200
+    envelope when ``http_status`` is set)."""
+    import gzip as _gzip
+
+    out = bytearray()
+    for r in records:
+        body = r["body"]
+        if r.get("record_type") == "response" and r.get("http_status"):
+            envelope = (
+                f"HTTP/1.1 {r['http_status']} OK\r\n"
+                f"Content-Type: {r.get('content_type', 'text/html')}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode()
+            body = envelope + body
+        head = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {r.get('record_type', 'resource')}\r\n"
+            f"WARC-Target-URI: {r.get('target_uri', '')}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        rec = head + body + b"\r\n\r\n"
+        out += _gzip.compress(rec) if gzipped else rec
+    return bytes(out)
+
+
+class _WarcPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path", "")
+        self.record_type = options.get("record_type", "")
+
+    def partitions(self) -> list[InputPartition]:
+        p = self.path
+        if os.path.isdir(p):
+            paths = sorted(
+                _glob.glob(os.path.join(p, "*.warc"))
+                + _glob.glob(os.path.join(p, "*.warc.gz"))
+            )
+        elif any(ch in p for ch in "*?["):
+            paths = sorted(_glob.glob(p))
+        else:
+            paths = [p] if p else []
+        if not paths:
+            raise FileNotFoundError(f"no WARC files under {self.path!r}")
+        return [_WarcPartition(x) for x in paths]
+
+    def read(self, partition: _WarcPartition) -> Iterator[tuple]:
+        fname = os.path.basename(partition.path)
+        with open(partition.path, "rb") as f:
+            payload = f.read()
+        for r in iter_warc_records(payload):
+            if self.record_type and r["record_type"] != self.record_type:
+                continue
+            yield (
+                fname,
+                r["record_type"],
+                r["target_uri"],
+                r["http_status"],
+                r["content_type"],
+                len(r["body"]),
+                r["body"],
+            )
+
+
+class WarcDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self):
+        return (
+            "warc_file string, record_type string, target_uri string,"
+            " http_status int, content_type string, n_bytes long,"
+            " body binary"
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return WarcReader(self.options)
+
+
+def register_warc(spark) -> None:
+    spark.dataSource.register(WarcDataSource)

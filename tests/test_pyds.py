@@ -183,3 +183,72 @@ def test_webdataset_source_reads_shards(spark, tmp_path):
         jpgs.select(F.monotonically_increasing_id().alias("doc_id"), "payload")
     ).collect()
     assert all(r["width"] == 4 for r in metas)
+
+
+# ------------------------------------------------ r5: warc data source
+
+
+def test_warc_parse_and_spark_ingest(spark, tmp_path):
+    """Common Crawl-shaped ingest: .warc.gz segments -> response rows
+    -> html_to_text + canonical_url, end to end."""
+    from lms_erp_data_integration_spark.operators import text as tx
+    from lms_erp_data_integration_spark.sources.warc import (
+        build_warc,
+        iter_warc_records,
+        register_warc,
+    )
+    from pyspark.sql import functions as F
+
+    page = (b"<html><head><title>t</title></head><body>"
+            b"<p>Hello crawl world.</p></body></html>")
+    records = [
+        {"record_type": "warcinfo", "target_uri": "", "body": b"robots: x"},
+        {
+            "record_type": "response",
+            "target_uri": "https://www.Example.com/a/?utm_source=t",
+            "http_status": 200,
+            "content_type": "text/html",
+            "body": page,
+        },
+        {
+            "record_type": "response",
+            "target_uri": "http://other.org/b",
+            "http_status": 404,
+            "content_type": "text/html",
+            "body": b"<html>gone</html>",
+        },
+    ]
+    # local parse sanity, raw and gzipped (per-record gzip members)
+    for gz in (False, True):
+        got = list(iter_warc_records(build_warc(records, gzipped=gz)))
+        assert [r["record_type"] for r in got] == [
+            "warcinfo", "response", "response",
+        ]
+        assert got[1]["http_status"] == 200 and got[1]["body"] == page
+        assert got[2]["http_status"] == 404
+
+    for i, gz in enumerate([False, True]):
+        name = f"seg-{i}.warc" + (".gz" if gz else "")
+        with open(tmp_path / name, "wb") as f:
+            f.write(build_warc(records, gzipped=gz))
+
+    register_warc(spark)
+    df = (
+        spark.read.format("warc")
+        .option("path", str(tmp_path))
+        .option("record_type", "response")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one per segment file
+    rows = (
+        df.where(F.col("http_status") == 200)
+        .select(
+            tx.canonical_url(F.col("target_uri")).alias("url"),
+            tx.html_to_text(F.col("body").cast("string")).alias("text"),
+        )
+        .collect()
+    )
+    assert len(rows) == 2  # one 200 per segment
+    assert all(r["url"] == "example.com/a" for r in rows)
+    assert all("Hello crawl world." in r["text"] for r in rows)
+    assert all("<" not in r["text"] for r in rows)
