@@ -229,3 +229,115 @@ def write_zorder(
         )
     )
     out.write.mode("overwrite").parquet(path)
+
+
+def rowgroup_stats(
+    spark: SparkSession, path: str, columns: list[str]
+) -> DataFrame:
+    """Per-row-group min/max statistics for ``columns`` across every
+    parquet file of a table — the observability half of data skipping:
+    after a `write_zorder` (or any clustered write), THIS is how you
+    verify the clustering actually produced narrow, mostly-disjoint
+    value ranges (wide overlapping ranges = min/max pruning does
+    nothing, whatever the layout job claimed).
+
+    Distributed by construction: the driver only lists file paths
+    (metadata-sized); each task reads ONLY the parquet FOOTER of its
+    files via pyarrow (no data pages touched), so auditing a 100 TB
+    table costs one footer read per file. Returns (file, row_group,
+    column, n_rows, min_val, max_val) with values as strings (mixed
+    column types in one frame)."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+    from pyspark.sql import types as T
+
+    names = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ] if os.path.isdir(path) else [path]
+    files = spark.createDataFrame([(p,) for p in sorted(names)], "path string")
+
+    schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("row_group", T.IntegerType()),
+            T.StructField("column", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("min_val", T.StringType()),
+            T.StructField("max_val", T.StringType()),
+        ]
+    )
+
+    want = set(columns)
+
+    def op(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                base = os.path.basename(p)
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema
+                        if name not in want:
+                            continue
+                        st = col.statistics
+                        rows.append(
+                            {
+                                "file": base,
+                                "row_group": rg,
+                                "column": name,
+                                "n_rows": g.num_rows,
+                                "min_val": str(st.min) if st and st.has_min_max else None,
+                                "max_val": str(st.max) if st and st.has_min_max else None,
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "row_group", "column", "n_rows", "min_val",
+                    "max_val",
+                ],
+            )
+
+    return files.mapInPandas(op, schema)
+
+
+def skipping_effectiveness(stats: DataFrame, column: str) -> DataFrame:
+    """Summarize `rowgroup_stats` into the number a human checks: for
+    one numeric column, the average fraction of OTHER row groups whose
+    [min,max] range overlaps each group's — ~0 means point predicates
+    prune almost everything (clustering worked), ~1 means every group
+    must be read (clustering is cosmetic)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    s = (
+        stats.where(F.col("column") == column)
+        .select(
+            F.col("min_val").cast("double").alias("lo"),
+            F.col("max_val").cast("double").alias("hi"),
+        )
+    )
+    a = s.select(F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"))
+    b = s.select(F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"))
+    pairs = a.crossJoin(b)  # row-group counts are metadata-sized
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (
+                (F.col("lo_a") <= F.col("hi_b"))
+                & (F.col("lo_b") <= F.col("hi_a"))
+            ).cast("long")
+        ).alias("n_overlapping"),
+    ).select(
+        "n_pairs",
+        "n_overlapping",
+        (F.col("n_overlapping") / F.col("n_pairs")).alias("overlap_frac"),
+    )

@@ -172,3 +172,34 @@ def test_zorder_value_interleave_exact():
         zorder_value(["a", "b"], bits=2).alias("z")
     )
     assert df.first()["z"] == 0b1011
+
+
+def test_rowgroup_stats_and_skipping_effectiveness(spark, tmp_path):
+    from lms_erp_data_integration_spark.pipeline.layout import (
+        rowgroup_stats,
+        skipping_effectiveness,
+    )
+    from pyspark.sql import functions as F
+
+    # clustered: each of 4 files covers a disjoint k range
+    clustered = str(tmp_path / "clustered")
+    spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(4, "k").write.parquet(clustered)
+    st = rowgroup_stats(spark, clustered, ["k"])
+    rows = st.collect()
+    assert rows and all(r["column"] == "k" for r in rows)
+    eff = skipping_effectiveness(st, "k").collect()[0]
+    # disjoint ranges: only self-overlaps => overlap_frac ~ 1/n_groups
+    n_groups = st.count()
+    assert eff["n_overlapping"] == n_groups
+    assert eff["overlap_frac"] <= 1.5 / max(n_groups - 1, 1)
+
+    # shuffled: every file spans the full k range -> all pairs overlap
+    shuffled = str(tmp_path / "shuffled")
+    spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(4).write.parquet(shuffled)
+    st2 = rowgroup_stats(spark, shuffled, ["k"])
+    eff2 = skipping_effectiveness(st2, "k").collect()[0]
+    assert eff2["overlap_frac"] == 1.0

@@ -469,3 +469,34 @@ def test_tiff_round_trip_lossless(w, h, nc, big_endian, packbits, seed):
     t = mm.encode_tiff(img, big_endian=big_endian, packbits=packbits)
     out = mm._decode_tiff_pixels(t)
     assert out is not None and (out == img).all()
+
+
+def test_canonical_url_idempotent_and_folding(spark):
+    """canonical_url is a projection into its own fixed-point set:
+    applying it twice equals applying it once (the property that makes
+    it a safe dedup KEY), and all surface variants of one URL fold to
+    one key."""
+    import random as _r
+
+    from lms_erp_data_integration_spark.operators.text import canonical_url
+    from pyspark.sql import functions as F
+
+    rng = _r.Random(3)
+    hosts = ["Example.com", "www.example.com", "EXAMPLE.COM:443"]
+    urls = []
+    for i in range(60):
+        h = rng.choice(hosts)
+        q = rng.choice(["", "?q=1", "?q=1&utm_source=x", "?utm_b=1&q=1"])
+        s = rng.choice(["https://", "http://", ""])
+        t = rng.choice(["", "/"])
+        urls.append((i, f"{s}{h}/p{i % 5}{t}{q}"))
+    df = spark.createDataFrame(urls, "id long, url string")
+    once = df.select("id", canonical_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "id", "c1", canonical_url(F.col("c1")).alias("c2")
+    )
+    bad = twice.where(F.col("c1") != F.col("c2")).collect()
+    assert not bad, bad[:5]
+    # 5 paths x 2 query-value states = at most 10 distinct keys
+    n_keys = once.select("c1").distinct().count()
+    assert n_keys <= 10
