@@ -1,0 +1,96 @@
+"""End-to-end web-corpus curation: WARC segments -> visible text +
+canonical URL -> quality metrics -> URL + exact-content dedup ->
+token-window chunks. Every stage is the registered operator the
+queries use; this pins that they COMPOSE — the actual shape of a
+Common Crawl ingest job."""
+
+from __future__ import annotations
+
+from lms_erp_data_integration_spark.operators import dedup as dd
+from lms_erp_data_integration_spark.operators import text as tx
+from lms_erp_data_integration_spark.sources.warc import (
+    build_warc,
+    register_warc,
+)
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _page(body: str) -> bytes:
+    return (
+        "<html><head><title>x</title><style>a{}</style></head><body>"
+        f"<p>{body}</p></body></html>"
+    ).encode()
+
+
+def test_warc_to_training_chunks(spark, tmp_path):
+    good = " ".join(f"word{i} of meaningful content here" for i in range(30))
+    records = [
+        # same page served from two URL variants -> URL dedup collapses
+        {"record_type": "response", "http_status": 200,
+         "target_uri": "https://www.a.com/page?utm_source=x",
+         "content_type": "text/html", "body": _page(good)},
+        {"record_type": "response", "http_status": 200,
+         "target_uri": "http://a.com/page",
+         "content_type": "text/html", "body": _page(good)},
+        # same CONTENT on a different site -> exact-text dedup collapses
+        {"record_type": "response", "http_status": 200,
+         "target_uri": "http://mirror.net/copy",
+         "content_type": "text/html", "body": _page(good)},
+        # a 404 and a junk page -> filtered out
+        {"record_type": "response", "http_status": 404,
+         "target_uri": "http://a.com/gone",
+         "content_type": "text/html", "body": _page("gone")},
+        {"record_type": "response", "http_status": 200,
+         "target_uri": "http://spam.biz/x",
+         "content_type": "text/html", "body": _page("!!! ### $$$")},
+    ]
+    seg = tmp_path / "seg-0.warc.gz"
+    seg.write_bytes(build_warc(records, gzipped=True))
+
+    register_warc(spark)
+    pages = (
+        spark.read.format("warc")
+        .option("path", str(tmp_path))
+        .option("record_type", "response")
+        .load()
+        .where(F.col("http_status") == 200)
+        .select(
+            tx.canonical_url(F.col("target_uri")).alias("url"),
+            tx.html_to_text(F.col("body").cast("string")).alias("text"),
+        )
+    )
+    # URL dedup: one row per canonical URL
+    by_url = pages.withColumn(
+        "rn", F.row_number().over(W.partitionBy("url").orderBy("text"))
+    ).where("rn = 1").drop("rn")
+    assert by_url.count() == 3  # a.com/page, mirror.net/copy, spam.biz/x
+
+    # quality gate: token count + punctuation screens drop the spam page
+    q = by_url.select(
+        "url", "text",
+        *[c.alias(n) for n, c in tx.quality_exprs(F.col("text")).items()],
+    )
+    kept = q.where((F.col("n_tokens") >= 20) & (F.col("punct_ratio") < 0.2))
+    assert kept.count() == 2
+
+    # exact-content dedup: the mirror copy collapses onto the keeper
+    docs = kept.select(
+        F.row_number().over(W.orderBy("url")).alias("doc_id"), "text"
+    )
+    dups = dd.exact_duplicates(docs)
+    assert dups.count() == 1 and dups.collect()[0]["n_copies"] == 2
+    # dedup apply: anti-join the non-keeper duplicate members away
+    dup_members = docs.join(
+        dups.select("text_hash"), F.md5(docs.text) == F.col("text_hash")
+    ).select("doc_id")
+    non_keepers = dup_members.subtract(dups.select(F.col("keeper_id").alias("doc_id")))
+    cleaned = docs.join(non_keepers, "doc_id", "left_anti")
+    assert cleaned.count() == 1
+
+    # chunking: the survivor splits into bounded token windows
+    chunks = tx.chunk_documents(cleaned, chunk_size=40, stride=32)
+    rows = chunks.collect()
+    assert len(rows) >= 3
+    texts = [r["chunk_text"] for r in rows]
+    assert all(len(t.split()) <= 40 for t in texts)
