@@ -310,3 +310,83 @@ def canonical_url(url: Column) -> Column:
         F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept))
     ).otherwise(F.lit(""))
     return F.concat(host, path, qs)
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    end_of_word: str = "▁",
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Distributed byte-pair-encoding tokenizer training (the Sennrich
+    word-level formulation): learn ``n_merges`` merge rules from a
+    corpus. Returns (merges as (left, right, pair_count) in learned
+    order, final word table (word, n, symbols)).
+
+    The corpus is reduced ONCE to a word-frequency table — vocabulary-
+    sized, orders of magnitude smaller than the corpus, which is what
+    makes BPE training tractable at 100 TB: every merge round then
+    touches only that table. Per round: adjacent symbol pairs explode
+    out weighted by word count (narrow), one vocabulary-bounded
+    aggregation finds the argmax pair (deterministic tie-break:
+    count desc, then pair text), and the merge applies to every word
+    via one left-to-right non-overlapping regexp_replace (greedy
+    left-to-right is the standard BPE apply order). The single-row
+    argmax is the only driver collect per round; the word table is
+    localCheckpoint'ed each round so the plan does not deepen.
+
+    ``end_of_word`` is appended as its own symbol (the paper's
+    </w> marker) so merges distinguish suffixes from mid-word pairs;
+    pass "" to disable."""
+    import re
+
+    spark_fns = F
+    words = (
+        df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sym = F.concat_ws(" ", F.split(F.col("w"), ""))
+    if end_of_word:
+        sym = F.concat(sym, F.lit(" " + end_of_word))
+    table = words.select("w", "n", sym.alias("symbols")).localCheckpoint()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = F.split(F.col("symbols"), " ")
+        pairs = table.where(F.size(syms) >= 2).select(
+            "n",
+            F.explode(
+                F.zip_with(
+                    F.slice(syms, 1, F.size(syms) - 1),
+                    F.slice(syms, 2, F.size(syms) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        left, right = pair.split(" ", 1)
+        merges.append((left, right, cnt))
+        pattern = (
+            "(?<=^|\\s)" + re.escape(left) + " " + re.escape(right)
+            + "(?=$|\\s)"
+        )
+        merged = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        table = table.select(
+            "w",
+            "n",
+            spark_fns.regexp_replace(
+                F.col("symbols"), pattern, merged
+            ).alias("symbols"),
+        ).localCheckpoint()
+    return merges, table

@@ -1368,3 +1368,46 @@ def test_mp4_sample_table_and_frame_extraction(spark):
     assert sorted(r["sample_idx"] for r in got) == [0, 2, 4]
     by_idx = {r["sample_idx"]: bytes(r["frame_bytes"]) for r in got}
     assert by_idx[0] == frames[0] and by_idx[4] == frames[4]
+
+
+def test_train_bpe_matches_reference(spark):
+    """The distributed BPE trainer must learn exactly the merges a
+    pure-Python Sennrich reference learns on the classic corpus —
+    including the end-of-word marker and the deterministic tie-break."""
+    import re as _re
+    from collections import Counter
+
+    from lms_erp_data_integration_spark.operators.text import train_bpe
+
+    def ref_bpe(words, n_merges, eow="▁"):
+        vocab = Counter(words)
+        table = {w: " ".join(list(w)) + " " + eow for w in vocab}
+        merges = []
+        for _ in range(n_merges):
+            counts = Counter()
+            for w, n in vocab.items():
+                s = table[w].split(" ")
+                for a, b in zip(s, s[1:]):
+                    counts[(a, b)] += n
+            if not counts:
+                break
+            best = min(
+                counts.items(),
+                key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]),
+            )
+            (a, b), c = best
+            merges.append((a, b, c))
+            pat = _re.compile(
+                r"(?<!\S)" + _re.escape(a) + " " + _re.escape(b) + r"(?!\S)"
+            )
+            for w in table:
+                table[w] = pat.sub(a + b, table[w])
+        return merges, table
+
+    text = "low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3
+    want_merges, want_table = ref_bpe(text.split(), 6)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges, table = train_bpe(df, 6)
+    assert merges == want_merges
+    got = {r["w"]: r["symbols"] for r in table.collect()}
+    assert got == want_table
