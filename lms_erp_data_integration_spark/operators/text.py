@@ -390,3 +390,77 @@ def train_bpe(
             ).alias("symbols"),
         ).localCheckpoint()
     return merges, table
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    end_of_word: str = "▁",
+) -> DataFrame:
+    """Encode text with learned BPE merges (the tokenizer's apply
+    side): per word, repeatedly merge the present pair with the LOWEST
+    merge rank until none applies — exactly the ranked-merge loop of
+    standard BPE encoders. Output: (id, n_words, n_tokens, tokens as
+    one space-joined string) — token COUNT is the number that feeds
+    chunking/packing budgets.
+
+    Arrow-batched ``mapInPandas`` with a per-batch word memo (Zipf's
+    law makes the corpus mostly repeated words, so the memo turns the
+    per-word loop into a dict hit); the merge table broadcasts via
+    task closure — ranks are vocabulary-sized."""
+    ranks = {(a, b): i for i, (a, b, _c) in enumerate(merges)}
+
+    def encode_word(word: str, memo: dict) -> list[str]:
+        hit = memo.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + ([end_of_word] if end_of_word else [])
+        while len(syms) >= 2:
+            best_i, best_rank = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_i, best_rank = i, r
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        memo[word] = syms
+        return syms
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("tokens", T.StringType()),
+        ]
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        memo: dict = {}
+        for pdf in batches:
+            rows = []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                words = (text or "").lower().split()
+                toks: list[str] = []
+                for w in words:
+                    toks.extend(encode_word(w, memo))
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_words": len(words),
+                        "n_tokens": len(toks),
+                        "tokens": " ".join(toks),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_words", "n_tokens", "tokens"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(op, schema)

@@ -1411,3 +1411,27 @@ def test_train_bpe_matches_reference(spark):
     assert merges == want_merges
     got = {r["w"]: r["symbols"] for r in table.collect()}
     assert got == want_table
+
+
+def test_apply_bpe_round_trips_training_vocab(spark):
+    """Encoding the training corpus with the learned merges must
+    reproduce the trainer's own final word segmentation (train/apply
+    consistency), and unseen words fall back to finer pieces."""
+    from lms_erp_data_integration_spark.operators.text import (
+        apply_bpe,
+        train_bpe,
+    )
+
+    text = "low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges, table = train_bpe(df, 6)
+    seg = {r["w"]: r["symbols"] for r in table.collect()}
+
+    probe = spark.createDataFrame(
+        [(1, "low newest"), (2, "lowest")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in apply_bpe(probe, merges).collect()}
+    assert out[1]["tokens"] == seg["low"] + " " + seg["newest"]
+    assert out[1]["n_tokens"] == len(out[1]["tokens"].split())
+    # "lowest" never seen whole: decomposes into learned subwords
+    assert out[2]["tokens"] == "low est▁"
