@@ -266,3 +266,35 @@ def encode_gif(
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def gif_frame_count(payload: bytes) -> int | None:
+    """Number of frames (image descriptors) in a GIF — the animation
+    pre-flight, walked from block structure only (no LZW decode: each
+    frame's data sub-blocks are length-skipped)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        flags = payload[10]
+        pos = 13 + (3 * (2 << (flags & 0x07)) if flags & 0x80 else 0)
+        frames = 0
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x3B:
+                break
+            if b == 0x21:
+                pos += 2
+                _, pos = _read_subblocks(payload, pos)
+            elif b == 0x2C:
+                iflags = payload[pos + 9]
+                pos += 10
+                if iflags & 0x80:
+                    pos += 3 * (2 << (iflags & 0x07))
+                pos += 1  # LZW min code size
+                _, pos = _read_subblocks(payload, pos)
+                frames += 1
+            else:
+                return None
+        return frames
+    except (IndexError, ValueError):
+        return None

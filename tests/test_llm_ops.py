@@ -1435,3 +1435,25 @@ def test_apply_bpe_round_trips_training_vocab(spark):
     assert out[1]["n_tokens"] == len(out[1]["tokens"].split())
     # "lowest" never seen whole: decomposes into learned subwords
     assert out[2]["tokens"] == "low est▁"
+
+
+def test_gif_frame_count_multi_frame():
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.gif import (
+        encode_gif,
+        gif_frame_count,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    idx = np.zeros((4, 4), np.int64)
+    one = encode_gif(idx, pal)
+    assert gif_frame_count(one) == 1
+    # splice a second frame in before the trailer (animation layout);
+    # the global color table is padded to 2^(size_field+1) entries
+    body_start = 13 + 3 * (2 << (one[10] & 0x07))
+    assert one[body_start] == 0x2C  # image descriptor
+    second = one[body_start:-1]  # descriptor..data, minus trailer
+    two = one[:-1] + second
+    assert gif_frame_count(two) == 2
+    assert gif_frame_count(b"nope") is None
