@@ -500,3 +500,59 @@ def test_canonical_url_idempotent_and_folding(spark):
     # 5 paths x 2 query-value states = at most 10 distinct keys
     n_keys = once.select("c1").distinct().count()
     assert n_keys <= 10
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 2**32 - 1))
+def test_decoders_never_raise_on_garbage(blob, seed):
+    """Corpus-scale ingestion guarantee: every payload decoder returns
+    None/empty on arbitrary bytes — never an exception. Also fuzzes
+    TRUNCATIONS of valid files (the common corruption), and garbage
+    with valid magic numbers prepended (the adversarial case)."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators import multimodal as mm
+    from lms_erp_data_integration_spark.operators.gif import (
+        decode_gif,
+        gif_frame_count,
+    )
+    from lms_erp_data_integration_spark.operators.jpeg import decode_jpeg
+    from lms_erp_data_integration_spark.sources.warc import iter_warc_records
+
+    probes = [
+        mm.decode_image,
+        mm._decode_pixels,
+        mm.decode_wav,
+        mm.wav_spectral_features,
+        mm.probe_mp4,
+        mm.mp4_sample_table,
+        mm._decode_tiff_pixels,
+        decode_gif,
+        gif_frame_count,
+        decode_jpeg,
+        lambda p: list(mm.iter_tar_members(p)),
+        lambda p: list(iter_warc_records(p)),
+    ]
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    from lms_erp_data_integration_spark.operators.jpeg import encode_jpeg
+
+    valid = [
+        encode_jpeg(img),
+        mm.encode_png(img),
+        mm.encode_tiff(img),
+        mm.encode_png(img[..., 0]),
+    ]
+    magics = [b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"RIFF",
+              b"II*\x00", b"MM\x00*", b"P6\n", b"BM", b"WARC/1.0\r\n"]
+    cases = [blob] + [m + blob for m in magics]
+    for v in valid:
+        cut = int(rng.integers(0, len(v)))
+        cases.append(v[:cut])
+        mutated = bytearray(v)
+        if mutated:
+            mutated[int(rng.integers(0, len(mutated)))] ^= 0xFF
+        cases.append(bytes(mutated))
+    for payload in cases:
+        for probe in probes:
+            probe(payload)  # must not raise

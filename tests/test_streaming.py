@@ -156,3 +156,46 @@ def test_tws_executes_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_multimodal_decode(spark, tmp_path):
+    """The multimodal decode stage runs UNCHANGED on a stream:
+    mapInPandas over a file-source stream of binary payloads (the
+    "decode shards as they land" deployment), driven through the
+    memory sink in append mode (stateless narrow map — no watermark
+    involvement)."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators import multimodal as mm
+    from lms_erp_data_integration_spark.operators.jpeg import encode_jpeg
+    from lms_erp_data_integration_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+    from pyspark.sql import types as T
+
+    src = tmp_path / "payloads"
+    jpg = encode_jpeg(np.full((6, 4, 3), 80, np.uint8), quality=95)
+    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    spark.createDataFrame(
+        [(1, bytearray(jpg)), (2, bytearray(ppm)), (3, b"junk")],
+        "doc_id long, payload binary",
+    ).write.parquet(str(src))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    decoded = mm.extract_image_meta(stream)
+    got = {
+        r["doc_id"]: r
+        for r in run_to_memory_sink(
+            decoded, "mm_stream_out", mode="append"
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["width"], got[1]["height"]) == (4, 6)  # real JPEG
+    assert got[2]["channels"] == 3  # real PPM
+    assert got[3]["n_bytes"] == 4  # junk -> deterministic fake row
