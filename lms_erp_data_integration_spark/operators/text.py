@@ -464,3 +464,84 @@ def apply_bpe(
             )
 
     return df.select(id_col, text_col).mapInPandas(op, schema)
+
+
+def bigram_lm_scores(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Interpolated bigram language-model scoring — the distributed
+    shape of the CCNet-style perplexity filter (theirs is a 5-gram
+    KenLM; the pipeline shape is identical): train token statistics on
+    a reference corpus, score every candidate document by its mean
+    per-bigram log-probability, and threshold downstream. Probability
+    model: lam * P_bi(w|p) + (1-lam) * P_uni(w), with add-``alpha``
+    smoothing on both terms (so unseen bigrams AND unseen words stay
+    finite).
+
+    Scale posture: the model is two aggregations over the reference
+    corpus (bigram and unigram counts — vocabulary-sized results with
+    map-side partials); scoring joins candidate bigrams against the
+    model on the bigram key — vocabulary-sized right side, AQE
+    broadcasts it under real skew — then one groupBy(doc) mean. No
+    Python touches tokens; log/exp run in codegen.
+
+    Output: (id, n_bigrams, avg_logprob) with avg_logprob in exact
+    integer micro-nats (deterministic fold: SUM of per-bigram micro
+    log-probs, then integer division)."""
+    def bigrams(df: DataFrame, keep_id: bool):
+        toks = ws_tokens(F.lower(F.col(text_col)))
+        cols = [F.col(id_col)] if keep_id else []
+        ex = df.select(
+            *cols,
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(a.alias("p"), b.alias("w")),
+                )
+            ).alias("bg"),
+        )
+        return ex.select(*cols, F.col("bg.p").alias("p"), F.col("bg.w").alias("w"))
+
+    tb = bigrams(train, keep_id=False)
+    bi = tb.groupBy("p", "w").agg(F.count(F.lit(1)).alias("n_bi"))
+    uni = tb.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    tot_row = tb.count()
+    vocab = uni.count()
+
+    model = bi.join(uni, "p").select(
+        "p", "w", "n_bi", "n_p",
+    )
+
+    sb = bigrams(score, keep_id=True)
+    j = sb.join(model, ["p", "w"], "left").join(
+        uni.select("p", F.col("n_p").alias("n_p_all")), "p", "left"
+    )
+    n_bi = F.coalesce(F.col("n_bi"), F.lit(0)).cast("double")
+    n_p = F.coalesce(
+        F.col("n_p"), F.col("n_p_all"), F.lit(0)
+    ).cast("double")
+    p_bi = (n_bi + F.lit(alpha)) / (n_p + F.lit(alpha) * vocab)
+    # unigram prob of w: join once more on w as the unigram key
+    uw = uni.select(F.col("p").alias("w"), F.col("n_p").alias("n_w"))
+    j = j.join(uw, "w", "left")
+    p_uni = (
+        F.coalesce(F.col("n_w"), F.lit(0)).cast("double") + F.lit(alpha)
+    ) / F.lit(float(tot_row + alpha * vocab))
+    logp = F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+    micro = F.floor(logp * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        j.select(F.col(id_col), micro.alias("_logp_micro"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.expr("sum(_logp_micro) div count(*)").alias(
+                "avg_logprob_micro"
+            ),
+        )
+    )

@@ -1457,3 +1457,52 @@ def test_gif_frame_count_multi_frame():
     two = one[:-1] + second
     assert gif_frame_count(two) == 2
     assert gif_frame_count(b"nope") is None
+
+
+def test_bigram_lm_scores_match_hand_model(spark):
+    """Tiny corpus with hand-computable probabilities: in-domain text
+    scores higher than out-of-domain; exact values match the
+    interpolated add-alpha model computed in pure Python."""
+    import math
+
+    from lms_erp_data_integration_spark.operators.text import bigram_lm_scores
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zebra quantum flux")],
+        "doc_id long, text string",
+    )
+    lam, alpha = 0.7, 1.0
+    # reference model from the training bigrams:
+    #   bigrams: (the,cat) x2, (cat,sat), (cat,ran); prefix counts:
+    #   the->2, cat->2; vocab(prefixes)=2, total bigrams=4
+    bi = {("the", "cat"): 2, ("cat", "sat"): 1, ("cat", "ran"): 1}
+    np_ = {"the": 2, "cat": 2}
+    vocab, tot = 2, 4
+
+    def logp(p, w):
+        nb = bi.get((p, w), 0)
+        npre = np_.get(p, 0)
+        p_bi = (nb + alpha) / (npre + alpha * vocab)
+        p_uni = (np_.get(w, 0) + alpha) / (tot + alpha * vocab)
+        return math.log(lam * p_bi + (1 - lam) * p_uni)
+
+    def doc_avg(text):
+        ws = text.split()
+        micros = [
+            math.floor(logp(p, w) * 1_000_000 + 0.5)
+            for p, w in zip(ws, ws[1:])
+        ]
+        return sum(micros) // len(micros), len(micros)
+
+    out = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(train, score, lam=lam, alpha=alpha).collect()
+    }
+    for did, text in [(10, "the cat sat"), (11, "zebra quantum flux")]:
+        want_avg, want_n = doc_avg(text)
+        assert out[did]["n_bigrams"] == want_n
+        assert out[did]["avg_logprob_micro"] == want_avg, (did, text)
+    assert out[10]["avg_logprob_micro"] > out[11]["avg_logprob_micro"]
