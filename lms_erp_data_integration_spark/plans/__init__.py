@@ -83,3 +83,17 @@ registry.PRIORITY = [
     "rel_interval_overlap",
     "llm_emb_label_drift",
 ]
+
+# r6 rotation plan (computed at r5 close): every registered query has
+# now had a driver row; the re-verification backlog, oldest first, is
+# the r2-last-checked set — fill r6's non-new slots from it:
+# rel_bitmap_distinct, rel_cube_order_stats, rel_customer_order_setops,
+# rel_date_surface, rel_distinct_aggregates, rel_event_deltas,
+# rel_events_hourly, rel_events_variant, rel_full_outer_year_diff,
+# rel_latest_event_per_user, rel_left_outer_customer_orders,
+# rel_parameterized_sql, rel_pivot_order_status, rel_q10_returned_items,
+# rel_q18_large_orders, rel_q19_disjunctive_filter,
+# rel_q22_inactive_balance, rel_q3_shipping_priority,
+# rel_q4_order_priority, rel_q5_region_revenue, ... (continue with the
+# remaining r2 rows, then r3). Keep the 8 sync queries pinned first and
+# any r6-new/changed queries ahead of fillers, per the policy above.
