@@ -746,3 +746,48 @@ def winnow_fingerprints(
         F.size(hs).alias("n_kgrams"),
         F.array_distinct(mins).alias("fingerprint"),
     )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 64,
+) -> DataFrame:
+    """Fingerprint-sharing candidate pairs from winnowing sketches —
+    the MOSS pipeline's pairing step: documents sharing at least
+    ``min_shared`` selected fingerprints are overlap candidates, with
+    the no-miss guarantee that any shared run of
+    ``window + shingle_n - 1`` words yields at least one shared
+    fingerprint. Compared to raw k-gram postings the join moves
+    ~2/(window+1) of the data for the same guarantee.
+
+    Scale posture: same shape as the LSH banded join — an inverted
+    index on the fingerprint value with a posting-list cap
+    (``max_postings``) so one boilerplate fingerprint cannot go
+    quadratic; pair cost is collision-bounded, never all-pairs.
+    Returns (i, j, shared_fingerprints)."""
+    fp = winnow_fingerprints(df, id_col, text_col, shingle_n, window)
+    postings = fp.select(
+        F.col(id_col), F.explode("fingerprint").alias("fp")
+    )
+    postings = tracked_persist(postings)
+    hot = (
+        postings.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_postings)
+        .select("fp")
+    )
+    cold = postings.join(hot, "fp", "left_anti")
+    left = cold.select(F.col("fp"), F.col(id_col).alias("i"))
+    right = cold.select(F.col("fp"), F.col(id_col).alias("j"))
+    return (
+        left.join(right, "fp")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -1506,3 +1506,35 @@ def test_bigram_lm_scores_match_hand_model(spark):
         assert out[did]["n_bigrams"] == want_n
         assert out[did]["avg_logprob_micro"] == want_avg, (did, text)
     assert out[10]["avg_logprob_micro"] > out[11]["avg_logprob_micro"]
+
+
+def test_winnow_candidate_pairs_no_miss_and_cap(spark):
+    from lms_erp_data_integration_spark.operators.dedup import (
+        winnow_candidate_pairs,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(80)]
+    shared = " ".join(f"r{i}" for i in range(12))  # long shared run
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    rows = [
+        (1, doc(40) + " " + shared + " " + doc(40)),
+        (2, doc(35) + " " + shared + " " + doc(35)),
+        (3, doc(60)),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["i"], r["j"]): r["shared_fingerprints"]
+        for r in winnow_candidate_pairs(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs  # no-miss on the shared run
+    assert all(3 not in p for p in pairs)
+    # cap: with max_postings=1 every shared fingerprint is "hot"
+    assert (
+        winnow_candidate_pairs(df, min_shared=1, max_postings=1).count() == 0
+    )
