@@ -146,13 +146,60 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # palette (3) unsupported
 
 
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, c: int) -> np.ndarray:
+    """Undo the five PNG scanline filters over ``h`` scanlines of
+    ``stride`` bytes (filter byte already split off into raw[:, 0])."""
+    filters, lines = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    zero_row = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f, line = int(filters[y]), lines[y]
+        prev = out[y - 1] if y else zero_row
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub: wrapping cumsum within each channel lane
+            lanes = line.reshape(-1, c).astype(np.uint32)
+            out[y] = (
+                np.cumsum(lanes, axis=0, dtype=np.uint32) & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up: uint8 add wraps mod 256 natively
+            out[y] = line + prev
+        elif f == 3:  # Average (sequential: needs reconstructed left)
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - c]) if x >= c else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth (sequential)
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else cc
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError("bad PNG filter")
+    return out
+
+
+# Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def _png_pixels(payload: bytes) -> np.ndarray | None:
-    """(H, W, C) uint8 array for a non-interlaced 8-bit-depth PNG
-    (color types gray/RGB/gray+alpha/RGBA), else None. Needs only
-    stdlib ``zlib``: concatenate the IDAT chunks, inflate, then undo
-    the per-scanline filter (None/Sub/Up/Average/Paeth). Palette
-    images are skipped — their samples are indices, so every numeric
-    feature downstream (pixel_mean, resize) would be wrong.
+    """(H, W, C) uint8 array for an 8-bit-depth PNG (color types
+    gray/RGB/gray+alpha/RGBA, interlace none or Adam7), else None.
+    Needs only stdlib ``zlib``: concatenate the IDAT chunks, inflate,
+    then undo the per-scanline filter (None/Sub/Up/Average/Paeth) —
+    for Adam7, per pass sub-image, scattered into the frame on the
+    pass grid. Palette images are skipped — their samples are indices,
+    so every numeric feature downstream (pixel_mean, resize) would be
+    wrong.
 
     Filters Sub and Up vectorize fully (a wrapping cumsum per channel
     lane / a wrapping row add); Average and Paeth are sequential by
@@ -186,7 +233,7 @@ def _png_pixels(payload: bytes) -> np.ndarray | None:
         or depth != 8
         or comp != 0
         or filt != 0
-        or interlace != 0
+        or interlace not in (0, 1)
         or w <= 0
         or h <= 0
     ):
@@ -195,45 +242,33 @@ def _png_pixels(payload: bytes) -> np.ndarray | None:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * c
-    if len(raw) < h * (stride + 1):
-        return None
-    raw = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
-        h, stride + 1
-    )
-    filters, lines = raw[:, 0], raw[:, 1:]
-    out = np.zeros((h, stride), np.uint8)
-    zero_row = np.zeros(stride, np.uint8)
-    for y in range(h):
-        f, line = int(filters[y]), lines[y]
-        prev = out[y - 1] if y else zero_row
-        if f == 0:
-            out[y] = line
-        elif f == 1:  # Sub: wrapping cumsum within each channel lane
-            lanes = line.reshape(-1, c).astype(np.uint32)
-            out[y] = (
-                np.cumsum(lanes, axis=0, dtype=np.uint32) & 0xFF
-            ).astype(np.uint8).reshape(stride)
-        elif f == 2:  # Up: uint8 add wraps mod 256 natively
-            out[y] = line + prev
-        elif f == 3:  # Average (sequential: needs reconstructed left)
-            cur = out[y]
-            for x in range(stride):
-                left = int(cur[x - c]) if x >= c else 0
-                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth (sequential)
-            cur = out[y]
-            for x in range(stride):
-                a = int(cur[x - c]) if x >= c else 0
-                b = int(prev[x])
-                cc = int(prev[x - c]) if x >= c else 0
-                p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                pred = a if pa <= pb and pa <= pc else b if pb <= pc else cc
-                cur[x] = (int(line[x]) + pred) & 0xFF
-        else:
+    if interlace == 0:
+        stride = w * c
+        if len(raw) < h * (stride + 1):
             return None
-    return out.reshape(h, w, c)
+        grid = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
+            h, stride + 1
+        )
+        return _png_unfilter(grid, h, stride, c).reshape(h, w, c)
+    # Adam7: 7 independently-filtered sub-images on the pass grid
+    out = np.zeros((h, w, c), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * c
+        need = ph * (stride + 1)
+        if len(raw) - pos < need:
+            return None
+        grid = np.frombuffer(raw, np.uint8, count=need, offset=pos).reshape(
+            ph, stride + 1
+        )
+        sub = _png_unfilter(grid, ph, stride, c).reshape(ph, pw, c)
+        out[y0::dy, x0::dx] = sub
+        pos += need
+    return out
 
 
 def _decode_png(payload: bytes) -> dict | None:
@@ -268,11 +303,12 @@ def _decode_jpeg_meta(payload: bytes) -> dict | None:
     }
 
 
-def encode_png(pixels) -> bytes:
-    """Write a non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA)
-    from an (H, W[, C]) uint8 array — stdlib ``zlib`` only, filter 0
-    on every scanline. Round-trips exactly through ``_png_pixels``;
-    used for fixtures and as the lossless leg of the write path."""
+def encode_png(pixels, interlace: bool = False) -> bytes:
+    """Write an 8-bit PNG (gray/gray+alpha/RGB/RGBA) from an
+    (H, W[, C]) uint8 array — stdlib ``zlib`` only, filter 0 on every
+    scanline, optionally Adam7-interlaced (sub-images written in pass
+    order). Round-trips exactly through ``_png_pixels``; used for
+    fixtures and as the lossless leg of the write path."""
     import zlib
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -287,10 +323,17 @@ def encode_png(pixels) -> bytes:
             ">I", crc
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    scanlines = b"".join(
-        b"\x00" + px[y].tobytes() for y in range(h)
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, int(interlace))
+    if not interlace:
+        scanlines = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            parts.extend(b"\x00" + row.tobytes() for row in sub)
+        scanlines = b"".join(parts)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

@@ -1538,3 +1538,18 @@ def test_winnow_candidate_pairs_no_miss_and_cap(spark):
     assert (
         winnow_candidate_pairs(df, min_shared=1, max_postings=1).count() == 0
     )
+
+
+def test_png_adam7_interlaced_round_trip():
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    # odd sizes exercise partial passes; every channel count
+    for shape in [(1, 1), (3, 5), (9, 9, 3), (13, 7, 4), (8, 8, 2)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        b = mm.encode_png(img, interlace=True)
+        out = mm._png_pixels(b)
+        ref = img[..., None] if img.ndim == 2 else img
+        assert out is not None and (out == ref).all(), shape
+        # and the plain writer still round-trips the same pixels
+        assert (mm._png_pixels(mm.encode_png(img)) == ref).all()
