@@ -209,7 +209,7 @@ def _png_pixels(payload: bytes) -> np.ndarray | None:
 
     if not payload.startswith(_PNG_SIG):
         return None
-    pos, ihdr, idat = len(_PNG_SIG), None, []
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
     while pos + 8 <= len(payload):
         ln = int.from_bytes(payload[pos : pos + 4], "big")
         typ = payload[pos + 4 : pos + 8]
@@ -217,6 +217,8 @@ def _png_pixels(payload: bytes) -> np.ndarray | None:
             return None
         if typ == b"IHDR":
             ihdr = payload[pos + 8 : pos + 8 + ln]
+        elif typ == b"PLTE":
+            plte = payload[pos + 8 : pos + 8 + ln]
         elif typ == b"IDAT":
             idat.append(payload[pos + 8 : pos + 8 + ln])
         elif typ == b"IEND":
@@ -227,6 +229,16 @@ def _png_pixels(payload: bytes) -> np.ndarray | None:
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
+    if ctype == 3:
+        # palette: indices resolve through PLTE to RGB (8-bit depth;
+        # sub-byte palette depths stay rejected)
+        if plte is None or len(plte) % 3 or depth != 8:
+            return None
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = _png_pixels_channels(payload, w, h, 1, interlace, idat)
+        if idx is None or int(idx.max(initial=0)) >= len(pal):
+            return None
+        return pal[idx[..., 0]]
     c = _PNG_CHANNELS.get(ctype)
     if (
         c is None
@@ -238,6 +250,15 @@ def _png_pixels(payload: bytes) -> np.ndarray | None:
         or h <= 0
     ):
         return None
+    return _png_pixels_channels(payload, w, h, c, interlace, idat)
+
+
+def _png_pixels_channels(
+    payload: bytes, w: int, h: int, c: int, interlace: int, idat: list
+) -> np.ndarray | None:
+    """Inflate + unfilter the IDAT stream into (H, W, C) uint8."""
+    import zlib
+
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:

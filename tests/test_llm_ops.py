@@ -1553,3 +1553,47 @@ def test_png_adam7_interlaced_round_trip():
         assert out is not None and (out == ref).all(), shape
         # and the plain writer still round-trips the same pixels
         assert (mm._png_pixels(mm.encode_png(img)) == ref).all()
+
+
+def test_png_palette_resolves_via_plte():
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    # hand-build a color-type-3 PNG: 4-entry palette, 3x4 indices
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 2, 2]], np.uint8)
+    h, w = idx.shape
+
+    def chunk(typ, body):
+        crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+        return st.pack(">I", len(body)) + typ + body + st.pack(">I", crc)
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    png = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    out = mm._png_pixels(png)
+    assert out is not None and (out == pal[idx]).all()
+    meta = mm.decode_image(png)
+    assert (meta["width"], meta["height"], meta["channels"]) == (4, 3, 3)
+    # out-of-range index -> clean rejection
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 200
+    scan_bad = b"".join(b"\x00" + bad_idx[y].tobytes() for y in range(h))
+    bad = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(scan_bad))
+        + chunk(b"IEND", b"")
+    )
+    assert mm._png_pixels(bad) is None
