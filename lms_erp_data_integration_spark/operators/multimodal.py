@@ -143,7 +143,7 @@ def _decode_bmp(payload: bytes) -> dict | None:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # palette (3) unsupported
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # palette (3) handled via PLTE
 
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, c: int) -> np.ndarray:
@@ -197,9 +197,9 @@ def _png_pixels(payload: bytes) -> np.ndarray | None:
     Needs only stdlib ``zlib``: concatenate the IDAT chunks, inflate,
     then undo the per-scanline filter (None/Sub/Up/Average/Paeth) —
     for Adam7, per pass sub-image, scattered into the frame on the
-    pass grid. Palette images are skipped — their samples are indices,
-    so every numeric feature downstream (pixel_mean, resize) would be
-    wrong.
+    pass grid. Palette images resolve through PLTE to RGB (so numeric
+    features act on colors, never on raw indices); sub-byte palette
+    depths are rejected.
 
     Filters Sub and Up vectorize fully (a wrapping cumsum per channel
     lane / a wrapping row add); Average and Paeth are sequential by
