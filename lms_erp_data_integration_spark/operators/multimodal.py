@@ -468,14 +468,29 @@ def _decode_pixels(payload: bytes) -> tuple | None:
             return None  # 16-bit samples: not supported by resize
         arr = np.frombuffer(payload, np.uint8, count=w * h * c, offset=pos)
         return arr.reshape(h, w, c)
-    # BMP: bottom-up rows, stride-padded
+    # BMP: bottom-up rows, stride-padded, channels stored BGR(A),
+    # and 8-bit files are palettized (BGRA color table after the DIB
+    # header) — normalize all of it to top-down RGB here
     data_off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
     height_signed = struct.unpack_from("<i", payload, 22)[0]
     stride = (w * c + 3) & ~3
     raw = np.frombuffer(
         payload, np.uint8, count=stride * h, offset=data_off
     ).reshape(h, stride)[:, : w * c].reshape(h, w, c)
-    return raw[::-1] if height_signed > 0 else raw
+    px = raw[::-1] if height_signed > 0 else raw
+    if c == 1:  # 8-bit palettized: indices -> RGB via the color table
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + dib_size
+        pal = np.frombuffer(
+            payload, np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(n_colors, 4)[:, [2, 1, 0]]  # BGRA -> RGB
+        if int(px.max(initial=0)) >= n_colors:
+            return None
+        return pal[px[..., 0]]
+    if c == 3:
+        return px[..., [2, 1, 0]]  # BGR -> RGB
+    return px[..., [2, 1, 0, 3]]  # BGRA -> RGBA
 
 
 def resize_nearest(payload: bytes, out_w: int, out_h: int) -> dict | None:

@@ -1597,3 +1597,35 @@ def test_png_palette_resolves_via_plte():
         + chunk(b"IEND", b"")
     )
     assert mm._png_pixels(bad) is None
+
+
+def test_bmp_pixels_rgb_order_and_palette():
+    import struct as st
+
+    import numpy as np
+
+    # 24-bit: one red pixel stored as BGR on disk must come back RGB
+    red_bgr = [0, 0, 255]
+    bmp24 = _bmp_bytes(1, 1, [red_bgr])
+    px = mm._decode_pixels(bmp24)
+    assert px.shape == (1, 1, 3) and list(px[0, 0]) == [255, 0, 0]
+
+    # 8-bit palettized: 2x2 indices through a BGRA color table
+    pal_rgb = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    table = b"".join(bytes([b, g, r, 0]) for (r, g, b) in pal_rgb)
+    idx_rows_bottom_up = [[2, 3], [0, 1]]  # bottom row first on disk
+    stride = (2 + 3) & ~3
+    data = b"".join(
+        bytes(r) + b"\x00" * (stride - 2) for r in idx_rows_bottom_up
+    )
+    off = 14 + 40 + len(table)
+    header = st.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    dib = st.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(data),
+                  2835, 2835, len(pal_rgb), 0)
+    bmp8 = header + dib + table + data
+    px = mm._decode_pixels(bmp8)
+    assert px.shape == (2, 2, 3)
+    assert tuple(px[0, 0]) == pal_rgb[0]  # top-left = index 0
+    assert tuple(px[1, 1]) == pal_rgb[3]
+    meta = mm.decode_image(bmp8)
+    assert meta["width"] == 2 and meta["height"] == 2
