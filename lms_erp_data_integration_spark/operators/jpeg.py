@@ -1111,3 +1111,69 @@ def encode_jpeg_progressive(
         _encode_ac_scan(out, grids[i][0], nbh, nbw, ss, se, 0, refine=True)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def exif_orientation(payload: bytes) -> int:
+    """EXIF Orientation (tag 0x0112) from the APP1 segment, 1-8 per
+    the EXIF spec (1 = upright); 1 when absent/unparseable. Walks only
+    marker headers + IFD0 of the embedded TIFF structure."""
+    if payload[:2] != b"\xff\xd8":
+        return 1
+    i = 2
+    while i + 4 <= len(payload) and payload[i] == 0xFF:
+        marker = payload[i + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack_from(">H", payload, i + 2)[0]
+        if marker == 0xDA:  # entropy data: no EXIF past here
+            break
+        if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+            t = payload[i + 10 : i + 2 + seg_len]
+            if len(t) >= 8 and t[:2] in (b"II", b"MM"):
+                bo = "<" if t[:2] == b"II" else ">"
+                try:
+                    ifd = struct.unpack_from(bo + "I", t, 4)[0]
+                    n = struct.unpack_from(bo + "H", t, ifd)[0]
+                    for k in range(n):
+                        off = ifd + 2 + 12 * k
+                        tag, typ, _cnt = struct.unpack_from(
+                            bo + "HHI", t, off
+                        )
+                        if tag == 0x0112 and typ == 3:
+                            v = struct.unpack_from(bo + "H", t, off + 8)[0]
+                            return v if 1 <= v <= 8 else 1
+                except struct.error:
+                    return 1
+            return 1
+        i += 2 + seg_len
+    return 1
+
+
+def apply_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """Normalize decoded pixels to upright per the EXIF orientation
+    value (the transform every viewer applies silently)."""
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1]
+    if orientation == 5:
+        return px.transpose(1, 0, 2)
+    if orientation == 6:
+        return px.transpose(1, 0, 2)[:, ::-1]
+    if orientation == 7:
+        return px.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return px.transpose(1, 0, 2)[::-1]
+    return px
+
+
+def decode_jpeg_oriented(payload: bytes) -> np.ndarray | None:
+    """decode_jpeg + EXIF orientation normalization — what a training
+    pipeline actually wants (a sideways photo embeds differently)."""
+    px = decode_jpeg(payload)
+    if px is None:
+        return None
+    return np.ascontiguousarray(apply_orientation(px, exif_orientation(payload)))

@@ -1629,3 +1629,46 @@ def test_bmp_pixels_rgb_order_and_palette():
     assert tuple(px[1, 1]) == pal_rgb[3]
     meta = mm.decode_image(bmp8)
     assert meta["width"] == 2 and meta["height"] == 2
+
+
+def test_jpeg_exif_orientation():
+    import struct as st
+
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_oriented,
+        encode_jpeg,
+        exif_orientation,
+    )
+
+    # asymmetric image: bright top-left quadrant
+    img = np.zeros((16, 8, 3), np.uint8)
+    img[:8, :4] = 250
+    plain = encode_jpeg(img, quality=95)
+    assert exif_orientation(plain) == 1
+
+    def with_orientation(jpeg_bytes, o):
+        tiff = (b"II" + st.pack("<HI", 42, 8)
+                + st.pack("<H", 1)
+                + st.pack("<HHIHH", 0x0112, 3, 1, o, 0)
+                + st.pack("<I", 0))
+        app1 = b"Exif\x00\x00" + tiff
+        seg = b"\xff\xe1" + st.pack(">H", 2 + len(app1)) + app1
+        return jpeg_bytes[:2] + seg + jpeg_bytes[2:]
+
+    # orientation 6 (rotate 90 CW to display): upright form transposes
+    rot = with_orientation(plain, 6)
+    assert exif_orientation(rot) == 6
+    up = decode_jpeg_oriented(rot)
+    raw = decode_jpeg(rot)
+    assert raw.shape == (16, 8, 3) and up.shape == (8, 16, 3)
+    assert (up == raw.transpose(1, 0, 2)[:, ::-1]).all()
+    # bright quadrant lands top-RIGHT after 90 CW
+    assert up[:4, -4:].mean() > 200 > up[-4:, :4].mean()
+    # flip (2) and upside-down (3)
+    assert (
+        decode_jpeg_oriented(with_orientation(plain, 3))
+        == decode_jpeg(plain)[::-1, ::-1]
+    ).all()
