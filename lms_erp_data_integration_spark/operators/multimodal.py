@@ -308,10 +308,11 @@ def _decode_png(payload: bytes) -> dict | None:
 
 
 def _decode_jpeg_meta(payload: bytes) -> dict | None:
-    """IMAGE_META dict for a baseline JPEG, else None."""
-    from .jpeg import decode_jpeg
+    """IMAGE_META dict for a JPEG, else None — EXIF-orientation
+    normalized, so width/height describe the upright image."""
+    from .jpeg import decode_jpeg_oriented
 
-    px = decode_jpeg(payload)
+    px = decode_jpeg_oriented(payload)
     if px is None:
         return None
     h, w, c = px.shape
@@ -435,9 +436,9 @@ def _decode_pixels(payload: bytes) -> tuple | None:
     if payload.startswith(_PNG_SIG):
         return _png_pixels(payload)
     if payload[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg
+        from .jpeg import decode_jpeg_oriented
 
-        return decode_jpeg(payload)
+        return decode_jpeg_oriented(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import decode_gif
 
