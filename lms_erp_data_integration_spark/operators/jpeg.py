@@ -243,6 +243,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
     coefs: list[np.ndarray] | None = None
     restart_interval = 0
     saw_scan = False
+    adobe_transform = None
     i = 2
     while i + 2 <= len(data):
         if data[i] != 0xFF:
@@ -319,6 +320,8 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
             ]
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            adobe_transform = seg[11] if len(seg) >= 12 else None
         elif marker == 0xDA:  # SOS
             if frame is None or coefs is None:
                 return None
@@ -359,6 +362,13 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
         i += 2 + seg_len
     if frame is None or coefs is None or not saw_scan:
         return None
+    ids = tuple(c["id"] for c in frame["comps"])
+    # 3-component data is YCbCr UNLESS Adobe APP14 says transform=0 or
+    # the component ids literally spell 'R','G','B' (both public
+    # conventions for RGB-in-JPEG)
+    frame["rgb_direct"] = len(ids) == 3 and (
+        adobe_transform == 0 or ids == (0x52, 0x47, 0x42)
+    )
     return _reconstruct(frame, coefs, qt)
 
 
@@ -650,6 +660,9 @@ def _reconstruct(
     if len(out_planes) == 1:
         y = np.clip(out_planes[0] + 128.0, 0, 255)
         return y.astype(np.uint8)[..., None]
+    if frame.get("rgb_direct"):
+        rgb = np.stack([p + 128.0 for p in out_planes], axis=-1)
+        return np.clip(rgb, 0, 255).astype(np.uint8)
     y, cb, cr = (p + 128.0 for p in out_planes)
     cb -= 128.0
     cr -= 128.0
@@ -770,6 +783,7 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    rgb: bool = False,
 ) -> bytes:
     """Baseline JPEG encode of an (H, W) / (H, W, 1) grayscale or
     (H, W, 3) RGB uint8 array. ``subsample=True`` writes 4:2:0 chroma;
@@ -790,6 +804,10 @@ def encode_jpeg(
     if gray:
         y_plane = px[..., 0].astype(np.float64)
         planes = [y_plane]
+    elif rgb:
+        if subsample:
+            raise ValueError("rgb mode is 4:4:4 only")
+        planes = [px[..., k].astype(np.float64) for k in range(3)]
     else:
         r, g, b = (px[..., k].astype(np.float64) for k in range(3))
         y_plane = 0.299 * r + 0.587 * g + 0.114 * b
@@ -807,6 +825,9 @@ def encode_jpeg(
     # JFIF APP0
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    if rgb:  # Adobe APP14, transform = 0 (no color transform)
+        adobe = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0])
+        out += b"\xff\xee" + struct.pack(">H", 2 + len(adobe)) + adobe
     # DQT (zigzag order)
     for tq, tab in ((0, qt_l),) if gray else ((0, qt_l), (1, qt_c)):
         zz = tab[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
@@ -814,6 +835,8 @@ def encode_jpeg(
     # SOF0
     if gray:
         comp_spec = bytes([1, 0x11, 0])
+    elif rgb:  # component ids spell R,G,B; all on the luma table
+        comp_spec = bytes([0x52, 0x11, 0, 0x47, 0x11, 0, 0x42, 0x11, 0])
     else:
         ch = 0x22 if subsample else 0x11
         comp_spec = bytes([1, ch, 0, 2, 0x11, 1, 3, 0x11, 1])
@@ -835,15 +858,24 @@ def encode_jpeg(
     # SOS
     if gray:
         sos = bytes([1, 1, 0x00, 0, 63, 0])
+    elif rgb:
+        sos = bytes([3, 0x52, 0x00, 0x47, 0x00, 0x42, 0x00, 0, 63, 0])
     else:
         sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     # entropy-coded data, interleaved MCUs
     writer = _BitWriter()
-    if gray or not subsample:
+    if gray or rgb or not subsample:
         grids = [
-            (_fdct_quant(_plane_blocks(p), qt_l if i == 0 else qt_c), 1, 1)
+            (
+                _fdct_quant(
+                    _plane_blocks(p),
+                    qt_l if (i == 0 or rgb) else qt_c,
+                ),
+                1,
+                1,
+            )
             for i, p in enumerate(planes)
         ]
         mcus_y = grids[0][0].shape[0]

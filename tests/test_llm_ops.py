@@ -1672,3 +1672,29 @@ def test_jpeg_exif_orientation():
         decode_jpeg_oriented(with_orientation(plain, 3))
         == decode_jpeg(plain)[::-1, ::-1]
     ).all()
+
+
+def test_jpeg_rgb_direct_no_color_transform():
+    """Adobe APP14 transform=0 / R,G,B component ids mean the three
+    planes are RGB, not YCbCr — converting anyway silently wrecks
+    colors. Solid colors round-trip EXACTLY in rgb mode (no transform
+    rounding at all)."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 30, 90
+    b = encode_jpeg(img, quality=95, rgb=True)
+    assert b"Adobe" in b
+    out = decode_jpeg(b)
+    assert (out == img).all()
+    # gradient stays within quantization error, unconverted
+    grad = np.zeros((24, 24, 3), np.uint8)
+    grad[..., 0] = np.linspace(0, 255, 24)[None, :]
+    grad[..., 2] = np.linspace(255, 0, 24)[:, None]
+    out2 = decode_jpeg(encode_jpeg(grad, quality=95, rgb=True))
+    assert int(np.abs(out2.astype(int) - grad.astype(int)).max()) <= 3
