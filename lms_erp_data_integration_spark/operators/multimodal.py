@@ -146,9 +146,11 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # palette (3) handled via PLTE
 
 
-def _png_unfilter(raw: np.ndarray, h: int, stride: int, c: int) -> np.ndarray:
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo the five PNG scanline filters over ``h`` scanlines of
-    ``stride`` bytes (filter byte already split off into raw[:, 0])."""
+    ``stride`` bytes (filter byte already split off into raw[:, 0]).
+    ``bpp`` is the filter distance in BYTES per pixel — the spec
+    filters bytes, so 16-bit samples use 2x the 8-bit distance."""
     filters, lines = raw[:, 0], raw[:, 1:]
     out = np.zeros((h, stride), np.uint8)
     zero_row = np.zeros(stride, np.uint8)
@@ -157,8 +159,8 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, c: int) -> np.ndarray:
         prev = out[y - 1] if y else zero_row
         if f == 0:
             out[y] = line
-        elif f == 1:  # Sub: wrapping cumsum within each channel lane
-            lanes = line.reshape(-1, c).astype(np.uint32)
+        elif f == 1:  # Sub: wrapping cumsum within each byte lane
+            lanes = line.reshape(-1, bpp).astype(np.uint32)
             out[y] = (
                 np.cumsum(lanes, axis=0, dtype=np.uint32) & 0xFF
             ).astype(np.uint8).reshape(stride)
@@ -167,14 +169,14 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, c: int) -> np.ndarray:
         elif f == 3:  # Average (sequential: needs reconstructed left)
             cur = out[y]
             for x in range(stride):
-                left = int(cur[x - c]) if x >= c else 0
+                left = int(cur[x - bpp]) if x >= bpp else 0
                 cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
         elif f == 4:  # Paeth (sequential)
             cur = out[y]
             for x in range(stride):
-                a = int(cur[x - c]) if x >= c else 0
+                a = int(cur[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                cc = int(prev[x - c]) if x >= c else 0
+                cc = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + b - cc
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
                 pred = a if pa <= pb and pa <= pc else b if pb <= pc else cc
@@ -242,7 +244,7 @@ def _png_pixels(payload: bytes) -> np.ndarray | None:
     c = _PNG_CHANNELS.get(ctype)
     if (
         c is None
-        or depth != 8
+        or depth not in (8, 16)
         or comp != 0
         or filt != 0
         or interlace not in (0, 1)
@@ -250,27 +252,45 @@ def _png_pixels(payload: bytes) -> np.ndarray | None:
         or h <= 0
     ):
         return None
-    return _png_pixels_channels(payload, w, h, c, interlace, idat)
+    return _png_pixels_channels(payload, w, h, c, interlace, idat, depth)
 
 
 def _png_pixels_channels(
-    payload: bytes, w: int, h: int, c: int, interlace: int, idat: list
+    payload: bytes,
+    w: int,
+    h: int,
+    c: int,
+    interlace: int,
+    idat: list,
+    depth: int = 8,
 ) -> np.ndarray | None:
-    """Inflate + unfilter the IDAT stream into (H, W, C) uint8."""
+    """Inflate + unfilter the IDAT stream into (H, W, C) uint8.
+    16-bit samples (big-endian) are filtered at 2-byte distance per
+    the spec, then downsampled to their high byte — the 8-bit feature
+    contract every downstream consumer assumes."""
     import zlib
+
+    bps = depth // 8
+    bpp = c * bps
+
+    def to8(block: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        if bps == 1:
+            return block.reshape(ph, pw, c)
+        wide = np.frombuffer(block.tobytes(), dtype=">u2")
+        return (wide >> 8).astype(np.uint8).reshape(ph, pw, c)
 
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
     if interlace == 0:
-        stride = w * c
+        stride = w * bpp
         if len(raw) < h * (stride + 1):
             return None
         grid = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
             h, stride + 1
         )
-        return _png_unfilter(grid, h, stride, c).reshape(h, w, c)
+        return to8(_png_unfilter(grid, h, stride, bpp), h, w)
     # Adam7: 7 independently-filtered sub-images on the pass grid
     out = np.zeros((h, w, c), np.uint8)
     pos = 0
@@ -279,15 +299,14 @@ def _png_pixels_channels(
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        stride = pw * c
+        stride = pw * bpp
         need = ph * (stride + 1)
         if len(raw) - pos < need:
             return None
         grid = np.frombuffer(raw, np.uint8, count=need, offset=pos).reshape(
             ph, stride + 1
         )
-        sub = _png_unfilter(grid, ph, stride, c).reshape(ph, pw, c)
-        out[y0::dy, x0::dx] = sub
+        out[y0::dy, x0::dx] = to8(_png_unfilter(grid, ph, stride, bpp), ph, pw)
         pos += need
     return out
 

@@ -1698,3 +1698,37 @@ def test_jpeg_rgb_direct_no_color_transform():
     grad[..., 2] = np.linspace(255, 0, 24)[:, None]
     out2 = decode_jpeg(encode_jpeg(grad, quality=95, rgb=True))
     assert int(np.abs(out2.astype(int) - grad.astype(int)).max()) <= 3
+
+
+def test_png_16bit_downsamples_to_high_byte():
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    # hand-build a 16-bit gray PNG with Sub filtering on row 1
+    vals = np.array([[4096, 8192, 65535], [256, 512, 1024]], np.uint16)
+    h, w = vals.shape
+    row_bytes = [vals[y].astype(">u2").tobytes() for y in range(h)]
+    scan = b"\x00" + row_bytes[0]
+    # row 1 with filter 1 (Sub, 2-byte distance for 16-bit gray)
+    raw1 = np.frombuffer(row_bytes[1], np.uint8).astype(int)
+    filt1 = bytearray()
+    for x in range(len(raw1)):
+        left = raw1[x - 2] if x >= 2 else 0
+        filt1.append((raw1[x] - left) & 0xFF)
+    scan += b"\x01" + bytes(filt1)
+
+    def chunk(typ, body):
+        crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+        return st.pack(">I", len(body)) + typ + body + st.pack(">I", crc)
+
+    png = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    out = mm._png_pixels(png)
+    assert out is not None and out.shape == (h, w, 1)
+    assert (out[..., 0] == (vals >> 8).astype(np.uint8)).all()
