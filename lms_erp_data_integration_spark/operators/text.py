@@ -545,3 +545,54 @@ def bigram_lm_scores(
             ),
         )
     )
+
+
+def render_chat_template(
+    messages: Column,
+    bos: str = "<s>",
+    eos: str = "</s>",
+) -> Column:
+    """Render an array<struct<role string, content string>> of chat
+    turns into a single training string — the SFT-data formatting step
+    (the shape of the public ChatML/Llama-style templates: a tagged
+    block per turn, terminated per-turn so loss masks can re-find the
+    boundaries). Pure built-in transform + concat_ws: one codegen'd
+    projection, no UDF between raw conversations and packed sequences."""
+    turn = lambda m: F.concat(  # noqa: E731
+        F.lit("<|"), m["role"], F.lit("|>"), m["content"], F.lit(eos)
+    )
+    return F.concat(F.lit(bos), F.concat_ws("", F.transform(messages, turn)))
+
+
+def chat_turn_stats(messages: Column) -> dict[str, Column]:
+    """Per-conversation screening stats for SFT corpora: turn count,
+    whether roles alternate user/assistant after an optional system
+    head, and the assistant-content fraction (all-assistant ~1.0 is
+    synthetic monologue; ~0.0 has nothing to learn from)."""
+    n = F.size(messages)
+    body = F.filter(messages, lambda m: m["role"] != F.lit("system"))
+    pairs_ok = F.aggregate(
+        F.zip_with(
+            F.slice(body, 1, F.greatest(F.size(body) - 1, F.lit(0))),
+            F.slice(body, 2, F.greatest(F.size(body) - 1, F.lit(0))),
+            lambda a, b: (a["role"] != b["role"]).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    asst_chars = F.aggregate(
+        F.filter(messages, lambda m: m["role"] == F.lit("assistant")),
+        F.lit(0),
+        lambda acc, m: acc + F.length(m["content"]),
+    )
+    total_chars = F.aggregate(
+        messages, F.lit(0), lambda acc, m: acc + F.length(m["content"])
+    )
+    return {
+        "n_turns": n.cast("long"),
+        "roles_alternate": pairs_ok
+        == F.greatest(F.size(body) - 1, F.lit(0)),
+        "assistant_char_frac": F.when(
+            total_chars > 0, asst_chars / total_chars
+        ).otherwise(F.lit(0.0)),
+    }

@@ -1732,3 +1732,37 @@ def test_png_16bit_downsamples_to_high_byte():
     out = mm._png_pixels(png)
     assert out is not None and out.shape == (h, w, 1)
     assert (out[..., 0] == (vals >> 8).astype(np.uint8)).all()
+
+
+def test_chat_template_and_turn_stats(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        (1, [Row(role="system", content="be brief"),
+             Row(role="user", content="hi"),
+             Row(role="assistant", content="hello!")]),
+        (2, [Row(role="user", content="a"),
+             Row(role="user", content="b"),       # broken alternation
+             Row(role="assistant", content="c")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id long, messages array<struct<role string, content string>>",
+    )
+    out = {
+        r["conv_id"]: r
+        for r in df.select(
+            "conv_id",
+            tx.render_chat_template(F.col("messages")).alias("text"),
+            *[
+                c.alias(n)
+                for n, c in tx.chat_turn_stats(F.col("messages")).items()
+            ],
+        ).collect()
+    }
+    assert out[1]["text"] == (
+        "<s><|system|>be brief</s><|user|>hi</s><|assistant|>hello!</s>"
+    )
+    assert out[1]["n_turns"] == 3 and out[1]["roles_alternate"]
+    assert abs(out[1]["assistant_char_frac"] - 6 / 16) < 1e-9
+    assert not out[2]["roles_alternate"]
