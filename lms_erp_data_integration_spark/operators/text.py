@@ -596,3 +596,43 @@ def chat_turn_stats(messages: Column) -> dict[str, Column]:
             total_chars > 0, asst_chars / total_chars
         ).otherwise(F.lit(0.0)),
     }
+
+
+def assistant_spans(
+    messages: Column,
+    bos: str = "<s>",
+    eos: str = "</s>",
+) -> Column:
+    """Character spans [start, end) of each ASSISTANT turn's content
+    inside the string `render_chat_template` produces — the loss-mask
+    input for SFT training (loss on assistant tokens only). Computed
+    directly from the structured turns with a running-offset fold
+    (struct accumulator in `aggregate`), so the spans are exact by
+    construction rather than re-parsed from the rendered text."""
+    tag_len = lambda m: (  # noqa: E731  <|role|> prefix length
+        F.length(m["role"]) + F.lit(4)
+    )
+    init = F.struct(
+        F.lit(len(bos)).cast("int").alias("off"),
+        F.array().cast(
+            "array<struct<start int, end int>>"
+        ).alias("spans"),
+    )
+
+    def step(acc, m):
+        start = acc["off"] + tag_len(m)
+        end = start + F.length(m["content"])
+        span = F.struct(
+            start.cast("int").alias("start"), end.cast("int").alias("end")
+        )
+        return F.struct(
+            (end + F.lit(len(eos))).cast("int").alias("off"),
+            F.when(
+                m["role"] == F.lit("assistant"),
+                F.concat(acc["spans"], F.array(span)),
+            )
+            .otherwise(acc["spans"])
+            .alias("spans"),
+        )
+
+    return F.aggregate(messages, init, step, lambda acc: acc["spans"])

@@ -1766,3 +1766,26 @@ def test_chat_template_and_turn_stats(spark):
     assert out[1]["n_turns"] == 3 and out[1]["roles_alternate"]
     assert abs(out[1]["assistant_char_frac"] - 6 / 16) < 1e-9
     assert not out[2]["roles_alternate"]
+
+
+def test_assistant_spans_match_rendered_text(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        (1, [Row(role="system", content="be brief"),
+             Row(role="user", content="hi"),
+             Row(role="assistant", content="hello!"),
+             Row(role="user", content="more?"),
+             Row(role="assistant", content="ok")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id long, messages array<struct<role string, content string>>",
+    )
+    r = df.select(
+        tx.render_chat_template(F.col("messages")).alias("text"),
+        tx.assistant_spans(F.col("messages")).alias("spans"),
+    ).collect()[0]
+    text, spans = r["text"], r["spans"]
+    got = [text[s["start"] : s["end"]] for s in spans]
+    assert got == ["hello!", "ok"]  # spans slice exactly the contents
