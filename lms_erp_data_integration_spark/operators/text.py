@@ -340,7 +340,6 @@ def train_bpe(
     pass "" to disable."""
     import re
 
-    spark_fns = F
     words = (
         df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("w"))
         .where(F.length("w") > 0)
@@ -385,7 +384,7 @@ def train_bpe(
         table = table.select(
             "w",
             "n",
-            spark_fns.regexp_replace(
+            F.regexp_replace(
                 F.col("symbols"), pattern, merged
             ).alias("symbols"),
         ).localCheckpoint()
