@@ -1387,3 +1387,124 @@ def extract_video_frames(
             )
 
     return df.select(id_col, "payload").mapInPandas(op, VIDEO_FRAME_SCHEMA)
+
+
+def perceptual_hash(payload: bytes) -> int | None:
+    """64-bit pHash of any recognized raster: decode -> grayscale ->
+    32x32 nearest resize -> 2D DCT -> top-left 8x8 low-frequency block
+    -> median threshold. Robust to re-encoding, resizing, and mild
+    edits — the visual analog of SimHash, and the standard key for
+    image dedup in multimodal corpora. Returns None for unrecognized
+    payloads."""
+    from .jpeg import _M
+
+    px = _decode_pixels(payload)
+    if px is None:
+        return None
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # box-filter downsample to 32x32 (bucket means): averaging makes
+    # the hash stable under re-encode noise where nearest sampling
+    # flips near-threshold bits
+    yb = (np.arange(32) * h) // 32
+    xb = (np.arange(32) * w) // 32
+    rows = np.add.reduceat(gray, yb, axis=0)
+    rcnt = np.diff(np.append(yb, h))[:, None]
+    cols = np.add.reduceat(rows / rcnt, xb, axis=1)
+    ccnt = np.diff(np.append(xb, w))[None, :]
+    small = cols / ccnt
+    # 32x32 DCT-II via the 8x8 basis generalized: build once per call
+    # (32x32 matmul — microseconds)
+    n = 32
+    u = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    basis = np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    basis[0] *= 1 / np.sqrt(2)
+    d = basis @ small @ basis.T
+    block = d[:8, :8].ravel()
+    med = np.median(block[1:])  # skip DC: it is just mean brightness
+    bits = block > med
+    bits[0] = False
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_hashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas pHash stage; unrecognized payloads drop out."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                hv = perceptual_hash(p)
+                if hv is not None:
+                    # store as signed 64-bit for Spark LongType
+                    rows.append(
+                        {"doc_id": i,
+                         "phash": hv - (1 << 64) if hv >= 1 << 63 else hv}
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return df.select(id_col, "payload").mapInPandas(op, PHASH_SCHEMA)
+
+
+def image_near_duplicates(
+    df: DataFrame, max_hamming: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Visually-near-duplicate image pairs: pHash + pigeonhole block
+    join over 4x16-bit blocks. For ``max_hamming`` <= 3 the pigeonhole
+    guarantee is exact (3 differing bits cannot touch all 4 blocks);
+    above that recall is the standard SimHash-block bound (a pair is
+    missed only when every block takes a hit — vanishingly unlikely
+    for visually-near images, whose differing bits cluster in the
+    high-frequency positions). The join stays collision-sized, never
+    all-pairs; the Hamming filter on candidates is one codegen'd
+    bit_count(xor).
+
+    Scale posture: identical to the SimHash text path — hash compute
+    is a narrow Arrow stage over payloads; pairing shuffles only
+    16-bit block collisions."""
+    hashes = image_hashes(df, id_col)
+    blocks = hashes.select(
+        F.col("doc_id"),
+        F.col("phash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), k * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("block", "block_val"),
+    )
+    left = blocks.select(
+        F.col("doc_id").alias("i"), F.col("phash").alias("hi"),
+        "block", "block_val",
+    )
+    right = blocks.select(
+        F.col("doc_id").alias("j"), F.col("phash").alias("hj"),
+        "block", "block_val",
+    )
+    return (
+        left.join(right, ["block", "block_val"])
+        .where(F.col("i") < F.col("j"))
+        .select(
+            "i", "j",
+            F.bit_count(
+                F.col("hi").bitwiseXOR(F.col("hj"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1789,3 +1789,48 @@ def test_assistant_spans_match_rendered_text(spark):
     text, spans = r["text"], r["spans"]
     got = [text[s["start"] : s["end"]] for s in spans]
     assert got == ["hello!", "ok"]  # spans slice exactly the contents
+
+
+def _textured_image(seed: int) -> "np.ndarray":
+    """Box-blurred seeded noise — a natural-texture stand-in whose DCT
+    coefficients are generic (a flat synthetic gradient has dozens of
+    EXACT-zero coefficients, which makes any median-threshold hash
+    flutter; real photos do not)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    noise = rng.normal(0, 1, (64, 64))
+    c = noise.cumsum(0).cumsum(1)
+    pad = np.zeros((72, 72))
+    pad[8:, 8:] = c
+    box = pad[8:, 8:] - pad[:-8, 8:] - pad[8:, :-8] + pad[:-8, :-8]
+    img = ((box - box.min()) / (box.max() - box.min()) * 255).astype(
+        np.uint8
+    )
+    return np.stack([img] * 3, axis=-1)
+
+
+def test_image_near_duplicates_phash(spark):
+    """Re-encoded / downscaled copies of one image pair up; a
+    different image stays unpaired; junk drops out."""
+    from lms_erp_data_integration_spark.operators.jpeg import encode_jpeg
+
+    base = _textured_image(1)
+    other = _textured_image(99)
+    rows = [
+        (1, bytearray(encode_jpeg(base, quality=95))),
+        (2, bytearray(encode_jpeg(base, quality=60))),  # heavy re-encode
+        (3, bytearray(mm.encode_png(base))),            # lossless twin
+        (4, bytearray(encode_jpeg(base[::2, ::2], quality=95))),  # resized
+        (5, bytearray(encode_jpeg(other, quality=95))),
+        (6, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {
+        (r["i"], r["j"]): r["hamming"]
+        for r in mm.image_near_duplicates(df, max_hamming=8).collect()
+    }
+    for expect in [(1, 2), (1, 3), (2, 3), (1, 4)]:
+        assert expect in pairs, (expect, pairs)
+    assert all(5 not in p and 6 not in p for p in pairs)
+    assert pairs[(1, 3)] <= 2  # lossless twin ~ identical hash
