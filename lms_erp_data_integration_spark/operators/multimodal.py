@@ -1508,3 +1508,51 @@ def image_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def audio_fingerprint(payload: bytes) -> int | None:
+    """64-bit audio fingerprint for PCM WAV: 8 equal time segments x
+    9 log-spaced frequency bands; bit(s, b) = energy(s, b) >
+    energy(s, b+1) — the band-energy-DIFFERENCE coding of the classic
+    Haitsma-Kalker scheme, invariant to volume scaling and robust to
+    re-quantization. The audio leg of the cross-modal dedup family
+    (pHash for images, MinHash/SimHash for text); pair via the same
+    pigeonhole block join as `image_near_duplicates`."""
+    meta = decode_wav(payload)
+    if meta is None or meta["n_samples"] < 64:
+        return None
+    # re-read samples mono (decode_wav already validated the layout)
+    pos, data, bits = 12, None, 16
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    if bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        x = np.frombuffer(data, "<i2", count=len(data) // 2).astype(
+            np.float64
+        ) / 32768.0
+    ch = meta["channels"]
+    n = (x.size // ch) * ch
+    mono = x[:n].reshape(-1, ch).mean(axis=1)
+
+    seg_len = mono.size // 8
+    out = 0
+    for s in range(8):
+        seg = mono[s * seg_len : (s + 1) * seg_len]
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        # 10 log-spaced band edges from bin 1 to Nyquist -> 9 bands
+        edges = np.unique(
+            np.geomspace(1, len(spec) - 1, 10).astype(int)
+        )
+        while len(edges) < 10:  # tiny segments: pad edges linearly
+            edges = np.append(edges, edges[-1] + 1)
+        e = np.add.reduceat(spec, edges[:-1])[:9]
+        for b in range(8):
+            out = (out << 1) | int(e[b] > e[b + 1])
+    return out

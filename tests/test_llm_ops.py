@@ -1834,3 +1834,36 @@ def test_image_near_duplicates_phash(spark):
         assert expect in pairs, (expect, pairs)
     assert all(5 not in p and 6 not in p for p in pairs)
     assert pairs[(1, 3)] <= 2  # lossless twin ~ identical hash
+
+
+def test_audio_fingerprint_invariances():
+    import math
+    import struct as st
+
+    import numpy as np
+
+    def tone_mix(amp, rate=8000, n=8000):
+        return [
+            int(
+                amp
+                * (
+                    math.sin(2 * math.pi * 440 * t / rate)
+                    + 0.5 * math.sin(2 * math.pi * 1320 * t / rate)
+                )
+            )
+            for t in range(n)
+        ]
+
+    loud = _wav_bytes(samples=tone_mix(12000))
+    quiet = _wav_bytes(samples=tone_mix(3000))  # volume-scaled
+    different = _wav_bytes(
+        samples=[
+            int(12000 * math.sin(2 * math.pi * 3500 * t / 8000))
+            for t in range(8000)
+        ]
+    )
+    fa, fb = mm.audio_fingerprint(loud), mm.audio_fingerprint(quiet)
+    fc = mm.audio_fingerprint(different)
+    assert fa is not None and fa == fb  # volume-invariant
+    assert bin(fa ^ fc).count("1") >= 8  # different content separates
+    assert mm.audio_fingerprint(b"not audio") is None
