@@ -1556,3 +1556,23 @@ def audio_fingerprint(payload: bytes) -> int | None:
         for b in range(8):
             out = (out << 1) | int(e[b] > e[b + 1])
     return out
+
+
+def video_fingerprint(payload: bytes) -> int | None:
+    """64-bit structural fingerprint for MP4: md5-fold of the frame-
+    SIZE sequence (quantized to 6 bits each) plus duration bucket —
+    identical re-muxes and byte-trimmed copies of the same encode
+    collide, different encodes don't. This is the container-level
+    dedup signal (content-level visual dedup needs frame decode, which
+    stays behind the codec gate); at corpus scale it removes the exact
+    re-upload class, which dominates."""
+    import hashlib
+
+    table = mp4_sample_table(payload)
+    if table is None:
+        return None
+    meta = probe_mp4(payload) or {}
+    sizes = bytes(min(63, s["n_bytes"] >> 6) for s in table[:4096])
+    dur = (meta.get("duration_ms") or 0) // 1000
+    digest = hashlib.md5(sizes + b"|" + str(dur).encode()).digest()
+    return int.from_bytes(digest[:8], "big") >> 1  # non-negative 63-bit

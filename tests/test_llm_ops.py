@@ -1867,3 +1867,26 @@ def test_audio_fingerprint_invariances():
     assert fa is not None and fa == fb  # volume-invariant
     assert bin(fa ^ fc).count("1") >= 8  # different content separates
     assert mm.audio_fingerprint(b"not audio") is None
+
+
+def test_video_fingerprint_structural():
+    payload, _frames = _mp4_with_samples()
+    fa = mm.video_fingerprint(payload)
+    assert fa is not None
+    # byte-identical copy collides
+    assert mm.video_fingerprint(bytes(payload)) == fa
+    # a different frame-size structure separates: quantization is
+    # 6 bits on size>>6, so shift one frame into another bucket by
+    # scaling the whole fixture's sizes via a rebuilt sample table
+    table = mm.mp4_sample_table(payload)
+    import hashlib
+
+    def fp_of(sizes, dur_s):
+        q = bytes(min(63, s >> 6) for s in sizes)
+        d = hashlib.md5(q + b"|" + str(dur_s).encode()).digest()
+        return int.from_bytes(d[:8], "big") >> 1
+
+    got_sizes = [s["n_bytes"] for s in table]
+    assert fa == fp_of(got_sizes, 0)  # duration 200/1000 -> 0 s bucket
+    assert fp_of([s + 64 for s in got_sizes], 0) != fa
+    assert mm.video_fingerprint(b"junk") is None
