@@ -1474,26 +1474,45 @@ def image_near_duplicates(
     Scale posture: identical to the SimHash text path — hash compute
     is a narrow Arrow stage over payloads; pairing shuffles only
     16-bit block collisions."""
-    hashes = image_hashes(df, id_col)
+    return hamming_near_duplicates(
+        image_hashes(df, id_col), "phash", max_hamming, id_col="doc_id"
+    )
+
+
+def hamming_near_duplicates(
+    hashes: DataFrame,
+    hash_col: str,
+    max_hamming: int,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate (i, j, hamming) pairs over ANY 64-bit hash
+    column by pigeonhole block join — the one pairing API behind the
+    image/audio/video fingerprints (and the same shape the text
+    SimHash path uses). Exact recall for ``max_hamming`` < n_blocks;
+    collision-sized join always; the Hamming filter is one codegen'd
+    bit_count(xor)."""
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
     blocks = hashes.select(
-        F.col("doc_id"),
-        F.col("phash"),
+        F.col(id_col),
+        F.col(hash_col).alias("_h"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("phash"), k * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    for k in range(4)
+                    F.shiftrightunsigned(F.col(hash_col), k * width)
+                    .bitwiseAND(F.lit(mask))
+                    for k in range(n_blocks)
                 ]
             )
         ).alias("block", "block_val"),
     )
     left = blocks.select(
-        F.col("doc_id").alias("i"), F.col("phash").alias("hi"),
+        F.col(id_col).alias("i"), F.col("_h").alias("hi"),
         "block", "block_val",
     )
     right = blocks.select(
-        F.col("doc_id").alias("j"), F.col("phash").alias("hj"),
+        F.col(id_col).alias("j"), F.col("_h").alias("hj"),
         "block", "block_val",
     )
     return (

@@ -1890,3 +1890,45 @@ def test_video_fingerprint_structural():
     assert fa == fp_of(got_sizes, 0)  # duration 200/1000 -> 0 s bucket
     assert fp_of([s + 64 for s in got_sizes], 0) != fa
     assert mm.video_fingerprint(b"junk") is None
+
+
+def test_hamming_near_duplicates_generic(spark):
+    """The shared pairing API works over any 64-bit hash column —
+    here, audio fingerprints: volume-scaled copies pair at distance 0,
+    different content stays out."""
+    import math
+
+    def mix(amp):
+        return _wav_bytes(
+            samples=[
+                int(
+                    amp
+                    * (
+                        math.sin(2 * math.pi * 440 * t / 8000)
+                        + 0.5 * math.sin(2 * math.pi * 1320 * t / 8000)
+                    )
+                )
+                for t in range(8000)
+            ]
+        )
+
+    def tone(amp, hz):
+        return _wav_bytes(
+            samples=[
+                int(amp * math.sin(2 * math.pi * hz * t / 8000))
+                for t in range(8000)
+            ]
+        )
+
+    rows = [
+        (1, mm.audio_fingerprint(mix(12000))),
+        (2, mm.audio_fingerprint(mix(3000))),
+        (3, mm.audio_fingerprint(tone(12000, 3500))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    pairs = {
+        (r["i"], r["j"]): r["hamming"]
+        for r in mm.hamming_near_duplicates(df, "fp", max_hamming=4).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert all(3 not in p for p in pairs)
