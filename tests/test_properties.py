@@ -532,6 +532,9 @@ def test_decoders_never_raise_on_garbage(blob, seed):
         decode_jpeg,
         lambda p: list(mm.iter_tar_members(p)),
         lambda p: list(iter_warc_records(p)),
+        mm.perceptual_hash,
+        mm.audio_fingerprint,
+        mm.video_fingerprint,
     ]
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
