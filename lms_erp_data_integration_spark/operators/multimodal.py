@@ -1403,6 +1403,10 @@ def perceptual_hash(payload: bytes) -> int | None:
         return None
     gray = px.astype(np.float64).mean(axis=2)
     h, w = gray.shape
+    if h < 32 or w < 32:  # tiny inputs: nearest-upsample first so the
+        # bucket means below are over non-empty buckets
+        gray = gray[(np.arange(32) * h) // 32][:, (np.arange(32) * w) // 32]
+        h = w = 32
     # box-filter downsample to 32x32 (bucket means): averaging makes
     # the hash stable under re-encode noise where nearest sampling
     # flips near-threshold bits
