@@ -1599,3 +1599,123 @@ def video_fingerprint(payload: bytes) -> int | None:
     dur = (meta.get("duration_ms") or 0) // 1000
     digest = hashlib.md5(sizes + b"|" + str(dur).encode()).digest()
     return int.from_bytes(digest[:8], "big") >> 1  # non-negative 63-bit
+
+
+# ------------------------------------------------------------ pdf text
+
+def extract_pdf_text(payload: bytes) -> str | None:
+    """Text from simple (unencrypted, standard-encoding) PDFs: every
+    content stream is located by its ``stream``/``endstream`` framing,
+    FlateDecode'd with stdlib zlib where marked, and the text-showing
+    operators parsed from BT/ET blocks — ``(...) Tj``, ``(...) '``,
+    and ``[(..) n (..)] TJ`` arrays, with the standard escape
+    sequences and balanced-parens handling. TD/Td/T* start new lines.
+    Covers the generated-report class of PDFs (the bulk of crawled
+    PDFs that contain extractable text at all); scanned/encrypted/
+    CID-font documents return None or partial text and belong to an
+    OCR stage. Returns None when the payload is not a PDF."""
+    import re
+    import zlib
+
+    if not payload.startswith(b"%PDF-"):
+        return None
+    chunks = []
+    for m in re.finditer(rb"stream\r?\n", payload):
+        start = m.end()
+        end = payload.find(b"endstream", start)
+        if end < 0:
+            continue
+        raw = payload[start:end].rstrip(b"\r\n")
+        # the object's dict precedes 'stream'; check it for Flate
+        head = payload[max(0, m.start() - 300) : m.start()]
+        if b"FlateDecode" in head:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue
+        chunks.append(raw)
+    out: list[str] = []
+    for data in chunks:
+        for bt in re.finditer(rb"BT(.*?)ET", data, re.S):
+            block = bt.group(1)
+            line: list[str] = []
+            i = 0
+            n = len(block)
+            while i < n:
+                c = block[i]
+                if c == 0x28:  # '(' literal string
+                    j = i + 1
+                    depth = 1
+                    s = bytearray()
+                    while j < n and depth:
+                        b = block[j]
+                        if b == 0x5C and j + 1 < n:  # backslash escape
+                            nxt = block[j + 1]
+                            esc = {0x6E: 10, 0x72: 13, 0x74: 9,
+                                   0x28: 40, 0x29: 41, 0x5C: 92}
+                            s.append(esc.get(nxt, nxt))
+                            j += 2
+                            continue
+                        if b == 0x28:
+                            depth += 1
+                        elif b == 0x29:
+                            depth -= 1
+                            if depth == 0:
+                                j += 1
+                                break
+                        s.append(b)
+                        j += 1
+                    line.append(s.decode("latin-1"))
+                    i = j
+                    continue
+                if block[i : i + 2] in (b"TD", b"Td", b"T*") or (
+                    c == 0x27
+                ):  # newline operators (and ' shows text on next line)
+                    if line:
+                        out.append("".join(line))
+                        line = []
+                i += 1
+            if line:
+                out.append("".join(line))
+    return "\n".join(out)  # "" for a PDF with no extractable text
+
+
+def build_pdf(lines: list[str], compress: bool = True) -> bytes:
+    """Minimal one-page PDF writer for fixtures: Helvetica text lines
+    in one (optionally FlateDecode'd) content stream. Structurally
+    valid (xref + trailer), accepted by standard viewers."""
+    import zlib
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    content = b"BT /F1 12 Tf 72 720 Td " + b" ".join(
+        b"(%s) Tj 0 -14 Td" % esc(t).encode("latin-1") for t in lines
+    ) + b" ET"
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< " + filt + b"/Length %d >>\nstream\n" % len(content)
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % (len(objs) + 1, xref)
+    )
+    return bytes(out)

@@ -1932,3 +1932,42 @@ def test_hamming_near_duplicates_generic(spark):
     }
     assert pairs.get((1, 2)) == 0
     assert all(3 not in p for p in pairs)
+
+
+def test_pdf_text_extraction(spark):
+    """Simple-PDF text extraction round trip, raw and FlateDecode'd,
+    escapes and nested parens included — then through a Spark stage
+    into the text-curation surface."""
+    lines = ["Hello PDF world.", "Second (line) with \\ escapes."]
+    for comp in (True, False):
+        text = mm.extract_pdf_text(mm.build_pdf(lines, compress=comp))
+        assert text.split("\n") == lines
+    assert mm.extract_pdf_text(b"%PDF-1.4 junk without streams") == ""
+    assert mm.extract_pdf_text(b"not a pdf") is None
+
+    # distributed: PDFs in, quality-screenable text out
+    from pyspark.sql import types as T
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            rows = []
+            for i, p in zip(pdf_batch["doc_id"], pdf_batch["payload"]):
+                t = mm.extract_pdf_text(p)
+                if t:
+                    rows.append({"doc_id": i, "text": t})
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mm.build_pdf(lines))), (2, b"junk")],
+        "doc_id long, payload binary",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    got = df.mapInPandas(op, schema).collect()
+    assert len(got) == 1 and "Hello PDF world." in got[0]["text"]
