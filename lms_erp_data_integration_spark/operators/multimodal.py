@@ -1719,3 +1719,61 @@ def build_pdf(lines: list[str], compress: bool = True) -> bytes:
         % (len(objs) + 1, xref)
     )
     return bytes(out)
+
+
+def extract_docx_text(payload: bytes) -> str | None:
+    """Text from a DOCX (OOXML) payload: stdlib zipfile to
+    ``word/document.xml``, paragraphs (``</w:p>``) to newlines, tags
+    stripped, the five standard XML entities decoded. Returns None
+    for non-zip / non-DOCX payloads."""
+    import io
+    import re
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            xml = zf.read("word/document.xml").decode("utf-8", "replace")
+    except (zipfile.BadZipFile, KeyError, OSError):
+        return None
+    xml = re.sub(r"</w:p>", "\n", xml)
+    text = re.sub(r"<[^>]+>", "", xml)
+    for ent, ch in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&apos;", "'")]:
+        text = text.replace(ent, ch)
+    return re.sub(r"\n{2,}", "\n", text).strip()
+
+
+def build_docx(paragraphs: list[str]) -> bytes:
+    """Minimal DOCX writer for fixtures (content types + document
+    part; accepted by Word-compatible readers)."""
+    import io
+    import zipfile
+
+    def esc(s: str) -> str:
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+
+    body = "".join(
+        f"<w:p><w:r><w:t>{esc(p)}</w:t></w:r></w:p>" for p in paragraphs
+    )
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        + body
+        + "</w:body></w:document>"
+    )
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types"><Default Extension="xml" ContentType="application/'
+        'xml"/><Override PartName="/word/document.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.wordprocessingml.'
+        'document.main+xml"/></Types>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("word/document.xml", document)
+    return buf.getvalue()

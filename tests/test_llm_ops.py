@@ -1971,3 +1971,18 @@ def test_pdf_text_extraction(spark):
     )
     got = df.mapInPandas(op, schema).collect()
     assert len(got) == 1 and "Hello PDF world." in got[0]["text"]
+
+
+def test_docx_text_extraction():
+    paras = ["First paragraph.", "Second & <tagged> one."]
+    text = mm.extract_docx_text(mm.build_docx(paras))
+    assert text.split("\n") == paras
+    assert mm.extract_docx_text(b"not a zip") is None
+    # a zip without the document part is not a docx
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("other.txt", "x")
+    assert mm.extract_docx_text(buf.getvalue()) is None
