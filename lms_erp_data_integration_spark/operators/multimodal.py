@@ -1777,3 +1777,57 @@ def build_docx(paragraphs: list[str]) -> bytes:
         zf.writestr("[Content_Types].xml", ct)
         zf.writestr("word/document.xml", document)
     return buf.getvalue()
+
+
+DOC_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("doc_format", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def extract_document_text(payload: bytes) -> tuple[str, str] | None:
+    """(format, text) for any recognized document payload — the single
+    dispatch a corpus ingest calls: PDF and DOCX route to their real
+    extractors; HTML-looking bytes are tagged for the JVM-side
+    `operators/text.py:html_to_text` (returned RAW here — stripping
+    belongs in the codegen'd column path, not per-row Python); valid
+    UTF-8 passes through as plain text. None = binary junk."""
+    if payload.startswith(b"%PDF-"):
+        t = extract_pdf_text(payload)
+        return ("pdf", t) if t is not None else None
+    if payload[:2] == b"PK":
+        t = extract_docx_text(payload)
+        return ("docx", t) if t is not None else None
+    head = payload[:256].lstrip().lower()
+    if head.startswith((b"<!doctype html", b"<html")):
+        try:
+            return ("html", payload.decode("utf-8", "strict"))
+        except UnicodeDecodeError:
+            return ("html", payload.decode("latin-1"))
+    try:
+        return ("text", payload.decode("utf-8", "strict"))
+    except UnicodeDecodeError:
+        return None
+
+
+def extract_document_texts(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas document-text stage over mixed payloads; binary
+    junk drops out. Downstream: `where(doc_format = 'html')` rows go
+    through `html_to_text` JVM-side, everything else is ready for the
+    quality/dedup surface."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                r = extract_document_text(p)
+                if r is not None:
+                    rows.append(
+                        {"doc_id": i, "doc_format": r[0], "text": r[1]}
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "doc_format", "text"])
+
+    return df.select(id_col, "payload").mapInPandas(op, DOC_TEXT_SCHEMA)

@@ -1986,3 +1986,29 @@ def test_docx_text_extraction():
     with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr("other.txt", "x")
     assert mm.extract_docx_text(buf.getvalue()) is None
+
+
+def test_extract_document_texts_mixed(spark):
+    from lms_erp_data_integration_spark.operators import text as tx
+
+    rows = [
+        (1, bytearray(mm.build_pdf(["PDF body text."]))),
+        (2, bytearray(mm.build_docx(["Docx body text."]))),
+        (3, b"<html><body><p>Web body text.</p></body></html>"),
+        (4, "plain utf-8 text ✓".encode()),
+        (5, bytes([0xFF, 0xFE, 0x00, 0x99]) * 4),  # binary junk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = mm.extract_document_texts(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["doc_format"] == "pdf" and "PDF body" in got[1]["text"]
+    assert got[2]["doc_format"] == "docx"
+    assert got[4]["doc_format"] == "text" and "✓" in got[4]["text"]
+    # html rows finish JVM-side through the codegen'd stripper
+    html_txt = (
+        out.where(F.col("doc_format") == "html")
+        .select(tx.html_to_text(F.col("text")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert html_txt == "Web body text."
