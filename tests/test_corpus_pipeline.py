@@ -94,3 +94,35 @@ def test_warc_to_training_chunks(spark, tmp_path):
     assert len(rows) >= 3
     texts = [r["chunk_text"] for r in rows]
     assert all(len(t.split()) <= 40 for t in texts)
+
+
+def test_mixed_document_corpus_to_text(spark):
+    """Beyond HTML: a mixed PDF/DOCX/plain corpus goes through the
+    document router into the same curation surface."""
+    from lms_erp_data_integration_spark.operators import multimodal as mm
+
+    rows = [
+        (1, bytearray(mm.build_pdf(["Report text from a PDF."]))),
+        (2, bytearray(mm.build_docx(["Memo text from a DOCX."]))),
+        (3, b"<html><body><p>Page body text here.</p></body></html>"),
+        (4, b"README plain text."),
+        (5, bytes([0, 159, 146, 150]) * 3),  # binary junk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    docs = mm.extract_document_texts(df)
+    finished = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_format") == "html",
+            tx.html_to_text(F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    q = finished.select(
+        "doc_id",
+        *[c.alias(n) for n, c in tx.quality_exprs(F.col("text")).items()],
+    )
+    got = {r["doc_id"]: r for r in q.collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert all(r["n_tokens"] >= 3 for r in got.values())
