@@ -126,3 +126,49 @@ def test_mixed_document_corpus_to_text(spark):
     got = {r["doc_id"]: r for r in q.collect()}
     assert set(got) == {1, 2, 3, 4}
     assert all(r["n_tokens"] >= 3 for r in got.values())
+
+
+def test_image_shard_pipeline_to_normalized_jpegs(spark, tmp_path):
+    """The multimodal ingest path end to end: WebDataset tar shards ->
+    member rows -> metadata decode -> pHash visual dedup -> transcode
+    survivors to normalized JPEGs."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators import multimodal as mm
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from lms_erp_data_integration_spark.sources.webdataset import (
+        register_webdataset,
+    )
+    from tests.test_llm_ops import _textured_image
+
+    base, other = _textured_image(5), _textured_image(55)
+    members = [
+        ("0001.jpg", encode_jpeg(base, quality=95)),
+        ("0002.jpg", encode_jpeg(base, quality=60)),   # visual dup
+        ("0003.jpg", encode_jpeg(other, quality=95)),
+        ("0004.txt", b"caption sidecar"),
+    ]
+    (tmp_path / "shard-0.tar").write_bytes(mm.build_tar_shard(members))
+
+    register_webdataset(spark)
+    imgs = (
+        spark.read.format("webdataset")
+        .option("path", str(tmp_path))
+        .option("exts", "jpg")
+        .load()
+        .select(
+            F.col("sample_key").cast("long").alias("doc_id"), "payload"
+        )
+    )
+    dups = mm.image_near_duplicates(imgs, max_hamming=8)
+    drop = dups.select(F.col("j").alias("doc_id")).distinct()
+    keepers = imgs.join(drop, "doc_id", "left_anti")
+    out = mm.transcode_images(keepers, 16, 16, quality=92).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 3]  # dup 2 dropped, both survivors normalized
+    for r in out:
+        px = decode_jpeg(bytes(r["payload"]))
+        assert px.shape == (16, 16, 3)
