@@ -5,8 +5,8 @@ global/local color tables, extension blocks, sub-block framing,
 variable-width LSB-first LZW with CLEAR/END codes and the deferred
 dictionary-growth rule, and the 4-pass interlace ordering. Returns the
 FIRST frame as (H, W, 3) uint8 — for feature extraction a later frame
-adds nothing, and animation frame counting belongs to the frame-sample
-operator.
+adds nothing; ``gif_frame_count`` walks the block structure for the
+animation pre-flight without any LZW decode.
 
 Also ships a minimal spec-compliant encoder for round-trip fixtures:
 it emits a CLEAR code before every pixel code so the dictionary never
