@@ -400,6 +400,20 @@ def _decode_gif_meta(payload: bytes) -> dict | None:
     }
 
 
+def _decode_ico_meta(payload: bytes) -> dict | None:
+    px = _decode_ico_pixels(payload)
+    if px is None:
+        return None
+    h, w, c = px.shape
+    return {
+        "n_bytes": len(payload),
+        "width": w,
+        "height": h,
+        "channels": c,
+        "pixel_mean": float(px.mean()),
+    }
+
+
 def decode_image(payload: bytes) -> dict | None:
     """Real decode for the formats needing no external codec
     (PPM/PGM/BMP/PNG/baseline+progressive JPEG/GIF/baseline TIFF).
@@ -416,6 +430,7 @@ def decode_image(payload: bytes) -> dict | None:
             or _decode_jpeg_meta(payload)
             or _decode_gif_meta(payload)
             or _decode_tiff_meta(payload)
+            or _decode_ico_meta(payload)
         )
     except (ValueError, struct.error):
         return None
@@ -464,6 +479,8 @@ def _decode_pixels(payload: bytes) -> tuple | None:
         return decode_gif(payload)
     if payload[:2] in (b"II", b"MM"):
         return _decode_tiff_pixels(payload)
+    if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return _decode_ico_pixels(payload)
     meta = decode_image(payload)
     if meta is None:
         return None
@@ -1831,3 +1848,52 @@ def extract_document_texts(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "doc_format", "text"])
 
     return df.select(id_col, "payload").mapInPandas(op, DOC_TEXT_SCHEMA)
+
+
+def _decode_ico_pixels(payload: bytes) -> np.ndarray | None:
+    """Largest image from an ICO/CUR container: each directory entry
+    points at either a complete PNG (modern favicons) or a header-less
+    BMP (BITMAPINFOHEADER with DOUBLED height covering the XOR pixel
+    block plus the 1-bit AND mask). Reuses the PNG decoder; the BMP
+    branch handles the 32/24-bit uncompressed forms favicons use."""
+    if len(payload) < 6 or payload[:4] not in (
+        b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"
+    ):
+        return None
+    n = struct.unpack_from("<H", payload, 4)[0]
+    if n == 0 or len(payload) < 6 + 16 * n:
+        return None
+    best = None
+    for k in range(n):
+        off = 6 + 16 * k
+        w, h = payload[off], payload[off + 1]
+        w, h = w or 256, h or 256
+        size, data_off = struct.unpack_from("<II", payload, off + 8)
+        if data_off + size > len(payload):
+            continue
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, data_off, size)
+    if best is None:
+        return None
+    w, h, data_off, size = best
+    blob = payload[data_off : data_off + size]
+    if blob.startswith(_PNG_SIG):
+        return _png_pixels(blob)
+    if len(blob) < 40:
+        return None
+    hdr_size, bw, bh2 = struct.unpack_from("<Iii", blob, 0)
+    planes, bpp = struct.unpack_from("<HH", blob, 12)
+    compression = struct.unpack_from("<I", blob, 16)[0]
+    if hdr_size != 40 or compression != 0 or bpp not in (24, 32):
+        return None
+    bh = abs(bh2) // 2  # doubled height: XOR block + AND mask
+    c = bpp // 8
+    stride = (bw * c + 3) & ~3
+    if 40 + stride * bh > len(blob):
+        return None
+    raw = np.frombuffer(
+        blob, np.uint8, count=stride * bh, offset=40
+    ).reshape(bh, stride)[:, : bw * c].reshape(bh, bw, c)
+    px = raw[::-1]  # bottom-up
+    order = [2, 1, 0] if c == 3 else [2, 1, 0, 3]
+    return px[..., order]

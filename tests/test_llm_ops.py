@@ -2012,3 +2012,36 @@ def test_extract_document_texts_mixed(spark):
         .collect()[0]["t"]
     )
     assert html_txt == "Web body text."
+
+
+def test_ico_png_and_bmp_entries():
+    import struct as st
+
+    import numpy as np
+
+    # PNG-embedded entry
+    img = np.full((8, 8, 3), 33, np.uint8)
+    png = mm.encode_png(img)
+    ico = (b"\x00\x00\x01\x00" + st.pack("<H", 1)
+           + bytes([8, 8, 0, 0]) + st.pack("<HHII", 1, 32, len(png), 22)
+           + png)
+    px = mm._decode_pixels(ico)
+    assert px is not None and (px == img).all()
+    meta = mm.decode_image(ico)
+    assert (meta["width"], meta["height"]) == (8, 8)
+
+    # header-less BMP entry: 2x2 32-bit BGRA, doubled height, bottom-up
+    pix_rgba = np.array(
+        [[[255, 0, 0, 255], [0, 255, 0, 255]],
+         [[0, 0, 255, 255], [9, 9, 9, 255]]], np.uint8
+    )
+    bgra_rows_bottom_up = pix_rgba[::-1][..., [2, 1, 0, 3]]
+    dib = st.pack("<IiiHHIIiiII", 40, 2, 4, 1, 32, 0, 0, 0, 0, 0, 0)
+    blob = dib + bgra_rows_bottom_up.tobytes() + b"\x00" * 8  # + AND mask
+    ico2 = (b"\x00\x00\x01\x00" + st.pack("<H", 1)
+            + bytes([2, 2, 0, 0]) + st.pack("<HHII", 1, 32, len(blob), 22)
+            + blob)
+    px2 = mm._decode_pixels(ico2)
+    assert px2 is not None and px2.shape == (2, 2, 4)
+    assert (px2 == pix_rgba).all()
+    assert mm._decode_ico_pixels(b"junk") is None
