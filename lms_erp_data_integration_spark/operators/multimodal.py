@@ -1897,3 +1897,31 @@ def _decode_ico_pixels(payload: bytes) -> np.ndarray | None:
     px = raw[::-1]  # bottom-up
     order = [2, 1, 0] if c == 3 else [2, 1, 0, 3]
     return px[..., order]
+
+
+def extract_epub_html(payload: bytes) -> list[tuple[str, str]] | None:
+    """(spine-ordered-ish name, raw XHTML) chapters from an EPUB — a
+    zip whose mimetype member says ``application/epub+zip``. Raw HTML
+    is returned for the JVM-side `html_to_text` stripper (same
+    contract as the document router's html branch: per-row Python only
+    locates content, the stripping stays codegen'd)."""
+    import io
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            names = zf.namelist()
+            if "mimetype" in names:
+                if b"epub" not in zf.read("mimetype"):
+                    return None
+            elif not any(n.endswith(".opf") for n in names):
+                return None
+            out = []
+            for n in sorted(names):
+                if n.lower().endswith((".xhtml", ".html", ".htm")):
+                    out.append(
+                        (n, zf.read(n).decode("utf-8", "replace"))
+                    )
+            return out
+    except (zipfile.BadZipFile, OSError):
+        return None

@@ -2045,3 +2045,38 @@ def test_ico_png_and_bmp_entries():
     assert px2 is not None and px2.shape == (2, 2, 4)
     assert (px2 == pix_rgba).all()
     assert mm._decode_ico_pixels(b"junk") is None
+
+
+def test_epub_chapters_to_text(spark):
+    import io
+    import zipfile
+
+    from lms_erp_data_integration_spark.operators import text as tx
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("content.opf", "<package/>")
+        zf.writestr(
+            "ch1.xhtml",
+            "<html><body><p>Chapter one text.</p></body></html>",
+        )
+        zf.writestr(
+            "ch2.xhtml",
+            "<html><body><p>Chapter two text.</p></body></html>",
+        )
+    epub = buf.getvalue()
+    chapters = mm.extract_epub_html(epub)
+    assert [n for n, _ in chapters] == ["ch1.xhtml", "ch2.xhtml"]
+    # strip JVM-side
+    df = spark.createDataFrame(chapters, "name string, html string")
+    texts = {
+        r["name"]: r["t"]
+        for r in df.select(
+            "name", tx.html_to_text(F.col("html")).alias("t")
+        ).collect()
+    }
+    assert texts["ch1.xhtml"] == "Chapter one text."
+    assert mm.extract_epub_html(b"not a zip") is None
+    # a plain docx zip is not an epub
+    assert mm.extract_epub_html(mm.build_docx(["x"])) is None
