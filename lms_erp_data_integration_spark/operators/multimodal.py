@@ -1817,7 +1817,13 @@ def extract_document_text(payload: bytes) -> tuple[str, str] | None:
         return ("pdf", t) if t is not None else None
     if payload[:2] == b"PK":
         t = extract_docx_text(payload)
-        return ("docx", t) if t is not None else None
+        if t is not None:
+            return ("docx", t)
+        ch = extract_epub_html(payload)
+        if ch:
+            # raw XHTML joined; strip JVM-side like the html branch
+            return ("epub", "\n".join(html for _n, html in ch))
+        return None
     head = payload[:256].lstrip().lower()
     if head.startswith((b"<!doctype html", b"<html")):
         try:

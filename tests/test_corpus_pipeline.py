@@ -113,7 +113,7 @@ def test_mixed_document_corpus_to_text(spark):
     finished = docs.select(
         "doc_id",
         F.when(
-            F.col("doc_format") == "html",
+            F.col("doc_format").isin("html", "epub"),
             tx.html_to_text(F.col("text")),
         )
         .otherwise(F.col("text"))
