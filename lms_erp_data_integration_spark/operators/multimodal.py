@@ -726,9 +726,28 @@ def decode_wav(payload: bytes) -> dict | None:
     if fmt is None or data is None:
         return None
     audio_fmt, channels, rate, _brate, _balign, bits = fmt
-    if audio_fmt != 1 or bits not in (8, 16) or channels == 0 or rate == 0:
+    ok = (audio_fmt == 1 and bits in (8, 16)) or (
+        audio_fmt in (6, 7) and bits == 8  # A-law / mu-law (G.711)
+    )
+    if not ok or channels == 0 or rate == 0:
         return None
-    if bits == 8:  # unsigned, offset-binary
+    if audio_fmt == 7:  # mu-law: 8-bit companded -> linear
+        u = ~np.frombuffer(data, np.uint8)
+        sign = np.where(u & 0x80, -1.0, 1.0)
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        lin = ((mant.astype(np.int32) << 3) + 0x84 << exp) - 0x84
+        samples = sign * lin / 32768.0
+    elif audio_fmt == 6:  # A-law
+        a = np.frombuffer(data, np.uint8) ^ 0x55
+        sign = np.where(a & 0x80, -1.0, 1.0)
+        exp = (a >> 4) & 0x07
+        mant = (a & 0x0F).astype(np.int32)
+        lin = np.where(
+            exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1)
+        )
+        samples = sign * lin / 32768.0
+    elif bits == 8:  # unsigned, offset-binary
         samples = np.frombuffer(data, np.uint8).astype(np.float64)
         samples = (samples - 128.0) / 128.0
     else:

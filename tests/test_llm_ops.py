@@ -2080,3 +2080,43 @@ def test_epub_chapters_to_text(spark):
     assert mm.extract_epub_html(b"not a zip") is None
     # a plain docx zip is not an epub
     assert mm.extract_epub_html(mm.build_docx(["x"])) is None
+
+
+def test_wav_mulaw_decode_matches_linear_reference():
+    """G.711 mu-law WAV (format 7): decoding a companded ramp must
+    reproduce the linear ramp's RMS (companding round-trips within
+    quantization), pinned against a textbook encoder."""
+    import struct as st
+
+    import numpy as np
+
+    def mulaw_encode(x):
+        BIAS, CLIP = 0x84, 32635
+        out = []
+        for s in x:
+            sign = 0x80 if s < 0 else 0
+            if s < 0:
+                s = -s
+            s = min(s, CLIP) + BIAS
+            exp, mask = 7, 0x4000
+            while exp > 0 and not (s & mask):
+                exp -= 1
+                mask >>= 1
+            mant = (s >> (exp + 3)) & 0x0F
+            out.append(~(sign | (exp << 4) | mant) & 0xFF)
+        return bytes(out)
+
+    vals = np.linspace(-30000, 30000, 200).astype(int)
+    enc = mulaw_encode(vals)
+    fmtch = st.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    wav = (b"RIFF" + st.pack("<I", 36 + len(enc)) + b"WAVE"
+           + b"fmt " + st.pack("<I", len(fmtch)) + fmtch
+           + b"data" + st.pack("<I", len(enc)) + enc)
+    meta = mm.decode_wav(wav)
+    assert meta is not None and meta["sample_rate"] == 8000
+    ref_rms = float(np.sqrt(np.mean((vals / 32768.0) ** 2)))
+    assert abs(meta["rms_milli"] / 1000 - ref_rms) < 0.02
+    # format 3 (float) stays rejected
+    bad = bytearray(wav)
+    bad[20] = 3
+    assert mm.decode_wav(bytes(bad)) is None
