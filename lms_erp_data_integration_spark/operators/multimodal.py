@@ -705,12 +705,11 @@ AUDIO_META_SCHEMA = T.StructType(
 )
 
 
-def decode_wav(payload: bytes) -> dict | None:
-    """RIFF/WAVE PCM decode (8/16-bit integer, any rate/channels) —
-    the audio analog of the raster decoders, stdlib-only. Returns
-    metadata plus an exact integer RMS (amplitude normalized to
-    [-1, 1], scaled to milli-units) or None for non-WAV payloads and
-    non-PCM encodings (callers fall back to the stub)."""
+def _wav_samples(payload: bytes):
+    """(rate, channels, interleaved float64 samples in [-1, 1]) for a
+    RIFF/WAVE payload — linear PCM (8/16-bit) or G.711 mu-law/A-law —
+    else None. The ONE place WAV sample decoding lives; metadata,
+    spectral, and fingerprint paths all read through it."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, fmt, data = 12, None, None
@@ -754,6 +753,19 @@ def decode_wav(payload: bytes) -> dict | None:
         n16 = len(data) // 2
         samples = np.frombuffer(data, "<i2", count=n16).astype(np.float64)
         samples /= 32768.0
+    return rate, channels, samples
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """RIFF/WAVE decode (linear PCM 8/16-bit or G.711 mu-law/A-law) —
+    the audio analog of the raster decoders, stdlib-only. Returns
+    metadata plus an exact integer RMS (amplitude normalized to
+    [-1, 1], scaled to milli-units) or None for non-WAV payloads and
+    unsupported encodings (callers fall back to the stub)."""
+    r = _wav_samples(payload)
+    if r is None:
+        return None
+    rate, channels, samples = r
     n_frames = samples.size // channels
     if n_frames == 0:
         return None
@@ -1117,30 +1129,10 @@ def wav_spectral_features(payload: bytes) -> dict | None:
     spectral centroid — the audio-quality screens (silence, hum,
     clipping artifacts) a speech corpus runs before transcription.
     Multi-channel audio is averaged to mono first."""
-    if len(payload) < 44 or payload[:4] != b"RIFF":
-        return None
     meta = decode_wav(payload)
     if meta is None:
         return None
-    pos, data, bits, channels = 12, None, 16, meta["channels"]
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        sz = struct.unpack_from("<I", payload, pos + 4)[0]
-        if cid == b"fmt ":
-            bits = struct.unpack_from(
-                "<HHIIHH", payload[pos + 8 : pos + 24], 0
-            )[5]
-        elif cid == b"data":
-            data = payload[pos + 8 : pos + 8 + sz]
-        pos += 8 + sz + (sz & 1)
-    if data is None:
-        return None
-    if bits == 8:
-        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
-    else:
-        x = np.frombuffer(data, "<i2", count=len(data) // 2).astype(
-            np.float64
-        ) / 32768.0
+    _rate, channels, x = _wav_samples(payload)
     n = (x.size // channels) * channels
     mono = x[:n].reshape(-1, channels).mean(axis=1)
     if mono.size < 4:
@@ -1580,23 +1572,7 @@ def audio_fingerprint(payload: bytes) -> int | None:
     meta = decode_wav(payload)
     if meta is None or meta["n_samples"] < 64:
         return None
-    # re-read samples mono (decode_wav already validated the layout)
-    pos, data, bits = 12, None, 16
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        sz = struct.unpack_from("<I", payload, pos + 4)[0]
-        if cid == b"fmt ":
-            bits = struct.unpack_from("<H", payload, pos + 22)[0]
-        elif cid == b"data":
-            data = payload[pos + 8 : pos + 8 + sz]
-        pos += 8 + sz + (sz & 1)
-    if bits == 8:
-        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
-    else:
-        x = np.frombuffer(data, "<i2", count=len(data) // 2).astype(
-            np.float64
-        ) / 32768.0
-    ch = meta["channels"]
+    _rate, ch, x = _wav_samples(payload)
     n = (x.size // ch) * ch
     mono = x[:n].reshape(-1, ch).mean(axis=1)
 
