@@ -58,7 +58,13 @@ def _cmd_query(args) -> int:
     df = qs[args.name](spark, args.sf_dir)
     if args.explain:
         df.explain("formatted")
-    df.show(args.limit, truncate=False)
+    if args.json:
+        import json
+
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(recursive=True), default=str))
+    else:
+        df.show(args.limit, truncate=False)
     return 0
 
 
@@ -113,6 +119,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
     q.add_argument("--explain", action="store_true")
+    q.add_argument("--json", action="store_true",
+                   help="one JSON object per row instead of a table")
 
     s = sub.add_parser("sync", help="run the LMS/ERP sync pipeline")
     s.add_argument("--erp", required=True, help="ERP tables directory")

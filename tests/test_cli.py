@@ -104,3 +104,19 @@ def test_cli_sync_end_to_end(spark, tmp_path):
     assert files
     body = open(files[0]).read()
     assert "1002" in body  # stu.b is the missing student user
+
+
+def test_cli_query_json_output(spark, capsys):
+    import json
+
+    rc = main(
+        ["query", "rel_q6_revenue_filter",
+         "--sf-dir", "/root/testdata/sf0.001", "--json", "--limit", "5"]
+    )
+    assert rc == 0
+    lines = [
+        l for l in capsys.readouterr().out.splitlines() if l.startswith("{")
+    ]
+    assert lines
+    row = json.loads(lines[0])
+    assert "revenue" in {k.lower() for k in row}
