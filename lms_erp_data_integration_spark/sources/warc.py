@@ -67,9 +67,33 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Undo HTTP chunked transfer-encoding (hex size line + CRLF per
+    chunk, 0-size terminator); returns the input on malformed data."""
+    out = bytearray()
+    pos = 0
+    while pos < len(body):
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            return bytes(body)
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return bytes(body)
+        if size == 0:
+            break
+        start = nl + 2
+        out += body[start : start + size]
+        pos = start + size + 2  # skip chunk CRLF
+    return bytes(out)
+
+
 def split_http_response(block: bytes) -> tuple[int | None, str, bytes]:
     """(status, content-type, payload) from an HTTP response message;
-    (None, "", block) when the block isn't one."""
+    (None, "", block) when the block isn't one. Chunked
+    transfer-encoding is undone and gzip content-encoding inflated —
+    both appear verbatim in real crawl captures."""
     if not block.startswith(b"HTTP/"):
         return None, "", block
     head, sep, payload = block.partition(b"\r\n\r\n")
@@ -81,7 +105,18 @@ def split_http_response(block: bytes) -> tuple[int | None, str, bytes]:
         status = int(parts[1])
     except (IndexError, ValueError):
         return None, "", block
-    ctype = _parse_headers(rest).get("content-type", "")
+    headers = _parse_headers(rest)
+    ctype = headers.get("content-type", "")
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        payload = _dechunk(payload)
+    if (
+        "gzip" in headers.get("content-encoding", "").lower()
+        and payload[:2] == b"\x1f\x8b"
+    ):
+        try:
+            payload = _gunzip_members(payload)
+        except zlib.error:
+            pass  # keep raw bytes rather than dropping the record
     return status, ctype, payload
 
 

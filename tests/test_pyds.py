@@ -252,3 +252,35 @@ def test_warc_parse_and_spark_ingest(spark, tmp_path):
     assert all(r["url"] == "example.com/a" for r in rows)
     assert all("Hello crawl world." in r["text"] for r in rows)
     assert all("<" not in r["text"] for r in rows)
+
+
+def test_warc_chunked_and_gzipped_bodies():
+    import gzip
+
+    from lms_erp_data_integration_spark.sources.warc import (
+        iter_warc_records,
+        split_http_response,
+    )
+
+    page = b"<html><body>chunk me</body></html>"
+    chunked_body = (
+        b"%x\r\n" % 10 + page[:16][:10] + b"\r\n"
+        + b"%x\r\n" % (len(page) - 10) + page[10:] + b"\r\n0\r\n\r\n"
+    )
+    msg = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+           b"Transfer-Encoding: chunked\r\n\r\n" + chunked_body)
+    status, ctype, body = split_http_response(msg)
+    assert (status, body) == (200, page)
+
+    gz = gzip.compress(page)
+    msg2 = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + gz)
+    status2, _, body2 = split_http_response(msg2)
+    assert (status2, body2) == (200, page)
+
+    # full record framing still works with the encoded bodies
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/\r\n"
+           b"Content-Length: %d\r\n\r\n" % len(msg2)) + msg2 + b"\r\n\r\n"
+    got = list(iter_warc_records(rec))
+    assert got[0]["body"] == page
