@@ -480,7 +480,13 @@ def _decode_pixels(payload: bytes) -> tuple | None:
     if payload[:2] in (b"II", b"MM"):
         return _decode_tiff_pixels(payload)
     if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
-        return _decode_ico_pixels(payload)
+        ico = _decode_ico_pixels(payload)
+        if ico is not None:
+            return ico
+        # fall through: a type-2 TGA header collides with the CUR magic
+    tga = _decode_tga_pixels(payload)
+    if tga is not None:
+        return tga
     meta = decode_image(payload)
     if meta is None:
         return None
@@ -1926,3 +1932,83 @@ def extract_epub_html(payload: bytes) -> list[tuple[str, str]] | None:
             return out
     except (zipfile.BadZipFile, OSError):
         return None
+
+
+def _decode_tga_pixels(payload: bytes) -> np.ndarray | None:
+    """(H, W, C) uint8 for a TGA: types 1/2 (palette/truecolor raw)
+    and 9/10 (RLE), 8-bit palette indices or 24/32-bit BGR(A)
+    pixels, bottom-up or top-down origin. TGA has no magic number, so
+    this is only dispatched for payloads nothing else claimed AND
+    whose header fields validate strictly."""
+    if len(payload) < 18:
+        return None
+    id_len = payload[0]
+    cmap_type = payload[1]
+    img_type = payload[2]
+    cm_start, cm_len = struct.unpack_from("<HH", payload, 3)
+    cm_bits = payload[7]
+    w, h = struct.unpack_from("<HH", payload, 12)
+    bpp = payload[16]
+    desc = payload[17]
+    if img_type not in (1, 2, 9, 10) or cmap_type not in (0, 1):
+        return None
+    if w == 0 or h == 0 or w > 16384 or h > 16384:
+        return None
+    paletted = img_type in (1, 9)
+    if paletted:
+        if cmap_type != 1 or bpp != 8 or cm_bits not in (24, 32):
+            return None
+    elif bpp not in (24, 32):
+        return None
+    pos = 18 + id_len
+    pal = None
+    if cmap_type == 1:
+        entry = cm_bits // 8
+        need = cm_len * entry
+        if pos + need > len(payload):
+            return None
+        raw_pal = np.frombuffer(
+            payload, np.uint8, count=need, offset=pos
+        ).reshape(cm_len, entry)
+        pal = raw_pal[:, [2, 1, 0]]  # BGR(A) -> RGB
+        pos += need
+    c = 1 if paletted else bpp // 8
+    n_px = w * h
+    if img_type in (1, 2):  # raw
+        need = n_px * c
+        if pos + need > len(payload):
+            return None
+        flat = np.frombuffer(payload, np.uint8, count=need, offset=pos)
+    else:  # RLE packets
+        out = bytearray()
+        limit = n_px * c
+        while len(out) < limit and pos < len(payload):
+            hdr = payload[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:  # run packet: one pixel repeated
+                px = payload[pos : pos + c]
+                if len(px) < c:
+                    return None
+                out += px * count
+                pos += c
+            else:  # literal packet
+                take = count * c
+                chunk = payload[pos : pos + take]
+                if len(chunk) < take:
+                    return None
+                out += chunk
+                pos += take
+        if len(out) < limit:
+            return None
+        flat = np.frombuffer(bytes(out[:limit]), np.uint8)
+    grid = flat.reshape(h, w, c)
+    if not desc & 0x20:  # bit 5 clear: bottom-up origin
+        grid = grid[::-1]
+    if paletted:
+        idx = grid[..., 0]
+        if int(idx.max(initial=0)) >= (cm_start + len(pal)):
+            return None
+        return pal[idx - cm_start]
+    order = [2, 1, 0] if c == 3 else [2, 1, 0, 3]
+    return grid[..., order]

@@ -2120,3 +2120,49 @@ def test_wav_mulaw_decode_matches_linear_reference():
     bad = bytearray(wav)
     bad[20] = 3
     assert mm.decode_wav(bytes(bad)) is None
+
+
+def test_tga_decode_raw_rle_palette():
+    import struct as st
+
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+
+    def tga_raw(px, top_down=True):
+        h, w, _ = px.shape
+        hdr = bytes([0, 0, 2]) + b"\x00" * 9 + st.pack("<HH", w, h) + bytes(
+            [24, 0x20 if top_down else 0]
+        )
+        body = px[..., [2, 1, 0]] if top_down else px[::-1][..., [2, 1, 0]]
+        return hdr + body.tobytes()
+
+    for td in (True, False):
+        out = mm._decode_pixels(tga_raw(img, top_down=td))
+        assert out is not None and (out == img).all(), td
+
+    # RLE: a solid row compresses to run packets
+    solid = np.tile(np.array([[10, 20, 30]], np.uint8), (3, 130, 1))
+    h, w, _ = solid.shape
+    hdr = bytes([0, 0, 10]) + b"\x00" * 9 + st.pack("<HH", w, h) + bytes(
+        [24, 0x20]
+    )
+    body = bytearray()
+    for _row in range(h):
+        left = w
+        while left:
+            n = min(128, left)
+            body += bytes([0x80 | (n - 1), 30, 20, 10])  # BGR run
+            left -= n
+    out = mm._decode_pixels(hdr + bytes(body))
+    assert out is not None and (out == solid).all()
+
+    # 8-bit palette (type 1)
+    pal = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    hdr = (bytes([0, 1, 1]) + st.pack("<HHB", 0, 2, 24) + b"\x00" * 4
+           + st.pack("<HH", 2, 2) + bytes([8, 0x20]))
+    blob = hdr + pal[:, [2, 1, 0]].tobytes() + idx.tobytes()
+    out = mm._decode_pixels(blob)
+    assert out is not None and (out == pal[idx]).all()
