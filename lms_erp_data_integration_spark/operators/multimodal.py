@@ -414,6 +414,20 @@ def _decode_ico_meta(payload: bytes) -> dict | None:
     }
 
 
+def _decode_tga_meta(payload: bytes) -> dict | None:
+    px = _decode_tga_pixels(payload)
+    if px is None:
+        return None
+    h, w, c = px.shape
+    return {
+        "n_bytes": len(payload),
+        "width": w,
+        "height": h,
+        "channels": c,
+        "pixel_mean": float(px.mean()),
+    }
+
+
 def decode_image(payload: bytes) -> dict | None:
     """Real decode for the formats needing no external codec
     (PPM/PGM/BMP/PNG/baseline+progressive JPEG/GIF/baseline TIFF).
@@ -431,6 +445,7 @@ def decode_image(payload: bytes) -> dict | None:
             or _decode_gif_meta(payload)
             or _decode_tiff_meta(payload)
             or _decode_ico_meta(payload)
+            or _decode_tga_meta(payload)
         )
     except (ValueError, struct.error):
         return None
