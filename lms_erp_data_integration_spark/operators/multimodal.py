@@ -834,6 +834,54 @@ def extract_audio_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(op, AUDIO_META_SCHEMA)
 
 
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes | None:
+    """TIFF-variant LZW: MSB-first bit packing and the EARLY-CHANGE
+    width rule (width bumps one code sooner than GIF's) — the two
+    documented differences from GIF LZW. 8-bit native codes, CLEAR=256,
+    EOI=257."""
+    clear, eoi = 256, 257
+    width = 9
+    dictionary: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out[:expect]) if len(out) >= expect else None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == clear:
+            dictionary = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(dictionary):
+                return None
+            entry = dictionary[code]
+        elif code < len(dictionary):
+            entry = dictionary[code]
+            if len(dictionary) < 4096:
+                dictionary.append(prev + entry[:1])
+        elif code == len(dictionary) and len(dictionary) < 4096:
+            entry = prev + prev[:1]
+            dictionary.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        # EARLY CHANGE: bump when the NEXT append would not fit
+        if len(dictionary) + 1 == (1 << width) and width < 12:
+            width += 1
+    return bytes(out[:expect]) if len(out) >= expect else None
+
+
 def _decode_tiff_pixels(payload: bytes) -> np.ndarray | None:
     """(H, W, C) uint8 for a baseline TIFF: both byte orders, 8-bit
     samples, strip layout, compression none (1) or PackBits (32773),
@@ -892,16 +940,18 @@ def _decode_tiff_pixels(payload: bytes) -> np.ndarray | None:
     rows_per_strip = (values(278) or [h])[0] or h
     counts = values(279)
     planar = (values(284) or [1])[0]
+    predictor = (values(317) or [1])[0]
     if (
         not w
         or not h
         or offsets is None
         or counts is None
         or any(b != 8 for b in bits)
-        or compression not in (1, 32773)
+        or compression not in (1, 5, 32773)
         or photometric not in (0, 1, 2)
         or spp not in (1, 3)
         or planar != 1
+        or predictor not in (1, 2)
     ):
         return None
 
@@ -929,12 +979,20 @@ def _decode_tiff_pixels(payload: bytes) -> np.ndarray | None:
             break
         expect = nrows * w * spp
         raw = payload[off : off + cnt]
-        data = raw[:expect] if compression == 1 else unpackbits(raw, expect)
+        if compression == 1:
+            data = raw[:expect]
+        elif compression == 5:
+            data = _tiff_lzw_decode(raw, expect)
+        else:
+            data = unpackbits(raw, expect)
         if data is None or len(data) < expect:
             return None
-        rows.append(
-            np.frombuffer(data, np.uint8, expect).reshape(nrows, w, spp)
-        )
+        strip = np.frombuffer(data, np.uint8, expect).reshape(nrows, w, spp)
+        if predictor == 2:  # horizontal differencing: undo by cumsum
+            strip = np.cumsum(
+                strip.astype(np.uint32), axis=1, dtype=np.uint32
+            ).astype(np.uint8)
+        rows.append(strip)
     px = np.concatenate(rows, axis=0)
     if px.shape[0] != h:
         return None
@@ -957,18 +1015,80 @@ def _decode_tiff_meta(payload: bytes) -> dict | None:
     }
 
 
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (fixture/writer leg): MSB-first,
+    early-change width rule mirrored against `_tiff_lzw_decode`'s
+    lagging table."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    dic = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    dec_len = 258
+    emitted = 0
+    emit(clear)
+
+    def emit_data(code: int) -> None:
+        nonlocal width, dec_len, emitted
+        emit(code)
+        emitted += 1
+        if emitted >= 2 and dec_len < 4096:
+            dec_len += 1
+            if dec_len + 1 == (1 << width) and width < 12:
+                width += 1
+
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in dic:
+            w = wc
+            continue
+        emit_data(dic[w])
+        if next_code < 4096:
+            dic[wc] = next_code
+            next_code += 1
+        w = bytes([ch])
+    if w:
+        emit_data(dic[w])
+    emit(eoi)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def encode_tiff(
-    pixels: np.ndarray, big_endian: bool = False, packbits: bool = False
+    pixels: np.ndarray,
+    big_endian: bool = False,
+    packbits: bool = False,
+    lzw: bool = False,
+    predictor: bool = False,
 ) -> bytes:
     """Minimal single-strip baseline TIFF writer for fixtures:
-    8-bit gray or RGB, optional PackBits (naive literal runs + RLE for
-    repeats), either byte order."""
+    8-bit gray or RGB; compression none, PackBits, or LZW (optionally
+    with the horizontal-differencing predictor); either byte order."""
     px = np.asarray(pixels, np.uint8)
     if px.ndim == 2:
         px = px[..., None]
     h, w, c = px.shape
     bo = ">" if big_endian else "<"
-    data = px.tobytes()
+    if predictor:
+        diffed = px.astype(np.int16)
+        diffed[:, 1:] = diffed[:, 1:] - diffed[:, :-1]
+        data = (diffed & 0xFF).astype(np.uint8).tobytes()
+    else:
+        data = px.tobytes()
+    if lzw:
+        data = _tiff_lzw_encode(data)
     if packbits:
         out = bytearray()
         i = 0
@@ -1005,7 +1125,7 @@ def encode_tiff(
         return struct.pack(bo + "I", v)
 
     header = 8
-    n_base_tags = 9  # same tag set either way; 258 is inline for gray
+    n_base_tags = 9 + (1 if predictor else 0)
     ifd_size = 2 + 12 * n_base_tags + 4
     bits_off = header + ifd_size
     extra = b""
@@ -1020,7 +1140,10 @@ def encode_tiff(
         tag(258, 3, 3, long_(bits_off))
     else:
         tag(258, 3, 1, short(8))
-    tag(259, 3, 1, short(32773 if packbits else 1))
+    comp_code = 5 if lzw else (32773 if packbits else 1)
+    tag(259, 3, 1, short(comp_code))
+    if predictor:
+        tag(317, 3, 1, short(2))
     tag(262, 3, 1, short(2 if c == 3 else 1))
     tag(273, 4, 1, long_(data_off))
     tag(277, 3, 1, short(c))

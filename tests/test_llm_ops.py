@@ -2166,3 +2166,21 @@ def test_tga_decode_raw_rle_palette():
     blob = hdr + pal[:, [2, 1, 0]].tobytes() + idx.tobytes()
     out = mm._decode_pixels(blob)
     assert out is not None and (out == pal[idx]).all()
+
+
+def test_tiff_lzw_and_predictor_round_trip():
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    for be in (False, True):
+        for pred in (False, True):
+            img = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+            t = mm.encode_tiff(img, big_endian=be, lzw=True, predictor=pred)
+            out = mm._decode_tiff_pixels(t)
+            assert out is not None and (out == img).all(), (be, pred)
+    # smooth gradients compress well under predictor+LZW
+    grad = np.tile(np.arange(200, dtype=np.uint8), (40, 1))
+    plain = mm.encode_tiff(grad)
+    packed = mm.encode_tiff(grad, lzw=True, predictor=True)
+    assert len(packed) < len(plain) // 4
+    assert (mm._decode_tiff_pixels(packed)[..., 0] == grad).all()
