@@ -224,6 +224,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
         EOFError,
         IndexError,
         KeyError,
+        OverflowError,
         struct.error,
         ZeroDivisionError,
     ):
@@ -484,6 +485,9 @@ def _decode_block_seq(
         raise ValueError("invalid Huffman code")
     nbits -= ln
     size = dc_sym[w]
+    if size > 15:  # corrupt table: no legal DC category exceeds 15
+        bail()
+        raise ValueError("bad DC size")
     if size:
         while nbits < size:
             acc = ((acc << 8) | (data[pos] if pos < nbytes else 0xFF)) & 0xFFFFFFFFFF
@@ -551,6 +555,8 @@ def _decode_block_into(
     if ss == 0:
         if ah == 0:  # DC first (or sequential)
             size = _huff_decode(reader, dc_tab)
+            if size > 15:
+                raise ValueError("bad DC size")
             diff = _extend(reader.read_bits(size), size) if size else 0
             preds[ci] += diff
             blk[0] = preds[ci] << al
