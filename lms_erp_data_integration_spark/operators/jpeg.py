@@ -554,6 +554,8 @@ def _decode_block_into(
     sequential scan is the (ss=0, se=63, ah=al=0) case."""
     if ss == 0:
         if ah == 0:  # DC first (or sequential)
+            if dc_tab is None:
+                raise ValueError("scan references undefined DC table")
             size = _huff_decode(reader, dc_tab)
             if size > 15:
                 raise ValueError("bad DC size")
@@ -569,6 +571,8 @@ def _decode_block_into(
     if se < k0:
         return
     if ah == 0:  # AC first / sequential
+        if ac_tab is None:
+            raise ValueError("scan references undefined AC table")
         if eob[0] > 0:
             eob[0] -= 1
             return
@@ -590,6 +594,8 @@ def _decode_block_into(
             blk[k] = _extend(reader.read_bits(size), size) << al
             k += 1
     else:
+        if ac_tab is None:
+            raise ValueError("scan references undefined AC table")
         _refine_ac(reader, blk, k0, se, al, ac_tab, eob)
 
 

@@ -1183,6 +1183,7 @@ def iter_tar_members(payload: bytes):
     nothing rather than raising."""
     import io
     import tarfile
+    import zlib
 
     try:
         with tarfile.open(fileobj=io.BytesIO(payload), mode="r:*") as tf:
@@ -1193,7 +1194,8 @@ def iter_tar_members(payload: bytes):
                 if f is None:
                     continue
                 yield m.name, f.read()
-    except (tarfile.TarError, EOFError, OSError):
+    except (tarfile.TarError, EOFError, OSError, ValueError,
+            NotImplementedError, zlib.error):
         return
 
 
@@ -1886,10 +1888,20 @@ def extract_docx_text(payload: bytes) -> str | None:
     import re
     import zipfile
 
+    import zlib
+
     try:
         with zipfile.ZipFile(io.BytesIO(payload)) as zf:
             xml = zf.read("word/document.xml").decode("utf-8", "replace")
-    except (zipfile.BadZipFile, KeyError, OSError):
+    except (
+        zipfile.BadZipFile,
+        KeyError,
+        OSError,
+        zlib.error,
+        EOFError,
+        ValueError,
+        NotImplementedError,
+    ):
         return None
     xml = re.sub(r"</w:p>", "\n", xml)
     text = re.sub(r"<[^>]+>", "", xml)
@@ -2053,6 +2065,8 @@ def extract_epub_html(payload: bytes) -> list[tuple[str, str]] | None:
     import io
     import zipfile
 
+    import zlib
+
     try:
         with zipfile.ZipFile(io.BytesIO(payload)) as zf:
             names = zf.namelist()
@@ -2068,7 +2082,14 @@ def extract_epub_html(payload: bytes) -> list[tuple[str, str]] | None:
                         (n, zf.read(n).decode("utf-8", "replace"))
                     )
             return out
-    except (zipfile.BadZipFile, OSError):
+    except (
+        zipfile.BadZipFile,
+        OSError,
+        zlib.error,
+        EOFError,
+        ValueError,
+        NotImplementedError,
+    ):
         return None
 
 
