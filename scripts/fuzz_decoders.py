@@ -1,0 +1,93 @@
+"""Decoder robustness soak: every payload decoder must reject
+arbitrary bytes, magic-prefixed garbage, truncations of valid files,
+and bit-flipped valid files WITHOUT raising. The pytest property
+(tests/test_properties.py::test_decoders_never_raise_on_garbage) runs
+a fast version; this script is the deep soak (found the JPEG corrupt-
+DHT overflow, the undefined-Huffman-table crash, and three zipfile
+internal-error leaks in r5).
+
+    python scripts/fuzz_decoders.py [trials=600] [seed=0]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from lms_erp_data_integration_spark.operators import multimodal as mm  # noqa: E402
+from lms_erp_data_integration_spark.operators.gif import (  # noqa: E402
+    decode_gif,
+    gif_frame_count,
+)
+from lms_erp_data_integration_spark.operators.jpeg import (  # noqa: E402
+    decode_jpeg,
+    decode_jpeg_oriented,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+from lms_erp_data_integration_spark.sources.warc import (  # noqa: E402
+    iter_warc_records,
+)
+
+PROBES = [
+    mm.decode_image, mm._decode_pixels, mm.decode_wav,
+    mm.wav_spectral_features, mm.probe_mp4, mm.mp4_sample_table,
+    mm._decode_tiff_pixels, mm._decode_tga_pixels, mm._decode_ico_pixels,
+    decode_gif, gif_frame_count, decode_jpeg, decode_jpeg_oriented,
+    mm.perceptual_hash, mm.audio_fingerprint, mm.video_fingerprint,
+    mm.extract_pdf_text, mm.extract_docx_text, mm.extract_epub_html,
+    lambda p: list(mm.iter_tar_members(p)),
+    lambda p: list(iter_warc_records(p)),
+]
+
+MAGICS = [
+    b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"RIFF", b"II*\x00",
+    b"MM\x00*", b"P6\n", b"BM", b"WARC/1.0\r\n", b"%PDF-1.4",
+    b"PK\x03\x04", b"\x00\x00\x01\x00", b"\x00\x00\x02\x00",
+]
+
+
+def main() -> int:
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    valids = [
+        encode_jpeg(img), encode_jpeg_progressive(img), mm.encode_png(img),
+        mm.encode_png(img, interlace=True),
+        mm.encode_tiff(img, lzw=True, predictor=True),
+        mm.build_pdf(["x"]), mm.build_docx(["x"]),
+    ]
+    fails = 0
+    for trial in range(trials):
+        blob = bytes(
+            rng.integers(0, 256, int(rng.integers(0, 600)), dtype=np.uint8)
+        )
+        cases = [blob] + [m + blob for m in MAGICS]
+        v = valids[trial % len(valids)]
+        cases.append(v[: int(rng.integers(0, len(v)))])
+        mut = bytearray(v)
+        for _ in range(int(rng.integers(1, 6))):
+            mut[int(rng.integers(0, len(mut)))] ^= int(rng.integers(1, 256))
+        cases.append(bytes(mut))
+        for payload in cases:
+            for probe in PROBES:
+                try:
+                    probe(payload)
+                except Exception as e:  # noqa: BLE001
+                    print(
+                        "FAIL", trial, getattr(probe, "__name__", probe),
+                        type(e).__name__, e,
+                    )
+                    fails += 1
+                    if fails > 10:
+                        return 1
+    print(f"soak: {trials} trials x {len(PROBES)} probes, {fails} crashes")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
