@@ -243,9 +243,11 @@ def html_to_text(html: Column) -> Column:
         "\n",
     )
     t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    # &amp; must decode LAST: decoding it first would double-decode
+    # nested entities (literal "&amp;lt;" means the text "&lt;").
     for ent, ch in [
-        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " "),
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
     ]:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
@@ -430,9 +432,13 @@ def apply_bpe(
 
     from pyspark.sql import types as T
 
+    # The id column keeps its caller-supplied name and input type —
+    # hardcoding "doc_id"/LongType would silently rename a custom
+    # id_col and break non-integer ids at Arrow conversion.
+    id_field = df.schema[id_col]
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
             T.StructField("n_words", T.LongType()),
             T.StructField("n_tokens", T.LongType()),
             T.StructField("tokens", T.StringType()),
@@ -452,14 +458,14 @@ def apply_bpe(
                     toks.extend(encode_word(w, memo))
                 rows.append(
                     {
-                        "doc_id": i,
+                        id_col: i,
                         "n_words": len(words),
                         "n_tokens": len(toks),
                         "tokens": " ".join(toks),
                     }
                 )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_words", "n_tokens", "tokens"]
+                rows, columns=[id_col, "n_words", "n_tokens", "tokens"]
             )
 
     return df.select(id_col, text_col).mapInPandas(op, schema)
@@ -539,6 +545,7 @@ def bigram_lm_scores(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("_logp_micro").alias("sum_logprob_micro"),
             F.expr("sum(_logp_micro) div count(*)").alias(
                 "avg_logprob_micro"
             ),

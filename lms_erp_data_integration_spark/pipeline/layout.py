@@ -321,13 +321,20 @@ def skipping_effectiveness(stats: DataFrame, column: str) -> DataFrame:
     s = (
         stats.where(F.col("column") == column)
         .select(
+            F.concat_ws("#", "file", "row_group").alias("gid"),
             F.col("min_val").cast("double").alias("lo"),
             F.col("max_val").cast("double").alias("hi"),
         )
     )
-    a = s.select(F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"))
-    b = s.select(F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"))
-    pairs = a.crossJoin(b)  # row-group counts are metadata-sized
+    a = s.select("gid", F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"))
+    b = s.select(
+        F.col("gid").alias("gid_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+    )
+    # row-group counts are metadata-sized; exclude self-pairs (a group
+    # always overlaps itself and would inflate overlap_frac by >= 1/n)
+    pairs = a.crossJoin(b).where(F.col("gid") != F.col("gid_b"))
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(

@@ -8,6 +8,7 @@ from . import tpch_shapes  # noqa: F401, E402
 from . import llm_queries  # noqa: F401, E402
 from . import streaming_queries  # noqa: F401, E402
 from . import analytics_queries  # noqa: F401, E402
+from . import tokenizer_queries  # noqa: F401, E402
 
 # Round-5 driver-window rotation (r4 verdict "Next round" #3). The
 # driver's correctness gate hashes only the first 50 ``queries()``
@@ -35,65 +36,53 @@ registry.PRIORITY = [
     "sync_ctl_library_courses",
     "sync_ctl_library_sections",
     "sync_clean_users",
-    # r4's three red rows, re-fixed this round
-    "rel_scd2_user_history",
-    "llm_emb_quantize",
-    "rel_grouping_sets",
-    # added in r4, never driver-checked
-    "llm_dedup_semantic_kmeans",
-    "llm_dedup_semantic_verified",
-    "llm_dedup_cluster_histogram",
-    "stream_dq_gate",
-    "rel_dq_expectations",
-    "rel_incremental_agg_merge",
-    "rel_cascade_delete_impact",
-    "rel_mirror_drift_buckets",
-    "rel_mirror_reconcile_rows",
-    "rel_cdc_log_compaction",
-    "rel_join_size_profile",
-    # refactored onto operators/profiling.py in r5 (plan unchanged,
-    # hash changed) — re-enter the window per the rotation policy
-    "rel_key_skew_profile",
-    "llm_lsh_bucket_histogram",
-    # added in r5 — must be driver-verified this round
-    "llm_dedup_containment",
-    "llm_sample_importance",
-    "llm_emb_norm_stats",
-    "rel_event_burst_pairs",
-    "rel_value_histogram",
-    "llm_sim_ivf_recall",
-    "llm_minhash_accuracy",
-    "llm_corpus_rebalance",
-    "llm_tokenizer_fertility",
-    "rel_lateral_topk",
-    "rel_triangle_count",
-    "llm_corpus_divergence",
-    "rel_salted_distinct",
-    "llm_text_entropy",
-    "llm_sim_kmeans_purity",
-    "llm_sim_pq_recall",
-    "rel_temporal_state_join",
-    "llm_bpe_top_pairs",
-    "llm_pack_efficiency",
-    "rel_dim_surrogate_keys",
-    "llm_dedup_rate_by_source",
-    "stream_value_histogram",
-    "llm_dup_span_detect",
-    "llm_winnow_fingerprint",
-    "rel_interval_overlap",
-    "llm_emb_label_drift",
+    # added in r6 (plans/tokenizer_queries.py — the r5 tests-only
+    # operators promoted to oracle-paired queries, r5 verdict #1)
+    "llm_bpe_train_vocab",
+    "llm_bpe_encode",
+    "llm_lm_perplexity",
+    "llm_chat_render_stats",
+    "llm_winnow_pairs",
+    # re-verification fillers: the oldest driver rows (last checked in
+    # r2, per CORRECTNESS_r02 vs later rounds), alphabetical — the
+    # cumulative-coverage policy keeps every green query re-checked on
+    # a rolling basis now that all 160 have had at least one row
+    "rel_bitmap_distinct",
+    "rel_cube_order_stats",
+    "rel_customer_order_setops",
+    "rel_date_surface",
+    "rel_distinct_aggregates",
+    "rel_event_deltas",
+    "rel_events_hourly",
+    "rel_events_variant",
+    "rel_full_outer_year_diff",
+    "rel_latest_event_per_user",
+    "rel_left_outer_customer_orders",
+    "rel_parameterized_sql",
+    "rel_pivot_order_status",
+    "rel_q10_returned_items",
+    "rel_q18_large_orders",
+    "rel_q19_disjunctive_filter",
+    "rel_q22_inactive_balance",
+    "rel_q3_shipping_priority",
+    "rel_q4_order_priority",
+    "rel_q5_region_revenue",
+    "rel_q6_revenue_filter",
+    "rel_range_join_balance_bands",
+    "rel_resample_ffill",
+    "rel_rollup_revenue",
+    "rel_running_total_per_user",
+    "rel_salted_join_revenue",
+    "rel_semi_anti_counts",
+    "rel_session_window_native",
+    "rel_string_surface",
+    "rel_term_successor",
+    "rel_top_orders_per_customer",
+    "rel_unpivot_part_measures",
+    # last-checked r3, alphabetical
+    "llm_dedup_apply",
+    "llm_dedup_clusters",
+    "llm_dedup_incremental",
+    "llm_sim_ivf_multiprobe",
+    "llm_sim_ivf_topk",
 ]
-
-# r6 rotation plan (computed at r5 close): every registered query has
-# now had a driver row; the re-verification backlog, oldest first, is
-# the r2-last-checked set — fill r6's non-new slots from it:
-# rel_bitmap_distinct, rel_cube_order_stats, rel_customer_order_setops,
-# rel_date_surface, rel_distinct_aggregates, rel_event_deltas,
-# rel_events_hourly, rel_events_variant, rel_full_outer_year_diff,
-# rel_latest_event_per_user, rel_left_outer_customer_orders,
-# rel_parameterized_sql, rel_pivot_order_status, rel_q10_returned_items,
-# rel_q18_large_orders, rel_q19_disjunctive_filter,
-# rel_q22_inactive_balance, rel_q3_shipping_priority,
-# rel_q4_order_priority, rel_q5_region_revenue, ... (continue with the
-# remaining r2 rows, then r3). Keep the 8 sync queries pinned first and
-# any r6-new/changed queries ahead of fillers, per the policy above.

@@ -43,17 +43,64 @@ from pyspark.sql.datasource import (
 
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a (possibly multi-member) gzip stream; raw input is
-    returned unchanged when it isn't gzip."""
+    returned unchanged when it isn't gzip. A corrupt or truncated
+    member ends decompression with the bytes decoded so far — damaged
+    crawl segments must not kill the ingest task."""
     if data[:2] != b"\x1f\x8b":
         return data
     out = bytearray()
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out += d.decompress(rest)
-        out += d.flush()
+        try:
+            out += d.decompress(rest)
+            out += d.flush()
+        except zlib.error:
+            break
         rest = d.unused_data
     return bytes(out)
+
+
+def _iter_decompressed(f, chunk: int = 1 << 20) -> Iterator[bytes]:
+    """Yield decompressed chunks from a file object holding either a
+    (possibly multi-member) gzip stream or raw bytes, reading at most
+    ``chunk`` compressed bytes at a time. Corrupt or truncated data
+    ends iteration with what decoded so far instead of raising."""
+    first = f.read(2)
+    if first[:2] != b"\x1f\x8b":
+        while first:
+            yield first
+            first = f.read(chunk)
+        return
+    d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+    pending = first
+    while True:
+        if not pending:
+            pending = f.read(chunk)
+            if not pending:
+                return  # clean EOF, or truncated mid-member
+        try:
+            out = d.decompress(pending)
+        except zlib.error:
+            return
+        pending = b""
+        if out:
+            yield out
+        if d.eof:
+            rest = d.unused_data
+            if len(rest) == 1:  # gzip magic split across reads
+                rest += f.read(1)
+            if not rest:
+                nxt = f.read(chunk)
+                if not nxt:
+                    return
+                rest = nxt
+                if len(rest) == 1:
+                    rest += f.read(1)
+            if rest[:2] != b"\x1f\x8b":
+                return  # trailing garbage after the member chain
+            d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+            pending = rest
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -120,49 +167,88 @@ def split_http_response(block: bytes) -> tuple[int | None, str, bytes]:
     return status, ctype, payload
 
 
+def _next_record(data, pos: int):
+    """Parse the first complete record at/after ``pos`` in ``data``
+    (bytes or bytearray). Returns ``(record, next_pos, may_continue)``:
+    record is ``None`` when none could be parsed, and ``may_continue``
+    distinguishes "incomplete — more input could complete it" (True)
+    from "malformed — stop" (False)."""
+    n = len(data)
+    while pos < n and data[pos : pos + 2] == b"\r\n":
+        pos += 2
+    if n - pos < 5:
+        return None, pos, True
+    if data[pos : pos + 5] != b"WARC/":
+        return None, pos, False
+    head_end = data.find(b"\r\n\r\n", pos)
+    if head_end < 0:
+        return None, pos, True
+    headers = _parse_headers(bytes(data[pos:head_end]))
+    try:
+        length = int(headers.get("content-length", ""))
+    except ValueError:
+        return None, pos, False
+    block_start = head_end + 4
+    if block_start + length > n:
+        return None, pos, True
+    block = bytes(data[block_start : block_start + length])
+    rtype = headers.get("warc-type", "")
+    uri = headers.get("warc-target-uri", "")
+    if rtype == "response":
+        status, ctype, body = split_http_response(block)
+    else:
+        status, ctype, body = None, headers.get("content-type", ""), block
+    rec = {
+        "record_type": rtype,
+        "target_uri": uri,
+        "http_status": status,
+        "content_type": ctype,
+        "body": bytes(body),
+    }
+    return rec, block_start + length, True
+
+
 def iter_warc_records(payload: bytes) -> Iterator[dict]:
     """Yield parsed records from a WARC (or .warc.gz) byte string:
     ``{record_type, target_uri, http_status, content_type, body}``.
     Response records have their HTTP envelope split off; other types
     (request, metadata, warcinfo) pass their block through. Malformed
-    trailing data ends iteration rather than raising."""
+    or truncated trailing data (including corrupt gzip members) ends
+    iteration rather than raising."""
     data = _gunzip_members(payload)
     pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and data[pos : pos + 2] == b"\r\n":
-            pos += 2
-        if pos >= n:
+    while True:
+        rec, pos, _ = _next_record(data, pos)
+        if rec is None:
             return
-        if not data[pos : pos + 5] == b"WARC/":
+        yield rec
+
+
+def iter_warc_stream(f) -> Iterator[dict]:
+    """Stream records from an open binary file holding a ``.warc`` or
+    ``.warc.gz`` segment WITHOUT materializing the decompressed
+    segment: gzip members are inflated one chunk at a time and the
+    parse buffer is compacted after every record, so peak memory is
+    O(largest single record), not O(segment). This is the reader the
+    Spark data source uses — a ~1 GB Common Crawl segment per task
+    stays within a bounded buffer."""
+    buf = bytearray()
+    src = _iter_decompressed(f)
+    exhausted = False
+    while True:
+        rec, pos, may_continue = _next_record(buf, 0)
+        if rec is not None:
+            del buf[:pos]
+            yield rec
+            continue
+        if not may_continue:
             return
-        head_end = data.find(b"\r\n\r\n", pos)
-        if head_end < 0:
+        if exhausted:
             return
-        headers = _parse_headers(data[pos:head_end])
         try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            return
-        block_start = head_end + 4
-        if block_start + length > n:
-            return
-        block = data[block_start : block_start + length]
-        rtype = headers.get("warc-type", "")
-        uri = headers.get("warc-target-uri", "")
-        if rtype == "response":
-            status, ctype, body = split_http_response(block)
-        else:
-            status, ctype, body = None, headers.get("content-type", ""), block
-        yield {
-            "record_type": rtype,
-            "target_uri": uri,
-            "http_status": status,
-            "content_type": ctype,
-            "body": body,
-        }
-        pos = block_start + length
+            buf += next(src)
+        except StopIteration:
+            exhausted = True
 
 
 def build_warc(records: list[dict], gzipped: bool = False) -> bytes:
@@ -221,19 +307,18 @@ class WarcReader(DataSourceReader):
     def read(self, partition: _WarcPartition) -> Iterator[tuple]:
         fname = os.path.basename(partition.path)
         with open(partition.path, "rb") as f:
-            payload = f.read()
-        for r in iter_warc_records(payload):
-            if self.record_type and r["record_type"] != self.record_type:
-                continue
-            yield (
-                fname,
-                r["record_type"],
-                r["target_uri"],
-                r["http_status"],
-                r["content_type"],
-                len(r["body"]),
-                r["body"],
-            )
+            for r in iter_warc_stream(f):
+                if self.record_type and r["record_type"] != self.record_type:
+                    continue
+                yield (
+                    fname,
+                    r["record_type"],
+                    r["target_uri"],
+                    r["http_status"],
+                    r["content_type"],
+                    len(r["body"]),
+                    r["body"],
+                )
 
 
 class WarcDataSource(DataSource):

@@ -47,6 +47,7 @@ MAGICS = [
     b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"RIFF", b"II*\x00",
     b"MM\x00*", b"P6\n", b"BM", b"WARC/1.0\r\n", b"%PDF-1.4",
     b"PK\x03\x04", b"\x00\x00\x01\x00", b"\x00\x00\x02\x00",
+    b"\x1f\x8b\x08\x00",  # gzip magic — corrupt .warc.gz members
 ]
 
 
