@@ -1527,16 +1527,37 @@ VIDEO_FRAME_SCHEMA = T.StructType(
 def extract_video_frames(
     df: DataFrame, every_n: int = 1, id_col: str = "doc_id"
 ) -> DataFrame:
-    """mapInPandas frame extraction over MP4 payloads: every
-    ``every_n``-th access unit is sliced out by its sample-table byte
-    range with its decode timestamp — real video frame-sampling
-    plumbing (the codec-decode of each frame's bytes is the only
-    stubbed step). Non-MP4 payloads are dropped."""
+    """mapInPandas frame extraction over MP4 **and AVI** payloads:
+    every ``every_n``-th access unit is sliced out with its decode
+    timestamp — MP4 via the real sample-table byte ranges
+    (``mp4_sample_table``), AVI via the movi chunk walk
+    (``operators/avi.py:iter_avi_frames``). For MJPEG-in-AVI the
+    sliced frame bytes are complete baseline JPEGs, so the decode
+    side (``decode_video_frame_stats``) is REAL; H.264-in-MP4 frame
+    bytes remain demux-only (codec decode out of pure-Python scope).
+    Unrecognized payloads are dropped."""
+    from . import avi as _avi
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, p in zip(pdf[id_col], pdf["payload"]):
+                if _avi.is_avi(p):
+                    meta = _avi.avi_meta(p) or {"us_per_frame": 0}
+                    us = meta.get("us_per_frame", 0)
+                    for idx, fb in _avi.iter_avi_frames(p):
+                        if idx % every_n:
+                            continue
+                        rows.append(
+                            {
+                                "doc_id": i,
+                                "sample_idx": idx,
+                                "dts_ms": idx * us // 1000,
+                                "n_bytes": len(fb),
+                                "frame_bytes": fb,
+                            }
+                        )
+                    continue
                 table = mp4_sample_table(p)
                 if table is None:
                     continue
@@ -1561,6 +1582,66 @@ def extract_video_frames(
             )
 
     return df.select(id_col, "payload").mapInPandas(op, VIDEO_FRAME_SCHEMA)
+
+
+VIDEO_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("dts_ms", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("pixel_crc32", T.LongType()),
+    ]
+)
+
+
+def decode_video_frame_stats(frames: DataFrame) -> DataFrame:
+    """REAL per-frame decode over ``extract_video_frames`` output:
+    each MJPEG frame's bytes run through the from-scratch baseline
+    JPEG decoder and come back as (width, height, crc32 of the decoded
+    RGB pixel buffer) — the exact-pixel signature downstream dedup /
+    fingerprint stages key on. Frames whose bytes aren't decodable
+    JPEG (e.g. H.264 access units from MP4 demux) are dropped, making
+    this the decoded-vs-demuxed boundary explicit.
+
+    Scale posture: narrow Arrow-batched map, numpy-vectorized IDCT /
+    upsampling inside; frame payloads never shuffle."""
+    import zlib as _zlib
+
+    from .jpeg import decode_jpeg
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, si, dts, fb in zip(
+                pdf["doc_id"], pdf["sample_idx"], pdf["dts_ms"],
+                pdf["frame_bytes"],
+            ):
+                px = decode_jpeg(fb) if fb[:2] == b"\xff\xd8" else None
+                if px is None:
+                    continue
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "sample_idx": si,
+                        "dts_ms": dts,
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "pixel_crc32": _zlib.crc32(px.tobytes()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_idx", "dts_ms", "width", "height",
+                    "pixel_crc32",
+                ],
+            )
+
+    return frames.select(
+        "doc_id", "sample_idx", "dts_ms", "frame_bytes"
+    ).mapInPandas(op, VIDEO_FRAME_STATS_SCHEMA)
 
 
 def perceptual_hash(payload: bytes) -> int | None:

@@ -9,6 +9,8 @@ from . import llm_queries  # noqa: F401, E402
 from . import streaming_queries  # noqa: F401, E402
 from . import analytics_queries  # noqa: F401, E402
 from . import tokenizer_queries  # noqa: F401, E402
+from . import curation_queries  # noqa: F401, E402
+from . import media_queries  # noqa: F401, E402
 
 # Round-5 driver-window rotation (r4 verdict "Next round" #3). The
 # driver's correctness gate hashes only the first 50 ``queries()``
@@ -43,6 +45,11 @@ registry.PRIORITY = [
     "llm_lm_perplexity",
     "llm_chat_render_stats",
     "llm_winnow_pairs",
+    # added in r6: the composed curation pipeline (r5 verdict #7) and
+    # the pixel-exact codec/video gates (r5 verdict #5/#6)
+    "llm_corpus_curate",
+    "llm_decode_pixel_checksums",
+    "llm_video_frame_stats",
     # re-verification fillers: the oldest driver rows (last checked in
     # r2, per CORRECTNESS_r02 vs later rounds), alphabetical — the
     # cumulative-coverage policy keeps every green query re-checked on
@@ -82,7 +89,4 @@ registry.PRIORITY = [
     # last-checked r3, alphabetical
     "llm_dedup_apply",
     "llm_dedup_clusters",
-    "llm_dedup_incremental",
-    "llm_sim_ivf_multiprobe",
-    "llm_sim_ivf_topk",
 ]

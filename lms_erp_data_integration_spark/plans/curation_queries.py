@@ -1,0 +1,160 @@
+"""The composed corpus-curation pipeline — quality gate, near-dup
+apply, mix rebalance, final stats — as ONE driver-verified query.
+
+Each stage is individually green elsewhere (``llm_quality_gate``,
+``llm_dedup_apply``, ``llm_corpus_rebalance``), but what a real
+training-data team ships is the composition; the reference's own value
+was the composed pipeline (`main.py:3-5`), not its stages. The oracle
+chains the exact stage oracles as CTEs, so a regression in ANY stage —
+or in how they hand off — flips the final checksum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators import dedup as dd
+from .llm_queries import _STOP_SQL, quality_gate
+from .registry import query
+
+
+@query(
+    "llm_corpus_curate",
+    rf"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source, text,
+         regexp_split_to_array(trim(text), '\s+') AS w,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+  FROM documents),
+tri AS (
+  SELECT doc_id, lang, source, text, w, wl,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          FOR i IN range(1, len(w) - 1)] AS tt
+  FROM t),
+gated AS (
+  SELECT doc_id, lang, source, text, len(w) AS n_tokens
+  FROM tri
+  WHERE len(w) BETWEEN 20 AND 100000
+    AND len(list_filter(wl, x -> x IN ({_STOP_SQL})))
+        * 1.0 / greatest(len(w), 1) >= 0.05
+    AND (CASE WHEN len(tt) = 0 THEN 0.0
+         ELSE (len(tt) - len(list_distinct(tt))) * 1.0 / len(tt) END)
+        <= 0.5),
+shing AS (
+  SELECT DISTINCT g.doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM gated g
+  JOIN t USING (doc_id), unnest(range(1, len(w) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+cold AS (
+  SELECT shingle FROM shing GROUP BY shingle
+  HAVING COUNT(*) <= {dd.NGRAM_MAX_DOC_FREQ}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM shing a
+  JOIN cold c ON c.shingle = a.shingle
+  JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT p.i, p.j, COUNT(*) AS inter
+  FROM cands p
+  JOIN shing si ON si.doc_id = p.i
+  JOIN shing sj ON sj.doc_id = p.j AND sj.shingle = si.shingle
+  GROUP BY p.i, p.j),
+pairs AS (
+  SELECT i, j FROM inter
+  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+edges AS (
+  SELECT i AS src, j AS dst FROM pairs
+  UNION SELECT j AS src, i AS dst FROM pairs),
+reach AS (
+  SELECT src AS node, dst AS target FROM edges
+  UNION
+  SELECT r.node, e.dst AS target
+  FROM reach r JOIN edges e ON e.src = r.target),
+clusters AS (
+  SELECT node AS member, least(node, MIN(target)) AS cluster_id
+  FROM reach GROUP BY node),
+deduped AS (
+  SELECT * FROM gated
+  WHERE doc_id NOT IN
+        (SELECT member FROM clusters WHERE member <> cluster_id)),
+k AS (SELECT lang, COUNT(*) AS n_docs FROM deduped GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM k),
+rates AS (
+  SELECT lang,
+         LEAST(1000000,
+               CAST((CASE WHEN lang = 'en' THEN 400000 ELSE 150000 END
+                     * total) // n_docs AS BIGINT)) AS keep_rate_ppm
+  FROM k, tot),
+kept AS (
+  SELECT d.* FROM deduped d JOIN rates USING (lang)
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        % 1000000 < keep_rate_ppm)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum
+FROM kept GROUP BY lang, source
+""",
+)
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: Gopher-style quality gate -> exact
+    n-gram-Jaccard near-dup apply (keeper = min id per connected
+    component) -> deterministic per-language mix rebalance (40% en /
+    15% others, md5-ppm bucket selection) -> per-(lang, source) stats
+    with an exact doc_id checksum pinning the kept SET, not just its
+    size.
+
+    Stage composition notes for 100 TB: the gate is a narrow
+    shuffle-free stage feeding the dedup's shingle explode directly;
+    dedup cost is bounded by the posting-cap inverted index (never
+    all-pairs) and runs on the gated (smaller) corpus — gating BEFORE
+    dedup is the right order at scale since the gate is O(n) and
+    dedup is the expensive stage. The rebalance rate table is
+    language-cardinality-sized and explicitly broadcast; selection is
+    a row-local md5 bucket, so the apply step adds zero shuffles.
+    Expensive-tier cost class: same as ``llm_dedup_apply`` (the exact
+    Jaccard baseline it shares machinery with)."""
+    docs = Catalog(spark, sf_dir).documents
+    gated = quality_gate(spark, sf_dir).select(
+        "doc_id", "lang", "source", "n_tokens"
+    )
+    gated_text = gated.join(docs.select("doc_id", "text"), "doc_id")
+    pairs = dd.ngram_jaccard_duplicates(
+        gated_text, threshold=0.8, shingle_n=3
+    )
+    clusters = dd.duplicate_clusters(pairs.select("i", "j"))
+    losers = clusters.where(F.col("member") != F.col("cluster_id")).select(
+        F.col("member").alias("doc_id")
+    )
+    deduped = gated.join(losers, "doc_id", "left_anti")
+
+    k = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = k.agg(F.sum("n_docs").alias("total"))
+    rates = k.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr(
+                "(CASE WHEN lang = 'en' THEN 400000 ELSE 150000 END"
+                " * total) div n_docs"
+            ),
+        ).alias("keep_rate_ppm"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
+        ).cast("long")
+        % 1_000_000
+    )
+    kept = deduped.join(F.broadcast(rates), "lang").where(
+        bucket < F.col("keep_rate_ppm")
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("doc_id").alias("doc_id_checksum"),
+    )

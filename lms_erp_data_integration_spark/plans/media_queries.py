@@ -1,0 +1,268 @@
+"""Driver-gated media decode queries — the pixel-exact verification
+surface for the from-scratch codec family (``operators/jpeg.py``,
+``operators/gif.py``, ``operators/multimodal.py``, ``operators/
+avi.py``).
+
+Both queries build their payloads DETERMINISTICALLY inside executor
+tasks (seeded numpy per payload_id, repo encoders), decode them with
+the repo decoders, and emit exact integer signatures (CRC32 of the
+decoded pixel buffer). The fixture set is fixed — independent of the
+scale factor — so the literal-VALUES oracles are exact at every sf,
+and any regression in ANY encoder or decoder (filter logic, Huffman
+tables, LZW dictionary growth, interlace passes, chunk walks) flips a
+CRC. This puts the r5 codec work under the driver's hard signal
+instead of pytest alone (r5 verdict #5/#6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql import types as T
+
+from .registry import query
+
+_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("payload_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("n_payload_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("pixel_crc32", T.LongType()),
+    ]
+)
+
+_FORMATS = ["png", "png_i", "jpeg", "gif", "tiff", "pnm"]
+_N_PIXEL_PAYLOADS = 24
+
+
+def _pixel_rows(ids) -> list[dict]:
+    """Executor-side: generate image -> encode -> decode -> signature
+    for each payload id. Deterministic: rng seeded by payload_id."""
+    import zlib
+
+    import numpy as np
+
+    from ..operators import multimodal as mm
+    from ..operators.gif import decode_gif, encode_gif
+    from ..operators.jpeg import encode_jpeg
+
+    rows = []
+    for pid in ids:
+        pid = int(pid)
+        rng = np.random.default_rng(pid)
+        h = 5 + pid % 7
+        w = 4 + (pid * 3) % 9
+        fmt = _FORMATS[pid % len(_FORMATS)]
+        if fmt == "gif":
+            pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+            idx = rng.integers(0, 64, (h, w), dtype=np.uint8)
+            payload = encode_gif(idx, pal)
+            px = decode_gif(payload)
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            if fmt == "png":
+                payload = mm.encode_png(img)
+            elif fmt == "png_i":
+                payload = mm.encode_png(img, interlace=True)
+            elif fmt == "jpeg":
+                payload = encode_jpeg(img)
+            elif fmt == "tiff":
+                payload = mm.encode_tiff(img, lzw=True, predictor=True)
+            else:  # pnm (P6)
+                payload = (
+                    b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+                )
+            px = mm._decode_pixels(payload)
+        if px is None:
+            continue
+        px = px if px.ndim == 3 else px[:, :, None]
+        rows.append(
+            {
+                "payload_id": pid,
+                "fmt": fmt,
+                "n_payload_bytes": len(payload),
+                "width": px.shape[1],
+                "height": px.shape[0],
+                "channels": px.shape[2],
+                "pixel_crc32": zlib.crc32(
+                    np.ascontiguousarray(px).tobytes()
+                ),
+            }
+        )
+    return rows
+
+
+@query(
+    "llm_decode_pixel_checksums",
+    # literal-VALUES oracle: the fixture set is sf-independent;
+    # regenerate by printing _pixel_rows(range(24)) after any
+    # intentional codec change
+    """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'png', CAST(133 AS BIGINT), CAST(4 AS BIGINT),
+   CAST(5 AS BIGINT), CAST(3 AS BIGINT), CAST(302040629 AS BIGINT)),
+  (1, 'png_i', 206, 7, 6, 3, 1191826467),
+  (2, 'jpeg', 1025, 10, 7, 3, 900072907),
+  (3, 'gif', 248, 4, 8, 3, 2627054745),
+  (4, 'tiff', 354, 7, 9, 3, 3760656964),
+  (5, 'pnm', 313, 10, 10, 3, 167433302),
+  (6, 'png', 211, 4, 11, 3, 2035333664),
+  (7, 'png_i', 184, 7, 5, 3, 2328249974),
+  (8, 'jpeg', 979, 10, 6, 3, 518544634),
+  (9, 'gif', 246, 4, 7, 3, 1289101628),
+  (10, 'tiff', 332, 7, 8, 3, 73762456),
+  (11, 'pnm', 282, 10, 9, 3, 2230487362),
+  (12, 'png', 198, 4, 10, 3, 4165442502),
+  (13, 'png_i', 321, 7, 11, 3, 22684973),
+  (14, 'jpeg', 1012, 10, 5, 3, 269281904),
+  (15, 'gif', 242, 4, 6, 3, 1733413688),
+  (16, 'tiff', 308, 7, 7, 3, 2371697587),
+  (17, 'pnm', 252, 10, 8, 3, 3472453583),
+  (18, 'png', 185, 4, 9, 3, 2145153027),
+  (19, 'png_i', 298, 7, 10, 3, 1946913871),
+  (20, 'jpeg', 1373, 10, 11, 3, 39004862),
+  (21, 'gif', 239, 4, 5, 3, 3081674837),
+  (22, 'tiff', 284, 7, 6, 3, 125636109),
+  (23, 'pnm', 222, 10, 7, 3, 2708203307)
+) AS t(payload_id, fmt, n_payload_bytes, width, height, channels,
+       pixel_crc32)
+""",
+)
+def decode_pixel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-exact codec gate: 24 deterministic fixture images cycle
+    through PNG (plain + Adam7 interlace), baseline JPEG, GIF/LZW,
+    TIFF-LZW-with-predictor, and PNM — each encoded AND decoded by
+    the repo's from-scratch codecs inside executor tasks, signed with
+    a CRC32 of the decoded pixel buffer. The fixture set is fixed
+    (independent of sf_dir), so the pinned oracle is exact at every
+    scale; a regression anywhere in the encode/decode path flips a
+    CRC and the driver row goes red.
+
+    Scale posture: the payload column never exists driver-side —
+    generation, encode, and decode all run inside one Arrow-batched
+    ``mapInPandas`` over ``spark.range``; the real-corpus analog
+    (payloads from parquet binary columns) uses the identical
+    decode dispatcher (``operators/multimodal.py:_decode_pixels``)."""
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                _pixel_rows(pdf["id"]),
+                columns=[f.name for f in _PIXEL_SCHEMA.fields],
+            )
+
+    return (
+        spark.range(0, _N_PIXEL_PAYLOADS, 1, 8)
+        .mapInPandas(op, _PIXEL_SCHEMA)
+    )
+
+
+_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frames_decoded", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("dts_last_ms", T.LongType()),
+        T.StructField("pixels_crc32", T.LongType()),
+    ]
+)
+
+_N_VIDEOS = 8
+
+
+def _video_rows(ids) -> list[dict]:
+    import zlib
+
+    import numpy as np
+
+    from ..operators import avi
+    from ..operators.jpeg import decode_jpeg, encode_jpeg
+
+    rows = []
+    for vid in ids:
+        vid = int(vid)
+        rng = np.random.default_rng(1000 + vid)
+        w = 8 * (2 + vid % 3)
+        h = 8 * (1 + vid % 2)
+        n = 3 + vid % 4
+        fps = 4 + vid % 3
+        frames = [
+            encode_jpeg(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            )
+            for _ in range(n)
+        ]
+        payload = avi.build_avi_mjpeg(frames, w, h, fps=fps)
+        meta = avi.avi_meta(payload)
+        crc = 0
+        decoded = 0
+        last_ms = 0
+        for idx, fb in avi.iter_avi_frames(payload):
+            px = decode_jpeg(fb)
+            if px is None:
+                continue
+            decoded += 1
+            last_ms = idx * meta["us_per_frame"] // 1000
+            crc = zlib.crc32(px.tobytes(), crc)
+        rows.append(
+            {
+                "video_id": vid,
+                "n_frames": meta["n_frames"],
+                "frames_decoded": decoded,
+                "width": meta["width"],
+                "height": meta["height"],
+                "dts_last_ms": last_ms,
+                "pixels_crc32": crc,
+            }
+        )
+    return rows
+
+
+@query(
+    "llm_video_frame_stats",
+    """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+   CAST(16 AS BIGINT), CAST(8 AS BIGINT), CAST(500 AS BIGINT),
+   CAST(2095567451 AS BIGINT)),
+  (1, 4, 4, 24, 16, 600, 384050024),
+  (2, 5, 5, 32, 8, 666, 357274385),
+  (3, 6, 6, 16, 16, 1250, 2302043108),
+  (4, 3, 3, 24, 8, 400, 1077237347),
+  (5, 4, 4, 32, 16, 499, 2175386667),
+  (6, 5, 5, 16, 8, 1000, 1811565628),
+  (7, 6, 6, 24, 16, 1000, 478724115)
+) AS t(video_id, n_frames, frames_decoded, width, height,
+       dts_last_ms, pixels_crc32)
+""",
+)
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decoded video path (r5 verdict #5): 8 deterministic
+    MJPEG-in-AVI fixture videos are muxed (``operators/avi.py:
+    build_avi_mjpeg``), demuxed via the movi chunk walk, and every
+    frame decoded by the from-scratch baseline JPEG decoder; the
+    running CRC32 over all decoded frame pixels pins the entire
+    demux+decode chain bit-for-bit. H.264 stays correctly out of
+    scope — MP4 payloads remain demux-only and are dropped by the
+    decode stage, a boundary ``decode_video_frame_stats`` makes
+    explicit.
+
+    Scale posture: one video payload = one row; mux/demux/decode all
+    run inside one Arrow-batched ``mapInPandas`` over
+    ``spark.range`` — payloads never shuffle or reach the driver."""
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                _video_rows(pdf["id"]),
+                columns=[f.name for f in _VIDEO_SCHEMA.fields],
+            )
+
+    return spark.range(0, _N_VIDEOS, 1, 4).mapInPandas(op, _VIDEO_SCHEMA)

@@ -28,8 +28,10 @@ from lms_erp_data_integration_spark.operators.jpeg import (  # noqa: E402
     encode_jpeg,
     encode_jpeg_progressive,
 )
+from lms_erp_data_integration_spark.operators import avi  # noqa: E402
 from lms_erp_data_integration_spark.sources.warc import (  # noqa: E402
     iter_warc_records,
+    iter_warc_stream,
 )
 
 PROBES = [
@@ -41,6 +43,9 @@ PROBES = [
     mm.extract_pdf_text, mm.extract_docx_text, mm.extract_epub_html,
     lambda p: list(mm.iter_tar_members(p)),
     lambda p: list(iter_warc_records(p)),
+    lambda p: list(iter_warc_stream(__import__("io").BytesIO(p))),
+    avi.avi_meta,
+    lambda p: list(avi.iter_avi_frames(p)),
 ]
 
 MAGICS = [
@@ -61,6 +66,9 @@ def main() -> int:
         mm.encode_png(img, interlace=True),
         mm.encode_tiff(img, lzw=True, predictor=True),
         mm.build_pdf(["x"]), mm.build_docx(["x"]),
+        avi.build_avi_mjpeg([encode_jpeg(img)] * 3, 7, 9, fps=5),
+        __import__("gzip").compress(b"WARC/1.0\r\nWARC-Type: x\r\n"
+                                    b"Content-Length: 2\r\n\r\nhi\r\n\r\n"),
     ]
     fails = 0
     for trial in range(trials):

@@ -2184,3 +2184,76 @@ def test_tiff_lzw_and_predictor_round_trip():
     packed = mm.encode_tiff(grad, lzw=True, predictor=True)
     assert len(packed) < len(plain) // 4
     assert (mm._decode_tiff_pixels(packed)[..., 0] == grad).all()
+
+
+# ---------------------------------------------------------------- AVI
+
+
+def _mjpeg_avi(n_frames=4, w=16, h=8, fps=5, seed=7):
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators import avi
+    from lms_erp_data_integration_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        encode_jpeg(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        for _ in range(n_frames)
+    ]
+    return avi.build_avi_mjpeg(frames, w, h, fps=fps), frames
+
+
+def test_avi_mux_demux_round_trip():
+    from lms_erp_data_integration_spark.operators import avi
+
+    payload, frames = _mjpeg_avi()
+    meta = avi.avi_meta(payload)
+    assert meta == {
+        "width": 16, "height": 8, "n_frames": 4,
+        "us_per_frame": 200000, "handler": "MJPG",
+    }
+    got = list(avi.iter_avi_frames(payload))
+    assert [i for i, _ in got] == [0, 1, 2, 3]
+    assert [f for _, f in got] == frames
+    # truncations end iteration, never raise
+    for cut in (0, 3, 11, 13, 57, len(payload) // 2, len(payload) - 1):
+        list(avi.iter_avi_frames(payload[:cut]))
+        avi.avi_meta(payload[:cut])
+
+
+def test_extract_video_frames_avi_and_decode_stats(spark):
+    import zlib
+
+    from lms_erp_data_integration_spark.operators.jpeg import decode_jpeg
+
+    payload, frames = _mjpeg_avi()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, b"not video")],
+        "doc_id long, payload binary",
+    )
+    got = mm.extract_video_frames(df, every_n=2).collect()
+    assert sorted(r["sample_idx"] for r in got) == [0, 2]
+    by_idx = {r["sample_idx"]: r for r in got}
+    assert bytes(by_idx[0]["frame_bytes"]) == frames[0]
+    assert by_idx[2]["dts_ms"] == 400
+
+    stats = mm.decode_video_frame_stats(
+        mm.extract_video_frames(df, every_n=1)
+    ).collect()
+    assert len(stats) == 4  # every MJPEG frame really decodes
+    expect0 = decode_jpeg(frames[0])
+    r0 = next(r for r in stats if r["sample_idx"] == 0)
+    assert (r0["width"], r0["height"]) == (16, 8)
+    assert r0["pixel_crc32"] == zlib.crc32(expect0.tobytes())
+
+
+def test_decode_video_frame_stats_drops_undecodable(spark):
+    # MP4-demuxed access units are not JPEG: decode stage must drop
+    # them (the explicit decoded-vs-demuxed boundary), not crash
+    payload, _frames = _mp4_with_samples()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    frames = mm.extract_video_frames(df, every_n=1)
+    assert frames.count() == 5
+    assert mm.decode_video_frame_stats(frames).count() == 0
