@@ -5,7 +5,10 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
 
 Each query is forced with a noop write (full computation, no driver
-collect), timed after a warm-up of the session itself.
+collect), timed after a warm-up of the session itself. Noise defense:
+queries whose first run takes >= 0.5 s run twice and report the MIN
+(single-capture timings on a shared host read up to 21x high in r5);
+pairs disagreeing by >3x are listed in ``noise_flagged``.
 """
 
 from __future__ import annotations
@@ -56,21 +59,39 @@ def main() -> int:
     warmup_sec = round(time.perf_counter() - t0, 3)
     release_cached()
 
+    def timed_run(fn) -> float:
+        t0 = time.perf_counter()
+        try:
+            force(fn(spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 4)
+        except Exception:  # noqa: BLE001
+            dt = -1.0
+        # unpersist the query's tracked intermediates (timed: cache
+        # lifecycle is part of the query's real cost)
+        release_cached()
+        return dt
+
     timings: dict[str, float] = {}
+    noise_flagged: list[str] = []
+    retimed = 0
     # Deterministic alphabetical run order (registry order shifts as
     # the PRIORITY window rotates, which made per-query numbers
     # incomparable across rounds).
     for name in sorted(qs):
-        fn = qs[name]
-        t0 = time.perf_counter()
-        try:
-            force(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception:  # noqa: BLE001
-            timings[name] = -1.0
-        # unpersist the query's tracked intermediates (timed: cache
-        # lifecycle is part of the query's real cost)
-        release_cached()
+        t1 = timed_run(qs[name])
+        # Noise defense (r5: the driver's one-shot capture read 8-21x
+        # high on six unchanged queries — pure host tenancy): re-run
+        # anything slow enough to matter and report the MIN; queries
+        # under 0.5 s skip the second run (noise there can't move the
+        # round verdict, and skipping keeps the added wall cost low).
+        if t1 >= 0.5:
+            retimed += 1
+            t2 = timed_run(qs[name])
+            if t2 >= 0:
+                if max(t1, t2) > 3 * min(t1, t2):
+                    noise_flagged.append(name)
+                t1 = min(t1, t2)
+        timings[name] = t1
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     timings = {n: round(t, 3) for n, t in timings.items()}
@@ -87,6 +108,9 @@ def main() -> int:
                 "warmup_sec": warmup_sec,
                 "warmup_query": warm_name,
                 "run_order": "sorted",
+                "timing": "min_of_2_when_first_run_ge_0.5s",
+                "n_retimed": retimed,
+                "noise_flagged": noise_flagged,
                 "queries": timings,
             },
             f,
@@ -122,6 +146,8 @@ def main() -> int:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "warmup_sec": warmup_sec,
+                "timing": "min2",
+                "n_noise_flagged": len(noise_flagged),
                 "detail": "bench_full.json",
                 "queries": qs,
             },

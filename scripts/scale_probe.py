@@ -1,0 +1,185 @@
+"""One-decade scale probe (r5 verdict #4): measure the heaviest
+registered queries at sf0.1 AND a synthesized sf1.0, and report the
+observed per-query scaling exponent, converting the "survives 100x"
+design argument from prose to data.
+
+The sf1.0 dataset is derived from the read-only sf0.1 drop by 10x
+replication with STRUCTURE-PRESERVING namespace separation, built once
+under /tmp/sfprobe/sf1.0:
+
+- ``documents``: copy k suffixes every token with ``_k`` — the shingle
+  namespace of each copy is disjoint, so near-dup structure (cluster
+  sizes, posting-list doc frequencies, hot-shingle caps) replicates
+  exactly 10x instead of collapsing into cross-copy mega-clusters.
+  Caveat: suffixed tokens stop matching the stopword list, so
+  GATE SELECTIVITY changes for copies; the probe measures cost
+  scaling, not result semantics.
+- ``embeddings``: copy k rotates each vector by 3*k dimensions —
+  norms and within-copy distances are preserved exactly (same cluster
+  geometry per copy), while cross-copy vectors decorrelate so
+  semantic dedup does not see 10x-inflated clusters.
+- ``lineitem``: copy k offsets order/part/supplier keys — ten
+  disjoint co-purchase graphs with identical per-copy structure.
+
+Timing: min-of-2 per (query, sf), same discipline as bench.py.
+Usage: python scripts/scale_probe.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+PROBE_QUERIES = [
+    "llm_dedup_clusters",
+    "llm_dedup_apply",
+    "llm_dedup_incremental",
+    "llm_dedup_minhash_lsh",
+    "llm_minhash_accuracy",
+    "llm_dedup_semantic_verified",
+    "llm_sim_kmeans_assign",
+    "llm_quality_gate",
+    "rel_triangle_count",
+    "rel_pagerank_parts",
+]
+
+
+def build_sf1(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ks AS SELECT unnest(range({COPIES})) AS k")
+
+    if not os.path.exists(f"{out_dir}/documents.parquet"):
+        con.execute(
+            f"""
+            COPY (
+              SELECT d.doc_id + k * 1000000 AS doc_id,
+                     CASE WHEN k = 0 THEN d.text
+                          ELSE regexp_replace(d.text, '(\\S+)',
+                                              '\\1_' || k, 'g') END AS text,
+                     d.lang, d.source,
+                     CAST(length(CASE WHEN k = 0 THEN d.text
+                          ELSE regexp_replace(d.text, '(\\S+)',
+                                              '\\1_' || k, 'g') END)
+                          AS INT) AS n_chars
+              FROM '{SRC}/documents.parquet' d, ks
+            ) TO '{out_dir}/documents.parquet' (FORMAT parquet)
+            """
+        )
+    if not os.path.exists(f"{out_dir}/embeddings.parquet"):
+        con.execute(
+            f"""
+            COPY (
+              SELECT e.vec_id + k * 1000000 AS vec_id,
+                     CASE WHEN k = 0 THEN e.embedding
+                          ELSE e.embedding[(k*3) % len(e.embedding) + 1:]
+                               || e.embedding[1:(k*3) % len(e.embedding)]
+                     END AS embedding,
+                     e.label
+              FROM '{SRC}/embeddings.parquet' e, ks
+            ) TO '{out_dir}/embeddings.parquet' (FORMAT parquet)
+            """
+        )
+    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{SRC}/lineitem.parquet'"
+            ).fetchall()
+        ]
+        keyed = {
+            "l_orderkey": "l.l_orderkey + k * 10000000",
+            "l_partkey": "l.l_partkey + k * 10000000",
+            "l_suppkey": "l.l_suppkey + k * 10000000",
+        }
+        sel = ", ".join(
+            f"{keyed.get(c, 'l.' + c)} AS {c}" for c in cols
+        )
+        con.execute(
+            f"""
+            COPY (SELECT {sel} FROM '{SRC}/lineitem.parquet' l, ks)
+            TO '{out_dir}/lineitem.parquet' (FORMAT parquet)
+            """
+        )
+    con.close()
+
+
+def main() -> int:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfprobe/sf1.0"
+    build_sf1(out_dir)
+    for t in ("documents", "embeddings", "lineitem"):
+        con = duckdb.connect()
+        n = con.sql(
+            f"SELECT COUNT(*) FROM '{out_dir}/{t}.parquet'"
+        ).fetchone()[0]
+        print(f"built {t}: {n} rows", flush=True)
+        con.close()
+
+    import __spark_entry__ as entry_mod
+    from lms_erp_data_integration_spark.caching import release_cached
+    from lms_erp_data_integration_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs = entry_mod.queries()
+
+    def timed(fn, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+            release_cached()
+        return best
+
+    # warm-up: run the first probe once at small scale, discard
+    timed(qs[PROBE_QUERIES[0]], SRC)
+
+    rows = []
+    for name in PROBE_QUERIES:
+        t01 = timed(qs[name], SRC)
+        t10 = timed(qs[name], out_dir)
+        exp = math.log10(t10 / t01)
+        rows.append((name, t01, t10, exp))
+        print(
+            f"{name:32s} sf0.1={t01:7.2f}s sf1.0={t10:8.2f}s "
+            f"exponent={exp:5.2f}",
+            flush=True,
+        )
+
+    print("\n| query | sf0.1 s | sf1.0 s | observed exponent |")
+    print("|---|---|---|---|")
+    for name, t01, t10, exp in rows:
+        print(f"| {name} | {t01:.2f} | {t10:.2f} | {exp:.2f} |")
+    with open("scale_probe_result.json", "w") as f:
+        json.dump(
+            [
+                {
+                    "query": n,
+                    "sf0_1_sec": round(a, 3),
+                    "sf1_0_sec": round(b, 3),
+                    "exponent": round(e, 3),
+                }
+                for n, a, b, e in rows
+            ],
+            f,
+            indent=1,
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,91 @@
+"""Tests for the r6 composed-curation and media-gate query modules."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from lms_erp_data_integration_spark.plans import (
+    curation_queries,
+    media_queries,
+    tokenizer_queries,
+)
+from lms_erp_data_integration_spark.plans.llm_queries import quality_gate
+
+
+def test_corpus_curate_is_a_subset_chain(spark, sf_dir):
+    """Every curation stage only removes rows: kept set must be a
+    subset of the gated set, and stats must reconcile with the kept
+    rows exactly."""
+    out = curation_queries.corpus_curate(spark, sf_dir).collect()
+    gated = quality_gate(spark, sf_dir)
+    n_gated = gated.count()
+    n_kept = sum(r["n_docs"] for r in out)
+    assert 0 < n_kept <= n_gated
+    # languages in the output must exist in the gated corpus
+    langs = {r["lang"] for r in gated.select("lang").distinct().collect()}
+    assert {r["lang"] for r in out} <= langs
+
+
+def test_corpus_curate_rebalance_caps_at_unity(spark, sf_dir):
+    """No group may keep more docs than it has (keep-rate clamps at
+    100%): per (lang, source) the kept count can't exceed the gated
+    count."""
+    out = {
+        (r["lang"], r["source"]): r["n_docs"]
+        for r in curation_queries.corpus_curate(spark, sf_dir).collect()
+    }
+    gated = {
+        (r["lang"], r["source"]): r["cnt"]
+        for r in quality_gate(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for key, n in out.items():
+        assert n <= gated[key], key
+
+
+def test_pixel_rows_deterministic_and_complete():
+    a = media_queries._pixel_rows(range(media_queries._N_PIXEL_PAYLOADS))
+    b = media_queries._pixel_rows(range(media_queries._N_PIXEL_PAYLOADS))
+    assert a == b
+    assert len(a) == media_queries._N_PIXEL_PAYLOADS  # every fmt decodes
+    fmts = {r["fmt"] for r in a}
+    assert fmts == set(media_queries._FORMATS)
+    # lossless formats decode to 3-channel RGB with nonzero CRCs
+    for r in a:
+        assert r["channels"] == 3
+        assert r["pixel_crc32"] > 0
+
+
+def test_video_rows_decode_every_frame():
+    rows = media_queries._video_rows(range(media_queries._N_VIDEOS))
+    assert len(rows) == media_queries._N_VIDEOS
+    for r in rows:
+        assert r["frames_decoded"] == r["n_frames"] > 0
+        assert r["pixels_crc32"] > 0
+
+
+def test_media_queries_run_distributed(spark, sf_dir):
+    px = media_queries.decode_pixel_checksums(spark, sf_dir)
+    assert px.count() == media_queries._N_PIXEL_PAYLOADS
+    vf = media_queries.video_frame_stats(spark, sf_dir)
+    assert vf.count() == media_queries._N_VIDEOS
+
+
+def test_bpe_encode_uses_frozen_merges(spark, sf_dir):
+    out = tokenizer_queries.bpe_encode(spark, sf_dir).collect()
+    assert {r["bucket"] for r in out} <= set(range(8))
+    for r in out:
+        # BPE merges can only shrink the symbol count relative to
+        # (chars + end-of-word) and can't go below one per word
+        assert r["sum_tokens"] >= r["sum_words"]
+
+
+def test_chat_render_stats_consistency(spark, sf_dir):
+    out = tokenizer_queries.chat_render_stats(spark, sf_dir).collect()
+    for r in out:
+        assert r["n_turns"] >= 2  # system head + at least one chunk
+        assert 0 <= r["assistant_char_frac_micros"] <= 1_000_000
+        # rendered length bounds: bos + system turn + per-turn overhead
+        assert r["rendered_len"] >= 3 + 42
