@@ -50,6 +50,7 @@ registry.PRIORITY = [
     "llm_corpus_curate",
     "llm_decode_pixel_checksums",
     "llm_video_frame_stats",
+    "llm_warc_ingest_stats",
     # re-verification fillers: the oldest driver rows (last checked in
     # r2, per CORRECTNESS_r02 vs later rounds), alphabetical — the
     # cumulative-coverage policy keeps every green query re-checked on
@@ -88,5 +89,4 @@ registry.PRIORITY = [
     "rel_unpivot_part_measures",
     # last-checked r3, alphabetical
     "llm_dedup_apply",
-    "llm_dedup_clusters",
 ]

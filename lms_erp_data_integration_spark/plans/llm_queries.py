@@ -1164,6 +1164,31 @@ _KMEANS_DIST = (
     "list_transform(range(0, 64), d -> {v}[d+1] - {c}.s[d+1] / {c}.n))"
 )
 
+# k scales with the corpus as k = max(8, floor(0.35 * sqrt(n))).
+# Why sqrt: Lloyd's assignment costs n*k distance evaluations while
+# SemDeDup's within-cluster verification costs ~n²/k pair evaluations
+# — a FIXED k leaves the verify stage quadratic (the r6 sf1.0 scale
+# probe measured exponent 1.47 for llm_dedup_semantic_verified at
+# k=8), while k ∝ n makes the assignment stage quadratic instead.
+# k ∝ sqrt(n) balances both at O(n^1.5) — the same cost class as the
+# repo's other sqrt-bucketed joins (pigeonhole blocks, triangle
+# wedges). At the driver's correctness scale (500 vectors at sf0.01)
+# the formula clamps to the historical k=8, so oracle results are
+# unchanged there; both engines evaluate the identical
+# double-precision sqrt/mul/floor, so the computed k always agrees.
+_KMEANS_K_MIN = 8
+_KMEANS_K_SQL = (
+    f"(SELECT GREATEST({_KMEANS_K_MIN}, "
+    f"CAST(floor(0.35 * sqrt(COUNT(*))) AS BIGINT)) FROM embeddings)"
+)
+
+
+def _kmeans_k(emb) -> int:
+    """Corpus-scaled cluster count (see comment above)."""
+    import math
+
+    return max(_KMEANS_K_MIN, int(math.floor(0.35 * math.sqrt(emb.count()))))
+
 
 @query(
     "llm_sim_kmeans_assign",
@@ -1173,7 +1198,8 @@ WITH v AS (
          list_transform(embedding::DOUBLE[],
                         x -> floor(x * 1000000 + 0.5)) AS vi
   FROM embeddings),
-c0 AS (SELECT vec_id AS cid, vi AS s, 1 AS n FROM v WHERE vec_id < 8),
+c0 AS (SELECT vec_id AS cid, vi AS s, 1 AS n FROM v
+       WHERE vec_id < {_KMEANS_K_SQL}),
 d1 AS (
   SELECT v.vec_id, c0.cid, {_KMEANS_DIST.format(v="v.vi", c="c0")} AS dist
   FROM v, c0),
@@ -1202,14 +1228,14 @@ SELECT vec_id, cid FROM a2
 """,
 )
 def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd's k-means (k=8, 2 iterations) — learns the
-    IVF centroids instead of taking them as given. The oracle unrolls
-    both iterations in SQL; integer-scaled sums + exactly-rounded mean
+    """Distributed Lloyd's k-means (corpus-scaled k = max(8, n/250),
+    2 iterations) — learns the IVF centroids instead of taking them as
+    given. The oracle unrolls both iterations in SQL with the same
+    scalar-subquery k; integer-scaled sums + exactly-rounded mean
     division keep every iteration's argmin bit-identical (see
     operators/similarity.py:kmeans_assignments)."""
-    return sim.kmeans_assignments(
-        Catalog(spark, sf_dir).embeddings, k=8, iterations=2
-    )
+    emb = Catalog(spark, sf_dir).embeddings
+    return sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
 
 
 from .registry import ORACLES as _ORACLES  # noqa: E402  (needs kmeans above)
@@ -1241,9 +1267,8 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ``cid``."""
     from pyspark.sql import Window as W
 
-    assign = sim.kmeans_assignments(
-        Catalog(spark, sf_dir).embeddings, k=8, iterations=2
-    )
+    emb = Catalog(spark, sf_dir).embeddings
+    assign = sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
     keeper = F.min("vec_id").over(W.partitionBy("cid"))
     return assign.select(
         "vec_id",
@@ -1277,9 +1302,8 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     module)."""
     from ..operators import profiling
 
-    assign = sim.kmeans_assignments(
-        Catalog(spark, sf_dir).embeddings, k=8, iterations=2
-    )
+    emb = Catalog(spark, sf_dir).embeddings
+    assign = sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
     return profiling.bucket_sizes(assign, ["cid"]).select(
         "cid",
         F.col("bucket_size").alias("cluster_size"),
@@ -1326,7 +1350,7 @@ def dedup_semantic_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two vector fetches — unpersisted it would re-scan the source per
     # consumer
     emb = tracked_persist(Catalog(spark, sf_dir).embeddings)
-    assign = sim.kmeans_assignments(emb, k=8, iterations=2)
+    assign = sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
     return sim.cluster_verified_pairs(assign, emb, threshold=0.35)
 
 
@@ -1841,7 +1865,7 @@ def sim_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = Catalog(spark, sf_dir).embeddings
-    assign = sim.kmeans_assignments(emb, k=8, iterations=2)
+    assign = sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
     cl = (
         assign.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("cid", "label")

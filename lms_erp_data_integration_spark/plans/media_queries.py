@@ -161,6 +161,124 @@ def decode_pixel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WARC_PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("seg_id", T.LongType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("http_status", T.LongType()),
+        T.StructField("html", T.StringType()),
+    ]
+)
+
+_N_WARC_SEGMENTS = 6
+_PAGES_PER_SEGMENT = 5
+
+
+def _warc_page_rows(ids) -> list[dict]:
+    """Executor-side: build a deterministic .warc(.gz) segment per id
+    (5 HTML pages with scripts, entities, nav links, tracking-param
+    URLs), then parse it back through the STREAMING reader — the same
+    code path the ``spark.read.format("warc")`` source uses."""
+    import io
+
+    from ..sources.warc import build_warc, iter_warc_stream
+
+    rows = []
+    for seg in ids:
+        seg = int(seg)
+        recs = []
+        for i in range(_PAGES_PER_SEGMENT):
+            html = (
+                "<html><head><title>skip me</title>"
+                "<script>var x = 1 &lt; 2;</script></head>"
+                f"<body><h1>Page {seg}-{i}</h1>"
+                f"<p>hello &amp;lt; world {seg} {i} the of and</p>"
+                "<!-- boilerplate -->"
+                f"<a href='x'>nav {i}</a>"
+                f"<div>tail text {seg * 10 + i}</div></body></html>"
+            )
+            recs.append(
+                {
+                    "record_type": "response",
+                    "target_uri": (
+                        f"https://WWW.Example.com:443/a/{seg}/{i}/"
+                        f"?utm_source=feed&q={i}#frag"
+                    ),
+                    "http_status": 200,
+                    "content_type": "text/html",
+                    "body": html.encode(),
+                }
+            )
+        payload = build_warc(recs, gzipped=(seg % 2 == 0))
+        for r in iter_warc_stream(io.BytesIO(payload)):
+            rows.append(
+                {
+                    "seg_id": seg,
+                    "target_uri": r["target_uri"],
+                    "http_status": r["http_status"],
+                    "html": r["body"].decode("utf-8", "replace"),
+                }
+            )
+    return rows
+
+
+@query(
+    "llm_warc_ingest_stats",
+    # literal-VALUES oracle: fixture segments are sf-independent;
+    # regenerate by running the query after intentional changes to
+    # the WARC reader, html_to_text, or canonical_url
+    """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(seg_id, n_pages, n_canonical_urls, sum_text_chars,
+       text_crc_sum)
+""",
+)
+def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl ingest chain under the driver gate: 6 fixture
+    ``.warc`` / ``.warc.gz`` segments (alternating, so BOTH the plain
+    and the gzip-member streaming path run) are built and re-parsed
+    executor-side with ``iter_warc_stream`` — the same streaming
+    reader the ``warc`` data source uses — then the pages flow through
+    the PURE-Column curation layer: ``html_to_text`` (script/comment
+    removal, block tags, entity decode with &amp; last) and
+    ``canonical_url`` (scheme/www/case/port/tracking-param/fragment
+    folding). Per segment: page count, distinct canonical URLs, exact
+    text-length sum and a crc32 sum over the extracted text — any
+    regression in the reader, the HTML-to-text chain, or URL
+    canonicalization flips a value.
+
+    Scale posture: segment parse is per-task streaming (bounded
+    buffer); the curation layer is one codegen'd projection; the
+    aggregation is segment-cardinality-sized."""
+    import pandas as pd
+
+    from ..operators.text import canonical_url, html_to_text
+
+    def op(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                _warc_page_rows(pdf["id"]),
+                columns=[f.name for f in _WARC_PAGE_SCHEMA.fields],
+            )
+
+    pages = spark.range(0, _N_WARC_SEGMENTS, 1, 3).mapInPandas(
+        op, _WARC_PAGE_SCHEMA
+    )
+    curated = pages.select(
+        "seg_id",
+        canonical_url(F.col("target_uri")).alias("curl"),
+        html_to_text(F.col("html")).alias("text"),
+    )
+    return curated.groupBy("seg_id").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("curl").alias("n_canonical_urls"),
+        F.sum(F.length("text")).alias("sum_text_chars"),
+        F.sum(F.crc32(F.col("text"))).alias("text_crc_sum"),
+    )
+
+
 _VIDEO_SCHEMA = T.StructType(
     [
         T.StructField("video_id", T.LongType()),

@@ -172,3 +172,48 @@ def test_image_shard_pipeline_to_normalized_jpegs(spark, tmp_path):
     for r in out:
         px = decode_jpeg(bytes(r["payload"]))
         assert px.shape == (16, 16, 3)
+
+
+def test_warc_stream_matches_batch_and_survives_corruption():
+    """r6 ADVICE fixes: iter_warc_stream must (a) equal the batch
+    parser on clean segments, plain AND gzipped, while holding only a
+    bounded buffer; (b) end iteration on corrupt/truncated gzip
+    members instead of raising (a damaged crawl segment must not kill
+    the ingest task)."""
+    import io
+
+    from lms_erp_data_integration_spark.sources.warc import (
+        _gunzip_members,
+        iter_warc_records,
+        iter_warc_stream,
+    )
+
+    records = [
+        {
+            "record_type": "response",
+            "target_uri": f"http://x/{i}",
+            "http_status": 200,
+            "content_type": "text/html",
+            "body": b"<p>pg %d</p>" % i,
+        }
+        for i in range(7)
+    ]
+    raw = build_warc(records)
+    gz = build_warc(records, gzipped=True)
+    for payload in (raw, gz):
+        batch = list(iter_warc_records(payload))
+        stream = list(iter_warc_stream(io.BytesIO(payload)))
+        assert len(batch) == 7
+        assert batch == stream
+
+    # corrupt gzip header: returns nothing, never raises (the exact
+    # r5 ADVICE repro)
+    assert list(iter_warc_records(b"\x1f\x8b\x08\x00garbage")) == []
+    assert _gunzip_members(b"\x1f\x8b\x08\x00garbage") == b""
+    # truncated tail: the complete prefix records still come out
+    got = list(iter_warc_stream(io.BytesIO(gz[: len(gz) - 25])))
+    assert 0 < len(got) < 7
+    # flipped bytes mid-member: bounded output, no exception
+    bad = bytearray(gz)
+    bad[len(bad) // 2] ^= 0xFF
+    list(iter_warc_stream(io.BytesIO(bytes(bad))))
