@@ -51,6 +51,14 @@ registry.PRIORITY = [
     "llm_decode_pixel_checksums",
     "llm_video_frame_stats",
     "llm_warc_ingest_stats",
+    # changed in r6: corpus-scaled k-means k (scale-probe fix) — the
+    # whole family's plan+oracle hashes changed, so they re-enter the
+    # window per the rotation policy
+    "llm_sim_kmeans_assign",
+    "llm_dedup_semantic_kmeans",
+    "llm_dedup_cluster_histogram",
+    "llm_dedup_semantic_verified",
+    "llm_sim_kmeans_purity",
     # re-verification fillers: the oldest driver rows (last checked in
     # r2, per CORRECTNESS_r02 vs later rounds), alphabetical — the
     # cumulative-coverage policy keeps every green query re-checked on
@@ -83,10 +91,4 @@ registry.PRIORITY = [
     "rel_salted_join_revenue",
     "rel_semi_anti_counts",
     "rel_session_window_native",
-    "rel_string_surface",
-    "rel_term_successor",
-    "rel_top_orders_per_customer",
-    "rel_unpivot_part_measures",
-    # last-checked r3, alphabetical
-    "llm_dedup_apply",
 ]

@@ -230,7 +230,12 @@ def _warc_page_rows(ids) -> list[dict]:
     """
 SELECT * FROM (VALUES
   (CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT),
-   CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+   CAST(290 AS BIGINT), CAST(10698157547 AS BIGINT)),
+  (1, 5, 5, 295, 14209188453),
+  (2, 5, 5, 295, 9497684577),
+  (3, 5, 5, 295, 12305511005),
+  (4, 5, 5, 295, 11116190329),
+  (5, 5, 5, 295, 8417944181)
 ) AS t(seg_id, n_pages, n_canonical_urls, sum_text_chars,
        text_crc_sum)
 """,
