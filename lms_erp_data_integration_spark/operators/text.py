@@ -354,7 +354,7 @@ def train_bpe(
     table = words.select("w", "n", sym.alias("symbols")).localCheckpoint()
 
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    for round_i in range(n_merges):
         syms = F.split(F.col("symbols"), " ")
         pairs = table.where(F.size(syms) >= 2).select(
             "n",
@@ -389,7 +389,14 @@ def train_bpe(
             F.regexp_replace(
                 F.col("symbols"), pattern, merged
             ).alias("symbols"),
-        ).localCheckpoint()
+        )
+        # checkpoint every 4th round, not every round: the chained
+        # regexp_replace projections stay narrow, so the only cost of
+        # a deeper plan is driver-side re-planning — bounded at depth
+        # 4 — while each eager localCheckpoint costs a full
+        # materialization job of the word table
+        if round_i % 4 == 3 or round_i == n_merges - 1:
+            table = table.localCheckpoint()
     return merges, table
 
 

@@ -190,10 +190,12 @@ def test_rowgroup_stats_and_skipping_effectiveness(spark, tmp_path):
     rows = st.collect()
     assert rows and all(r["column"] == "k" for r in rows)
     eff = skipping_effectiveness(st, "k").collect()[0]
-    # disjoint ranges: only self-overlaps => overlap_frac ~ 1/n_groups
+    # disjoint ranges, self-pairs excluded (r5 ADVICE): a perfectly
+    # clustered layout overlaps NO other row group
     n_groups = st.count()
-    assert eff["n_overlapping"] == n_groups
-    assert eff["overlap_frac"] <= 1.5 / max(n_groups - 1, 1)
+    assert eff["n_pairs"] == n_groups * (n_groups - 1)
+    assert eff["n_overlapping"] == 0
+    assert eff["overlap_frac"] == 0.0
 
     # shuffled: every file spans the full k range -> all pairs overlap
     shuffled = str(tmp_path / "shuffled")
