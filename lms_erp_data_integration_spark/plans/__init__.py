@@ -45,6 +45,7 @@ registry.PRIORITY = [
     "llm_lm_perplexity",
     "llm_chat_render_stats",
     "llm_winnow_pairs",
+    "llm_chat_loss_mask",
     # added in r6: the composed curation pipeline (r5 verdict #7) and
     # the pixel-exact codec/video gates (r5 verdict #5/#6)
     "llm_corpus_curate",
@@ -90,5 +91,4 @@ registry.PRIORITY = [
     "rel_running_total_per_user",
     "rel_salted_join_revenue",
     "rel_semi_anti_counts",
-    "rel_session_window_native",
 ]

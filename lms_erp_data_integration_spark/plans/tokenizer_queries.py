@@ -242,6 +242,107 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_chat_loss_mask",
+    r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST((len(w) + 7) // 8 AS INT)),
+             i -> array_to_string(w[i*8+1:i*8+8], ' ')) AS chunks
+  FROM t),
+m AS (
+  SELECT doc_id,
+         ['system'] || list_transform(chunks,
+             ch -> CASE WHEN substr(ch, 1, 1) < 'm'
+                        THEN 'user' ELSE 'assistant' END) AS roles,
+         ['You are a helpful assistant.'] || chunks AS contents
+  FROM c),
+o AS (
+  SELECT doc_id, roles, contents,
+         list_transform(range(1, len(roles) + 1),
+             i -> 8 + length(roles[i]) + length(contents[i])) AS costs
+  FROM m),
+s AS (
+  SELECT doc_id, roles, contents,
+         list_transform(range(1, len(roles) + 1),
+             i -> 3 + coalesce(list_sum(costs[1:i-1]), 0)
+                  + 4 + length(roles[i])) AS starts,
+         list_filter(range(1, len(roles) + 1),
+             i -> roles[i] = 'assistant') AS idxs
+  FROM o)
+SELECT doc_id,
+       CAST(len(idxs) AS BIGINT) AS n_spans,
+       CAST(CASE WHEN len(idxs) = 0 THEN -1
+            ELSE starts[idxs[1]] END AS BIGINT) AS first_start,
+       CAST(CASE WHEN len(idxs) = 0 THEN -1
+            ELSE starts[idxs[1]] + length(contents[idxs[1]])
+            END AS BIGINT) AS first_end,
+       CAST(coalesce(list_sum(list_transform(idxs,
+            i -> length(contents[i]))), 0) AS BIGINT) AS total_span_chars
+FROM s
+""",
+)
+def chat_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask spans (``operators/text.py:assistant_spans``):
+    exact [start, end) character spans of every ASSISTANT turn inside
+    the rendered training string, computed as a running-offset fold
+    over the structured turns — never re-parsed from the rendered
+    text. The oracle rebuilds the same offsets arithmetically (prefix
+    sums over per-turn render costs), so a drift in the template shape
+    or the fold breaks the hash. Conversations are synthesized from
+    documents exactly as in ``llm_chat_render_stats``.
+
+    Scale posture: one codegen'd projection (struct-accumulator
+    ``aggregate``), zero shuffles, zero UDFs."""
+    docs = Catalog(spark, sf_dir).documents
+    w = tx.ws_tokens(F.lower(F.col("text")))
+    n_chunks = F.floor((F.size(w) + F.lit(7)) / F.lit(8)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 8 + 1, 8)),
+    )
+    body = F.transform(
+        chunks,
+        lambda c: F.struct(
+            F.when(F.substring(c, 1, 1) < F.lit("m"), F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            c.alias("content"),
+        ),
+    )
+    msgs = F.concat(
+        F.array(
+            F.struct(
+                F.lit("system").alias("role"),
+                F.lit("You are a helpful assistant.").alias("content"),
+            )
+        ),
+        body,
+    )
+    spans = tx.assistant_spans(F.col("messages"))
+    prepared = docs.select("doc_id", msgs.alias("messages")).select(
+        "doc_id", spans.alias("spans")
+    )
+    first = F.element_at(F.col("spans"), 1)
+    has = F.size("spans") > 0
+    return prepared.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.when(has, first["start"]).otherwise(-1)
+        .cast("long").alias("first_start"),
+        F.when(has, first["end"]).otherwise(-1)
+        .cast("long").alias("first_end"),
+        F.aggregate(
+            F.col("spans"),
+            F.lit(0),
+            lambda acc, sp: acc + (sp["end"] - sp["start"]),
+        ).cast("long").alias("total_span_chars"),
+    )
+
+
+@query(
     "llm_chat_render_stats",
     r"""
 WITH t AS (
