@@ -733,18 +733,40 @@ def winnow_fingerprints(
     hs_expr = F.transform(
         shingle_array(F.col(text_col), shingle_n), lambda s: _md5_int28(s)
     )
-    hashed = df.select(F.col(id_col), hs_expr.alias("_hs"))
-    hs = F.col("_hs")
-    cnt = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(0))
-    mins = F.slice(hs, F.lit(1), cnt)
-    for j in range(1, window):
-        mins = F.zip_with(
-            mins, F.slice(hs, F.lit(j + 1), cnt), lambda a, b: F.least(a, b)
+
+    # The k-gram hash chain is EXPENSIVE (split + zip_with shingles +
+    # md5 each) and the window fold references it window+1 times.
+    # Interpreted HOF evaluation has no common-subexpression
+    # elimination and CollapseProject would substitute the chain into
+    # every reference (measured 5.6 s vs 1.1 s at sf0.1) — so bind it
+    # ONCE as a lambda variable (`transform` over a 1-element array
+    # evaluates its argument a single time) and keep the min-length
+    # gate INSIDE the expression as a `filter` consumed by `explode`
+    # (a Generate, which predicate pushdown cannot duplicate). Same
+    # single-evaluation architecture as the quality gate
+    # (plans/llm_queries.py:quality_gate, r2 verdict fix).
+    def fp_struct(hs):
+        cnt = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(0))
+        mins = F.slice(hs, F.lit(1), cnt)
+        for j in range(1, window):
+            mins = F.zip_with(
+                mins,
+                F.slice(hs, F.lit(j + 1), cnt),
+                lambda a, b: F.least(a, b),
+            )
+        return F.struct(
+            F.size(hs).alias("n_kgrams"),
+            F.array_distinct(mins).alias("fingerprint"),
         )
-    return hashed.where(F.size(hs) >= window).select(
+
+    gated = F.filter(
+        F.transform(F.array(hs_expr), fp_struct),
+        lambda s: s["n_kgrams"] >= F.lit(window),
+    )
+    return df.select(F.col(id_col), F.explode(gated).alias("_s")).select(
         F.col(id_col),
-        F.size(hs).alias("n_kgrams"),
-        F.array_distinct(mins).alias("fingerprint"),
+        F.col("_s.n_kgrams").alias("n_kgrams"),
+        F.col("_s.fingerprint").alias("fingerprint"),
     )
 
 
