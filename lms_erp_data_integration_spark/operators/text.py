@@ -58,18 +58,24 @@ def shingle_array(text: Column, n: int = 3) -> Column:
     duplicates included) — pure Column expression, no shuffle.
 
     Built by zip_with-ing n shifted slices of the token array. The
-    token split appears only as an ARGUMENT expression (evaluated once
-    per row) — referencing it inside a transform lambda would make
-    Catalyst re-split the document once per shingle (quadratic)."""
-    toks = ws_tokens(text)
-    # greatest(.., 0) guards docs shorter than n tokens: slice(_, 1, 0)
-    # is empty, and zip_with of empties stays empty
-    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    parts = [F.slice(toks, F.lit(j + 1), cnt) for j in range(n)]
-    out = parts[0]
-    for p in parts[1:]:
-        out = F.zip_with(out, p, lambda a, b: F.concat(a, F.lit(" "), b))
-    return out
+    token split is bound ONCE as a transform lambda variable: the
+    slices and the length guard reference it n+1 times, and
+    interpreted HOF evaluation has no common-subexpression
+    elimination, so inlining the split would re-tokenize the document
+    n+1 times per row (and referencing it inside the per-shingle
+    lambda would re-split once per shingle — quadratic)."""
+
+    def build(toks):
+        # greatest(.., 0) guards docs shorter than n tokens:
+        # slice(_, 1, 0) is empty, and zip_with of empties stays empty
+        cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+        parts = [F.slice(toks, F.lit(j + 1), cnt) for j in range(n)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = F.zip_with(out, p, lambda a, b: F.concat(a, F.lit(" "), b))
+        return out
+
+    return F.element_at(F.transform(F.array(ws_tokens(text)), build), 1)
 
 
 def word_shingles(
