@@ -310,20 +310,51 @@ def lsh_bucketed_near_duplicates(
     normed = tracked_persist(
         vectors.select(F.col(id_col), normalize(F.col(vec_col)).alias("_nv"))
     )
-    return (
-        cands.join(normed.select(F.col(id_col).alias("i"), F.col("_nv").alias("_vi")), "i")
-        .join(normed.select(F.col(id_col).alias("j"), F.col("_nv").alias("_vj")), "j")
-        .select(
-            "i",
-            "j",
-            F.aggregate(
-                F.zip_with(F.col("_vi"), F.col("_vj"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+    joined = cands.join(
+        normed.select(F.col(id_col).alias("i"), F.col("_nv").alias("_vi")),
+        "i",
+    ).join(
+        normed.select(F.col(id_col).alias("j"), F.col("_nv").alias("_vj")),
+        "j",
     )
+    if not vectorized:
+        return (
+            joined.select(
+                "i",
+                "j",
+                F.aggregate(
+                    F.zip_with(F.col("_vi"), F.col("_vj"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+
+    # Vectorized verification: the interpreted per-pair fold costs
+    # ~10x a numpy kernel on the same candidates. Bit-parity with the
+    # fold (and the DuckDB oracle) is preserved because the per-pair
+    # reduction is SEQUENTIAL: elementwise product + cumsum accumulate
+    # left-to-right in float64, the exact order of the fold — same
+    # guarantee as near_duplicate_pairs_local / the SemDeDup verify
+    # kernel.
+    import pandas as pd  # noqa: F811
+
+    def op(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vi = np.vstack(pdf["_vi"].to_numpy())
+            vj = np.vstack(pdf["_vj"].to_numpy())
+            cos = (vi * vj).cumsum(axis=1)[:, -1]
+            out = pd.DataFrame(
+                {"i": pdf["i"], "j": pdf["j"], "cosine": cos}
+            )
+            yield out[out["cosine"] >= threshold]
+
+    return joined.mapInPandas(op, "i long, j long, cosine double")
 
 
 def near_duplicate_pairs_local(
