@@ -1812,8 +1812,11 @@ def audio_fingerprint(payload: bytes) -> int | None:
         edges = np.unique(
             np.geomspace(1, len(spec) - 1, 10).astype(int)
         )
-        while len(edges) < 10:  # tiny segments: pad edges linearly
-            edges = np.append(edges, edges[-1] + 1)
+        while len(edges) < 10:  # tiny segments: pad edges linearly,
+            # clamped into the spectrum (reduceat raises on an index
+            # == len(spec); repeated final edges are legal and yield
+            # single-bin bands)
+            edges = np.append(edges, min(edges[-1] + 1, len(spec) - 1))
         e = np.add.reduceat(spec, edges[:-1])[:9]
         for b in range(8):
             out = (out << 1) | int(e[b] > e[b + 1])

@@ -161,6 +161,173 @@ def decode_pixel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("payload_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_milli", T.LongType()),
+        T.StructField("fingerprint", T.LongType()),
+    ]
+)
+
+_AUDIO_CODECS = ["pcm16", "pcm8", "mulaw", "alaw"]
+_N_AUDIO_PAYLOADS = 12
+
+
+def _mulaw_encode(x, np):
+    """Textbook ITU G.711 mu-law companding (fixture writer; the
+    DECODER under test is operators/multimodal.py:_wav_samples)."""
+    BIAS, CLIP = 0x84, 32635
+    out = bytearray()
+    for s in x:
+        sign = 0x80 if s < 0 else 0
+        s = min(abs(int(s)), CLIP) + BIAS
+        exp, mask = 7, 0x4000
+        while exp > 0 and not (s & mask):
+            exp -= 1
+            mask >>= 1
+        mant = (s >> (exp + 3)) & 0x0F
+        out.append(~(sign | (exp << 4) | mant) & 0xFF)
+    return bytes(out)
+
+
+def _alaw_encode(x, np):
+    """ITU G.711 A-law companding (fixture writer), exact inverse of
+    the repo decoder's segment layout: exp 0 covers lin = mant*16+8,
+    exp >= 1 covers lin = (mant*16+264) << (exp-1)."""
+    out = bytearray()
+    for s in x:
+        s = int(s)
+        sign = 0x80 if s < 0 else 0
+        m = min(abs(s), 32635)
+        if m < 256:
+            exp, mant = 0, m >> 4
+        else:
+            exp = m.bit_length() - 8
+            mant = (m >> (exp + 3)) & 0x0F
+        out.append((sign | (exp << 4) | mant) ^ 0x55)
+    return bytes(out)
+
+
+def _audio_rows(ids) -> list[dict]:
+    import struct
+
+    import numpy as np
+
+    from ..operators import multimodal as mm
+
+    rows = []
+    for pid in ids:
+        pid = int(pid)
+        rng = np.random.default_rng(2000 + pid)
+        codec = _AUDIO_CODECS[pid % len(_AUDIO_CODECS)]
+        rate = 8000 * (1 + pid % 2)
+        n = 400 + 50 * pid
+        t = np.arange(n)
+        tone = 12000 * np.sin(2 * np.pi * (220 + 20 * pid) * t / rate)
+        noise = rng.integers(-2000, 2000, n)
+        samples = (tone + noise).astype(np.int64)
+        if codec == "pcm16":
+            fmt_code, bits = 1, 16
+            data = samples.astype("<i2").tobytes()
+        elif codec == "pcm8":
+            fmt_code, bits = 1, 8
+            data = ((samples >> 8) + 128).clip(0, 255).astype(
+                np.uint8
+            ).tobytes()
+        elif codec == "mulaw":
+            fmt_code, bits = 7, 8
+            data = _mulaw_encode(samples, np)
+        else:
+            fmt_code, bits = 6, 8
+            data = _alaw_encode(samples, np)
+        balign = bits // 8
+        fmtch = struct.pack(
+            "<HHIIHH", fmt_code, 1, rate, rate * balign, balign, bits
+        )
+        payload = (
+            b"RIFF" + struct.pack("<I", 28 + len(fmtch) + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmtch)) + fmtch
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        meta = mm.decode_wav(payload)
+        if meta is None:
+            continue
+        fp = mm.audio_fingerprint(payload)
+        if fp is None:
+            fp = -1
+        elif fp >= 1 << 63:  # unsigned 64-bit -> signed long column
+            fp -= 1 << 64
+        rows.append(
+            {
+                "payload_id": pid,
+                "codec": codec,
+                "sample_rate": meta["sample_rate"],
+                "channels": meta["channels"],
+                "n_samples": meta["n_samples"],
+                "duration_ms": meta["duration_ms"],
+                "rms_milli": meta["rms_milli"],
+                "fingerprint": int(fp),
+            }
+        )
+    return rows
+
+
+@query(
+    "llm_audio_decode_stats",
+    # literal-VALUES oracle: fixture set is sf-independent; regenerate
+    # by printing _audio_rows(range(12)) after intentional changes
+    """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'pcm16', CAST(8000 AS BIGINT), CAST(1 AS BIGINT),
+   CAST(400 AS BIGINT), CAST(50 AS BIGINT), CAST(264 AS BIGINT),
+   CAST(-2964825481421860150 AS BIGINT)),
+  (1, 'pcm8', 16000, 1, 450, 28, 261, -732455141383735843),
+  (2, 'mulaw', 8000, 1, 500, 62, 258, 6001445949948387657),
+  (3, 'alaw', 16000, 1, 550, 34, 258, -3317501485048801803),
+  (4, 'pcm16', 8000, 1, 600, 75, 261, 3979842020318196537),
+  (5, 'pcm8', 16000, 1, 650, 40, 261, 8753728269761602941),
+  (6, 'mulaw', 8000, 1, 700, 87, 262, 4124511370810962739),
+  (7, 'alaw', 16000, 1, 750, 46, 262, 8318554718912738145),
+  (8, 'pcm16', 8000, 1, 800, 100, 260, 2096734714317183259),
+  (9, 'pcm8', 16000, 1, 850, 53, 261, 4123394215490433339),
+  (10, 'mulaw', 8000, 1, 900, 112, 260, 2130516092363839769),
+  (11, 'alaw', 16000, 1, 950, 59, 259, 4123392050826918205)
+) AS t(payload_id, codec, sample_rate, channels, n_samples,
+       duration_ms, rms_milli, fingerprint)
+""",
+)
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-codec gate, the WAV analog of the pixel-CRC query: 12
+    deterministic fixture signals (tone + seeded noise) encoded as
+    PCM16, PCM8, G.711 mu-law and A-law, decoded by the repo's
+    from-scratch WAV path, signed with the exact integer RMS and the
+    band-energy audio fingerprint. Fixtures are sf-independent, so the
+    pinned oracle is exact at every scale; a companding-table or
+    chunk-walk regression flips a value.
+
+    Scale posture: generation+decode run inside one Arrow-batched
+    ``mapInPandas`` over ``spark.range``; payloads never reach the
+    driver."""
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                _audio_rows(pdf["id"]),
+                columns=[f.name for f in _AUDIO_SCHEMA.fields],
+            )
+
+    return spark.range(0, _N_AUDIO_PAYLOADS, 1, 4).mapInPandas(
+        op, _AUDIO_SCHEMA
+    )
+
+
 _WARC_PAGE_SCHEMA = T.StructType(
     [
         T.StructField("seg_id", T.LongType()),

@@ -67,6 +67,14 @@ def main() -> int:
         mm.encode_tiff(img, lzw=True, predictor=True),
         mm.build_pdf(["x"]), mm.build_docx(["x"]),
         avi.build_avi_mjpeg([encode_jpeg(img)] * 3, 7, 9, fps=5),
+        # short-segment WAV: seg_len < 256 exercised the reduceat
+        # crash in audio_fingerprint's band-edge padding (r6 fix)
+        (b"RIFF" + (28 + 800).to_bytes(4, "little") + b"WAVE"
+         + b"fmt " + (16).to_bytes(4, "little")
+         + __import__("struct").pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+         + b"data" + (800).to_bytes(4, "little")
+         + rng.integers(-32768, 32767, 400, dtype=np.int64)
+               .astype("<i2").tobytes()),
         __import__("gzip").compress(b"WARC/1.0\r\nWARC-Type: x\r\n"
                                     b"Content-Length: 2\r\n\r\nhi\r\n\r\n"),
     ]

@@ -2257,3 +2257,46 @@ def test_decode_video_frame_stats_drops_undecodable(spark):
     frames = mm.extract_video_frames(df, every_n=1)
     assert frames.count() == 5
     assert mm.decode_video_frame_stats(frames).count() == 0
+
+
+def test_audio_fingerprint_short_segments_no_crash():
+    """r6 regression: segments shorter than ~256 samples made the
+    band-edge padding walk past the spectrum and crash reduceat; any
+    valid WAV with >= 64 samples must fingerprint, not raise."""
+    import struct as st
+
+    import numpy as np
+
+    for n in (64, 100, 400, 999):
+        data = (np.arange(n, dtype=np.int64) * 37 % 20000 - 10000).astype(
+            "<i2"
+        ).tobytes()
+        fmtch = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        wav = (b"RIFF" + st.pack("<I", 28 + len(data)) + b"WAVE"
+               + b"fmt " + st.pack("<I", len(fmtch)) + fmtch
+               + b"data" + st.pack("<I", len(data)) + data)
+        fp = mm.audio_fingerprint(wav)
+        assert fp is not None and 0 <= fp < (1 << 64)
+
+
+def test_alaw_fixture_encoder_round_trips_repo_decoder():
+    """The A-law fixture companding in plans/media_queries.py must be
+    the exact inverse of the repo decoder's segment layout (within
+    G.711 quantization): RMS must track the linear signal closely."""
+    import struct as st
+
+    import numpy as np
+
+    from lms_erp_data_integration_spark.plans.media_queries import (
+        _alaw_encode,
+    )
+
+    vals = np.linspace(-30000, 30000, 300).astype(int)
+    enc = _alaw_encode(vals, np)
+    fmtch = st.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+    wav = (b"RIFF" + st.pack("<I", 28 + len(enc)) + b"WAVE"
+           + b"fmt " + st.pack("<I", len(fmtch)) + fmtch
+           + b"data" + st.pack("<I", len(enc)) + enc)
+    meta = mm.decode_wav(wav)
+    ref_rms = float(np.sqrt(np.mean((vals / 32768.0) ** 2)))
+    assert abs(meta["rms_milli"] / 1000 - ref_rms) < 0.02
