@@ -53,6 +53,7 @@ registry.PRIORITY = [
     "llm_video_frame_stats",
     "llm_warc_ingest_stats",
     "llm_audio_decode_stats",
+    "llm_webdataset_shard_stats",
     # changed in r6: corpus-scaled k-means k (scale-probe fix) — the
     # whole family's plan+oracle hashes changed, so they re-enter the
     # window per the rotation policy
@@ -90,5 +91,4 @@ registry.PRIORITY = [
     "rel_resample_ffill",
     "rel_rollup_revenue",
     "rel_running_total_per_user",
-    "rel_salted_join_revenue",
 ]

@@ -328,6 +328,115 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARD_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("sample_key", T.StringType()),
+        T.StructField("member_ext", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("member_crc32", T.LongType()),
+    ]
+)
+
+_N_SHARDS = 4
+_SAMPLES_PER_SHARD = 6
+
+
+def _shard_member_rows(ids) -> list[dict]:
+    """Executor-side: build a deterministic WebDataset-style tar shard
+    (txt + json member per sample; gzipped for odd shard ids), then
+    re-read it through ``iter_tar_members`` — the same walk the
+    ``webdataset`` read format and ``explode_tar_shards`` use."""
+    import zlib
+
+    from ..operators.multimodal import build_tar_shard, iter_tar_members
+
+    rows = []
+    for sid in ids:
+        sid = int(sid)
+        members = []
+        for i in range(_SAMPLES_PER_SHARD):
+            key = f"{sid:03d}{i:04d}"
+            members.append(
+                (f"{key}.txt", (f"sample text {sid} {i} " * (i + 1)).encode())
+            )
+            members.append(
+                (f"{key}.json", b'{"id": %d, "shard": %d}' % (i, sid))
+            )
+        payload = build_tar_shard(members, gzipped=(sid % 2 == 1))
+        for name, data in iter_tar_members(payload):
+            base = name.rsplit("/", 1)[-1]
+            stem, dot, ext = base.partition(".")
+            rows.append(
+                {
+                    "shard_id": sid,
+                    "sample_key": stem,
+                    "member_ext": ext if dot else "",
+                    "n_bytes": len(data),
+                    "member_crc32": zlib.crc32(data),
+                }
+            )
+    return rows
+
+
+@query(
+    "llm_webdataset_shard_stats",
+    r"""
+WITH ids AS (SELECT unnest(range(0, 4)) AS shard_id),
+samples AS (
+  SELECT shard_id, i
+  FROM ids, unnest(range(0, 6)) AS t(i)),
+members AS (
+  SELECT shard_id,
+         lpad(CAST(shard_id AS VARCHAR), 3, '0')
+           || lpad(CAST(i AS VARCHAR), 4, '0') AS sample_key,
+         CASE WHEN ext = 'txt' THEN
+           strlen(repeat('sample text ' || shard_id || ' ' || i || ' ',
+                         CAST(i + 1 AS INT)))
+         ELSE
+           strlen('{"id": ' || i || ', "shard": ' || shard_id || '}')
+         END AS n_bytes
+  FROM samples, unnest(['txt', 'json']) AS e(ext))
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(DISTINCT sample_key) AS BIGINT) AS n_samples,
+       CAST(SUM(n_bytes) AS BIGINT) AS sum_member_bytes
+FROM members
+GROUP BY shard_id
+""",
+)
+def webdataset_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard plumbing under the driver gate: 4 fixture tar
+    shards (gzipped on odd ids; txt+json member per sample, mtime
+    pinned to 0 for determinism) are built and re-read executor-side
+    through the same member walk the ``webdataset`` read format uses,
+    then reduced to per-shard member/sample counts and an exact byte
+    sum. The oracle REBUILDS the expected member sizes arithmetically
+    — a drift in tar serialization, gzip handling, or the
+    sample-key/extension split breaks the match.
+
+    Scale posture: shards explode inside one Arrow ``mapInPandas``
+    over ``spark.range`` — the splits-are-shards read path; the
+    aggregation is shard-cardinality-sized."""
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                _shard_member_rows(pdf["id"]),
+                columns=[f.name for f in _SHARD_MEMBER_SCHEMA.fields],
+            )
+
+    members = spark.range(0, _N_SHARDS, 1, 2).mapInPandas(
+        op, _SHARD_MEMBER_SCHEMA
+    )
+    return members.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("sample_key").alias("n_samples"),
+        F.sum("n_bytes").alias("sum_member_bytes"),
+    )
+
+
 _WARC_PAGE_SCHEMA = T.StructType(
     [
         T.StructField("seg_id", T.LongType()),
