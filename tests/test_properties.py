@@ -559,3 +559,85 @@ def test_decoders_never_raise_on_garbage(blob, seed):
     for payload in cases:
         for probe in probes:
             probe(payload)  # must not raise
+
+
+# ---------------------------------------------------------- containers
+
+_payload = st.binary(min_size=0, max_size=300)
+_name = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789_-", min_size=1, max_size=20
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(_payload, min_size=0, max_size=6),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=64),
+    st.booleans(),
+)
+def test_avi_mux_demux_round_trip_property(frames, w, h, gz_unused):
+    """Any frame byte sequence round-trips the AVI muxer: demux yields
+    the same frames in order, and the header reports their count."""
+    from lms_erp_data_integration_spark.operators import avi
+
+    payload = avi.build_avi_mjpeg(frames, w, h, fps=7)
+    got = list(avi.iter_avi_frames(payload))
+    assert [f for _, f in got] == frames
+    meta = avi.avi_meta(payload)
+    assert meta["n_frames"] == len(frames)
+    assert (meta["width"], meta["height"]) == (w, h)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["response", "resource", "metadata"]),
+                  _payload),
+        min_size=0, max_size=5,
+    ),
+    st.booleans(),
+)
+def test_warc_build_parse_round_trip_property(recs, gzipped):
+    """build_warc -> iter_warc_records/iter_warc_stream round-trips
+    bodies for non-HTTP record types, batch and streaming agree, and
+    arbitrary truncation never raises."""
+    import io
+
+    from lms_erp_data_integration_spark.sources.warc import (
+        build_warc,
+        iter_warc_records,
+        iter_warc_stream,
+    )
+
+    records = [
+        {"record_type": "resource" if rt == "response" else rt,
+         "target_uri": f"http://x/{i}", "body": body}
+        for i, (rt, body) in enumerate(recs)
+    ]
+    payload = build_warc(records, gzipped=gzipped)
+    batch = list(iter_warc_records(payload))
+    stream = list(iter_warc_stream(io.BytesIO(payload)))
+    assert batch == stream
+    assert [r["body"] for r in batch] == [r["body"] for r in records]
+    for cut in {0, 1, len(payload) // 3, max(len(payload) - 2, 0)}:
+        list(iter_warc_stream(io.BytesIO(payload[:cut])))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.tuples(_name, _payload), min_size=0, max_size=6,
+             unique_by=lambda t: t[0]),
+    st.booleans(),
+)
+def test_tar_shard_round_trip_property(members, gzipped):
+    from lms_erp_data_integration_spark.operators.multimodal import (
+        build_tar_shard,
+        iter_tar_members,
+    )
+
+    payload = build_tar_shard(members, gzipped=gzipped)
+    got = list(iter_tar_members(payload))
+    assert [(n, bytes(d)) for n, d in got] == [
+        (n, d) for n, d in members
+    ]
