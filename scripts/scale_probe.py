@@ -51,6 +51,10 @@ PROBE_QUERIES = [
     "llm_quality_gate",
     "rel_triangle_count",
     "rel_pagerank_parts",
+    # added post-r6-optimizations (winnowing single-eval rebind, the
+    # composed curation pipeline)
+    "llm_winnow_pairs",
+    "llm_corpus_curate",
 ]
 
 
