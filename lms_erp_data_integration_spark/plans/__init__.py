@@ -92,3 +92,20 @@ registry.PRIORITY = [
     "rel_rollup_revenue",
     "rel_running_total_per_user",
 ]
+
+# r7 rotation plan (computed at r6 close): keep the 8 sync queries
+# pinned and any r7-new/changed queries ahead of fillers, then fill
+# from the re-verification backlog, oldest driver row first (r2
+# leftovers, then r3): rel_salted_join_revenue, rel_semi_anti_counts,
+# rel_session_window_native, rel_string_surface, rel_term_successor,
+# rel_top_orders_per_customer, rel_unpivot_part_measures,
+# llm_dedup_apply, llm_dedup_clusters, llm_dedup_incremental,
+# llm_sim_ivf_multiprobe, llm_sim_ivf_topk, llm_sim_lsh_hyperplane,
+# llm_sim_near_dup_embeddings, llm_sim_pq_adc_topk, llm_sim_pq_codes,
+# llm_sim_topk_bruteforce, rel_array_hof_surface, rel_cohort_retention,
+# rel_events_props_json, rel_funnel_conversion, rel_fuzzy_part_match,
+# rel_moving_window_range, rel_outlier_iqr, then the remaining r3/r4
+# rows alphabetically. The stamped-hash policy stays as is; stamp with
+# scripts/update_checked_hashes.py (window-only, NOT --bootstrap — a
+# bootstrap restamp would exempt changed non-window queries from
+# re-verification).
