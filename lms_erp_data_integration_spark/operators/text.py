@@ -358,6 +358,16 @@ def train_bpe(
     if end_of_word:
         sym = F.concat(sym, F.lit(" " + end_of_word))
     table = words.select("w", "n", sym.alias("symbols")).localCheckpoint()
+    # Size the table's partitioning to ITS row count, not the corpus
+    # scan's: the merge loop runs 2 stages per round over this
+    # vocabulary-sized table, and inheriting the corpus partition
+    # count schedules rounds of mostly-empty tasks (measured: the
+    # fixed per-round cost dominates training at small vocabularies).
+    # ~50k words per partition keeps tasks substantial at any scale.
+    n_words = table.count()
+    parts = max(1, min(table.rdd.getNumPartitions(), n_words // 50_000 + 1))
+    if parts < table.rdd.getNumPartitions():
+        table = table.repartition(parts).localCheckpoint()
 
     merges: list[tuple[str, str, int]] = []
     for round_i in range(n_merges):
