@@ -133,28 +133,33 @@ def main() -> int:
     from lms_erp_data_integration_spark.caching import release_cached
     from lms_erp_data_integration_spark.session import get_spark
 
-    spark = get_spark(app_name="scale_probe")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
     qs = entry_mod.queries()
-
-    def timed(fn, sf_dir: str) -> float:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
-            release_cached()
-        return best
-
-    # warm-up: run the first probe once at small scale, discard
-    timed(qs[PROBE_QUERIES[0]], SRC)
 
     rows = []
     for name in PROBE_QUERIES:
+        # ONE SESSION PER QUERY: a single long session degrades over
+        # dozens of heavy iterative queries (localCheckpoint RDDs from
+        # pagerank/k-means/label-propagation rounds linger until JVM
+        # GC; measured: llm_corpus_curate read 70 s at sf0.1 late in a
+        # 40-job session vs 6.3 s in a fresh one). The ~10 s session
+        # spin-up is excluded by the warm-up query below.
+        spark = get_spark(app_name=f"scale_probe_{name}")
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+        def timed(fn, sf_dir: str) -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+                release_cached()
+            return best
+
         t01 = timed(qs[name], SRC)
         t10 = timed(qs[name], out_dir)
+        spark.stop()
         exp = math.log10(t10 / t01)
         rows.append((name, t01, t10, exp))
         print(
