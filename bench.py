@@ -5,10 +5,18 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
 
 Each query is forced with a noop write (full computation, no driver
-collect), timed after a warm-up of the session itself. Noise defense:
-queries whose first run takes >= 0.5 s run twice and report the MIN
-(single-capture timings on a shared host read up to 21x high in r5);
-pairs disagreeing by >3x are listed in ``noise_flagged``.
+collect), timed after a warm-up of the session itself. Noise defense
+(r6 verdict #3): TWO temporally-separated full sweeps over the query
+list, per-query MIN across sweeps — back-to-back re-runs of one query
+share the same tenancy window, so a sustained noisy interval defeated
+the r6 min-of-2 (both passes read 6-30x high together); separating the
+two measurements of each query by an entire sweep (~minutes) means a
+noise window must outlast the whole run to go undetected. Pairs
+disagreeing by >3x are listed in ``noise_flagged``. Additionally, when
+a committed clean-solo reference exists (``bench_ref.json``), each
+query's ratio vs its reference min is computed and queries reading >3x
+the reference are listed in ``ref_flagged`` — a noisy capture labels
+ITSELF instead of needing post-hoc solo adjudication.
 """
 
 from __future__ import annotations
@@ -71,27 +79,47 @@ def main() -> int:
         release_cached()
         return dt
 
-    timings: dict[str, float] = {}
-    noise_flagged: list[str] = []
-    retimed = 0
     # Deterministic alphabetical run order (registry order shifts as
     # the PRIORITY window rotates, which made per-query numbers
-    # incomparable across rounds).
-    for name in sorted(qs):
-        t1 = timed_run(qs[name])
-        # Noise defense (r5: the driver's one-shot capture read 8-21x
-        # high on six unchanged queries — pure host tenancy): re-run
-        # anything slow enough to matter and report the MIN; queries
-        # under 0.5 s skip the second run (noise there can't move the
-        # round verdict, and skipping keeps the added wall cost low).
-        if t1 >= 0.5:
-            retimed += 1
-            t2 = timed_run(qs[name])
-            if t2 >= 0:
-                if max(t1, t2) > 3 * min(t1, t2):
-                    noise_flagged.append(name)
-                t1 = min(t1, t2)
-        timings[name] = t1
+    # incomparable across rounds). Two FULL sweeps: each query's two
+    # measurements are separated by an entire sweep of every other
+    # query, so a sustained tenancy-noise window (which defeated the
+    # r6 back-to-back min-of-2) has to span the whole run to bias the
+    # min. Queries under 0.1 s in sweep 1 skip sweep 2 (noise there
+    # cannot move the verdict; skipping keeps added wall cost low).
+    names = sorted(qs)
+    sweep1 = {n: timed_run(qs[n]) for n in names}
+    sweep2 = {
+        n: timed_run(qs[n]) for n in names if sweep1[n] < 0 or sweep1[n] >= 0.1
+    }
+    timings: dict[str, float] = {}
+    noise_flagged: list[str] = []
+    for n in names:
+        pair = [t for t in (sweep1[n], sweep2.get(n)) if t is not None and t >= 0]
+        if not pair:
+            timings[n] = -1.0
+            continue
+        if len(pair) == 2 and max(pair) > 3 * min(pair):
+            noise_flagged.append(n)
+        timings[n] = min(pair)
+    retimed = len(sweep2)
+
+    # Self-labeling vs the committed clean-solo reference (r6 verdict
+    # #3): the reference is a solo, uncontended min-across-sweeps
+    # capture (scripts/record_bench_ref.py). A query reading >3x its
+    # reference in BOTH sweeps is almost certainly tenancy noise, not a
+    # regression — record it so the capture adjudicates itself.
+    ref_flagged: list[str] = []
+    try:
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "bench_ref.json")) as f:
+            ref = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        ref = {}
+    for n in names:
+        r = ref.get(n)
+        if r and r > 0 and timings[n] > 3 * r and timings[n] >= 0.5:
+            ref_flagged.append(n)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     timings = {n: round(t, 3) for n, t in timings.items()}
@@ -108,9 +136,10 @@ def main() -> int:
                 "warmup_sec": warmup_sec,
                 "warmup_query": warm_name,
                 "run_order": "sorted",
-                "timing": "min_of_2_when_first_run_ge_0.5s",
+                "timing": "min_across_2_separated_sweeps",
                 "n_retimed": retimed,
                 "noise_flagged": noise_flagged,
+                "ref_flagged": ref_flagged,
                 "queries": timings,
             },
             f,
@@ -146,8 +175,9 @@ def main() -> int:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "warmup_sec": warmup_sec,
-                "timing": "min2",
+                "timing": "min2sweeps",
                 "n_noise_flagged": len(noise_flagged),
+                "n_ref_flagged": len(ref_flagged),
                 "detail": "bench_full.json",
                 "queries": qs,
             },

@@ -7,11 +7,17 @@ truth-for-term not present in the mirror" plus, for enrollments, the
 bidirectional add/drop variant (``DailyEnrollment.sql`` — README.md:4
 "create and remove").
 
-Scale posture: the mirror side of each diff is bounded (one term's worth
-of rows) so we broadcast it — the anti-join then runs map-side with NO
-shuffle of the large truth table. When both sides are huge callers can
-pass ``broadcast_right=False`` and let AQE pick a sort-merge join with
-skew splitting.
+Scale posture: join strategy is left to AQE (``broadcast_right`` defaults
+to ``False``). AQE promotes the build side to a broadcast anti-join at
+runtime from its *observed* shuffle size whenever it fits
+``autoBroadcastJoinThreshold`` — so a genuinely bounded mirror (one
+term's worth of rows) still gets the map-side no-shuffle plan, while an
+sf-proportional mirror degrades gracefully to a sort-merge join with
+skew splitting instead of hard-failing at Spark's 8 GB / 512M-row
+broadcast limits. Callers that KNOW the right side is small and want to
+skip the sizing shuffle can opt in with ``broadcast_right=True``; an
+explicit hint bypasses the size threshold, so it must never be applied
+to a side that grows with the corpus.
 """
 
 from __future__ import annotations
@@ -30,11 +36,12 @@ def missing_rows(
     truth: DataFrame,
     mirror: DataFrame,
     keys: Sequence[str],
-    broadcast_right: bool = True,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """Rows of ``truth`` whose key is absent from ``mirror``
     (left-anti on equi-keys) — the ``Missing*.sql`` family
-    (``src/jenzabar.py:52-55``)."""
+    (``src/jenzabar.py:52-55``). Join strategy is AQE-selected
+    unless ``broadcast_right=True`` (see module docstring)."""
     return truth.join(_maybe_broadcast(mirror, broadcast_right), list(keys), "left_anti")
 
 
@@ -42,7 +49,7 @@ def present_rows(
     truth: DataFrame,
     mirror: DataFrame,
     keys: Sequence[str],
-    broadcast_right: bool = True,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """Left-semi companion ("already present" checks)."""
     return truth.join(_maybe_broadcast(mirror, broadcast_right), list(keys), "left_semi")
@@ -55,7 +62,7 @@ def snapshot_diff(
     status_col: str = "status",
     add_status: str = "active",
     drop_status: str = "deleted",
-    broadcast_right: bool = True,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """Bidirectional snapshot diff (``DailyEnrollment.sql`` semantics,
     SURVEY.md section 2.4 Q5):

@@ -346,5 +346,11 @@ def skipping_effectiveness(stats: DataFrame, column: str) -> DataFrame:
     ).select(
         "n_pairs",
         "n_overlapping",
-        (F.col("n_overlapping") / F.col("n_pairs")).alias("overlap_frac"),
+        # single-row-group stats yield n_pairs = 0 (self-pairs excluded);
+        # define overlap_frac as 0.0 there rather than 0/0 -> NULL
+        F.when(
+            F.col("n_pairs") > 0, F.col("n_overlapping") / F.col("n_pairs")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("overlap_frac"),
     )

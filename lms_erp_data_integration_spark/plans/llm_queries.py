@@ -1228,8 +1228,8 @@ SELECT vec_id, cid FROM a2
 """,
 )
 def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd's k-means (corpus-scaled k = max(8, n/250),
-    2 iterations) — learns the IVF centroids instead of taking them as
+    """Distributed Lloyd's k-means (corpus-scaled
+    k = max(8, floor(0.35*sqrt(n))), 2 iterations) — learns the IVF centroids instead of taking them as
     given. The oracle unrolls both iterations in SQL with the same
     scalar-subquery k; integer-scaled sums + exactly-rounded mean
     division keep every iteration's argmin bit-identical (see

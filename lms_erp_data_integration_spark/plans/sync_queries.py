@@ -19,10 +19,17 @@ operators unit-tested on FIXTURES section C shaped frames:
 - enrollments        -> distinct (customer, order-priority) per year
 
 Every query is a parameterized snapshot anti-join: filter to the term
-slice, broadcast the bounded mirror side, left-anti on the key. At
-100 TB the truth side never shuffles (broadcast anti-join) and the term
-filter prunes partitions when the tables are laid out
-``partitionBy(term)`` — see pipeline/mirror.py.
+slice, left-anti on the key. Join strategy is deliberately left to AQE
+(no explicit broadcast hints anywhere in this family): in the synthetic
+mapping both diff sides are year-slices of *fact* tables, so they grow
+linearly with the corpus — a forced ``F.broadcast`` would hard-fail at
+Spark's 8 GB / 512M-row broadcast limits around sf50-100. AQE instead
+promotes whichever side is actually small at runtime (observed shuffle
+size vs ``autoBroadcastJoinThreshold``), which at sf0.1 still yields the
+map-side broadcast anti-join (verified by ``scripts/explain_audit.py``)
+and at 100 TB degrades gracefully to a sort-merge join with skew
+splitting. The term filter prunes partitions when the tables are laid
+out ``partitionBy(term)`` — see pipeline/mirror.py.
 """
 
 from __future__ import annotations
@@ -225,7 +232,7 @@ def ctl_library_courses(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored = (
         cat.lineitem.where(F.year("l_shipdate") == MIRROR_YEAR)
         .join(
-            F.broadcast(cat.part.select("p_partkey", "p_brand", "p_size")),
+            cat.part.select("p_partkey", "p_brand", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("p_brand", "p_size")
@@ -270,7 +277,7 @@ def ctl_library_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored = (
         cat.lineitem.where(F.year("l_shipdate") == MIRROR_YEAR)
         .join(
-            F.broadcast(cat.part.select("p_partkey", *keys)),
+            cat.part.select("p_partkey", *keys),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select(*keys)

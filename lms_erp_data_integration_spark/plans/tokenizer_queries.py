@@ -89,7 +89,7 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH base AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+  SELECT doc_id + 1000000000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
 toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM base),
 hs AS (
@@ -127,7 +127,7 @@ def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     move."""
     docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
     planted = docs.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(10**12)).alias("doc_id"), "text"
     )
     return dd.winnow_candidate_pairs(
         docs.unionByName(planted),

@@ -186,7 +186,6 @@ def main() -> int:
             f,
             indent=1,
         )
-    spark.stop()
     return 0
 
 

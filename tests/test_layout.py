@@ -205,3 +205,13 @@ def test_rowgroup_stats_and_skipping_effectiveness(spark, tmp_path):
     st2 = rowgroup_stats(spark, shuffled, ["k"])
     eff2 = skipping_effectiveness(st2, "k").collect()[0]
     assert eff2["overlap_frac"] == 1.0
+
+    # single row group: no other group to overlap -> 0 pairs, and
+    # overlap_frac is a defined 0.0, never NULL (r6 ADVICE)
+    single = str(tmp_path / "single")
+    spark.range(100).select(F.col("id").alias("k")).coalesce(1).write.parquet(single)
+    st3 = rowgroup_stats(spark, single, ["k"])
+    assert st3.count() == 1
+    eff3 = skipping_effectiveness(st3, "k").collect()[0]
+    assert eff3["n_pairs"] == 0
+    assert eff3["overlap_frac"] == 0.0
