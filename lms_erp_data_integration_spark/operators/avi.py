@@ -1,13 +1,20 @@
-"""AVI (RIFF) container mux/demux for MJPEG video — the decoded
-video path.
+"""AVI (RIFF) container mux/demux for MJPEG and rawvideo — the
+decoded video paths.
 
 Implements the public AVI RIFF form (Microsoft "AVI RIFF File
 Reference"): ``RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
-LIST('movi' 00dc...) idx1)``. Motion-JPEG stores one complete baseline
-JPEG image per ``00dc`` chunk, so frame DECODE reuses the repo's
-from-scratch ITU T.81 decoder (``operators/jpeg.py:decode_jpeg``) —
-no codec stub on this path, unlike H.264-in-MP4 where only demux is
-real (``operators/multimodal.py:mp4_sample_table``).
+LIST('movi' 00dc...) idx1)``. Two fully-decodable codecs:
+
+- Motion-JPEG (``MJPG`` fourcc, ``00dc`` chunks): one complete
+  baseline JPEG per chunk; frame DECODE reuses the repo's
+  from-scratch ITU T.81 decoder (``operators/jpeg.py:decode_jpeg``).
+- rawvideo (``DIB `` handler, ``biCompression=0`` BI_RGB, ``00db``
+  chunks): uncompressed device-independent bitmaps — 24-bit BGR,
+  bottom-up rows, 4-byte-aligned stride, per the Windows
+  BITMAPINFOHEADER spec (``decode_dib_frame``).
+
+No codec stub on either path, unlike H.264-in-MP4 where only demux
+is real (``operators/multimodal.py:mp4_sample_table``).
 
 Scale posture: one AVI payload is one row; demux is a linear chunk
 walk over that row's bytes and frame decode is per-frame numpy work —
@@ -40,6 +47,74 @@ def build_avi_mjpeg(
     """Serialize JPEG-per-frame bytes into a standard MJPEG AVI
     (avih + one 'vids'/'MJPG' stream + movi + idx1). Fixture writer
     for the decode path and a re-container tool for frame shards."""
+    return _build_avi(
+        frames, width, height, fps,
+        handler=b"MJPG",
+        compression=struct.unpack("<I", b"MJPG")[0],
+        chunk_id=b"00dc",
+    )
+
+
+def dib_stride(width: int, bpp: int = 24) -> int:
+    """DIB rows are padded to 4-byte boundaries (BITMAPINFOHEADER)."""
+    return ((width * (bpp // 8) + 3) // 4) * 4
+
+
+def encode_dib_frame(rgb) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed BI_RGB DIB frame bytes:
+    BGR channel order, bottom-up row order, 4-byte-aligned stride."""
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    stride = dib_stride(w)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    out[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    return out.tobytes()
+
+
+def decode_dib_frame(fb: bytes, width: int, height: int, bpp: int = 24):
+    """Uncompressed BI_RGB DIB frame bytes -> (h, w, 3) uint8 RGB
+    (top-down), or None when the buffer doesn't hold a full frame or
+    the depth isn't the 24-bit form rawvideo AVIs use."""
+    import numpy as np
+
+    if bpp != 24 or width <= 0 or height <= 0:
+        return None
+    stride = dib_stride(width, bpp)
+    if len(fb) < stride * height:
+        return None
+    rows = np.frombuffer(fb[: stride * height], dtype=np.uint8).reshape(
+        height, stride
+    )
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    return bgr[::-1, :, ::-1].copy()
+
+
+def build_avi_rawvideo(
+    frames_rgb: list, width: int, height: int, fps: int = 10
+) -> bytes:
+    """Serialize (h, w, 3) uint8 RGB numpy frames into an uncompressed
+    rawvideo AVI: 'DIB ' handler, ``biCompression=0`` (BI_RGB), 24-bit
+    bottom-up DIB frames in ``00db`` chunks — the standard form
+    ffmpeg's ``-c:v rawvideo`` emits for AVI."""
+    return _build_avi(
+        [encode_dib_frame(f) for f in frames_rgb],
+        width, height, fps,
+        handler=b"DIB ",
+        compression=0,
+        chunk_id=b"00db",
+    )
+
+
+def _build_avi(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int,
+    handler: bytes,
+    compression: int,
+    chunk_id: bytes,
+) -> bytes:
     us_per_frame = 1_000_000 // max(fps, 1)
     max_bytes = max((len(f) for f in frames), default=0)
 
@@ -49,7 +124,7 @@ def build_avi_mjpeg(
         len(frames), 0, 1, max_bytes, width, height, 0, 0, 0, 0,
     )
     strh = (
-        b"vids" + b"MJPG"
+        b"vids" + handler
         + struct.pack(
             "<10I4H",
             0, 0, 0, 1, fps, 0, len(frames), max_bytes, 0xFFFFFFFF, 0,
@@ -59,8 +134,8 @@ def build_avi_mjpeg(
     strf = struct.pack(
         "<I2i2H2I2i2I",
         40, width, height, 1, 24,
-        struct.unpack("<I", b"MJPG")[0],
-        width * height * 3, 0, 0, 0, 0,
+        compression,
+        dib_stride(width) * height, 0, 0, 0, 0,
     )
 
     def chunk(fcc: bytes, body: bytes) -> bytes:
@@ -78,8 +153,8 @@ def build_avi_mjpeg(
     idx = b""
     for f in frames:
         # idx1 offsets are relative to the 'movi' fourcc position
-        idx += b"00dc" + struct.pack("<3I", 0x10, len(movi_body), len(f))
-        movi_body += chunk(b"00dc", f)
+        idx += chunk_id + struct.pack("<3I", 0x10, len(movi_body), len(f))
+        movi_body += chunk(chunk_id, f)
     movi = chunk(b"LIST", movi_body)
     idx1 = chunk(b"idx1", idx)
 
@@ -92,13 +167,18 @@ def is_avi(payload: bytes) -> bool:
 
 
 def avi_meta(payload: bytes) -> dict | None:
-    """{width, height, n_frames, us_per_frame, handler} from the AVI
-    main + stream headers; None when the payload isn't a parseable
-    AVI."""
+    """{width, height, n_frames, us_per_frame, handler, bpp,
+    compression} from the AVI main + stream headers; None when the
+    payload isn't a parseable AVI. ``compression`` is the strf
+    ``biCompression`` fourcc as text, with BI_RGB (0) reported as
+    ``"raw"`` — the codec-dispatch key for the decode side."""
     if not is_avi(payload) or len(payload) < 12:
         return None
     meta = None
     handler = ""
+    bpp = 0
+    compression = ""
+    seen_vids = False
     for fcc, a, b in _chunks(payload, 12, len(payload)):
         if fcc != b"LIST" or payload[a : a + 4] != b"hdrl":
             continue
@@ -114,17 +194,32 @@ def avi_meta(payload: bytes) -> dict | None:
                     "us_per_frame": us,
                 }
             elif f2 == b"LIST" and payload[c : c + 4] == b"strl":
+                seen_vids = False
                 for f3, e, g in _chunks(payload, c + 4, d):
                     if f3 == b"strh" and g - e >= 8:
-                        if payload[e : e + 4] == b"vids":
+                        seen_vids = payload[e : e + 4] == b"vids"
+                        if seen_vids:
                             handler = (
                                 payload[e + 4 : e + 8]
                                 .decode("latin-1")
                                 .strip("\x00 ")
                             )
+                    elif f3 == b"strf" and g - e >= 20 and seen_vids:
+                        # BITMAPINFOHEADER: biBitCount @14, biCompression @16
+                        (bpp,) = struct.unpack_from("<H", payload, e + 14)
+                        (comp,) = struct.unpack_from("<I", payload, e + 16)
+                        compression = (
+                            "raw"
+                            if comp == 0
+                            else struct.pack("<I", comp)
+                            .decode("latin-1")
+                            .strip("\x00 ")
+                        )
     if meta is None:
         return None
     meta["handler"] = handler
+    meta["bpp"] = bpp
+    meta["compression"] = compression
     return meta
 
 

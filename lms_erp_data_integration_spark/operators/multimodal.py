@@ -1520,6 +1520,13 @@ VIDEO_FRAME_SCHEMA = T.StructType(
         T.StructField("dts_ms", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("frame_bytes", T.BinaryType()),
+        # codec-dispatch context from the container headers: raw DIB
+        # frames carry no magic bytes, so the decode side needs the
+        # strf-declared codec + geometry travelling WITH the frame
+        T.StructField("codec", T.StringType()),
+        T.StructField("frame_width", T.LongType()),
+        T.StructField("frame_height", T.LongType()),
+        T.StructField("frame_bpp", T.LongType()),
     ]
 )
 
@@ -1531,10 +1538,12 @@ def extract_video_frames(
     every ``every_n``-th access unit is sliced out with its decode
     timestamp — MP4 via the real sample-table byte ranges
     (``mp4_sample_table``), AVI via the movi chunk walk
-    (``operators/avi.py:iter_avi_frames``). For MJPEG-in-AVI the
-    sliced frame bytes are complete baseline JPEGs, so the decode
-    side (``decode_video_frame_stats``) is REAL; H.264-in-MP4 frame
-    bytes remain demux-only (codec decode out of pure-Python scope).
+    (``operators/avi.py:iter_avi_frames``). Each frame carries the
+    container-declared codec + geometry so the decode side can
+    dispatch: MJPEG-in-AVI frames are complete baseline JPEGs and
+    rawvideo-in-AVI frames are BI_RGB DIBs — both fully decodable
+    (``decode_video_frame_stats``); H.264-in-MP4 frame bytes remain
+    demux-only (codec decode out of pure-Python scope).
     Unrecognized payloads are dropped."""
     from . import avi as _avi
 
@@ -1543,8 +1552,9 @@ def extract_video_frames(
             rows = []
             for i, p in zip(pdf[id_col], pdf["payload"]):
                 if _avi.is_avi(p):
-                    meta = _avi.avi_meta(p) or {"us_per_frame": 0}
+                    meta = _avi.avi_meta(p) or {}
                     us = meta.get("us_per_frame", 0)
+                    codec = meta.get("compression") or meta.get("handler", "")
                     for idx, fb in _avi.iter_avi_frames(p):
                         if idx % every_n:
                             continue
@@ -1555,6 +1565,10 @@ def extract_video_frames(
                                 "dts_ms": idx * us // 1000,
                                 "n_bytes": len(fb),
                                 "frame_bytes": fb,
+                                "codec": codec,
+                                "frame_width": meta.get("width", 0),
+                                "frame_height": meta.get("height", 0),
+                                "frame_bpp": meta.get("bpp", 0),
                             }
                         )
                     continue
@@ -1571,13 +1585,18 @@ def extract_video_frames(
                             "frame_bytes": p[
                                 s["offset"] : s["offset"] + s["n_bytes"]
                             ],
+                            "codec": "h264",
+                            "frame_width": 0,
+                            "frame_height": 0,
+                            "frame_bpp": 0,
                         }
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "sample_idx", "dts_ms", "n_bytes",
-                    "frame_bytes",
+                    "frame_bytes", "codec", "frame_width",
+                    "frame_height", "frame_bpp",
                 ],
             )
 
@@ -1597,28 +1616,37 @@ VIDEO_FRAME_STATS_SCHEMA = T.StructType(
 
 
 def decode_video_frame_stats(frames: DataFrame) -> DataFrame:
-    """REAL per-frame decode over ``extract_video_frames`` output:
-    each MJPEG frame's bytes run through the from-scratch baseline
-    JPEG decoder and come back as (width, height, crc32 of the decoded
-    RGB pixel buffer) — the exact-pixel signature downstream dedup /
-    fingerprint stages key on. Frames whose bytes aren't decodable
-    JPEG (e.g. H.264 access units from MP4 demux) are dropped, making
-    this the decoded-vs-demuxed boundary explicit.
+    """REAL per-frame decode over ``extract_video_frames`` output,
+    dispatched on the container-declared codec: MJPEG frames run
+    through the from-scratch baseline JPEG decoder, rawvideo frames
+    through the BI_RGB DIB unpacker (``operators/avi.py:
+    decode_dib_frame``) — each comes back as (width, height, crc32 of
+    the decoded RGB pixel buffer), the exact-pixel signature
+    downstream dedup / fingerprint stages key on. Frames that are
+    neither (e.g. H.264 access units from MP4 demux) are dropped,
+    making the decoded-vs-demuxed boundary explicit.
 
     Scale posture: narrow Arrow-batched map, numpy-vectorized IDCT /
     upsampling inside; frame payloads never shuffle."""
     import zlib as _zlib
 
+    from .avi import decode_dib_frame
     from .jpeg import decode_jpeg
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for i, si, dts, fb in zip(
+            for i, si, dts, fb, codec, fw, fh, bpp in zip(
                 pdf["doc_id"], pdf["sample_idx"], pdf["dts_ms"],
-                pdf["frame_bytes"],
+                pdf["frame_bytes"], pdf["codec"], pdf["frame_width"],
+                pdf["frame_height"], pdf["frame_bpp"],
             ):
-                px = decode_jpeg(fb) if fb[:2] == b"\xff\xd8" else None
+                if fb[:2] == b"\xff\xd8":
+                    px = decode_jpeg(fb)
+                elif codec == "raw":
+                    px = decode_dib_frame(fb, int(fw), int(fh), int(bpp))
+                else:
+                    px = None
                 if px is None:
                     continue
                 rows.append(
@@ -1640,7 +1668,8 @@ def decode_video_frame_stats(frames: DataFrame) -> DataFrame:
             )
 
     return frames.select(
-        "doc_id", "sample_idx", "dts_ms", "frame_bytes"
+        "doc_id", "sample_idx", "dts_ms", "frame_bytes", "codec",
+        "frame_width", "frame_height", "frame_bpp",
     ).mapInPandas(op, VIDEO_FRAME_STATS_SCHEMA)
 
 

@@ -665,3 +665,102 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return spark.range(0, _N_VIDEOS, 1, 4).mapInPandas(op, _VIDEO_SCHEMA)
+
+
+_VIDEO_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _mux_codec_fixture(vid: int) -> bytes:
+    """Deterministic fixture video seeded by id (sf-independent):
+    even ids are rawvideo (BI_RGB DIB in 00db chunks), odd ids are
+    MJPEG — one corpus exercising both decodable codecs."""
+    import numpy as np
+
+    from ..operators import avi
+    from ..operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(7000 + vid)
+    w = 8 * (2 + vid % 3)
+    h = 8 * (1 + vid % 2)
+    n = 3 + vid % 4
+    fps = 4 + vid % 3
+    frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+    if vid % 2 == 0:
+        return avi.build_avi_rawvideo(frames, w, h, fps=fps)
+    return avi.build_avi_mjpeg([encode_jpeg(f) for f in frames], w, h, fps=fps)
+
+
+@query(
+    "llm_video_codec_stats",
+    """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST('raw' AS VARCHAR), CAST(3 AS BIGINT),
+   CAST(16 AS BIGINT), CAST(8 AS BIGINT), CAST(500 AS BIGINT),
+   CAST(6659364664 AS BIGINT)),
+  (1, 'MJPG', 4, 24, 16, 600, 6198423401),
+  (2, 'raw', 5, 32, 8, 666, 7294885029),
+  (3, 'MJPG', 6, 16, 16, 1250, 6122152986),
+  (4, 'raw', 3, 24, 8, 400, 10633261190),
+  (5, 'MJPG', 4, 32, 16, 499, 9396022643),
+  (6, 'raw', 5, 16, 8, 1000, 15781340042),
+  (7, 'MJPG', 6, 24, 16, 1000, 10096676126)
+) AS t(doc_id, codec, frames_decoded, width, height, dts_last_ms,
+       crc_sum)
+""",
+)
+def video_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both decodable video codecs through the REAL operator chain
+    (r6 verdict #6): 8 fixture AVIs — rawvideo (uncompressed BI_RGB
+    DIB, even ids) and MJPEG (odd ids) — are muxed, then demuxed by
+    ``extract_video_frames`` (which attaches the container-declared
+    codec + geometry to every frame) and decoded by
+    ``decode_video_frame_stats`` (codec-dispatched: T.81 JPEG vs DIB
+    unpack). The per-video SUM of decoded-pixel CRC32s pins both
+    decode paths bit-for-bit; codec comes back from the demux stage,
+    proving the dispatch column survives the chain.
+
+    Scale posture: identical to ``llm_video_frame_stats`` — one video
+    payload = one row, mux/demux/decode all inside Arrow-batched
+    ``mapInPandas``; the only shuffle is the final 8-group aggregate
+    over (doc_id, codec) stat rows, frame payloads never move."""
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    def mux(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"].astype("int64"),
+                    "payload": [_mux_codec_fixture(int(v)) for v in pdf["id"]],
+                }
+            )
+
+    payloads = spark.range(0, _N_VIDEOS, 1, 4).mapInPandas(
+        mux, _VIDEO_PAYLOAD_SCHEMA
+    )
+    frames = mm.extract_video_frames(payloads)
+    stats = mm.decode_video_frame_stats(frames)
+    return (
+        stats.join(
+            frames.select("doc_id", "sample_idx", "codec"),
+            ["doc_id", "sample_idx"],
+        )
+        .groupBy("doc_id", "codec")
+        .agg(
+            F.count(F.lit(1)).alias("frames_decoded"),
+            F.max("width").alias("width"),
+            F.max("height").alias("height"),
+            F.max("dts_ms").alias("dts_last_ms"),
+            F.sum("pixel_crc32").alias("crc_sum"),
+        )
+        .select(
+            "doc_id", "codec", "frames_decoded", "width", "height",
+            "dts_last_ms", "crc_sum",
+        )
+    )

@@ -301,6 +301,81 @@ def ctl_library_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sync_jdbc_mirror_roundtrip",
+    """
+WITH mirror AS (
+  SELECT c_custkey AS user_id, c_custkey AS canvas_user_id,
+         c_name AS login_id
+  FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       CAST(SUM(length(login_id)) AS BIGINT) AS sum_login_len
+FROM mirror
+""",
+)
+def jdbc_mirror_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S8 end-to-end under the driver gate: refresh a mirror table
+    through a REAL JDBC database (the Derby embedded driver that ships
+    in the Spark distribution) and checksum what comes back.
+
+    The reference's mirror refresh is DELETE + batched INSERT over
+    pyODBC (``src/jenzabar.py:46-47``); the Spark-native equivalent is
+    ``write.jdbc(mode="overwrite")`` — snapshot-replace, not append.
+    To make the oracle sensitive to exactly that semantic, the table is
+    first seeded with a stale superset (the mirror plus offset junk
+    rows); the refresh overwrite must REPLACE it. If overwrite ever
+    regressed to append, ``sum_user_id`` would include the stale rows
+    and the hash would flip.
+
+    The read-back is partition-parallel (``partitionColumn`` bounds,
+    4 slices) — the same range-pushdown shape a production JDBC scan
+    uses so executors read disjoint key ranges concurrently. Scale
+    posture: at 100 TB the mirror refresh writes through
+    ``numPartitions`` concurrent connections with ``batchsize``-row
+    round trips, and reads slice on an indexed key column; Derby here
+    is a stand-in for any JDBC-reachable RDBMS."""
+    import tempfile
+
+    cat = Catalog(spark, sf_dir)
+    mirror = cat.customer.where(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_custkey").alias("canvas_user_id"),
+        F.col("c_name").alias("login_id"),
+    )
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='erpdb_')}/erpdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    table = "rpc_re_canvas_users"
+    # seed with a stale superset: the mirror plus clearly-junk rows
+    stale = mirror.unionByName(
+        mirror.limit(50).select(
+            (F.col("user_id") + F.lit(10**9)).alias("user_id"),
+            F.col("canvas_user_id"),
+            F.lit("stale-row").alias("login_id"),
+        )
+    )
+    stale.write.jdbc(url, table, mode="overwrite", properties=props)
+    # the refresh under test: snapshot overwrite must replace, not append
+    mirror.write.jdbc(url, table, mode="overwrite", properties=props)
+    bounds = mirror.agg(
+        F.min("user_id").alias("lo"), F.max("user_id").alias("hi")
+    ).first()
+    back = spark.read.jdbc(
+        url,
+        table,
+        column="user_id",
+        lowerBound=int(bounds["lo"]),
+        upperBound=int(bounds["hi"]) + 1,
+        numPartitions=4,
+        properties=props,
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_id").alias("sum_user_id"),
+        F.sum(F.length("login_id")).alias("sum_login_len"),
+    )
+
+
+@query(
     "sync_clean_users",
     """
 WITH raw AS (

@@ -46,6 +46,8 @@ PROBES = [
     lambda p: list(iter_warc_stream(__import__("io").BytesIO(p))),
     avi.avi_meta,
     lambda p: list(avi.iter_avi_frames(p)),
+    lambda p: avi.decode_dib_frame(p, 13, 5),
+    lambda p: avi.decode_dib_frame(p, len(p) % 37, len(p) % 11),
 ]
 
 MAGICS = [
@@ -67,6 +69,7 @@ def main() -> int:
         mm.encode_tiff(img, lzw=True, predictor=True),
         mm.build_pdf(["x"]), mm.build_docx(["x"]),
         avi.build_avi_mjpeg([encode_jpeg(img)] * 3, 7, 9, fps=5),
+        avi.build_avi_rawvideo([img] * 3, 7, 9, fps=5),
         # short-segment WAV: seg_len < 256 exercised the reduceat
         # crash in audio_fingerprint's band-edge padding (r6 fix)
         (b"RIFF" + (28 + 800).to_bytes(4, "little") + b"WAVE"

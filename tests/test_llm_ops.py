@@ -2211,6 +2211,7 @@ def test_avi_mux_demux_round_trip():
     assert meta == {
         "width": 16, "height": 8, "n_frames": 4,
         "us_per_frame": 200000, "handler": "MJPG",
+        "bpp": 24, "compression": "MJPG",
     }
     got = list(avi.iter_avi_frames(payload))
     assert [i for i, _ in got] == [0, 1, 2, 3]
@@ -2245,6 +2246,60 @@ def test_extract_video_frames_avi_and_decode_stats(spark):
     r0 = next(r for r in stats if r["sample_idx"] == 0)
     assert (r0["width"], r0["height"]) == (16, 8)
     assert r0["pixel_crc32"] == zlib.crc32(expect0.tobytes())
+
+
+def test_dib_frame_roundtrip_exact():
+    """rawvideo codec core: encode->decode must be bit-exact at odd
+    widths (stride padding) and reject short buffers."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators import avi
+
+    rng = np.random.default_rng(42)
+    for w, h in ((16, 8), (13, 5), (1, 1), (31, 7)):
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        fb = avi.encode_dib_frame(rgb)
+        assert len(fb) == avi.dib_stride(w) * h
+        back = avi.decode_dib_frame(fb, w, h)
+        assert np.array_equal(back, rgb)
+    assert avi.decode_dib_frame(b"\x00" * 10, 13, 5) is None
+    assert avi.decode_dib_frame(b"", 0, 0) is None
+    assert avi.decode_dib_frame(b"\x00" * 64, 4, 4, bpp=8) is None
+
+
+def test_rawvideo_avi_mux_meta_and_decode(spark):
+    """build_avi_rawvideo -> avi_meta reports BI_RGB ('raw', 24 bpp);
+    the operator chain dispatches on it and decodes pixels exactly."""
+    import zlib
+
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators import avi
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (8, 16, 3), dtype=np.uint8) for _ in range(3)]
+    payload = avi.build_avi_rawvideo(frames, 16, 8, fps=5)
+    meta = avi.avi_meta(payload)
+    assert meta["compression"] == "raw" and meta["bpp"] == 24
+    assert meta["handler"] == "DIB" and meta["n_frames"] == 3
+    # MJPEG meta still reports its fourcc
+    mj, _ = _mjpeg_avi()
+    mm_meta = avi.avi_meta(mj)
+    assert mm_meta["compression"] == "MJPG" and mm_meta["bpp"] == 24
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    ext = mm.extract_video_frames(df, every_n=1)
+    rows = ext.collect()
+    assert [r["codec"] for r in rows] == ["raw"] * 3
+    assert rows[0]["frame_width"] == 16 and rows[0]["frame_height"] == 8
+    stats = mm.decode_video_frame_stats(ext).collect()
+    assert len(stats) == 3
+    by_idx = {r["sample_idx"]: r for r in stats}
+    for i, f in enumerate(frames):
+        assert by_idx[i]["pixel_crc32"] == zlib.crc32(f.tobytes())
+        assert (by_idx[i]["width"], by_idx[i]["height"]) == (16, 8)
 
 
 def test_decode_video_frame_stats_drops_undecodable(spark):
