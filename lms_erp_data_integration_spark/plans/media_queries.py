@@ -450,11 +450,41 @@ _N_WARC_SEGMENTS = 6
 _PAGES_PER_SEGMENT = 5
 
 
+def warc_segment_records(seg: int) -> list[dict]:
+    """Deterministic fixture records for segment ``seg`` (5 HTML pages
+    with scripts, entities, nav links, tracking-param URLs) — shared
+    by the batch ingest query and the streaming twin
+    (``stream_warc_ingest``) so both pin the same bytes."""
+    recs = []
+    for i in range(_PAGES_PER_SEGMENT):
+        html = (
+            "<html><head><title>skip me</title>"
+            "<script>var x = 1 &lt; 2;</script></head>"
+            f"<body><h1>Page {seg}-{i}</h1>"
+            f"<p>hello &amp;lt; world {seg} {i} the of and</p>"
+            "<!-- boilerplate -->"
+            f"<a href='x'>nav {i}</a>"
+            f"<div>tail text {seg * 10 + i}</div></body></html>"
+        )
+        recs.append(
+            {
+                "record_type": "response",
+                "target_uri": (
+                    f"https://WWW.Example.com:443/a/{seg}/{i}/"
+                    f"?utm_source=feed&q={i}#frag"
+                ),
+                "http_status": 200,
+                "content_type": "text/html",
+                "body": html.encode(),
+            }
+        )
+    return recs
+
+
 def _warc_page_rows(ids) -> list[dict]:
-    """Executor-side: build a deterministic .warc(.gz) segment per id
-    (5 HTML pages with scripts, entities, nav links, tracking-param
-    URLs), then parse it back through the STREAMING reader — the same
-    code path the ``spark.read.format("warc")`` source uses."""
+    """Executor-side: build a deterministic .warc(.gz) segment per id,
+    then parse it back through the STREAMING reader — the same code
+    path the ``spark.read.format("warc")`` source uses."""
     import io
 
     from ..sources.warc import build_warc, iter_warc_stream
@@ -462,30 +492,9 @@ def _warc_page_rows(ids) -> list[dict]:
     rows = []
     for seg in ids:
         seg = int(seg)
-        recs = []
-        for i in range(_PAGES_PER_SEGMENT):
-            html = (
-                "<html><head><title>skip me</title>"
-                "<script>var x = 1 &lt; 2;</script></head>"
-                f"<body><h1>Page {seg}-{i}</h1>"
-                f"<p>hello &amp;lt; world {seg} {i} the of and</p>"
-                "<!-- boilerplate -->"
-                f"<a href='x'>nav {i}</a>"
-                f"<div>tail text {seg * 10 + i}</div></body></html>"
-            )
-            recs.append(
-                {
-                    "record_type": "response",
-                    "target_uri": (
-                        f"https://WWW.Example.com:443/a/{seg}/{i}/"
-                        f"?utm_source=feed&q={i}#frag"
-                    ),
-                    "http_status": 200,
-                    "content_type": "text/html",
-                    "body": html.encode(),
-                }
-            )
-        payload = build_warc(recs, gzipped=(seg % 2 == 0))
+        payload = build_warc(
+            warc_segment_records(seg), gzipped=(seg % 2 == 0)
+        )
         for r in iter_warc_stream(io.BytesIO(payload)):
             rows.append(
                 {

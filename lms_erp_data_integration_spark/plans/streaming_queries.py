@@ -347,3 +347,68 @@ def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("hour").cast("timestamp_ntz"), "bucket_id", "n"
     )
+
+
+@query(
+    "stream_warc_ingest",
+    # literal-VALUES oracle: the same deterministic fixture segments
+    # (plans/media_queries.py:warc_segment_records) the batch twin
+    # llm_warc_ingest_stats pins — per-file values identical to its
+    # per-seg_id rows
+    """
+SELECT * FROM (VALUES
+  (CAST('seg-0.warc.gz' AS VARCHAR), CAST(5 AS BIGINT),
+   CAST(290 AS BIGINT), CAST(10698157547 AS BIGINT)),
+  ('seg-1.warc', 5, 295, 14209188453),
+  ('seg-2.warc.gz', 5, 295, 9497684577),
+  ('seg-3.warc', 5, 295, 12305511005),
+  ('seg-4.warc.gz', 5, 295, 11116190329),
+  ('seg-5.warc', 5, 295, 8417944181)
+) AS t(warc_file, n_pages, sum_text_chars, text_crc_sum)
+""",
+)
+def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl ingest end-to-end (r6 verdict #8): the 6
+    fixture WARC segments land in a drop folder, a REAL streaming
+    query over the partitioned ``warc`` stream source
+    (``sources/warc.py:WarcStreamReader`` — driver lists files,
+    executors run the gzip-member streaming parse) ingests each
+    exactly once, the pages flow through the PURE-Column curation
+    layer (``html_to_text``), and the per-segment aggregate in the
+    memory sink must equal the batch twin's pinned values.
+
+    ``countDistinct`` is not available in streaming aggregation, so
+    unlike ``llm_warc_ingest_stats`` the grouped stats are count /
+    exact char sum / crc32 sum only.
+
+    Scale posture: offsets are the planned segment set, so a restart
+    resumes from the checkpoint without re-ingesting; each segment is
+    one input partition — a crawl dropping thousands of multi-GB
+    segments fans out across executors, each parsing with O(largest
+    record) memory."""
+    import os
+    import tempfile
+
+    from ..operators.text import html_to_text
+    from ..sources.warc import build_warc, register_warc
+    from .media_queries import _N_WARC_SEGMENTS, warc_segment_records
+
+    drop_dir = tempfile.mkdtemp(prefix="warcstream_")
+    for seg in range(_N_WARC_SEGMENTS):
+        gz = seg % 2 == 0
+        name = f"seg-{seg}.warc" + (".gz" if gz else "")
+        with open(os.path.join(drop_dir, name), "wb") as f:
+            f.write(build_warc(warc_segment_records(seg), gzipped=gz))
+
+    register_warc(spark)
+    pages = spark.readStream.format("warc").option("path", drop_dir).load()
+    curated = pages.select(
+        "warc_file",
+        html_to_text(F.col("body").cast("string")).alias("text"),
+    )
+    agg = curated.groupBy("warc_file").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.length("text")).alias("sum_text_chars"),
+        F.sum(F.crc32(F.col("text"))).alias("text_crc_sum"),
+    )
+    return run_to_memory_sink(agg, f"stream_warc_ingest_{next(_SINK_SEQ)}")

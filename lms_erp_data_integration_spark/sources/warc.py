@@ -37,6 +37,7 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -284,41 +285,87 @@ class _WarcPartition(InputPartition):
         self.path = path
 
 
+def _warc_paths(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            _glob.glob(os.path.join(path, "*.warc"))
+            + _glob.glob(os.path.join(path, "*.warc.gz"))
+        )
+    if any(ch in path for ch in "*?["):
+        return sorted(_glob.glob(path))
+    return [path] if path else []
+
+
+def _read_warc_partition(
+    partition: _WarcPartition, record_type: str
+) -> Iterator[tuple]:
+    fname = os.path.basename(partition.path)
+    with open(partition.path, "rb") as f:
+        for r in iter_warc_stream(f):
+            if record_type and r["record_type"] != record_type:
+                continue
+            yield (
+                fname,
+                r["record_type"],
+                r["target_uri"],
+                r["http_status"],
+                r["content_type"],
+                len(r["body"]),
+                r["body"],
+            )
+
+
 class WarcReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.path = options.get("path", "")
         self.record_type = options.get("record_type", "")
 
     def partitions(self) -> list[InputPartition]:
-        p = self.path
-        if os.path.isdir(p):
-            paths = sorted(
-                _glob.glob(os.path.join(p, "*.warc"))
-                + _glob.glob(os.path.join(p, "*.warc.gz"))
-            )
-        elif any(ch in p for ch in "*?["):
-            paths = sorted(_glob.glob(p))
-        else:
-            paths = [p] if p else []
+        paths = _warc_paths(self.path)
         if not paths:
             raise FileNotFoundError(f"no WARC files under {self.path!r}")
         return [_WarcPartition(x) for x in paths]
 
     def read(self, partition: _WarcPartition) -> Iterator[tuple]:
-        fname = os.path.basename(partition.path)
-        with open(partition.path, "rb") as f:
-            for r in iter_warc_stream(f):
-                if self.record_type and r["record_type"] != self.record_type:
-                    continue
-                yield (
-                    fname,
-                    r["record_type"],
-                    r["target_uri"],
-                    r["http_status"],
-                    r["content_type"],
-                    len(r["body"]),
-                    r["body"],
-                )
+        yield from _read_warc_partition(partition, self.record_type)
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """Crawl-ingest streaming (r6 verdict #8): watch a directory of
+    WARC segments and ingest each newly-arrived file exactly once —
+    the Common Crawl drop-folder pattern. Offsets are the sorted set
+    of segment paths already planned, so a restart replays from the
+    checkpointed offset deterministically.
+
+    Unlike ``CanvasReportStreamReader`` (a driver-side
+    SimpleDataSourceStreamReader over KB-sized report CSVs), this is
+    the PARTITIONED stream reader: the driver only lists files;
+    each new segment becomes an ``InputPartition`` whose gzip-member
+    streaming parse (``iter_warc_stream``, O(largest record) memory)
+    runs on executors — the shape that holds when a crawl drops
+    thousands of multi-GB segments per hour."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path", "")
+        self.record_type = options.get("record_type", "")
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": _warc_paths(self.path)}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> list[InputPartition]:
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return [_WarcPartition(p) for p in new]
+
+    def read(self, partition: _WarcPartition) -> Iterator[tuple]:
+        yield from _read_warc_partition(partition, self.record_type)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class WarcDataSource(DataSource):
@@ -335,6 +382,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return WarcReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return WarcStreamReader(self.options)
 
 
 def register_warc(spark) -> None:

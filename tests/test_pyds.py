@@ -284,3 +284,59 @@ def test_warc_chunked_and_gzipped_bodies():
            b"Content-Length: %d\r\n\r\n" % len(msg2)) + msg2 + b"\r\n\r\n"
     got = list(iter_warc_records(rec))
     assert got[0]["body"] == page
+
+
+def test_warc_stream_reader_exactly_once(spark, tmp_path):
+    """Partitioned streaming reader: files present at start are
+    ingested in batch 0; files dropped later are picked up by a later
+    microbatch; nothing is ingested twice (offsets = planned paths)."""
+    from lms_erp_data_integration_spark.sources.warc import (
+        build_warc,
+        register_warc,
+    )
+    from pyspark.sql import functions as F
+
+    records = [
+        {
+            "record_type": "response",
+            "target_uri": "https://example.com/x",
+            "http_status": 200,
+            "content_type": "text/html",
+            "body": b"<html><p>hi</p></html>",
+        }
+    ] * 3
+    for i in range(2):
+        with open(tmp_path / f"a-{i}.warc", "wb") as f:
+            f.write(build_warc(records))
+
+    register_warc(spark)
+    stream = (
+        spark.readStream.format("warc")
+        .option("path", str(tmp_path))
+        .load()
+        .select("warc_file", "target_uri")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_stream_eo")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("warc_stream_eo")
+        assert got.count() == 6  # 2 files x 3 records
+        # late-arriving segment (gzipped: both parse paths stream)
+        with open(tmp_path / "b-late.warc.gz", "wb") as f:
+            f.write(build_warc(records, gzipped=True))
+        q.processAllAvailable()
+        counts = {
+            r["warc_file"]: r["n"]
+            for r in got.groupBy("warc_file")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # every file exactly once, including the late one
+        assert counts == {"a-0.warc": 3, "a-1.warc": 3, "b-late.warc.gz": 3}
+    finally:
+        q.stop()
