@@ -44,16 +44,73 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_duplicates(docs.unionByName(planted))
 
 
-def _minhash_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
-    a, b = dd.mh_params(num_hashes)
-    a_sql = "[" + ", ".join(map(str, a)) + "]"
-    b_sql = "[" + ", ".join(map(str, b)) + "]"
-    return rf"""
-WITH toks AS (
+# More shared oracle fragments (same zero-hash-change contract):
+# integer-scaled and L2-normalized embedding CTE bodies, the
+# cold-shingle candidate-pair + intersection block, the per-doc
+# shingle-count CTE, and the top-10-per-query ranking tail.
+_VI_CTE = """WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x * 1000000 + 0.5)) AS vi
+  FROM embeddings),"""
+
+_NORM_VEC_SELECT = """  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS v
+  FROM embeddings)"""
+
+_PAIRS_INTER_CTE = """pairs AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM shing a
+  JOIN cold c ON c.shingle = a.shingle
+  JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT p.i, p.j, COUNT(*) AS inter
+  FROM pairs p
+  JOIN shing si ON si.doc_id = p.i
+  JOIN shing sj ON sj.doc_id = p.j AND sj.shingle = si.shingle
+  GROUP BY p.i, p.j)"""
+
+_SIZES_CTE = "sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),"
+
+_RANK10_TAIL = """ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+
+_SIZES_COLD_CTE = (
+    _SIZES_CTE
+    + f"""
+cold AS (
+  SELECT shingle FROM shing GROUP BY shingle
+  HAVING COUNT(*) <= {dd.NGRAM_MAX_DOC_FREQ}),"""
+)
+
+
+# Shared DuckDB-oracle CTE preludes (r6 verdict #7): every
+# shingle-family oracle opens with the same tokenize+shingle CTEs and
+# the four MinHash-family oracles add the same hash/minhash/band
+# block. One definition each; the parity sweep proves the assembled
+# strings stay byte-identical to the pre-factor literals.
+_TOKS_SHING = r"""WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
 shing AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
+  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),"""
+
+
+def _mh_banded_cte(num_hashes: int, rows_per_band: int) -> str:
+    """toks/shing/base/mh/banded prelude shared by the MinHash-family
+    oracles (llm_dedup_minhash_lsh, llm_minhash_accuracy,
+    llm_dedup_incremental, llm_lsh_bucket_histogram)."""
+    a, b = dd.mh_params(num_hashes)
+    a_sql = "[" + ", ".join(map(str, a)) + "]"
+    b_sql = "[" + ", ".join(map(str, b)) + "]"
+    return f"""{_TOKS_SHING}
 base AS (
   SELECT doc_id, shingle,
          ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
@@ -67,12 +124,17 @@ mh AS (
 banded AS (
   SELECT doc_id, seed // {rows_per_band} AS band,
          string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
-  FROM mh GROUP BY doc_id, seed // {rows_per_band}),
+  FROM mh GROUP BY doc_id, seed // {rows_per_band}),"""
+
+
+def _minhash_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
+    return rf"""
+{_mh_banded_cte(num_hashes, rows_per_band)}
 cands AS (
   SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+{_SIZES_CTE}
 inter AS (
   SELECT c.i, c.j, COUNT(*) AS inter
   FROM cands c
@@ -104,26 +166,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_ngram_jaccard",
     rf"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-shing AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
-cold AS (
-  SELECT shingle FROM shing GROUP BY shingle
-  HAVING COUNT(*) <= {dd.NGRAM_MAX_DOC_FREQ}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-  FROM shing a
-  JOIN cold c ON c.shingle = a.shingle
-  JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-inter AS (
-  SELECT p.i, p.j, COUNT(*) AS inter
-  FROM pairs p
-  JOIN shing si ON si.doc_id = p.i
-  JOIN shing sj ON sj.doc_id = p.j AND sj.shingle = si.shingle
-  GROUP BY p.i, p.j)
+{_TOKS_SHING}
+{_SIZES_COLD_CTE}
+{_PAIRS_INTER_CTE}
 SELECT i, j, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = i
@@ -143,29 +188,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_accuracy_oracle(
     num_hashes: int = 16, rows_per_band: int = 2
 ) -> str:
-    a, b = dd.mh_params(num_hashes)
-    a_sql = "[" + ", ".join(map(str, a)) + "]"
-    b_sql = "[" + ", ".join(map(str, b)) + "]"
     return rf"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-shing AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
-base AS (
-  SELECT doc_id, shingle,
-         ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
-  FROM shing),
-mh AS (
-  SELECT doc_id, seed,
-         MIN(({a_sql}[seed + 1] * h + {b_sql}[seed + 1]) % {dd.MH_MOD})
-           AS minhash
-  FROM base, unnest(range(0, {num_hashes})) AS s(seed)
-  GROUP BY doc_id, seed),
-banded AS (
-  SELECT doc_id, seed // {rows_per_band} AS band,
-         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
-  FROM mh GROUP BY doc_id, seed // {rows_per_band}),
+{_mh_banded_cte(num_hashes, rows_per_band)}
 cands AS (
   SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
   FROM banded a JOIN banded b
@@ -177,7 +201,7 @@ est AS (
   JOIN mh mb ON mb.doc_id = c.j AND mb.seed = ma.seed
             AND mb.minhash = ma.minhash
   GROUP BY c.i, c.j),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+{_SIZES_CTE}
 inter AS (
   SELECT c.i, c.j, COUNT(*) AS inter
   FROM cands c
@@ -248,26 +272,9 @@ def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_containment",
     rf"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-shing AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
-cold AS (
-  SELECT shingle FROM shing GROUP BY shingle
-  HAVING COUNT(*) <= {dd.NGRAM_MAX_DOC_FREQ}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-  FROM shing a
-  JOIN cold c ON c.shingle = a.shingle
-  JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-inter AS (
-  SELECT p.i, p.j, COUNT(*) AS inter
-  FROM pairs p
-  JOIN shing si ON si.doc_id = p.i
-  JOIN shing sj ON sj.doc_id = p.j AND sj.shingle = si.shingle
-  GROUP BY p.i, p.j)
+{_TOKS_SHING}
+{_SIZES_COLD_CTE}
+{_PAIRS_INTER_CTE}
 SELECT i, j,
        inter * 1.0 / least(sa.n, sb.n) AS containment,
        inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
@@ -341,12 +348,7 @@ scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          {_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS score
   FROM embeddings e, q WHERE e.vec_id <> q.query_id),
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY score DESC, neighbor_id) AS rank
-  FROM scored)
-SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
-""",
+{_RANK10_TAIL}""",
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for 5 query vectors — the ANN baseline."""
@@ -378,12 +380,7 @@ scored AS (
          {_COS.format(a="a.embedding::DOUBLE[]", b="q.qv")} AS score
   FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
   WHERE a.vec_id <> q.query_id),
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY score DESC, neighbor_id) AS rank
-  FROM scored)
-SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
-""",
+{_RANK10_TAIL}""",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10: centroid per label (min-vec_id representative),
@@ -459,13 +456,9 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_sim_near_dup_embeddings",
-    """
+    f"""
 WITH nv AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                          embedding::DOUBLE[]))) AS v
-  FROM embeddings)
+{_NORM_VEC_SELECT}
 SELECT a.vec_id AS i, b.vec_id AS j, list_dot_product(a.v, b.v) AS cosine
 FROM nv a JOIN nv b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) >= 0.35
@@ -689,11 +682,7 @@ cands AS (
   FROM buckets a JOIN buckets b
     ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
 nv AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                          embedding::DOUBLE[]))) AS v
-  FROM embeddings)
+{_NORM_VEC_SELECT}
 SELECT c.i, c.j, list_dot_product(a.v, b.v) AS cosine
 FROM cands c JOIN nv a ON a.vec_id = c.i JOIN nv b ON b.vec_id = c.j
 WHERE list_dot_product(a.v, b.v) >= 0.35
@@ -764,12 +753,7 @@ scored AS (
          {_COS.format(a="a.embedding::DOUBLE[]", b="q.qv")} AS score
   FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
   WHERE a.vec_id <> q.query_id),
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY score DESC, neighbor_id) AS rank
-  FROM scored)
-SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
-""",
+{_RANK10_TAIL}""",
 )
 def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF top-10 (nprobe=2): searching the two nearest
@@ -794,10 +778,7 @@ WITH RECURSIVE toks AS (
 shing AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
-cold AS (
-  SELECT shingle FROM shing GROUP BY shingle
-  HAVING COUNT(*) <= {dd.NGRAM_MAX_DOC_FREQ}),
+{_SIZES_COLD_CTE}
 cands AS (
   SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
   FROM shing a
@@ -1009,10 +990,7 @@ WITH RECURSIVE toks AS (
 shing AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
-cold AS (
-  SELECT shingle FROM shing GROUP BY shingle
-  HAVING COUNT(*) <= {dd.NGRAM_MAX_DOC_FREQ}),
+{_SIZES_COLD_CTE}
 cands AS (
   SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
   FROM shing a
@@ -1193,11 +1171,7 @@ def _kmeans_k(emb) -> int:
 @query(
     "llm_sim_kmeans_assign",
     f"""
-WITH v AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-                        x -> floor(x * 1000000 + 0.5)) AS vi
-  FROM embeddings),
+{_VI_CTE}
 c0 AS (SELECT vec_id AS cid, vi AS s, 1 AS n FROM v
        WHERE vec_id < {_KMEANS_K_SQL}),
 d1 AS (
@@ -1315,11 +1289,7 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_dedup_semantic_verified",
     f"""
 WITH nv AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                          embedding::DOUBLE[]))) AS v
-  FROM embeddings)
+{_NORM_VEC_SELECT}
 SELECT aa.vec_id AS i, bb.vec_id AS j, aa.cid,
        list_dot_product(na.v, nb.v) AS cosine
 FROM ({_ORACLES["llm_sim_kmeans_assign"]}) aa
@@ -1425,11 +1395,7 @@ _PQ_DIST = (
 @query(
     "llm_sim_pq_codes",
     f"""
-WITH v AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-                        x -> floor(x * 1000000 + 0.5)) AS vi
-  FROM embeddings),
+{_VI_CTE}
 sub AS (
   SELECT vec_id, t.s, vi[t.s*16+1 : t.s*16+16] AS sv
   FROM v, range(4) t(s)),
@@ -1691,11 +1657,7 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_sim_pq_adc_topk",
     f"""
-WITH v AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-                        x -> floor(x * 1000000 + 0.5)) AS vi
-  FROM embeddings),
+{_VI_CTE}
 sub AS (
   SELECT vec_id, t.s, vi[t.s*16+1 : t.s*16+16] AS sv
   FROM v, range(4) t(s)),
@@ -1739,11 +1701,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_sim_pq_recall",
     f"""
-WITH v AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-                        x -> floor(x * 1000000 + 0.5)) AS vi
-  FROM embeddings),
+{_VI_CTE}
 exact AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          list_dot_product(
@@ -2093,35 +2051,14 @@ def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_minhash_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
-    a, b = dd.mh_params(num_hashes)
-    a_sql = "[" + ", ".join(map(str, a)) + "]"
-    b_sql = "[" + ", ".join(map(str, b)) + "]"
     return rf"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-shing AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
-base AS (
-  SELECT doc_id, shingle,
-         ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
-  FROM shing),
-mh AS (
-  SELECT doc_id, seed,
-         MIN(({a_sql}[seed + 1] * h + {b_sql}[seed + 1]) % {dd.MH_MOD})
-           AS minhash
-  FROM base, unnest(range(0, {num_hashes})) AS s(seed)
-  GROUP BY doc_id, seed),
-banded AS (
-  SELECT doc_id, seed // {rows_per_band} AS band,
-         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
-  FROM mh GROUP BY doc_id, seed // {rows_per_band}),
+{_mh_banded_cte(num_hashes, rows_per_band)}
 cands AS (
   SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS new_id
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.band_key = b.band_key
   WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),
+{_SIZES_CTE}
 inter AS (
   SELECT c.index_id, c.new_id, COUNT(*) AS inter
   FROM cands c
@@ -2155,29 +2092,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_histogram_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
-    a, b = dd.mh_params(num_hashes)
-    a_sql = "[" + ", ".join(map(str, a)) + "]"
-    b_sql = "[" + ", ".join(map(str, b)) + "]"
     return rf"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-shing AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
-base AS (
-  SELECT doc_id, shingle,
-         ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
-  FROM shing),
-mh AS (
-  SELECT doc_id, seed,
-         MIN(({a_sql}[seed + 1] * h + {b_sql}[seed + 1]) % {dd.MH_MOD})
-           AS minhash
-  FROM base, unnest(range(0, {num_hashes})) AS s(seed)
-  GROUP BY doc_id, seed),
-banded AS (
-  SELECT doc_id, seed // {rows_per_band} AS band,
-         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
-  FROM mh GROUP BY doc_id, seed // {rows_per_band}),
+{_mh_banded_cte(num_hashes, rows_per_band)}
 buckets AS (
   SELECT band, band_key, COUNT(*) AS bucket_size
   FROM banded GROUP BY band, band_key)
