@@ -20,9 +20,20 @@ under /tmp/sfprobe/sf1.0:
   semantic dedup does not see 10x-inflated clusters.
 - ``lineitem``: copy k offsets order/part/supplier keys — ten
   disjoint co-purchase graphs with identical per-copy structure.
+- ``customer`` / ``orders`` (r6 verdict #2, sync + relational
+  families): copy k offsets cust/order keys coherently with lineitem
+  (same k*10M stride), so FK joins land inside the copy and each
+  year-slice grows exactly 10x; dates and mktsegments are untouched,
+  preserving every filter's per-copy selectivity.
+- ``events``: copy k offsets user/event ids; timestamps and values
+  untouched, so each event_type's interval set grows 10x within the
+  same time range — the per-partition stress the sweep-line two-phase
+  cumsum is designed for.
 
 Timing: min-of-2 per (query, sf), same discipline as bench.py.
-Usage: python scripts/scale_probe.py [out_dir]
+Usage: python scripts/scale_probe.py [out_dir] [--only q1,q2,...]
+Results merge into scale_probe_result.json (existing rows for
+unprobed queries are preserved).
 """
 
 from __future__ import annotations
@@ -55,6 +66,14 @@ PROBE_QUERIES = [
     # composed curation pipeline)
     "llm_winnow_pairs",
     "llm_corpus_curate",
+    # r6 verdict #2: the reference-core sync family + relational
+    # heavyweights, so their scaling is measured rather than argued
+    "sync_daily_enrollment",
+    "sync_missing_sections",
+    "rel_q18_large_orders",
+    "rel_lateral_topk",
+    "llm_text_tfidf_top_terms",
+    "rel_interval_overlap",
 ]
 
 
@@ -115,11 +134,69 @@ def build_sf1(out_dir: str) -> None:
             TO '{out_dir}/lineitem.parquet' (FORMAT parquet)
             """
         )
+
+    def replicate_keyed(table: str, keyed: dict[str, str]) -> None:
+        if os.path.exists(f"{out_dir}/{table}.parquet"):
+            return
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{SRC}/{table}.parquet'"
+            ).fetchall()
+        ]
+        sel = ", ".join(f"{keyed.get(c, 'l.' + c)} AS {c}" for c in cols)
+        con.execute(
+            f"""
+            COPY (SELECT {sel} FROM '{SRC}/{table}.parquet' l, ks)
+            TO '{out_dir}/{table}.parquet' (FORMAT parquet)
+            """
+        )
+
+    # key strides match lineitem's so FK joins stay within-copy
+    replicate_keyed("customer", {"c_custkey": "l.c_custkey + k * 10000000"})
+    replicate_keyed(
+        "orders",
+        {
+            "o_orderkey": "l.o_orderkey + k * 10000000",
+            "o_custkey": "l.o_custkey + k * 10000000",
+        },
+    )
+    replicate_keyed(
+        "events",
+        {
+            "event_id": "l.event_id + k * 10000000",
+            "user_id": "l.user_id + k * 10000000",
+        },
+    )
+    replicate_keyed("part", {"p_partkey": "l.p_partkey + k * 10000000"})
+    replicate_keyed(
+        "supplier", {"s_suppkey": "l.s_suppkey + k * 10000000"}
+    )
+    # dimension tables stay 1x (region/nation are fixed-cardinality in
+    # TPC-H at every SF); needed so Catalog.register_all() resolves
+    for t in ("region", "nation"):
+        if not os.path.exists(f"{out_dir}/{t}.parquet"):
+            con.execute(
+                f"""
+                COPY (SELECT * FROM '{SRC}/{t}.parquet')
+                TO '{out_dir}/{t}.parquet' (FORMAT parquet)
+                """
+            )
     con.close()
 
 
 def main() -> int:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfprobe/sf1.0"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only: list[str] = []
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            only = a.split("=", 1)[1].split(",") if "=" in a else []
+    if not only and "--only" in sys.argv[1:]:
+        i = sys.argv.index("--only")
+        only = sys.argv[i + 1].split(",")
+        args = [a for a in args if a != sys.argv[i + 1]]
+    probe_queries = [q for q in PROBE_QUERIES if not only or q in only]
+    out_dir = args[0] if args else "/tmp/sfprobe/sf1.0"
     build_sf1(out_dir)
     for t in ("documents", "embeddings", "lineitem"):
         con = duckdb.connect()
@@ -136,7 +213,7 @@ def main() -> int:
     qs = entry_mod.queries()
 
     rows = []
-    for name in PROBE_QUERIES:
+    for name in probe_queries:
         # ONE SESSION PER QUERY: a single long session degrades over
         # dozens of heavy iterative queries (localCheckpoint RDDs from
         # pagerank/k-means/label-propagation rounds linger until JVM
@@ -172,17 +249,42 @@ def main() -> int:
     print("|---|---|---|---|")
     for name, t01, t10, exp in rows:
         print(f"| {name} | {t01:.2f} | {t10:.2f} | {exp:.2f} |")
+    # merge into the consolidated record: probed queries replace their
+    # rows, everything else is preserved
+    try:
+        with open("scale_probe_result.json") as f:
+            doc = json.load(f)
+        prior = doc["results"] if isinstance(doc, dict) else doc
+        note = doc.get("note", "") if isinstance(doc, dict) else ""
+        merged = {r["query"]: r for r in prior}
+    except (OSError, ValueError):
+        merged, note = {}, ""
+    for n, a, b, e in rows:
+        # min across probe runs: tenancy noise only ever inflates
+        old = merged.get(n)
+        if old and old["sf0_1_sec"] <= round(a, 3) and old[
+                "sf1_0_sec"] <= round(b, 3):
+            continue
+        merged[n] = {
+            "query": n,
+            "sf0_1_sec": round(min(a, old["sf0_1_sec"]) if old else a, 3),
+            "sf1_0_sec": round(min(b, old["sf1_0_sec"]) if old else b, 3),
+            "exponent": round(
+                math.log10(
+                    (min(b, old["sf1_0_sec"]) if old else b)
+                    / (min(a, old["sf0_1_sec"]) if old else a)
+                ),
+                3,
+            ),
+        }
     with open("scale_probe_result.json", "w") as f:
         json.dump(
-            [
-                {
-                    "query": n,
-                    "sf0_1_sec": round(a, 3),
-                    "sf1_0_sec": round(b, 3),
-                    "exponent": round(e, 3),
-                }
-                for n, a, b, e in rows
-            ],
+            {
+                "note": note or "min across probe passes",
+                "results": [
+                    merged[q] for q in PROBE_QUERIES if q in merged
+                ],
+            },
             f,
             indent=1,
         )
