@@ -1540,8 +1540,9 @@ def extract_video_frames(
     (``mp4_sample_table``), AVI via the movi chunk walk
     (``operators/avi.py:iter_avi_frames``). Each frame carries the
     container-declared codec + geometry so the decode side can
-    dispatch: MJPEG-in-AVI frames are complete baseline JPEGs and
-    rawvideo-in-AVI frames are BI_RGB DIBs — both fully decodable
+    dispatch: MJPEG-in-AVI frames are complete baseline JPEGs,
+    rawvideo-in-AVI frames are BI_RGB DIBs, and ``raw ``-in-MP4
+    samples are packed top-down RGB — all fully decodable
     (``decode_video_frame_stats``); H.264-in-MP4 frame bytes remain
     demux-only (codec decode out of pure-Python scope).
     Unrecognized payloads are dropped."""
@@ -1575,6 +1576,7 @@ def extract_video_frames(
                 table = mp4_sample_table(p)
                 if table is None:
                     continue
+                cfg = mp4_video_config(p) or {}
                 for s in table[::every_n]:
                     rows.append(
                         {
@@ -1585,10 +1587,10 @@ def extract_video_frames(
                             "frame_bytes": p[
                                 s["offset"] : s["offset"] + s["n_bytes"]
                             ],
-                            "codec": "h264",
-                            "frame_width": 0,
-                            "frame_height": 0,
-                            "frame_bpp": 0,
+                            "codec": cfg.get("codec") or "h264",
+                            "frame_width": cfg.get("width", 0),
+                            "frame_height": cfg.get("height", 0),
+                            "frame_bpp": cfg.get("depth", 0),
                         }
                     )
             yield pd.DataFrame(
@@ -1601,6 +1603,124 @@ def extract_video_frames(
             )
 
     return df.select(id_col, "payload").mapInPandas(op, VIDEO_FRAME_SCHEMA)
+
+
+def mp4_video_config(payload: bytes) -> dict | None:
+    """{codec, width, height, depth} from the first track's stsd
+    sample description (ISO 14496-12 VisualSampleEntry: format fourcc
+    at entry offset 4, width/height at 32/34, depth at 82). The
+    QuickTime/MP4 ``raw `` format is uncompressed packed RGB in
+    top-down row order — fully decodable without a codec, reported
+    here as ``rgb24`` to distinguish it from AVI's bottom-up BI_RGB
+    DIB form. Returns None when no stsd is present (older fixtures /
+    truncated files)."""
+    if len(payload) < 8:
+        return None
+    tracks = list(_bmff_find(payload, 0, len(payload), [b"moov", b"trak"]))
+    if not tracks:
+        return None
+    ta, tb = tracks[0]
+    stbl = next(
+        iter(_bmff_find(payload, ta, tb, [b"mdia", b"minf", b"stbl"])), None
+    )
+    if stbl is None:
+        return None
+    for typ, a, b in _bmff_boxes(payload, stbl[0], stbl[1]):
+        if typ != b"stsd" or b - a < 8 + 86:
+            continue
+        entry = payload[a + 8 : b]  # first sample entry
+        if len(entry) < 86:
+            return None
+        fourcc = entry[4:8].decode("latin-1")
+        width = int.from_bytes(entry[32:34], "big")
+        height = int.from_bytes(entry[34:36], "big")
+        depth = int.from_bytes(entry[82:84], "big")
+        codec = "rgb24" if fourcc == "raw " and depth == 24 else (
+            fourcc.strip("\x00 ")
+        )
+        return {
+            "codec": codec,
+            "width": width,
+            "height": height,
+            "depth": depth,
+        }
+    return None
+
+
+def build_mp4_raw(frames_rgb: list, width: int, height: int, fps: int = 10) -> bytes:
+    """Fixture writer / re-container tool: pack (h, w, 3) uint8 RGB
+    numpy frames into an ISO BMFF file with REAL sample tables (stsz/
+    stco/stsc/stts/mdhd) and an stsd ``raw `` VisualSampleEntry —
+    uncompressed packed RGB top-down, the QuickTime rawvideo form."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    i32 = lambda v: int(v).to_bytes(4, "big")  # noqa: E731
+    i16 = lambda v: int(v).to_bytes(2, "big")  # noqa: E731
+
+    frames = [f.tobytes() for f in frames_rgb]
+    ftyp = box(b"ftyp", b"isom" + i32(0) + b"isomiso2")
+    mdat_start = len(ftyp) + 8
+    mdat = box(b"mdat", b"".join(frames))
+
+    # one chunk per frame keeps stsc trivial and offsets exact
+    offs, off = [], mdat_start
+    for f in frames:
+        offs.append(off)
+        off += len(f)
+    stsz = box(
+        b"stsz",
+        bytes(4) + i32(0) + i32(len(frames))
+        + b"".join(i32(len(f)) for f in frames),
+    )
+    stco = box(b"stco", bytes(4) + i32(len(offs)) + b"".join(map(i32, offs)))
+    stsc = box(b"stsc", bytes(4) + i32(1) + i32(1) + i32(1) + i32(1))
+    scale = 1000
+    delta = scale // max(fps, 1)
+    stts = box(b"stts", bytes(4) + i32(1) + i32(len(frames)) + i32(delta))
+    entry = (
+        b"raw " + bytes(6) + i16(1)  # format, reserved, data_ref_idx
+        + bytes(16)                   # pre_defined / reserved
+        + i16(width) + i16(height)
+        + i32(0x00480000) * 2         # 72 dpi horiz/vert
+        + bytes(4) + i16(1)           # reserved, frame_count
+        + bytes(32)                   # compressorname
+        + i16(24) + i16(0xFFFF)       # depth, pre_defined(-1)
+    )
+    stsd = box(b"stsd", bytes(4) + i32(1) + box(b"raw ", entry[4:]))
+    # NOTE: sample-entry boxes carry their own size+fourcc header; the
+    # helper prepends them, so pass the body after the fourcc
+    stbl = box(b"stbl", stsd + stsz + stco + stsc + stts)
+    mdhd = box(
+        b"mdhd", bytes(4) + bytes(8) + i32(scale)
+        + i32(delta * len(frames)) + bytes(4)
+    )
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + minf)
+    tkhd = box(
+        b"tkhd", bytes(84) + (width << 16).to_bytes(4, "big")
+        + (height << 16).to_bytes(4, "big")
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(
+        b"mvhd", bytes(4) + bytes(8) + i32(scale)
+        + i32(delta * len(frames)) + bytes(80)
+    )
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def decode_mp4_raw_frame(fb: bytes, width: int, height: int):
+    """Packed top-down RGB ``raw `` sample bytes -> (h, w, 3) uint8,
+    or None when the buffer doesn't hold a full frame."""
+    if width <= 0 or height <= 0 or len(fb) < width * height * 3:
+        return None
+    return (
+        np.frombuffer(fb[: width * height * 3], dtype=np.uint8)
+        .reshape(height, width, 3)
+        .copy()
+    )
 
 
 VIDEO_FRAME_STATS_SCHEMA = T.StructType(
@@ -1618,9 +1738,10 @@ VIDEO_FRAME_STATS_SCHEMA = T.StructType(
 def decode_video_frame_stats(frames: DataFrame) -> DataFrame:
     """REAL per-frame decode over ``extract_video_frames`` output,
     dispatched on the container-declared codec: MJPEG frames run
-    through the from-scratch baseline JPEG decoder, rawvideo frames
-    through the BI_RGB DIB unpacker (``operators/avi.py:
-    decode_dib_frame``) — each comes back as (width, height, crc32 of
+    through the from-scratch baseline JPEG decoder, AVI rawvideo
+    frames through the BI_RGB DIB unpacker (``operators/avi.py:
+    decode_dib_frame``), MP4 ``raw `` samples through the packed-RGB
+    unpacker — each comes back as (width, height, crc32 of
     the decoded RGB pixel buffer), the exact-pixel signature
     downstream dedup / fingerprint stages key on. Frames that are
     neither (e.g. H.264 access units from MP4 demux) are dropped,
@@ -1643,8 +1764,10 @@ def decode_video_frame_stats(frames: DataFrame) -> DataFrame:
             ):
                 if fb[:2] == b"\xff\xd8":
                     px = decode_jpeg(fb)
-                elif codec == "raw":
+                elif codec == "raw":  # AVI BI_RGB: BGR, bottom-up, strided
                     px = decode_dib_frame(fb, int(fw), int(fh), int(bpp))
+                elif codec == "rgb24":  # MP4 'raw ': packed RGB, top-down
+                    px = decode_mp4_raw_frame(fb, int(fw), int(fh))
                 else:
                     px = None
                 if px is None:

@@ -48,6 +48,8 @@ PROBES = [
     lambda p: list(avi.iter_avi_frames(p)),
     lambda p: avi.decode_dib_frame(p, 13, 5),
     lambda p: avi.decode_dib_frame(p, len(p) % 37, len(p) % 11),
+    mm.mp4_video_config,
+    lambda p: mm.decode_mp4_raw_frame(p, 13, 5),
 ]
 
 MAGICS = [
@@ -70,6 +72,7 @@ def main() -> int:
         mm.build_pdf(["x"]), mm.build_docx(["x"]),
         avi.build_avi_mjpeg([encode_jpeg(img)] * 3, 7, 9, fps=5),
         avi.build_avi_rawvideo([img] * 3, 7, 9, fps=5),
+        mm.build_mp4_raw([img] * 3, 7, 9, fps=5),
         # short-segment WAV: seg_len < 256 exercised the reduceat
         # crash in audio_fingerprint's band-edge padding (r6 fix)
         (b"RIFF" + (28 + 800).to_bytes(4, "little") + b"WAVE"

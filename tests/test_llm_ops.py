@@ -2302,6 +2302,40 @@ def test_rawvideo_avi_mux_meta_and_decode(spark):
         assert (by_idx[i]["width"], by_idx[i]["height"]) == (16, 8)
 
 
+def test_mp4_raw_mux_config_and_decode(spark):
+    """'raw '-in-MP4: build_mp4_raw -> mp4_video_config reports rgb24
+    geometry from the stsd entry; the operator chain dispatches and
+    decodes packed top-down RGB exactly."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (8, 16, 3), dtype=np.uint8) for _ in range(4)]
+    payload = mm.build_mp4_raw(frames, 16, 8, fps=5)
+    cfg = mm.mp4_video_config(payload)
+    assert cfg == {"codec": "rgb24", "width": 16, "height": 8, "depth": 24}
+    # sample table agrees with the mux
+    table = mm.mp4_sample_table(payload)
+    assert [s["n_bytes"] for s in table] == [16 * 8 * 3] * 4
+    assert [s["dts_ms"] for s in table] == [0, 200, 400, 600]
+    # fixtures without stsd (demux-only H.264-shaped) report None
+    assert mm.mp4_video_config(_mp4_with_samples()[0]) is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    ext = mm.extract_video_frames(df, every_n=1)
+    rows = ext.collect()
+    assert [r["codec"] for r in rows] == ["rgb24"] * 4
+    stats = mm.decode_video_frame_stats(ext).collect()
+    assert len(stats) == 4
+    by_idx = {r["sample_idx"]: r for r in stats}
+    for i, f in enumerate(frames):
+        assert by_idx[i]["pixel_crc32"] == zlib.crc32(f.tobytes())
+        assert (by_idx[i]["width"], by_idx[i]["height"]) == (16, 8)
+
+
 def test_decode_video_frame_stats_drops_undecodable(spark):
     # MP4-demuxed access units are not JPEG: decode stage must drop
     # them (the explicit decoded-vs-demuxed boundary), not crash
