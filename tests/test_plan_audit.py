@@ -39,6 +39,32 @@ def _executed_plan(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+SYNC_QUERIES = [
+    "sync_missing_faculty_users",
+    "sync_missing_student_users",
+    "sync_missing_courses",
+    "sync_missing_sections",
+    "sync_daily_enrollment",
+    "sync_ctl_library_courses",
+    "sync_ctl_library_sections",
+]
+
+
+@pytest.mark.parametrize("name", SYNC_QUERIES)
+def test_sync_family_no_forced_broadcast(spark, name):
+    """r6 verdict #1 regression guard: every diff side in the sync
+    family is a year-slice of a FACT table, so no registered sync
+    query may carry a user broadcast hint — an explicit hint bypasses
+    autoBroadcastJoinThreshold and hard-fails past Spark's 8 GB /
+    512M-row broadcast limits at ~sf50-100. Join strategy is AQE's
+    (which still picks broadcast at small scale from observed sizes;
+    see tests/test_diff.py for the positive half)."""
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical, name
+    # positive control lives in test_dedup_apply_no_mandatory_broadcast
+
+
 @pytest.mark.parametrize("name", SAMPLE)
 def test_no_cartesian_product(spark, name):
     plan = _executed_plan(spark, name)
