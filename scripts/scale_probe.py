@@ -74,6 +74,9 @@ PROBE_QUERIES = [
     "rel_lateral_topk",
     "llm_text_tfidf_top_terms",
     "rel_interval_overlap",
+    # streaming: a real watermarked streaming run over the replicated
+    # events drop (bounded source -> one microbatch of 10x rows)
+    "stream_events_hourly",
 ]
 
 
