@@ -17,12 +17,13 @@ numpy/stdlib decoder for:
   progressive encoders);
 - GIF87a/89a (``operators/gif.py``: variable-width LZW, interlace,
   local/global palettes; plus a fixture encoder with real LZW);
-- baseline TIFF (both byte orders, strip layout, PackBits or no
-  compression; plus ``encode_tiff``);
+- baseline TIFF (both byte orders, strip OR tile layout, LZW /
+  PackBits / no compression, horizontal predictor; plus
+  ``encode_tiff``);
 - RIFF/WAVE PCM audio (``decode_wav``: 8/16-bit, exact integer RMS).
 
 Payloads in any other format (video containers, MP3/AAC,
-12-bit/arithmetic JPEG, tiled/LZW TIFF) are rejected cleanly and fall
+12-bit/arithmetic JPEG) are rejected cleanly and fall
 back to ``decode_image_stub``, which raises
 ``NotImplementedError`` unless ``fake=True`` (deterministic fake
 decode, dimensions/pixel-mean derived from the payload bytes).
@@ -884,10 +885,12 @@ def _tiff_lzw_decode(data: bytes, expect: int) -> bytes | None:
 
 def _decode_tiff_pixels(payload: bytes) -> np.ndarray | None:
     """(H, W, C) uint8 for a baseline TIFF: both byte orders, 8-bit
-    samples, strip layout, compression none (1) or PackBits (32773),
+    samples, strip OR tile layout (TIFF 6.0 section 15: full
+    TileWidth x TileLength tiles, edge tiles padded, assembled then
+    cropped), compression none (1), LZW (5) or PackBits (32773),
     photometric grayscale (incl. white-is-zero) or RGB. Anything else
-    (tiled, LZW/JPEG-in-TIFF, 16-bit, planar) returns None — the
-    deliberate boundary between "stdlib-decodable" and "needs a codec".
+    (JPEG-in-TIFF, 16-bit, planar) returns None — the deliberate
+    boundary between "stdlib-decodable" and "needs a codec".
     """
     if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
         return None
@@ -941,6 +944,16 @@ def _decode_tiff_pixels(payload: bytes) -> np.ndarray | None:
     counts = values(279)
     planar = (values(284) or [1])[0]
     predictor = (values(317) or [1])[0]
+    tile_w = (values(322) or [0])[0]
+    tile_h = (values(323) or [0])[0]
+    tile_offsets = values(324)
+    tile_counts = values(325)
+    tiled = tile_offsets is not None and tile_counts is not None
+    if tiled:
+        # TIFF 6.0: tile dimensions must be multiples of 16
+        if tile_w <= 0 or tile_h <= 0 or tile_w % 16 or tile_h % 16:
+            return None
+        offsets, counts = tile_offsets, tile_counts
     if (
         not w
         or not h
@@ -972,12 +985,10 @@ def _decode_tiff_pixels(payload: bytes) -> np.ndarray | None:
             # n == 128: no-op
         return bytes(out[:expect]) if len(out) >= expect else None
 
-    rows = []
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        nrows = min(rows_per_strip, h - si * rows_per_strip)
-        if nrows <= 0:
-            break
-        expect = nrows * w * spp
+    def segment(off: int, cnt: int, nrows: int, ncols: int):
+        """Decompress one strip/tile into an (nrows, ncols, spp)
+        array, undoing the horizontal predictor per row."""
+        expect = nrows * ncols * spp
         raw = payload[off : off + cnt]
         if compression == 1:
             data = raw[:expect]
@@ -987,15 +998,46 @@ def _decode_tiff_pixels(payload: bytes) -> np.ndarray | None:
             data = unpackbits(raw, expect)
         if data is None or len(data) < expect:
             return None
-        strip = np.frombuffer(data, np.uint8, expect).reshape(nrows, w, spp)
+        seg = np.frombuffer(data, np.uint8, expect).reshape(
+            nrows, ncols, spp
+        )
         if predictor == 2:  # horizontal differencing: undo by cumsum
-            strip = np.cumsum(
-                strip.astype(np.uint32), axis=1, dtype=np.uint32
+            seg = np.cumsum(
+                seg.astype(np.uint32), axis=1, dtype=np.uint32
             ).astype(np.uint8)
-        rows.append(strip)
-    px = np.concatenate(rows, axis=0)
-    if px.shape[0] != h:
-        return None
+        return seg
+
+    if tiled:
+        across = (w + tile_w - 1) // tile_w
+        down = (h + tile_h - 1) // tile_h
+        if len(offsets) < across * down or len(counts) < across * down:
+            return None
+        px = np.zeros((down * tile_h, across * tile_w, spp), np.uint8)
+        for ti, (off, cnt) in enumerate(
+            zip(offsets[: across * down], counts[: across * down])
+        ):
+            tile = segment(off, cnt, tile_h, tile_w)
+            if tile is None:
+                return None
+            ty, tx = divmod(ti, across)
+            px[
+                ty * tile_h : (ty + 1) * tile_h,
+                tx * tile_w : (tx + 1) * tile_w,
+            ] = tile
+        px = px[:h, :w]
+    else:
+        rows = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            if nrows <= 0:
+                break
+            strip = segment(off, cnt, nrows, w)
+            if strip is None:
+                return None
+            rows.append(strip)
+        px = np.concatenate(rows, axis=0)
+        if px.shape[0] != h:
+            return None
     if photometric == 0:  # white-is-zero grayscale
         px = 255 - px
     return px
@@ -1066,98 +1108,137 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        # repeat run
+        j = i
+        while j + 1 < len(data) and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        if j > i:
+            out += bytes([257 - (j - i + 1), data[i]])
+            i = j + 1
+            continue
+        # literal run up to next repeat
+        j = i
+        while (
+            j + 1 < len(data)
+            and not (j + 2 < len(data) and data[j + 1] == data[j + 2])
+            and j - i < 127
+        ):
+            j += 1
+        out += bytes([j - i]) + data[i : j + 1]
+        i = j + 1
+    return bytes(out)
+
+
 def encode_tiff(
     pixels: np.ndarray,
     big_endian: bool = False,
     packbits: bool = False,
     lzw: bool = False,
     predictor: bool = False,
+    tiled: bool = False,
+    tile_size: tuple[int, int] = (16, 16),
 ) -> bytes:
-    """Minimal single-strip baseline TIFF writer for fixtures:
-    8-bit gray or RGB; compression none, PackBits, or LZW (optionally
-    with the horizontal-differencing predictor); either byte order."""
+    """Minimal baseline TIFF writer for fixtures: 8-bit gray or RGB;
+    compression none, PackBits, or LZW (optionally with the
+    horizontal-differencing predictor); either byte order; single
+    strip or TIFF 6.0 tile layout (``tiled=True``: full
+    TileWidth x TileLength tiles, 16-multiples, edges zero-padded,
+    each tile predicted + compressed independently)."""
     px = np.asarray(pixels, np.uint8)
     if px.ndim == 2:
         px = px[..., None]
     h, w, c = px.shape
     bo = ">" if big_endian else "<"
-    if predictor:
-        diffed = px.astype(np.int16)
-        diffed[:, 1:] = diffed[:, 1:] - diffed[:, :-1]
-        data = (diffed & 0xFF).astype(np.uint8).tobytes()
+
+    def pack(arr: np.ndarray) -> bytes:
+        if predictor:
+            diffed = arr.astype(np.int16)
+            diffed[:, 1:] = diffed[:, 1:] - diffed[:, :-1]
+            data = (diffed & 0xFF).astype(np.uint8).tobytes()
+        else:
+            data = arr.tobytes()
+        if lzw:
+            data = _tiff_lzw_encode(data)
+        if packbits:
+            data = _tiff_packbits_encode(data)
+        return data
+
+    if tiled:
+        tw, th = tile_size
+        if tw % 16 or th % 16:
+            raise ValueError("TIFF tile dimensions must be multiples of 16")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        padded = np.zeros((down * th, across * tw, c), np.uint8)
+        padded[:h, :w] = px
+        blobs = [
+            pack(padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw])
+            for ty in range(down)
+            for tx in range(across)
+        ]
     else:
-        data = px.tobytes()
-    if lzw:
-        data = _tiff_lzw_encode(data)
-    if packbits:
-        out = bytearray()
-        i = 0
-        while i < len(data):
-            # repeat run
-            j = i
-            while j + 1 < len(data) and data[j + 1] == data[i] and j - i < 127:
-                j += 1
-            if j > i:
-                out += bytes([257 - (j - i + 1), data[i]])
-                i = j + 1
-                continue
-            # literal run up to next repeat
-            j = i
-            while (
-                j + 1 < len(data)
-                and not (j + 2 < len(data) and data[j + 1] == data[j + 2])
-                and j - i < 127
-            ):
-                j += 1
-            out += bytes([j - i]) + data[i : j + 1]
-            i = j + 1
-        data = bytes(out)
+        blobs = [pack(px)]
 
-    entries = []
+    shorts = lambda vs: struct.pack(bo + "H" * len(vs), *vs)  # noqa: E731
+    longs = lambda vs: struct.pack(bo + "I" * len(vs), *vs)  # noqa: E731
 
-    def tag(t, typ, cnt, val_bytes):
-        entries.append((t, typ, cnt, val_bytes))
-
-    def short(v):
-        return struct.pack(bo + "H", v) + b"\x00\x00"
-
-    def long_(v):
-        return struct.pack(bo + "I", v)
-
-    header = 8
-    n_base_tags = 9 + (1 if predictor else 0)
-    ifd_size = 2 + 12 * n_base_tags + 4
-    bits_off = header + ifd_size
-    extra = b""
-    if c == 3:
-        extra = struct.pack(bo + "HHH", 8, 8, 8)
-        data_off = bits_off + len(extra)
-    else:
-        data_off = bits_off
-    tag(256, 3, 1, short(w))
-    tag(257, 3, 1, short(h))
-    if c == 3:
-        tag(258, 3, 3, long_(bits_off))
-    else:
-        tag(258, 3, 1, short(8))
     comp_code = 5 if lzw else (32773 if packbits else 1)
-    tag(259, 3, 1, short(comp_code))
+    entries: list[list] = []  # [tag, type, count, packed-values bytes]
+    entries.append([256, 3, 1, shorts([w])])
+    entries.append([257, 3, 1, shorts([h])])
+    entries.append([258, 3, c, shorts([8] * c)])
+    entries.append([259, 3, 1, shorts([comp_code])])
+    entries.append([262, 3, 1, shorts([2 if c == 3 else 1])])
+    entries.append([277, 3, 1, shorts([c])])
     if predictor:
-        tag(317, 3, 1, short(2))
-    tag(262, 3, 1, short(2 if c == 3 else 1))
-    tag(273, 4, 1, long_(data_off))
-    tag(277, 3, 1, short(c))
-    tag(278, 3, 1, short(h))
-    tag(279, 4, 1, long_(len(data)))
-    entries.sort()
+        entries.append([317, 3, 1, shorts([2])])
+    if tiled:
+        entries.append([322, 3, 1, shorts([tw])])
+        entries.append([323, 3, 1, shorts([th])])
+        off_entry = [324, 4, len(blobs), b""]  # filled after layout
+        entries.append(off_entry)
+        entries.append([325, 4, len(blobs), longs([len(b) for b in blobs])])
+    else:
+        off_entry = [273, 4, 1, b""]
+        entries.append(off_entry)
+        entries.append([278, 3, 1, shorts([h])])
+        entries.append([279, 4, 1, longs([len(blobs[0])])])
+    entries.sort(key=lambda e: e[0])
+
+    # layout: header(8) | IFD | overflow value area | segment data.
+    # Two passes because segment offsets depend on the overflow size;
+    # size the offsets entry with a placeholder BEFORE summing.
+    off_entry[3] = longs([0] * len(blobs))
+    header = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    overflow = sum(len(e[3]) for e in entries if len(e[3]) > 4)
+    data_off = header + ifd_size + overflow
+    offs, o = [], data_off
+    for b in blobs:
+        offs.append(o)
+        o += len(b)
+    off_entry[3] = longs(offs)
+
     out = bytearray()
     out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, 8)
     out += struct.pack(bo + "H", len(entries))
+    ext = bytearray()
+    ext_off = header + ifd_size
     for t, typ, cnt, vb in entries:
-        out += struct.pack(bo + "HHI", t, typ, cnt) + vb
+        out += struct.pack(bo + "HHI", t, typ, cnt)
+        if len(vb) <= 4:
+            out += vb + b"\x00" * (4 - len(vb))
+        else:
+            out += struct.pack(bo + "I", ext_off + len(ext))
+            ext += vb
     out += b"\x00\x00\x00\x00"  # next IFD
-    out += extra
-    out += data
+    out += ext
+    for b in blobs:
+        out += b
     return bytes(out)
 
 

@@ -88,7 +88,8 @@ registry.PRIORITY = [
     "rel_q16_supplier_counts",
     "rel_q17_small_quantity",
     "rel_q20_promo_suppliers",
-    "rel_q21_waiting_supplier",
+    # changed in r7 (tiled-TIFF fixtures appended to the codec gate)
+    "llm_decode_pixel_checksums",
 ]
 
 # r8 rotation plan (computed at r7 close): keep the 8 sync queries

@@ -35,7 +35,11 @@ _PIXEL_SCHEMA = T.StructType(
 )
 
 _FORMATS = ["png", "png_i", "jpeg", "gif", "tiff", "pnm"]
-_N_PIXEL_PAYLOADS = 24
+# ids 0-23 cycle _FORMATS (pinned since r6); ids 24-29 are TIFF 6.0
+# TILE layout (r7: tiled decode landed), mixing compressions so every
+# tile path (none/LZW/predictor/PackBits, gray/RGB, edge padding)
+# sits under the driver gate
+_N_PIXEL_PAYLOADS = 30
 
 
 def _pixel_rows(ids) -> list[dict]:
@@ -55,6 +59,40 @@ def _pixel_rows(ids) -> list[dict]:
         rng = np.random.default_rng(pid)
         h = 5 + pid % 7
         w = 4 + (pid * 3) % 9
+        if pid >= 24:
+            # tiled TIFF: larger-than-one-tile images, edge padding,
+            # alternating gray/RGB and compression modes
+            h = 17 + pid % 19
+            w = 14 + (pid * 5) % 23
+            shape = (h, w) if pid % 2 == 0 else (h, w, 3)
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            payload = mm.encode_tiff(
+                img,
+                big_endian=pid % 3 == 0,
+                lzw=pid % 3 == 1,
+                predictor=pid % 3 == 1,
+                packbits=pid % 3 == 2,
+                tiled=True,
+                tile_size=(16, 32) if pid % 5 == 0 else (16, 16),
+            )
+            px = mm._decode_pixels(payload)
+            if px is None:
+                continue
+            px = px if px.ndim == 3 else px[:, :, None]
+            rows.append(
+                {
+                    "payload_id": pid,
+                    "fmt": "tiff_tiled",
+                    "n_payload_bytes": len(payload),
+                    "width": px.shape[1],
+                    "height": px.shape[0],
+                    "channels": px.shape[2],
+                    "pixel_crc32": zlib.crc32(
+                        np.ascontiguousarray(px).tobytes()
+                    ),
+                }
+            )
+            continue
         fmt = _FORMATS[pid % len(_FORMATS)]
         if fmt == "gif":
             pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
@@ -98,7 +136,7 @@ def _pixel_rows(ids) -> list[dict]:
 @query(
     "llm_decode_pixel_checksums",
     # literal-VALUES oracle: the fixture set is sf-independent;
-    # regenerate by printing _pixel_rows(range(24)) after any
+    # regenerate by printing _pixel_rows(range(30)) after any
     # intentional codec change
     """
 SELECT * FROM (VALUES
@@ -126,15 +164,23 @@ SELECT * FROM (VALUES
   (20, 'jpeg', 1373, 10, 11, 3, 39004862),
   (21, 'gif', 239, 4, 5, 3, 3081674837),
   (22, 'tiff', 284, 7, 6, 3, 125636109),
-  (23, 'pnm', 222, 10, 7, 3, 2708203307)
+  (23, 'pnm', 222, 10, 7, 3, 2708203307),
+  (24, 'tiff_tiled', 1190, 19, 22, 1, 2861817058),
+  (25, 'tiff_tiled', 2405, 24, 23, 3, 348613663),
+  (26, 'tiff_tiled', 941, 29, 24, 1, 3339185235),
+  (27, 'tiff_tiled', 4796, 34, 25, 3, 2599770881),
+  (28, 'tiff_tiled', 650, 16, 26, 1, 2574825527),
+  (29, 'tiff_tiled', 1979, 21, 27, 3, 4048868154)
 ) AS t(payload_id, fmt, n_payload_bytes, width, height, channels,
        pixel_crc32)
 """,
 )
 def decode_pixel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pixel-exact codec gate: 24 deterministic fixture images cycle
+    """Pixel-exact codec gate: 30 deterministic fixture images cycle
     through PNG (plain + Adam7 interlace), baseline JPEG, GIF/LZW,
-    TIFF-LZW-with-predictor, and PNM — each encoded AND decoded by
+    TIFF-LZW-with-predictor, PNM, and (ids 24-29, r7) TIFF 6.0 TILE
+    layout — per-tile prediction/compression, 16-multiple tile dims,
+    zero-padded edges cropped on decode — each encoded AND decoded by
     the repo's from-scratch codecs inside executor tasks, signed with
     a CRC32 of the decoded pixel buffer. The fixture set is fixed
     (independent of sf_dir), so the pinned oracle is exact at every

@@ -69,6 +69,7 @@ def main() -> int:
         encode_jpeg(img), encode_jpeg_progressive(img), mm.encode_png(img),
         mm.encode_png(img, interlace=True),
         mm.encode_tiff(img, lzw=True, predictor=True),
+        mm.encode_tiff(img, tiled=True, packbits=True),
         mm.build_pdf(["x"]), mm.build_docx(["x"]),
         avi.build_avi_mjpeg([encode_jpeg(img)] * 3, 7, 9, fps=5),
         avi.build_avi_rawvideo([img] * 3, 7, 9, fps=5),

@@ -51,7 +51,7 @@ def test_pixel_rows_deterministic_and_complete():
     assert a == b
     assert len(a) == media_queries._N_PIXEL_PAYLOADS  # every fmt decodes
     fmts = {r["fmt"] for r in a}
-    assert fmts == set(media_queries._FORMATS)
+    assert fmts == set(media_queries._FORMATS) | {"tiff_tiled"}
     # lossless formats decode to 3-channel RGB with nonzero CRCs
     for r in a:
         assert r["channels"] == 3

@@ -2389,3 +2389,40 @@ def test_alaw_fixture_encoder_round_trips_repo_decoder():
     meta = mm.decode_wav(wav)
     ref_rms = float(np.sqrt(np.mean((vals / 32768.0) ** 2)))
     assert abs(meta["rms_milli"] / 1000 - ref_rms) < 0.02
+
+
+def test_tiff_tiled_roundtrip_matrix():
+    """TIFF 6.0 tile layout: per-tile prediction/compression, edge
+    padding cropped, both byte orders, gray + RGB — bit-exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 0
+    for h, w in ((17, 33), (16, 16), (40, 25)):
+        for c in (1, 3):
+            img = rng.integers(
+                0, 256, (h, w) if c == 1 else (h, w, c), dtype=np.uint8
+            )
+            for be in (False, True):
+                for lzw, pb, pred in (
+                    (False, False, False),
+                    (True, False, True),
+                    (False, True, False),
+                ):
+                    for ts in ((16, 16), (16, 32)):
+                        p = mm.encode_tiff(
+                            img, big_endian=be, lzw=lzw, packbits=pb,
+                            predictor=pred, tiled=True, tile_size=ts,
+                        )
+                        px = mm._decode_tiff_pixels(p)
+                        want = img if img.ndim == 3 else img[..., None]
+                        assert px is not None and np.array_equal(px, want)
+                        n += 1
+    assert n == 72
+    # non-16-multiple tile dims are rejected by writer and reader
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.encode_tiff(
+            np.zeros((8, 8), np.uint8), tiled=True, tile_size=(10, 16)
+        )
