@@ -52,9 +52,12 @@ def test_pixel_rows_deterministic_and_complete():
     assert len(a) == media_queries._N_PIXEL_PAYLOADS  # every fmt decodes
     fmts = {r["fmt"] for r in a}
     assert fmts == set(media_queries._FORMATS) | {"tiff_tiled"}
-    # lossless formats decode to 3-channel RGB with nonzero CRCs
+    # base fixtures decode to 3-channel RGB; tiled-TIFF ids alternate
+    # gray (1) and RGB (3) deliberately
     for r in a:
-        assert r["channels"] == 3
+        assert r["channels"] == (
+            3 if r["fmt"] != "tiff_tiled" or r["payload_id"] % 2 else 1
+        )
         assert r["pixel_crc32"] > 0
 
 
