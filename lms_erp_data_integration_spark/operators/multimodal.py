@@ -20,7 +20,9 @@ numpy/stdlib decoder for:
 - baseline TIFF (both byte orders, strip OR tile layout, LZW /
   PackBits / no compression, horizontal predictor; plus
   ``encode_tiff``);
-- RIFF/WAVE PCM audio (``decode_wav``: 8/16-bit, exact integer RMS).
+- RIFF/WAVE PCM audio (``decode_wav``: 8/16-bit, exact integer RMS);
+- FLAC (``operators/flac.py``: from-scratch spec decoder — fixed +
+  LPC prediction, Rice residuals, stereo decorrelation, MD5-verified).
 
 Payloads in any other format (video containers, MP3/AAC,
 12-bit/arithmetic JPEG) are rejected cleanly and fall
@@ -728,10 +730,24 @@ AUDIO_META_SCHEMA = T.StructType(
 
 
 def _wav_samples(payload: bytes):
-    """(rate, channels, interleaved float64 samples in [-1, 1]) for a
-    RIFF/WAVE payload — linear PCM (8/16-bit) or G.711 mu-law/A-law —
-    else None. The ONE place WAV sample decoding lives; metadata,
-    spectral, and fingerprint paths all read through it."""
+    """(rate, channels, interleaved float64 samples in [-1, 1]) for an
+    audio payload — RIFF/WAVE linear PCM (8/16-bit) or G.711
+    mu-law/A-law, or (r7) FLAC via the from-scratch spec decoder
+    (``operators/flac.py``) — else None. The ONE place audio sample
+    decoding lives; metadata, spectral, and fingerprint paths all
+    read through it."""
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        d = decode_flac(payload)
+        if d is None:
+            return None
+        scale = float(1 << (d["bits"] - 1))
+        return (
+            d["sample_rate"],
+            d["channels"],
+            d["samples"].astype(np.float64).reshape(-1) / scale,
+        )
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, fmt, data = 12, None, None
@@ -779,8 +795,9 @@ def _wav_samples(payload: bytes):
 
 
 def decode_wav(payload: bytes) -> dict | None:
-    """RIFF/WAVE decode (linear PCM 8/16-bit or G.711 mu-law/A-law) —
-    the audio analog of the raster decoders, stdlib-only. Returns
+    """Audio decode — RIFF/WAVE (linear PCM 8/16-bit, G.711
+    mu-law/A-law) or FLAC (``operators/flac.py``) — the audio analog
+    of the raster decoders, stdlib-only. Returns
     metadata plus an exact integer RMS (amplitude normalized to
     [-1, 1], scaled to milli-units) or None for non-WAV payloads and
     unsupported encodings (callers fall back to the stub)."""

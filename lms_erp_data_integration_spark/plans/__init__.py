@@ -87,9 +87,10 @@ registry.PRIORITY = [
     "rel_q15_top_supplier",
     "rel_q16_supplier_counts",
     "rel_q17_small_quantity",
-    "rel_q20_promo_suppliers",
-    # changed in r7 (tiled-TIFF fixtures appended to the codec gate)
+    # changed in r7 (tiled-TIFF / FLAC fixtures appended to the
+    # codec gates)
     "llm_decode_pixel_checksums",
+    "llm_audio_decode_stats",
 ]
 
 # r8 rotation plan (computed at r7 close): keep the 8 sync queries

@@ -221,7 +221,11 @@ _AUDIO_SCHEMA = T.StructType(
 )
 
 _AUDIO_CODECS = ["pcm16", "pcm8", "mulaw", "alaw"]
-_N_AUDIO_PAYLOADS = 12
+# ids 0-11 cycle the WAV codecs (pinned since r6); ids 12-17 are FLAC
+# (r7: from-scratch spec decoder) — mono fixed/LPC, constant,
+# full-range noise (verbatim/escape residuals), and the three stereo
+# decorrelation modes, so every decoder path sits under the gate
+_N_AUDIO_PAYLOADS = 18
 
 
 def _mulaw_encode(x, np):
@@ -266,10 +270,55 @@ def _audio_rows(ids) -> list[dict]:
 
     from ..operators import multimodal as mm
 
+    from ..operators.flac import encode_flac
+
     rows = []
     for pid in ids:
         pid = int(pid)
         rng = np.random.default_rng(2000 + pid)
+        if pid >= 12:
+            rate = 8000 * (1 + pid % 2)
+            n = 1600 + 200 * (pid - 12)
+            t = np.arange(n)
+            tone = (
+                11000 * np.sin(2 * np.pi * (180 + 30 * pid) * t / rate)
+            ).astype(np.int64)
+            kind = ["flac", "flac_const", "flac_noise",
+                    "flac_ls", "flac_rs", "flac_ms"][pid - 12]
+            if kind == "flac_const":
+                x = np.full(n, -257 + pid, np.int64)
+            elif kind == "flac_noise":
+                x = rng.integers(-32768, 32767, n)
+            elif kind == "flac":
+                x = tone + rng.integers(-400, 400, n)
+            else:
+                left = tone + rng.integers(-300, 300, n)
+                right = (tone * 3) // 4 + rng.integers(-300, 300, n)
+                x = np.stack([left, right], axis=1)
+            mode = {"flac_ls": "left_side", "flac_rs": "right_side",
+                    "flac_ms": "mid_side"}.get(kind, "independent")
+            payload = encode_flac(x, rate, stereo_mode=mode)
+            meta = mm.decode_wav(payload)
+            if meta is None:
+                continue
+            fp = mm.audio_fingerprint(payload)
+            if fp is None:
+                fp = -1
+            elif fp >= 1 << 63:
+                fp -= 1 << 64
+            rows.append(
+                {
+                    "payload_id": pid,
+                    "codec": kind,
+                    "sample_rate": meta["sample_rate"],
+                    "channels": meta["channels"],
+                    "n_samples": meta["n_samples"],
+                    "duration_ms": meta["duration_ms"],
+                    "rms_milli": meta["rms_milli"],
+                    "fingerprint": int(fp),
+                }
+            )
+            continue
         codec = _AUDIO_CODECS[pid % len(_AUDIO_CODECS)]
         rate = 8000 * (1 + pid % 2)
         n = 400 + 50 * pid
@@ -327,7 +376,7 @@ def _audio_rows(ids) -> list[dict]:
 @query(
     "llm_audio_decode_stats",
     # literal-VALUES oracle: fixture set is sf-independent; regenerate
-    # by printing _audio_rows(range(12)) after intentional changes
+    # by printing _audio_rows(range(18)) after intentional changes
     """
 SELECT * FROM (VALUES
   (CAST(0 AS BIGINT), 'pcm16', CAST(8000 AS BIGINT), CAST(1 AS BIGINT),
@@ -343,17 +392,26 @@ SELECT * FROM (VALUES
   (8, 'pcm16', 8000, 1, 800, 100, 260, 2096734714317183259),
   (9, 'pcm8', 16000, 1, 850, 53, 261, 4123394215490433339),
   (10, 'mulaw', 8000, 1, 900, 112, 260, 2130516092363839769),
-  (11, 'alaw', 16000, 1, 950, 59, 259, 4123392050826918205)
+  (11, 'alaw', 16000, 1, 950, 59, 259, 4123392050826918205),
+  (12, 'flac', 8000, 1, 1600, 200, 237, 1085102592571150095),
+  (13, 'flac_const', 16000, 1, 1800, 112, 7, 0),
+  (14, 'flac_noise', 8000, 1, 2000, 250, 576, 2414388588469883137),
+  (15, 'flac_ls', 16000, 2, 2200, 137, 209, 2242545349356887839),
+  (16, 'flac_rs', 8000, 2, 2400, 300, 209, 1121272129234374415),
+  (17, 'flac_ms', 16000, 2, 2600, 162, 209, 6744590801950054681)
 ) AS t(payload_id, codec, sample_rate, channels, n_samples,
        duration_ms, rms_milli, fingerprint)
 """,
 )
 def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-codec gate, the WAV analog of the pixel-CRC query: 12
+    """Audio-codec gate, the WAV analog of the pixel-CRC query: 18
     deterministic fixture signals (tone + seeded noise) encoded as
-    PCM16, PCM8, G.711 mu-law and A-law, decoded by the repo's
-    from-scratch WAV path, signed with the exact integer RMS and the
-    band-energy audio fingerprint. Fixtures are sf-independent, so the
+    PCM16, PCM8, G.711 mu-law, A-law, and (ids 12-17, r7) FLAC —
+    mono fixed/LPC prediction, constant and verbatim/escape-residual
+    blocks, and all three stereo decorrelation modes, through the
+    from-scratch spec decoder (``operators/flac.py``, MD5-verified) —
+    decoded by the repo's unified audio path, signed with the exact
+    integer RMS and the band-energy audio fingerprint. Fixtures are sf-independent, so the
     pinned oracle is exact at every scale; a companding-table or
     chunk-walk regression flips a value.
 

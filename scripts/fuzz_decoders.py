@@ -29,6 +29,7 @@ from lms_erp_data_integration_spark.operators.jpeg import (  # noqa: E402
     encode_jpeg_progressive,
 )
 from lms_erp_data_integration_spark.operators import avi  # noqa: E402
+from lms_erp_data_integration_spark.operators import flac  # noqa: E402
 from lms_erp_data_integration_spark.sources.warc import (  # noqa: E402
     iter_warc_records,
     iter_warc_stream,
@@ -50,9 +51,11 @@ PROBES = [
     lambda p: avi.decode_dib_frame(p, len(p) % 37, len(p) % 11),
     mm.mp4_video_config,
     lambda p: mm.decode_mp4_raw_frame(p, 13, 5),
+    flac.decode_flac,
 ]
 
 MAGICS = [
+    b"fLaC",
     b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"RIFF", b"II*\x00",
     b"MM\x00*", b"P6\n", b"BM", b"WARC/1.0\r\n", b"%PDF-1.4",
     b"PK\x03\x04", b"\x00\x00\x01\x00", b"\x00\x00\x02\x00",
@@ -74,6 +77,9 @@ def main() -> int:
         avi.build_avi_mjpeg([encode_jpeg(img)] * 3, 7, 9, fps=5),
         avi.build_avi_rawvideo([img] * 3, 7, 9, fps=5),
         mm.build_mp4_raw([img] * 3, 7, 9, fps=5),
+        flac.encode_flac(
+            (rng.integers(-9000, 9000, 700)).astype("int64"), 8000,
+            block_size=256),
         # short-segment WAV: seg_len < 256 exercised the reduceat
         # crash in audio_fingerprint's band-edge padding (r6 fix)
         (b"RIFF" + (28 + 800).to_bytes(4, "little") + b"WAVE"
