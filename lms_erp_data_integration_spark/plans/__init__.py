@@ -86,11 +86,11 @@ registry.PRIORITY = [
     "rel_q13_order_distribution",
     "rel_q15_top_supplier",
     "rel_q16_supplier_counts",
-    "rel_q17_small_quantity",
-    # changed in r7 (tiled-TIFF / FLAC fixtures appended to the
-    # codec gates)
+    # changed in r7 (tiled-TIFF / FLAC fixtures appended to the codec
+    # gates; curate persists the gate+dedup output)
     "llm_decode_pixel_checksums",
     "llm_audio_decode_stats",
+    "llm_corpus_curate",
 ]
 
 # r8 rotation plan (computed at r7 close): keep the 8 sync queries

@@ -118,9 +118,16 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a row-local md5 bucket, so the apply step adds zero shuffles.
     Expensive-tier cost class: same as ``llm_dedup_apply`` (the exact
     Jaccard baseline it shares machinery with)."""
+    from ..caching import tracked_persist
+
     docs = Catalog(spark, sf_dir).documents
-    gated = quality_gate(spark, sf_dir).select(
-        "doc_id", "lang", "source", "n_tokens"
+    # persisted: the gate output feeds BOTH the dedup shingle explode
+    # and the post-dedup anti-join — unpersisted, the regexp-split
+    # gate evaluates twice per pass
+    gated = tracked_persist(
+        quality_gate(spark, sf_dir).select(
+            "doc_id", "lang", "source", "n_tokens"
+        )
     )
     gated_text = gated.join(docs.select("doc_id", "text"), "doc_id")
     pairs = dd.ngram_jaccard_duplicates(
@@ -130,7 +137,10 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = clusters.where(F.col("member") != F.col("cluster_id")).select(
         F.col("member").alias("doc_id")
     )
-    deduped = gated.join(losers, "doc_id", "left_anti")
+    # persisted: the deduped corpus is read once to build the
+    # language rate table and again by the final selection/aggregate —
+    # without the cache the ENTIRE gate+dedup chain executes twice
+    deduped = tracked_persist(gated.join(losers, "doc_id", "left_anti"))
 
     k = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     t = k.agg(F.sum("n_docs").alias("total"))
