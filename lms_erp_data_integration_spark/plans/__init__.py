@@ -96,6 +96,8 @@ registry.PRIORITY = [
 # r8 rotation plan (computed at r7 close): keep the 8 sync queries
 # pinned and any r8-new/changed queries ahead of fillers, then fill
 # from the re-verification backlog, oldest driver row first — the
+# three r3 fillers displaced late in r7 (rel_q17_small_quantity,
+# rel_q20_promo_suppliers, rel_q21_waiting_supplier), then the
 # remaining r3 rows alphabetically: rel_q2_min_cost_supplier,
 # rel_q7_volume_shipping, rel_q8_market_share, rel_q9_product_profit,
 # rel_sessionize_events, rel_stats_moments, rel_window_rank_surface,
