@@ -20,7 +20,8 @@ numpy/stdlib decoder for:
 - baseline TIFF (both byte orders, strip OR tile layout, LZW /
   PackBits / no compression, horizontal predictor; plus
   ``encode_tiff``);
-- RIFF/WAVE PCM audio (``decode_wav``: 8/16-bit, exact integer RMS);
+- RIFF/WAVE audio (``decode_wav``: 8/16-bit PCM, G.711, IMA ADPCM;
+  exact integer RMS);
 - FLAC (``operators/flac.py``: from-scratch spec decoder — fixed +
   LPC prediction, Rice residuals, stereo decorrelation, MD5-verified).
 
@@ -729,6 +730,127 @@ AUDIO_META_SCHEMA = T.StructType(
 )
 
 
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+
+
+def _ima_adpcm_step(nibble: int, pred: int, index: int) -> tuple[int, int]:
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble & 7]))
+    return pred, index
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """IMA/DVI ADPCM (WAVE format 0x11, the multimedia-standard 4-bit
+    coder): per-block 4-byte channel headers (predictor + step index)
+    followed by interleaved 4-byte channel words, two samples per
+    byte, low nibble first. Returns interleaved int16 samples."""
+    if block_align < 4 * channels or channels not in (1, 2):
+        return None
+    out: list[list[int]] = [[] for _ in range(channels)]
+    for bstart in range(0, len(data) - 4 * channels + 1, block_align):
+        block = data[bstart : bstart + block_align]
+        preds, idxs = [], []
+        for c in range(channels):
+            pred = struct.unpack_from("<h", block, 4 * c)[0]
+            idx = block[4 * c + 2]
+            if idx > 88:
+                return None
+            preds.append(pred)
+            idxs.append(idx)
+            out[c].append(pred)  # header predictor IS sample 0
+        pos = 4 * channels
+        # body: per channel, alternating 4-byte (8-nibble) words
+        while pos + 4 * channels <= len(block):
+            for c in range(channels):
+                word = block[pos : pos + 4]
+                for byte in word:
+                    for nib in (byte & 0xF, byte >> 4):
+                        preds[c], idxs[c] = _ima_adpcm_step(
+                            nib, preds[c], idxs[c]
+                        )
+                        out[c].append(preds[c])
+                pos += 4
+    n = min(len(c) for c in out)
+    if n == 0:
+        return None
+    arr = np.array([c[:n] for c in out], dtype=np.int16)
+    return arr.T.reshape(-1)
+
+
+def _ima_adpcm_encode(samples, channels: int, samples_per_block: int = 505):
+    """IMA ADPCM fixture encoder, exact inverse stepping of the
+    decoder. ``samples``: interleaved int16. Returns (data,
+    block_align)."""
+    x = np.asarray(samples, np.int64).reshape(-1, channels)
+    spb = samples_per_block | 1  # header sample + even nibble count
+    words_per_ch = (spb - 1 + 7) // 8
+    block_align = 4 * channels + 4 * words_per_ch * channels
+    out = bytearray()
+    idxs = [0] * channels
+    for bstart in range(0, len(x), spb):
+        blk = x[bstart : bstart + spb]
+        if len(blk) == 0:
+            break
+        preds = []
+        for c in range(channels):
+            # seed the step index from the block's typical delta so
+            # the quantizer doesn't spend half the block adapting up
+            # from step 7 (the classic ADPCM cold-start artifact)
+            if len(blk) > 1:
+                d = float(np.mean(np.abs(np.diff(blk[:, c]))))
+                idxs[c] = int(
+                    np.argmin([abs(s - d) for s in _IMA_STEP_TABLE])
+                )
+            p = int(blk[0, c])
+            out += struct.pack("<hBB", p, idxs[c], 0)
+            preds.append(p)
+        nibs: list[list[int]] = [[] for _ in range(channels)]
+        for c in range(channels):
+            for i in range(1, spb):
+                s = int(blk[i, c]) if i < len(blk) else preds[c]
+                step = _IMA_STEP_TABLE[idxs[c]]
+                diff = s - preds[c]
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_adpcm_step(nib, preds[c], idxs[c])
+                nibs[c].append(nib)
+            while len(nibs[c]) % 8:
+                nibs[c].append(0)
+        for w in range(words_per_ch):
+            for c in range(channels):
+                chunk = nibs[c][w * 8 : w * 8 + 8]
+                for k in range(0, 8, 2):
+                    out.append(chunk[k] | (chunk[k + 1] << 4))
+    return bytes(out), block_align
+
+
 def _wav_samples(payload: bytes):
     """(rate, channels, interleaved float64 samples in [-1, 1]) for an
     audio payload — RIFF/WAVE linear PCM (8/16-bit) or G.711
@@ -762,12 +884,19 @@ def _wav_samples(payload: bytes):
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         return None
-    audio_fmt, channels, rate, _brate, _balign, bits = fmt
-    ok = (audio_fmt == 1 and bits in (8, 16)) or (
-        audio_fmt in (6, 7) and bits == 8  # A-law / mu-law (G.711)
+    audio_fmt, channels, rate, _brate, balign, bits = fmt
+    ok = (
+        (audio_fmt == 1 and bits in (8, 16))
+        or (audio_fmt in (6, 7) and bits == 8)  # A-law / mu-law (G.711)
+        or (audio_fmt == 0x11 and bits == 4)  # IMA ADPCM
     )
     if not ok or channels == 0 or rate == 0:
         return None
+    if audio_fmt == 0x11:
+        pcm = _ima_adpcm_decode(data, channels, balign)
+        if pcm is None:
+            return None
+        return rate, channels, pcm.astype(np.float64) / 32768.0
     if audio_fmt == 7:  # mu-law: 8-bit companded -> linear
         u = ~np.frombuffer(data, np.uint8)
         sign = np.where(u & 0x80, -1.0, 1.0)

@@ -224,8 +224,9 @@ _AUDIO_CODECS = ["pcm16", "pcm8", "mulaw", "alaw"]
 # ids 0-11 cycle the WAV codecs (pinned since r6); ids 12-17 are FLAC
 # (r7: from-scratch spec decoder) — mono fixed/LPC, constant,
 # full-range noise (verbatim/escape residuals), and the three stereo
-# decorrelation modes, so every decoder path sits under the gate
-_N_AUDIO_PAYLOADS = 18
+# decorrelation modes; ids 18-19 are IMA ADPCM (WAVE fmt 0x11,
+# mono + stereo) — every decoder path sits under the gate
+_N_AUDIO_PAYLOADS = 20
 
 
 def _mulaw_encode(x, np):
@@ -276,6 +277,51 @@ def _audio_rows(ids) -> list[dict]:
     for pid in ids:
         pid = int(pid)
         rng = np.random.default_rng(2000 + pid)
+        if pid >= 18:
+            # IMA ADPCM (lossy 4-bit): the DECODED result is still
+            # fully deterministic, which is what the gate pins
+            ch = 1 + (pid - 18)
+            rate = 8000
+            n = 2000 + 100 * pid
+            t = np.arange(n)
+            tone = (
+                10000 * np.sin(2 * np.pi * (240 + 10 * pid) * t / rate)
+            ).astype(np.int64)
+            if ch == 2:
+                x = np.stack([tone, (tone * 2) // 3], axis=1).reshape(-1)
+            else:
+                x = tone
+            data, balign = mm._ima_adpcm_encode(x, ch)
+            fmtch = struct.pack(
+                "<HHIIHH", 0x11, ch, rate, rate * balign, balign, 4
+            )
+            payload = (
+                b"RIFF" + struct.pack("<I", 28 + len(fmtch) + len(data))
+                + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmtch)) + fmtch
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            meta = mm.decode_wav(payload)
+            if meta is None:
+                continue
+            fp = mm.audio_fingerprint(payload)
+            if fp is None:
+                fp = -1
+            elif fp >= 1 << 63:
+                fp -= 1 << 64
+            rows.append(
+                {
+                    "payload_id": pid,
+                    "codec": "ima_adpcm",
+                    "sample_rate": meta["sample_rate"],
+                    "channels": meta["channels"],
+                    "n_samples": meta["n_samples"],
+                    "duration_ms": meta["duration_ms"],
+                    "rms_milli": meta["rms_milli"],
+                    "fingerprint": int(fp),
+                }
+            )
+            continue
         if pid >= 12:
             rate = 8000 * (1 + pid % 2)
             n = 1600 + 200 * (pid - 12)
@@ -376,7 +422,7 @@ def _audio_rows(ids) -> list[dict]:
 @query(
     "llm_audio_decode_stats",
     # literal-VALUES oracle: fixture set is sf-independent; regenerate
-    # by printing _audio_rows(range(18)) after intentional changes
+    # by printing _audio_rows(range(20)) after intentional changes
     """
 SELECT * FROM (VALUES
   (CAST(0 AS BIGINT), 'pcm16', CAST(8000 AS BIGINT), CAST(1 AS BIGINT),
@@ -398,20 +444,24 @@ SELECT * FROM (VALUES
   (14, 'flac_noise', 8000, 1, 2000, 250, 576, 2414388588469883137),
   (15, 'flac_ls', 16000, 2, 2200, 137, 209, 2242545349356887839),
   (16, 'flac_rs', 8000, 2, 2400, 300, 209, 1121272129234374415),
-  (17, 'flac_ms', 16000, 2, 2600, 162, 209, 6744590801950054681)
+  (17, 'flac_ms', 16000, 2, 2600, 162, 209, 6744590801950054681),
+  (18, 'ima_adpcm', 8000, 1, 4040, 505, 216, 1085102592571150287),
+  (19, 'ima_adpcm', 8000, 2, 4040, 505, 180, 1084537443560787343)
 ) AS t(payload_id, codec, sample_rate, channels, n_samples,
        duration_ms, rms_milli, fingerprint)
 """,
 )
 def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-codec gate, the WAV analog of the pixel-CRC query: 18
+    """Audio-codec gate, the WAV analog of the pixel-CRC query: 20
     deterministic fixture signals (tone + seeded noise) encoded as
     PCM16, PCM8, G.711 mu-law, A-law, and (ids 12-17, r7) FLAC —
     mono fixed/LPC prediction, constant and verbatim/escape-residual
     blocks, and all three stereo decorrelation modes, through the
     from-scratch spec decoder (``operators/flac.py``, MD5-verified) —
     decoded by the repo's unified audio path, signed with the exact
-    integer RMS and the band-energy audio fingerprint. Fixtures are sf-independent, so the
+    integer RMS and the band-energy audio fingerprint; ids 18-19 add
+    IMA ADPCM (WAVE fmt 0x11, mono + stereo) — lossy on the wire but
+    bit-deterministic after decode, which is what the gate pins. Fixtures are sf-independent, so the
     pinned oracle is exact at every scale; a companding-table or
     chunk-walk regression flips a value.
 

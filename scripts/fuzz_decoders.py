@@ -52,6 +52,8 @@ PROBES = [
     mm.mp4_video_config,
     lambda p: mm.decode_mp4_raw_frame(p, 13, 5),
     flac.decode_flac,
+    lambda p: mm._ima_adpcm_decode(p, 1, 128),
+    lambda p: mm._ima_adpcm_decode(p, 2, 16),
 ]
 
 MAGICS = [

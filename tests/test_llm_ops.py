@@ -2487,3 +2487,46 @@ def test_flac_through_unified_audio_path():
     assert meta["rms_milli"] == 194
     assert mm.audio_fingerprint(p) is not None
     assert mm.wav_spectral_features(p) is not None
+
+
+def test_ima_adpcm_roundtrip_and_decode():
+    """IMA ADPCM (WAVE fmt 0x11): encoder/decoder step tables agree —
+    lossy on the wire, deterministic after decode, error bounded by
+    the adaptive step; mono + stereo; truncated blocks never crash."""
+    import struct
+
+    import numpy as np
+
+    def wav(ch, balign, data):
+        fmtch = struct.pack(
+            "<HHIIHH", 0x11, ch, 8000, 8000 * balign, balign, 4
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 28 + len(fmtch) + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmtch)) + fmtch
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    t = np.arange(3000)
+    base = (9000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int64)
+    for ch in (1, 2):
+        x = (
+            np.stack([base, (base * 2) // 3], axis=1).reshape(-1)
+            if ch == 2
+            else base
+        )
+        data, ba = mm._ima_adpcm_encode(x, ch)
+        assert len(data) < len(x)  # ~4:1 vs 16-bit PCM
+        p = wav(ch, ba, data)
+        rate, chans, s = mm._wav_samples(p)
+        assert (rate, chans) == (8000, ch)
+        dec = (s * 32768).round().astype(np.int64)
+        n = min(len(dec), len(x))
+        err = np.abs(dec[:n] - x[:n])
+        assert err.max() < 3000 and float(np.mean(err)) < 400
+        # deterministic decode (what the driver gate pins)
+        assert np.array_equal(s, mm._wav_samples(p)[2])
+        assert mm.decode_wav(p) is not None
+        # truncated data: clean None/short result, no exception
+        mm._ima_adpcm_decode(data[:5], ch, ba)
+        assert mm._ima_adpcm_decode(b"", ch, ba) is None
