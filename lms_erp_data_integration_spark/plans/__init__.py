@@ -85,9 +85,10 @@ registry.PRIORITY = [
     "rel_q12_priority_class",
     "rel_q13_order_distribution",
     "rel_q15_top_supplier",
-    "rel_q16_supplier_counts",
-    # changed in r7 (tiled-TIFF / FLAC fixtures appended to the codec
-    # gates; curate persists the gate+dedup output)
+    # added/changed in r7 (tiled-TIFF / FLAC / ADPCM fixtures appended
+    # to the codec gates; curate persists the gate+dedup output; the
+    # distributed logistic-regression quality classifier is new)
+    "llm_quality_classifier",
     "llm_decode_pixel_checksums",
     "llm_audio_decode_stats",
     "llm_corpus_curate",
@@ -96,8 +97,9 @@ registry.PRIORITY = [
 # r8 rotation plan (computed at r7 close): keep the 8 sync queries
 # pinned and any r8-new/changed queries ahead of fillers, then fill
 # from the re-verification backlog, oldest driver row first — the
-# three r3 fillers displaced late in r7 (rel_q17_small_quantity,
-# rel_q20_promo_suppliers, rel_q21_waiting_supplier), then the
+# four r3 fillers displaced late in r7 (rel_q16_supplier_counts,
+# rel_q17_small_quantity, rel_q20_promo_suppliers,
+# rel_q21_waiting_supplier), then the
 # remaining r3 rows alphabetically: rel_q2_min_cost_supplier,
 # rel_q7_volume_shipping, rel_q8_market_share, rel_q9_product_profit,
 # rel_sessionize_events, rel_stats_moments, rel_window_rank_surface,

@@ -168,3 +168,115 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("doc_id").alias("doc_id_checksum"),
     )
+
+
+def _logreg_oracle(iterations: int = 6, step_divisor: int = 2000) -> str:
+    """Unrolled-iteration DuckDB twin of ``train_quality_logreg``
+    (the BPE/k-means precedent: every gradient step becomes a CTE
+    whose integer arithmetic mirrors the engine's exactly; DuckDB
+    ``//`` and Spark ``div`` both truncate toward zero)."""
+    from ..operators.quality_ml import MICRO, SCALES, _STOP_MIN_MICRO
+    from .llm_queries import _STOP_SQL
+
+    c = (
+        f"CAST({SCALES[0]} AS BIGINT)",
+        f"(f1 - m1) // {SCALES[1]}",
+        f"(f2 - m2) // {SCALES[2]}",
+        f"(f3 - m3) // {SCALES[3]}",
+    )
+
+    def p_micro(it: str) -> str:
+        dot = " + ".join(f"({c[j]}) * {it}.w{j}" for j in range(4))
+        return (
+            f"CAST(floor(1.0 / (1.0 + exp(-(({dot}) / {float(MICRO)})))"
+            f" * {MICRO} + 0.5) AS BIGINT)"
+        )
+
+    parts = [
+        rf"""WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS w,
+         CAST(length(text) AS BIGINT) AS nc
+  FROM documents),
+cnt AS (
+  SELECT CAST(len(w) AS BIGINT) AS nt, nc,
+         CAST(len(list_filter(list_transform(w, x -> lower(x)),
+                              x -> x IN ({_STOP_SQL}))) AS BIGINT) AS ns
+  FROM t),
+feat AS (
+  SELECT CAST({MICRO} AS BIGINT) AS f0,
+         ({MICRO} * ns) // greatest(nt, 1) AS f1,
+         ({MICRO} * (nc - nt + 1)) // greatest(nt, 1) AS f2,
+         least(nt, 200) * 5000 AS f3,
+         CAST(CASE WHEN nt >= 20
+                    AND ({MICRO} * ns) // greatest(nt, 1)
+                        >= {_STOP_MIN_MICRO}
+               THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM cnt),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(f1) // COUNT(*) AS BIGINT) AS m1,
+         CAST(SUM(f2) // COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(f3) // COUNT(*) AS BIGINT) AS m3
+  FROM feat),
+i0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"""
+    ]
+    for k in range(iterations):
+        g_cols = ", ".join(
+            f"CAST(SUM(({p_micro(f'i{k}')} - y * {MICRO}) * ({c[j]}))"
+            f" AS BIGINT) AS g{j}"
+            for j in range(4)
+        )
+        parts.append(
+            f"g{k} AS (\n  SELECT {g_cols}\n  FROM feat, m, i{k})"
+        )
+        w_cols = ", ".join(
+            f"CAST(i{k}.w{j} - g{k}.g{j} // (m.n * {step_divisor})"
+            f" AS BIGINT) AS w{j}"
+            for j in range(4)
+        )
+        parts.append(
+            f"i{k + 1} AS (SELECT {w_cols} FROM g{k}, m, i{k})"
+        )
+    it = f"i{iterations}"
+    parts.append(
+        f"""conf AS (
+  SELECT SUM(pred * y) AS tp, SUM(pred * (1 - y)) AS fp,
+         SUM((1 - pred) * y) AS fn, SUM((1 - pred) * (1 - y)) AS tn
+  FROM (SELECT CASE WHEN {p_micro(it)} >= {MICRO // 2}
+                THEN 1 ELSE 0 END AS pred, y
+        FROM feat, m, {it}))"""
+    )
+    sel = ", ".join(f"{it}.w{j} AS w{j}" for j in range(4))
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT {sel}, m.m1 AS mean1, m.m2 AS mean2, m.m3 AS mean3,
+       CAST(conf.tp AS BIGINT) AS tp, CAST(conf.fp AS BIGINT) AS fp,
+       CAST(conf.fn AS BIGINT) AS fn, CAST(conf.tn AS BIGINT) AS tn,
+       m.n AS n_docs
+FROM {it}, m, conf
+"""
+    )
+
+
+@query("llm_quality_classifier", _logreg_oracle())
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (the CCNet/fastText-style stage of a
+    curation pipeline): full-batch logistic regression trained ON THE
+    CLUSTER over integer-scaled text features, with every gradient
+    step an exact-integer aggregation — weights are bit-identical
+    across partitionings, so the entire 6-step training loop is
+    verified by an unrolled DuckDB twin (``_logreg_oracle``). Returns
+    the learned micro-weights, the feature means, and the training
+    confusion matrix at p >= 0.5.
+
+    Scale posture (``operators/quality_ml.py``): one persisted narrow
+    feature projection; each iteration is one map-side-combined
+    aggregation emitting 4 longs; nothing wider than that ever
+    shuffles. Float exposure is the sigmoid only, rounded to
+    micro-units (the micro-nat bigram-LM precedent)."""
+    from ..operators.quality_ml import train_quality_logreg
+
+    docs = Catalog(spark, sf_dir).documents
+    return train_quality_logreg(docs)
