@@ -77,6 +77,9 @@ PROBE_QUERIES = [
     # streaming: a real watermarked streaming run over the replicated
     # events drop (bounded source -> one microbatch of 10x rows)
     "stream_events_hourly",
+    # r7: distributed logistic-regression training (K aggregation
+    # scans over a persisted narrow projection)
+    "llm_quality_classifier",
 ]
 
 
