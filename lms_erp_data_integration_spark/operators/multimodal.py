@@ -287,32 +287,40 @@ def _png_pixels_channels(
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    if interlace == 0:
-        stride = w * bpp
-        if len(raw) < h * (stride + 1):
-            return None
-        grid = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
-            h, stride + 1
-        )
-        return to8(_png_unfilter(grid, h, stride, bpp), h, w)
-    # Adam7: 7 independently-filtered sub-images on the pass grid
-    out = np.zeros((h, w, c), np.uint8)
-    pos = 0
-    for x0, y0, dx, dy in _ADAM7:
-        pw = (w - x0 + dx - 1) // dx
-        ph = (h - y0 + dy - 1) // dy
-        if pw <= 0 or ph <= 0:
-            continue
-        stride = pw * bpp
-        need = ph * (stride + 1)
-        if len(raw) - pos < need:
-            return None
-        grid = np.frombuffer(raw, np.uint8, count=need, offset=pos).reshape(
-            ph, stride + 1
-        )
-        out[y0::dy, x0::dx] = to8(_png_unfilter(grid, ph, stride, bpp), ph, pw)
-        pos += need
-    return out
+    try:
+        if interlace == 0:
+            stride = w * bpp
+            if len(raw) < h * (stride + 1):
+                return None
+            grid = np.frombuffer(
+                raw, np.uint8, count=h * (stride + 1)
+            ).reshape(h, stride + 1)
+            return to8(_png_unfilter(grid, h, stride, bpp), h, w)
+        # Adam7: 7 independently-filtered sub-images on the pass grid
+        out = np.zeros((h, w, c), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * bpp
+            need = ph * (stride + 1)
+            if len(raw) - pos < need:
+                return None
+            grid = np.frombuffer(
+                raw, np.uint8, count=need, offset=pos
+            ).reshape(ph, stride + 1)
+            out[y0::dy, x0::dx] = to8(
+                _png_unfilter(grid, ph, stride, bpp), ph, pw
+            )
+            pos += need
+        return out
+    except ValueError:
+        # corrupt scanline filter code (a bit flip reaches here past
+        # the zlib CRC only because decompress tolerates truncated
+        # tails): reject, never raise — found by the r7 fuzz soak
+        return None
 
 
 def _decode_png(payload: bytes) -> dict | None:
