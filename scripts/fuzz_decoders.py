@@ -67,7 +67,19 @@ MAGICS = [
 
 def main() -> int:
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 600
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    # default: cycle three seeds (trials/3 each) — the r7 soak found a
+    # PNG-filter crash only on seed 1, so one seed's corpus is not
+    # enough; an explicit second arg pins a single seed for repro
+    if len(sys.argv) > 2:
+        return _soak(trials, int(sys.argv[2]))
+    for seed in (0, 1, 2):
+        rc = _soak(max(trials // 3, 1), seed)
+        if rc:
+            return rc
+    return 0
+
+
+def _soak(trials: int, seed: int) -> int:
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
     valids = [
@@ -117,7 +129,10 @@ def main() -> int:
                     fails += 1
                     if fails > 10:
                         return 1
-    print(f"soak: {trials} trials x {len(PROBES)} probes, {fails} crashes")
+    print(
+        f"soak: seed {seed}: {trials} trials x {len(PROBES)} probes,"
+        f" {fails} crashes"
+    )
     return 1 if fails else 0
 
 
