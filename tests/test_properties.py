@@ -641,3 +641,64 @@ def test_tar_shard_round_trip_property(members, gzipped):
     assert [(n, bytes(d)) for n, d in got] == [
         (n, d) for n, d in members
     ]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 2),
+    st.integers(1, 700),
+    st.integers(64, 512),
+    st.sampled_from(["independent", "left_side", "right_side", "mid_side"]),
+    st.randoms(use_true_random=False),
+)
+def test_flac_lossless_round_trip_property(
+    channels, n, block_size, mode, rnd
+):
+    """FLAC is lossless by definition: encode->decode must reproduce
+    ANY int16 signal exactly — arbitrary lengths (incl. partial tail
+    blocks), block sizes, both channel counts, every stereo mode."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    if channels == 1 and mode != "independent":
+        mode = "independent"
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    # mix of structured + noisy signals so every subframe type fires
+    kind = rnd.randrange(4)
+    if kind == 0:
+        x = np.full((n, channels), rnd.randrange(-32768, 32768), np.int64)
+    elif kind == 1:
+        t = np.arange(n)[:, None]
+        x = (
+            (rnd.randrange(100, 20000))
+            * np.sin(2 * np.pi * rnd.randrange(1, 300) * t / 8000)
+        ).astype(np.int64) + rng.integers(-50, 50, (n, channels))
+    else:
+        x = rng.integers(-32768, 32767, (n, channels))
+    x = np.clip(x, -32768, 32767)
+    p = encode_flac(x, 8000, block_size=block_size, stereo_mode=mode)
+    d = decode_flac(p)
+    assert d is not None
+    assert np.array_equal(d["samples"].astype(np.int64), x)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.randoms(use_true_random=False))
+def test_dib_and_mp4raw_round_trip_property(w, h, rnd):
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators import avi
+    from lms_erp_data_integration_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(
+        avi.decode_dib_frame(avi.encode_dib_frame(rgb), w, h), rgb
+    )
+    assert np.array_equal(
+        mm.decode_mp4_raw_frame(rgb.tobytes(), w, h), rgb
+    )
