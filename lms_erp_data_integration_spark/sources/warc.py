@@ -343,22 +343,55 @@ class WarcStreamReader(DataSourceStreamReader):
     each new segment becomes an ``InputPartition`` whose gzip-member
     streaming parse (``iter_warc_stream``, O(largest record) memory)
     runs on executors — the shape that holds when a crawl drops
-    thousands of multi-GB segments per hour."""
+    thousands of multi-GB segments per hour.
+
+    Offset compaction (the 100 TB concern: a crawl accumulates
+    millions of segments, and a naive planned-set offset grows — and
+    is checkpoint-serialized — without bound): when the tracked set
+    exceeds ``max_tracked_files``, the oldest ALREADY-PLANNED names
+    collapse into a ``floor`` marker — every path lexicographically
+    <= floor counts as ingested. Only names planned in a PRIOR batch
+    are ever compacted, and ``partitions`` never plans paths <= the
+    start offset's floor, so no segment is lost or duplicated
+    (including across restarts). The documented tradeoff — a
+    late-arriving segment sorting below the floor is skipped — is the
+    same one Spark's own FileStreamSource makes with ``maxFileAge``,
+    and crawl segment names are timestamped/monotonic in practice."""
 
     def __init__(self, options: dict) -> None:
         self.path = options.get("path", "")
         self.record_type = options.get("record_type", "")
+        self.max_tracked = int(options.get("max_tracked_files", 10_000))
+        # names known planned from a previous latestOffset in THIS
+        # process; lost on restart, which only delays compaction
+        self._planned: set[str] = set()
 
     def initialOffset(self) -> dict:
-        return {"files": []}
+        return {"floor": "", "files": []}
 
     def latestOffset(self) -> dict:
-        return {"files": _warc_paths(self.path)}
+        files = sorted(_warc_paths(self.path))
+        floor = ""
+        if len(files) > self.max_tracked:
+            # compact only names already planned in a prior batch
+            eligible = [p for p in files if p in self._planned]
+            excess = len(files) - self.max_tracked
+            if excess > 0 and eligible:
+                floor = eligible[min(excess, len(eligible)) - 1]
+                files = [p for p in files if p > floor]
+        self._planned.update(files)
+        return {"floor": floor, "files": files}
 
     def partitions(
         self, start: dict, end: dict
     ) -> list[InputPartition]:
-        new = sorted(set(end["files"]) - set(start["files"]))
+        start_floor = start.get("floor", "")
+        seen = set(start.get("files", []))
+        new = sorted(
+            p
+            for p in end.get("files", [])
+            if p > start_floor and p not in seen
+        )
         return [_WarcPartition(p) for p in new]
 
     def read(self, partition: _WarcPartition) -> Iterator[tuple]:

@@ -402,3 +402,55 @@ def test_warc_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     counts = {r["warc_file"]: r["count"] for r in got}
     # s0 exactly once (not re-ingested after restart), s1 caught up
     assert counts == {"s0.warc": 2, "s1.warc": 2}
+
+
+def test_warc_stream_offset_compaction(tmp_path):
+    """Bounded offsets: past max_tracked_files, already-planned names
+    collapse into the floor marker; nothing is lost or duplicated and
+    the serialized offset stays bounded."""
+    from lms_erp_data_integration_spark.sources.warc import (
+        WarcStreamReader,
+        build_warc,
+    )
+
+    recs = [
+        {
+            "record_type": "response",
+            "target_uri": "https://e.com/z",
+            "http_status": 200,
+            "content_type": "text/html",
+            "body": b"<p>z</p>",
+        }
+    ]
+    for i in range(5):
+        with open(tmp_path / f"s{i}.warc", "wb") as f:
+            f.write(build_warc(recs))
+
+    r = WarcStreamReader(
+        {"path": str(tmp_path), "max_tracked_files": "3"}
+    )
+    start = r.initialOffset()
+    end1 = r.latestOffset()
+    planned1 = [p.path for p in r.partitions(start, end1)]
+    assert len(planned1) == 5  # first batch plans everything
+    assert end1["floor"] == ""  # nothing eligible to compact yet
+
+    # next batch: no new files; compaction kicks in, set shrinks to 3
+    end2 = r.latestOffset()
+    assert len(end2["files"]) == 3 and end2["floor"].endswith("s1.warc")
+    assert r.partitions(end1, end2) == []  # nothing new to ingest
+
+    # a new segment is still ingested exactly once
+    with open(tmp_path / "s9.warc", "wb") as f:
+        f.write(build_warc(recs))
+    end3 = r.latestOffset()
+    new = [p.path for p in r.partitions(end2, end3)]
+    assert [p.split("/")[-1] for p in new] == ["s9.warc"]
+
+    # restart simulation: fresh reader, checkpointed offset end3 —
+    # nothing below the floor or in the tracked set is re-planned
+    r2 = WarcStreamReader(
+        {"path": str(tmp_path), "max_tracked_files": "3"}
+    )
+    end4 = r2.latestOffset()
+    assert r2.partitions(end3, end4) == []
