@@ -80,6 +80,10 @@ PROBE_QUERIES = [
     # r7: distributed logistic-regression training (K aggregation
     # scans over a persisted narrow projection)
     "llm_quality_classifier",
+    # late-r7: remaining dedup-family heavyweights
+    "llm_dedup_simhash",
+    "llm_dup_span_detect",
+    "llm_contamination_ngram",
 ]
 
 
