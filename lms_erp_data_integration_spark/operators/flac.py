@@ -227,7 +227,7 @@ def decode_flac(payload: bytes) -> dict | None:
         btype = hdr & 0x7F
         blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
         body = payload[pos + 4 : pos + 4 + blen]
-        if btype == 0 and blen >= 34:
+        if btype == 0 and len(body) >= 34:
             (min_bs,) = struct.unpack_from(">H", body, 0)
             packed = int.from_bytes(body[10:18], "big")
             rate = packed >> 44
@@ -274,6 +274,8 @@ def decode_flac(payload: bytes) -> dict | None:
             elif sr_code != 0 and sr_code not in _RATES:
                 break
             hdr_end = br.byte + (1 if br.bit else 0)
+            if hdr_end >= len(payload):
+                break
             if _crc8(payload[frame_start:hdr_end]) != payload[hdr_end]:
                 break
             br = _BitReader(payload, hdr_end + 1)
@@ -313,7 +315,7 @@ def decode_flac(payload: bytes) -> dict | None:
             for c in range(channels):
                 chans[c].extend(subs[c])
             pos = br.byte + 2
-        except (EOFError, ValueError):
+        except (EOFError, ValueError, IndexError):
             break
 
     n = min(len(c) for c in chans) if chans else 0

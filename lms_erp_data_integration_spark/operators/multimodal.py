@@ -1933,8 +1933,17 @@ def build_mp4_raw(frames_rgb: list, width: int, height: int, fps: int = 10) -> b
     )
     minf = box(b"minf", stbl)
     mdia = box(b"mdia", mdhd + minf)
+    # version-0 tkhd body: 4 version/flags + 20 times/track_id +
+    # 12 reserved/layer/volume = 36, identity matrix at 40..76,
+    # then 16.16 width/height at 76..84 (84-byte body total)
+    matrix = (
+        i32(0x00010000) + i32(0) + i32(0)
+        + i32(0) + i32(0x00010000) + i32(0)
+        + i32(0) + i32(0) + i32(0x40000000)
+    )
     tkhd = box(
-        b"tkhd", bytes(84) + (width << 16).to_bytes(4, "big")
+        b"tkhd", bytes(40) + matrix
+        + (width << 16).to_bytes(4, "big")
         + (height << 16).to_bytes(4, "big")
     )
     trak = box(b"trak", tkhd + mdia)

@@ -351,8 +351,11 @@ class WarcStreamReader(DataSourceStreamReader):
     exceeds ``max_tracked_files``, the oldest ALREADY-PLANNED names
     collapse into a ``floor`` marker — every path lexicographically
     <= floor counts as ingested. Only names planned in a PRIOR batch
-    are ever compacted, and ``partitions`` never plans paths <= the
-    start offset's floor, so no segment is lost or duplicated
+    are ever compacted, the floor is capped below the smallest
+    listed-but-not-yet-planned name (an out-of-order arrival visible
+    at plan time is planned, never compacted past), and
+    ``partitions`` never plans paths <= the start offset's floor, so
+    no segment is lost or duplicated
     (including across restarts). The documented tradeoff — a
     late-arriving segment sorting below the floor is skipped — is the
     same one Spark's own FileStreamSource makes with ``maxFileAge``,
@@ -365,20 +368,48 @@ class WarcStreamReader(DataSourceStreamReader):
         # names known planned from a previous latestOffset in THIS
         # process; lost on restart, which only delays compaction
         self._planned: set[str] = set()
+        # high-water compaction mark for THIS process: listings are
+        # pre-filtered to > _floor so compacted names never re-enter
+        # consideration (and _planned can be pruned below it without
+        # those names later appearing "unplanned"). Lost on restart,
+        # which only delays re-compaction — the checkpointed offset's
+        # floor still fences `partitions` against replay.
+        self._floor = ""
 
     def initialOffset(self) -> dict:
         return {"floor": "", "files": []}
 
     def latestOffset(self) -> dict:
-        files = sorted(_warc_paths(self.path))
-        floor = ""
+        files = sorted(
+            p for p in _warc_paths(self.path) if p > self._floor
+        )
+        floor = self._floor
         if len(files) > self.max_tracked:
-            # compact only names already planned in a prior batch
-            eligible = [p for p in files if p in self._planned]
+            # compact only names already planned in a prior batch,
+            # and never past a listed-but-unplanned name: an
+            # out-of-order arrival visible in THIS listing must stay
+            # above the floor or it would be excluded before it was
+            # ever planned (it is not a "late arrival below an
+            # existing floor" — it is plannable right now)
+            unplanned = [p for p in files if p not in self._planned]
+            lo = min(unplanned) if unplanned else None
+            eligible = [
+                p
+                for p in files
+                if p in self._planned and (lo is None or p < lo)
+            ]
             excess = len(files) - self.max_tracked
             if excess > 0 and eligible:
                 floor = eligible[min(excess, len(eligible)) - 1]
                 files = [p for p in files if p > floor]
+                self._floor = floor
+                # names <= floor are excluded by the listing filter
+                # above from now on; keeping them would grow the
+                # driver-side set without bound in exactly the
+                # millions-of-segments scenario compaction bounds
+                self._planned = {
+                    p for p in self._planned if p > floor
+                }
         self._planned.update(files)
         return {"floor": floor, "files": files}
 

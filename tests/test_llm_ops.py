@@ -2321,6 +2321,17 @@ def test_mp4_raw_mux_config_and_decode(spark):
     assert [s["dts_ms"] for s in table] == [0, 200, 400, 600]
     # fixtures without stsd (demux-only H.264-shaped) report None
     assert mm.mp4_video_config(_mp4_with_samples()[0]) is None
+    # r7 ADVICE: spec-compliant version-0 tkhd — exactly 84-byte
+    # body with 16.16 width/height at offset 76 and the identity
+    # matrix at offset 40, so external parsers read the geometry too
+    i = payload.index(b"tkhd")
+    size = int.from_bytes(payload[i - 4 : i], "big")
+    body = payload[i + 4 : i - 4 + size]
+    assert len(body) == 84
+    assert int.from_bytes(body[40:44], "big") == 0x00010000
+    assert int.from_bytes(body[72:76], "big") == 0x40000000
+    assert int.from_bytes(body[76:80], "big") >> 16 == 16
+    assert int.from_bytes(body[80:84], "big") >> 16 == 8
 
     df = spark.createDataFrame(
         [(1, bytearray(payload))], "doc_id long, payload binary"
@@ -2468,6 +2479,31 @@ def test_flac_roundtrip_all_paths():
     assert decode_flac(bytes(bad)) is None
     assert decode_flac(b"junk") is None
     assert decode_flac(b"fLaC" + b"\x00" * 50) is None
+
+
+def test_flac_truncation_rejects_cleanly():
+    """r7 ADVICE: a valid stream truncated at ANY byte — including
+    exactly at the frame-header/CRC-8 boundary, which previously
+    read payload[hdr_end] unguarded and raised IndexError — must
+    return None (or the full decode when the cut is past the last
+    frame), never raise."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    t = np.arange(2000)
+    tone = (9000 * np.sin(2 * np.pi * 330 * t / 8000)).astype(np.int64)
+    p = encode_flac(tone, 8000)
+    full = decode_flac(p)
+    assert full is not None
+    for cut in range(0, len(p)):
+        d = decode_flac(p[:cut])  # must not raise
+        assert d is None or np.array_equal(
+            d["samples"], full["samples"]
+        )
 
 
 def test_flac_through_unified_audio_path():

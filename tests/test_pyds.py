@@ -454,3 +454,49 @@ def test_warc_stream_offset_compaction(tmp_path):
     )
     end4 = r2.latestOffset()
     assert r2.partitions(end3, end4) == []
+
+
+def test_warc_stream_compaction_spares_unplanned_arrival(tmp_path):
+    """r7 ADVICE: an out-of-order segment that is LISTED but not yet
+    planned when compaction fires (planned {a,c,d}, then b appears)
+    must cap the floor below itself — previously the floor could
+    jump past it and the segment was never ingested."""
+    from lms_erp_data_integration_spark.sources.warc import (
+        WarcStreamReader,
+        build_warc,
+    )
+
+    recs = [
+        {
+            "record_type": "response",
+            "target_uri": "https://e.com/z",
+            "http_status": 200,
+            "content_type": "text/html",
+            "body": b"<p>z</p>",
+        }
+    ]
+    for name in ("a0.warc", "c2.warc", "d3.warc"):
+        with open(tmp_path / name, "wb") as f:
+            f.write(build_warc(recs))
+
+    r = WarcStreamReader(
+        {"path": str(tmp_path), "max_tracked_files": "2"}
+    )
+    end1 = r.latestOffset()
+    assert len(r.partitions(r.initialOffset(), end1)) == 3
+
+    # b1 sorts between planned a0 and c2 and is visible in the very
+    # listing that triggers compaction
+    with open(tmp_path / "b1.warc", "wb") as f:
+        f.write(build_warc(recs))
+    end2 = r.latestOffset()
+    assert end2["floor"].endswith("a0.warc")  # capped below b1
+    new = [p.path.split("/")[-1] for p in r.partitions(end1, end2)]
+    assert new == ["b1.warc"]
+
+    # driver-side tracked set is pruned below the floor (r7 ADVICE
+    # low): nothing <= floor lingers in memory, and b1 still ingests
+    # exactly once afterwards
+    assert all(p > end2["floor"] for p in r._planned)
+    end3 = r.latestOffset()
+    assert r.partitions(end2, end3) == []
