@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..operators import dedup as dd
-from ..operators import similarity as sim
 from ..operators import text as tx
 from .registry import query
 
@@ -44,42 +43,33 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_duplicates(docs.unionByName(planted))
 
 
-# More shared oracle fragments (same zero-hash-change contract):
-# integer-scaled and L2-normalized embedding CTE bodies, the
-# cold-shingle candidate-pair + intersection block, the per-doc
-# shingle-count CTE, and the top-10-per-query ranking tail.
-_VI_CTE = """WITH v AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-                        x -> floor(x * 1000000 + 0.5)) AS vi
-  FROM embeddings),"""
+# Shared oracle fragments (zero-hash-change contract: the assembled
+# strings stay byte-identical to the pre-factor literals): the
+# cold-shingle candidate-pair + intersection block and the per-doc
+# shingle-count CTE. The embedding-family fragments live in
+# ``similarity_queries.py``.
 
-_NORM_VEC_SELECT = """  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                          embedding::DOUBLE[]))) AS v
-  FROM embeddings)"""
 
-_PAIRS_INTER_CTE = """pairs AS (
+def _cold_pairs_inter(name: str) -> str:
+    """Cold-shingle candidate pairs + exact intersection counts,
+    parameterized on the candidate CTE's name (``pairs`` in the flat
+    Jaccard oracle, ``cands`` in the recursive cluster oracles)."""
+    return f"""{name} AS (
   SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
   FROM shing a
   JOIN cold c ON c.shingle = a.shingle
   JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
 inter AS (
   SELECT p.i, p.j, COUNT(*) AS inter
-  FROM pairs p
+  FROM {name} p
   JOIN shing si ON si.doc_id = p.i
   JOIN shing sj ON sj.doc_id = p.j AND sj.shingle = si.shingle
   GROUP BY p.i, p.j)"""
 
-_SIZES_CTE = "sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),"
 
-_RANK10_TAIL = """ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY score DESC, neighbor_id) AS rank
-  FROM scored)
-SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
-"""
+_PAIRS_INTER_CTE = _cold_pairs_inter("pairs")
+
+_SIZES_CTE = "sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY doc_id),"
 
 
 _SIZES_COLD_CTE = (
@@ -96,11 +86,40 @@ cold AS (
 # the four MinHash-family oracles add the same hash/minhash/band
 # block. One definition each; the parity sweep proves the assembled
 # strings stay byte-identical to the pre-factor literals.
-_TOKS_SHING = r"""WITH toks AS (
+_TOKS_SHING_BODY = r"""toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
 shing AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),"""
+_TOKS_SHING = "WITH " + _TOKS_SHING_BODY
+
+# Flat exact-Jaccard projection shared by llm_dedup_ngram_jaccard and
+# the MinHash-LSH oracle.
+_JACCARD_08_TAIL = """SELECT i, j, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = i
+JOIN sizes sb ON sb.doc_id = j
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+"""
+
+# llm_dedup_clusters / llm_dedup_apply share the entire recursive
+# transitive-closure prelude: shingle -> cold-capped candidate pairs
+# -> exact Jaccard >= 0.8 edge list -> reachability closure. The two
+# oracles differ only in what they project out of ``reach``.
+_CLUSTERS_REACH = f"""WITH RECURSIVE {_TOKS_SHING_BODY}
+{_SIZES_COLD_CTE}
+{_cold_pairs_inter("cands")},
+pairs AS (
+  SELECT i, j FROM inter
+  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+edges AS (
+  SELECT i AS src, j AS dst FROM pairs
+  UNION SELECT j AS src, i AS dst FROM pairs),
+reach AS (
+  SELECT src AS node, dst AS target FROM edges
+  UNION
+  SELECT r.node, e.dst AS target FROM reach r JOIN edges e ON e.src = r.target"""
 
 
 def _mh_banded_cte(num_hashes: int, rows_per_band: int) -> str:
@@ -141,12 +160,7 @@ inter AS (
   JOIN shing si ON si.doc_id = c.i
   JOIN shing sj ON sj.doc_id = c.j AND sj.shingle = si.shingle
   GROUP BY c.i, c.j)
-SELECT i, j, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = i
-JOIN sizes sb ON sb.doc_id = j
-WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
-"""
+{_JACCARD_08_TAIL}"""
 
 
 _MINHASH_ORACLE = _minhash_oracle()
@@ -165,16 +179,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_dedup_ngram_jaccard",
-    rf"""
+    f"""
 {_TOKS_SHING}
 {_SIZES_COLD_CTE}
 {_PAIRS_INTER_CTE}
-SELECT i, j, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = i
-JOIN sizes sb ON sb.doc_id = j
-WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
-""",
+{_JACCARD_08_TAIL}""",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup baseline (inverted-index join with
@@ -328,155 +337,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit, md5 token hashes) near-dup pairs at Hamming<=3."""
     docs = Catalog(spark, sf_dir).documents
     return dd.simhash_near_duplicates(docs, max_hamming=3, bits=32)
-
-
-# ----------------------------------------------------------- similarity
-
-_COS = (
-    "list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-)
-
-
-@query(
-    "llm_sim_topk_bruteforce",
-    f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id < 5),
-scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         {_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS score
-  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
-{_RANK10_TAIL}""",
-)
-def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for 5 query vectors — the ANN baseline."""
-    emb = Catalog(spark, sf_dir).embeddings
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return sim.brute_force_topk(emb, queries, k=10)
-
-
-@query(
-    "llm_sim_ivf_topk",
-    f"""
-WITH cent AS (
-  SELECT label AS centroid_id, arg_min(embedding, vec_id)::DOUBLE[] AS cv
-  FROM embeddings GROUP BY label),
-assigned AS (
-  SELECT vec_id, embedding, centroid_id FROM (
-    SELECT e.vec_id, e.embedding, c.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             {_COS.format(a="e.embedding::DOUBLE[]", b="c.cv")} DESC,
-             c.centroid_id) AS rn
-    FROM embeddings e, cent c) t WHERE rn = 1),
-q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, centroid_id
-  FROM assigned WHERE vec_id < 5),
-scored AS (
-  SELECT q.query_id, a.vec_id AS neighbor_id,
-         {_COS.format(a="a.embedding::DOUBLE[]", b="q.qv")} AS score
-  FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
-  WHERE a.vec_id <> q.query_id),
-{_RANK10_TAIL}""",
-)
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-10: centroid per label (min-vec_id representative),
-    1-probe search within the assigned cluster — the scale path; the
-    oracle replicates the same algorithm including its recall loss."""
-    emb = Catalog(spark, sf_dir).embeddings
-    centroids = emb.groupBy(F.col("label").alias("centroid_id")).agg(
-        F.min_by("embedding", "vec_id").alias("embedding")
-    )
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return sim.ivf_topk(emb, queries, centroids, k=10)
-
-
-from .registry import ORACLES as _ORACLES  # noqa: E402  (composes the two registered search oracles above)
-
-
-@query(
-    "llm_sim_ivf_recall",
-    f"""
-WITH bf AS ({{bf}}),
-ivf AS ({{ivf}})
-SELECT bf.query_id,
-       CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS hits,
-       CAST(COUNT(*) AS BIGINT) AS k,
-       CAST(COUNT(ivf.neighbor_id) * 100 // COUNT(*) AS BIGINT)
-         AS recall_pct
-FROM bf LEFT JOIN ivf
-  ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
-GROUP BY bf.query_id
-""".format(
-        bf=_ORACLES["llm_sim_topk_bruteforce"],
-        ivf=_ORACLES["llm_sim_ivf_topk"],
-    ),
-)
-def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN index-quality audit: recall@10 of the IVF(1-probe) search
-    against the exact brute-force baseline, per query — the number a
-    team actually watches when tuning nprobe/k before shipping an
-    index. Composes the two registered searches; the oracle re-runs
-    both SQL forms and the same left-join overlap count.
-
-    Scale: the audit runs on a SAMPLE of queries (here the 5 fixed
-    probes) — recall estimation never needs the full corpus of
-    queries, so the brute-force side stays bounded while the corpus
-    grows."""
-    emb = Catalog(spark, sf_dir).embeddings
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    centroids = emb.groupBy(F.col("label").alias("centroid_id")).agg(
-        F.min_by("embedding", "vec_id").alias("embedding")
-    )
-    bf = sim.brute_force_topk(emb, queries, k=10).select(
-        "query_id", "neighbor_id"
-    )
-    ivf = sim.ivf_topk(emb, queries, centroids, k=10).select(
-        F.col("query_id").alias("qi"), F.col("neighbor_id").alias("ni")
-    )
-    j = bf.join(
-        ivf,
-        (F.col("query_id") == F.col("qi"))
-        & (F.col("neighbor_id") == F.col("ni")),
-        "left",
-    )
-    return j.groupBy("query_id").agg(
-        F.count("ni").alias("hits"),
-        F.count(F.lit(1)).alias("k"),
-        F.expr("count(ni) * 100 div count(*)").alias("recall_pct"),
-    )
-
-
-@query(
-    "llm_sim_near_dup_embeddings",
-    f"""
-WITH nv AS (
-{_NORM_VEC_SELECT}
-SELECT a.vec_id AS i, b.vec_id AS j, list_dot_product(a.v, b.v) AS cosine
-FROM nv a JOIN nv b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) >= 0.35
-""",
-)
-def sim_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs. Threshold 0.35 sits at
-    the ~99.9th percentile of this corpus's pair-cosine distribution
-    (no planted dups; max pair cosine ~0.5-0.6).
-
-    Registered on the blocked distributed form: corpus blocks compared
-    pairwise with one numpy kernel per task — no driver
-    materialization, no per-pair interpreted expression. The
-    expression-only and driver-broadcast variants are bit-identical
-    twins kept for the oracle and for bounded corpora respectively."""
-    return sim.near_duplicate_pairs_blocked(
-        Catalog(spark, sf_dir).embeddings, 0.35
-    )
 
 
 # ------------------------------------------------------------- text ops
@@ -654,52 +514,6 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplane_oracle(tables: int = 4, bits: int = 4, dim: int = 64) -> str:
-    planes = sim.hyperplanes(tables, bits, dim)
-    bucket_cases = []
-    for t in range(tables):
-        parts = []
-        for b in range(bits):
-            lit = "[" + ", ".join(repr(x) for x in planes[t][b]) + "]::DOUBLE[]"
-            parts.append(
-                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0 "
-                f"THEN {1 << b} ELSE 0 END)"
-            )
-        bucket_cases.append("(" + " + ".join(parts) + f") AS b{t}")
-    bcols = ",\n         ".join(bucket_cases)
-    unions = "\n  UNION ALL\n  ".join(
-        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM sigs" for t in range(tables)
-    )
-    return f"""
-WITH sigs AS (
-  SELECT vec_id, embedding,
-         {bcols}
-  FROM embeddings),
-buckets AS (
-  {unions}),
-cands AS (
-  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
-  FROM buckets a JOIN buckets b
-    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-nv AS (
-{_NORM_VEC_SELECT}
-SELECT c.i, c.j, list_dot_product(a.v, b.v) AS cosine
-FROM cands c JOIN nv a ON a.vec_id = c.i JOIN nv b ON b.vec_id = c.j
-WHERE list_dot_product(a.v, b.v) >= 0.35
-"""
-
-
-@query("llm_sim_lsh_hyperplane", _hyperplane_oracle())
-def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed near-dup pairs (4 tables x 4 bits) with exact
-    cosine verification — the bucketed scale path beside the exact
-    all-pairs llm_sim_near_dup_embeddings; the oracle replicates the
-    pipeline including its recall loss."""
-    return sim.lsh_bucketed_near_duplicates(
-        Catalog(spark, sf_dir).embeddings, threshold=0.35, tables=4, bits=4
-    )
-
-
 def _sentiment_oracle() -> str:
     pos = ", ".join(f"'{w}'" for w in tx.POSITIVE_WORDS)
     neg = ", ".join(f"'{w}'" for w in tx.NEGATIVE_WORDS)
@@ -729,78 +543,9 @@ def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "llm_sim_ivf_multiprobe",
-    f"""
-WITH cent AS (
-  SELECT label AS centroid_id, arg_min(embedding, vec_id)::DOUBLE[] AS cv
-  FROM embeddings GROUP BY label),
-assigned AS (
-  SELECT vec_id, embedding, centroid_id FROM (
-    SELECT e.vec_id, e.embedding, c.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             {_COS.format(a="e.embedding::DOUBLE[]", b="c.cv")} DESC,
-             c.centroid_id) AS rn
-    FROM embeddings e, cent c) t WHERE rn = 1),
-q AS (
-  SELECT vec_id AS query_id, qv, centroid_id FROM (
-    SELECT e.vec_id, e.embedding::DOUBLE[] AS qv, c.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             {_COS.format(a="e.embedding::DOUBLE[]", b="c.cv")} DESC,
-             c.centroid_id) AS rn
-    FROM embeddings e, cent c WHERE e.vec_id < 5) t WHERE rn <= 2),
-scored AS (
-  SELECT q.query_id, a.vec_id AS neighbor_id,
-         {_COS.format(a="a.embedding::DOUBLE[]", b="q.qv")} AS score
-  FROM assigned a JOIN q ON a.centroid_id = q.centroid_id
-  WHERE a.vec_id <> q.query_id),
-{_RANK10_TAIL}""",
-)
-def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe IVF top-10 (nprobe=2): searching the two nearest
-    clusters per query trades compute for recall — the standard IVF
-    recall knob, exercised end-to-end with an identical-algorithm
-    oracle."""
-    emb = Catalog(spark, sf_dir).embeddings
-    centroids = emb.groupBy(F.col("label").alias("centroid_id")).agg(
-        F.min_by("embedding", "vec_id").alias("embedding")
-    )
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return sim.ivf_topk(emb, queries, centroids, k=10, nprobe=2)
-
-
-@query(
     "llm_dedup_clusters",
-    rf"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-shing AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
-{_SIZES_COLD_CTE}
-cands AS (
-  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-  FROM shing a
-  JOIN cold c ON c.shingle = a.shingle
-  JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-inter AS (
-  SELECT p.i, p.j, COUNT(*) AS inter
-  FROM cands p
-  JOIN shing si ON si.doc_id = p.i
-  JOIN shing sj ON sj.doc_id = p.j AND sj.shingle = si.shingle
-  GROUP BY p.i, p.j),
-pairs AS (
-  SELECT i, j FROM inter
-  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
-  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
-edges AS (
-  SELECT i AS src, j AS dst FROM pairs
-  UNION SELECT j AS src, i AS dst FROM pairs),
-reach AS (
-  SELECT src AS node, dst AS target FROM edges
-  UNION
-  SELECT r.node, e.dst AS target FROM reach r JOIN edges e ON e.src = r.target
+    f"""
+{_CLUSTERS_REACH}
 )
 SELECT node AS member, least(node, MIN(target)) AS cluster_id
 FROM reach GROUP BY node
@@ -933,86 +678,9 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "llm_emb_norm_stats",
-    """
-WITH n AS (
-  SELECT label,
-         CAST(floor(sqrt(list_dot_product(embedding::DOUBLE[],
-                                          embedding::DOUBLE[]))
-                    * 1000000 + 0.5) AS BIGINT) AS norm_micros
-  FROM embeddings)
-SELECT label,
-       CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       MIN(norm_micros) AS min_norm_micros,
-       MAX(norm_micros) AS max_norm_micros,
-       CAST(SUM(norm_micros) // COUNT(*) AS BIGINT) AS avg_norm_micros
-FROM n GROUP BY label
-""",
-)
-def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding L2-norm profile per label — the ANN pre-flight that
-    catches un-normalized vectors, degenerate all-zero rows, and
-    per-class norm drift BEFORE anyone builds an IVF index or trusts a
-    dot product as a cosine. Norms are exact integer micros per row
-    (floor(x*1e6+0.5) of a deterministic sequential-fold sqrt), so the
-    grouped MIN/MAX/AVG are bit-portable — a raw double SUM would
-    depend on partial-aggregation order.
-
-    Scale: one narrow per-row map + one grouped aggregate with
-    map-side partials; output is label-cardinality-sized."""
-    emb = Catalog(spark, sf_dir).embeddings
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(v, v, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm_micros = F.floor(F.sqrt(dot) * 1_000_000 + F.lit(0.5)).cast("long")
-    return (
-        emb.select("label", norm_micros.alias("norm_micros"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.min("norm_micros").alias("min_norm_micros"),
-            F.max("norm_micros").alias("max_norm_micros"),
-            F.expr("sum(norm_micros) div count(*)").alias(
-                "avg_norm_micros"
-            ),
-        )
-    )
-
-
-@query(
     "llm_dedup_apply",
-    rf"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-shing AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)),
-{_SIZES_COLD_CTE}
-cands AS (
-  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-  FROM shing a
-  JOIN cold c ON c.shingle = a.shingle
-  JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-inter AS (
-  SELECT p.i, p.j, COUNT(*) AS inter
-  FROM cands p
-  JOIN shing si ON si.doc_id = p.i
-  JOIN shing sj ON sj.doc_id = p.j AND sj.shingle = si.shingle
-  GROUP BY p.i, p.j),
-pairs AS (
-  SELECT i, j FROM inter
-  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
-  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
-edges AS (
-  SELECT i AS src, j AS dst FROM pairs
-  UNION SELECT j AS src, i AS dst FROM pairs),
-reach AS (
-  SELECT src AS node, dst AS target FROM edges
-  UNION
-  SELECT r.node, e.dst AS target FROM reach r JOIN edges e ON e.src = r.target),
+    f"""
+{_CLUSTERS_REACH}),
 clusters AS (
   SELECT node AS member, least(node, MIN(target)) AS cluster_id
   FROM reach GROUP BY node)
@@ -1039,56 +707,6 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
-    )
-
-
-@query(
-    "llm_emb_quantize",
-    """
-WITH d AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-s AS (
-  SELECT vec_id, v,
-         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-  FROM d)
-SELECT vec_id, scale,
-       array_to_string(
-         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)),
-         ',') AS q
-FROM s WHERE scale > 0
-""",
-)
-def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 quantization of the embedding column (scale =
-    max|x| / 127). floor(x/scale + 0.5) instead of round() because the
-    two engines disagree on round-half semantics while floor is exact;
-    float->double casts and the divisions are bit-identical. Narrow
-    per-row map — no shuffle.
-
-    The quantized vector is emitted comma-joined as a STRING, not an
-    array: array-typed output columns are unhashable by row-sorting
-    pandas consumers (r4 driver err), so arrays stay internal and the
-    external surface is scalar-only (enforced by
-    ``tests/test_registry.py::test_no_unhashable_output_columns``)."""
-    emb = Catalog(spark, sf_dir).embeddings
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, F.abs)) / 127.0
-    return (
-        emb.select(F.col("vec_id"), v.alias("_v"), scale.alias("scale"))
-        .where(F.col("scale") > 0)
-        .select(
-            "vec_id",
-            "scale",
-            F.array_join(
-                F.transform(
-                    F.col("_v"),
-                    lambda x: F.floor(x / F.col("scale") + 0.5).cast(
-                        "string"
-                    ),
-                ),
-                ",",
-            ).alias("q"),
-        )
     )
 
 
@@ -1134,194 +752,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     return sample_frames(attach_payload(docs))
-
-
-_KMEANS_DIST = (
-    "list_dot_product("
-    "list_transform(range(0, 64), d -> {v}[d+1] - {c}.s[d+1] / {c}.n), "
-    "list_transform(range(0, 64), d -> {v}[d+1] - {c}.s[d+1] / {c}.n))"
-)
-
-# k scales with the corpus as k = max(8, floor(0.35 * sqrt(n))).
-# Why sqrt: Lloyd's assignment costs n*k distance evaluations while
-# SemDeDup's within-cluster verification costs ~n²/k pair evaluations
-# — a FIXED k leaves the verify stage quadratic (the r6 sf1.0 scale
-# probe measured exponent 1.47 for llm_dedup_semantic_verified at
-# k=8), while k ∝ n makes the assignment stage quadratic instead.
-# k ∝ sqrt(n) balances both at O(n^1.5) — the same cost class as the
-# repo's other sqrt-bucketed joins (pigeonhole blocks, triangle
-# wedges). At the driver's correctness scale (500 vectors at sf0.01)
-# the formula clamps to the historical k=8, so oracle results are
-# unchanged there; both engines evaluate the identical
-# double-precision sqrt/mul/floor, so the computed k always agrees.
-_KMEANS_K_MIN = 8
-_KMEANS_K_SQL = (
-    f"(SELECT GREATEST({_KMEANS_K_MIN}, "
-    f"CAST(floor(0.35 * sqrt(COUNT(*))) AS BIGINT)) FROM embeddings)"
-)
-
-
-def _kmeans_k(emb) -> int:
-    """Corpus-scaled cluster count (see comment above)."""
-    import math
-
-    return max(_KMEANS_K_MIN, int(math.floor(0.35 * math.sqrt(emb.count()))))
-
-
-@query(
-    "llm_sim_kmeans_assign",
-    f"""
-{_VI_CTE}
-c0 AS (SELECT vec_id AS cid, vi AS s, 1 AS n FROM v
-       WHERE vec_id < {_KMEANS_K_SQL}),
-d1 AS (
-  SELECT v.vec_id, c0.cid, {_KMEANS_DIST.format(v="v.vi", c="c0")} AS dist
-  FROM v, c0),
-a1 AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY dist, cid) AS rn
-    FROM d1) WHERE rn = 1),
-s1 AS (
-  SELECT a1.cid, t.d, SUM(v.vi[t.d + 1]) AS sd, COUNT(*) AS cnt
-  FROM a1 JOIN v USING (vec_id), range(64) t(d)
-  GROUP BY a1.cid, t.d),
-c1 AS (SELECT cid, list(sd ORDER BY d) AS s, MAX(cnt) AS n
-       FROM s1 GROUP BY cid),
-d2 AS (
-  SELECT v.vec_id, c1.cid, {_KMEANS_DIST.format(v="v.vi", c="c1")} AS dist
-  FROM v, c1),
-a2 AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY dist, cid) AS rn
-    FROM d2) WHERE rn = 1)
-SELECT vec_id, cid FROM a2
-""",
-)
-def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd's k-means (corpus-scaled
-    k = max(8, floor(0.35*sqrt(n))), 2 iterations) — learns the IVF centroids instead of taking them as
-    given. The oracle unrolls both iterations in SQL with the same
-    scalar-subquery k; integer-scaled sums + exactly-rounded mean
-    division keep every iteration's argmin bit-identical (see
-    operators/similarity.py:kmeans_assignments)."""
-    emb = Catalog(spark, sf_dir).embeddings
-    return sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
-
-
-from .registry import ORACLES as _ORACLES  # noqa: E402  (needs kmeans above)
-
-
-@query(
-    "llm_dedup_semantic_kmeans",
-    f"""
-SELECT vec_id, cid,
-       MIN(vec_id) OVER (PARTITION BY cid) AS keeper_id,
-       vec_id <> MIN(vec_id) OVER (PARTITION BY cid) AS is_dup
-FROM ({_ORACLES["llm_sim_kmeans_assign"]}) assign
-""",
-)
-def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
-    public): cluster embeddings with k-means, then deduplicate WITHIN
-    clusters — here the prototype form that keeps one representative
-    (min vec_id) per cluster and marks the rest. The oracle reuses the
-    unrolled two-iteration k-means SQL verbatim (so the hash covers the
-    clustering too) plus a keeper window.
-
-    Scale: the point of clustering first is that the quadratic step
-    never runs globally — assignment is linear passes (k centroids
-    broadcast), and any within-cluster refinement (e.g. cosine
-    near-dup via ``llm_sim_near_dup_embeddings`` semantics per
-    cluster) is bounded by cluster size, not corpus size. k scales
-    with corpus/target-cluster-size; the keeper window shuffles once
-    on ``cid``."""
-    from pyspark.sql import Window as W
-
-    emb = Catalog(spark, sf_dir).embeddings
-    assign = sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
-    keeper = F.min("vec_id").over(W.partitionBy("cid"))
-    return assign.select(
-        "vec_id",
-        "cid",
-        keeper.alias("keeper_id"),
-        (F.col("vec_id") != keeper).alias("is_dup"),
-    )
-
-
-@query(
-    "llm_dedup_cluster_histogram",
-    f"""
-SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size,
-       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS verify_pairs
-FROM ({_ORACLES["llm_sim_kmeans_assign"]}) assign
-GROUP BY cid
-""",
-)
-def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-size pre-flight for semantic dedup (the k-means analog
-    of `llm_lsh_bucket_histogram`): per-cluster member count and the
-    quadratic pair count the within-cluster verification would pay —
-    run BEFORE `llm_dedup_semantic_verified` so a fat cluster (k too
-    small, or a degenerate embedding mode) is a one-aggregation
-    observation, not a task OOM inside the pair kernel.
-
-    Scale: one aggregation over the assignment (k rows out); the
-    decision rule is ``max(verify_pairs)`` vs task memory, the same
-    contract `cluster_verified_pairs.max_cluster_rows` enforces.
-    Delegates to ``operators/profiling.py`` (the unified pre-flight
-    module)."""
-    from ..operators import profiling
-
-    emb = Catalog(spark, sf_dir).embeddings
-    assign = sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
-    return profiling.bucket_sizes(assign, ["cid"]).select(
-        "cid",
-        F.col("bucket_size").alias("cluster_size"),
-        F.col("candidate_pairs").alias("verify_pairs"),
-    )
-
-
-@query(
-    "llm_dedup_semantic_verified",
-    f"""
-WITH nv AS (
-{_NORM_VEC_SELECT}
-SELECT aa.vec_id AS i, bb.vec_id AS j, aa.cid,
-       list_dot_product(na.v, nb.v) AS cosine
-FROM ({_ORACLES["llm_sim_kmeans_assign"]}) aa
-JOIN ({_ORACLES["llm_sim_kmeans_assign"]}) bb
-  ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
-JOIN nv na ON na.vec_id = aa.vec_id
-JOIN nv nb ON nb.vec_id = bb.vec_id
-WHERE list_dot_product(na.v, nb.v) >= 0.35
-""",
-)
-def dedup_semantic_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full SemDeDup: k-means clustering, then exact cosine
-    verification of pairs WITHIN each cluster — the threshold form of
-    `llm_dedup_semantic_kmeans`'s prototype form. Output (i, j, cid,
-    cosine) for within-cluster pairs at cosine >= 0.35; the oracle
-    re-runs the unrolled k-means and the same normalized dot product.
-
-    Scale: the pair join is keyed on the cluster id, so candidate
-    generation is SUM of per-cluster quadratics, bounded by the
-    largest cluster — k is chosen (corpus / target cluster size) to
-    keep that term executor-sized, and a fat cluster shows up in
-    `llm_lsh_bucket_histogram`-style pre-flight counts before any join
-    runs. One shuffle on cid, one on the pair's id side for the
-    vector fetch."""
-    from ..caching import tracked_persist
-
-    # persisted: feeds both the k-means rounds and the pair kernel's
-    # two vector fetches — unpersisted it would re-scan the source per
-    # consumer
-    emb = tracked_persist(Catalog(spark, sf_dir).embeddings)
-    assign = sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
-    return sim.cluster_verified_pairs(assign, emb, threshold=0.35)
 
 
 @query(
@@ -1383,46 +813,6 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3,
         min_shared=2,
     )
-
-
-_PQ_DIST = (
-    "list_dot_product("
-    "list_transform(range(0, 16), d -> sub.sv[d+1] - cent.cv[d+1]), "
-    "list_transform(range(0, 16), d -> sub.sv[d+1] - cent.cv[d+1]))"
-)
-
-
-@query(
-    "llm_sim_pq_codes",
-    f"""
-{_VI_CTE}
-sub AS (
-  SELECT vec_id, t.s, vi[t.s*16+1 : t.s*16+16] AS sv
-  FROM v, range(4) t(s)),
-cent AS (SELECT vec_id AS cid, s, sv AS cv FROM sub WHERE vec_id < 4),
-scored AS (
-  SELECT sub.vec_id, sub.s, cent.cid, {_PQ_DIST} AS dist
-  FROM sub JOIN cent USING (s)),
-best AS (
-  SELECT vec_id, s, cid FROM (
-    SELECT vec_id, s, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id, s
-                              ORDER BY dist, cid) AS rn
-    FROM scored) WHERE rn = 1)
-SELECT vec_id,
-  MAX(CASE WHEN s = 0 THEN cid END) AS code_0,
-  MAX(CASE WHEN s = 1 THEN cid END) AS code_1,
-  MAX(CASE WHEN s = 2 THEN cid END) AS code_2,
-  MAX(CASE WHEN s = 3 THEN cid END) AS code_3
-FROM best GROUP BY vec_id
-""",
-)
-def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization codebook assignment (4 subspaces x 16 dims,
-    k=4 per subspace): the ANN memory-compression path — 64 floats
-    become 4 codes. Deterministic init + exact integer-scaled
-    distances keep the argmin bit-equal to the oracle."""
-    return sim.pq_codes(Catalog(spark, sf_dir).embeddings)
 
 
 @query(
@@ -1655,193 +1045,6 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "llm_sim_pq_adc_topk",
-    f"""
-{_VI_CTE}
-sub AS (
-  SELECT vec_id, t.s, vi[t.s*16+1 : t.s*16+16] AS sv
-  FROM v, range(4) t(s)),
-cent AS (SELECT vec_id AS cid, s, sv AS cv FROM sub WHERE vec_id < 4),
-scored AS (
-  SELECT sub.vec_id, sub.s, cent.cid, {_PQ_DIST} AS dist
-  FROM sub JOIN cent USING (s)),
-best AS (
-  SELECT vec_id, s, cid FROM (
-    SELECT vec_id, s, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id, s
-                              ORDER BY dist, cid) AS rn
-    FROM scored) WHERE rn = 1),
-q AS (SELECT vec_id AS query_id, s, sv AS qv FROM sub WHERE vec_id < 5),
-dt AS (
-  SELECT q.query_id, cent.s, cent.cid,
-         list_dot_product(
-           list_transform(range(0, 16), d -> q.qv[d+1] - cent.cv[d+1]),
-           list_transform(range(0, 16), d -> q.qv[d+1] - cent.cv[d+1]))
-           AS dd
-  FROM q JOIN cent ON q.s = cent.s),
-adc AS (
-  SELECT dt.query_id, best.vec_id AS neighbor_id, SUM(dt.dd) AS adist
-  FROM best JOIN dt ON best.s = dt.s AND best.cid = dt.cid
-  WHERE best.vec_id <> dt.query_id
-  GROUP BY dt.query_id, best.vec_id),
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY adist, neighbor_id) AS rank
-  FROM adc)
-SELECT query_id, neighbor_id, adist, rank FROM ranked WHERE rank <= 10
-""",
-)
-def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ asymmetric-distance top-10 for 5 queries: corpus vectors are
-    scored via per-subspace distance-table lookups on their codes —
-    the compressed-domain search that pairs with llm_sim_pq_codes."""
-    return sim.pq_adc_topk(Catalog(spark, sf_dir).embeddings)
-
-
-@query(
-    "llm_sim_pq_recall",
-    f"""
-{_VI_CTE}
-exact AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         list_dot_product(
-           list_transform(range(0, 64), d -> e.vi[d+1] - q.vi[d+1]),
-           list_transform(range(0, 64), d -> e.vi[d+1] - q.vi[d+1]))
-           AS dist
-  FROM v e, v q WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
-eranked AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id
-                              ORDER BY dist, neighbor_id) AS rank
-    FROM exact) t WHERE rank <= 10),
-adc AS ({_ORACLES["llm_sim_pq_adc_topk"]})
-SELECT e.query_id,
-       CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
-       CAST(COUNT(*) AS BIGINT) AS k,
-       CAST(COUNT(a.neighbor_id) * 100 // COUNT(*) AS BIGINT)
-         AS recall_pct
-FROM eranked e LEFT JOIN adc a
-  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-GROUP BY e.query_id
-""",
-)
-def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ quantization-loss audit: recall@10 of the compressed-domain
-    ADC search against the EXACT top-10 under the SAME metric
-    (integer-scaled squared L2) — so the residual is pure quantization
-    error, not metric mismatch. Completes the audit family: IVF recall
-    measures partition pruning loss, this measures code-book loss.
-
-    Scale: the exact side runs only for the bounded query sample (5
-    probes x corpus, one narrow fold per pair); the ADC side is the
-    production compressed search. Recall estimation never needs
-    corpus-sized query sets."""
-    emb = Catalog(spark, sf_dir).embeddings
-    vi = F.transform(
-        _to_double_col("embedding"),
-        lambda x: F.floor(x * 1_000_000 + F.lit(0.5)),
-    )
-    v = emb.select("vec_id", vi.alias("vi"))
-    q = v.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("vi").alias("qv")
-    )
-    diff = F.zip_with(F.col("vi"), F.col("qv"), lambda a, b: a - b)
-    dist = F.aggregate(
-        F.zip_with(diff, diff, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        "dist", F.col("neighbor_id")
-    )
-    exact = (
-        v.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            dist.alias("dist"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("query_id", "neighbor_id")
-    )
-    adc = sim.pq_adc_topk(emb).select(
-        F.col("query_id").alias("qi"), F.col("neighbor_id").alias("ni")
-    )
-    j = exact.join(
-        adc,
-        (F.col("query_id") == F.col("qi"))
-        & (F.col("neighbor_id") == F.col("ni")),
-        "left",
-    )
-    return j.groupBy("query_id").agg(
-        F.count("ni").alias("hits"),
-        F.count(F.lit(1)).alias("k"),
-        F.expr("count(ni) * 100 div count(*)").alias("recall_pct"),
-    )
-
-
-def _to_double_col(name: str):
-    return F.transform(F.col(name), lambda x: x.cast("double"))
-
-
-@query(
-    "llm_sim_kmeans_purity",
-    f"""
-WITH a AS ({{assign}}),
-cl AS (
-  SELECT a.cid, e.label, COUNT(*) AS k
-  FROM a JOIN embeddings e ON e.vec_id = a.vec_id
-  GROUP BY a.cid, e.label),
-r AS (
-  SELECT cid, label, k,
-         ROW_NUMBER() OVER (PARTITION BY cid
-                            ORDER BY k DESC, label) AS rn
-  FROM cl),
-sz AS (SELECT cid, CAST(SUM(k) AS BIGINT) AS n FROM cl GROUP BY cid)
-SELECT r.cid, sz.n AS n_members, r.label AS majority_label,
-       CAST(r.k AS BIGINT) AS majority_count,
-       CAST((r.k * 1000000) // sz.n AS BIGINT) AS purity_ppm
-FROM r JOIN sz ON sz.cid = r.cid WHERE rn = 1
-""".format(assign=_ORACLES["llm_sim_kmeans_assign"]),
-)
-def sim_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clustering-quality audit: per-cluster majority-label purity of
-    the k-means assignment against the ground-truth label column —
-    the number that says whether the IVF partitioning actually
-    respects the data's structure before anyone trusts its recall.
-    Ties break to the lower label (deterministic across engines);
-    purity in exact integer ppm.
-
-    Scale: one (cluster x label) grouped count (k x labels rows) +
-    one window over it — evaluation never rescans the vectors beyond
-    the assignment pass itself."""
-    from pyspark.sql import Window
-
-    emb = Catalog(spark, sf_dir).embeddings
-    assign = sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
-    cl = (
-        assign.join(emb.select("vec_id", "label"), "vec_id")
-        .groupBy("cid", "label")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
-    w = Window.partitionBy("cid").orderBy(F.desc("k"), F.asc("label"))
-    r = cl.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    sz = cl.groupBy("cid").agg(F.sum("k").alias("n"))
-    return r.join(sz, "cid").select(
-        "cid",
-        F.col("n").alias("n_members"),
-        F.col("label").alias("majority_label"),
-        F.col("k").alias("majority_count"),
-        F.expr("(k * 1000000) div n").alias("purity_ppm"),
-    )
-
-
-@query(
     "llm_chunk_documents",
     r"""
 WITH toks AS (
@@ -2011,6 +1214,9 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+from .registry import ORACLES as _ORACLES  # noqa: E402  (composes the registered pack oracle above)
 
 
 @query(
@@ -2215,86 +1421,3 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_emb_label_drift",
-    """
-WITH ex AS (
-  SELECT label, i AS dim,
-         CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT) AS vm
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
-per AS (
-  SELECT label, dim, SUM(vm) AS s, COUNT(*) AS n
-  FROM ex GROUP BY label, dim),
-gsum AS (SELECT dim, SUM(s) AS g FROM per GROUP BY dim),
-v AS (
-  SELECT label,
-         list(s::DOUBLE ORDER BY dim) AS sl,
-         list(g::DOUBLE ORDER BY dim) AS gl,
-         MAX(n) AS n_vecs
-  FROM per JOIN gsum USING (dim)
-  GROUP BY label)
-SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
-       CAST(floor(list_dot_product(sl, gl)
-                  / (sqrt(list_dot_product(sl, sl))
-                     * sqrt(list_dot_product(gl, gl)))
-                  * 1000000 + 0.5) AS BIGINT) AS cos_to_global_micros
-FROM v
-""",
-)
-def emb_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-distribution drift per label: cosine between each
-    label's centroid and the global centroid — the monitoring query
-    that catches a data source (or model version) whose embeddings
-    have shifted away from the corpus before anyone retrains an IVF
-    index on them. Cosine is scale-invariant, so it is computed on the
-    per-(label, dim) SUM vectors directly — no per-dim division, and
-    the sums are exact integer micros (floor(v*1e6+0.5) per element),
-    making the heavy aggregation bit-portable; only the final
-    32-element dot/sqrt/divide runs in doubles (sequential fold, same
-    order both engines).
-
-    Scale posture: posexplode is narrow (rows = vectors x dims);
-    groupBy(label, dim) partial-aggregates map-side down to
-    labels x dims rows; the global centroid is a dim-sized broadcast.
-    One shuffle of pre-aggregated integers — this is how centroid
-    drift is computed over billions of embeddings without moving a
-    single raw vector twice."""
-    emb = Catalog(spark, sf_dir).embeddings
-    ex = emb.select(
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "p", "v"
-        ),
-    ).select(
-        "label",
-        (F.col("p") + 1).alias("dim"),
-        F.floor(F.col("v") * 1_000_000 + F.lit(0.5)).cast("long").alias("vm"),
-    )
-    per = ex.groupBy("label", "dim").agg(
-        F.sum("vm").alias("s"), F.count(F.lit(1)).alias("n")
-    )
-    gsum = per.groupBy("dim").agg(F.sum("s").alias("g"))
-    j = per.join(F.broadcast(gsum), "dim")
-    v = j.groupBy("label").agg(
-        F.max("n").cast("long").alias("n_vecs"),
-        F.sort_array(F.collect_list(F.struct("dim", "s"))).alias("_sl"),
-        F.sort_array(F.collect_list(F.struct("dim", "g"))).alias("_gl"),
-    )
-    sl = F.transform(F.col("_sl"), lambda x: x["s"].cast("double"))
-    gl = F.transform(F.col("_gl"), lambda x: x["g"].cast("double"))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    cos = dot(sl, gl) / (F.sqrt(dot(sl, sl)) * F.sqrt(dot(gl, gl)))
-    return v.select(
-        "label",
-        "n_vecs",
-        F.floor(cos * 1_000_000 + F.lit(0.5))
-        .cast("long")
-        .alias("cos_to_global_micros"),
-    )
