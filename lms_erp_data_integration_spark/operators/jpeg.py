@@ -1,21 +1,30 @@
-"""Baseline JPEG codec in pure numpy + stdlib — no external codec.
+"""JPEG codec in pure numpy + stdlib — no external codec.
 
-Implements the public ITU-T T.81 baseline sequential DCT process:
+Implements the public ITU-T T.81 sequential DCT processes (Huffman and
+arithmetic entropy coding) plus progressive Huffman:
 
-- ``decode_jpeg``: markers (SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS/EOI),
-  canonical Huffman tables as encoders actually write them, entropy-
-  coded-segment byte unstuffing and RSTn restart handling, dequantize +
-  inverse zigzag, matrix IDCT, chroma upsampling for any h/v sampling
-  factors in {1, 2} (4:4:4, 4:2:2, 4:4:0, 4:2:0), and JFIF YCbCr ->
-  RGB. Returns an (H, W, C) uint8 array, or None for anything outside
-  the baseline process (progressive SOF2, 12-bit, arithmetic coding),
-  so callers can fall back.
+- ``decode_jpeg``: markers (SOI/APPn/COM/DQT/DHT/DAC/SOF0/1/2/9/DRI/
+  SOS/EOI), canonical Huffman tables as encoders actually write them,
+  entropy-coded-segment byte unstuffing and RSTn restart handling,
+  dequantize + inverse zigzag, matrix IDCT, chroma upsampling for any
+  h/v sampling factors in {1, 2} (4:4:4, 4:2:2, 4:4:0, 4:2:0), and
+  JFIF YCbCr -> RGB. SOF9 (sequential DCT, ARITHMETIC coding) decodes
+  through the QM-coder (``operators/qm.py``) with the T.81 F.1.4.4.1
+  statistical model: DC difference conditioning on the previous diff
+  classified by the DAC-declared (L, U) bounds, AC contexts indexed by
+  coefficient position with the Kx low/high split, and the fixed ~0.5
+  state for AC signs. Returns an (H, W, C) uint8 array, or None for
+  anything outside these processes (12-bit precision, lossless,
+  hierarchical, arithmetic progressive), so callers can fall back.
 - ``encode_jpeg``: baseline encoder used for test fixtures and the
   write path — standard Annex-K quantization tables with the libjpeg
   quality scaling, 4:4:4 or 4:2:0, optional restart intervals. It
   emits flat canonical Huffman tables (12 x 4-bit DC codes, 256 x
   9-bit AC codes) — spec-valid and decodable by ANY baseline decoder,
   trading some compression for zero table-construction risk.
+- ``encode_jpeg_arith``: the SOF9 twin — identical DCT/quantization
+  path, QM-coded entropy layer with DAC conditioning, same subsample/
+  restart options. Exercises the arithmetic decode path end-to-end.
 
 Everything here is per-payload CPU work invoked from Arrow-batched
 ``mapInPandas`` stages (`operators/multimodal.py`) — a narrow map with
@@ -240,6 +249,8 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}  # tb -> (L, U)
+    ac_cond: dict[int, int] = {}  # tb -> Kx
     frame = None
     coefs: list[np.ndarray] | None = None
     restart_interval = 0
@@ -252,9 +263,10 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
         marker = data[i + 1]
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD,
                       0xCE, 0xCF):
-            return None  # lossless / hierarchical / arithmetic processes
+            # lossless / hierarchical / arithmetic-progressive
+            return None
         if i + 4 > len(data):
             return None
         seg_len = struct.unpack_from(">H", data, i + 2)[0]
@@ -286,7 +298,18 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                     bits, vals
                 )
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            p = 0
+            while p + 2 <= len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                if tc == 0:
+                    # DC: U in the high nibble, L in the low nibble
+                    dc_cond[tb] = (seg[p + 1] & 0x0F, seg[p + 1] >> 4)
+                else:
+                    ac_cond[tb] = seg[p + 1]  # Kx
+                p += 2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1 seq, SOF2
+            # prog, SOF9 sequential-arithmetic
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
                 return None
@@ -315,6 +338,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                 "h": h, "w": w, "comps": comps, "hmax": hmax,
                 "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
                 "progressive": marker == 0xC2,
+                "arith": marker == 0xC9,
             }
             coefs = [
                 np.zeros((c["bh"], c["bw"], 64), np.int32) for c in comps
@@ -352,10 +376,16 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
             else:
                 ss, se, ah, al = 0, 63, 0, 0  # sequential: full band
             segs, end = _split_ecs(data, i + 2 + seg_len)
-            _run_scan(
-                frame, coefs, scan, (ss, se, ah, al), huff_dc, huff_ac,
-                restart_interval, segs,
-            )
+            if frame.get("arith"):
+                _run_scan_arith(
+                    frame, coefs, scan, dc_cond, ac_cond,
+                    restart_interval, segs,
+                )
+            else:
+                _run_scan(
+                    frame, coefs, scan, (ss, se, ah, al), huff_dc,
+                    huff_ac, restart_interval, segs,
+                )
             saw_scan = True
             i = end
             continue
@@ -447,6 +477,147 @@ def _run_scan(
                         reader, blk, huff_dc.get(td), huff_ac.get(ta),
                         ss, se, ah, al, preds, ci, eob,
                     )
+                unit += 1
+
+
+def _run_scan_arith(
+    frame: dict,
+    coefs: list[np.ndarray],
+    scan: list,
+    dc_cond: dict,
+    ac_cond: dict,
+    restart_interval: int,
+    segs: list[bytes],
+) -> None:
+    """Sequential DCT scan with ARITHMETIC entropy coding (T.81 F.2,
+    SOF9): QM-decode (``operators/qm.py``) under the F.1.4.4.1
+    statistical model. Statistics areas are per destination table —
+    64 DC contexts (5 prior-diff conditioning categories x {zero,
+    sign, pos-mag, neg-mag}, magnitude categories X1.. at offset 20,
+    mantissa bits at +14) and 256 AC contexts (3 per coefficient
+    position: end-of-block, zero/nonzero, magnitude; shared X2..
+    areas at 189/217 split by the DAC Kx parameter; mantissa at +14).
+    AC signs use the non-adaptive fixed ~0.5 state. A restart marker
+    re-initializes the coder, the statistics, the DC predictors, and
+    the conditioning state (F.2.1.3.1)."""
+    from .qm import FIXED_BIN, QMDecoder
+
+    comps = frame["comps"]
+    interleaved = len(scan) > 1
+    tbls = {}
+    for _, td, ta in scan:
+        tbls[("dc", td)] = bytearray(64)
+        tbls[("ac", ta)] = bytearray(256)
+    fixed = bytearray([FIXED_BIN])
+    preds = [0] * len(comps)
+    dc_ctx = [0] * len(comps)
+    dec = QMDecoder(segs[0], stuffed=False)
+    seg_idx = 0
+
+    def maybe_restart(unit: int) -> QMDecoder:
+        nonlocal seg_idx, dec
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment")
+            for st in tbls.values():
+                st[:] = bytes(len(st))
+            fixed[0] = FIXED_BIN
+            preds[:] = [0] * len(comps)
+            dc_ctx[:] = [0] * len(comps)
+            dec = QMDecoder(segs[seg_idx], stuffed=False)
+        return dec
+
+    def decode_block(blk, ci: int, td: int, ta: int) -> None:
+        dst = tbls[("dc", td)]
+        ast = tbls[("ac", ta)]
+        low, up = dc_cond.get(td, (0, 1))
+        kx = ac_cond.get(ta, 5)
+        # DC difference (F.2.4.1)
+        st = dc_ctx[ci]
+        if dec.decode(dst, st):
+            sign = dec.decode(dst, st + 1)
+            st += 2 + sign
+            m = dec.decode(dst, st)
+            if m:
+                st = 20  # X1
+                while dec.decode(dst, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("DC magnitude overflow")
+                    st += 1
+            # F.1.4.4.1.2: conditioning category for the NEXT diff
+            if m < (1 << low) >> 1:
+                dc_ctx[ci] = 0
+            elif m > (1 << up) >> 1:
+                dc_ctx[ci] = 12 + sign * 4
+            else:
+                dc_ctx[ci] = 4 + sign * 4
+            v = m
+            st += 14  # mantissa bits
+            while m := m >> 1:
+                if dec.decode(dst, st):
+                    v |= m
+            v += 1
+            preds[ci] += -v if sign else v
+        else:
+            dc_ctx[ci] = 0
+        blk[0] = preds[ci]
+        # AC coefficients (F.2.4.2)
+        k = 1
+        while k <= 63:
+            st = 3 * (k - 1)
+            if dec.decode(ast, st):
+                break  # end of block
+            while dec.decode(ast, st + 1) == 0:
+                st += 3
+                k += 1
+                if k > 63:
+                    raise ValueError("AC run past band end")
+            sign = dec.decode(fixed, 0)
+            st += 2
+            m = dec.decode(ast, st)
+            if m:
+                if dec.decode(ast, st):
+                    m <<= 1
+                    st = 189 if k <= kx else 217  # X2 (low/high)
+                    while dec.decode(ast, st):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError("AC magnitude overflow")
+                        st += 1
+            v = m
+            st += 14  # mantissa bits
+            while m := m >> 1:
+                if dec.decode(ast, st):
+                    v |= m
+            v += 1
+            blk[k] = -v if sign else v
+            k += 1
+
+    if interleaved:
+        unit = 0
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                maybe_restart(unit)
+                for ci, td, ta in scan:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(
+                                coefs[ci][my * c["v"] + by,
+                                          mx * c["h"] + bx],
+                                ci, td, ta,
+                            )
+                unit += 1
+    else:
+        ci, td, ta = scan[0]
+        c = comps[ci]
+        unit = 0
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                maybe_restart(unit)
+                decode_block(coefs[ci][by, bx], ci, td, ta)
                 unit += 1
 
 
@@ -790,6 +961,68 @@ def _fdct_quant(blocks: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     return np.round(f / qtab).astype(np.int64)
 
 
+def _color_planes(
+    px: np.ndarray, gray: bool, rgb: bool, subsample: bool
+) -> list[np.ndarray]:
+    """RGB -> per-component sample planes (YCbCr with optional 4:2:0
+    chroma decimation, passthrough for grayscale / RGB-in-JPEG)."""
+    h, w = px.shape[:2]
+    if gray:
+        return [px[..., 0].astype(np.float64)]
+    if rgb:
+        if subsample:
+            raise ValueError("rgb mode is 4:4:4 only")
+        return [px[..., k].astype(np.float64) for k in range(3)]
+    r, g, b = (px[..., k].astype(np.float64) for k in range(3))
+    y_plane = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsample:
+        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+        cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+        cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    return [y_plane, cb, cr]
+
+
+def _quantized_grids(
+    planes: list[np.ndarray],
+    gray: bool,
+    rgb: bool,
+    subsample: bool,
+    qt_l: np.ndarray,
+    qt_c: np.ndarray,
+) -> tuple[list, int, int]:
+    """FDCT + quantize each plane into (blocks, h, v) grids plus the
+    MCU geometry — shared by the Huffman and arithmetic encoders."""
+    if gray or rgb or not subsample:
+        grids = [
+            (
+                _fdct_quant(
+                    _plane_blocks(p),
+                    qt_l if (i == 0 or rgb) else qt_c,
+                ),
+                1,
+                1,
+            )
+            for i, p in enumerate(planes)
+        ]
+        return grids, grids[0][0].shape[0], grids[0][0].shape[1]
+    yb = _fdct_quant(_plane_blocks(planes[0]), qt_l)
+    # pad Y block grid to even counts for 2x2 MCUs
+    by, bx = yb.shape[:2]
+    pby, pbx = -(-by // 2) * 2, -(-bx // 2) * 2
+    if (pby, pbx) != (by, bx):
+        yb = np.pad(
+            yb, ((0, pby - by), (0, pbx - bx), (0, 0), (0, 0)),
+            mode="edge",
+        )
+    cbb = _fdct_quant(_plane_blocks(planes[1]), qt_c)
+    crb = _fdct_quant(_plane_blocks(planes[2]), qt_c)
+    return [(yb, 2, 2), (cbb, 1, 1), (crb, 1, 1)], cbb.shape[0], cbb.shape[1]
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 90,
@@ -812,26 +1045,7 @@ def encode_jpeg(
 
     qt_l = _scaled_qt(_QT_LUMA, quality)
     qt_c = _scaled_qt(_QT_CHROMA, quality)
-
-    if gray:
-        y_plane = px[..., 0].astype(np.float64)
-        planes = [y_plane]
-    elif rgb:
-        if subsample:
-            raise ValueError("rgb mode is 4:4:4 only")
-        planes = [px[..., k].astype(np.float64) for k in range(3)]
-    else:
-        r, g, b = (px[..., k].astype(np.float64) for k in range(3))
-        y_plane = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
-            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
-            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
-            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
-            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        planes = [y_plane, cb, cr]
+    planes = _color_planes(px, gray, rgb, subsample)
 
     out = bytearray(b"\xff\xd8")  # SOI
     # JFIF APP0
@@ -878,35 +1092,9 @@ def encode_jpeg(
 
     # entropy-coded data, interleaved MCUs
     writer = _BitWriter()
-    if gray or rgb or not subsample:
-        grids = [
-            (
-                _fdct_quant(
-                    _plane_blocks(p),
-                    qt_l if (i == 0 or rgb) else qt_c,
-                ),
-                1,
-                1,
-            )
-            for i, p in enumerate(planes)
-        ]
-        mcus_y = grids[0][0].shape[0]
-        mcus_x = grids[0][0].shape[1]
-    else:
-        yb = _fdct_quant(_plane_blocks(planes[0]), qt_l)
-        # pad Y block grid to even counts for 2x2 MCUs
-        by, bx = yb.shape[:2]
-        pby, pbx = -(-by // 2) * 2, -(-bx // 2) * 2
-        if (pby, pbx) != (by, bx):
-            yb = np.pad(
-                yb, ((0, pby - by), (0, pbx - bx), (0, 0), (0, 0)),
-                mode="edge",
-            )
-        cbb = _fdct_quant(_plane_blocks(planes[1]), qt_c)
-        crb = _fdct_quant(_plane_blocks(planes[2]), qt_c)
-        grids = [(yb, 2, 2), (cbb, 1, 1), (crb, 1, 1)]
-        mcus_y, mcus_x = cbb.shape[0], cbb.shape[1]
-
+    grids, mcus_y, mcus_x = _quantized_grids(
+        planes, gray, rgb, subsample, qt_l, qt_c
+    )
     preds = [0] * len(grids)
     mcu = 0
     for my in range(mcus_y):
@@ -925,6 +1113,212 @@ def encode_jpeg(
             mcu += 1
     writer.flush()
     out += bytes(writer.out)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _arith_encode_block(
+    enc,
+    blk: np.ndarray,
+    dst: bytearray,
+    ast: bytearray,
+    fixed: bytearray,
+    ci: int,
+    preds: list,
+    dc_ctx: list,
+    low: int,
+    up: int,
+    kx: int,
+) -> None:
+    """QM-encode one quantized 8x8 block under the T.81 F.1.4
+    statistical model — the exact mirror of the decode side in
+    ``_run_scan_arith``."""
+    blk = blk[_ZZ_ROWS, _ZZ_COLS]
+    diff = int(blk[0]) - preds[ci]
+    preds[ci] = int(blk[0])
+    # DC difference (F.1.4.1 / Figure F.4)
+    st = dc_ctx[ci]
+    if diff == 0:
+        enc.encode(dst, st, 0)
+        dc_ctx[ci] = 0
+    else:
+        enc.encode(dst, st, 1)
+        sign = 1 if diff < 0 else 0
+        v = -diff if sign else diff
+        enc.encode(dst, st + 1, sign)
+        st += 2 + sign
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(dst, st, 1)  # magnitude > 1
+            m = 1
+            v2 = v
+            st = 20  # X1
+            while v2 := v2 >> 1:
+                enc.encode(dst, st, 1)
+                m <<= 1
+                st += 1
+        enc.encode(dst, st, 0)
+        if m < (1 << low) >> 1:
+            dc_ctx[ci] = 0
+        elif m > (1 << up) >> 1:
+            dc_ctx[ci] = 12 + sign * 4
+        else:
+            dc_ctx[ci] = 4 + sign * 4
+        st += 14  # mantissa bits
+        while m := m >> 1:
+            enc.encode(dst, st, 1 if m & v else 0)
+    # AC coefficients (Figure F.5)
+    ke = 63
+    while ke > 0 and blk[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(ast, st, 0)  # not end-of-block
+        while blk[k] == 0:
+            enc.encode(ast, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(ast, st + 1, 1)
+        v = int(blk[k])
+        sign = 1 if v < 0 else 0
+        if sign:
+            v = -v
+        enc.encode(fixed, 0, sign)
+        st += 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(ast, st, 1)  # magnitude > 1
+            m = 1
+            v2 = v
+            if v2 := v2 >> 1:
+                enc.encode(ast, st, 1)  # magnitude > 2
+                m <<= 1
+                st = 189 if k <= kx else 217  # X2 (low/high)
+                while v2 := v2 >> 1:
+                    enc.encode(ast, st, 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(ast, st, 0)
+        st += 14  # mantissa bits
+        while m := m >> 1:
+            enc.encode(ast, st, 1 if m & v else 0)
+        k += 1
+    if k <= 63:
+        enc.encode(ast, 3 * (k - 1), 1)  # end-of-block
+
+
+def encode_jpeg_arith(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    rgb: bool = False,
+    dc_cond: tuple[int, int] = (0, 1),
+    ac_kx: int = 5,
+) -> bytes:
+    """Sequential DCT JPEG with ARITHMETIC entropy coding (T.81 SOF9):
+    the exact DCT/quantization path of ``encode_jpeg`` with the
+    Huffman layer swapped for the QM-coder under the F.1.4.4.1
+    statistical model. Emits a DAC segment declaring the DC (L, U)
+    conditioning bounds and the AC Kx split (spec defaults 0/1/5
+    unless overridden), so the decoder's DAC parser is exercised.
+    ``restart_interval`` resets the coder + statistics at RSTn
+    boundaries (F.1.4.1.1)."""
+    from .qm import FIXED_BIN, QMEncoder
+
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise ValueError("expected 1 or 3 channels")
+    gray = nc == 1
+    low, up = dc_cond
+
+    qt_l = _scaled_qt(_QT_LUMA, quality)
+    qt_c = _scaled_qt(_QT_CHROMA, quality)
+    planes = _color_planes(px, gray, rgb, subsample)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    if rgb:  # Adobe APP14, transform = 0 (no color transform)
+        adobe = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0])
+        out += b"\xff\xee" + struct.pack(">H", 2 + len(adobe)) + adobe
+    for tq, tab in ((0, qt_l),) if gray else ((0, qt_l), (1, qt_c)):
+        zz = tab[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([tq]) + zz
+    # SOF9: sequential DCT, arithmetic coding
+    if gray:
+        comp_spec = bytes([1, 0x11, 0])
+    elif rgb:
+        comp_spec = bytes([0x52, 0x11, 0, 0x47, 0x11, 0, 0x42, 0x11, 0])
+    else:
+        ch = 0x22 if subsample else 0x11
+        comp_spec = bytes([1, ch, 0, 2, 0x11, 1, 3, 0x11, 1])
+    nf = 1 if gray else 3
+    out += (
+        b"\xff\xc9"
+        + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+        + comp_spec
+    )
+    # DAC: DC conditioning (U high nibble, L low) + AC Kx, table 0
+    # (+ table 1 for chroma)
+    dac = bytes([0x00, (up << 4) | low, 0x10, ac_kx])
+    if not gray:
+        dac += bytes([0x01, (up << 4) | low, 0x11, ac_kx])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if gray:
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+    elif rgb:
+        sos = bytes([3, 0x52, 0x00, 0x47, 0x00, 0x42, 0x00, 0, 63, 0])
+    else:
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    grids, mcus_y, mcus_x = _quantized_grids(
+        planes, gray, rgb, subsample, qt_l, qt_c
+    )
+    n_tbl = 1 if (gray or rgb) else 2
+
+    def fresh_state():
+        return (
+            QMEncoder(),
+            [bytearray(64) for _ in range(n_tbl)],
+            [bytearray(256) for _ in range(n_tbl)],
+            bytearray([FIXED_BIN]),
+        )
+
+    enc, dsts, asts, fixed = fresh_state()
+    preds = [0] * len(grids)
+    dc_ctx = [0] * len(grids)
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out += enc.flush()
+                out += bytes(
+                    [0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)]
+                )
+                enc, dsts, asts, fixed = fresh_state()
+                preds = [0] * len(grids)
+                dc_ctx = [0] * len(grids)
+            for gi, (blocks, gh, gv) in enumerate(grids):
+                tb = 0 if (gi == 0 or rgb) else 1
+                for by_ in range(gv):
+                    for bx_ in range(gh):
+                        blk = blocks[my * gv + by_, mx * gh + bx_]
+                        _arith_encode_block(
+                            enc, blk, dsts[tb], asts[tb], fixed,
+                            gi, preds, dc_ctx, low, up, ac_kx,
+                        )
+            mcu += 1
+    out += enc.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

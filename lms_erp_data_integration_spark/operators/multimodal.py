@@ -26,7 +26,7 @@ numpy/stdlib decoder for:
   LPC prediction, Rice residuals, stereo decorrelation, MD5-verified).
 
 Payloads in any other format (video containers, MP3/AAC,
-12-bit/arithmetic JPEG) are rejected cleanly and fall
+12-bit/lossless/hierarchical JPEG) are rejected cleanly and fall
 back to ``decode_image_stub``, which raises
 ``NotImplementedError`` unless ``fake=True`` (deterministic fake
 decode, dimensions/pixel-mean derived from the payload bytes).
@@ -442,8 +442,8 @@ def _decode_tga_meta(payload: bytes) -> dict | None:
 
 def decode_image(payload: bytes) -> dict | None:
     """Real decode for the formats needing no external codec
-    (PPM/PGM/BMP/PNG/baseline+progressive JPEG/GIF/baseline TIFF).
-    Returns the
+    (PPM/PGM/BMP/PNG/baseline+progressive+arithmetic JPEG/GIF/
+    baseline TIFF). Returns the
     IMAGE_META dict, or None when the payload is not a recognized
     format — callers fall back to ``decode_image_stub``."""
     if not payload:

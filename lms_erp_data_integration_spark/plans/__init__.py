@@ -38,12 +38,15 @@ registry.PRIORITY = [
     # changed in r8: decorator source touched by the remaining
     # oracle-prelude factoring (r7 verdict #6 — assembled SQL proven
     # byte-identical by the parity sweep, but the rotation policy
-    # pulls any source change back under the driver gate)
+    # pulls any source change back under the driver gate), plus the
+    # pixel-CRC codec gate grown by the six arithmetic-JPEG fixtures
+    # (r7 verdict #4: T.81 SOF9 QM-coder decode)
     "llm_dedup_ngram_jaccard",
     "llm_dedup_clusters",
     "llm_dedup_apply",
     "llm_sim_ivf_topk",
     "llm_sim_ivf_multiprobe",
+    "llm_decode_pixel_checksums",
     # r3-era re-verification backlog: the four fillers displaced late
     # in r7 first, then the remaining r3 rows alphabetically
     "rel_q16_supplier_counts",
@@ -83,7 +86,6 @@ registry.PRIORITY = [
     "llm_text_fingerprint",
     "llm_text_language_id",
     "llm_text_quality",
-    "llm_text_repetition",
 ]
 
 # r9 rotation plan (for the next round): keep the 8 sync queries

@@ -38,8 +38,10 @@ _FORMATS = ["png", "png_i", "jpeg", "gif", "tiff", "pnm"]
 # ids 0-23 cycle _FORMATS (pinned since r6); ids 24-29 are TIFF 6.0
 # TILE layout (r7: tiled decode landed), mixing compressions so every
 # tile path (none/LZW/predictor/PackBits, gray/RGB, edge padding)
-# sits under the driver gate
-_N_PIXEL_PAYLOADS = 30
+# sits under the driver gate; ids 30-35 (r8) are ARITHMETIC-coded
+# JPEG (T.81 SOF9, QM-coder) — gray/color, 4:2:0, restart intervals,
+# non-default DAC conditioning
+_N_PIXEL_PAYLOADS = 36
 
 
 def _pixel_rows(ids) -> list[dict]:
@@ -51,7 +53,7 @@ def _pixel_rows(ids) -> list[dict]:
 
     from ..operators import multimodal as mm
     from ..operators.gif import decode_gif, encode_gif
-    from ..operators.jpeg import encode_jpeg
+    from ..operators.jpeg import encode_jpeg, encode_jpeg_arith
 
     rows = []
     for pid in ids:
@@ -59,6 +61,41 @@ def _pixel_rows(ids) -> list[dict]:
         rng = np.random.default_rng(pid)
         h = 5 + pid % 7
         w = 4 + (pid * 3) % 9
+        if pid >= 30:
+            # arithmetic-coded JPEG (SOF9, QM-coder) through the same
+            # dispatcher; decoded pixels must be bit-identical to the
+            # Huffman process on the same quantized coefficients
+            h = 9 + pid % 11
+            w = 8 + (pid * 7) % 13
+            gray = pid % 3 == 0
+            shape = (h, w) if gray else (h, w, 3)
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            payload = encode_jpeg_arith(
+                img,
+                quality=85 + (pid % 3) * 5,
+                subsample=(not gray) and pid % 2 == 0,
+                restart_interval=pid % 4,
+                dc_cond=(1, 3) if pid % 5 == 0 else (0, 1),
+                ac_kx=20 if pid % 5 == 0 else 5,
+            )
+            px = mm._decode_pixels(payload)
+            if px is None:
+                continue
+            px = px if px.ndim == 3 else px[:, :, None]
+            rows.append(
+                {
+                    "payload_id": pid,
+                    "fmt": "jpeg_arith",
+                    "n_payload_bytes": len(payload),
+                    "width": px.shape[1],
+                    "height": px.shape[0],
+                    "channels": px.shape[2],
+                    "pixel_crc32": zlib.crc32(
+                        np.ascontiguousarray(px).tobytes()
+                    ),
+                }
+            )
+            continue
         if pid >= 24:
             # tiled TIFF: larger-than-one-tile images, edge padding,
             # alternating gray/RGB and compression modes
@@ -170,17 +207,26 @@ SELECT * FROM (VALUES
   (26, 'tiff_tiled', 941, 29, 24, 1, 3339185235),
   (27, 'tiff_tiled', 4796, 34, 25, 3, 2599770881),
   (28, 'tiff_tiled', 650, 16, 26, 1, 2574825527),
-  (29, 'tiff_tiled', 1979, 21, 27, 3, 4048868154)
+  (29, 'tiff_tiled', 1979, 21, 27, 3, 4048868154),
+  (30, 'jpeg_arith', 350, 10, 17, 1, 269347071),
+  (31, 'jpeg_arith', 1074, 17, 18, 3, 1556219762),
+  (32, 'jpeg_arith', 789, 11, 19, 3, 1154603329),
+  (33, 'jpeg_arith', 334, 18, 9, 1, 3002422338),
+  (34, 'jpeg_arith', 455, 12, 10, 3, 1284519635),
+  (35, 'jpeg_arith', 1101, 19, 11, 3, 1585755788)
 ) AS t(payload_id, fmt, n_payload_bytes, width, height, channels,
        pixel_crc32)
 """,
 )
 def decode_pixel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pixel-exact codec gate: 30 deterministic fixture images cycle
+    """Pixel-exact codec gate: 36 deterministic fixture images cycle
     through PNG (plain + Adam7 interlace), baseline JPEG, GIF/LZW,
-    TIFF-LZW-with-predictor, PNM, and (ids 24-29, r7) TIFF 6.0 TILE
+    TIFF-LZW-with-predictor, PNM, (ids 24-29, r7) TIFF 6.0 TILE
     layout — per-tile prediction/compression, 16-multiple tile dims,
-    zero-padded edges cropped on decode — each encoded AND decoded by
+    zero-padded edges cropped on decode — and (ids 30-35, r8)
+    ARITHMETIC-coded JPEG (T.81 SOF9: QM-coder + the F.1.4.4.1 DC/AC
+    statistical model, gray/4:2:0/restart/DAC-conditioning variants,
+    ``operators/qm.py``) — each encoded AND decoded by
     the repo's from-scratch codecs inside executor tasks, signed with
     a CRC32 of the decoded pixel buffer. The fixture set is fixed
     (independent of sf_dir), so the pinned oracle is exact at every

@@ -26,6 +26,7 @@ from lms_erp_data_integration_spark.operators.jpeg import (  # noqa: E402
     decode_jpeg,
     decode_jpeg_oriented,
     encode_jpeg,
+    encode_jpeg_arith,
     encode_jpeg_progressive,
 )
 from lms_erp_data_integration_spark.operators import avi  # noqa: E402
@@ -83,7 +84,9 @@ def _soak(trials: int, seed: int) -> int:
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
     valids = [
-        encode_jpeg(img), encode_jpeg_progressive(img), mm.encode_png(img),
+        encode_jpeg(img), encode_jpeg_progressive(img),
+        encode_jpeg_arith(img), encode_jpeg_arith(img, restart_interval=2),
+        mm.encode_png(img),
         mm.encode_png(img, interlace=True),
         mm.encode_tiff(img, lzw=True, predictor=True),
         mm.encode_tiff(img, tiled=True, packbits=True),

@@ -1005,6 +1005,114 @@ def test_jpeg_progressive_bit_identical_to_sequential():
         assert (prog == seq).all()
 
 
+def test_jpeg_arithmetic_bit_identical_to_huffman():
+    """SOF9 arithmetic coding is a lossless entropy layer over the
+    same quantized blocks, so decode must be EXACTLY the Huffman
+    process's pixels — across gray/color, 4:2:0, restart intervals,
+    RGB-in-JPEG, and non-default DAC conditioning."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    rng = np.random.default_rng(17)
+    cases = [
+        (np.full((16, 16), 128, np.uint8), {}, {}),
+        (rng.integers(0, 256, (17, 23), dtype=np.uint8), {}, {}),
+        (rng.integers(0, 256, (12, 20, 3), dtype=np.uint8),
+         {"restart_interval": 2}, {"restart_interval": 2}),
+        (rng.integers(0, 256, (33, 41, 3), dtype=np.uint8),
+         {"subsample": True}, {"subsample": True}),
+        (rng.integers(0, 256, (9, 14, 3), dtype=np.uint8),
+         {"rgb": True}, {"rgb": True}),
+        (rng.integers(0, 256, (24, 8, 3), dtype=np.uint8),
+         {"dc_cond": (2, 4), "ac_kx": 30}, {}),
+    ]
+    for img, akw, hkw in cases:
+        pa = encode_jpeg_arith(img, quality=90, **akw)
+        assert b"\xff\xc9" in pa and b"\xff\xcc" in pa  # SOF9 + DAC
+        arith = decode_jpeg(pa)
+        huff = decode_jpeg(encode_jpeg(img, quality=90, **hkw))
+        assert arith is not None
+        assert (arith == huff).all()
+    # arithmetic is the compact process: adaptive contexts beat the
+    # fixture encoder's flat Huffman tables on every case above
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert len(encode_jpeg_arith(img)) < len(encode_jpeg(img))
+
+
+def test_qm_table_invariants():
+    """Table D.3 structure: 113 adaptive states + the fixed bin; all
+    transitions in range; MPS-sense switching only on the near-0.5
+    states; Qe halving chains stay monotone within each fast-attack
+    column start."""
+    from lms_erp_data_integration_spark.operators.qm import (
+        FIXED_BIN,
+        QE_TABLE,
+    )
+
+    assert len(QE_TABLE) == 114 and FIXED_BIN == 113
+    for qe, nlps, nmps, sw in QE_TABLE:
+        assert 0 < qe < 0x8000
+        assert 0 <= nlps <= 113 and 0 <= nmps <= 113
+        assert sw in (0, 1)
+        if sw:
+            assert qe > 0x5000  # switching only near p = 0.5
+    qe, nlps, nmps, sw = QE_TABLE[FIXED_BIN]
+    assert (nlps, nmps, sw) == (113, 113, 0)  # fixed bin never moves
+    # MPS adaptation always moves to a smaller-or-near-equal Qe
+    for i, (qe, _, nmps, _) in enumerate(QE_TABLE[:113]):
+        assert QE_TABLE[nmps][0] <= qe or QE_TABLE[nmps][0] >= 0x5000
+
+
+def test_jpeg_arithmetic_rejects_corruption_cleanly():
+    """Truncations and bit flips of a valid SOF9 stream must decode
+    to None or pixels, never raise (same contract as every other
+    decoder; the QM decoder feeds zeros past the data end)."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    p = encode_jpeg_arith(img, quality=90)
+    for cut in range(0, len(p), 7):
+        r = decode_jpeg(p[:cut])
+        assert r is None or r.shape == (16, 16, 3)
+    for _ in range(60):
+        mut = bytearray(p)
+        mut[int(rng.integers(2, len(mut)))] ^= int(rng.integers(1, 256))
+        r = decode_jpeg(bytes(mut))
+        assert r is None or r.shape == (16, 16, 3)
+    # arithmetic progressive (SOF10) stays out of scope -> None
+    assert decode_jpeg(p.replace(b"\xff\xc9", b"\xff\xca", 1)) is None
+
+
+def test_multimodal_dispatches_arithmetic_jpeg(spark):
+    """jpeg_arith payloads flow through the SAME public dispatcher
+    (decode_image / _decode_pixels) as every other raster format."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    p = encode_jpeg_arith(img, quality=92)
+    meta = mm.decode_image(p)
+    assert meta is not None and (meta["width"], meta["height"]) == (13, 11)
+    px = mm._decode_pixels(p)
+    assert np.array_equal(px, decode_jpeg(p))
+
+
 def test_jpeg_progressive_marker_and_quality():
     import numpy as np
 

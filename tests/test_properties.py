@@ -396,6 +396,66 @@ def test_jpeg_subsampled_smooth_images_close(w, h, seed):
 
 @settings(max_examples=20, deadline=None)
 @given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 1)),
+        min_size=0,
+        max_size=800,
+    )
+)
+def test_qm_coder_round_trips_any_decision_sequence(seq):
+    """The QM arithmetic coder (T.81 Annex D) must be a bijection:
+    any sequence of binary decisions under any shared adaptive
+    context assignment decodes back exactly — covering MPS/LPS
+    conditional exchange, renormalization, carry propagation through
+    stacked 0xFF bytes, and the flush path."""
+    from lms_erp_data_integration_spark.operators.qm import (
+        QMDecoder,
+        QMEncoder,
+    )
+
+    enc = QMEncoder()
+    stats = bytearray(8)
+    for i, d in seq:
+        enc.encode(stats, i, d)
+    data = enc.flush()
+    # stuffing invariant: every 0xFF is followed by 0x00
+    for k, b in enumerate(data):
+        if b == 0xFF:
+            assert k + 1 < len(data) and data[k + 1] == 0x00
+    dec = QMDecoder(data)
+    st2 = bytearray(8)
+    assert [dec.decode(st2, i) for i, _ in seq] == [d for _, d in seq]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(2, 24),
+    st.integers(2, 24),
+    st.sampled_from([1, 3]),
+    st.integers(70, 100),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_arithmetic_always_equals_huffman(w, h, nc, quality, seed):
+    """SOF9 arithmetic and baseline Huffman are two LOSSLESS entropy
+    codings of the same quantized coefficients: bit-identical decodes
+    for every image/quality."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, nc), dtype=np.uint8)
+    arith = decode_jpeg(encode_jpeg_arith(img, quality=quality))
+    seq = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert arith is not None and (arith == seq).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
     st.integers(2, 24),
     st.integers(2, 24),
     st.sampled_from([1, 3]),
