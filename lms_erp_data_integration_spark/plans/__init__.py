@@ -47,6 +47,9 @@ registry.PRIORITY = [
     "llm_sim_ivf_topk",
     "llm_sim_ivf_multiprobe",
     "llm_decode_pixel_checksums",
+    # NEW in r8: the composed FK-ordered pipeline runner + observed
+    # run report under the driver gate (r7 verdict #7)
+    "sync_pipeline_run_report",
     # r3-era re-verification backlog: the four fillers displaced late
     # in r7 first, then the remaining r3 rows alphabetically
     "rel_q16_supplier_counts",
@@ -85,7 +88,6 @@ registry.PRIORITY = [
     "llm_shard_assignment",
     "llm_text_fingerprint",
     "llm_text_language_id",
-    "llm_text_quality",
 ]
 
 # r9 rotation plan (for the next round): keep the 8 sync queries

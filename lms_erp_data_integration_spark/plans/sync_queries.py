@@ -414,3 +414,95 @@ def clean_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     params = RunParams(term_id="961S", run_date=dt.date(2021, 9, 1))
     return clean(raw, ENTITY_SPECS["users"], params)
+
+
+def _pipeline_report_oracle() -> str:
+    """Per-entity change-stats oracle composed from the seven
+    registered sync-query oracles (the ``llm_sim_ivf_recall``
+    composition precedent): DuckDB re-runs each diff's own SQL and
+    aggregates the same n_rows / n_active / n_deleted columns, with
+    ``apply_seq`` pinning the FK-dependency position each entity must
+    occupy (``src/canvas.py:108-116``). A regression in any diff, in
+    the stats aggregation, or in the apply order flips the hash."""
+    from ..pipeline.runner import ENTITY_KIND, UPDATE_ORDER
+    from .registry import ORACLES
+
+    entity_query = {
+        "faculty_users": "sync_missing_faculty_users",
+        "student_users": "sync_missing_student_users",
+        "courses": "sync_missing_courses",
+        "sections": "sync_missing_sections",
+        "enrollments": "sync_daily_enrollment",
+        "ctl_library_courses": "sync_ctl_library_courses",
+        "ctl_library_sections": "sync_ctl_library_sections",
+    }
+    ctes = ",\n".join(
+        f"u{i} AS ({ORACLES[entity_query[name]]})"
+        for i, name in enumerate(UPDATE_ORDER)
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({i + 1} AS BIGINT) AS apply_seq,
+       CAST('{name}' AS VARCHAR) AS entity,
+       CAST('{ENTITY_KIND[name]}' AS VARCHAR) AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN status = 'active' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN status = 'deleted' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_deleted
+FROM u{i}"""
+        for i, name in enumerate(UPDATE_ORDER)
+    )
+    return f"WITH {ctes}\n{selects}\n"
+
+
+@query("sync_pipeline_run_report", _pipeline_report_oracle())
+def pipeline_run_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composed pipeline under the driver gate (r7 verdict
+    #7): the seven sync diffs feed ``SyncPipeline.apply`` — the
+    FK-ordered sink runner mirroring ``src/canvas.py:107-133`` — with
+    ``observe=True``, so each entity's change counts ride the sink's
+    own action as a zero-cost Spark ``Observation`` (S9/S10/O1 in one
+    row). The sink is the no-op datasource write: a full distributed
+    action per entity with nothing persisted. The returned frame is
+    built from the APPLIED order and the OBSERVED metrics, so the
+    driver row goes red if the FK ordering, the observation
+    instrumentation, or any upstream diff regresses.
+
+    Scale posture: identical to the seven diffs it composes (AQE-
+    selected anti-joins); the observation adds no extra pass — the
+    counts that ``run_report`` would re-scan for are collected during
+    the writes themselves, which at 100 TB saves one full re-scan of
+    every update file."""
+    from ..pipeline.runner import ENTITY_KIND, SyncPipeline
+
+    updates = {
+        "faculty_users": missing_faculty_users(spark, sf_dir),
+        "student_users": missing_student_users(spark, sf_dir),
+        "courses": missing_courses(spark, sf_dir),
+        "sections": missing_sections(spark, sf_dir),
+        "enrollments": daily_enrollment(spark, sf_dir),
+        "ctl_library_courses": ctl_library_courses(spark, sf_dir),
+        "ctl_library_sections": ctl_library_sections(spark, sf_dir),
+    }
+
+    def noop_sink(name: str, df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    pipe = SyncPipeline(noop_sink, observe=True)
+    applied = pipe.apply(updates)
+    rows = [
+        (
+            seq + 1,
+            name,
+            ENTITY_KIND[name],
+            int(pipe.observed[name]["n_rows"]),
+            int(pipe.observed[name]["n_active"] or 0),
+            int(pipe.observed[name]["n_deleted"] or 0),
+        )
+        for seq, name in enumerate(applied)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "apply_seq long, entity string, kind string, n_rows long,"
+        " n_active long, n_deleted long",
+    )
