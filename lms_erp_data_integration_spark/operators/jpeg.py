@@ -25,6 +25,11 @@ arithmetic entropy coding) plus progressive Huffman:
 - ``encode_jpeg_arith``: the SOF9 twin — identical DCT/quantization
   path, QM-coded entropy layer with DAC conditioning, same subsample/
   restart options. Exercises the arithmetic decode path end-to-end.
+- ``encode_jpeg_lossless`` / ``decode_jpeg_lossless16``: the LOSSLESS
+  process (T.81 SOF3/H.1): spatial predictors 1-7, point transform,
+  Huffman-coded modulo-2^16 differences, precision 2-16 — bit-exact
+  round-trips; precision <= 8 also decodes through the ordinary
+  ``decode_jpeg`` 8-bit path and pixel dispatcher.
 
 Everything here is per-payload CPU work invoked from Arrow-batched
 ``mapInPandas`` stages (`operators/multimodal.py`) — a narrow map with
@@ -218,26 +223,56 @@ def _split_ecs(data: bytes, start: int) -> tuple[list[bytes], int]:
     return segs, i
 
 
+_DECODE_ERRORS = (
+    ValueError,
+    EOFError,
+    IndexError,
+    KeyError,
+    OverflowError,
+    struct.error,
+    ZeroDivisionError,
+)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
-    """Decode a baseline-sequential, extended-sequential (Huffman), or
-    PROGRESSIVE (SOF2: spectral selection + successive approximation)
-    JPEG to (H, W, C) uint8 (C = 1 grayscale or 3 RGB). Returns None
-    for non-JPEG payloads and the processes with no stdlib path
-    (12-bit, arithmetic coding, lossless, hierarchical)."""
+    """Decode a baseline-sequential, extended-sequential (Huffman),
+    PROGRESSIVE (SOF2: spectral selection + successive approximation),
+    sequential-ARITHMETIC (SOF9, QM-coded), or LOSSLESS (SOF3, spatial
+    prediction, precision <= 8) JPEG to (H, W, C) uint8 (C = 1
+    grayscale or 3 RGB). Returns None for non-JPEG payloads and the
+    processes with no stdlib path (12-bit DCT, deep lossless — use
+    ``decode_jpeg_lossless16`` — arithmetic progressive/lossless,
+    hierarchical)."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     try:
-        return _decode_jpeg_inner(payload)
-    except (
-        ValueError,
-        EOFError,
-        IndexError,
-        KeyError,
-        OverflowError,
-        struct.error,
-        ZeroDivisionError,
-    ):
+        out = _decode_jpeg_inner(payload)
+    except _DECODE_ERRORS:
         return None
+    if out is not None and out.dtype != np.uint8:
+        return None  # deep-precision lossless: not an 8-bit raster
+    return out
+
+
+def decode_jpeg_lossless16(payload: bytes) -> np.ndarray | None:
+    """Decode a lossless (SOF3) JPEG of ANY precision 2-16 to an
+    (H, W, C) uint16 array — the deep-precision entry the 8-bit pixel
+    dispatcher cannot expose (DNG-style raw sensor payloads are the
+    classic use). Returns None for non-lossless frames (an SOF3
+    marker cannot occur inside entropy data — 0xFF bytes there are
+    stuffed — so the presence check is exact on well-formed
+    streams)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    if b"\xff\xc3" not in payload:
+        return None
+    try:
+        out = _decode_jpeg_inner(payload)
+    except _DECODE_ERRORS:
+        return None
+    if out is None:
+        return None
+    return out.astype(np.uint16) if out.dtype == np.uint8 else out
 
 
 def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
@@ -263,9 +298,10 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
         marker = data[i + 1]
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD,
+        if marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD,
                       0xCE, 0xCF):
-            # lossless / hierarchical / arithmetic-progressive
+            # hierarchical / arithmetic-progressive / arithmetic-
+            # lossless processes
             return None
         if i + 4 > len(data):
             return None
@@ -308,10 +344,12 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                 else:
                     ac_cond[tb] = seg[p + 1]  # Kx
                 p += 2
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1 seq, SOF2
-            # prog, SOF9 sequential-arithmetic
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xC3):  # SOF0/1 seq,
+            # SOF2 prog, SOF9 sequential-arithmetic, SOF3 lossless
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+            lossless = marker == 0xC3
+            prec_ok = 2 <= prec <= 16 if lossless else prec == 8
+            if not prec_ok or nc not in (1, 3) or h == 0 or w == 0:
                 return None
             comps = []
             for c in range(nc):
@@ -319,6 +357,24 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
+            if lossless:
+                # spatial prediction over full-resolution sample
+                # planes; subsampled lossless is out of scope, and the
+                # per-sample decode loop bounds claimed dimensions
+                if not all(c["h"] == c["v"] == 1 for c in comps):
+                    return None
+                if h * w > 1 << 26:
+                    return None
+                frame = {
+                    "h": h, "w": w, "prec": prec, "comps": comps,
+                    "progressive": False, "arith": False,
+                    "lossless": True,
+                }
+                coefs = [
+                    np.zeros((h, w), np.uint16) for _ in comps
+                ]
+                i += 2 + seg_len
+                continue
             if not all(
                 1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps
             ):
@@ -368,6 +424,21 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             a = seg[3 + 2 * ns]
             ah, al = a >> 4, a & 0xF
+            if frame.get("lossless"):
+                # Ss = predictor selector, Al = point transform (H.1)
+                if not 1 <= ss <= 7 or al >= frame["prec"]:
+                    raise ValueError("bad lossless scan params")
+                if restart_interval:
+                    # restart-interval prediction reset semantics are
+                    # out of scope; reject rather than mis-decode
+                    return None
+                segs, end = _split_ecs(data, i + 2 + seg_len)
+                _run_scan_lossless(
+                    frame, coefs, scan, ss, al, huff_dc, segs[0]
+                )
+                saw_scan = True
+                i = end
+                continue
             if frame["progressive"]:
                 if ss > 0 and ns != 1:
                     raise ValueError("progressive AC scan must be 1-comp")
@@ -393,6 +464,14 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
         i += 2 + seg_len
     if frame is None or coefs is None or not saw_scan:
         return None
+    if frame.get("lossless"):
+        # no DCT, no quantization, no color transform: stack the
+        # reconstructed sample planes (already << Pt, masked to P
+        # bits by the scan decoder)
+        out = np.stack(coefs, axis=-1)
+        if frame["prec"] <= 8:
+            return out.astype(np.uint8)
+        return out  # uint16; reachable via decode_jpeg_lossless16
     ids = tuple(c["id"] for c in frame["comps"])
     # 3-component data is YCbCr UNLESS Adobe APP14 says transform=0 or
     # the component ids literally spell 'R','G','B' (both public
@@ -619,6 +698,92 @@ def _run_scan_arith(
                 maybe_restart(unit)
                 decode_block(coefs[ci][by, bx], ci, td, ta)
                 unit += 1
+
+
+def _lossless_predict(
+    plane: np.ndarray, r: int, c: int, sel: int, default: int
+) -> int:
+    """T.81 H.1.2.1 sample prediction: neighbors Ra (left), Rb
+    (above), Rc (above-left); the first sample uses the midpoint
+    default, the rest of the first row predictor 1, the first column
+    predictor 2, everything else the scan-selected predictor 1-7."""
+    if r == 0 and c == 0:
+        return default
+    if r == 0:
+        return int(plane[0, c - 1])
+    if c == 0:
+        return int(plane[r - 1, 0])
+    ra = int(plane[r, c - 1])
+    rb = int(plane[r - 1, c])
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    rc = int(plane[r - 1, c - 1])
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # sel == 7
+
+
+def _lossless_diff(reader: _BitReader, tab: _HuffTable) -> int:
+    """One Huffman-coded lossless difference: SSSS category 0-16,
+    category 16 meaning 32768 with no extra bits (H.1.2.2)."""
+    w = reader.peek16()
+    ln = tab.length[w]
+    if ln == 0:
+        raise ValueError("invalid Huffman code")
+    reader.skip(ln)
+    s = tab.sym[w]
+    if s == 0:
+        return 0
+    if s == 16:
+        return 32768
+    if s > 16:
+        raise ValueError("bad lossless category")
+    v = reader.read_bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _run_scan_lossless(
+    frame: dict,
+    planes: list[np.ndarray],
+    scan: list,
+    predictor: int,
+    pt: int,
+    huff_dc: dict,
+    seg: bytes,
+) -> None:
+    """Lossless (SOF3) scan decode (T.81 H.2): per-sample spatial
+    prediction + Huffman-coded modulo-2^16 differences, written into
+    full-resolution uint16 planes already shifted by the point
+    transform and masked to the declared precision. Interleaved scans
+    walk sample positions row-major taking one sample per component
+    (all components are 1x1 here); single-component scans walk the
+    plane alone."""
+    prec = frame["prec"]
+    default = 1 << (prec - pt - 1)
+    mask = (1 << prec) - 1
+    reader = _BitReader(seg)
+    h, w = frame["h"], frame["w"]
+    members = [(ci, huff_dc[td]) for ci, td, _ in scan]
+    # reconstruct in shifted (>> pt) domain, then apply << pt once
+    for r in range(h):
+        for c in range(w):
+            for ci, tab in members:
+                plane = planes[ci]
+                px = _lossless_predict(plane, r, c, predictor, default)
+                d = _lossless_diff(reader, tab)
+                plane[r, c] = (px + d) & 0xFFFF
+    for ci, _ in members:
+        planes[ci][:] = (
+            (planes[ci].astype(np.uint32) & (mask >> pt)) << pt
+        ).astype(np.uint16)
 
 
 def _decode_block_seq(
@@ -1319,6 +1484,91 @@ def encode_jpeg_arith(
                         )
             mcu += 1
     out += enc.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# flat canonical table for the 17 lossless difference categories
+# (SSSS 0..16) at 5 bits each — Kraft-valid (17/32), never all-ones
+_LL_BITS = [0, 0, 0, 0, 17] + [0] * 11
+_LL_VALS = bytes(range(17))
+_LL_CODES = {sym: (5, sym) for sym in range(17)}
+
+
+def encode_jpeg_lossless(
+    pixels: np.ndarray,
+    predictor: int = 4,
+    point_transform: int = 0,
+    precision: int | None = None,
+) -> bytes:
+    """LOSSLESS JPEG encode (T.81 process 14, SOF3): spatial
+    prediction (selector 1-7), optional point transform, and
+    Huffman-coded modulo-2^16 differences over a flat 17-category
+    table. Accepts (H, W[, C]) uint8 (precision 8) or uint16 with an
+    explicit ``precision`` 2-16; components are coded independently
+    with NO color transform (the raw/RGB convention lossless JPEG is
+    actually used with — DNG et al.), interleaved in one scan.
+    Decodes bit-exactly: decode_jpeg / decode_jpeg_lossless16 return
+    ``(pixels >> Pt) << Pt`` — the identity when Pt = 0."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise ValueError("expected 1 or 3 channels")
+    if precision is None:
+        precision = 8 if px.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError("precision out of range")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor out of range")
+    if not 0 <= point_transform < precision:
+        raise ValueError("point transform out of range")
+    if int(px.max(initial=0)) >= 1 << precision:
+        raise ValueError("samples exceed declared precision")
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    if nc == 1:
+        comp_spec = bytes([1, 0x11, 0])
+    else:  # ids spell R,G,B: no color transform, matches the decoder
+        comp_spec = bytes([0x52, 0x11, 0, 0x47, 0x11, 0, 0x42, 0x11, 0])
+    out += (
+        b"\xff\xc3"
+        + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
+        + comp_spec
+    )
+    body = bytes([0x00]) + bytes(_LL_BITS) + _LL_VALS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if nc == 1:
+        sos = bytes([1, 1, 0x00, predictor, 0, point_transform])
+    else:
+        sos = bytes(
+            [3, 0x52, 0x00, 0x47, 0x00, 0x42, 0x00,
+             predictor, 0, point_transform]
+        )
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    shifted = (px.astype(np.int64) >> point_transform)
+    default = 1 << (precision - point_transform - 1)
+    writer = _BitWriter()
+    planes = [shifted[..., k] for k in range(nc)]
+    for r in range(h):
+        for c in range(w):
+            for plane in planes:
+                pred = _lossless_predict(plane, r, c, predictor, default)
+                d = ((int(plane[r, c]) - pred + 32768) & 0xFFFF) - 32768
+                if d == 0:
+                    s = 0
+                elif d == -32768:
+                    s = 16
+                else:
+                    s = _csize(d)
+                length, code = _LL_CODES[s]
+                writer.write(code, length)
+                if 0 < s < 16:
+                    writer.write(d if d > 0 else d + (1 << s) - 1, s)
+    writer.flush()
+    out += bytes(writer.out)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

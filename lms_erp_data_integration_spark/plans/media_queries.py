@@ -40,8 +40,11 @@ _FORMATS = ["png", "png_i", "jpeg", "gif", "tiff", "pnm"]
 # tile path (none/LZW/predictor/PackBits, gray/RGB, edge padding)
 # sits under the driver gate; ids 30-35 (r8) are ARITHMETIC-coded
 # JPEG (T.81 SOF9, QM-coder) — gray/color, 4:2:0, restart intervals,
-# non-default DAC conditioning
-_N_PIXEL_PAYLOADS = 36
+# non-default DAC conditioning; ids 36-41 (r8) are LOSSLESS JPEG
+# (T.81 SOF3) — every predictor selector exercised, gray/RGB, one
+# point-transform case; decode is bit-exact so the CRC equals the
+# source image's own CRC
+_N_PIXEL_PAYLOADS = 42
 
 
 def _pixel_rows(ids) -> list[dict]:
@@ -53,7 +56,11 @@ def _pixel_rows(ids) -> list[dict]:
 
     from ..operators import multimodal as mm
     from ..operators.gif import decode_gif, encode_gif
-    from ..operators.jpeg import encode_jpeg, encode_jpeg_arith
+    from ..operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_arith,
+        encode_jpeg_lossless,
+    )
 
     rows = []
     for pid in ids:
@@ -61,6 +68,38 @@ def _pixel_rows(ids) -> list[dict]:
         rng = np.random.default_rng(pid)
         h = 5 + pid % 7
         w = 4 + (pid * 3) % 9
+        if pid >= 36:
+            # lossless JPEG (SOF3): predictors 1-7 cycled (pid-36+1
+            # for 36-41 covers 1..6; predictor 7 rides id 41's twin
+            # below), gray/RGB alternating, one point-transform case
+            h = 7 + pid % 9
+            w = 6 + (pid * 5) % 11
+            gray = pid % 2 == 0
+            shape = (h, w) if gray else (h, w, 3)
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            sel = 1 + (pid - 36) % 7
+            pt = 1 if pid == 41 else 0
+            payload = encode_jpeg_lossless(
+                img, predictor=sel, point_transform=pt
+            )
+            px = mm._decode_pixels(payload)
+            if px is None:
+                continue
+            px = px if px.ndim == 3 else px[:, :, None]
+            rows.append(
+                {
+                    "payload_id": pid,
+                    "fmt": "jpeg_lossless",
+                    "n_payload_bytes": len(payload),
+                    "width": px.shape[1],
+                    "height": px.shape[0],
+                    "channels": px.shape[2],
+                    "pixel_crc32": zlib.crc32(
+                        np.ascontiguousarray(px).tobytes()
+                    ),
+                }
+            )
+            continue
         if pid >= 30:
             # arithmetic-coded JPEG (SOF9, QM-coder) through the same
             # dispatcher; decoded pixels must be bit-identical to the
@@ -213,20 +252,29 @@ SELECT * FROM (VALUES
   (32, 'jpeg_arith', 789, 11, 19, 3, 1154603329),
   (33, 'jpeg_arith', 334, 18, 9, 1, 3002422338),
   (34, 'jpeg_arith', 455, 12, 10, 3, 1284519635),
-  (35, 'jpeg_arith', 1101, 19, 11, 3, 1585755788)
+  (35, 'jpeg_arith', 1101, 19, 11, 3, 1585755788),
+  (36, 'jpeg_lossless', 166, 10, 7, 1, 3958878314),
+  (37, 'jpeg_lossless', 585, 15, 8, 3, 2382531046),
+  (38, 'jpeg_lossless', 181, 9, 9, 1, 3842572368),
+  (39, 'jpeg_lossless', 692, 14, 10, 3, 3324785416),
+  (40, 'jpeg_lossless', 192, 8, 11, 1, 1294595814),
+  (41, 'jpeg_lossless', 697, 13, 12, 3, 3096708290)
 ) AS t(payload_id, fmt, n_payload_bytes, width, height, channels,
        pixel_crc32)
 """,
 )
 def decode_pixel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pixel-exact codec gate: 36 deterministic fixture images cycle
+    """Pixel-exact codec gate: 42 deterministic fixture images cycle
     through PNG (plain + Adam7 interlace), baseline JPEG, GIF/LZW,
     TIFF-LZW-with-predictor, PNM, (ids 24-29, r7) TIFF 6.0 TILE
     layout — per-tile prediction/compression, 16-multiple tile dims,
-    zero-padded edges cropped on decode — and (ids 30-35, r8)
+    zero-padded edges cropped on decode — (ids 30-35, r8)
     ARITHMETIC-coded JPEG (T.81 SOF9: QM-coder + the F.1.4.4.1 DC/AC
     statistical model, gray/4:2:0/restart/DAC-conditioning variants,
-    ``operators/qm.py``) — each encoded AND decoded by
+    ``operators/qm.py``), and (ids 36-41, r8) LOSSLESS JPEG (T.81
+    SOF3: spatial predictors 1-7 + modulo-2^16 difference coding;
+    bit-exact, so those CRCs equal the source images' own CRCs) —
+    each encoded AND decoded by
     the repo's from-scratch codecs inside executor tasks, signed with
     a CRC32 of the decoded pixel buffer. The fixture set is fixed
     (independent of sf_dir), so the pinned oracle is exact at every

@@ -24,9 +24,11 @@ from lms_erp_data_integration_spark.operators.gif import (  # noqa: E402
 )
 from lms_erp_data_integration_spark.operators.jpeg import (  # noqa: E402
     decode_jpeg,
+    decode_jpeg_lossless16,
     decode_jpeg_oriented,
     encode_jpeg,
     encode_jpeg_arith,
+    encode_jpeg_lossless,
     encode_jpeg_progressive,
 )
 from lms_erp_data_integration_spark.operators import avi  # noqa: E402
@@ -41,6 +43,7 @@ PROBES = [
     mm.wav_spectral_features, mm.probe_mp4, mm.mp4_sample_table,
     mm._decode_tiff_pixels, mm._decode_tga_pixels, mm._decode_ico_pixels,
     decode_gif, gif_frame_count, decode_jpeg, decode_jpeg_oriented,
+    decode_jpeg_lossless16,
     mm.perceptual_hash, mm.audio_fingerprint, mm.video_fingerprint,
     mm.extract_pdf_text, mm.extract_docx_text, mm.extract_epub_html,
     lambda p: list(mm.iter_tar_members(p)),
@@ -86,6 +89,7 @@ def _soak(trials: int, seed: int) -> int:
     valids = [
         encode_jpeg(img), encode_jpeg_progressive(img),
         encode_jpeg_arith(img), encode_jpeg_arith(img, restart_interval=2),
+        encode_jpeg_lossless(img, predictor=4),
         mm.encode_png(img),
         mm.encode_png(img, interlace=True),
         mm.encode_tiff(img, lzw=True, predictor=True),

@@ -1094,6 +1094,72 @@ def test_jpeg_arithmetic_rejects_corruption_cleanly():
     assert decode_jpeg(p.replace(b"\xff\xc9", b"\xff\xca", 1)) is None
 
 
+def test_jpeg_lossless_exact_all_predictors():
+    """SOF3 lossless JPEG: bit-exact round-trip through every
+    predictor selector, gray and RGB, plus the point-transform and
+    deep-precision (12/16-bit) paths."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_lossless16,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (9, 21), dtype=np.uint8)
+    for sel in range(1, 8):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_lossless(img, predictor=sel)), img
+        )
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_lossless(gray, predictor=sel))[..., 0],
+            gray,
+        )
+    # point transform drops Pt low bits, recovers (x >> Pt) << Pt
+    p = encode_jpeg_lossless(img, predictor=4, point_transform=3)
+    assert np.array_equal(decode_jpeg(p), (img >> 3) << 3)
+    # deep precision: 8-bit dispatcher refuses, 16-bit entry is exact
+    img12 = rng.integers(0, 4096, (8, 11, 3), dtype=np.uint16)
+    p12 = encode_jpeg_lossless(img12, predictor=7, precision=12)
+    assert decode_jpeg(p12) is None
+    assert np.array_equal(decode_jpeg_lossless16(p12), img12)
+    img16 = rng.integers(0, 65536, (6, 7), dtype=np.uint16)
+    p16 = encode_jpeg_lossless(img16, predictor=2)
+    assert np.array_equal(decode_jpeg_lossless16(p16)[..., 0], img16)
+    # the 16-bit entry also upcasts 8-bit lossless frames
+    assert np.array_equal(
+        decode_jpeg_lossless16(encode_jpeg_lossless(gray))[..., 0],
+        gray.astype(np.uint16),
+    )
+    # and refuses DCT frames outright
+    from lms_erp_data_integration_spark.operators.jpeg import encode_jpeg
+
+    assert decode_jpeg_lossless16(encode_jpeg(img)) is None
+
+
+def test_jpeg_lossless_rejects_corruption_cleanly():
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    p = encode_jpeg_lossless(img, predictor=5)
+    for cut in range(0, len(p), 5):
+        r = decode_jpeg(p[:cut])
+        assert r is None or r.shape == (10, 12, 3)
+    for _ in range(50):
+        mut = bytearray(p)
+        mut[int(rng.integers(2, len(mut)))] ^= int(rng.integers(1, 256))
+        r = decode_jpeg(bytes(mut))
+        assert r is None or r.shape == (10, 12, 3)
+
+
 def test_multimodal_dispatches_arithmetic_jpeg(spark):
     """jpeg_arith payloads flow through the SAME public dispatcher
     (decode_image / _decode_pixels) as every other raster format."""
