@@ -13,9 +13,14 @@ arithmetic entropy coding) plus progressive Huffman:
   statistical model: DC difference conditioning on the previous diff
   classified by the DAC-declared (L, U) bounds, AC contexts indexed by
   coefficient position with the Kx low/high split, and the fixed ~0.5
-  state for AC signs. Returns an (H, W, C) uint8 array, or None for
-  anything outside these processes (12-bit precision, lossless,
-  hierarchical, arithmetic progressive), so callers can fall back.
+  state for AC signs. SOF10 (PROGRESSIVE DCT, arithmetic) runs the
+  same statistical model per scan under the Annex-G spectral-selection
+  / successive-approximation rules: DC refinement bits and newly-
+  significant AC signs on the fixed state, AC refinement corrections
+  on the position context + 2, EOB decisions only past the previous
+  stage's end-of-block index. Returns an (H, W, C) uint8 array, or
+  None for anything outside these processes (12-bit precision,
+  hierarchical, arithmetic lossless), so callers can fall back.
 - ``encode_jpeg``: baseline encoder used for test fixtures and the
   write path — standard Annex-K quantization tables with the libjpeg
   quality scaling, 4:4:4 or 4:2:0, optional restart intervals. It
@@ -240,8 +245,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
     sequential-ARITHMETIC (SOF9, QM-coded), or LOSSLESS (SOF3, spatial
     prediction, precision <= 8) JPEG to (H, W, C) uint8 (C = 1
     grayscale or 3 RGB). Returns None for non-JPEG payloads and the
-    processes with no stdlib path (12-bit DCT, deep lossless — use
-    ``decode_jpeg_lossless16`` — arithmetic progressive/lossless,
+    processes outside the 8-bit raster contract (12-bit DCT — use
+    ``decode_jpeg12`` — deep lossless — use
+    ``decode_jpeg_lossless16`` — arithmetic lossless,
     hierarchical)."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
@@ -250,7 +256,27 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
     except _DECODE_ERRORS:
         return None
     if out is not None and out.dtype != np.uint8:
-        return None  # deep-precision lossless: not an 8-bit raster
+        return None  # deep precision: not an 8-bit raster
+    return out
+
+
+def decode_jpeg12(payload: bytes) -> np.ndarray | None:
+    """Decode a 12-bit-precision DCT JPEG (T.81 extended sequential
+    SOF1 or progressive SOF2 — the medical/DICOM transfer syntaxes)
+    to an (H, W, C) uint16 array in 0..4095. Returns None for 8-bit
+    streams (use ``decode_jpeg``) and lossless frames (use
+    ``decode_jpeg_lossless16``; an SOF3 marker cannot occur inside
+    entropy data, so the presence check is exact)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    if b"\xff\xc3" in payload:
+        return None
+    try:
+        out = _decode_jpeg_inner(payload)
+    except _DECODE_ERRORS:
+        return None
+    if out is None or out.dtype == np.uint8:
+        return None
     return out
 
 
@@ -298,10 +324,8 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
         marker = data[i + 1]
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD,
-                      0xCE, 0xCF):
-            # hierarchical / arithmetic-progressive / arithmetic-
-            # lossless processes
+        if marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            # hierarchical / arithmetic-lossless processes
             return None
         if i + 4 > len(data):
             return None
@@ -344,11 +368,20 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                 else:
                     ac_cond[tb] = seg[p + 1]  # Kx
                 p += 2
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xC3):  # SOF0/1 seq,
-            # SOF2 prog, SOF9 sequential-arithmetic, SOF3 lossless
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA, 0xC3):
+            # SOF0/1 seq, SOF2 prog, SOF9 seq-arith, SOF10 prog-arith,
+            # SOF3 lossless
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             lossless = marker == 0xC3
-            prec_ok = 2 <= prec <= 16 if lossless else prec == 8
+            if lossless:
+                prec_ok = 2 <= prec <= 16
+            elif marker in (0xC1, 0xC2):
+                # extended sequential / progressive Huffman: 8 or 12
+                prec_ok = prec in (8, 12)
+            else:
+                # baseline is 8-bit by definition; the arithmetic
+                # statistical model here is sized for 8-bit magnitudes
+                prec_ok = prec == 8
             if not prec_ok or nc not in (1, 3) or h == 0 or w == 0:
                 return None
             comps = []
@@ -393,8 +426,9 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
             frame = {
                 "h": h, "w": w, "comps": comps, "hmax": hmax,
                 "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
-                "progressive": marker == 0xC2,
-                "arith": marker == 0xC9,
+                "prec": prec,
+                "progressive": marker in (0xC2, 0xCA),
+                "arith": marker in (0xC9, 0xCA),
             }
             coefs = [
                 np.zeros((c["bh"], c["bw"], 64), np.int32) for c in comps
@@ -444,13 +478,16 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                     raise ValueError("progressive AC scan must be 1-comp")
                 if se > 63 or ss > se:
                     raise ValueError("bad spectral band")
+                if ss == 0 and se != 0:
+                    # B.2.3: a progressive DC scan is exactly Ss=Se=0
+                    raise ValueError("progressive DC scan must have Se=0")
             else:
                 ss, se, ah, al = 0, 63, 0, 0  # sequential: full band
             segs, end = _split_ecs(data, i + 2 + seg_len)
             if frame.get("arith"):
                 _run_scan_arith(
                     frame, coefs, scan, dc_cond, ac_cond,
-                    restart_interval, segs,
+                    restart_interval, segs, (ss, se, ah, al),
                 )
             else:
                 _run_scan(
@@ -567,20 +604,31 @@ def _run_scan_arith(
     ac_cond: dict,
     restart_interval: int,
     segs: list[bytes],
+    band: tuple = (0, 63, 0, 0),
 ) -> None:
-    """Sequential DCT scan with ARITHMETIC entropy coding (T.81 F.2,
-    SOF9): QM-decode (``operators/qm.py``) under the F.1.4.4.1
-    statistical model. Statistics areas are per destination table —
-    64 DC contexts (5 prior-diff conditioning categories x {zero,
-    sign, pos-mag, neg-mag}, magnitude categories X1.. at offset 20,
-    mantissa bits at +14) and 256 AC contexts (3 per coefficient
-    position: end-of-block, zero/nonzero, magnitude; shared X2..
-    areas at 189/217 split by the DAC Kx parameter; mantissa at +14).
-    AC signs use the non-adaptive fixed ~0.5 state. A restart marker
+    """DCT scan with ARITHMETIC entropy coding (T.81 F.2 sequential
+    SOF9; Annex G progressive SOF10 when ``band`` selects a spectral
+    band / successive-approximation stage): QM-decode
+    (``operators/qm.py``) under the F.1.4.4.1 statistical model.
+    Statistics areas are per destination table — 64 DC contexts
+    (5 prior-diff conditioning categories x {zero, sign, pos-mag,
+    neg-mag}, magnitude categories X1.. at offset 20, mantissa bits
+    at +14) and 256 AC contexts (3 per coefficient position:
+    end-of-block, zero/nonzero, magnitude; shared X2.. areas at
+    189/217 split by the DAC Kx parameter; mantissa at +14). AC signs
+    use the non-adaptive fixed ~0.5 state. Progressive stages (G.2):
+    DC-first codes point-transformed diffs with the sequential DC
+    model; DC-refinement is one fixed-state bit per block; AC-first
+    is the sequential AC model over Ss..Se with values scaled by
+    2^Al; AC-refinement codes correction bits on context+2 for
+    already-significant positions, newly-significant values on
+    context+1 with a fixed-state sign, and EOB decisions only past
+    the previous stage's end-of-block index. A restart marker
     re-initializes the coder, the statistics, the DC predictors, and
     the conditioning state (F.2.1.3.1)."""
     from .qm import FIXED_BIN, QMDecoder
 
+    ss, se, ah, al = band
     comps = frame["comps"]
     interleaved = len(scan) > 1
     tbls = {}
@@ -608,71 +656,109 @@ def _run_scan_arith(
         return dec
 
     def decode_block(blk, ci: int, td: int, ta: int) -> None:
-        dst = tbls[("dc", td)]
-        ast = tbls[("ac", ta)]
-        low, up = dc_cond.get(td, (0, 1))
-        kx = ac_cond.get(ta, 5)
-        # DC difference (F.2.4.1)
-        st = dc_ctx[ci]
-        if dec.decode(dst, st):
-            sign = dec.decode(dst, st + 1)
-            st += 2 + sign
-            m = dec.decode(dst, st)
-            if m:
-                st = 20  # X1
-                while dec.decode(dst, st):
-                    m <<= 1
-                    if m == 0x8000:
-                        raise ValueError("DC magnitude overflow")
-                    st += 1
-            # F.1.4.4.1.2: conditioning category for the NEXT diff
-            if m < (1 << low) >> 1:
-                dc_ctx[ci] = 0
-            elif m > (1 << up) >> 1:
-                dc_ctx[ci] = 12 + sign * 4
-            else:
-                dc_ctx[ci] = 4 + sign * 4
-            v = m
-            st += 14  # mantissa bits
-            while m := m >> 1:
+        if ss == 0:
+            if ah == 0:  # DC first (or sequential)
+                dst = tbls[("dc", td)]
+                low, up = dc_cond.get(td, (0, 1))
+                # DC difference (F.2.4.1)
+                st = dc_ctx[ci]
                 if dec.decode(dst, st):
-                    v |= m
-            v += 1
-            preds[ci] += -v if sign else v
+                    sign = dec.decode(dst, st + 1)
+                    st += 2 + sign
+                    m = dec.decode(dst, st)
+                    if m:
+                        st = 20  # X1
+                        while dec.decode(dst, st):
+                            m <<= 1
+                            if m == 0x8000:
+                                raise ValueError("DC magnitude overflow")
+                            st += 1
+                    # F.1.4.4.1.2: conditioning for the NEXT diff
+                    if m < (1 << low) >> 1:
+                        dc_ctx[ci] = 0
+                    elif m > (1 << up) >> 1:
+                        dc_ctx[ci] = 12 + sign * 4
+                    else:
+                        dc_ctx[ci] = 4 + sign * 4
+                    v = m
+                    st += 14  # mantissa bits
+                    while m := m >> 1:
+                        if dec.decode(dst, st):
+                            v |= m
+                    v += 1
+                    preds[ci] += -v if sign else v
+                else:
+                    dc_ctx[ci] = 0
+                blk[0] = preds[ci] << al
+            else:  # DC refinement: one fixed-state bit (G.2)
+                if dec.decode(fixed, 0):
+                    blk[0] |= 1 << al
+            k0 = 1
         else:
-            dc_ctx[ci] = 0
-        blk[0] = preds[ci]
-        # AC coefficients (F.2.4.2)
-        k = 1
-        while k <= 63:
-            st = 3 * (k - 1)
-            if dec.decode(ast, st):
-                break  # end of block
-            while dec.decode(ast, st + 1) == 0:
-                st += 3
-                k += 1
-                if k > 63:
-                    raise ValueError("AC run past band end")
-            sign = dec.decode(fixed, 0)
-            st += 2
-            m = dec.decode(ast, st)
-            if m:
+            k0 = ss
+        if se < k0:
+            return
+        ast = tbls[("ac", ta)]
+        kx = ac_cond.get(ta, 5)
+        if ah == 0:
+            # AC first / sequential (F.2.4.2, band Ss..Se, scale 2^Al)
+            k = k0
+            while k <= se:
+                st = 3 * (k - 1)
                 if dec.decode(ast, st):
-                    m <<= 1
-                    st = 189 if k <= kx else 217  # X2 (low/high)
-                    while dec.decode(ast, st):
+                    break  # end of block
+                while dec.decode(ast, st + 1) == 0:
+                    st += 3
+                    k += 1
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                sign = dec.decode(fixed, 0)
+                st += 2
+                m = dec.decode(ast, st)
+                if m:
+                    if dec.decode(ast, st):
                         m <<= 1
-                        if m == 0x8000:
-                            raise ValueError("AC magnitude overflow")
-                        st += 1
-            v = m
-            st += 14  # mantissa bits
-            while m := m >> 1:
-                if dec.decode(ast, st):
-                    v |= m
-            v += 1
-            blk[k] = -v if sign else v
-            k += 1
+                        st = 189 if k <= kx else 217  # X2 (low/high)
+                        while dec.decode(ast, st):
+                            m <<= 1
+                            if m == 0x8000:
+                                raise ValueError("AC magnitude overflow")
+                            st += 1
+                v = m
+                st += 14  # mantissa bits
+                while m := m >> 1:
+                    if dec.decode(ast, st):
+                        v |= m
+                v += 1
+                blk[k] = (-v if sign else v) << al
+                k += 1
+        else:
+            # AC refinement (G.2): EOB decisions only past the
+            # previous stage's end-of-block index
+            p1 = 1 << al
+            kex = 0
+            for kk in range(se, 0, -1):
+                if blk[kk]:
+                    kex = kk
+                    break
+            k = k0
+            while k <= se:
+                st = 3 * (k - 1)
+                if k > kex and dec.decode(ast, st):
+                    break  # end of block
+                while True:
+                    if blk[k]:  # already significant: correction bit
+                        if dec.decode(ast, st + 2):
+                            blk[k] += p1 if blk[k] >= 0 else -p1
+                        break
+                    if dec.decode(ast, st + 1):  # newly significant
+                        blk[k] = -p1 if dec.decode(fixed, 0) else p1
+                        break
+                    st += 3
+                    k += 1
+                    if k > se:
+                        raise ValueError("AC refine run past band end")
+                k += 1
 
     if interleaved:
         unit = 0
@@ -988,9 +1074,14 @@ def _reconstruct(
     frame: dict, coefs: list[np.ndarray], qt: dict
 ) -> np.ndarray:
     """Dequantize + inverse zigzag + batched matrix IDCT per component,
-    then upsample chroma and color-convert (JFIF YCbCr)."""
+    then upsample chroma and color-convert (JFIF YCbCr). 12-bit
+    frames level-shift by 2048 and emit uint16 in 0..4095."""
     h, w = frame["h"], frame["w"]
     hmax, vmax = frame["hmax"], frame["vmax"]
+    prec = frame.get("prec", 8)
+    mid = float(1 << (prec - 1))
+    top = float((1 << prec) - 1)
+    dt = np.uint8 if prec == 8 else np.uint16
     out_planes = []
     for c, arr in zip(frame["comps"], coefs):
         q = qt[c["tq"]]
@@ -1006,19 +1097,19 @@ def _reconstruct(
         out_planes.append(plane[:h, :w])
 
     if len(out_planes) == 1:
-        y = np.clip(out_planes[0] + 128.0, 0, 255)
-        return y.astype(np.uint8)[..., None]
+        y = np.clip(out_planes[0] + mid, 0, top)
+        return y.astype(dt)[..., None]
     if frame.get("rgb_direct"):
-        rgb = np.stack([p + 128.0 for p in out_planes], axis=-1)
-        return np.clip(rgb, 0, 255).astype(np.uint8)
-    y, cb, cr = (p + 128.0 for p in out_planes)
-    cb -= 128.0
-    cr -= 128.0
+        rgb = np.stack([p + mid for p in out_planes], axis=-1)
+        return np.clip(rgb, 0, top).astype(dt)
+    y, cb, cr = (p + mid for p in out_planes)
+    cb -= mid
+    cr -= mid
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(rgb, 0, 255).astype(np.uint8)
+    return np.clip(rgb, 0, top).astype(dt)
 
 
 # ---------------------------------------------------------------- encode
@@ -1063,6 +1154,19 @@ _AC_BITS = [0] * 7 + [len(_AC_SYMBOLS)] + [0] * 8
 _AC_VALS = bytes(_AC_SYMBOLS)
 _DC_CODES = {sym: (4, code) for code, sym in enumerate(range(12))}
 _AC_CODES = {sym: (8, code) for code, sym in enumerate(_AC_SYMBOLS)}
+
+# 12-bit flat tables: DC SSSS 0..15 at 5 bits (16/32 Kraft), the 226
+# legal extended-precision AC symbols (EOB, ZRL, (run, size 1..14))
+# at 8 bits (226/256 Kraft, all-ones unused)
+_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_DC12_VALS = bytes(range(16))
+_AC12_SYMBOLS = sorted(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+_AC12_BITS = [0] * 7 + [len(_AC12_SYMBOLS)] + [0] * 8
+_AC12_VALS = bytes(_AC12_SYMBOLS)
+_DC12_CODES = {sym: (5, code) for code, sym in enumerate(range(16))}
+_AC12_CODES = {sym: (8, code) for code, sym in enumerate(_AC12_SYMBOLS)}
 
 
 def _csize(v: int) -> int:
@@ -1282,75 +1386,67 @@ def encode_jpeg(
     return bytes(out)
 
 
-def _arith_encode_block(
-    enc,
-    blk: np.ndarray,
-    dst: bytearray,
-    ast: bytearray,
-    fixed: bytearray,
-    ci: int,
-    preds: list,
-    dc_ctx: list,
-    low: int,
-    up: int,
-    kx: int,
+def _arith_enc_dc(
+    enc, dst: bytearray, dc_ctx: list, ci: int, diff: int,
+    low: int, up: int,
 ) -> None:
-    """QM-encode one quantized 8x8 block under the T.81 F.1.4
-    statistical model — the exact mirror of the decode side in
-    ``_run_scan_arith``."""
-    blk = blk[_ZZ_ROWS, _ZZ_COLS]
-    diff = int(blk[0]) - preds[ci]
-    preds[ci] = int(blk[0])
-    # DC difference (F.1.4.1 / Figure F.4)
+    """QM-encode one DC difference (F.1.4.1 / Figure F.4)."""
     st = dc_ctx[ci]
     if diff == 0:
         enc.encode(dst, st, 0)
         dc_ctx[ci] = 0
+        return
+    enc.encode(dst, st, 1)
+    sign = 1 if diff < 0 else 0
+    v = -diff if sign else diff
+    enc.encode(dst, st + 1, sign)
+    st += 2 + sign
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(dst, st, 1)  # magnitude > 1
+        m = 1
+        v2 = v
+        st = 20  # X1
+        while v2 := v2 >> 1:
+            enc.encode(dst, st, 1)
+            m <<= 1
+            st += 1
+    enc.encode(dst, st, 0)
+    if m < (1 << low) >> 1:
+        dc_ctx[ci] = 0
+    elif m > (1 << up) >> 1:
+        dc_ctx[ci] = 12 + sign * 4
     else:
-        enc.encode(dst, st, 1)
-        sign = 1 if diff < 0 else 0
-        v = -diff if sign else diff
-        enc.encode(dst, st + 1, sign)
-        st += 2 + sign
-        m = 0
-        v -= 1
-        if v:
-            enc.encode(dst, st, 1)  # magnitude > 1
-            m = 1
-            v2 = v
-            st = 20  # X1
-            while v2 := v2 >> 1:
-                enc.encode(dst, st, 1)
-                m <<= 1
-                st += 1
-        enc.encode(dst, st, 0)
-        if m < (1 << low) >> 1:
-            dc_ctx[ci] = 0
-        elif m > (1 << up) >> 1:
-            dc_ctx[ci] = 12 + sign * 4
-        else:
-            dc_ctx[ci] = 4 + sign * 4
-        st += 14  # mantissa bits
-        while m := m >> 1:
-            enc.encode(dst, st, 1 if m & v else 0)
-    # AC coefficients (Figure F.5)
-    ke = 63
-    while ke > 0 and blk[ke] == 0:
-        ke -= 1
-    k = 1
+        dc_ctx[ci] = 4 + sign * 4
+    st += 14  # mantissa bits
+    while m := m >> 1:
+        enc.encode(dst, st, 1 if m & v else 0)
+
+
+def _arith_enc_ac_first(
+    enc, ast: bytearray, fixed: bytearray, zz: np.ndarray,
+    ss: int, se: int, al: int, kx: int,
+) -> None:
+    """QM-encode AC coefficients over band Ss..Se at point transform
+    Al (Figure F.5; the sequential scan is the (1, 63, 0) case)."""
+    ke = 0
+    for kk in range(se, ss - 1, -1):
+        if abs(int(zz[kk])) >> al:
+            ke = kk
+            break
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(ast, st, 0)  # not end-of-block
-        while blk[k] == 0:
+        while (abs(int(zz[k])) >> al) == 0:
             enc.encode(ast, st + 1, 0)
             st += 3
             k += 1
         enc.encode(ast, st + 1, 1)
-        v = int(blk[k])
-        sign = 1 if v < 0 else 0
-        if sign:
-            v = -v
-        enc.encode(fixed, 0, sign)
+        v0 = int(zz[k])
+        v = abs(v0) >> al
+        enc.encode(fixed, 0, 1 if v0 < 0 else 0)
         st += 2
         m = 0
         v -= 1
@@ -1371,8 +1467,73 @@ def _arith_encode_block(
         while m := m >> 1:
             enc.encode(ast, st, 1 if m & v else 0)
         k += 1
-    if k <= 63:
+    if k <= se:
         enc.encode(ast, 3 * (k - 1), 1)  # end-of-block
+
+
+def _arith_enc_ac_refine(
+    enc, ast: bytearray, fixed: bytearray, zz: np.ndarray,
+    ss: int, se: int, al: int,
+) -> None:
+    """QM-encode one AC successive-approximation refinement band
+    (G.2): correction bits on context+2 for already-significant
+    positions, newly-significant values on context+1 with a
+    fixed-state sign, EOB decisions only past the previous stage's
+    end-of-block index."""
+    ke = 0
+    for kk in range(se, ss - 1, -1):
+        if abs(int(zz[kk])) >> al:
+            ke = kk
+            break
+    kex = 0
+    for kk in range(ke, 0, -1):
+        if abs(int(zz[kk])) >> (al + 1):
+            kex = kk
+            break
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(ast, st, 0)  # not end-of-block yet
+        while True:
+            v = int(zz[k])
+            mag = abs(v) >> al
+            if abs(v) >> (al + 1):  # already significant
+                enc.encode(ast, st + 2, mag & 1)
+                break
+            if mag:  # newly significant
+                enc.encode(ast, st + 1, 1)
+                enc.encode(fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.encode(ast, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(ast, 3 * (k - 1), 1)  # end-of-block
+
+
+def _arith_encode_block(
+    enc,
+    blk: np.ndarray,
+    dst: bytearray,
+    ast: bytearray,
+    fixed: bytearray,
+    ci: int,
+    preds: list,
+    dc_ctx: list,
+    low: int,
+    up: int,
+    kx: int,
+) -> None:
+    """QM-encode one quantized 8x8 block under the T.81 F.1.4
+    statistical model — the exact mirror of the decode side in
+    ``_run_scan_arith``."""
+    blk = blk[_ZZ_ROWS, _ZZ_COLS]
+    diff = int(blk[0]) - preds[ci]
+    preds[ci] = int(blk[0])
+    _arith_enc_dc(enc, dst, dc_ctx, ci, diff, low, up)
+    _arith_enc_ac_first(enc, ast, fixed, blk, 1, 63, 0, kx)
 
 
 def encode_jpeg_arith(
@@ -1696,24 +1857,14 @@ def _encode_ac_scan(out, blocks, nbh, nbw, ss, se, al, refine):
     out += bytes(writer.out)
 
 
-def encode_jpeg_progressive(
-    pixels: np.ndarray, quality: int = 90, subsample: bool = False
-) -> bytes:
-    """Progressive (SOF2) encode: DC-first at Al=1, per-component AC
-    first scans over two spectral bands at Al=1, then DC and AC
-    refinement scans down to Al=0 — the canonical web-JPEG scan
-    script shape. Exists to round-trip-test the progressive decoder
-    with fixtures any conformant decoder also accepts."""
-    px = np.asarray(pixels)
-    if px.ndim == 2:
-        px = px[..., None]
-    h, w, nc = px.shape
-    if nc not in (1, 3):
-        raise ValueError("expected 1 or 3 channels")
-    gray = nc == 1
+def _prog_grids(
+    px: np.ndarray, gray: bool, quality: int, subsample: bool
+):
+    """Quantized coefficient grids + per-component AC-scan block dims
+    for a progressive encode (shared by the SOF2 and SOF10 twins)."""
+    h, w = px.shape[:2]
     qt_l = _scaled_qt(_QT_LUMA, quality)
     qt_c = _scaled_qt(_QT_CHROMA, quality)
-
     if gray:
         planes = [px[..., 0].astype(np.float64)]
     else:
@@ -1749,6 +1900,25 @@ def encode_jpeg_progressive(
         crb = _fdct_quant(_plane_blocks(planes[2]), qt_c)
         grids = [(yb, 2, 2), (cbb, 1, 1), (crb, 1, 1)]
         ac_dims = [(nbh_y, nbw_y), cbb.shape[:2], crb.shape[:2]]
+    return qt_l, qt_c, grids, ac_dims
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """Progressive (SOF2) encode: DC-first at Al=1, per-component AC
+    first scans over two spectral bands at Al=1, then DC and AC
+    refinement scans down to Al=0 — the canonical web-JPEG scan
+    script shape. Exists to round-trip-test the progressive decoder
+    with fixtures any conformant decoder also accepts."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise ValueError("expected 1 or 3 channels")
+    gray = nc == 1
+    qt_l, qt_c, grids, ac_dims = _prog_grids(px, gray, quality, subsample)
 
     out = bytearray(b"\xff\xd8")
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -1797,6 +1967,266 @@ def encode_jpeg_progressive(
         _emit_scan_header(out, [(ids[i], tds[i], tds[i])], (ss, se, 1, 0))
         nbh, nbw = ac_dims[i]
         _encode_ac_scan(out, grids[i][0], nbh, nbw, ss, se, 0, refine=True)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_arith_progressive(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    dc_cond: tuple[int, int] = (0, 1),
+    ac_kx: int = 5,
+) -> bytes:
+    """PROGRESSIVE JPEG with ARITHMETIC entropy coding (T.81 SOF10):
+    the exact scan script of ``encode_jpeg_progressive`` (DC first at
+    Al=1, per-component AC first scans, DC and AC refinement down to
+    Al=0) with the Huffman layer swapped for the QM-coder under the
+    Annex-G statistical model. Each scan carries its own coder and
+    freshly-zeroed statistics areas, as the spec requires. Emits a
+    DAC segment so the decoder's conditioning parser is exercised."""
+    from .qm import FIXED_BIN, QMEncoder
+
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise ValueError("expected 1 or 3 channels")
+    gray = nc == 1
+    low, up = dc_cond
+    qt_l, qt_c, grids, ac_dims = _prog_grids(px, gray, quality, subsample)
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    for tq, tab in ((0, qt_l),) if gray else ((0, qt_l), (1, qt_c)):
+        zzt = tab[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([tq]) + zzt
+    if gray:
+        comp_spec = bytes([1, 0x11, 0])
+    else:
+        chh = 0x22 if subsample else 0x11
+        comp_spec = bytes([1, chh, 0, 2, 0x11, 1, 3, 0x11, 1])
+    nf = 1 if gray else 3
+    out += (
+        b"\xff\xca"  # SOF10: progressive DCT, arithmetic coding
+        + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+        + comp_spec
+    )
+    dac = bytes([0x00, (up << 4) | low, 0x10, ac_kx])
+    if not gray:
+        dac += bytes([0x01, (up << 4) | low, 0x11, ac_kx])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+
+    ids = [1] if gray else [1, 2, 3]
+    tds = [0] if gray else [0, 1, 1]
+    all_dc = [(ids[i], tds[i], tds[i]) for i in range(nf)]
+    n_tbl = 1 if gray else 2
+
+    def dc_scan(al: int, refine: bool) -> None:
+        enc = QMEncoder()
+        dsts = [bytearray(64) for _ in range(n_tbl)]
+        fixed = bytearray([FIXED_BIN])
+        preds = [0] * len(grids)
+        dc_ctx = [0] * len(grids)
+        mcus_y = min(g.shape[0] // gv for g, _, gv in grids)
+        mcus_x = min(g.shape[1] // gh for g, gh, _ in grids)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for gi, (blocks, gh, gv) in enumerate(grids):
+                    for by in range(gv):
+                        for bx in range(gh):
+                            dc = int(
+                                blocks[my * gv + by, mx * gh + bx][0, 0]
+                            )
+                            if refine:
+                                enc.encode(fixed, 0, (dc >> al) & 1)
+                                continue
+                            v = dc >> al  # arithmetic shift per T.81
+                            _arith_enc_dc(
+                                enc, dsts[tds[gi]], dc_ctx, gi,
+                                v - preds[gi], low, up,
+                            )
+                            preds[gi] = v
+        out.extend(enc.flush())
+
+    def ac_scan(gi: int, ss: int, se: int, al: int, refine: bool) -> None:
+        enc = QMEncoder()
+        ast = bytearray(256)
+        fixed = bytearray([FIXED_BIN])
+        blocks = grids[gi][0]
+        nbh, nbw = ac_dims[gi]
+        for by in range(nbh):
+            for bx in range(nbw):
+                zz = blocks[by, bx][_ZZ_ROWS, _ZZ_COLS]
+                if refine:
+                    _arith_enc_ac_refine(enc, ast, fixed, zz, ss, se, al)
+                else:
+                    _arith_enc_ac_first(
+                        enc, ast, fixed, zz, ss, se, al, ac_kx
+                    )
+        out.extend(enc.flush())
+
+    # scan script: DC first @Al=1; AC first per comp (two bands for
+    # comp 0) @Al=1; DC refine; AC refine mirrors the first scans
+    _emit_scan_header(out, all_dc, (0, 0, 0, 1))
+    dc_scan(1, refine=False)
+    ac_script = []
+    for i in range(nf):
+        bands = [(1, 5), (6, 63)] if i == 0 else [(1, 63)]
+        for ss, se in bands:
+            ac_script.append((i, ss, se))
+    for i, ss, se in ac_script:
+        _emit_scan_header(out, [(ids[i], tds[i], tds[i])], (ss, se, 0, 1))
+        ac_scan(i, ss, se, 1, refine=False)
+    _emit_scan_header(out, all_dc, (0, 0, 1, 0))
+    dc_scan(0, refine=True)
+    for i, ss, se in ac_script:
+        _emit_scan_header(out, [(ids[i], tds[i], tds[i])], (ss, se, 1, 0))
+        ac_scan(i, ss, se, 0, refine=True)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg12(
+    pixels: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+) -> bytes:
+    """12-BIT extended sequential JPEG encode (T.81 SOF1, the
+    medical/DICOM precision): an (H, W) / (H, W, 1) grayscale or
+    (H, W, 3) RGB uint16 array with samples in 0..4095, level-shifted
+    by 2048, quantized with 16-bit DQT tables (Pq = 1), and
+    Huffman-coded with flat canonical tables sized for the extended
+    ranges (DC SSSS 0..15 at 5 bits, AC sizes 1..14 at 8 bits).
+    4:4:4 only; ``restart_interval`` > 0 emits DRI + RSTn. Fixture
+    twin of ``decode_jpeg12``."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise ValueError("expected 1 or 3 channels")
+    if px.max() > 4095 or px.min() < 0:
+        raise ValueError("12-bit samples must be in 0..4095")
+    gray = nc == 1
+    qt_l = _scaled_qt(_QT_LUMA, quality)
+    qt_c = _scaled_qt(_QT_CHROMA, quality)
+
+    if gray:
+        planes = [px[..., 0].astype(np.float64)]
+    else:
+        r, g, b = (px[..., k].astype(np.float64) for k in range(3))
+        yp = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 2048.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 2048.0
+        planes = [yp, cb, cr]
+
+    def blocks12(plane: np.ndarray) -> np.ndarray:
+        ph, pw = -(-plane.shape[0] // 8) * 8, -(-plane.shape[1] // 8) * 8
+        padded = np.pad(
+            plane - 2048.0,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        return padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+
+    grids = [
+        (_fdct_quant(blocks12(p), qt_l if i == 0 else qt_c), 1, 1)
+        for i, p in enumerate(planes)
+    ]
+    mcus_y, mcus_x = grids[0][0].shape[:2]
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    # DQT with Pq = 1 (16-bit entries) — the precision the 12-bit
+    # process is allowed to need, exercising that parse path
+    for tq, tab in ((0, qt_l),) if gray else ((0, qt_l), (1, qt_c)):
+        zz = tab[_ZZ_ROWS, _ZZ_COLS].astype(">u2").tobytes()
+        out += (
+            b"\xff\xdb" + struct.pack(">H", 3 + 128)
+            + bytes([0x10 | tq]) + zz
+        )
+    if gray:
+        comp_spec = bytes([1, 0x11, 0])
+    else:
+        comp_spec = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    nf = 1 if gray else 3
+    out += (
+        b"\xff\xc1"  # SOF1: extended sequential, Huffman
+        + struct.pack(">HBHHB", 8 + 3 * nf, 12, h, w, nf)
+        + comp_spec
+    )
+    tables = [(0, 0, _DC12_BITS, _DC12_VALS), (1, 0, _AC12_BITS, _AC12_VALS)]
+    if not gray:
+        tables += [
+            (0, 1, _DC12_BITS, _DC12_VALS),
+            (1, 1, _AC12_BITS, _AC12_VALS),
+        ]
+    for tc, th, bits, vals in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if gray:
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+    else:
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def encode_block12(writer: _BitWriter, blk: np.ndarray, pred: int) -> int:
+        zz = blk[_ZZ_ROWS, _ZZ_COLS].copy()
+        # extended-precision AC magnitudes cap at size 14
+        np.clip(zz[1:], -16383, 16383, out=zz[1:])
+        diff = int(zz[0]) - pred
+        size = _csize(diff)
+        ln, code = _DC12_CODES[size]
+        writer.write(code, ln)
+        if size:
+            writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        run = 0
+        last_nz = np.nonzero(zz[1:])[0]
+        end = (last_nz[-1] + 2) if last_nz.size else 1
+        for k in range(1, end):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = _AC12_CODES[0xF0]
+                writer.write(code, ln)
+                run -= 16
+            size = _csize(v)
+            ln, code = _AC12_CODES[(run << 4) | size]
+            writer.write(code, ln)
+            writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if end < 64:
+            ln, code = _AC12_CODES[0x00]
+            writer.write(code, ln)
+        return int(zz[0])
+
+    writer = _BitWriter()
+    preds = [0] * len(grids)
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                out += bytes(writer.out)
+                writer = _BitWriter()
+                out += bytes(
+                    [0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)]
+                )
+                preds = [0] * len(grids)
+            for gi, (blocks, _gh, _gv) in enumerate(grids):
+                blk = blocks[my, mx]
+                preds[gi] = encode_block12(writer, blk, preds[gi])
+            mcu += 1
+    writer.flush()
+    out += bytes(writer.out)
     out += b"\xff\xd9"
     return bytes(out)
 

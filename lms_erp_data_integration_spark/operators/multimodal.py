@@ -338,12 +338,37 @@ def _decode_png(payload: bytes) -> dict | None:
     }
 
 
-def _decode_jpeg_meta(payload: bytes) -> dict | None:
-    """IMAGE_META dict for a JPEG, else None — EXIF-orientation
-    normalized, so width/height describe the upright image."""
-    from .jpeg import decode_jpeg_oriented
+def _decode_qoi_meta(payload: bytes) -> dict | None:
+    """IMAGE_META dict for a QOI payload, else None."""
+    from .qoi import decode_qoi
 
-    px = decode_jpeg_oriented(payload)
+    px = decode_qoi(payload)
+    if px is None:
+        return None
+    h, w, c = px.shape
+    return {
+        "n_bytes": len(payload),
+        "width": w,
+        "height": h,
+        "channels": c,
+        "pixel_mean": float(px.mean()),
+    }
+
+
+def _decode_jpeg_meta(payload: bytes) -> dict | None:
+    """IMAGE_META dict for a JPEG (or 8-bit JPEG-LS), else None —
+    EXIF-orientation normalized, so width/height describe the
+    upright image."""
+    from .jpegls import decode_jpegls, is_jpegls
+
+    if is_jpegls(payload):
+        px = decode_jpegls(payload)
+        if px is None or px.dtype != np.uint8:
+            return None
+    else:
+        from .jpeg import decode_jpeg_oriented
+
+        px = decode_jpeg_oriented(payload)
     if px is None:
         return None
     h, w, c = px.shape
@@ -443,7 +468,7 @@ def _decode_tga_meta(payload: bytes) -> dict | None:
 def decode_image(payload: bytes) -> dict | None:
     """Real decode for the formats needing no external codec
     (PPM/PGM/BMP/PNG/baseline+progressive+arithmetic JPEG/GIF/
-    baseline TIFF). Returns the
+    baseline TIFF/QOI/ICO/TGA). Returns the
     IMAGE_META dict, or None when the payload is not a recognized
     format — callers fall back to ``decode_image_stub``."""
     if not payload:
@@ -456,6 +481,7 @@ def decode_image(payload: bytes) -> dict | None:
             or _decode_jpeg_meta(payload)
             or _decode_gif_meta(payload)
             or _decode_tiff_meta(payload)
+            or _decode_qoi_meta(payload)
             or _decode_ico_meta(payload)
             or _decode_tga_meta(payload)
         )
@@ -497,6 +523,12 @@ def _decode_pixels(payload: bytes) -> tuple | None:
     if payload.startswith(_PNG_SIG):
         return _png_pixels(payload)
     if payload[:2] == b"\xff\xd8":
+        from .jpegls import decode_jpegls, is_jpegls
+
+        if is_jpegls(payload):
+            # JPEG-LS (SOF55 precedes the first scan); 8-bit only
+            px = decode_jpegls(payload)
+            return px if px is not None and px.dtype == np.uint8 else None
         from .jpeg import decode_jpeg_oriented
 
         return decode_jpeg_oriented(payload)
@@ -506,6 +538,10 @@ def _decode_pixels(payload: bytes) -> tuple | None:
         return decode_gif(payload)
     if payload[:2] in (b"II", b"MM"):
         return _decode_tiff_pixels(payload)
+    if payload[:4] == b"qoif":
+        from .qoi import decode_qoi
+
+        return decode_qoi(payload)
     if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
         ico = _decode_ico_pixels(payload)
         if ico is not None:
@@ -1672,12 +1708,22 @@ def mp4_sample_table(payload: bytes) -> list[dict] | None:
     co64 = False
     for typ, a, b in _bmff_boxes(payload, sa, sb):
         body = payload[a:b]
+        # every `count` below is attacker-controlled 32-bit data: a
+        # corrupt table must reject, not allocate count-sized lists
+        # (a flipped bit once turned `[x] * count` into a 4-billion-
+        # entry allocation — an effective hang, found by the fuzz
+        # soak). Entry counts are clamped to what the box body
+        # actually contains; the body-less uniform-stsz count is
+        # validated later against the file-backed chunk tables.
         if typ == b"stsz" and len(body) >= 12:
             uniform = int.from_bytes(body[4:8], "big")
             count = int.from_bytes(body[8:12], "big")
             if uniform:
-                sizes = [uniform] * count
+                uniform_count = count
+                sizes = "uniform"  # expanded after validation below
             else:
+                if count > (len(body) - 12) // 4:
+                    return None
                 sizes = [
                     int.from_bytes(body[12 + 4 * i : 16 + 4 * i], "big")
                     for i in range(count)
@@ -1686,6 +1732,8 @@ def mp4_sample_table(payload: bytes) -> list[dict] | None:
             co64 = typ == b"co64"
             unit = 8 if co64 else 4
             count = int.from_bytes(body[4:8], "big")
+            if count > (len(body) - 8) // unit:
+                return None
             offsets = [
                 int.from_bytes(
                     body[8 + unit * i : 8 + unit * (i + 1)], "big"
@@ -1694,6 +1742,8 @@ def mp4_sample_table(payload: bytes) -> list[dict] | None:
             ]
         elif typ == b"stsc" and len(body) >= 8:
             count = int.from_bytes(body[4:8], "big")
+            if count > (len(body) - 8) // 12:
+                return None
             stsc = [
                 tuple(
                     int.from_bytes(
@@ -1706,6 +1756,8 @@ def mp4_sample_table(payload: bytes) -> list[dict] | None:
             ]
         elif typ == b"stts" and len(body) >= 8:
             count = int.from_bytes(body[4:8], "big")
+            if count > (len(body) - 8) // 8:
+                return None
             stts = [
                 (
                     int.from_bytes(body[8 + 8 * i : 12 + 8 * i], "big"),
@@ -1715,17 +1767,38 @@ def mp4_sample_table(payload: bytes) -> list[dict] | None:
             ]
     if not sizes or not offsets or not stsc or not stts:
         return None
+    if sizes == "uniform":
+        # no per-sample body backs a uniform stsz: bound its count by
+        # the file-backed tables (total stts entries cap the sample
+        # count; a sample needs at least one byte in the file)
+        cap = min(
+            sum(n for n, _d in stts), len(payload), 1 << 24
+        )
+        if uniform_count > cap:
+            return None
+        sizes = [uniform] * uniform_count
     # expand stsc runs into samples-per-chunk for every chunk
     spc = []
     for i, (first, n, _sdi) in enumerate(stsc):
         last = (
             stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(offsets)
         )
-        spc.extend([n] * (last - first + 1))
-    # expand stts into per-sample deltas
+        # run bounds are table data too: clamp to the chunk count,
+        # cap each chunk's samples at the total sample count, and
+        # never let overlapping corrupt runs grow spc past one entry
+        # per chunk (its semantic size)
+        last = min(last, len(offsets))
+        if first < 1 or last < first or n > len(sizes):
+            continue
+        spc.extend([n] * min(last - first + 1, len(offsets) - len(spc)))
+        if len(spc) >= len(offsets):
+            break
+    # expand stts into per-sample deltas (never more than samples)
     deltas = []
     for n, d in stts:
-        deltas.extend([d] * n)
+        deltas.extend([d] * min(n, len(sizes) - len(deltas)))
+        if len(deltas) >= len(sizes):
+            break
     out = []
     si = 0
     t = 0

@@ -39,8 +39,9 @@ registry.PRIORITY = [
     # oracle-prelude factoring (r7 verdict #6 — assembled SQL proven
     # byte-identical by the parity sweep, but the rotation policy
     # pulls any source change back under the driver gate), plus the
-    # pixel-CRC codec gate grown by the six arithmetic-JPEG fixtures
-    # (r7 verdict #4: T.81 SOF9 QM-coder decode)
+    # pixel-CRC codec gate grown by the r8 codec fixtures (r7 verdict
+    # #4: six SOF9 arithmetic-JPEG, six SOF3 lossless, six SOF10
+    # progressive-arithmetic)
     "llm_dedup_ngram_jaccard",
     "llm_dedup_clusters",
     "llm_dedup_apply",

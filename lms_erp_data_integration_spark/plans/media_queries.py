@@ -43,8 +43,18 @@ _FORMATS = ["png", "png_i", "jpeg", "gif", "tiff", "pnm"]
 # non-default DAC conditioning; ids 36-41 (r8) are LOSSLESS JPEG
 # (T.81 SOF3) — every predictor selector exercised, gray/RGB, one
 # point-transform case; decode is bit-exact so the CRC equals the
-# source image's own CRC
-_N_PIXEL_PAYLOADS = 42
+# source image's own CRC; ids 42-47 (r8) are PROGRESSIVE ARITHMETIC
+# JPEG (T.81 SOF10) — the Annex-G scan script (DC first, banded AC
+# first, DC/AC refinement) QM-coded, gray/color, 4:2:0, non-default
+# DAC conditioning; ids 48-53 (r8) are 12-BIT extended sequential
+# JPEG (T.81 SOF1, the medical/DICOM precision) — 16-bit DQT (Pq=1),
+# extended Huffman ranges, uint16 rasters, restart intervals;
+# ids 54-57 (r8) are QOI (qoiformat.org) — RGB/RGBA, all six chunk
+# ops, lossless so the CRC equals the source image's own CRC;
+# ids 58-63 (r8) are JPEG-LS (ITU-T T.87 / LOCO-I) — regular +
+# run-mode content, gray/RGB, 8- and 16-bit, non-default RESET via
+# LSE; lossless, so CRCs equal the source images' own CRCs
+_N_PIXEL_PAYLOADS = 64
 
 
 def _pixel_rows(ids) -> list[dict]:
@@ -57,8 +67,11 @@ def _pixel_rows(ids) -> list[dict]:
     from ..operators import multimodal as mm
     from ..operators.gif import decode_gif, encode_gif
     from ..operators.jpeg import (
+        decode_jpeg12,
         encode_jpeg,
+        encode_jpeg12,
         encode_jpeg_arith,
+        encode_jpeg_arith_progressive,
         encode_jpeg_lossless,
     )
 
@@ -68,6 +81,147 @@ def _pixel_rows(ids) -> list[dict]:
         rng = np.random.default_rng(pid)
         h = 5 + pid % 7
         w = 4 + (pid * 3) % 9
+        if pid >= 58:
+            # JPEG-LS (T.87): mixed smooth/flat/noisy content drives
+            # both regular and run mode; 62-63 are 16-bit planes
+            # (decoded via decode_jpegls directly — the 8-bit
+            # dispatcher contract excludes deep rasters)
+            from ..operators.jpegls import decode_jpegls, encode_jpegls
+
+            h = 14 + pid % 7
+            w = 11 + (pid * 3) % 13
+            deep = pid >= 62
+            gray = pid % 2 == 0
+            shape = (h, w) if gray else (h, w, 3)
+            if deep:
+                img = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+                img[::3] = img[0, 0]  # flat rows: run mode
+            else:
+                img = np.cumsum(
+                    rng.integers(0, 4, shape), axis=1
+                ).astype(np.uint8)
+                img[1::4] = 0  # flat rows: run mode
+            payload = encode_jpegls(
+                img, reset=32 if pid % 5 == 3 else 64
+            )
+            px = (
+                decode_jpegls(payload)
+                if deep
+                else mm._decode_pixels(payload)
+            )
+            if px is None:
+                continue
+            rows.append(
+                {
+                    "payload_id": pid,
+                    "fmt": "jpegls16" if deep else "jpegls",
+                    "n_payload_bytes": len(payload),
+                    "width": px.shape[1],
+                    "height": px.shape[0],
+                    "channels": px.shape[2],
+                    "pixel_crc32": zlib.crc32(
+                        np.ascontiguousarray(px).tobytes()
+                    ),
+                }
+            )
+            continue
+        if pid >= 54:
+            # QOI: RGB/RGBA alternating; low-cardinality palettes and
+            # smooth ramps force INDEX/DIFF/LUMA/RUN chunks alongside
+            # the literal ops; decode via the shared dispatcher
+            h = 12 + pid % 9
+            w = 10 + (pid * 3) % 11
+            nc4 = pid % 2 == 1
+            base = rng.integers(0, 5, (h, w, 4 if nc4 else 3))
+            img = np.cumsum(base, axis=1).astype(np.uint8)
+            if pid % 3 == 0:  # palette-ish rows: runs + index hits
+                img[::2] = img[0]
+            from ..operators.qoi import encode_qoi
+
+            payload = encode_qoi(img)
+            px = mm._decode_pixels(payload)
+            if px is None:
+                continue
+            rows.append(
+                {
+                    "payload_id": pid,
+                    "fmt": "qoi",
+                    "n_payload_bytes": len(payload),
+                    "width": px.shape[1],
+                    "height": px.shape[0],
+                    "channels": px.shape[2],
+                    "pixel_crc32": zlib.crc32(
+                        np.ascontiguousarray(px).tobytes()
+                    ),
+                }
+            )
+            continue
+        if pid >= 48:
+            # 12-bit extended sequential JPEG (SOF1): uint16 rasters
+            # in 0..4095, 16-bit DQT entries, extended Huffman
+            # category ranges, alternating gray/RGB and restarts
+            h = 10 + pid % 11
+            w = 9 + (pid * 5) % 13
+            gray = pid % 2 == 0
+            shape = (h, w) if gray else (h, w, 3)
+            img = rng.integers(0, 4096, shape, dtype=np.uint16)
+            payload = encode_jpeg12(
+                img,
+                quality=85 + (pid % 4) * 5,
+                restart_interval=pid % 3,
+            )
+            px = decode_jpeg12(payload)
+            if px is None:
+                continue
+            rows.append(
+                {
+                    "payload_id": pid,
+                    "fmt": "jpeg12",
+                    "n_payload_bytes": len(payload),
+                    "width": px.shape[1],
+                    "height": px.shape[0],
+                    "channels": px.shape[2],
+                    "pixel_crc32": zlib.crc32(
+                        np.ascontiguousarray(px).tobytes()
+                    ),
+                }
+            )
+            continue
+        if pid >= 42:
+            # progressive arithmetic JPEG (SOF10): multi-MCU shapes so
+            # the banded AC scans and refinement EOB decisions span
+            # blocks; decoded pixels must be bit-identical to the
+            # Huffman progressive process (shared DCT/quantization)
+            h = 11 + pid % 13
+            w = 9 + (pid * 3) % 17
+            gray = pid % 3 == 0
+            shape = (h, w) if gray else (h, w, 3)
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            payload = encode_jpeg_arith_progressive(
+                img,
+                quality=80 + (pid % 3) * 5,
+                subsample=(not gray) and pid % 2 == 0,
+                dc_cond=(1, 3) if pid % 5 == 2 else (0, 1),
+                ac_kx=20 if pid % 5 == 2 else 5,
+            )
+            px = mm._decode_pixels(payload)
+            if px is None:
+                continue
+            px = px if px.ndim == 3 else px[:, :, None]
+            rows.append(
+                {
+                    "payload_id": pid,
+                    "fmt": "jpeg_arith_prog",
+                    "n_payload_bytes": len(payload),
+                    "width": px.shape[1],
+                    "height": px.shape[0],
+                    "channels": px.shape[2],
+                    "pixel_crc32": zlib.crc32(
+                        np.ascontiguousarray(px).tobytes()
+                    ),
+                }
+            )
+            continue
         if pid >= 36:
             # lossless JPEG (SOF3): predictors 1-7 cycled (pid-36+1
             # for 36-41 covers 1..6; predictor 7 rides id 41's twin
@@ -258,22 +412,57 @@ SELECT * FROM (VALUES
   (38, 'jpeg_lossless', 181, 9, 9, 1, 3842572368),
   (39, 'jpeg_lossless', 692, 14, 10, 3, 3324785416),
   (40, 'jpeg_lossless', 192, 8, 11, 1, 1294595814),
-  (41, 'jpeg_lossless', 697, 13, 12, 3, 3096708290)
+  (41, 'jpeg_lossless', 697, 13, 12, 3, 3096708290),
+  (42, 'jpeg_arith_prog', 345, 16, 14, 1, 795134671),
+  (43, 'jpeg_arith_prog', 898, 19, 15, 3, 77398477),
+  (44, 'jpeg_arith_prog', 682, 22, 16, 3, 3407053932),
+  (45, 'jpeg_arith_prog', 519, 25, 17, 1, 2550151901),
+  (46, 'jpeg_arith_prog', 589, 11, 18, 3, 215816135),
+  (47, 'jpeg_arith_prog', 1009, 14, 19, 3, 2679052247),
+  (48, 'jpeg12', 913, 15, 14, 1, 3553017373),
+  (49, 'jpeg12', 2819, 20, 15, 3, 1531271430),
+  (50, 'jpeg12', 965, 12, 16, 1, 2082860512),
+  (51, 'jpeg12', 2772, 17, 17, 3, 939371539),
+  (52, 'jpeg12', 866, 9, 18, 1, 1673475466),
+  (53, 'jpeg12', 2809, 14, 19, 3, 3997106092),
+  (54, 'qoi', 395, 18, 12, 3, 2545604476),
+  (55, 'qoi', 603, 10, 13, 4, 1998668283),
+  (56, 'qoi', 389, 13, 14, 3, 1321189785),
+  (57, 'qoi', 914, 16, 15, 4, 1449318864),
+  (58, 'jpegls', 137, 16, 16, 1, 116807122),
+  (59, 'jpegls', 396, 19, 17, 3, 3132768597),
+  (60, 'jpegls', 169, 22, 18, 1, 335899660),
+  (61, 'jpegls', 307, 12, 19, 3, 90954833),
+  (62, 'jpegls16', 660, 15, 20, 1, 3953802440),
+  (63, 'jpegls16', 608, 18, 14, 1, 3345470258)
 ) AS t(payload_id, fmt, n_payload_bytes, width, height, channels,
        pixel_crc32)
 """,
 )
 def decode_pixel_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pixel-exact codec gate: 42 deterministic fixture images cycle
+    """Pixel-exact codec gate: 64 deterministic fixture images cycle
     through PNG (plain + Adam7 interlace), baseline JPEG, GIF/LZW,
     TIFF-LZW-with-predictor, PNM, (ids 24-29, r7) TIFF 6.0 TILE
     layout — per-tile prediction/compression, 16-multiple tile dims,
     zero-padded edges cropped on decode — (ids 30-35, r8)
     ARITHMETIC-coded JPEG (T.81 SOF9: QM-coder + the F.1.4.4.1 DC/AC
     statistical model, gray/4:2:0/restart/DAC-conditioning variants,
-    ``operators/qm.py``), and (ids 36-41, r8) LOSSLESS JPEG (T.81
+    ``operators/qm.py``), (ids 36-41, r8) LOSSLESS JPEG (T.81
     SOF3: spatial predictors 1-7 + modulo-2^16 difference coding;
-    bit-exact, so those CRCs equal the source images' own CRCs) —
+    bit-exact, so those CRCs equal the source images' own CRCs), and
+    (ids 42-47, r8) PROGRESSIVE ARITHMETIC JPEG (T.81 SOF10: the
+    Annex-G spectral-selection / successive-approximation scan script
+    QM-coded; decoded pixels bit-identical to the SOF2 Huffman
+    process on the same quantized coefficients), (ids 48-53, r8)
+    12-BIT extended sequential JPEG (T.81 SOF1: 16-bit DQT, extended
+    Huffman category ranges, uint16 rasters in 0..4095 via
+    ``decode_jpeg12``), (ids 54-57, r8) QOI (the complete
+    qoiformat.org spec: all six chunk ops, rolling color index,
+    RGB/RGBA), and (ids 58-63, r8) JPEG-LS (ITU-T T.87 LOCO-I:
+    gradient-context modeling, MED prediction with adaptive bias,
+    limited Golomb coding, run mode with the J[] segment orders,
+    8/16-bit, LSE presets; the QOI and JPEG-LS families are
+    lossless, so those CRCs equal the source images' own CRCs) —
     each encoded AND decoded by
     the repo's from-scratch codecs inside executor tasks, signed with
     a CRC32 of the decoded pixel buffer. The fixture set is fixed

@@ -24,15 +24,26 @@ from lms_erp_data_integration_spark.operators.gif import (  # noqa: E402
 )
 from lms_erp_data_integration_spark.operators.jpeg import (  # noqa: E402
     decode_jpeg,
+    decode_jpeg12,
     decode_jpeg_lossless16,
     decode_jpeg_oriented,
     encode_jpeg,
+    encode_jpeg12,
     encode_jpeg_arith,
+    encode_jpeg_arith_progressive,
     encode_jpeg_lossless,
     encode_jpeg_progressive,
 )
 from lms_erp_data_integration_spark.operators import avi  # noqa: E402
 from lms_erp_data_integration_spark.operators import flac  # noqa: E402
+from lms_erp_data_integration_spark.operators.jpegls import (  # noqa: E402
+    decode_jpegls,
+    encode_jpegls,
+)
+from lms_erp_data_integration_spark.operators.qoi import (  # noqa: E402
+    decode_qoi,
+    encode_qoi,
+)
 from lms_erp_data_integration_spark.sources.warc import (  # noqa: E402
     iter_warc_records,
     iter_warc_stream,
@@ -43,7 +54,7 @@ PROBES = [
     mm.wav_spectral_features, mm.probe_mp4, mm.mp4_sample_table,
     mm._decode_tiff_pixels, mm._decode_tga_pixels, mm._decode_ico_pixels,
     decode_gif, gif_frame_count, decode_jpeg, decode_jpeg_oriented,
-    decode_jpeg_lossless16,
+    decode_jpeg_lossless16, decode_jpeg12, decode_qoi, decode_jpegls,
     mm.perceptual_hash, mm.audio_fingerprint, mm.video_fingerprint,
     mm.extract_pdf_text, mm.extract_docx_text, mm.extract_epub_html,
     lambda p: list(mm.iter_tar_members(p)),
@@ -61,7 +72,7 @@ PROBES = [
 ]
 
 MAGICS = [
-    b"fLaC",
+    b"fLaC", b"qoif",
     b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"RIFF", b"II*\x00",
     b"MM\x00*", b"P6\n", b"BM", b"WARC/1.0\r\n", b"%PDF-1.4",
     b"PK\x03\x04", b"\x00\x00\x01\x00", b"\x00\x00\x02\x00",
@@ -89,6 +100,14 @@ def _soak(trials: int, seed: int) -> int:
     valids = [
         encode_jpeg(img), encode_jpeg_progressive(img),
         encode_jpeg_arith(img), encode_jpeg_arith(img, restart_interval=2),
+        encode_jpeg_arith_progressive(img),
+        encode_jpeg12(
+            rng.integers(0, 4096, (9, 7, 3), dtype=np.uint16),
+            restart_interval=2,
+        ),
+        encode_qoi(rng.integers(0, 256, (9, 7, 4), dtype=np.uint8)),
+        encode_jpegls(img),
+        encode_jpegls(rng.integers(0, 65536, (6, 9), dtype=np.uint16)),
         encode_jpeg_lossless(img, predictor=4),
         mm.encode_png(img),
         mm.encode_png(img, interlace=True),

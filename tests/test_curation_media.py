@@ -51,13 +51,31 @@ def test_pixel_rows_deterministic_and_complete():
     assert a == b
     assert len(a) == media_queries._N_PIXEL_PAYLOADS  # every fmt decodes
     fmts = {r["fmt"] for r in a}
-    assert fmts == set(media_queries._FORMATS) | {"tiff_tiled"}
-    # base fixtures decode to 3-channel RGB; tiled-TIFF ids alternate
-    # gray (1) and RGB (3) deliberately
+    assert fmts == set(media_queries._FORMATS) | {
+        "tiff_tiled", "jpeg_arith", "jpeg_lossless", "jpeg_arith_prog",
+        "jpeg12", "qoi", "jpegls", "jpegls16",
+    }
+    # base fixtures decode to 3-channel RGB; the codec-family ids
+    # alternate gray (1) / RGB (3) on the generator's own parity rules
+    # (and QOI's odd ids carry an alpha plane — 4 channels)
+    gray_rule = {
+        "tiff_tiled": lambda pid: pid % 2 == 0,
+        "jpeg_arith": lambda pid: pid % 3 == 0,
+        "jpeg_lossless": lambda pid: pid % 2 == 0,
+        "jpeg_arith_prog": lambda pid: pid % 3 == 0,
+        "jpeg12": lambda pid: pid % 2 == 0,
+        "jpegls": lambda pid: pid % 2 == 0,
+        "jpegls16": lambda pid: True,  # deep fixtures are all planar
+    }
     for r in a:
-        assert r["channels"] == (
-            3 if r["fmt"] != "tiff_tiled" or r["payload_id"] % 2 else 1
-        )
+        pid = r["payload_id"]
+        if r["fmt"] == "qoi":
+            want = 4 if pid % 2 == 1 else 3
+        elif r["fmt"] in gray_rule:
+            want = 1 if gray_rule[r["fmt"]](pid) else 3
+        else:
+            want = 3
+        assert r["channels"] == want, (pid, r["fmt"])
         assert r["pixel_crc32"] > 0
 
 

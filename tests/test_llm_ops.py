@@ -1044,6 +1044,192 @@ def test_jpeg_arithmetic_bit_identical_to_huffman():
     assert len(encode_jpeg_arith(img)) < len(encode_jpeg(img))
 
 
+def test_jpeg_arith_progressive_bit_identical_to_huffman_progressive():
+    """SOF10 (progressive, arithmetic) is a lossless entropy layer
+    over the same quantized blocks and the same Annex-G scan script
+    as the SOF2 fixture encoder, so decode must be EXACTLY the
+    Huffman progressive pixels — gray/color, 4:2:0, non-default DAC
+    conditioning, single-MCU and multi-MCU shapes."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_arith_progressive,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(23)
+    cases = [
+        (np.full((16, 16), 128, np.uint8), {}),
+        (rng.integers(0, 256, (17, 23), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (12, 20, 3), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (33, 41, 3), dtype=np.uint8),
+         {"subsample": True}),
+        (rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (24, 9, 3), dtype=np.uint8),
+         {"dc_cond": (2, 4), "ac_kx": 30}),
+    ]
+    for img, akw in cases:
+        hkw = {k: v for k, v in akw.items() if k == "subsample"}
+        pa = encode_jpeg_arith_progressive(img, quality=90, **akw)
+        assert b"\xff\xca" in pa and b"\xff\xcc" in pa  # SOF10 + DAC
+        arith = decode_jpeg(pa)
+        huff = decode_jpeg(encode_jpeg_progressive(img, quality=90, **hkw))
+        assert arith is not None
+        assert (arith == huff).all()
+    # the adaptive QM layer beats the flat-table Huffman fixture
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert len(encode_jpeg_arith_progressive(img)) < len(
+        encode_jpeg_progressive(img)
+    )
+
+
+def test_jpeg12_extended_sequential_roundtrip():
+    """12-bit SOF1: uint16 rasters survive an encode/decode round
+    trip with only DCT rounding error at quality 100 (unit quant
+    tables), across gray/RGB and restart intervals; the 8-bit
+    dispatcher refuses the stream, and decode_jpeg12 refuses 8-bit
+    and lossless streams."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg12,
+        encode_jpeg,
+        encode_jpeg12,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(31)
+    for shape, ri in [((24, 17), 0), ((16, 16, 3), 0), ((21, 34, 3), 3)]:
+        img = rng.integers(0, 4096, shape, dtype=np.uint16)
+        p = encode_jpeg12(img, quality=100, restart_interval=ri)
+        assert b"\xff\xc1" in p  # SOF1
+        assert p[p.index(b"\xff\xdb") + 4] & 0xF0 == 0x10  # Pq = 1
+        d = decode_jpeg12(p)
+        assert d is not None and d.dtype == np.uint16
+        src = img if img.ndim == 3 else img[:, :, None]
+        assert d.shape == src.shape
+        # quality 100 -> unit quant tables: only FDCT/IDCT rounding
+        assert np.abs(d.astype(int) - src.astype(int)).max() <= 4
+        assert decode_jpeg(p) is None  # not an 8-bit raster
+    img8 = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    assert decode_jpeg12(encode_jpeg(img8)) is None
+    assert decode_jpeg12(encode_jpeg_lossless(img8)) is None
+    # malformed inputs reject cleanly
+    p = encode_jpeg12(rng.integers(0, 4096, (12, 10), dtype=np.uint16))
+    for cut in range(0, len(p), 11):
+        r = decode_jpeg12(p[:cut])
+        assert r is None or r.shape == (12, 10, 1)
+
+
+def test_jpegls_lossless_roundtrip():
+    """JPEG-LS (T.87): bit-exact encode/decode round trips through
+    regular mode, run mode (including exact end-of-line segment
+    fits), the bias-inverted k=0 mapping, 8- and 16-bit precision,
+    gray/RGB plane scans, and a non-default RESET via LSE; the
+    shared dispatcher recognizes 8-bit streams structurally (not by
+    substring) and the 8-bit raster contract excludes deep planes."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators import multimodal as mm
+    from lms_erp_data_integration_spark.operators.jpegls import (
+        decode_jpegls,
+        encode_jpegls,
+        is_jpegls,
+    )
+
+    rng = np.random.default_rng(53)
+    cases = [
+        rng.integers(0, 256, (13, 9), dtype=np.uint8),
+        rng.integers(0, 256, (7, 21, 3), dtype=np.uint8),
+        np.zeros((20, 30), np.uint8),  # pure runs, EOL segments
+        np.full((5, 64), 77, np.uint8),  # exact segment fits
+        np.cumsum(rng.integers(0, 3, (9, 29, 3)), axis=1).astype(np.uint8),
+        rng.integers(0, 65536, (8, 11), dtype=np.uint16),
+        np.eye(16, dtype=np.uint8) * 255,  # run interruptions
+    ]
+    for i, img in enumerate(cases):
+        p = encode_jpegls(img, reset=32 if i == 4 else 64)
+        assert is_jpegls(p) and p[2:4] == b"\xff\xf7"
+        d = decode_jpegls(p)
+        src = img if img.ndim == 3 else img[:, :, None]
+        assert d is not None and d.shape == src.shape and (d == src).all()
+    p8 = encode_jpegls(cases[0])
+    assert (mm._decode_pixels(p8) == cases[0][:, :, None]).all()
+    meta = mm.decode_image(p8)
+    assert (meta["width"], meta["height"]) == (9, 13)
+    p16 = encode_jpegls(cases[5])
+    assert mm._decode_pixels(p16) is None  # deep raster excluded
+    assert decode_jpegls(p16).dtype == np.uint16
+    # an ordinary JPEG is not structurally JPEG-LS, and vice versa
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    assert not is_jpegls(encode_jpeg(cases[1]))
+    assert decode_jpeg(p8) is None
+    # truncation / corruption reject cleanly
+    for cut in range(0, len(p8), 7):
+        r = decode_jpegls(p8[:cut])
+        assert r is None or r.shape == (13, 9, 1)
+    for _ in range(60):
+        mut = bytearray(p8)
+        mut[int(rng.integers(2, len(mut)))] ^= int(rng.integers(1, 256))
+        r = decode_jpegls(bytes(mut))
+        assert r is None or r.dtype in (np.uint8, np.uint16)
+
+
+def test_qoi_roundtrip_all_ops():
+    """QOI encode/decode is lossless across inputs that force every
+    chunk op (RUN, INDEX, DIFF, LUMA, RGB, RGBA); the shared pixel
+    dispatcher and metadata prober both recognize the format; and
+    truncation/corruption rejects cleanly."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators import multimodal as mm
+    from lms_erp_data_integration_spark.operators.qoi import (
+        decode_qoi,
+        encode_qoi,
+    )
+
+    rng = np.random.default_rng(41)
+    cases = [
+        rng.integers(0, 256, (13, 9, 3), dtype=np.uint8),
+        rng.integers(0, 256, (7, 21, 4), dtype=np.uint8),
+        np.zeros((50, 40, 3), np.uint8),  # >62-long runs
+        (rng.integers(0, 3, (31, 17, 3)) * 100).astype(np.uint8),  # INDEX
+        np.cumsum(
+            rng.integers(0, 3, (9, 9, 3)), axis=1
+        ).astype(np.uint8),  # DIFF/LUMA
+    ]
+    for img in cases:
+        p = encode_qoi(img)
+        assert p[:4] == b"qoif" and p[-8:] == b"\x00" * 7 + b"\x01"
+        d = decode_qoi(p)
+        assert d is not None and d.shape == img.shape and (d == img).all()
+        px = mm._decode_pixels(p)
+        assert px is not None and (px == img).all()
+        meta = mm.decode_image(p)
+        assert meta["width"] == img.shape[1]
+        assert meta["channels"] == img.shape[2]
+    # a leading RUN chunk must still seed the index slot for
+    # (0,0,0,255) the way qoi.h does
+    img = np.zeros((1, 80, 3), np.uint8)
+    img[0, 70:] = (10, 20, 30)
+    assert (decode_qoi(encode_qoi(img)) == img).all()
+    p = encode_qoi(cases[0])
+    for cut in range(0, len(p), 5):
+        r = decode_qoi(p[:cut])
+        assert r is None or r.shape == cases[0].shape
+    for _ in range(80):
+        mut = bytearray(p)
+        mut[int(rng.integers(0, len(mut)))] ^= int(rng.integers(1, 256))
+        r = decode_qoi(bytes(mut))
+        assert r is None or r.dtype == np.uint8
+
+
 def test_qm_table_invariants():
     """Table D.3 structure: 113 adaptive states + the fixed bin; all
     transitions in range; MPS-sense switching only on the near-0.5
@@ -1090,8 +1276,11 @@ def test_jpeg_arithmetic_rejects_corruption_cleanly():
         mut[int(rng.integers(2, len(mut)))] ^= int(rng.integers(1, 256))
         r = decode_jpeg(bytes(mut))
         assert r is None or r.shape == (16, 16, 3)
-    # arithmetic progressive (SOF10) stays out of scope -> None
+    # relabeling the frame SOF10 makes the full-band scan illegal for
+    # a progressive frame (B.2.3: DC scan must be Ss=Se=0) -> None
     assert decode_jpeg(p.replace(b"\xff\xc9", b"\xff\xca", 1)) is None
+    # arithmetic lossless (SOF11) stays out of scope -> None
+    assert decode_jpeg(p.replace(b"\xff\xc9", b"\xff\xcb", 1)) is None
 
 
 def test_jpeg_lossless_exact_all_predictors():
@@ -1542,6 +1731,43 @@ def test_mp4_sample_table_and_frame_extraction(spark):
     assert sorted(r["sample_idx"] for r in got) == [0, 2, 4]
     by_idx = {r["sample_idx"]: bytes(r["frame_bytes"]) for r in got}
     assert by_idx[0] == frames[0] and by_idx[4] == frames[4]
+
+
+def test_mp4_sample_table_corrupt_counts_reject_fast():
+    """Table entry counts are attacker data: a flipped bit in an stsz /
+    stco / stsc / stts count (or a huge uniform-stsz sample count) must
+    reject, not allocate count-sized lists — the r8 fuzz soak caught a
+    single bit flip turning the expansion into a multi-gigabyte
+    allocation (an effective hang)."""
+    import time
+
+    payload, _ = _mp4_with_samples()
+    baseline = mm.mp4_sample_table(payload)
+    assert baseline is not None and len(baseline) == 5
+    for pattern, count_off in (
+        (b"stsz", 8),  # body: version/flags, uniform size, COUNT
+        (b"stco", 4),  # body: version/flags, COUNT
+        (b"stsc", 4),
+        (b"stts", 4),
+    ):
+        pos = payload.index(pattern) + 4  # start of box body
+        for val in (0xFB000000, 0xFFFFFFFF):
+            mut = bytearray(payload)
+            mut[pos + count_off : pos + count_off + 4] = val.to_bytes(
+                4, "big"
+            )
+            t0 = time.time()
+            out = mm.mp4_sample_table(bytes(mut))
+            assert time.time() - t0 < 1.0, pattern
+            assert out is None, pattern
+    # uniform stsz with a bogus huge count: bounded by the stts total
+    pos = payload.index(b"stsz") + 4
+    mut = bytearray(payload)
+    mut[pos + 4 : pos + 8] = (7).to_bytes(4, "big")  # uniform size
+    mut[pos + 8 : pos + 12] = (0xFB00000).to_bytes(4, "big")  # count
+    t0 = time.time()
+    assert mm.mp4_sample_table(bytes(mut)) is None
+    assert time.time() - t0 < 1.0
 
 
 def test_train_bpe_matches_reference(spark):

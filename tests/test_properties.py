@@ -454,6 +454,67 @@ def test_jpeg_arithmetic_always_equals_huffman(w, h, nc, quality, seed):
     assert arith is not None and (arith == seq).all()
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 32),
+    st.integers(1, 32),
+    st.sampled_from([1, 3]),
+    st.integers(0, 8),  # 0 = constant image (pure run mode)
+    st.integers(0, 2**32 - 1),
+)
+def test_jpegls_roundtrip_is_lossless(w, h, nc, span, seed):
+    """JPEG-LS is lossless at NEAR = 0: encode -> decode must be the
+    identity for EVERY image — span sweeps constant images (pure run
+    mode with end-of-line segments) through near-flat (run
+    interruptions, the k = 0 bias branches) to full-range noise
+    (regular mode, escape codes)."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpegls import (
+        decode_jpegls,
+        encode_jpegls,
+    )
+
+    rng = np.random.default_rng(seed)
+    if span == 0:
+        img = np.full((h, w, nc), int(rng.integers(0, 256)), np.uint8)
+    elif span == 8:
+        img = rng.integers(0, 256, (h, w, nc), dtype=np.uint8)
+    else:
+        img = (rng.integers(0, span + 1, (h, w, nc)) * 36).astype(np.uint8)
+    d = decode_jpegls(encode_jpegls(img))
+    assert d is not None and d.shape == img.shape and (d == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.sampled_from([3, 4]),
+    st.integers(0, 8),  # small ranges force runs/index/diff chunks
+    st.integers(0, 2**32 - 1),
+)
+def test_qoi_roundtrip_is_lossless(w, h, nc, span, seed):
+    """QOI is lossless by construction: encode -> decode must be the
+    identity for EVERY image — the span parameter sweeps from
+    constant images (pure runs) through palette-like (index hits)
+    to full-range noise (literal RGB/RGBA chunks)."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.qoi import (
+        decode_qoi,
+        encode_qoi,
+    )
+
+    rng = np.random.default_rng(seed)
+    if span == 0:
+        img = np.full((h, w, nc), int(rng.integers(0, 256)), np.uint8)
+    else:
+        img = (rng.integers(0, span + 1, (h, w, nc)) * 37).astype(np.uint8)
+    d = decode_qoi(encode_qoi(img))
+    assert d is not None and d.shape == img.shape and (d == img).all()
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     st.integers(2, 24),
@@ -480,6 +541,38 @@ def test_jpeg_progressive_always_equals_sequential(w, h, nc, quality, seed):
     prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
     seq = decode_jpeg(encode_jpeg(img, quality=quality))
     assert prog is not None and (prog == seq).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(2, 24),
+    st.integers(2, 24),
+    st.sampled_from([1, 3]),
+    st.integers(70, 100),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_arith_progressive_always_equals_huffman(
+    w, h, nc, quality, seed
+):
+    """SOF10 (arithmetic progressive) and SOF2 (Huffman progressive)
+    are two LOSSLESS entropy codings of the same quantized
+    coefficients under the same scan script, so their decodes must be
+    bit-identical for every image/quality — one property covering the
+    QM-coded DC first/refine, banded AC first/refine, and the
+    previous-stage EOB-index decisions."""
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_arith_progressive,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, nc), dtype=np.uint8)
+    arith = decode_jpeg(encode_jpeg_arith_progressive(img, quality=quality))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+    assert arith is not None and (arith == prog).all()
 
 
 @settings(max_examples=25, deadline=None)
