@@ -12,6 +12,7 @@ from . import analytics_queries  # noqa: F401, E402
 from . import tokenizer_queries  # noqa: F401, E402
 from . import curation_queries  # noqa: F401, E402
 from . import media_queries  # noqa: F401, E402
+from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 
 # Round-8 driver-window rotation (per the plan committed at r7 close,
 # r7 verdict #1). The driver's correctness gate hashes only the first
@@ -51,6 +52,11 @@ registry.PRIORITY = [
     # NEW in r8: the composed FK-ordered pipeline runner + observed
     # run report under the driver gate (r7 verdict #7)
     "sync_pipeline_run_report",
+    # NEW in r8: the sketch family (HLL registers + merge, Count-Min
+    # + one-sided-error audit, Bloom-pruned semi join + FP accounting)
+    "llm_sketch_hll_distinct",
+    "llm_sketch_cms_heavy_hitters",
+    "rel_bloom_semi_join",
     # r3-era re-verification backlog: the four fillers displaced late
     # in r7 first, then the remaining r3 rows alphabetically
     "rel_q16_supplier_counts",
@@ -86,15 +92,14 @@ registry.PRIORITY = [
     "llm_pii_redaction",
     "llm_quality_gate",
     "llm_sample_stratified",
-    "llm_shard_assignment",
-    "llm_text_fingerprint",
-    "llm_text_language_id",
 ]
 
 # r9 rotation plan (for the next round): keep the 8 sync queries
 # pinned and any r9-new/changed queries ahead of fillers, then fill
-# from the re-verification backlog oldest-first — the r4 rows
-# displaced from this window (llm_text_sentiment onward,
+# from the re-verification backlog oldest-first — FIRST the three r4
+# fillers the late-r8 sketch family displaced from this window
+# (llm_shard_assignment, llm_text_fingerprint, llm_text_language_id),
+# then the r4 rows displaced earlier (llm_text_sentiment onward,
 # alphabetically from the r4 cohort), then the remaining r4 rows,
 # then r5 rows alphabetically. The stamped-hash policy stays as is;
 # stamp with scripts/update_checked_hashes.py (window-only, NOT

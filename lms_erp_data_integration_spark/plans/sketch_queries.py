@@ -1,0 +1,317 @@
+"""Sketch queries — the driver-visible surface for
+``operators/sketches.py``: HyperLogLog distinct counting, Count-Min
+frequency estimation, and Bloom-filter join pruning.
+
+Oracle strategy: full DuckDB twins. Every sketch is deterministic by
+construction (md5 hash family, exact-BIGINT register/cell state, one
+final literal-folded double expression), so the driver's value-hash
+gate pins the complete sketch contents — registers, cells, and bit
+positions — not just the estimates. The cross-engine float rule: both
+sides keep ALL accumulation in BIGINT (DuckDB SUM(BIGINT) is HUGEINT,
+hence the CASTs) and perform the identical one-expression double
+arithmetic last, where IEEE-754 guarantees bit-equal results for
+bit-equal operands.
+
+Reference analog: none (the 440-line reference never needs estimates —
+its corpus fits pandas); this family is part of the at-scale surface
+the engine adds, like dedup/similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators import sketches as sk
+from ..operators.text import ws_tokens
+from .registry import query
+
+# shared oracle prelude: whitespace tokens of the lowercased corpus,
+# with the 60-bit md5 hash both engines reproduce bit-for-bit
+_TOKS_SQL = r"""
+toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents)
+"""
+
+_CMS_PROBES = ["the", "of", "and", "data", "course", "zz_never_a_token"]
+
+
+@query(
+    "llm_sketch_hll_distinct",
+    rf"""
+WITH {_TOKS_SQL},
+hv AS (
+  SELECT source,
+         ('0x' || substr(md5(token), 1, 15))::BIGINT % 256 AS reg_idx,
+         ('0x' || substr(md5(token), 1, 15))::BIGINT // 256 AS v
+  FROM toks),
+r AS (
+  SELECT source, reg_idx,
+         MAX(CASE WHEN v = 0 THEN 53
+                  ELSE 53 - length(format('{{:b}}', v)) END) AS max_rank
+  FROM hv GROUP BY source, reg_idx),
+r2 AS (
+  SELECT source, reg_idx, max_rank FROM r
+  UNION ALL
+  SELECT '__all__' AS source, reg_idx, MAX(max_rank) AS max_rank
+  FROM r GROUP BY reg_idx),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+         CAST(SUM((1::BIGINT) << (53 - max_rank)) AS BIGINT) AS s_present,
+         CAST(SUM((reg_idx + 1) * max_rank) AS BIGINT) AS register_checksum
+  FROM r2 GROUP BY source)
+SELECT source, n_nonzero,
+       CAST(256 - n_nonzero AS BIGINT) AS n_zero,
+       register_checksum,
+       CAST(s_present + (256 - n_nonzero) * ((1::BIGINT) << 53)
+            AS BIGINT) AS inv_power_sum,
+       0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+         * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE
+         / CAST(s_present + (256 - n_nonzero) * ((1::BIGINT) << 53)
+                AS DOUBLE) AS hll_estimate
+FROM agg
+""",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog(p=8) distinct-token estimate, plus the
+    '__all__' row built by MERGING the per-source registers (max per
+    register) — the mergeability that lets 1000 executors sketch
+    independently and combine without a re-scan, which is why HLL and
+    not COUNT(DISTINCT) is the 100 TB tool. The result pins the full
+    register state (checksum + exact integer inverse-power sum), the
+    zero-register count a consumer needs for small-range correction,
+    and the raw bias-corrected estimate.
+
+    Versus ``rel_approx_distinct`` (Spark's built-in HLL++): the
+    built-in's sketch is opaque — its oracle can only bound the
+    estimate. This from-scratch sketch is driver-hash-pinned at the
+    REGISTER level (checksum + exact inverse-power sum), and its
+    merge step is visible and tested, which is the part that matters
+    for a 1000-executor rollup.
+
+    Scale posture: one projection + a groupBy whose key domain is
+    |sources| x 256 (map-side combined — shuffle is sketch-sized, not
+    data-sized); the merge row re-aggregates 256-row groups. No
+    distinct pass: duplicates cannot move a max."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "source",
+        F.explode(ws_tokens(F.trim(F.lower("text")))).alias("token"),
+    )
+    regs = sk.hll_registers(toks, F.col("token"), "source")
+    merged = (
+        regs.groupBy("reg_idx")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .select(F.lit("__all__").alias("source"), "reg_idx", "max_rank")
+    )
+    return sk.hll_estimate_row(regs.unionByName(merged), "source")
+
+
+@query(
+    "llm_sketch_cms_heavy_hitters",
+    rf"""
+WITH {_TOKS_SQL},
+cells AS (
+  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 15))
+            ::BIGINT % 1024 AS cell,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) t(r)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in _CMS_PROBES)})
+  p(token)),
+probe_cells AS (
+  SELECT p.token, t.r,
+         ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || p.token), 1, 15))
+           ::BIGINT % 1024 AS cell
+  FROM probes p CROSS JOIN (VALUES (0), (1), (2), (3)) t(r)),
+est AS (
+  SELECT pc.token,
+         CAST(MIN(coalesce(c.cnt, 0)) AS BIGINT) AS cms_estimate
+  FROM probe_cells pc LEFT JOIN cells c ON c.r = pc.r AND c.cell = pc.cell
+  GROUP BY pc.token),
+exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM toks WHERE token IN ({", ".join(f"'{p}'" for p in _CMS_PROBES)})
+  GROUP BY token)
+SELECT e.token, e.cms_estimate,
+       CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count,
+       CAST(e.cms_estimate - coalesce(x.exact_count, 0) AS BIGINT)
+         AS overestimate
+FROM est e LEFT JOIN exact x ON x.token = e.token
+""",
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min(d=4, w=1024) token-frequency sketch, point-queried for
+    a fixed probe set (including one never-present token, whose
+    nonzero estimate exhibits the pure collision overestimate). The
+    exact counts ride along so the gate pins Count-Min's one-sided
+    guarantee: overestimate >= 0 for every probe, always.
+
+    Versus ``llm_heavy_hitters_cms`` (xxhash64 sketch, oracle pins a
+    within-bound BOOLEAN): this md5-family build is cross-engine
+    exact, so the oracle pins the estimates themselves — a collision
+    regression changes the hashed values, not just a threshold.
+
+    Scale posture: the build is one exploded projection into a
+    groupBy over d x w = 4096 keys (map-side combined — sketch-sized
+    shuffle); the probe joins 24 rows against the 4096-cell sketch
+    (AQE broadcasts). The exact column is a gate-scale audit; at
+    100 TB a consumer keeps only the sketch."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        F.explode(ws_tokens(F.trim(F.lower("text")))).alias("token")
+    )
+    cells = sk.cms_cells(toks, F.col("token"))
+    probes = spark.createDataFrame(
+        [(p,) for p in _CMS_PROBES], "token string"
+    )
+    est = sk.cms_probe(cells, probes, "token")
+    exact = (
+        toks.where(F.col("token").isin(_CMS_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "token", "left").select(
+        "token",
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        F.coalesce(F.col("exact_count"), F.lit(0))
+        .cast("long")
+        .alias("exact_count"),
+        (
+            F.col("cms_estimate")
+            - F.coalesce(F.col("exact_count"), F.lit(0))
+        )
+        .cast("long")
+        .alias("overestimate"),
+    )
+
+
+@query(
+    "rel_bloom_semi_join",
+    """
+WITH dim AS (
+  SELECT DISTINCT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING'),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || '#'
+                             || CAST(c_custkey AS VARCHAR)), 1, 15))
+           ::BIGINT % 16384 AS pos
+  FROM dim CROSS JOIN (VALUES (0), (1), (2)) t(j)),
+keys AS (SELECT DISTINCT o_custkey FROM orders),
+probe AS (
+  SELECT k.o_custkey, t.j,
+         ('0x' || substr(md5(CAST(t.j AS VARCHAR) || '#'
+                             || CAST(k.o_custkey AS VARCHAR)), 1, 15))
+           ::BIGINT % 16384 AS pos
+  FROM keys k CROSS JOIN (VALUES (0), (1), (2)) t(j)),
+pass AS (
+  SELECT o_custkey FROM probe
+  WHERE pos IN (SELECT pos FROM bits)
+  GROUP BY o_custkey HAVING COUNT(*) = 3),
+flagged AS (
+  SELECT o.o_orderkey,
+         CASE WHEN p.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS bloom_pass,
+         CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS exact_match
+  FROM orders o
+  LEFT JOIN pass p ON p.o_custkey = o.o_custkey
+  LEFT JOIN dim d ON d.c_custkey = o.o_custkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(exact_match) AS BIGINT) AS n_exact,
+       CAST(SUM(bloom_pass) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(bloom_pass) - SUM(exact_match) AS BIGINT) AS n_false_positive,
+       CAST(CASE WHEN COUNT(*) = SUM(exact_match) THEN 0
+                 ELSE (SUM(bloom_pass) - SUM(exact_match)) * 1000000
+                      // (COUNT(*) - SUM(exact_match)) END AS BIGINT)
+         AS fp_ppm
+FROM flagged
+""",
+)
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pruning of a fact->dim semi join (k=3
+    salted md5 bits, m=16384): orders probed against the bit set of
+    the BUILDING customer segment, side-by-side with the exact semi
+    join. The single result row pins the filter's behavior — pass
+    count, false-positive count (never negative: a Bloom filter has
+    no false negatives, which this gate would catch), and the FP rate
+    in integer ppm.
+
+    Scale posture: this is the runtime-filter pattern Spark itself
+    applies as `InSubqueryExec`/bloom pruning — the bit set is
+    bounded (<= 16384 distinct positions regardless of dim size),
+    broadcast by AQE, and the fact side is probed via its DISTINCT
+    key domain (bounded by customers, not orders). At 100 TB the
+    exact join runs only on bloom survivors; here both run so the
+    gate can pin the FP accounting."""
+    cat = Catalog(spark, sf_dir)
+    dim = (
+        cat.customer.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    bits = (
+        sk.bloom_positions(dim, F.col("c_custkey"), "k")
+        .select("pos")
+        .distinct()
+    )
+    keys = cat.orders.select("o_custkey").distinct()
+    probe = sk.bloom_positions(keys, F.col("o_custkey"), "k")
+    passed = (
+        probe.join(bits, "pos", "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .where(F.col("n_hit") == sk.BLOOM_K)
+        .select(F.col("k"))
+    )
+    flagged = (
+        cat.orders.select("o_orderkey", "o_custkey")
+        .join(
+            passed.select(
+                F.col("k").cast("long").alias("o_custkey"),
+                F.lit(1).alias("bloom_pass"),
+            ),
+            "o_custkey",
+            "left",
+        )
+        .join(
+            dim.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.lit(1).alias("exact_match"),
+            ),
+            "o_custkey",
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("bloom_pass"), F.lit(0)).alias("bloom_pass"),
+            F.coalesce(F.col("exact_match"), F.lit(0)).alias(
+                "exact_match"
+            ),
+        )
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("exact_match").alias("n_exact"),
+        F.sum("bloom_pass").alias("n_bloom_pass"),
+    )
+    return agg.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_bloom_pass").cast("long").alias("n_bloom_pass"),
+        (F.col("n_bloom_pass") - F.col("n_exact"))
+        .cast("long")
+        .alias("n_false_positive"),
+        F.when(F.col("n_orders") == F.col("n_exact"), F.lit(0))
+        .otherwise(
+            F.expr(
+                "(n_bloom_pass - n_exact) * 1000000"
+                " div (n_orders - n_exact)"
+            )
+        )
+        .cast("long")
+        .alias("fp_ppm"),
+    )

@@ -1,0 +1,144 @@
+"""Sketch-operator invariants (operators/sketches.py): HLL accuracy,
+duplicate-insensitivity and mergeability; Count-Min's one-sided error;
+Bloom's no-false-negative guarantee — plus query-level runs of the
+three registered sketch queries at sf0.001."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lms_erp_data_integration_spark.operators import sketches as sk
+from lms_erp_data_integration_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _values_df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "val string")
+
+
+def test_hll_estimate_within_standard_error(spark):
+    n = 5000
+    df = _values_df(spark, [f"item-{i}" for i in range(n)])
+    regs = sk.hll_registers(df.select(F.lit("g").alias("g"), "val"),
+                            F.col("val"), "g")
+    row = sk.hll_estimate_row(regs, "g").collect()[0]
+    # sigma = 1.04 / sqrt(m); allow 3 sigma
+    sigma = 1.04 / math.sqrt(sk.HLL_M)
+    assert abs(row["hll_estimate"] - n) / n < 3 * sigma
+    assert row["n_nonzero"] + row["n_zero"] == sk.HLL_M
+
+
+def test_hll_registers_duplicate_insensitive(spark):
+    vals = [f"tok-{i}" for i in range(300)]
+    once = _values_df(spark, vals)
+    thrice = _values_df(spark, vals * 3)
+    r1 = sorted(
+        sk.hll_registers(
+            once.select(F.lit("g").alias("g"), "val"), F.col("val"), "g"
+        ).collect()
+    )
+    r3 = sorted(
+        sk.hll_registers(
+            thrice.select(F.lit("g").alias("g"), "val"), F.col("val"), "g"
+        ).collect()
+    )
+    assert r1 == r3
+
+
+def test_hll_merge_equals_union(spark):
+    a = [f"a-{i}" for i in range(400)]
+    b = [f"b-{i}" for i in range(400)]
+    half_a = _values_df(spark, a).select(F.lit("g").alias("g"), "val")
+    half_b = _values_df(spark, b).select(F.lit("g").alias("g"), "val")
+    both = _values_df(spark, a + b).select(F.lit("g").alias("g"), "val")
+    merged = (
+        sk.hll_registers(half_a, F.col("val"), "g")
+        .unionByName(sk.hll_registers(half_b, F.col("val"), "g"))
+        .groupBy("g", "reg_idx")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    direct = sk.hll_registers(both, F.col("val"), "g")
+    assert sorted(merged.collect()) == sorted(direct.collect())
+
+
+def test_cms_never_underestimates(spark):
+    vals = ["x"] * 50 + ["y"] * 7 + [f"noise-{i}" for i in range(500)]
+    df = _values_df(spark, vals)
+    cells = sk.cms_cells(df, F.col("val"))
+    # the cell domain is bounded by d x w
+    assert cells.count() <= sk.CMS_D * sk.CMS_W
+    probes = _values_df(spark, ["x", "y", "absent"]).select(
+        F.col("val").alias("token")
+    )
+    est = {
+        r["token"]: r["cms_estimate"]
+        for r in sk.cms_probe(cells, probes, "token").collect()
+    }
+    assert est["x"] >= 50 and est["y"] >= 7 and est["absent"] >= 0
+
+
+def test_bloom_has_no_false_negatives(spark):
+    dim = _values_df(spark, [str(i) for i in range(0, 100, 2)])
+    bits = (
+        sk.bloom_positions(dim, F.col("val"), "k")
+        .select("pos")
+        .distinct()
+    )
+    probe_keys = _values_df(spark, [str(i) for i in range(100)])
+    probe = sk.bloom_positions(probe_keys, F.col("val"), "k")
+    passed = {
+        r["k"]
+        for r in probe.join(bits, "pos", "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == sk.BLOOM_K)
+        .collect()
+    }
+    members = {str(i) for i in range(0, 100, 2)}
+    assert members <= passed  # every member passes
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "llm_sketch_hll_distinct",
+        "llm_sketch_cms_heavy_hitters",
+        "rel_bloom_semi_join",
+    ],
+)
+def test_sketch_queries_invariants(spark, name):
+    rows = QUERIES[name](spark, SF_DIR).collect()
+    assert rows
+    if name == "llm_sketch_hll_distinct":
+        by_src = {r["source"]: r for r in rows}
+        assert "__all__" in by_src
+        # register-wise max merge => S_all <= every per-source S
+        # => est_all >= every per-source estimate
+        for src, r in by_src.items():
+            assert r["n_nonzero"] + r["n_zero"] == sk.HLL_M
+            if src != "__all__":
+                assert (
+                    by_src["__all__"]["inv_power_sum"]
+                    <= r["inv_power_sum"]
+                )
+                assert (
+                    by_src["__all__"]["hll_estimate"]
+                    >= r["hll_estimate"]
+                )
+    elif name == "llm_sketch_cms_heavy_hitters":
+        assert {r["token"] for r in rows} == {
+            "the", "of", "and", "data", "course", "zz_never_a_token",
+        }
+        for r in rows:
+            assert r["overestimate"] >= 0  # one-sided error, always
+            assert r["cms_estimate"] == r["exact_count"] + r["overestimate"]
+    else:
+        (r,) = rows
+        assert r["n_false_positive"] >= 0  # no false negatives
+        assert r["n_bloom_pass"] >= r["n_exact"]
+        assert r["n_orders"] >= r["n_bloom_pass"]
+        assert r["fp_ppm"] >= 0
