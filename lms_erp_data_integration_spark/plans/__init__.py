@@ -53,10 +53,12 @@ registry.PRIORITY = [
     # run report under the driver gate (r7 verdict #7)
     "sync_pipeline_run_report",
     # NEW in r8: the sketch family (HLL registers + merge, Count-Min
-    # + one-sided-error audit, Bloom-pruned semi join + FP accounting)
+    # + one-sided-error audit, Bloom-pruned semi join + FP accounting,
+    # streaming HLL over the event stream)
     "llm_sketch_hll_distinct",
     "llm_sketch_cms_heavy_hitters",
     "rel_bloom_semi_join",
+    "stream_sketch_distinct",
     # r3-era re-verification backlog: the four fillers displaced late
     # in r7 first, then the remaining r3 rows alphabetically
     "rel_q16_supplier_counts",
@@ -91,14 +93,14 @@ registry.PRIORITY = [
     "llm_pack_sequences",
     "llm_pii_redaction",
     "llm_quality_gate",
-    "llm_sample_stratified",
 ]
 
 # r9 rotation plan (for the next round): keep the 8 sync queries
 # pinned and any r9-new/changed queries ahead of fillers, then fill
-# from the re-verification backlog oldest-first — FIRST the three r4
+# from the re-verification backlog oldest-first — FIRST the four r4
 # fillers the late-r8 sketch family displaced from this window
-# (llm_shard_assignment, llm_text_fingerprint, llm_text_language_id),
+# (llm_sample_stratified, llm_shard_assignment, llm_text_fingerprint,
+# llm_text_language_id),
 # then the r4 rows displaced earlier (llm_text_sentiment onward,
 # alphabetically from the r4 cohort), then the remaining r4 rows,
 # then r5 rows alphabetically. The stamped-hash policy stays as is;

@@ -412,3 +412,62 @@ def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.crc32(F.col("text"))).alias("text_crc_sum"),
     )
     return run_to_memory_sink(agg, f"stream_warc_ingest_{next(_SINK_SEQ)}")
+
+
+@query(
+    "stream_sketch_distinct",
+    """
+WITH hv AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 256 AS reg_idx,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+           ::BIGINT // 256 AS v
+  FROM events),
+r AS (
+  SELECT event_type, reg_idx,
+         MAX(CASE WHEN v = 0 THEN 53
+                  ELSE 53 - length(format('{:b}', v)) END) AS max_rank
+  FROM hv GROUP BY event_type, reg_idx),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+         CAST(SUM((1::BIGINT) << (53 - max_rank)) AS BIGINT) AS s_present,
+         CAST(SUM((reg_idx + 1) * max_rank) AS BIGINT) AS register_checksum
+  FROM r GROUP BY event_type)
+SELECT event_type, n_nonzero,
+       CAST(256 - n_nonzero AS BIGINT) AS n_zero,
+       register_checksum,
+       CAST(s_present + (256 - n_nonzero) * ((1::BIGINT) << 53)
+            AS BIGINT) AS inv_power_sum,
+       0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+         * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE
+         / CAST(s_present + (256 - n_nonzero) * ((1::BIGINT) << 53)
+                AS DOUBLE) AS hll_estimate
+FROM agg
+""",
+)
+def stream_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog: per-event-type distinct-user sketch
+    maintained BY the stream (``operators/sketches.py:hll_registers``
+    runs unchanged on the streaming frame — a stateless hash
+    projection plus a streaming max), register-folded batch-side from
+    the memory sink. Same oracle family as ``llm_sketch_hll_distinct``
+    and the same exact-BIGINT determinism, so the driver hash pins the
+    streaming sketch's full register state against DuckDB.
+
+    This is the streaming-distinct answer at scale: streaming
+    ``countDistinct`` is unsupported (exact distinct needs unbounded
+    state), while the HLL state is 256 small longs PER GROUP, forever,
+    no watermark required — the canonical bounded-state trade.
+    """
+    from ..operators import sketches as sk
+
+    events = events_stream(spark, sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    regs = sk.hll_registers(events, F.col("uid"), "event_type")
+    sink = run_to_memory_sink(
+        regs, f"stream_sketch_distinct_{next(_SINK_SEQ)}"
+    )
+    return sk.hll_estimate_row(sink, "event_type")

@@ -98,6 +98,13 @@ PROBE_QUERIES = [
     "llm_dedup_simhash",
     "llm_dup_span_detect",
     "llm_contamination_ngram",
+    # r8: the sketch family — shuffles are sketch-sized after map-side
+    # combine, so these should probe strongly sub-linear
+    "llm_sketch_hll_distinct",
+    "llm_sketch_cms_heavy_hitters",
+    "rel_bloom_semi_join",
+    # r8: the composed pipeline runner post shared-frame persist
+    "sync_pipeline_run_report",
 ]
 
 
