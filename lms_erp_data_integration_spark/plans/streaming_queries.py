@@ -466,7 +466,9 @@ def stream_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = events_stream(spark, sf_dir).select(
         "event_type", F.col("user_id").cast("string").alias("uid")
     )
-    regs = sk.hll_registers(events, F.col("uid"), "event_type")
+    # collapse=False: the distinct pre-collapse would be a second
+    # stateful aggregation, which streaming rejects
+    regs = sk.hll_registers(events, F.col("uid"), "event_type", collapse=False)
     sink = run_to_memory_sink(
         regs, f"stream_sketch_distinct_{next(_SINK_SEQ)}"
     )
