@@ -315,3 +315,104 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fp_ppm"),
     )
+
+
+@query(
+    "llm_sketch_hll_rollup",
+    rf"""
+WITH {_TOKS_SQL.replace("SELECT source,", "SELECT source, lang,")},
+hv AS (
+  SELECT source, lang,
+         ('0x' || substr(md5(token), 1, 15))::BIGINT % 256 AS reg_idx,
+         ('0x' || substr(md5(token), 1, 15))::BIGINT // 256 AS v
+  FROM toks),
+leaf AS (
+  SELECT source, lang, reg_idx,
+         MAX(CASE WHEN v = 0 THEN 53
+                  ELSE 53 - length(format('{{:b}}', v)) END) AS max_rank
+  FROM hv GROUP BY source, lang, reg_idx),
+rolled AS (
+  SELECT source, lang, reg_idx, max_rank FROM leaf
+  UNION ALL
+  SELECT source, '*' AS lang, reg_idx, MAX(max_rank) AS max_rank
+  FROM leaf GROUP BY source, reg_idx
+  UNION ALL
+  SELECT '*' AS source, lang, reg_idx, MAX(max_rank) AS max_rank
+  FROM leaf GROUP BY lang, reg_idx
+  UNION ALL
+  SELECT '*' AS source, '*' AS lang, reg_idx, MAX(max_rank) AS max_rank
+  FROM leaf GROUP BY reg_idx),
+agg AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+         CAST(SUM((1::BIGINT) << (53 - max_rank)) AS BIGINT) AS s_present,
+         CAST(SUM((reg_idx + 1) * max_rank) AS BIGINT) AS register_checksum
+  FROM rolled GROUP BY source, lang)
+SELECT source, lang, n_nonzero,
+       CAST(256 - n_nonzero AS BIGINT) AS n_zero,
+       register_checksum,
+       CAST(s_present + (256 - n_nonzero) * ((1::BIGINT) << 53)
+            AS BIGINT) AS inv_power_sum,
+       0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+         * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE
+         / CAST(s_present + (256 - n_nonzero) * ((1::BIGINT) << 53)
+                AS DOUBLE) AS hll_estimate
+FROM agg
+""",
+)
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch ALGEBRA over a rollup lattice: distinct-token
+    registers are computed ONCE at the (source, lang) leaf level, then
+    every coarser grain — per-source, per-lang, grand total — is a
+    register-wise max-merge of the leaves ('*' marks the rolled-up
+    dimension). This is the pattern that replaces COUNT(DISTINCT)
+    GROUPING SETS at 100 TB: the corpus is scanned and hashed exactly
+    once, and each additional grain costs one aggregation over
+    leaf-count x 256 register rows, never another scan. Exact distinct
+    cannot do this (distinct sets do not merge by max); HLL registers
+    can, and the driver hash pins every grain's full register state.
+
+    Scale posture: one collapse-first register build (md5 per distinct
+    (source, lang, token)), then three sketch-sized re-aggregations;
+    every shuffle after the leaf build is bounded by
+    |sources| x |langs| x 256 rows."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "source",
+        "lang",
+        F.explode(ws_tokens(F.trim(F.lower("text")))).alias("token"),
+    )
+    from ..caching import tracked_persist
+
+    # persisted: the leaf registers feed four consumers (leaf grain +
+    # three rollup grains); tracked so bench/test loops can release
+    leaf = tracked_persist(
+        sk.hll_registers(toks, F.col("token"), "source", "lang")
+    )
+    by_source = (
+        leaf.groupBy("source", "reg_idx")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .select("source", F.lit("*").alias("lang"), "reg_idx", "max_rank")
+    )
+    by_lang = (
+        leaf.groupBy("lang", "reg_idx")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .select(F.lit("*").alias("source"), "lang", "reg_idx", "max_rank")
+    )
+    total = (
+        leaf.groupBy("reg_idx")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .select(
+            F.lit("*").alias("source"),
+            F.lit("*").alias("lang"),
+            "reg_idx",
+            "max_rank",
+        )
+    )
+    rolled = (
+        leaf.select("source", "lang", "reg_idx", "max_rank")
+        .unionByName(by_source)
+        .unionByName(by_lang)
+        .unionByName(total)
+    )
+    return sk.hll_estimate_row(rolled, "source", "lang")

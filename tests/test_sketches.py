@@ -102,6 +102,37 @@ def test_bloom_has_no_false_negatives(spark):
     assert members <= passed  # every member passes
 
 
+def test_hll_rollup_lattice_consistency(spark):
+    """Every coarser grain is a max-merge of finer ones, so its
+    inverse-power sum can only shrink (estimate can only grow); and
+    the grand-total registers must equal the '__all__' row of the
+    per-source query — same token set, different lattice path."""
+    rollup = {
+        (r["source"], r["lang"]): r
+        for r in QUERIES["llm_sketch_hll_rollup"](spark, SF_DIR).collect()
+    }
+    for (src, lang), r in rollup.items():
+        if src != "*" and lang != "*":
+            assert rollup[(src, "*")]["inv_power_sum"] <= r["inv_power_sum"]
+            assert rollup[("*", lang)]["inv_power_sum"] <= r["inv_power_sum"]
+        if (src, lang) != ("*", "*"):
+            assert (
+                rollup[("*", "*")]["inv_power_sum"] <= r["inv_power_sum"]
+            )
+    flat = {
+        r["source"]: r
+        for r in QUERIES["llm_sketch_hll_distinct"](spark, SF_DIR).collect()
+    }
+    assert (
+        rollup[("*", "*")]["register_checksum"]
+        == flat["__all__"]["register_checksum"]
+    )
+    assert (
+        rollup[("*", "*")]["inv_power_sum"]
+        == flat["__all__"]["inv_power_sum"]
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     [
