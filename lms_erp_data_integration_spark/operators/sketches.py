@@ -164,24 +164,35 @@ CMS_D = 4  # hash rows
 CMS_W = 1024  # cells per row
 
 
-def cms_cells(df: DataFrame, value: Column) -> DataFrame:
+def cms_cells(
+    df: DataFrame, value: Column, *, collapse: bool = True
+) -> DataFrame:
     """Count-Min sketch build (Cormode & Muthukrishnan 2005): one row
     per (hash row r, cell) with the summed occurrence count.
 
-    Two-level build: the input stream is first collapsed to
-    (value, count) — a vocabulary-sized aggregate with map-side
-    combine — and only the DISTINCT values are salted-md5-hashed d
-    ways. Hash work is therefore O(vocabulary x d), not
-    O(occurrences x d): on a Zipf token stream that is a ~20x cut in
-    md5 evaluations, and at 100 TB it is the difference between
+    Two-level build (``collapse=True``, default): the input stream is
+    first collapsed to (value, count) — a vocabulary-sized aggregate
+    with map-side combine — and only the DISTINCT values are
+    salted-md5-hashed d ways. Hash work is therefore O(vocabulary x
+    d), not O(occurrences x d): on a Zipf token stream that is a ~20x
+    cut in md5 evaluations, and at 100 TB it is the difference between
     hashing the corpus four times and hashing the vocabulary four
     times. The final groupBy's key domain is d x w = 4096, so the
-    second shuffle is sketch-sized regardless of input."""
-    vocab = (
-        df.select(value.alias("val"))
-        .groupBy("val")
-        .agg(F.count(F.lit(1)).alias("occ"))
-    )
+    second shuffle is sketch-sized regardless of input.
+
+    Streaming callers pass ``collapse=False`` (the vocabulary collapse
+    would stack a second stateful aggregation, which Structured
+    Streaming rejects) and get the single-aggregation build: explode
+    occurrences d ways, hash each, count per (r, cell) — identical
+    cell values, per-occurrence hash cost."""
+    if collapse:
+        vocab = (
+            df.select(value.alias("val"))
+            .groupBy("val")
+            .agg(F.count(F.lit(1)).alias("occ"))
+        )
+    else:
+        vocab = df.select(value.alias("val"), F.lit(1).alias("occ"))
     rows = vocab.select(
         F.explode(
             F.array(*[F.lit(r) for r in range(CMS_D)])

@@ -60,6 +60,7 @@ registry.PRIORITY = [
     "rel_bloom_semi_join",
     "stream_sketch_distinct",
     "llm_sketch_hll_rollup",
+    "stream_sketch_cms",
     # r3-era re-verification backlog: the four fillers displaced late
     # in r7 first, then the remaining r3 rows alphabetically
     "rel_q16_supplier_counts",
@@ -92,15 +93,14 @@ registry.PRIORITY = [
     "llm_multimodal_frame_sample",
     "llm_multimodal_payload_meta",
     "llm_pack_sequences",
-    "llm_pii_redaction",
 ]
 
 # r9 rotation plan (for the next round): keep the 8 sync queries
 # pinned and any r9-new/changed queries ahead of fillers, then fill
-# from the re-verification backlog oldest-first — FIRST the five r4
+# from the re-verification backlog oldest-first — FIRST the six r4
 # fillers the late-r8 sketch family displaced from this window
-# (llm_quality_gate, llm_sample_stratified, llm_shard_assignment,
-# llm_text_fingerprint, llm_text_language_id),
+# (llm_pii_redaction, llm_quality_gate, llm_sample_stratified,
+# llm_shard_assignment, llm_text_fingerprint, llm_text_language_id),
 # then the r4 rows displaced earlier (llm_text_sentiment onward,
 # alphabetically from the r4 cohort), then the remaining r4 rows,
 # then r5 rows alphabetically. The stamped-hash policy stays as is;

@@ -473,3 +473,86 @@ def stream_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         regs, f"stream_sketch_distinct_{next(_SINK_SEQ)}"
     )
     return sk.hll_estimate_row(sink, "event_type")
+
+
+@query(
+    "stream_sketch_cms",
+    """
+WITH cells AS (
+  SELECT r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                             || CAST(user_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 1024 AS cell,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(r)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT * FROM (VALUES (1), (2), (3), (7), (999999)) p(user_id)),
+probe_cells AS (
+  SELECT p.user_id, t.r,
+         ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':'
+                             || CAST(p.user_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 1024 AS cell
+  FROM probes p CROSS JOIN (VALUES (0), (1), (2), (3)) t(r)),
+est AS (
+  SELECT pc.user_id,
+         CAST(MIN(coalesce(c.cnt, 0)) AS BIGINT) AS cms_estimate
+  FROM probe_cells pc LEFT JOIN cells c ON c.r = pc.r AND c.cell = pc.cell
+  GROUP BY pc.user_id),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM events WHERE user_id IN (1, 2, 3, 7, 999999)
+  GROUP BY user_id)
+SELECT CAST(e.user_id AS BIGINT) AS user_id, e.cms_estimate,
+       CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count,
+       CAST(e.cms_estimate - coalesce(x.exact_count, 0) AS BIGINT)
+         AS overestimate
+FROM est e LEFT JOIN exact x ON x.user_id = e.user_id
+""",
+)
+def stream_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min: per-user event-frequency cells maintained
+    BY the stream (``cms_cells(collapse=False)`` — the d-way salted
+    hash is a stateless projection, the cell sum is the single
+    stateful aggregation streaming allows; 4096 counters of state,
+    forever). The fixed probe set is then point-queried batch-side
+    from the memory sink, with exact batch counts alongside pinning
+    the one-sided-error guarantee on a STREAM-built sketch. Completes
+    the streaming-sketch pair with ``stream_sketch_distinct``:
+    distinct-count and frequency, both in bounded state on an
+    unbounded stream.
+    """
+    from ..catalog import Catalog
+    from ..operators import sketches as sk
+
+    events = events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    cells = sk.cms_cells(events, F.col("uid"), collapse=False)
+    sink = run_to_memory_sink(
+        cells, f"stream_sketch_cms_{next(_SINK_SEQ)}"
+    )
+    probe_ids = [1, 2, 3, 7, 999999]
+    probes = spark.createDataFrame(
+        [(str(p),) for p in probe_ids], "uid string"
+    )
+    est = sk.cms_probe(sink, probes, "uid")
+    exact = (
+        Catalog(spark, sf_dir).events
+        .where(F.col("user_id").isin(probe_ids))
+        .groupBy(F.col("user_id").cast("string").alias("uid"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "uid", "left").select(
+        F.col("uid").cast("long").alias("user_id"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        F.coalesce(F.col("exact_count"), F.lit(0))
+        .cast("long")
+        .alias("exact_count"),
+        (
+            F.col("cms_estimate")
+            - F.coalesce(F.col("exact_count"), F.lit(0))
+        )
+        .cast("long")
+        .alias("overestimate"),
+    )
