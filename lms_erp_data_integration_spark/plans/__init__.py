@@ -61,6 +61,15 @@ registry.PRIORITY = [
     "stream_sketch_distinct",
     "llm_sketch_hll_rollup",
     "stream_sketch_cms",
+    # CHANGED late in r8: the k-means family's assignment scan went
+    # two-level (IVF-style coarse cells, k now ∝ n^(2/3) — the r8
+    # decade-2 probe's rising-exponent fix), so every query embedding
+    # the unrolled k-means oracle re-enters the window
+    "llm_sim_kmeans_assign",
+    "llm_dedup_semantic_kmeans",
+    "llm_dedup_cluster_histogram",
+    "llm_dedup_semantic_verified",
+    "llm_sim_kmeans_purity",
     # r3-era re-verification backlog: the four fillers displaced late
     # in r7 first, then the remaining r3 rows alphabetically
     "rel_q16_supplier_counts",
@@ -88,19 +97,17 @@ registry.PRIORITY = [
     "llm_corpus_stats",
     "llm_dedup_exact",
     "llm_dedup_minhash_lsh",
-    "llm_dedup_simhash",
-    "llm_heavy_hitters_cms",
-    "llm_multimodal_frame_sample",
-    "llm_multimodal_payload_meta",
-    "llm_pack_sequences",
 ]
 
 # r9 rotation plan (for the next round): keep the 8 sync queries
 # pinned and any r9-new/changed queries ahead of fillers, then fill
-# from the re-verification backlog oldest-first — FIRST the six r4
-# fillers the late-r8 sketch family displaced from this window
-# (llm_pii_redaction, llm_quality_gate, llm_sample_stratified,
-# llm_shard_assignment, llm_text_fingerprint, llm_text_language_id),
+# from the re-verification backlog oldest-first — FIRST the eleven r4
+# fillers the late-r8 sketch + two-level-k-means work displaced from
+# this window (llm_dedup_simhash, llm_heavy_hitters_cms,
+# llm_multimodal_frame_sample, llm_multimodal_payload_meta,
+# llm_pack_sequences, llm_pii_redaction, llm_quality_gate,
+# llm_sample_stratified, llm_shard_assignment, llm_text_fingerprint,
+# llm_text_language_id),
 # then the r4 rows displaced earlier (llm_text_sentiment onward,
 # alphabetically from the r4 cohort), then the remaining r4 rows,
 # then r5 rows alphabetically. The stamped-hash policy stays as is;

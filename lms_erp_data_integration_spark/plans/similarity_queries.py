@@ -380,74 +380,142 @@ _KMEANS_DIST = (
     "list_transform(range(0, 64), d -> {v}[d+1] - {c}.s[d+1] / {c}.n))"
 )
 
-# k scales with the corpus as k = max(8, floor(0.35 * sqrt(n))).
-# Why sqrt: Lloyd's assignment costs n*k distance evaluations while
-# SemDeDup's within-cluster verification costs ~n²/k pair evaluations
-# — a FIXED k leaves the verify stage quadratic (the r6 sf1.0 scale
-# probe measured exponent 1.47 for llm_dedup_semantic_verified at
-# k=8), while k ∝ n makes the assignment stage quadratic instead.
-# k ∝ sqrt(n) balances both at O(n^1.5) — the same cost class as the
-# repo's other sqrt-bucketed joins (pigeonhole blocks, triangle
-# wedges). At the driver's correctness scale (500 vectors at sf0.01)
-# the formula clamps to the historical k=8, so oracle results are
-# unchanged there; both engines evaluate the identical
-# double-precision sqrt/mul/floor, so the computed k always agrees.
+# k scales with the corpus as k = max(8, floor(0.125 * n^(2/3))),
+# searched through a two-level coarse codebook of g = max(2,
+# floor(sqrt(k))) cells (operators/similarity.py:kmeans_assignments,
+# coarse_groups). Why 2/3: SemDeDup's within-cluster verification
+# costs ~n²/k pair evaluations; with the r7 FLAT assignment (n*k
+# distances) the balance point was k ∝ sqrt(n) and both stages sat at
+# O(n^1.5) — the r8 two-decade probe measured the family converging
+# on exactly that (llm_sim_kmeans_assign 1.26→1.31,
+# llm_dedup_semantic_verified 1.21→1.42 across sf0.1→1→10). The
+# two-level scan cuts assignment to O(n*sqrt(k)), which moves the
+# balance to k ∝ n^(2/3) and the WHOLE family (assignment n*sqrt(k),
+# verify n²/k) to O(n^(4/3)) — designed exponent 1.33 instead of 1.5.
+# Cross-engine exactness of k: floor(n^(2/3)) is computed as the
+# exact integer cube root of n² (a libm pow seed, then ±2 integer
+# correction — pow is within 1 ulp, so the correction is total), and
+# 0.125 is a power of two, so the multiply and floor are exact IEEE
+# ops in both engines; no correctly-rounded-pow assumption anywhere.
+# At the driver's correctness scale (500 vectors at sf0.01) the
+# formula clamps to the historical k=8.
 _KMEANS_K_MIN = 8
-_KMEANS_K_SQL = (
-    f"(SELECT GREATEST({_KMEANS_K_MIN}, "
-    f"CAST(floor(0.35 * sqrt(COUNT(*))) AS BIGINT)) FROM embeddings)"
-)
+_KMEANS_K_SQL = """nn AS (SELECT COUNT(*) AS n FROM v),
+kraw AS (SELECT n, CAST(floor(pow(n * 1.0, 2.0 / 3.0)) AS BIGINT) AS j
+         FROM nn),
+kcr AS (SELECT n, MAX(j + o) AS r
+        FROM kraw, (VALUES (-2), (-1), (0), (1), (2)) u(o)
+        WHERE (j + o) * (j + o) * (j + o) <= n * n GROUP BY n),
+kk AS (SELECT GREATEST(8, CAST(floor(0.125::DOUBLE * r) AS BIGINT)) AS k
+       FROM kcr),
+gg AS (SELECT GREATEST(2, CAST(floor(sqrt(k * 1.0)) AS BIGINT)) AS g
+       FROM kk),"""
 
 
 def _kmeans_k(emb) -> int:
-    """Corpus-scaled cluster count (see comment above)."""
+    """Corpus-scaled cluster count (see comment above): exact integer
+    floor(0.125 * floor(cbrt(n^2))), clamped at 8."""
     import math
 
-    return max(_KMEANS_K_MIN, int(math.floor(0.35 * math.sqrt(emb.count()))))
+    n = emb.count()
+    j = int(round(n ** (2.0 / 3.0)))
+    while (j + 1) ** 3 <= n * n:
+        j += 1
+    while j > 0 and j**3 > n * n:
+        j -= 1
+    return max(_KMEANS_K_MIN, int(math.floor(0.125 * j)))
+
+
+def _kmeans_g(k: int) -> int:
+    """Coarse codebook size for the two-level assignment scan."""
+    import math
+
+    return max(2, int(math.floor(math.sqrt(k))))
+
+
+_KMEANS_CDIST = (
+    "list_dot_product("
+    "list_transform(range(0, 64), "
+    "d -> {a}.s[d+1] / {a}.n - {b}.s[d+1] / {b}.n), "
+    "list_transform(range(0, 64), "
+    "d -> {a}.s[d+1] / {a}.n - {b}.s[d+1] / {b}.n))"
+)
+
+
+def _kmeans_iter_sql(i: int) -> str:
+    """One unrolled two-level Lloyd iteration: from centroid state
+    c{i} build the coarse codebook (gs/ga/gx/g), the point->coarse
+    assignment (pg) and the in-cell fine assignment a{i+1} — the SQL
+    twin of the ``coarse_groups`` branch in
+    ``operators/similarity.py:kmeans_assignments``."""
+    cd = _KMEANS_CDIST.format(a="c", b="gs")
+    pd_g = _KMEANS_DIST.format(v="v.vi", c="g")
+    pd_c = _KMEANS_DIST.format(v="v.vi", c="c")
+    return f"""gs{i} AS (
+  SELECT cid AS gid, s, n FROM (
+    SELECT cid, s, n, ROW_NUMBER() OVER (ORDER BY cid) AS rn FROM c{i})
+  WHERE rn <= (SELECT g FROM gg)),
+ga{i} AS (
+  SELECT cid, gid FROM (
+    SELECT c.cid, gs.gid,
+           ROW_NUMBER() OVER (PARTITION BY c.cid
+                              ORDER BY {cd}, gs.gid) AS rn
+    FROM c{i} c, gs{i} gs) WHERE rn = 1),
+gx{i} AS (
+  SELECT ga.gid, t.d, SUM(c.s[t.d + 1]) AS sd,
+         CAST(SUM(c.n) AS BIGINT) AS cnt
+  FROM c{i} c JOIN ga{i} ga USING (cid), range(64) t(d)
+  GROUP BY ga.gid, t.d),
+g{i} AS (SELECT gid, list(sd ORDER BY d) AS s, MAX(cnt) AS n
+         FROM gx{i} GROUP BY gid),
+pg{i} AS (
+  SELECT vec_id, gid FROM (
+    SELECT v.vec_id, g.gid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {pd_g}, g.gid) AS rn
+    FROM v, g{i} g) WHERE rn = 1),
+a{i + 1} AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {pd_c}, c.cid) AS rn
+    FROM v JOIN pg{i} p USING (vec_id)
+         JOIN ga{i} ga ON ga.gid = p.gid
+         JOIN c{i} c ON c.cid = ga.cid) WHERE rn = 1)"""
 
 
 @query(
     "llm_sim_kmeans_assign",
     f"""
 {_VI_CTE}
+{_KMEANS_K_SQL}
 c0 AS (SELECT vec_id AS cid, vi AS s, 1 AS n FROM v
-       WHERE vec_id < {_KMEANS_K_SQL}),
-d1 AS (
-  SELECT v.vec_id, c0.cid, {_KMEANS_DIST.format(v="v.vi", c="c0")} AS dist
-  FROM v, c0),
-a1 AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY dist, cid) AS rn
-    FROM d1) WHERE rn = 1),
+       WHERE vec_id < (SELECT k FROM kk)),
+{_kmeans_iter_sql(0)},
 s1 AS (
   SELECT a1.cid, t.d, SUM(v.vi[t.d + 1]) AS sd, COUNT(*) AS cnt
   FROM a1 JOIN v USING (vec_id), range(64) t(d)
   GROUP BY a1.cid, t.d),
 c1 AS (SELECT cid, list(sd ORDER BY d) AS s, MAX(cnt) AS n
        FROM s1 GROUP BY cid),
-d2 AS (
-  SELECT v.vec_id, c1.cid, {_KMEANS_DIST.format(v="v.vi", c="c1")} AS dist
-  FROM v, c1),
-a2 AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY dist, cid) AS rn
-    FROM d2) WHERE rn = 1)
+{_kmeans_iter_sql(1)}
 SELECT vec_id, cid FROM a2
 """,
 )
 def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (corpus-scaled
-    k = max(8, floor(0.35*sqrt(n))), 2 iterations) — learns the IVF centroids instead of taking them as
-    given. The oracle unrolls both iterations in SQL with the same
-    scalar-subquery k; integer-scaled sums + exactly-rounded mean
-    division keep every iteration's argmin bit-identical (see
-    operators/similarity.py:kmeans_assignments)."""
+    k = max(8, floor(0.125 * n^(2/3))), 2 iterations, two-level
+    IVF-style assignment through g = floor(sqrt(k)) coarse cells) —
+    learns the IVF centroids instead of taking them as given. The
+    oracle unrolls both iterations in SQL with the same exact-integer
+    k; integer-scaled sums + exactly-rounded mean division keep every
+    iteration's argmin — including the coarse-cell pruning — bit-
+    identical (see operators/similarity.py:kmeans_assignments)."""
     emb = Catalog(spark, sf_dir).embeddings
-    return sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
+    k = _kmeans_k(emb)
+    return sim.kmeans_assignments(
+        emb, k=k, iterations=2, coarse_groups=_kmeans_g(k)
+    )
 
 
 from .registry import ORACLES as _ORACLES  # noqa: E402  (needs kmeans above)
@@ -480,7 +548,10 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = Catalog(spark, sf_dir).embeddings
-    assign = sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
+    k = _kmeans_k(emb)
+    assign = sim.kmeans_assignments(
+        emb, k=k, iterations=2, coarse_groups=_kmeans_g(k)
+    )
     keeper = F.min("vec_id").over(W.partitionBy("cid"))
     return assign.select(
         "vec_id",
@@ -515,7 +586,10 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import profiling
 
     emb = Catalog(spark, sf_dir).embeddings
-    assign = sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
+    k = _kmeans_k(emb)
+    assign = sim.kmeans_assignments(
+        emb, k=k, iterations=2, coarse_groups=_kmeans_g(k)
+    )
     return profiling.bucket_sizes(assign, ["cid"]).select(
         "cid",
         F.col("bucket_size").alias("cluster_size"),
@@ -558,7 +632,10 @@ def dedup_semantic_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two vector fetches — unpersisted it would re-scan the source per
     # consumer
     emb = tracked_persist(Catalog(spark, sf_dir).embeddings)
-    assign = sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
+    k = _kmeans_k(emb)
+    assign = sim.kmeans_assignments(
+        emb, k=k, iterations=2, coarse_groups=_kmeans_g(k)
+    )
     return sim.cluster_verified_pairs(assign, emb, threshold=0.35)
 
 
@@ -771,7 +848,10 @@ def sim_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = Catalog(spark, sf_dir).embeddings
-    assign = sim.kmeans_assignments(emb, k=_kmeans_k(emb), iterations=2)
+    k = _kmeans_k(emb)
+    assign = sim.kmeans_assignments(
+        emb, k=k, iterations=2, coarse_groups=_kmeans_g(k)
+    )
     cl = (
         assign.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("cid", "label")

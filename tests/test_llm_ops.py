@@ -333,6 +333,61 @@ def test_kmeans_assignments_partition_and_determinism(spark):
     assert rows == b
 
 
+def test_kmeans_two_level_degenerate_equals_flat(spark):
+    # coarse_groups=k makes every centroid its own singleton coarse
+    # cell (each seeds itself at distance 0), so the two-level pruned
+    # scan must reduce EXACTLY to the flat scan — same argmin, same
+    # tie-breaks, same iteration trajectory.
+    vecs = spark.createDataFrame(
+        [
+            (i, [float(((i * 7 + d * 3) % 11) - 5) for d in range(4)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    flat = {
+        r["vec_id"]: r["cid"]
+        for r in sim.kmeans_assignments(vecs, k=5, iterations=2).collect()
+    }
+    two = {
+        r["vec_id"]: r["cid"]
+        for r in sim.kmeans_assignments(
+            vecs, k=5, iterations=2, coarse_groups=5
+        ).collect()
+    }
+    assert flat == two
+
+
+def test_kmeans_two_level_total_and_deterministic(spark):
+    # pruned path with g < k: every point assigned exactly once (no
+    # point lost to an empty coarse cell), clusters recover planted
+    # structure, and reruns are bit-identical
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i % 4) * 100 + (d * i) % 3) for d in range(4)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    a = {
+        r["vec_id"]: r["cid"]
+        for r in sim.kmeans_assignments(
+            vecs, k=4, iterations=2, coarse_groups=2
+        ).collect()
+    }
+    assert len(a) == 40
+    groups = {c: {v for v, cc in a.items() if cc == c} for c in set(a.values())}
+    for g in groups.values():
+        assert len({v % 4 for v in g}) == 1
+    b = {
+        r["vec_id"]: r["cid"]
+        for r in sim.kmeans_assignments(
+            vecs, k=4, iterations=2, coarse_groups=2
+        ).collect()
+    }
+    assert a == b
+
+
 def test_repetition_stats(spark):
     rows = [
         (1, "a b c d e"),                # no repetition
