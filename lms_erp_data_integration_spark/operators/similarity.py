@@ -638,6 +638,16 @@ def kmeans_assignments(
                 )
                 .where(F.col("_rn") == 1)
                 .select("cid", "gid")
+                # k-row frame consumed by THREE downstream branches
+                # (coarse sums, probe cells, the fine scan) — eagerly
+                # truncate so each consumer reads a materialized RDD
+                # instead of re-expanding the whole iteration lineage
+                # through another AQE re-plan (the same driver-side
+                # cost the inter-iteration checkpoint below kills;
+                # measured: without these two checkpoints the coarse
+                # path LOST to the flat scan it prunes, 32 -> 76 s at
+                # sf1.0)
+                .localCheckpoint(eager=True)
             )
             # coarse cell state: exact sum of member (sums, counts) —
             # integer-valued doubles, so order-independent like the

@@ -358,17 +358,72 @@ def test_kmeans_two_level_degenerate_equals_flat(spark):
     assert flat == two
 
 
+def _two_level_kmeans_ref(raw, k, iterations, g):
+    """Pure-Python replica of the pruned two-level assignment — the
+    same integer scaling, sequential-fold distances, and lower-id tie
+    breaks as kmeans_assignments(coarse_groups=g). An exact oracle for
+    the PRUNED semantics (a point takes the best centroid IN ITS
+    nearest coarse cell, which need not be the global argmin)."""
+    import math
+
+    pts = {i: [math.floor(x * 1_000_000 + 0.5) * 1.0 for x in v] for i, v in raw}
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            acc = acc + d * d
+        return acc
+
+    state = {i: (list(pts[i]), 1.0) for i in sorted(pts) if i < k}
+    assign = None
+    for _ in range(iterations):
+        seeds = sorted(state)[:g]
+        ga = {}
+        for cid, (S, n) in state.items():
+            mean_c = [s / n for s in S]
+            best = min(
+                (sqd(mean_c, [s / state[gid][1] for s in state[gid][0]]), gid)
+                for gid in seeds
+            )
+            ga[cid] = best[1]
+        gstate = {}
+        for cid, gid in ga.items():
+            S, n = state[cid]
+            gS, gn = gstate.get(gid, ([0.0] * len(S), 0.0))
+            gstate[gid] = ([a + b for a, b in zip(gS, S)], gn + n)
+        assign = {}
+        for pid, v in pts.items():
+            pg = min(
+                (sqd(v, [s / gn for s in gS]), gid)
+                for gid, (gS, gn) in gstate.items()
+            )[1]
+            cell = [cid for cid, gid in ga.items() if gid == pg]
+            assign[pid] = min(
+                (sqd(v, [s / state[cid][1] for s in state[cid][0]]), cid)
+                for cid in cell
+            )[1]
+        nxt = {}
+        for pid, cid in assign.items():
+            S, n = nxt.get(cid, ([0.0] * len(pts[pid]), 0.0))
+            nxt[cid] = ([a + b for a, b in zip(S, pts[pid])], n + 1.0)
+        state = nxt
+    return assign
+
+
 def test_kmeans_two_level_total_and_deterministic(spark):
     # pruned path with g < k: every point assigned exactly once (no
-    # point lost to an empty coarse cell), clusters recover planted
-    # structure, and reruns are bit-identical
-    vecs = spark.createDataFrame(
-        [
-            (i, [float((i % 4) * 100 + (d * i) % 3) for d in range(4)])
-            for i in range(40)
-        ],
-        "vec_id long, embedding array<float>",
-    )
+    # point lost to an empty coarse cell), the assignment matches an
+    # exact pure-Python replica of the pruned semantics, and reruns
+    # are bit-identical. (Planted-structure recovery is NOT asserted:
+    # the pruned argmin is approximate in the standard IVF sense —
+    # a point equidistant between coarse cells may take an in-cell
+    # centroid that is not the global nearest.)
+    raw = [
+        (i, [float((i % 4) * 100 + (d * i) % 3) for d in range(4)])
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(raw, "vec_id long, embedding array<float>")
     a = {
         r["vec_id"]: r["cid"]
         for r in sim.kmeans_assignments(
@@ -376,9 +431,7 @@ def test_kmeans_two_level_total_and_deterministic(spark):
         ).collect()
     }
     assert len(a) == 40
-    groups = {c: {v for v, cc in a.items() if cc == c} for c in set(a.values())}
-    for g in groups.values():
-        assert len({v % 4 for v in g}) == 1
+    assert a == _two_level_kmeans_ref(raw, k=4, iterations=2, g=2)
     b = {
         r["vec_id"]: r["cid"]
         for r in sim.kmeans_assignments(
