@@ -1,0 +1,2004 @@
+"""From-scratch H.264/AVC INTRA-frame decoder (ITU-T H.264 / ISO/IEC
+14496-10) — Annex B byte streams and AVCC (length-prefixed) access
+units, Baseline-profile I slices with CAVLC entropy coding.
+
+Beyond-reference scope (the reference repo has no codec layer): this
+is the next step past r8's arithmetic-coded JPEG on the feasible-from-
+scratch codec frontier — H.264's integer transforms make intra decode
+BIT-EXACT by spec, so decoded pixels can sit under the driver's CRC
+gate exactly like the JPEG/FLAC/ADPCM paths.
+
+Supported (returns planes) vs rejected (returns None, never raises):
+
+- I and SI-free IDR/I slices, ``entropy_coding_mode_flag == 0``
+  (CAVLC), ``frame_mbs_only_flag == 1``, 4:2:0 or implied chroma,
+  8-bit. Macroblock types: I_PCM, Intra_16x16 (all 4 pred modes),
+  Intra_4x4 (all 9 pred modes), with full CAVLC residual decoding
+  (coeff_token / total_zeros / run_before per Tables 9-5..9-10),
+  dequantisation (8.5.9-8.5.12) and the 4x4 integer inverse
+  transform + luma DC Hadamard + chroma DC transform.
+- Deblocking must be OFF (``disable_deblocking_filter_idc == 1``):
+  the in-loop filter is not implemented, and decoding a stream that
+  requires it would silently produce non-conformant pixels — so such
+  streams are REJECTED (None), honoring the decoder family's
+  reject-cleanly contract (same posture as ``jpeg.py``'s
+  hierarchical processes). P/B slices and CABAC likewise reject.
+
+All VLC tables are transcribed from the public spec and checked for
+prefix-freeness by ``tests/test_h264.py``; fixtures come from this
+module's own closed-loop encoder (``encode_h264_annexb``), whose
+reconstruction loop runs the decoder's exact dequant + inverse
+transform — the property tests assert decoder output equals the
+encoder's reconstruction bit-for-bit (the FLAC-fixture pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+__all__ = [
+    "parse_annexb_nals",
+    "parse_sps",
+    "parse_pps",
+    "decode_h264_frame",
+    "decode_h264_annexb",
+    "encode_h264_annexb",
+    "annexb_to_avcc",
+    "avcc_config",
+]
+
+
+# ------------------------------------------------------------ bitstream
+
+class _Bits:
+    """MSB-first bit reader over an RBSP (emulation bytes already
+    stripped). Raises EOFError past the end — callers catch."""
+
+    __slots__ = ("d", "pos")
+
+    def __init__(self, d: bytes) -> None:
+        self.d = d
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.d):
+                raise EOFError("rbsp exhausted")
+            v = (v << 1) | ((self.d[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def flag(self) -> bool:
+        return self.u(1) == 1
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 32:
+                raise ValueError("exp-golomb prefix too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+    def byte_align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def bytes_(self, n: int) -> bytes:
+        if self.pos & 7:
+            raise ValueError("unaligned byte read")
+        byte = self.pos >> 3
+        if byte + n > len(self.d):
+            raise EOFError("rbsp exhausted")
+        self.pos += n * 8
+        return self.d[byte : byte + n]
+
+    def more_rbsp_data(self) -> bool:
+        """True before the rbsp_stop_one_bit (9.x): data remains if any
+        bit after the current position, other than the final 1 followed
+        by zeros, is set."""
+        if self.pos >> 3 >= len(self.d):
+            return False
+        # find last set bit in stream = stop bit position
+        last = len(self.d) * 8 - 1
+        while last >= 0:
+            if (self.d[last >> 3] >> (7 - (last & 7))) & 1:
+                break
+            last -= 1
+        return self.pos < last
+
+
+def _rbsp(nal: bytes) -> bytes:
+    """Strip emulation-prevention bytes (00 00 03 -> 00 00)."""
+    out = bytearray()
+    i, n = 0, len(nal)
+    while i < n:
+        if i + 2 < n and nal[i] == 0 and nal[i + 1] == 0 and nal[i + 2] == 3:
+            out += nal[i : i + 2]
+            i += 3
+        else:
+            out.append(nal[i])
+            i += 1
+    return bytes(out)
+
+
+def _emulate(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes for writing."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def parse_annexb_nals(data: bytes) -> list[tuple[int, bytes]]:
+    """Split an Annex B byte stream into (nal_unit_type, rbsp) pairs.
+    Returns [] when no start code is found."""
+    out: list[tuple[int, bytes]] = []
+    i, n = 0, len(data)
+    starts: list[int] = []
+    while i + 3 <= n:
+        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    for k, s in enumerate(starts):
+        e = (starts[k + 1] - 3) if k + 1 < len(starts) else n
+        # trailing zero bytes of the previous NAL belong to the next
+        # start code's 00 00 prefix; trim them
+        while e > s and e - 3 >= s and data[e - 1] == 0 and k + 1 < len(starts):
+            e -= 1
+        if e <= s:
+            continue
+        hdr = data[s]
+        if hdr & 0x80:
+            continue  # forbidden_zero_bit set: corrupt
+        out.append((hdr & 0x1F, _rbsp(data[s + 1 : e])))
+    return out
+
+
+# ------------------------------------------------------- parameter sets
+
+_HIGH_PROFILES = frozenset({100, 110, 122, 244, 44, 83, 86, 118, 128, 138})
+
+
+def parse_sps(rbsp: bytes) -> dict:
+    """Sequence parameter set (7.3.2.1.1) — the Baseline/Constrained
+    fields plus the High-profile chroma block (parsed, 4:2:0-or-bust).
+    Raises ValueError on unsupported shapes."""
+    b = _Bits(rbsp)
+    profile = b.u(8)
+    b.u(8)  # constraint flags + reserved
+    level = b.u(8)
+    sps_id = b.ue()
+    chroma_format_idc = 1
+    if profile in _HIGH_PROFILES:
+        chroma_format_idc = b.ue()
+        if chroma_format_idc == 3:
+            b.flag()  # separate_colour_plane_flag
+        bit_depth_luma = b.ue() + 8
+        bit_depth_chroma = b.ue() + 8
+        if bit_depth_luma != 8 or bit_depth_chroma != 8:
+            raise ValueError("only 8-bit supported")
+        b.flag()  # qpprime_y_zero_transform_bypass
+        if b.flag():  # seq_scaling_matrix_present
+            raise ValueError("scaling matrices not supported")
+    if chroma_format_idc != 1:
+        raise ValueError("only 4:2:0 supported")
+    log2_max_frame_num = b.ue() + 4
+    poc_type = b.ue()
+    log2_max_poc_lsb = 0
+    if poc_type == 0:
+        log2_max_poc_lsb = b.ue() + 4
+    elif poc_type == 1:
+        b.flag()
+        b.se()
+        b.se()
+        for _ in range(b.ue()):
+            b.se()
+    b.ue()  # max_num_ref_frames
+    b.flag()  # gaps_in_frame_num_value_allowed
+    width_mbs = b.ue() + 1
+    height_map_units = b.ue() + 1
+    frame_mbs_only = b.flag()
+    if not frame_mbs_only:
+        raise ValueError("interlace (fields/MBAFF) not supported")
+    b.flag()  # direct_8x8_inference
+    crop = [0, 0, 0, 0]
+    if b.flag():  # frame_cropping
+        crop = [b.ue(), b.ue(), b.ue(), b.ue()]
+    return {
+        "profile": profile,
+        "level": level,
+        "sps_id": sps_id,
+        "log2_max_frame_num": log2_max_frame_num,
+        "poc_type": poc_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
+        "width_mbs": width_mbs,
+        "height_mbs": height_map_units,
+        "width": width_mbs * 16 - 2 * (crop[0] + crop[1]),
+        "height": height_map_units * 16 - 2 * (crop[2] + crop[3]),
+        "crop": crop,
+    }
+
+
+def parse_pps(rbsp: bytes) -> dict:
+    """Picture parameter set (7.3.2.2) — CAVLC single-slice-group
+    shapes; CABAC and slice groups reject."""
+    b = _Bits(rbsp)
+    pps_id = b.ue()
+    sps_id = b.ue()
+    if b.flag():
+        raise ValueError("CABAC not supported (CAVLC only)")
+    b.flag()  # bottom_field_pic_order_in_frame_present
+    if b.ue() != 0:
+        raise ValueError("slice groups (FMO) not supported")
+    b.ue()  # num_ref_idx_l0_default_active_minus1
+    b.ue()  # num_ref_idx_l1_default_active_minus1
+    b.flag()  # weighted_pred
+    b.u(2)  # weighted_bipred_idc
+    pic_init_qp = b.se() + 26
+    b.se()  # pic_init_qs
+    chroma_qp_index_offset = b.se()
+    deblocking_control_present = b.flag()
+    constrained_intra = b.flag()
+    b.flag()  # redundant_pic_cnt_present
+    return {
+        "pps_id": pps_id,
+        "sps_id": sps_id,
+        "pic_init_qp": pic_init_qp,
+        "chroma_qp_index_offset": chroma_qp_index_offset,
+        "deblocking_control_present": deblocking_control_present,
+        "constrained_intra": constrained_intra,
+    }
+
+
+# ------------------------------------------------------- CAVLC tables
+#
+# Transcribed from ITU-T H.264 Tables 9-5 (coeff_token), 9-7/9-8
+# (total_zeros, 4x4), 9-9(a) (total_zeros, chroma DC 4:2:0) and 9-10
+# (run_before). Encoded as {(trailing_ones, total_coeff): (length,
+# code)} / column lists of (length, code); prefix-freeness of every
+# table is asserted by tests/test_h264.py::test_vlc_tables_prefix_free.
+
+_CT_NC0 = {  # 0 <= nC < 2
+    (0, 0): (1, 1),
+    (0, 1): (6, 0b000101), (1, 1): (2, 0b01),
+    (0, 2): (8, 0b00000111), (1, 2): (6, 0b000100), (2, 2): (3, 0b001),
+    (0, 3): (9, 0b000000111), (1, 3): (8, 0b00000110),
+    (2, 3): (7, 0b0000101), (3, 3): (5, 0b00011),
+    (0, 4): (10, 0b0000000111), (1, 4): (9, 0b000000110),
+    (2, 4): (8, 0b00000101), (3, 4): (6, 0b000011),
+    (0, 5): (11, 0b00000000111), (1, 5): (10, 0b0000000110),
+    (2, 5): (9, 0b000000101), (3, 5): (7, 0b0000100),
+    (0, 6): (13, 0b0000000001111), (1, 6): (11, 0b00000000110),
+    (2, 6): (10, 0b0000000101), (3, 6): (8, 0b00000100),
+    (0, 7): (13, 0b0000000001011), (1, 7): (13, 0b0000000001110),
+    (2, 7): (11, 0b00000000101), (3, 7): (9, 0b000000100),
+    (0, 8): (13, 0b0000000001000), (1, 8): (13, 0b0000000001010),
+    (2, 8): (13, 0b0000000001101), (3, 8): (10, 0b0000000100),
+    (0, 9): (14, 0b00000000001111), (1, 9): (14, 0b00000000001110),
+    (2, 9): (13, 0b0000000001001), (3, 9): (11, 0b00000000100),
+    (0, 10): (14, 0b00000000001011), (1, 10): (14, 0b00000000001010),
+    (2, 10): (14, 0b00000000001101), (3, 10): (13, 0b0000000001100),
+    (0, 11): (15, 0b000000000001111), (1, 11): (15, 0b000000000001110),
+    (2, 11): (14, 0b00000000001001), (3, 11): (14, 0b00000000001100),
+    (0, 12): (15, 0b000000000001011), (1, 12): (15, 0b000000000001010),
+    (2, 12): (15, 0b000000000001101), (3, 12): (14, 0b00000000001000),
+    (0, 13): (16, 0b0000000000001111), (1, 13): (15, 0b000000000000001),
+    (2, 13): (15, 0b000000000001001), (3, 13): (15, 0b000000000001100),
+    (0, 14): (16, 0b0000000000001011), (1, 14): (16, 0b0000000000001110),
+    (2, 14): (16, 0b0000000000001101), (3, 14): (15, 0b000000000001000),
+    (0, 15): (16, 0b0000000000000111), (1, 15): (16, 0b0000000000001010),
+    (2, 15): (16, 0b0000000000001001), (3, 15): (16, 0b0000000000001100),
+    (0, 16): (16, 0b0000000000000100), (1, 16): (16, 0b0000000000000110),
+    (2, 16): (16, 0b0000000000000101), (3, 16): (16, 0b0000000000001000),
+}
+
+_CT_NC2 = {  # 2 <= nC < 4
+    (0, 0): (2, 0b11),
+    (0, 1): (6, 0b001011), (1, 1): (2, 0b10),
+    (0, 2): (6, 0b000111), (1, 2): (5, 0b00111), (2, 2): (3, 0b011),
+    (0, 3): (7, 0b0000111), (1, 3): (6, 0b001010),
+    (2, 3): (6, 0b001001), (3, 3): (4, 0b0101),
+    (0, 4): (8, 0b00000111), (1, 4): (6, 0b000110),
+    (2, 4): (6, 0b000101), (3, 4): (4, 0b0100),
+    (0, 5): (8, 0b00000100), (1, 5): (7, 0b0000110),
+    (2, 5): (7, 0b0000101), (3, 5): (5, 0b00110),
+    (0, 6): (9, 0b000000111), (1, 6): (8, 0b00000110),
+    (2, 6): (8, 0b00000101), (3, 6): (6, 0b001000),
+    (0, 7): (11, 0b00000001111), (1, 7): (9, 0b000000110),
+    (2, 7): (9, 0b000000101), (3, 7): (6, 0b000100),
+    (0, 8): (11, 0b00000001011), (1, 8): (11, 0b00000001110),
+    (2, 8): (11, 0b00000001101), (3, 8): (7, 0b0000100),
+    (0, 9): (12, 0b000000001111), (1, 9): (11, 0b00000001010),
+    (2, 9): (11, 0b00000001001), (3, 9): (9, 0b000000100),
+    (0, 10): (12, 0b000000001011), (1, 10): (12, 0b000000001110),
+    (2, 10): (12, 0b000000001101), (3, 10): (11, 0b00000001100),
+    (0, 11): (12, 0b000000001000), (1, 11): (12, 0b000000001010),
+    (2, 11): (12, 0b000000001001), (3, 11): (11, 0b00000001000),
+    (0, 12): (13, 0b0000000001111), (1, 12): (13, 0b0000000001110),
+    (2, 12): (13, 0b0000000001101), (3, 12): (12, 0b000000001100),
+    (0, 13): (13, 0b0000000001011), (1, 13): (13, 0b0000000001010),
+    (2, 13): (13, 0b0000000001001), (3, 13): (13, 0b0000000001100),
+    (0, 14): (13, 0b0000000000111), (1, 14): (14, 0b00000000001011),
+    (2, 14): (13, 0b0000000000110), (3, 14): (13, 0b0000000001000),
+    (0, 15): (14, 0b00000000001001), (1, 15): (14, 0b00000000001000),
+    (2, 15): (14, 0b00000000001010), (3, 15): (13, 0b0000000000001),
+    (0, 16): (14, 0b00000000000111), (1, 16): (14, 0b00000000000110),
+    (2, 16): (14, 0b00000000000101), (3, 16): (14, 0b00000000000100),
+}
+
+_CT_NC4 = {  # 4 <= nC < 8
+    (0, 0): (4, 0b1111),
+    (0, 1): (6, 0b001111), (1, 1): (4, 0b1110),
+    (0, 2): (6, 0b001011), (1, 2): (5, 0b01111), (2, 2): (4, 0b1101),
+    (0, 3): (6, 0b001000), (1, 3): (5, 0b01100),
+    (2, 3): (5, 0b01110), (3, 3): (4, 0b1100),
+    (0, 4): (7, 0b0001111), (1, 4): (5, 0b01010),
+    (2, 4): (5, 0b01011), (3, 4): (4, 0b1011),
+    (0, 5): (7, 0b0001011), (1, 5): (5, 0b01000),
+    (2, 5): (5, 0b01001), (3, 5): (4, 0b1010),
+    (0, 6): (7, 0b0001001), (1, 6): (6, 0b001110),
+    (2, 6): (6, 0b001101), (3, 6): (4, 0b1001),
+    (0, 7): (7, 0b0001000), (1, 7): (6, 0b001010),
+    (2, 7): (6, 0b001001), (3, 7): (4, 0b1000),
+    (0, 8): (8, 0b00001111), (1, 8): (7, 0b0001110),
+    (2, 8): (7, 0b0001101), (3, 8): (5, 0b01101),
+    (0, 9): (8, 0b00001011), (1, 9): (8, 0b00001110),
+    (2, 9): (7, 0b0001010), (3, 9): (6, 0b001100),
+    (0, 10): (9, 0b000001111), (1, 10): (8, 0b00001010),
+    (2, 10): (8, 0b00001101), (3, 10): (7, 0b0001100),
+    (0, 11): (9, 0b000001011), (1, 11): (9, 0b000001110),
+    (2, 11): (8, 0b00001001), (3, 11): (8, 0b00001100),
+    (0, 12): (9, 0b000001000), (1, 12): (9, 0b000001010),
+    (2, 12): (9, 0b000001101), (3, 12): (8, 0b00001000),
+    (0, 13): (10, 0b0000001101), (1, 13): (9, 0b000000111),
+    (2, 13): (9, 0b000001001), (3, 13): (9, 0b000001100),
+    (0, 14): (10, 0b0000001001), (1, 14): (10, 0b0000001100),
+    (2, 14): (10, 0b0000001011), (3, 14): (10, 0b0000001010),
+    (0, 15): (10, 0b0000000101), (1, 15): (10, 0b0000001000),
+    (2, 15): (10, 0b0000000111), (3, 15): (10, 0b0000000110),
+    (0, 16): (10, 0b0000000001), (1, 16): (10, 0b0000000100),
+    (2, 16): (10, 0b0000000011), (3, 16): (10, 0b0000000010),
+}
+
+_CT_CHROMA_DC = {  # nC == -1 (chroma DC, 4:2:0 -> max 4 coeffs)
+    (0, 0): (2, 0b01),
+    (0, 1): (6, 0b000111), (1, 1): (1, 0b1),
+    (0, 2): (6, 0b000100), (1, 2): (6, 0b000110), (2, 2): (3, 0b001),
+    (0, 3): (6, 0b000011), (1, 3): (7, 0b0000011),
+    (2, 3): (7, 0b0000010), (3, 3): (6, 0b000101),
+    (0, 4): (6, 0b000010), (1, 4): (8, 0b00000011),
+    (2, 4): (8, 0b00000010), (3, 4): (7, 0b0000000),
+}
+
+# total_zeros for 4x4 blocks (Tables 9-7 / 9-8): _TZ[total_coeff-1] is
+# a list indexed by total_zeros of (length, code); None = impossible.
+_TZ = [
+    # tc=1: tz 0..15
+    [(1, 1), (3, 0b011), (3, 0b010), (4, 0b0011), (4, 0b0010),
+     (5, 0b00011), (5, 0b00010), (6, 0b000011), (6, 0b000010),
+     (7, 0b0000011), (7, 0b0000010), (8, 0b00000011), (8, 0b00000010),
+     (9, 0b000000011), (9, 0b000000010), (9, 0b000000001)],
+    # tc=2: tz 0..14
+    [(3, 0b111), (3, 0b110), (3, 0b101), (3, 0b100), (3, 0b011),
+     (4, 0b0101), (4, 0b0100), (4, 0b0011), (4, 0b0010), (5, 0b00011),
+     (5, 0b00010), (6, 0b000011), (6, 0b000010), (6, 0b000001),
+     (6, 0b000000)],
+    # tc=3: tz 0..13
+    [(4, 0b0101), (3, 0b111), (3, 0b110), (3, 0b101), (4, 0b0100),
+     (4, 0b0011), (3, 0b100), (3, 0b011), (4, 0b0010), (5, 0b00011),
+     (5, 0b00010), (6, 0b000001), (5, 0b00001), (6, 0b000000)],
+    # tc=4: tz 0..12
+    [(5, 0b00011), (3, 0b111), (4, 0b0101), (4, 0b0100), (3, 0b110),
+     (3, 0b101), (3, 0b100), (4, 0b0011), (3, 0b011), (4, 0b0010),
+     (5, 0b00010), (5, 0b00001), (5, 0b00000)],
+    # tc=5: tz 0..11
+    [(4, 0b0101), (4, 0b0100), (4, 0b0011), (3, 0b111), (3, 0b110),
+     (3, 0b101), (3, 0b100), (3, 0b011), (4, 0b0010), (5, 0b00001),
+     (4, 0b0001), (5, 0b00000)],
+    # tc=6: tz 0..10
+    [(6, 0b000001), (5, 0b00001), (3, 0b111), (3, 0b110), (3, 0b101),
+     (3, 0b100), (3, 0b011), (3, 0b010), (4, 0b0001), (3, 0b001),
+     (6, 0b000000)],
+    # tc=7: tz 0..9
+    [(6, 0b000001), (5, 0b00001), (3, 0b101), (3, 0b100), (3, 0b011),
+     (2, 0b11), (3, 0b010), (4, 0b0001), (3, 0b001), (6, 0b000000)],
+    # tc=8: tz 0..8
+    [(6, 0b000001), (4, 0b0001), (5, 0b00001), (3, 0b011), (2, 0b11),
+     (2, 0b10), (4, 0b0010), (3, 0b010), (6, 0b000000)],
+    # tc=9: tz 0..7
+    [(6, 0b000001), (6, 0b000000), (4, 0b0001), (2, 0b11), (2, 0b10),
+     (3, 0b001), (2, 0b01), (5, 0b00001)],
+    # tc=10: tz 0..6
+    [(5, 0b00001), (5, 0b00000), (3, 0b001), (2, 0b11), (2, 0b10),
+     (2, 0b01), (4, 0b0001)],
+    # tc=11: tz 0..5
+    [(4, 0b0000), (4, 0b0001), (3, 0b001), (3, 0b010), (1, 0b1),
+     (3, 0b011)],
+    # tc=12: tz 0..4
+    [(4, 0b0000), (4, 0b0001), (2, 0b01), (1, 0b1), (3, 0b001)],
+    # tc=13: tz 0..3
+    [(3, 0b000), (3, 0b001), (1, 0b1), (2, 0b01)],
+    # tc=14: tz 0..2
+    [(2, 0b00), (2, 0b01), (1, 0b1)],
+    # tc=15: tz 0..1
+    [(1, 0b0), (1, 0b1)],
+]
+
+# total_zeros for chroma DC (4:2:0, Table 9-9a): _TZ_CDC[tc-1][tz]
+_TZ_CDC = [
+    [(1, 1), (2, 0b01), (3, 0b001), (3, 0b000)],  # tc=1: tz 0..3
+    [(1, 1), (2, 0b01), (2, 0b00)],               # tc=2: tz 0..2
+    [(1, 1), (1, 0b0)],                           # tc=3: tz 0..1
+]
+
+# run_before (Table 9-10): _RB[min(zeros_left,7)-1][run] -> (len, code)
+_RB = [
+    [(1, 1), (1, 0)],                                  # zerosLeft=1
+    [(1, 1), (2, 0b01), (2, 0b00)],                    # 2
+    [(2, 0b11), (2, 0b10), (2, 0b01), (2, 0b00)],      # 3
+    [(2, 0b11), (2, 0b10), (2, 0b01), (3, 0b001), (3, 0b000)],  # 4
+    [(2, 0b11), (2, 0b10), (3, 0b011), (3, 0b010), (3, 0b001),
+     (3, 0b000)],                                      # 5
+    [(2, 0b11), (3, 0b000), (3, 0b001), (3, 0b011), (3, 0b010),
+     (3, 0b101), (3, 0b100)],                          # 6
+    # zerosLeft > 6: runs 0..6 are 3-bit 111..001, run r >= 7 is
+    # (r - 3) zeros then a 1 — handled in code, first 7 listed here
+    [(3, 0b111), (3, 0b110), (3, 0b101), (3, 0b100), (3, 0b011),
+     (3, 0b010), (3, 0b001)],
+]
+
+
+def _invert_vlc(table: dict) -> dict:
+    """(length, code) -> (t1s, total_coeff) decode map."""
+    return {lc: k for k, lc in table.items()}
+
+
+_CT_DEC = {
+    0: _invert_vlc(_CT_NC0),
+    2: _invert_vlc(_CT_NC2),
+    4: _invert_vlc(_CT_NC4),
+    -1: _invert_vlc(_CT_CHROMA_DC),
+}
+
+
+def _ct_context(nC: int) -> int:
+    if nC == -1:
+        return -1
+    if nC < 2:
+        return 0
+    if nC < 4:
+        return 2
+    if nC < 8:
+        return 4
+    return 8
+
+
+def _read_vlc(b: _Bits, dec: dict, max_len: int = 16) -> tuple[int, int]:
+    code, length = 0, 0
+    while length < max_len:
+        code = (code << 1) | b.u(1)
+        length += 1
+        hit = dec.get((length, code))
+        if hit is not None:
+            return hit
+    raise ValueError("invalid VLC code")
+
+
+def _read_coeff_token(b: _Bits, nC: int) -> tuple[int, int]:
+    """-> (trailing_ones, total_coeff)."""
+    ctx = _ct_context(nC)
+    if ctx == 8:  # FLC: 6 bits = (total_coeff-1) << 2 | t1s, 000011 = 0,0
+        v = b.u(6)
+        if v == 0b000011:
+            return 0, 0
+        return v & 3, (v >> 2) + 1
+    return _read_vlc(b, _CT_DEC[ctx])
+
+
+def _read_total_zeros(b: _Bits, total_coeff: int, chroma_dc: bool) -> int:
+    table = _TZ_CDC[total_coeff - 1] if chroma_dc else _TZ[total_coeff - 1]
+    dec = {lc: tz for tz, lc in enumerate(table) if lc is not None}
+    return _read_vlc(b, dec, max_len=9)
+
+
+def _read_run_before(b: _Bits, zeros_left: int) -> int:
+    if zeros_left > 6:
+        code, length = 0, 0
+        while length < 3:
+            code = (code << 1) | b.u(1)
+            length += 1
+        if code != 0:
+            return 7 - code
+        # 000 read; count further zeros then the terminating 1
+        run = 7
+        while b.u(1) == 0:
+            run += 1
+            if run > 14:
+                raise ValueError("run_before overflow")
+        return run
+    dec = {lc: r for r, lc in enumerate(_RB[zeros_left - 1])}
+    return _read_vlc(b, dec, max_len=3)
+
+
+def _residual_block(
+    b: _Bits, nC: int, max_coeffs: int
+) -> tuple[list[int], int]:
+    """CAVLC residual_block_cavlc (9.2) -> (coeffs in scan order
+    [max_coeffs], total_coeff)."""
+    t1s, total = _read_coeff_token(b, nC)
+    coeffs = [0] * max_coeffs
+    if total == 0:
+        return coeffs, 0
+    levels: list[int] = []
+    for _ in range(t1s):
+        levels.append(-1 if b.u(1) else 1)
+    suffix_len = 1 if (total > 10 and t1s < 3) else 0
+    for i in range(t1s, total):
+        prefix = 0
+        while b.u(1) == 0:
+            prefix += 1
+            if prefix > 31:
+                raise ValueError("level_prefix overflow")
+        code = min(15, prefix) << suffix_len
+        if suffix_len > 0 or prefix >= 14:
+            size = suffix_len
+            if prefix == 14 and suffix_len == 0:
+                size = 4
+            elif prefix >= 15:
+                size = prefix - 3
+            if size:
+                code += b.u(size)
+        if prefix >= 15 and suffix_len == 0:
+            code += 15
+        if prefix >= 16:
+            code += (1 << (prefix - 3)) - 4096
+        if i == t1s and t1s < 3:
+            code += 2
+        level = (code + 2) >> 1
+        if code & 1:
+            level = -level
+        levels.append(level)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    if total < max_coeffs:
+        zeros_left = _read_total_zeros(b, total, max_coeffs == 4)
+    else:
+        zeros_left = 0
+    pos = total - 1 + zeros_left  # scan index of the highest coeff
+    for i, lv in enumerate(levels):
+        coeffs[pos] = lv
+        if i == total - 1:
+            break
+        run = _read_run_before(b, zeros_left) if zeros_left > 0 else 0
+        zeros_left -= run
+        if zeros_left < 0:
+            raise ValueError("run_before exceeds zeros_left")
+        pos -= run + 1
+        if pos < 0:
+            raise ValueError("coefficient position underflow")
+    return coeffs, total
+
+
+# -------------------------------------------- dequant / inverse transform
+
+# LevelScale4x4 grouping (8.5.9): position class 0 = {(0,0),(0,2),
+# (2,0),(2,2)}, class 1 = {(1,1),(1,3),(3,1),(3,3)}, class 2 = rest.
+_LS_V = [
+    (10, 16, 13), (11, 18, 14), (13, 20, 16),
+    (14, 23, 18), (16, 25, 20), (18, 29, 23),
+]
+_POS_CLASS = np.array(
+    [[0, 2, 0, 2], [2, 1, 2, 1], [0, 2, 0, 2], [2, 1, 2, 1]]
+)
+
+# 4x4 zigzag scan (Table 8-13, frame coding)
+_SCAN4 = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3),
+]
+
+_QPC_TABLE = list(range(30)) + [
+    29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37,
+    38, 38, 38, 39, 39, 39, 39,
+]
+
+
+def _chroma_qp(qp: int, offset: int) -> int:
+    return _QPC_TABLE[max(0, min(51, qp + offset))]
+
+
+def _level_scale(qp: int) -> np.ndarray:
+    v = _LS_V[qp % 6]
+    return np.array(v)[_POS_CLASS]
+
+
+def _dequant4x4(coeffs: np.ndarray, qp: int, skip_dc: bool) -> np.ndarray:
+    """8.5.12.1: scale a 4x4 block of levels (natural order) to
+    transform-domain values; ``skip_dc`` leaves [0,0] untouched (the
+    Intra16x16 / chroma DC paths substitute it separately)."""
+    ls = _level_scale(qp)
+    d = coeffs.astype(np.int64)
+    if qp >= 24:
+        out = (d * ls) << (qp // 6 - 4)
+    else:
+        shift = 4 - qp // 6
+        out = (d * ls + (1 << (shift - 1))) >> shift
+    if skip_dc:
+        out[0, 0] = d[0, 0]
+    return out
+
+
+def _itransform4x4(d: np.ndarray) -> np.ndarray:
+    """8.5.12.2 integer inverse core transform, returns residual
+    (includes the final (x + 32) >> 6)."""
+    d = d.astype(np.int64)
+    e = np.empty_like(d)
+    # horizontal
+    e0 = d[:, 0] + d[:, 2]
+    e1 = d[:, 0] - d[:, 2]
+    e2 = (d[:, 1] >> 1) - d[:, 3]
+    e3 = d[:, 1] + (d[:, 3] >> 1)
+    e[:, 0] = e0 + e3
+    e[:, 1] = e1 + e2
+    e[:, 2] = e1 - e2
+    e[:, 3] = e0 - e3
+    f = np.empty_like(e)
+    g0 = e[0, :] + e[2, :]
+    g1 = e[0, :] - e[2, :]
+    g2 = (e[1, :] >> 1) - e[3, :]
+    g3 = e[1, :] + (e[3, :] >> 1)
+    f[0, :] = g0 + g3
+    f[1, :] = g1 + g2
+    f[2, :] = g1 - g2
+    f[3, :] = g0 - g3
+    return (f + 32) >> 6
+
+
+def _ihadamard4(c: np.ndarray) -> np.ndarray:
+    """8.5.10 inverse Hadamard for the Intra16x16 luma DC block."""
+    c = c.astype(np.int64)
+    m = np.empty_like(c)
+    a0 = c[:, 0] + c[:, 2]
+    a1 = c[:, 0] - c[:, 2]
+    a2 = c[:, 1] - c[:, 3]
+    a3 = c[:, 1] + c[:, 3]
+    m[:, 0] = a0 + a3
+    m[:, 1] = a1 + a2
+    m[:, 2] = a1 - a2
+    m[:, 3] = a0 - a3
+    out = np.empty_like(m)
+    b0 = m[0, :] + m[2, :]
+    b1 = m[0, :] - m[2, :]
+    b2 = m[1, :] - m[3, :]
+    b3 = m[1, :] + m[3, :]
+    out[0, :] = b0 + b3
+    out[1, :] = b1 + b2
+    out[2, :] = b1 - b2
+    out[3, :] = b0 - b3
+    return out
+
+
+def _scale_luma_dc(f: np.ndarray, qp: int) -> np.ndarray:
+    ls00 = _LS_V[qp % 6][0]
+    if qp >= 36:
+        return (f * ls00) << (qp // 6 - 6)
+    shift = 6 - qp // 6
+    return (f * ls00 + (1 << (shift - 1))) >> shift
+
+
+def _scale_chroma_dc(f: np.ndarray, qp: int) -> np.ndarray:
+    ls00 = _LS_V[qp % 6][0]
+    return ((f * ls00) << (qp // 6)) >> 5
+
+
+# --------------------------------------------------- intra prediction
+
+def _clip8(a: np.ndarray) -> np.ndarray:
+    return np.clip(a, 0, 255)
+
+
+def _pred4x4(
+    mode: int,
+    t: np.ndarray | None,   # p[0..7, -1] (top + top-right), int64
+    l: np.ndarray | None,   # p[-1, 0..3]
+    c: int | None,          # p[-1, -1]
+) -> np.ndarray:
+    """8.3.1.2 Intra_4x4 sample prediction. ``t``/``l``/``c`` are None
+    when unavailable (conformant streams never select a mode whose
+    samples are missing; for robustness a missing input falls back to
+    DC-style defaults instead of raising)."""
+    p = np.zeros((4, 4), dtype=np.int64)
+    if mode == 0 and t is not None:  # Vertical
+        p[:, :] = t[:4]
+        return p
+    if mode == 1 and l is not None:  # Horizontal
+        p[:, :] = l[:, None]
+        return p
+    if mode == 2:  # DC
+        if t is not None and l is not None:
+            p[:, :] = (int(t[:4].sum()) + int(l.sum()) + 4) >> 3
+        elif l is not None:
+            p[:, :] = (int(l.sum()) + 2) >> 2
+        elif t is not None:
+            p[:, :] = (int(t[:4].sum()) + 2) >> 2
+        else:
+            p[:, :] = 128
+        return p
+    if t is None:
+        t = np.full(8, 128, dtype=np.int64)
+    if l is None:
+        l = np.full(4, 128, dtype=np.int64)
+    if c is None:
+        c = 128
+    if mode == 3:  # Diagonal-Down-Left
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    p[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    p[y, x] = (t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2) >> 2
+        return p
+    if mode == 4:  # Diagonal-Down-Right
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    p[y, x] = (t[x - y - 2] + 2 * t[x - y - 1] + t[x - y] + 2) >> 2
+                elif x < y:
+                    p[y, x] = (l[y - x - 2] + 2 * l[y - x - 1] + l[y - x] + 2) >> 2
+                else:
+                    p[y, x] = (t[0] + 2 * c + l[0] + 2) >> 2
+        return p
+    if mode == 5:  # Vertical-Right
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (t[x - (y >> 1) - 1] + t[x - (y >> 1)] + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (
+                        t[x - (y >> 1) - 2] + 2 * t[x - (y >> 1) - 1]
+                        + t[x - (y >> 1)] + 2
+                    ) >> 2
+                elif z == -1:
+                    p[y, x] = (l[0] + 2 * c + t[0] + 2) >> 2
+                else:
+                    p[y, x] = (l[y - 1] + 2 * l[y - 2] + l[y - 3] + 2) >> 2
+        return p
+    if mode == 6:  # Horizontal-Down
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (l[y - (x >> 1) - 1] + l[y - (x >> 1)] + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (
+                        l[y - (x >> 1) - 2] + 2 * l[y - (x >> 1) - 1]
+                        + l[y - (x >> 1)] + 2
+                    ) >> 2
+                elif z == -1:
+                    p[y, x] = (l[0] + 2 * c + t[0] + 2) >> 2
+                else:
+                    p[y, x] = (t[x - 1] + 2 * t[x - 2] + t[x - 3] + 2) >> 2
+        return p
+    if mode == 7:  # Vertical-Left
+        for y in range(4):
+            for x in range(4):
+                if y % 2 == 0:
+                    p[y, x] = (t[x + (y >> 1)] + t[x + (y >> 1) + 1] + 1) >> 1
+                else:
+                    p[y, x] = (
+                        t[x + (y >> 1)] + 2 * t[x + (y >> 1) + 1]
+                        + t[x + (y >> 1) + 2] + 2
+                    ) >> 2
+        return p
+    if mode == 8:  # Horizontal-Up
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z % 2 == 0 and z < 5:
+                    p[y, x] = (l[y + (x >> 1)] + l[y + (x >> 1) + 1] + 1) >> 1
+                elif z < 5:
+                    p[y, x] = (
+                        l[y + (x >> 1)] + 2 * l[y + (x >> 1) + 1]
+                        + l[y + (x >> 1) + 2] + 2
+                    ) >> 2
+                elif z == 5:
+                    p[y, x] = (l[2] + 3 * l[3] + 2) >> 2
+                else:
+                    p[y, x] = l[3]
+        return p
+    # unavailable-mode fallback (non-conformant input): flat DC
+    p[:, :] = 128
+    return p
+
+
+def _pred16x16(
+    mode: int,
+    t: np.ndarray | None,
+    l: np.ndarray | None,
+    c: int | None,
+) -> np.ndarray:
+    """8.3.2 Intra_16x16 prediction (modes 0-3)."""
+    p = np.zeros((16, 16), dtype=np.int64)
+    if mode == 0 and t is not None:
+        p[:, :] = t
+        return p
+    if mode == 1 and l is not None:
+        p[:, :] = l[:, None]
+        return p
+    if mode == 2:
+        if t is not None and l is not None:
+            p[:, :] = (int(t.sum()) + int(l.sum()) + 16) >> 5
+        elif l is not None:
+            p[:, :] = (int(l.sum()) + 8) >> 4
+        elif t is not None:
+            p[:, :] = (int(t.sum()) + 8) >> 4
+        else:
+            p[:, :] = 128
+        return p
+    if mode == 3 and t is not None and l is not None and c is not None:
+        tt = np.concatenate(([c], t)).astype(np.int64)  # tt[1+x] = p[x,-1]
+        ll = np.concatenate(([c], l)).astype(np.int64)
+        H = sum((x + 1) * (tt[1 + 8 + x] - tt[1 + 6 - x]) for x in range(8))
+        V = sum((y + 1) * (ll[1 + 8 + y] - ll[1 + 6 - y]) for y in range(8))
+        a = 16 * (int(l[15]) + int(t[15]))
+        b = (5 * H + 32) >> 6
+        cc = (5 * V + 32) >> 6
+        ys, xs = np.mgrid[0:16, 0:16]
+        p = (a + b * (xs - 7) + cc * (ys - 7) + 16) >> 5
+        return _clip8(p)
+    p[:, :] = 128
+    return p
+
+
+def _pred_chroma8x8(
+    mode: int,
+    t: np.ndarray | None,
+    l: np.ndarray | None,
+    c: int | None,
+) -> np.ndarray:
+    """8.3.3 chroma prediction (8x8, modes: 0 DC, 1 horizontal,
+    2 vertical, 3 plane)."""
+    p = np.zeros((8, 8), dtype=np.int64)
+    if mode == 1 and l is not None:
+        p[:, :] = l[:, None]
+        return p
+    if mode == 2 and t is not None:
+        p[:, :] = t
+        return p
+    if mode == 3 and t is not None and l is not None and c is not None:
+        tt = np.concatenate(([c], t)).astype(np.int64)
+        ll = np.concatenate(([c], l)).astype(np.int64)
+        H = sum((x + 1) * (tt[1 + 4 + x] - tt[1 + 2 - x]) for x in range(4))
+        V = sum((y + 1) * (ll[1 + 4 + y] - ll[1 + 2 - y]) for y in range(4))
+        a = 16 * (int(l[7]) + int(t[7]))
+        b = (17 * H + 16) >> 5
+        cc = (17 * V + 16) >> 5
+        ys, xs = np.mgrid[0:8, 0:8]
+        p = (a + b * (xs - 3) + cc * (ys - 3) + 16) >> 5
+        return _clip8(p)
+    if mode == 0:  # DC, per 4x4 quadrant (8.3.3.1)
+        for yo in (0, 4):
+            for xo in (0, 4):
+                ts = t[xo : xo + 4] if t is not None else None
+                ls = l[yo : yo + 4] if l is not None else None
+                if xo == 0 and yo == 0 or xo == 4 and yo == 4:
+                    if ts is not None and ls is not None:
+                        v = (int(ts.sum()) + int(ls.sum()) + 4) >> 3
+                    elif ls is not None:
+                        v = (int(ls.sum()) + 2) >> 2
+                    elif ts is not None:
+                        v = (int(ts.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                elif xo == 4 and yo == 0:
+                    if ts is not None:
+                        v = (int(ts.sum()) + 2) >> 2
+                    elif ls is not None:
+                        v = (int(ls.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                else:  # xo == 0, yo == 4
+                    if ls is not None:
+                        v = (int(ls.sum()) + 2) >> 2
+                    elif ts is not None:
+                        v = (int(ts.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                p[yo : yo + 4, xo : xo + 4] = v
+        return p
+    p[:, :] = 128
+    return p
+
+
+# Table 9-4, intra column: codeNum -> coded_block_pattern (I_4x4/I_8x8)
+_CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
+
+# zig-zag ordering of the 16 luma 4x4 blocks within a MB: blkIdx ->
+# (bx, by) in 4x4-block units
+_BLK_POS = [
+    (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+    (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3),
+]
+
+
+# ------------------------------------------------------ slice decoding
+
+class _Frame:
+    """Reconstruction state for one picture: planes + per-4x4-block
+    bookkeeping used by neighbour-dependent decoding (nC contexts,
+    Intra4x4 mode prediction, constructive sample availability)."""
+
+    def __init__(self, sps: dict) -> None:
+        self.wmb = sps["width_mbs"]
+        self.hmb = sps["height_mbs"]
+        self.y = np.zeros((self.hmb * 16, self.wmb * 16), dtype=np.int64)
+        self.cb = np.zeros((self.hmb * 8, self.wmb * 8), dtype=np.int64)
+        self.cr = np.zeros((self.hmb * 8, self.wmb * 8), dtype=np.int64)
+        # total_coeff per 4x4 block (luma; chroma per component)
+        self.nc_y = np.zeros((self.hmb * 4, self.wmb * 4), dtype=np.int16)
+        self.nc_cb = np.zeros((self.hmb * 2, self.wmb * 2), dtype=np.int16)
+        self.nc_cr = np.zeros((self.hmb * 2, self.wmb * 2), dtype=np.int16)
+        # -1 = not decoded; else slice id (availability = same slice)
+        self.slice_of_mb = np.full((self.hmb, self.wmb), -1, dtype=np.int32)
+        # Intra4x4PredMode per 4x4 block; -1 = not an I4x4 block (treated
+        # as DC=2 in prediction when the MB is intra, per 8.3.1.1)
+        self.i4_mode = np.full((self.hmb * 4, self.wmb * 4), -1, dtype=np.int8)
+        # decoded-sample availability at 4x4 granularity — marking
+        # blocks as they are reconstructed reproduces the spec's
+        # top-right availability rules constructively
+        self.done4 = np.zeros((self.hmb * 4, self.wmb * 4), dtype=bool)
+
+    def mb_avail(self, mbx: int, mby: int, cur_slice: int) -> bool:
+        if mbx < 0 or mby < 0 or mbx >= self.wmb or mby >= self.hmb:
+            return False
+        return self.slice_of_mb[mby, mbx] == cur_slice
+
+
+def _luma_neighbors(
+    fr: _Frame, px: int, py: int, n: int, cur_slice: int, plane: np.ndarray,
+    done: np.ndarray, gran: int,
+) -> tuple[np.ndarray | None, np.ndarray | None, int | None]:
+    """Gather (top[0:n or 2n], left[0:n], corner) for an n x n block at
+    pixel (px, py) of ``plane``; ``done`` is the 4x4 (luma) or 4x4-
+    chroma availability map with granularity ``gran`` pixels. Top is
+    length 2n for n == 4 (top-right rule: unavailable tail replicates
+    t[n-1]); length n otherwise."""
+    h, w = plane.shape
+
+    def avail(x: int, y: int) -> bool:
+        if x < 0 or y < 0 or x >= w or y >= h:
+            return False
+        return bool(done[y // gran, x // gran])
+
+    top = None
+    if py > 0 and avail(px, py - 1):
+        if n == 4:
+            t = np.empty(8, dtype=np.int64)
+            t[:4] = plane[py - 1, px : px + 4]
+            if avail(px + 4, py - 1):
+                t[4:] = plane[py - 1, px + 4 : px + 8]
+            else:
+                t[4:] = t[3]
+            top = t
+        else:
+            top = plane[py - 1, px : px + n].astype(np.int64)
+    left = None
+    if px > 0 and avail(px - 1, py):
+        left = plane[py : py + n, px - 1].astype(np.int64)
+    corner = None
+    if px > 0 and py > 0 and avail(px - 1, py - 1):
+        corner = int(plane[py - 1, px - 1])
+    return top, left, corner
+
+
+def _nc_for(
+    fr: _Frame, nc_map: np.ndarray, bx: int, by: int, mb_gran: int,
+    cur_slice: int,
+) -> int:
+    """9.2.1 nC from left/top neighbour blocks' total_coeff. ``mb_gran``
+    is blocks-per-MB-side (4 luma, 2 chroma)."""
+
+    def blk_avail(x: int, y: int) -> int | None:
+        if x < 0 or y < 0:
+            return None
+        if x >= nc_map.shape[1] or y >= nc_map.shape[0]:
+            return None
+        if fr.slice_of_mb[y // mb_gran, x // mb_gran] != cur_slice:
+            return None
+        return int(nc_map[y, x])
+
+    na = blk_avail(bx - 1, by)
+    nb = blk_avail(bx, by - 1)
+    if na is not None and nb is not None:
+        return (na + nb + 1) >> 1
+    if na is not None:
+        return na
+    if nb is not None:
+        return nb
+    return 0
+
+
+def _zig_to_nat(coeffs: list[int]) -> np.ndarray:
+    """16 zig-zag-scanned levels -> natural-order 4x4."""
+    out = np.zeros((4, 4), dtype=np.int64)
+    for i, (r, cidx) in enumerate(_SCAN4):
+        out[r, cidx] = coeffs[i]
+    return out
+
+
+def _decode_slice(
+    fr: _Frame, b: _Bits, sps: dict, pps: dict, nal_type: int,
+    slice_id: int,
+) -> None:
+    """Parse one I-slice header + data into ``fr``. Raises ValueError
+    on unsupported shapes (P/B, deblocking enabled, ASO)."""
+    first_mb = b.ue()
+    slice_type = b.ue()
+    if slice_type % 5 != 2:
+        raise ValueError("only I slices supported")
+    b.ue()  # pps_id (single active PPS assumed)
+    b.u(sps["log2_max_frame_num"])  # frame_num
+    if nal_type == 5:
+        b.ue()  # idr_pic_id
+    if sps["poc_type"] == 0:
+        b.u(sps["log2_max_poc_lsb"])
+    # dec_ref_pic_marking (IDR): no_output_of_prior_pics + long_term
+    if nal_type == 5:
+        b.flag()
+        b.flag()
+    elif slice_type % 5 != 2:  # pragma: no cover - I-only
+        raise ValueError("non-IDR reference handling unsupported")
+    qp = pps["pic_init_qp"] + b.se()
+    if pps["deblocking_control_present"]:
+        if b.ue() != 1:
+            raise ValueError(
+                "deblocking filter enabled: not implemented, rejecting "
+                "rather than emitting non-conformant pixels"
+            )
+    else:
+        raise ValueError(
+            "deblocking filter enabled (no control flags): rejecting"
+        )
+    n_mbs = fr.wmb * fr.hmb
+    for mb_addr in range(first_mb, n_mbs):
+        qp = _decode_mb(fr, b, mb_addr, qp, pps, slice_id)
+        if not b.more_rbsp_data():
+            break
+
+
+def _decode_mb(
+    fr: _Frame, b: _Bits, mb_addr: int, qp: int, pps: dict, slice_id: int,
+) -> int:
+    mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
+    fr.slice_of_mb[mby, mbx] = slice_id
+    ox, oy = mbx * 16, mby * 16  # luma pixel origin
+    cx, cy = mbx * 8, mby * 8  # chroma pixel origin
+    mb_type = b.ue()
+    if mb_type > 25:
+        raise ValueError(f"bad I mb_type {mb_type}")
+
+    if mb_type == 25:  # I_PCM
+        b.byte_align()
+        y = np.frombuffer(b.bytes_(256), dtype=np.uint8).reshape(16, 16)
+        cb = np.frombuffer(b.bytes_(64), dtype=np.uint8).reshape(8, 8)
+        cr = np.frombuffer(b.bytes_(64), dtype=np.uint8).reshape(8, 8)
+        fr.y[oy : oy + 16, ox : ox + 16] = y
+        fr.cb[cy : cy + 8, cx : cx + 8] = cb
+        fr.cr[cy : cy + 8, cx : cx + 8] = cr
+        # I_PCM: neighbours see nC = 16 (9.2.1), blocks decoded
+        fr.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+        fr.nc_cb[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        fr.nc_cr[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        fr.done4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
+        return qp  # QP_prev unchanged? spec: QPY preserved for next MB
+
+    if mb_type == 0:  # Intra_4x4
+        i4_modes: list[int] = []
+        for blk in range(16):
+            bx4, by4 = _BLK_POS[blk]
+            abx, aby = mbx * 4 + bx4, mby * 4 + by4
+            # predicted mode = min(modeA, modeB); non-I4x4 intra MB
+            # neighbours count as DC (2); unavailable -> 2
+            ma = mb_b = 2
+
+            def nb_mode(x: int, y: int) -> int:
+                if x < 0 or y < 0:
+                    return -9  # unavailable marker
+                if fr.slice_of_mb[y // 4, x // 4] != slice_id:
+                    return -9
+                m = int(fr.i4_mode[y, x])
+                return m if m >= 0 else 2
+            a = nb_mode(abx - 1, aby)
+            bm = nb_mode(abx, aby - 1)
+            if a == -9 or bm == -9:
+                pred = 2
+            else:
+                pred = min(a, bm)
+            if b.flag():
+                mode = pred
+            else:
+                rem = b.u(3)
+                mode = rem if rem < pred else rem + 1
+            i4_modes.append(mode)
+            fr.i4_mode[aby, abx] = mode
+        chroma_mode = b.ue()
+        if chroma_mode > 3:
+            raise ValueError("bad intra_chroma_pred_mode")
+        cbp_code = b.ue()
+        if cbp_code > 47:
+            raise ValueError("bad coded_block_pattern")
+        cbp = _CBP_INTRA[cbp_code]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp > 0:
+            qp = (qp + b.se() + 52) % 52
+        # ---- residuals (parse all, bitstream order)
+        luma_blocks: list[np.ndarray] = []
+        for blk in range(16):
+            bx4, by4 = _BLK_POS[blk]
+            abx, aby = mbx * 4 + bx4, mby * 4 + by4
+            if cbp_luma & (1 << (blk >> 2)):
+                nc = _nc_for(fr, fr.nc_y, abx, aby, 4, slice_id)
+                coeffs, total = _residual_block(b, nc, 16)
+                fr.nc_y[aby, abx] = total
+                luma_blocks.append(_zig_to_nat(coeffs))
+            else:
+                fr.nc_y[aby, abx] = 0
+                luma_blocks.append(np.zeros((4, 4), dtype=np.int64))
+        dc_cb, dc_cr, ac_cb, ac_cr = _parse_chroma_residual(
+            fr, b, mbx, mby, cbp_chroma, slice_id
+        )
+        # ---- reconstruct luma per block (prediction feeds forward)
+        for blk in range(16):
+            bx4, by4 = _BLK_POS[blk]
+            px, py = ox + bx4 * 4, oy + by4 * 4
+            t, l, c = _luma_neighbors(
+                fr, px, py, 4, slice_id, fr.y, fr.done4, 4
+            )
+            pred = _pred4x4(i4_modes[blk], t, l, c)
+            if luma_blocks[blk].any():
+                d = _dequant4x4(luma_blocks[blk], qp, skip_dc=False)
+                res = _itransform4x4(d)
+            else:
+                res = 0
+            fr.y[py : py + 4, px : px + 4] = _clip8(pred + res)
+            fr.done4[py // 4, px // 4] = True
+        _reconstruct_chroma(
+            fr, mbx, mby, chroma_mode, qp, pps, dc_cb, dc_cr, ac_cb, ac_cr,
+            slice_id,
+        )
+        return qp
+
+    # Intra_16x16: mb_type 1..24
+    pred_mode = (mb_type - 1) % 4
+    cbp_chroma = ((mb_type - 1) // 4) % 3
+    cbp_luma = 15 if mb_type > 12 else 0
+    chroma_mode = b.ue()
+    if chroma_mode > 3:
+        raise ValueError("bad intra_chroma_pred_mode")
+    qp = (qp + b.se() + 52) % 52  # always present for I_16x16
+    fr.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = -1
+    # DC block: nC from luma blk0 context
+    nc = _nc_for(fr, fr.nc_y, mbx * 4, mby * 4, 4, slice_id)
+    dc_coeffs, _dc_total = _residual_block(b, nc, 16)
+    # AC blocks
+    ac_blocks: list[np.ndarray] = []
+    for blk in range(16):
+        bx4, by4 = _BLK_POS[blk]
+        abx, aby = mbx * 4 + bx4, mby * 4 + by4
+        if cbp_luma:
+            nc = _nc_for(fr, fr.nc_y, abx, aby, 4, slice_id)
+            coeffs, total = _residual_block(b, nc, 15)
+            fr.nc_y[aby, abx] = total
+            ac_blocks.append(_zig_to_nat([0] + coeffs))
+        else:
+            fr.nc_y[aby, abx] = 0
+            ac_blocks.append(np.zeros((4, 4), dtype=np.int64))
+    dc_cb, dc_cr, ac_cb, ac_cr = _parse_chroma_residual(
+        fr, b, mbx, mby, cbp_chroma, slice_id
+    )
+    # ---- reconstruct: 16x16 prediction from MB-edge neighbours
+    t, l, c = _luma_neighbors(fr, ox, oy, 16, slice_id, fr.y, fr.done4, 4)
+    pred = _pred16x16(pred_mode, t, l, c)
+    # luma DC: zigzag -> 4x4, inverse Hadamard, scale (8.5.10)
+    dc_nat = _zig_to_nat(dc_coeffs)
+    dc_scaled = _scale_luma_dc(_ihadamard4(dc_nat), qp)
+    recon = np.empty((16, 16), dtype=np.int64)
+    for blk in range(16):
+        bx4, by4 = _BLK_POS[blk]
+        d = _dequant4x4(ac_blocks[blk], qp, skip_dc=True)
+        d[0, 0] = dc_scaled[by4, bx4]
+        res = _itransform4x4(d)
+        recon[by4 * 4 : by4 * 4 + 4, bx4 * 4 : bx4 * 4 + 4] = (
+            pred[by4 * 4 : by4 * 4 + 4, bx4 * 4 : bx4 * 4 + 4] + res
+        )
+    fr.y[oy : oy + 16, ox : ox + 16] = _clip8(recon)
+    fr.done4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
+    _reconstruct_chroma(
+        fr, mbx, mby, chroma_mode, qp, pps, dc_cb, dc_cr, ac_cb, ac_cr,
+        slice_id,
+    )
+    return qp
+
+
+def _parse_chroma_residual(
+    fr: _Frame, b: _Bits, mbx: int, mby: int, cbp_chroma: int,
+    slice_id: int,
+) -> tuple[list[int], list[int], list[np.ndarray], list[np.ndarray]]:
+    """Chroma DC (2x2 per component) + AC (4 blocks per component)."""
+    dc_cb = [0, 0, 0, 0]
+    dc_cr = [0, 0, 0, 0]
+    if cbp_chroma:
+        dc_cb, _ = _residual_block(b, -1, 4)
+        dc_cr, _ = _residual_block(b, -1, 4)
+    ac_cb: list[np.ndarray] = []
+    ac_cr: list[np.ndarray] = []
+    for comp, (nc_map, acc) in enumerate(
+        ((fr.nc_cb, ac_cb), (fr.nc_cr, ac_cr))
+    ):
+        for blk in range(4):
+            bx2, by2 = blk % 2, blk // 2
+            abx, aby = mbx * 2 + bx2, mby * 2 + by2
+            if cbp_chroma == 2:
+                nc = _nc_for(fr, nc_map, abx, aby, 2, slice_id)
+                coeffs, total = _residual_block(b, nc, 15)
+                nc_map[aby, abx] = total
+                acc.append(_zig_to_nat([0] + coeffs))
+            else:
+                nc_map[aby, abx] = 0
+                acc.append(np.zeros((4, 4), dtype=np.int64))
+    return dc_cb, dc_cr, ac_cb, ac_cr
+
+
+def _reconstruct_chroma(
+    fr: _Frame, mbx: int, mby: int, mode: int, qp_y: int, pps: dict,
+    dc_cb: list[int], dc_cr: list[int], ac_cb: list[np.ndarray],
+    ac_cr: list[np.ndarray], slice_id: int,
+) -> None:
+    qpc = _chroma_qp(qp_y, pps["chroma_qp_index_offset"])
+    cx, cy = mbx * 8, mby * 8
+    for plane, dc, ac in ((fr.cb, dc_cb, ac_cb), (fr.cr, dc_cr, ac_cr)):
+        # chroma availability: reuse the luma done-map at MB granularity
+        # via a chroma-scaled view — a chroma sample is decoded iff its
+        # MB's luma co-site is (chroma decode happens with the MB)
+        t, l, c = _luma_neighbors(
+            fr, cx, cy, 8, slice_id, plane, fr.done4, 2
+        )
+        pred = _pred_chroma8x8(mode, t, l, c)
+        # 2x2 DC inverse transform + scale (8.5.11)
+        cmat = np.array([[dc[0], dc[1]], [dc[2], dc[3]]], dtype=np.int64)
+        h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+        f = h2 @ cmat @ h2
+        dc_scaled = _scale_chroma_dc(f, qpc)
+        recon = np.empty((8, 8), dtype=np.int64)
+        for blk in range(4):
+            bx2, by2 = blk % 2, blk // 2
+            d = _dequant4x4(ac[blk], qpc, skip_dc=True)
+            d[0, 0] = dc_scaled[by2, bx2]
+            res = _itransform4x4(d)
+            recon[by2 * 4 : by2 * 4 + 4, bx2 * 4 : bx2 * 4 + 4] = (
+                pred[by2 * 4 : by2 * 4 + 4, bx2 * 4 : bx2 * 4 + 4] + res
+            )
+        plane[cy : cy + 8, cx : cx + 8] = _clip8(recon)
+
+
+# ------------------------------------------------------- top-level API
+
+_DECODE_ERRORS = (EOFError, ValueError, IndexError, KeyError)
+
+
+def _yuv420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """Nearest-upsample chroma then the JFIF float matrix — the same
+    conversion path as ``jpeg.py:_reconstruct``, so H.264 and MJPEG
+    frames of identical YCbCr content produce identical RGB."""
+    h, w = y.shape
+    cbu = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)[:h, :w]
+    cru = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)[:h, :w]
+    yf = y.astype(np.float64)
+    cbf = cbu.astype(np.float64) - 128.0
+    crf = cru.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _decode_picture_nals(
+    slice_nals: list[tuple[int, bytes]], sps: dict, pps: dict
+) -> np.ndarray | None:
+    """Decode one picture's slice NALs -> cropped (H, W, 3) RGB."""
+    fr = _Frame(sps)
+    for sid, (ntype, rbsp) in enumerate(slice_nals):
+        _decode_slice(fr, _Bits(rbsp), sps, pps, ntype, sid)
+    if not fr.done4.all():
+        raise ValueError("picture not fully covered by slices")
+    h, w = sps["height"], sps["width"]
+    y = fr.y[:h, :w]
+    cb = fr.cb[: (h + 1) // 2, : (w + 1) // 2]
+    cr = fr.cr[: (h + 1) // 2, : (w + 1) // 2]
+    return _yuv420_to_rgb(y, cb, cr)
+
+
+def decode_h264_annexb(data: bytes) -> list[np.ndarray] | None:
+    """Decode every coded picture of a self-contained Annex B stream
+    (inline SPS/PPS, intra-only) to a list of (H, W, 3) uint8 RGB
+    arrays. Returns None — never raises — on non-H.264 payloads and
+    the documented out-of-scope shapes (CABAC, P/B, deblocking on)."""
+    try:
+        nals = parse_annexb_nals(data)
+        if not nals:
+            return None
+        sps = pps = None
+        pics: list[list[tuple[int, bytes]]] = []
+        for ntype, rbsp in nals:
+            if ntype == 7:
+                sps = parse_sps(rbsp)
+            elif ntype == 8:
+                pps = parse_pps(rbsp)
+            elif ntype in (1, 5):
+                first_mb = _Bits(rbsp).ue()
+                if first_mb == 0 or not pics:
+                    pics.append([])
+                pics[-1].append((ntype, rbsp))
+        if sps is None or pps is None or not pics:
+            return None
+        return [_decode_picture_nals(p, sps, pps) for p in pics]
+    except _DECODE_ERRORS:
+        return None
+
+
+def avcc_config(avcc: bytes) -> dict | None:
+    """Parse an ISO 14496-15 AVCDecoderConfigurationRecord (the avcC
+    box payload): -> {sps, pps, nal_length_size, width, height}."""
+    try:
+        if len(avcc) < 7 or avcc[0] != 1:
+            return None
+        nls = (avcc[4] & 3) + 1
+        n_sps = avcc[5] & 0x1F
+        i = 6
+        sps = None
+        for _ in range(n_sps):
+            ln = int.from_bytes(avcc[i : i + 2], "big")
+            i += 2
+            if sps is None:
+                sps = parse_sps(_rbsp(avcc[i + 1 : i + ln]))
+            i += ln
+        n_pps = avcc[i]
+        i += 1
+        pps = None
+        for _ in range(n_pps):
+            ln = int.from_bytes(avcc[i : i + 2], "big")
+            i += 2
+            if pps is None:
+                pps = parse_pps(_rbsp(avcc[i + 1 : i + ln]))
+            i += ln
+        if sps is None or pps is None:
+            return None
+        return {
+            "sps": sps,
+            "pps": pps,
+            "nal_length_size": nls,
+            "width": sps["width"],
+            "height": sps["height"],
+        }
+    except _DECODE_ERRORS:
+        return None
+
+
+def decode_h264_frame(sample: bytes, cfg: dict) -> np.ndarray | None:
+    """Decode one AVCC length-prefixed access unit (an MP4 sample)
+    using out-of-band parameter sets from ``avcc_config``. Returns
+    (H, W, 3) uint8 RGB or None."""
+    try:
+        nls = cfg["nal_length_size"]
+        slices: list[tuple[int, bytes]] = []
+        i = 0
+        while i + nls <= len(sample):
+            ln = int.from_bytes(sample[i : i + nls], "big")
+            i += nls
+            if ln == 0 or i + ln > len(sample):
+                return None
+            hdr = sample[i]
+            ntype = hdr & 0x1F
+            if ntype in (1, 5):
+                slices.append((ntype, _rbsp(sample[i + 1 : i + ln])))
+            i += ln
+        if not slices:
+            return None
+        return _decode_picture_nals(slices, cfg["sps"], cfg["pps"])
+    except _DECODE_ERRORS:
+        return None
+
+
+def annexb_to_avcc(data: bytes) -> tuple[bytes, list[bytes]] | None:
+    """Re-container an Annex B stream: -> (AVCDecoderConfigurationRecord,
+    [length-prefixed samples, one per access unit]). The avcC carries
+    the stream's SPS/PPS; 4-byte NAL lengths."""
+    nals = parse_annexb_nals(data)
+    sps_raw = pps_raw = None
+    # need raw (emulated) NAL bytes for the record: re-emulate
+    samples: list[bytes] = []
+    cur: list[bytes] = []
+    for ntype, rbsp in nals:
+        raw = bytes([(3 << 5) | ntype]) + _emulate(rbsp)
+        if ntype == 7:
+            sps_raw = raw
+        elif ntype == 8:
+            pps_raw = raw
+        elif ntype in (1, 5):
+            first_mb = _Bits(rbsp).ue()
+            if first_mb == 0 and cur:
+                samples.append(b"".join(cur))
+                cur = []
+            cur.append(len(raw).to_bytes(4, "big") + raw)
+    if cur:
+        samples.append(b"".join(cur))
+    if sps_raw is None or pps_raw is None or not samples:
+        return None
+    sps = parse_sps(_rbsp(sps_raw[1:]))
+    rec = bytes(
+        [1, sps["profile"], 0, sps["level"], 0xFC | 3, 0xE0 | 1]
+    ) + len(sps_raw).to_bytes(2, "big") + sps_raw + bytes([1]) + len(
+        pps_raw
+    ).to_bytes(2, "big") + pps_raw
+    return rec, samples
+
+
+# ------------------------------------------------------------- encoder
+#
+# Closed-loop fixture encoder: maintains the decoder's exact _Frame
+# reconstruction state (prediction -> forward transform -> quantize ->
+# DECODER dequant/inverse -> reconstruct), so its output planes are
+# bit-identical to what decode_h264_annexb recovers — the property the
+# round-trip tests pin. Mode/QP choices are deterministic functions of
+# (frame, mb_addr) so fixtures are reproducible with no RNG.
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, n: int, v: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v: int) -> None:
+        n = v + 1
+        ln = n.bit_length()
+        self.u(2 * ln - 1, n)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def byte_align_zero(self) -> None:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def raw_bytes(self, data: bytes) -> None:
+        for byt in data:
+            self.u(8, byt)
+
+    def rbsp_trailing(self) -> None:
+        self.bits.append(1)
+        self.byte_align_zero()
+
+    def tobytes(self) -> bytes:
+        self.byte_align_zero()
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            v = 0
+            for bit in self.bits[i : i + 8]:
+                v = (v << 1) | bit
+            out.append(v)
+        return bytes(out)
+
+
+# forward quant multipliers MF (position classes as _LS_V)
+_MF_V = [
+    (13107, 5243, 8066), (11916, 4660, 7490), (10082, 4194, 6554),
+    (9362, 3647, 5825), (8192, 3355, 5243), (7282, 2893, 4559),
+]
+_CF = np.array(
+    [[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+    dtype=np.int64,
+)
+_HAD4 = np.array(
+    [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+    dtype=np.int64,
+)
+
+
+def _fwd4x4(res: np.ndarray) -> np.ndarray:
+    return _CF @ res.astype(np.int64) @ _CF.T
+
+
+def _quant4x4(w: np.ndarray, qp: int, skip_dc: bool) -> np.ndarray:
+    mf = np.array(_MF_V[qp % 6])[_POS_CLASS]
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3  # intra rounding offset
+    lv = np.sign(w) * ((np.abs(w) * mf + f) >> qbits)
+    if skip_dc:
+        lv[0, 0] = 0
+    return lv.astype(np.int64)
+
+
+def _quant_dc(w: np.ndarray, qp: int) -> np.ndarray:
+    mf00 = _MF_V[qp % 6][0]
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    return (np.sign(w) * ((np.abs(w) * mf00 + 2 * f) >> (qbits + 1))).astype(
+        np.int64
+    )
+
+
+def _nat_to_zig(block: np.ndarray) -> list[int]:
+    return [int(block[r, c]) for r, c in _SCAN4]
+
+
+def _write_vlc(w: _BitWriter, lc: tuple[int, int]) -> None:
+    w.u(lc[0], lc[1])
+
+
+def _write_coeff_token(w: _BitWriter, nC: int, t1s: int, total: int) -> None:
+    ctx = _ct_context(nC)
+    if ctx == 8:
+        w.u(6, 0b000011 if total == 0 else ((total - 1) << 2) | t1s)
+        return
+    table = {0: _CT_NC0, 2: _CT_NC2, 4: _CT_NC4, -1: _CT_CHROMA_DC}[ctx]
+    _write_vlc(w, table[(t1s, total)])
+
+
+def _write_run_before(w: _BitWriter, run: int, zeros_left: int) -> None:
+    if zeros_left > 6:
+        if run < 7:
+            w.u(3, 7 - run)
+        else:
+            w.u(3, 0)
+            w.u(run - 7 + 1, 1)  # (run-7) zeros then the stop 1
+        return
+    _write_vlc(w, _RB[zeros_left - 1][run])
+
+
+def _encode_residual_block(
+    w: _BitWriter, coeffs: list[int], nC: int, max_coeffs: int
+) -> int:
+    """CAVLC-encode one scan-ordered block; returns total_coeff."""
+    nz = [(i, c) for i, c in enumerate(coeffs) if c != 0]
+    total = len(nz)
+    # trailing ones: +-1 coeffs at the END of scan order, max 3
+    t1s = 0
+    for _, c in reversed(nz):
+        if abs(c) == 1 and t1s < 3:
+            t1s += 1
+        else:
+            break
+    _write_coeff_token(w, nC, t1s, total)
+    if total == 0:
+        return 0
+    levels = [c for _, c in reversed(nz)]  # decode order: high scan first
+    for lv in levels[:t1s]:
+        w.u(1, 1 if lv < 0 else 0)
+    suffix_len = 1 if (total > 10 and t1s < 3) else 0
+    for i in range(t1s, total):
+        lv = levels[i]
+        code = 2 * lv - 2 if lv > 0 else -2 * lv - 1
+        if i == t1s and t1s < 3:
+            code -= 2
+        if suffix_len == 0:
+            if code < 14:
+                w.u(code + 1, 1)  # code zeros + stop 1
+            elif code < 30:
+                w.u(15, 1)  # prefix 14
+                w.u(4, code - 14)
+            else:
+                w.u(16, 1)  # prefix 15
+                w.u(12, code - 30)
+        else:
+            if (code >> suffix_len) < 15:
+                w.u((code >> suffix_len) + 1, 1)
+                w.u(suffix_len, code & ((1 << suffix_len) - 1))
+            else:
+                w.u(16, 1)  # prefix 15
+                w.u(12, code - (15 << suffix_len))
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(lv) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    if total < max_coeffs:
+        tz = nz[-1][0] + 1 - total  # zeros below the highest coeff
+        table = _TZ_CDC[total - 1] if max_coeffs == 4 else _TZ[total - 1]
+        _write_vlc(w, table[tz])
+        zeros_left = tz
+    else:
+        zeros_left = 0
+    for i in range(total - 1):
+        if zeros_left <= 0:
+            break
+        run = nz[total - 1 - i][0] - nz[total - 2 - i][0] - 1
+        _write_run_before(w, run, zeros_left)
+        zeros_left -= run
+    return total
+
+
+def _rgb_to_yuv420(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic integer BT.601 full-range conversion + 2x2 mean
+    chroma subsampling (fixture input path)."""
+    r = rgb[:, :, 0].astype(np.int64)
+    g = rgb[:, :, 1].astype(np.int64)
+    b = rgb[:, :, 2].astype(np.int64)
+    y = np.clip((77 * r + 150 * g + 29 * b + 128) >> 8, 0, 255)
+    cb = np.clip(128 + ((-43 * r - 85 * g + 128 * b + 128) >> 8), 0, 255)
+    cr = np.clip(128 + ((128 * r - 107 * g - 21 * b + 128) >> 8), 0, 255)
+    h, w = y.shape
+    cb = (cb[0:h:2, 0:w:2] + cb[1:h:2, 0:w:2] + cb[0:h:2, 1:w:2]
+          + cb[1:h:2, 1:w:2] + 2) >> 2
+    cr = (cr[0:h:2, 0:w:2] + cr[1:h:2, 0:w:2] + cr[0:h:2, 1:w:2]
+          + cr[1:h:2, 1:w:2] + 2) >> 2
+    return y, cb, cr
+
+
+def _sps_rbsp(wmb: int, hmb: int) -> bytes:
+    w = _BitWriter()
+    w.u(8, 66)  # Baseline
+    w.u(8, 0)
+    w.u(8, 20)  # level 2.0
+    w.ue(0)  # sps_id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # poc_type 2: no POC bits in slice headers
+    w.ue(1)  # max_num_ref_frames
+    w.u(1, 0)  # gaps allowed
+    w.ue(wmb - 1)
+    w.ue(hmb - 1)
+    w.u(1, 1)  # frame_mbs_only
+    w.u(1, 0)  # direct_8x8
+    w.u(1, 0)  # no cropping (fixtures are MB-aligned)
+    w.u(1, 0)  # no VUI
+    w.rbsp_trailing()
+    return w.tobytes()
+
+
+def _pps_rbsp(pic_init_qp: int, chroma_qp_offset: int) -> bytes:
+    w = _BitWriter()
+    w.ue(0)  # pps_id
+    w.ue(0)  # sps_id
+    w.u(1, 0)  # CAVLC
+    w.u(1, 0)  # bottom_field_pic_order
+    w.ue(0)  # one slice group
+    w.ue(0)
+    w.ue(0)
+    w.u(1, 0)  # weighted_pred
+    w.u(2, 0)
+    w.se(pic_init_qp - 26)
+    w.se(0)  # pic_init_qs
+    w.se(chroma_qp_offset)
+    w.u(1, 1)  # deblocking_filter_control_present
+    w.u(1, 0)  # constrained_intra_pred
+    w.u(1, 0)  # redundant_pic_cnt
+    w.rbsp_trailing()
+    return w.tobytes()
+
+
+def _nal(ntype: int, rbsp: bytes) -> bytes:
+    return b"\x00\x00\x00\x01" + bytes([(3 << 5) | ntype]) + _emulate(rbsp)
+
+
+def encode_h264_annexb(
+    frames_rgb: list[np.ndarray],
+    qp: int = 26,
+    chroma_qp_offset: int = 0,
+) -> tuple[bytes, list[np.ndarray]]:
+    """Encode RGB frames (heights/widths multiple of 16) as an Annex B
+    intra-only stream (every frame IDR, deblocking disabled). Returns
+    (stream, reconstructions) where reconstructions are the encoder's
+    closed-loop RGB planes — decode_h264_annexb(stream) must equal
+    them bit-for-bit.
+
+    Per-MB mode policy (deterministic, exercises every decode path):
+    (frame + mb_addr) % 6 -> 0: I_PCM, 1/2: Intra_16x16, 3/4/5:
+    Intra_4x4; pred modes cycle over whatever is available at that MB
+    position; mb_qp_delta wobbles +-1 every third MB."""
+    h, w = frames_rgb[0].shape[:2]
+    if h % 16 or w % 16:
+        raise ValueError("fixture frames must be MB-aligned")
+    wmb, hmb = w // 16, h // 16
+    sps_d = {
+        "width_mbs": wmb, "height_mbs": hmb, "width": w, "height": h,
+        "poc_type": 2, "log2_max_frame_num": 4, "log2_max_poc_lsb": 0,
+    }
+    pps_d = {
+        "pic_init_qp": qp, "chroma_qp_index_offset": chroma_qp_offset,
+        "deblocking_control_present": True, "constrained_intra": False,
+    }
+    out = [_nal(7, _sps_rbsp(wmb, hmb)), _nal(8, _pps_rbsp(qp, chroma_qp_offset))]
+    recons: list[np.ndarray] = []
+    for fi, rgb in enumerate(frames_rgb):
+        y, cb, cr = _rgb_to_yuv420(np.asarray(rgb, dtype=np.uint8))
+        fr = _Frame(sps_d)
+        wtr = _BitWriter()
+        # slice header
+        wtr.ue(0)  # first_mb
+        wtr.ue(7)  # slice_type I (all slices)
+        wtr.ue(0)  # pps_id
+        wtr.u(4, 0)  # frame_num
+        wtr.ue(fi % 8)  # idr_pic_id
+        wtr.u(1, 0)  # no_output_of_prior_pics
+        wtr.u(1, 0)  # long_term_reference
+        wtr.se(0)  # slice_qp_delta
+        wtr.ue(1)  # disable_deblocking_filter_idc
+        cur_qp = qp
+        for mb_addr in range(wmb * hmb):
+            cur_qp = _encode_mb(
+                fr, wtr, mb_addr, cur_qp, pps_d, y, cb, cr, fi
+            )
+        wtr.rbsp_trailing()
+        out.append(_nal(5, wtr.tobytes()))
+        recons.append(
+            _yuv420_to_rgb(fr.y[:h, :w], fr.cb[: h // 2, : w // 2],
+                           fr.cr[: h // 2, : w // 2])
+        )
+    return b"".join(out), recons
+
+
+def _i4_pred_mode_bits(fr: _Frame, abx: int, aby: int, mode: int) -> tuple[int, int]:
+    """-> (prev_flag, rem) for intra4x4 mode signalling (rem = -1 when
+    prev_flag). Mirrors the decoder's predicted-mode derivation."""
+
+    def nb_mode(x: int, y: int) -> int:
+        if x < 0 or y < 0:
+            return -9
+        if fr.slice_of_mb[y // 4, x // 4] != 0:
+            return -9
+        m = int(fr.i4_mode[y, x])
+        return m if m >= 0 else 2
+
+    a = nb_mode(abx - 1, aby)
+    bm = nb_mode(abx, aby - 1)
+    pred = 2 if (a == -9 or bm == -9) else min(a, bm)
+    if mode == pred:
+        return 1, -1
+    return 0, mode if mode < pred else mode - 1
+
+
+def _encode_mb(
+    fr: _Frame, w: _BitWriter, mb_addr: int, qp: int, pps: dict,
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, fi: int,
+) -> int:
+    mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
+    fr.slice_of_mb[mby, mbx] = 0
+    ox, oy = mbx * 16, mby * 16
+    cx, cy = mbx * 8, mby * 8
+    src_y = y[oy : oy + 16, ox : ox + 16].astype(np.int64)
+    src_cb = cb[cy : cy + 8, cx : cx + 8].astype(np.int64)
+    src_cr = cr[cy : cy + 8, cx : cx + 8].astype(np.int64)
+    choice = (fi + mb_addr) % 6
+
+    if choice == 0:  # I_PCM (lossless: recon = source)
+        w.ue(25)
+        w.byte_align_zero()
+        w.raw_bytes(bytes(src_y.astype(np.uint8).reshape(-1)))
+        w.raw_bytes(bytes(src_cb.astype(np.uint8).reshape(-1)))
+        w.raw_bytes(bytes(src_cr.astype(np.uint8).reshape(-1)))
+        fr.y[oy : oy + 16, ox : ox + 16] = src_y
+        fr.cb[cy : cy + 8, cx : cx + 8] = src_cb
+        fr.cr[cy : cy + 8, cx : cx + 8] = src_cr
+        fr.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+        fr.nc_cb[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        fr.nc_cr[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        fr.done4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
+        return qp
+
+    # ---------------- shared chroma encode (levels + recon arrays)
+    def chroma_encode(qpc: int) -> tuple[list, list, list, list, int]:
+        dcs, acs = [], []
+        for src, plane in ((src_cb, fr.cb), (src_cr, fr.cr)):
+            t, l, c = _luma_neighbors(fr, cx, cy, 8, 0, plane, fr.done4, 2)
+            avail = [0] + [m for m, need in ((1, l), (2, t)) if need is not None]
+            if t is not None and l is not None and c is not None:
+                avail.append(3)
+            cmode = avail[(mb_addr // 2) % len(avail)]
+            pred = _pred_chroma8x8(cmode, t, l, c)
+            res = src - pred
+            dcmat = np.zeros((2, 2), dtype=np.int64)
+            blocks = []
+            for blk in range(4):
+                bx2, by2 = blk % 2, blk // 2
+                wmat = _fwd4x4(res[by2 * 4 : by2 * 4 + 4, bx2 * 4 : bx2 * 4 + 4])
+                dcmat[by2, bx2] = wmat[0, 0]
+                blocks.append(_quant4x4(wmat, qpc, skip_dc=True))
+            h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+            dc_lv = _quant_dc(h2 @ dcmat @ h2, qpc)
+            dcs.append([int(dc_lv[0, 0]), int(dc_lv[0, 1]),
+                        int(dc_lv[1, 0]), int(dc_lv[1, 1])])
+            acs.append((cmode, blocks))
+        any_ac = any(b.any() for _, bl in acs for b in bl)
+        any_dc = any(any(d) for d in dcs)
+        cbp_c = 2 if any_ac else (1 if any_dc else 0)
+        # both components share intra_chroma_pred_mode: re-derive with
+        # the first component's availability (planes share geometry)
+        return dcs[0], dcs[1], acs[0], acs[1], cbp_c
+
+    # NOTE: intra_chroma_pred_mode is one syntax element for both
+    # components — use the mode chosen for Cb for both.
+    def chroma_emit_and_recon(
+        cbp_c: int, dc_cb_l, dc_cr_l, acs_cb, acs_cr, qpy: int
+    ) -> None:
+        cmode = acs_cb[0]
+        if cbp_c:
+            _encode_residual_block(w, dc_cb_l, -1, 4)
+            _encode_residual_block(w, dc_cr_l, -1, 4)
+        ac_nat_cb, ac_nat_cr = [], []
+        for comp, (nc_map, acs) in enumerate(
+            ((fr.nc_cb, acs_cb), (fr.nc_cr, acs_cr))
+        ):
+            for blk in range(4):
+                bx2, by2 = blk % 2, blk // 2
+                abx, aby = mbx * 2 + bx2, mby * 2 + by2
+                blkmat = acs[1][blk]
+                zig = _nat_to_zig(blkmat)[1:]
+                if cbp_c == 2:
+                    nc = _nc_for(fr, nc_map, abx, aby, 2, 0)
+                    total = _encode_residual_block(w, zig, nc, 15)
+                    nc_map[aby, abx] = total
+                else:
+                    nc_map[aby, abx] = 0
+                    blkmat = np.zeros((4, 4), dtype=np.int64)
+                (ac_nat_cb if comp == 0 else ac_nat_cr).append(blkmat)
+        use_dc_cb = dc_cb_l if cbp_c else [0, 0, 0, 0]
+        use_dc_cr = dc_cr_l if cbp_c else [0, 0, 0, 0]
+        _reconstruct_chroma(
+            fr, mbx, mby, cmode, qpy, pps, use_dc_cb, use_dc_cr,
+            ac_nat_cb, ac_nat_cr, 0,
+        )
+
+    if choice in (1, 2):  # ---------------- Intra_16x16
+        t, l, c = _luma_neighbors(fr, ox, oy, 16, 0, fr.y, fr.done4, 4)
+        avail = [2] + [m for m, need in ((0, t), (1, l)) if need is not None]
+        if t is not None and l is not None and c is not None:
+            avail.append(3)
+        mode = avail[mb_addr % len(avail)]
+        delta = (1, -1, 0)[mb_addr % 3]
+        new_qp = qp + delta
+        if not 0 <= new_qp <= 51:
+            delta, new_qp = 0, qp
+        qp = new_qp
+        pred = _pred16x16(mode, t, l, c)
+        res = src_y - pred
+        dcmat = np.zeros((4, 4), dtype=np.int64)
+        ac_levels: list[np.ndarray] = []
+        for blk in range(16):
+            bx4, by4 = _BLK_POS[blk]
+            wmat = _fwd4x4(res[by4 * 4 : by4 * 4 + 4, bx4 * 4 : bx4 * 4 + 4])
+            dcmat[by4, bx4] = wmat[0, 0]
+            ac_levels.append(_quant4x4(wmat, qp, skip_dc=True))
+        dc_lv = _quant_dc(_HAD4 @ dcmat @ _HAD4, qp)
+        cbp_luma_flag = 1 if any(b.any() for b in ac_levels) else 0
+        qpc = _chroma_qp(qp, pps["chroma_qp_index_offset"])
+        dc_cb_l, dc_cr_l, acs_cb, acs_cr, cbp_c = chroma_encode(qpc)
+        mb_type = 1 + mode + 4 * cbp_c + (12 if cbp_luma_flag else 0)
+        w.ue(mb_type)
+        w.ue(acs_cb[0])  # intra_chroma_pred_mode
+        w.se(delta)
+        fr.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = -1
+        # DC block
+        nc = _nc_for(fr, fr.nc_y, mbx * 4, mby * 4, 4, 0)
+        _encode_residual_block(w, _nat_to_zig(dc_lv), nc, 16)
+        # AC blocks
+        kept: list[np.ndarray] = []
+        for blk in range(16):
+            bx4, by4 = _BLK_POS[blk]
+            abx, aby = mbx * 4 + bx4, mby * 4 + by4
+            if cbp_luma_flag:
+                nc = _nc_for(fr, fr.nc_y, abx, aby, 4, 0)
+                total = _encode_residual_block(
+                    w, _nat_to_zig(ac_levels[blk])[1:], nc, 15
+                )
+                fr.nc_y[aby, abx] = total
+                kept.append(ac_levels[blk])
+            else:
+                fr.nc_y[aby, abx] = 0
+                kept.append(np.zeros((4, 4), dtype=np.int64))
+        # ---- reconstruct (decoder path)
+        dc_scaled = _scale_luma_dc(_ihadamard4(dc_lv), qp)
+        recon = np.empty((16, 16), dtype=np.int64)
+        for blk in range(16):
+            bx4, by4 = _BLK_POS[blk]
+            d = _dequant4x4(kept[blk], qp, skip_dc=True)
+            d[0, 0] = dc_scaled[by4, bx4]
+            resd = _itransform4x4(d)
+            recon[by4 * 4 : by4 * 4 + 4, bx4 * 4 : bx4 * 4 + 4] = (
+                pred[by4 * 4 : by4 * 4 + 4, bx4 * 4 : bx4 * 4 + 4] + resd
+            )
+        fr.y[oy : oy + 16, ox : ox + 16] = _clip8(recon)
+        fr.done4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
+        chroma_emit_and_recon(cbp_c, dc_cb_l, dc_cr_l, acs_cb, acs_cr, qp)
+        return qp
+
+    # ---------------- Intra_4x4
+    mode_bits: list[tuple[int, int]] = []
+    blk_levels: list[np.ndarray] = []
+    for blk in range(16):
+        bx4, by4 = _BLK_POS[blk]
+        abx, aby = mbx * 4 + bx4, mby * 4 + by4
+        px, py = ox + bx4 * 4, oy + by4 * 4
+        t, l, c = _luma_neighbors(fr, px, py, 4, 0, fr.y, fr.done4, 4)
+        avail = [2]
+        if t is not None:
+            avail += [0, 3, 7]
+        if l is not None:
+            avail += [1, 8]
+        if t is not None and l is not None and c is not None:
+            avail += [4, 5, 6]
+        mode = sorted(avail)[(blk + mb_addr + fi) % len(avail)]
+        mode_bits.append(_i4_pred_mode_bits(fr, abx, aby, mode))
+        fr.i4_mode[aby, abx] = mode
+        pred = _pred4x4(mode, t, l, c)
+        res = src_y[by4 * 4 : by4 * 4 + 4, bx4 * 4 : bx4 * 4 + 4] - pred
+        lv = _quant4x4(_fwd4x4(res), qp, skip_dc=False)
+        blk_levels.append(lv)
+        # closed-loop recon feeds the next block's prediction
+        if lv.any():
+            resd = _itransform4x4(_dequant4x4(lv, qp, skip_dc=False))
+        else:
+            resd = 0
+        fr.y[py : py + 4, px : px + 4] = _clip8(pred + resd)
+        fr.done4[py // 4, px // 4] = True
+    cbp_luma = 0
+    for g in range(4):
+        if any(blk_levels[g * 4 + k].any() for k in range(4)):
+            cbp_luma |= 1 << g
+    qpc = _chroma_qp(qp, pps["chroma_qp_index_offset"])
+    dc_cb_l, dc_cr_l, acs_cb, acs_cr, cbp_c = chroma_encode(qpc)
+    cbp = cbp_luma | (cbp_c << 4)
+    delta = (1, -1, 0)[mb_addr % 3]
+    if cbp > 0:
+        new_qp = qp + delta
+        if not 0 <= new_qp <= 51:
+            new_qp = qp
+    else:
+        new_qp = qp
+    # NOTE: chroma levels were quantized with the PRE-delta qp's qpc;
+    # re-quantizing after a qp change would be circular (cbp depends on
+    # levels). Keep delta = 0 for I_4x4 so the closed loop stays exact.
+    new_qp = qp
+    w.ue(0)  # mb_type I_4x4
+    for prev, rem in mode_bits:
+        w.u(1, prev)
+        if not prev:
+            w.u(3, rem)
+    w.ue(acs_cb[0])  # intra_chroma_pred_mode
+    w.ue(_CBP_INTRA_INV[cbp])
+    if cbp > 0:
+        w.se(0)
+    for blk in range(16):
+        bx4, by4 = _BLK_POS[blk]
+        abx, aby = mbx * 4 + bx4, mby * 4 + by4
+        if cbp_luma & (1 << (blk >> 2)):
+            nc = _nc_for(fr, fr.nc_y, abx, aby, 4, 0)
+            total = _encode_residual_block(
+                w, _nat_to_zig(blk_levels[blk]), nc, 16
+            )
+            fr.nc_y[aby, abx] = total
+        else:
+            fr.nc_y[aby, abx] = 0
+    chroma_emit_and_recon(cbp_c, dc_cb_l, dc_cr_l, acs_cb, acs_cr, new_qp)
+    return new_qp

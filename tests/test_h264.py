@@ -1,0 +1,204 @@
+"""Structural + closed-loop round-trip tests for the from-scratch
+H.264 intra decoder/encoder (operators/h264.py). No Spark needed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lms_erp_data_integration_spark.operators import h264 as h
+
+
+# ------------------------------------------------------------ tables
+
+def _assert_prefix_free(table: dict) -> None:
+    codes = sorted(
+        (ln, code) for (ln, code) in table.values()
+    )
+    as_str = [format(code, f"0{ln}b") for ln, code in codes]
+    assert len(set(as_str)) == len(as_str), "duplicate code"
+    for i, a in enumerate(as_str):
+        for b in as_str[i + 1 :]:
+            assert not b.startswith(a) and not a.startswith(b), (
+                f"prefix collision {a} / {b}"
+            )
+
+
+def test_vlc_tables_prefix_free():
+    for table in (h._CT_NC0, h._CT_NC2, h._CT_NC4, h._CT_CHROMA_DC):
+        _assert_prefix_free(table)
+        # every legal (t1s <= min(3, total)) entry present
+        maxc = 4 if table is h._CT_CHROMA_DC else 16
+        for total in range(maxc + 1):
+            for t1s in range(min(3, total) + 1):
+                assert (t1s, total) in table, (t1s, total)
+    for row in h._TZ:
+        _assert_prefix_free({i: lc for i, lc in enumerate(row)})
+    for i, row in enumerate(h._TZ):
+        assert len(row) == 16 - i, f"_TZ[{i}] wrong arity"
+    for i, row in enumerate(h._TZ_CDC):
+        assert len(row) == 4 - i
+        _assert_prefix_free({j: lc for j, lc in enumerate(row)})
+    for row in h._RB[:6]:
+        _assert_prefix_free({i: lc for i, lc in enumerate(row)})
+
+
+def test_cbp_intra_is_permutation():
+    assert sorted(h._CBP_INTRA) == list(range(48))
+
+
+def test_exp_golomb_round_trip():
+    w = h._BitWriter()
+    vals = [0, 1, 2, 3, 7, 8, 254, 255, 1023]
+    svals = [0, 1, -1, 2, -2, 17, -31]
+    for v in vals:
+        w.ue(v)
+    for v in svals:
+        w.se(v)
+    w.rbsp_trailing()
+    b = h._Bits(w.tobytes())
+    assert [b.ue() for _ in vals] == vals
+    assert [b.se() for _ in svals] == svals
+
+
+def test_cavlc_residual_round_trip():
+    # every context, dense and sparse blocks, trailing-one shapes
+    cases = [
+        ([0] * 16, 0, 16),
+        ([1] + [0] * 15, 0, 16),
+        ([-1, 1, 0, 1] + [0] * 12, 1, 16),
+        ([5, -3, 1, 0, 0, 1, 0, -1] + [0] * 8, 3, 16),
+        (list(range(1, 17)), 7, 16),
+        ([0, 0, 0, 9, 0, 0, -2, 1] + [0] * 8, 2, 16),
+        ([120, -80, 33, 0, 1], 0, 15),
+        ([0, 0, 0, 2], -1, 4),
+        ([3, -1, 1, 1], -1, 4),
+        ([0] * 4, -1, 4),
+        ([7] + [0] * 14, 9, 15),
+    ]
+    for coeffs, nC, maxc in cases:
+        coeffs = coeffs + [0] * (maxc - len(coeffs))
+        w = h._BitWriter()
+        h._encode_residual_block(w, coeffs, nC, maxc)
+        w.rbsp_trailing()
+        got, total = h._residual_block(h._Bits(w.tobytes()), nC, maxc)
+        assert got == coeffs, (coeffs, nC, got)
+        assert total == sum(1 for c in coeffs if c)
+
+
+def _grad(fi: int, hgt: int, wid: int) -> np.ndarray:
+    ys, xs = np.mgrid[0:hgt, 0:wid]
+    r = (xs * 3 + ys * 5 + fi * 17) % 256
+    g = (xs * 7 + ys * 2 + fi * 29) % 256
+    b = (xs + ys * 11 + fi * 43) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_h264_closed_loop_round_trip():
+    frames = [_grad(fi, 48, 64) for fi in range(3)]
+    stream, recons = h.encode_h264_annexb(frames, qp=26, chroma_qp_offset=2)
+    decoded = h.decode_h264_annexb(stream)
+    assert decoded is not None and len(decoded) == 3
+    for d, r in zip(decoded, recons):
+        assert d.shape == (48, 64, 3)
+        assert np.array_equal(d, r)
+
+
+def test_h264_determinism_and_qp_sweep():
+    frames = [_grad(0, 32, 32)]
+    for qp in (10, 20, 30, 40):
+        s1, r1 = h.encode_h264_annexb(frames, qp=qp)
+        s2, _ = h.encode_h264_annexb(frames, qp=qp)
+        assert s1 == s2
+        d = h.decode_h264_annexb(s1)
+        assert d is not None and np.array_equal(d[0], r1[0])
+
+
+def test_h264_avcc_path_matches_annexb():
+    frames = [_grad(fi, 32, 48) for fi in range(2)]
+    stream, recons = h.encode_h264_annexb(frames, qp=28)
+    rec, samples = h.annexb_to_avcc(stream)
+    assert len(samples) == 2
+    cfg = h.avcc_config(rec)
+    assert cfg is not None and cfg["width"] == 48 and cfg["height"] == 32
+    for s, r in zip(samples, recons):
+        d = h.decode_h264_frame(s, cfg)
+        assert d is not None and np.array_equal(d, r)
+
+
+def test_h264_rejects_out_of_scope():
+    frames = [_grad(1, 32, 32)]
+    stream, _ = h.encode_h264_annexb(frames)
+    assert h.decode_h264_annexb(b"") is None
+    assert h.decode_h264_annexb(b"\x00\x01\x02garbage") is None
+    assert h.decode_h264_annexb(stream[: len(stream) // 2]) is None
+    # CABAC pps: entropy_coding_mode_flag = 1
+    w = h._BitWriter()
+    w.ue(0)
+    w.ue(0)
+    w.u(1, 1)
+    w.rbsp_trailing()
+    with pytest.raises(ValueError):
+        h.parse_pps(w.tobytes())
+
+
+def test_h264_pcm_only_lossless():
+    # frame 3, 16x16: single MB, (fi + 0) % 6 == 3 -> I_4x4; use fi
+    # sweep to hit the PCM branch: (fi + mb) % 6 == 0 at fi=0,mb=0
+    src = _grad(0, 16, 16)
+    stream, recons = h.encode_h264_annexb([src], qp=30)
+    d = h.decode_h264_annexb(stream)
+    assert d is not None
+    # MB 0 of frame 0 is I_PCM: YUV is stored verbatim, so the decoded
+    # RGB equals the encoder's YUV->RGB of the SOURCE conversion
+    y, cb, cr = h._rgb_to_yuv420(src)
+    expect = h._yuv420_to_rgb(
+        y.astype(np.int64), cb.astype(np.int64), cr.astype(np.int64)
+    )
+    assert np.array_equal(d[0], expect)
+    assert np.array_equal(d[0], recons[0])
+
+
+def test_total_zeros_tables_kraft():
+    # the spec's total_zeros codes are prefix-free with Kraft sum <= 1
+    # (most columns are complete); a sum > 1 would mean a transcription
+    # error created an undecodable table
+    for row in h._TZ + h._TZ_CDC:
+        k = sum(2 ** -ln for ln, _ in row)
+        assert k <= 1.0 + 1e-12, k
+
+
+def test_h264_qp_extremes_and_flat():
+    flat = np.full((32, 32, 3), 77, dtype=np.uint8)
+    for qp in (0, 51):
+        s, r = h.encode_h264_annexb([flat], qp=qp)
+        d = h.decode_h264_annexb(s)
+        assert d is not None and np.array_equal(d[0], r[0])
+    # flat frame at mid qp: residuals quantize to zero -> cbp == 0 paths
+    s, r = h.encode_h264_annexb([flat], qp=30)
+    d = h.decode_h264_annexb(s)
+    assert d is not None and np.array_equal(d[0], r[0])
+
+
+def test_h264_larger_multi_mb():
+    frames = [_grad(fi, 80, 112) for fi in range(6)]  # 5x7 MBs, 6 frames
+    s, r = h.encode_h264_annexb(frames, qp=24, chroma_qp_offset=-3)
+    d = h.decode_h264_annexb(s)
+    assert d is not None and len(d) == 6
+    for a, b in zip(d, r):
+        assert np.array_equal(a, b)
+
+
+def test_h264_noise_frames_round_trip():
+    # deterministic LCG noise: the worst case for intra prediction,
+    # dense residuals exercise deep CAVLC levels + escapes
+    x = 12345
+    vals = []
+    for _ in range(48 * 48 * 3):
+        x = (x * 6364136223846793005 + 1442695040888963407) % 2**64
+        vals.append(x >> 56)
+    noise = np.array(vals, dtype=np.uint8).reshape(48, 48, 3)
+    for qp in (4, 18, 33):
+        s, r = h.encode_h264_annexb([noise], qp=qp)
+        d = h.decode_h264_annexb(s)
+        assert d is not None and np.array_equal(d[0], r[0])
