@@ -2002,3 +2002,40 @@ def _encode_mb(
             fr.nc_y[aby, abx] = 0
     chroma_emit_and_recon(cbp_c, dc_cb_l, dc_cr_l, acs_cb, acs_cr, new_qp)
     return new_qp
+
+
+def avcc_to_annexb(sample: bytes, avcc: bytes) -> bytes | None:
+    """Convert one AVCC length-prefixed sample plus its
+    AVCDecoderConfigurationRecord into a SELF-CONTAINED Annex B access
+    unit (SPS/PPS NALs prefixed, length fields replaced by start
+    codes) — the classic mp4-to-annexb bitstream filter. Returns None
+    on malformed inputs; never raises."""
+    try:
+        if len(avcc) < 7 or avcc[0] != 1:
+            return None
+        nls = (avcc[4] & 3) + 1
+        parts: list[bytes] = []
+        i = 6
+        for _ in range(avcc[5] & 0x1F):
+            ln = int.from_bytes(avcc[i : i + 2], "big")
+            i += 2
+            parts.append(b"\x00\x00\x00\x01" + avcc[i : i + ln])
+            i += ln
+        n_pps = avcc[i]
+        i += 1
+        for _ in range(n_pps):
+            ln = int.from_bytes(avcc[i : i + 2], "big")
+            i += 2
+            parts.append(b"\x00\x00\x00\x01" + avcc[i : i + ln])
+            i += ln
+        j = 0
+        while j + nls <= len(sample):
+            ln = int.from_bytes(sample[j : j + nls], "big")
+            j += nls
+            if ln == 0 or j + ln > len(sample):
+                return None
+            parts.append(b"\x00\x00\x00\x01" + sample[j : j + ln])
+            j += ln
+        return b"".join(parts)
+    except _DECODE_ERRORS:
+        return None

@@ -1849,12 +1849,15 @@ def extract_video_frames(
     (``operators/avi.py:iter_avi_frames``). Each frame carries the
     container-declared codec + geometry so the decode side can
     dispatch: MJPEG-in-AVI frames are complete baseline JPEGs,
-    rawvideo-in-AVI frames are BI_RGB DIBs, and ``raw ``-in-MP4
-    samples are packed top-down RGB — all fully decodable
-    (``decode_video_frame_stats``); H.264-in-MP4 frame bytes remain
-    demux-only (codec decode out of pure-Python scope).
+    rawvideo-in-AVI frames are BI_RGB DIBs, ``raw ``-in-MP4 samples
+    are packed top-down RGB, and ``avc1`` (H.264-in-MP4) samples are
+    re-prefixed into SELF-CONTAINED Annex B access units (SPS/PPS
+    from the avcC record + start codes — the mp4-to-annexb filter),
+    decodable by the from-scratch intra decoder (``operators/
+    h264.py``). All four paths feed ``decode_video_frame_stats``.
     Unrecognized payloads are dropped."""
     from . import avi as _avi
+    from .h264 import avcc_to_annexb as _to_annexb
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1885,16 +1888,18 @@ def extract_video_frames(
                 if table is None:
                     continue
                 cfg = mp4_video_config(p) or {}
+                avcc = cfg.get("avcc")
                 for s in table[::every_n]:
+                    fb = p[s["offset"] : s["offset"] + s["n_bytes"]]
+                    if avcc is not None:
+                        fb = _to_annexb(fb, avcc) or fb
                     rows.append(
                         {
                             "doc_id": i,
                             "sample_idx": s["sample_idx"],
                             "dts_ms": s["dts_ms"],
                             "n_bytes": s["n_bytes"],
-                            "frame_bytes": p[
-                                s["offset"] : s["offset"] + s["n_bytes"]
-                            ],
+                            "frame_bytes": fb,
                             "codec": cfg.get("codec") or "h264",
                             "frame_width": cfg.get("width", 0),
                             "frame_height": cfg.get("height", 0),
@@ -1946,12 +1951,25 @@ def mp4_video_config(payload: bytes) -> dict | None:
         codec = "rgb24" if fourcc == "raw " and depth == 24 else (
             fourcc.strip("\x00 ")
         )
-        return {
+        out = {
             "codec": codec,
             "width": width,
             "height": height,
             "depth": depth,
         }
+        # avc1 entries carry the decoder config as an avcC child box
+        # (ISO 14496-15); the demux side needs it to re-prefix samples
+        # into self-contained Annex B access units
+        i = 86  # 8 box header + 78 VisualSampleEntry fixed part
+        while i + 8 <= len(entry):
+            ln = int.from_bytes(entry[i : i + 4], "big")
+            if ln < 8 or i + ln > len(entry):
+                break
+            if entry[i + 4 : i + 8] == b"avcC":
+                out["avcc"] = entry[i + 8 : i + ln]
+                break
+            i += ln
+        return out
     return None
 
 
@@ -1960,14 +1978,38 @@ def build_mp4_raw(frames_rgb: list, width: int, height: int, fps: int = 10) -> b
     numpy frames into an ISO BMFF file with REAL sample tables (stsz/
     stco/stsc/stts/mdhd) and an stsd ``raw `` VisualSampleEntry —
     uncompressed packed RGB top-down, the QuickTime rawvideo form."""
+    return _mux_mp4(
+        [f.tobytes() for f in frames_rgb], width, height, fps, b"raw ", b""
+    )
 
+
+def build_mp4_avc(
+    samples: list[bytes], avcc: bytes, width: int, height: int,
+    fps: int = 10,
+) -> bytes:
+    """Mux AVCC length-prefixed H.264 access units (e.g. from
+    ``h264.annexb_to_avcc``) into ISO BMFF with an ``avc1``
+    VisualSampleEntry carrying the AVCDecoderConfigurationRecord as
+    its avcC child box (ISO 14496-15) — the standard H.264-in-MP4
+    form every real demuxer expects."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    return _mux_mp4(samples, width, height, fps, b"avc1", box(b"avcC", avcc))
+
+
+def _mux_mp4(
+    samples: list[bytes], width: int, height: int, fps: int,
+    fourcc: bytes, entry_children: bytes,
+) -> bytes:
     def box(typ: bytes, body: bytes) -> bytes:
         return (len(body) + 8).to_bytes(4, "big") + typ + body
 
     i32 = lambda v: int(v).to_bytes(4, "big")  # noqa: E731
     i16 = lambda v: int(v).to_bytes(2, "big")  # noqa: E731
 
-    frames = [f.tobytes() for f in frames_rgb]
+    frames = samples
     ftyp = box(b"ftyp", b"isom" + i32(0) + b"isomiso2")
     mdat_start = len(ftyp) + 8
     mdat = box(b"mdat", b"".join(frames))
@@ -1988,15 +2030,16 @@ def build_mp4_raw(frames_rgb: list, width: int, height: int, fps: int = 10) -> b
     delta = scale // max(fps, 1)
     stts = box(b"stts", bytes(4) + i32(1) + i32(len(frames)) + i32(delta))
     entry = (
-        b"raw " + bytes(6) + i16(1)  # format, reserved, data_ref_idx
+        fourcc + bytes(6) + i16(1)  # format, reserved, data_ref_idx
         + bytes(16)                   # pre_defined / reserved
         + i16(width) + i16(height)
         + i32(0x00480000) * 2         # 72 dpi horiz/vert
         + bytes(4) + i16(1)           # reserved, frame_count
         + bytes(32)                   # compressorname
         + i16(24) + i16(0xFFFF)       # depth, pre_defined(-1)
+        + entry_children
     )
-    stsd = box(b"stsd", bytes(4) + i32(1) + box(b"raw ", entry[4:]))
+    stsd = box(b"stsd", bytes(4) + i32(1) + box(fourcc, entry[4:]))
     # NOTE: sample-entry boxes carry their own size+fourcc header; the
     # helper prepends them, so pass the body after the fourcc
     stbl = box(b"stbl", stsd + stsz + stco + stsc + stts)
@@ -2058,17 +2101,20 @@ def decode_video_frame_stats(frames: DataFrame) -> DataFrame:
     through the from-scratch baseline JPEG decoder, AVI rawvideo
     frames through the BI_RGB DIB unpacker (``operators/avi.py:
     decode_dib_frame``), MP4 ``raw `` samples through the packed-RGB
-    unpacker — each comes back as (width, height, crc32 of
-    the decoded RGB pixel buffer), the exact-pixel signature
-    downstream dedup / fingerprint stages key on. Frames that are
-    neither (e.g. H.264 access units from MP4 demux) are dropped,
-    making the decoded-vs-demuxed boundary explicit.
+    unpacker, ``avc1`` access units through the from-scratch H.264
+    intra decoder (``operators/h264.py``) — each comes back as
+    (width, height, crc32 of the decoded RGB pixel buffer), the
+    exact-pixel signature downstream dedup / fingerprint stages key
+    on. Frames that are none of these (or H.264 shapes the decoder
+    rejects: CABAC, P/B, deblocking-required) are dropped, making
+    the decoded-vs-demuxed boundary explicit.
 
     Scale posture: narrow Arrow-batched map, numpy-vectorized IDCT /
     upsampling inside; frame payloads never shuffle."""
     import zlib as _zlib
 
     from .avi import decode_dib_frame
+    from .h264 import decode_h264_annexb
     from .jpeg import decode_jpeg
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2085,6 +2131,9 @@ def decode_video_frame_stats(frames: DataFrame) -> DataFrame:
                     px = decode_dib_frame(fb, int(fw), int(fh), int(bpp))
                 elif codec == "rgb24":  # MP4 'raw ': packed RGB, top-down
                     px = decode_mp4_raw_frame(fb, int(fw), int(fh))
+                elif codec == "avc1":  # H.264: self-contained Annex B
+                    pics = decode_h264_annexb(bytes(fb))
+                    px = pics[0] if pics else None
                 else:
                     px = None
                 if px is None:

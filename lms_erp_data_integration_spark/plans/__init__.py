@@ -70,6 +70,11 @@ registry.PRIORITY = [
     "llm_dedup_cluster_histogram",
     "llm_dedup_semantic_verified",
     "llm_sim_kmeans_purity",
+    # CHANGED late in r8: the video codec gate grew the H.264 path
+    # (ids 12-15: avc1-in-MP4 from the from-scratch CAVLC intra
+    # encoder, decoded by operators/h264.py through the real
+    # demux -> annexb -> decode chain)
+    "llm_video_codec_stats",
     # r3-era re-verification backlog: the four fillers displaced late
     # in r7 first, then the remaining r3 rows alphabetically
     "rel_q16_supplier_counts",
@@ -96,14 +101,14 @@ registry.PRIORITY = [
     "llm_corpus_mix",
     "llm_corpus_stats",
     "llm_dedup_exact",
-    "llm_dedup_minhash_lsh",
 ]
 
 # r9 rotation plan (for the next round): keep the 8 sync queries
 # pinned and any r9-new/changed queries ahead of fillers, then fill
-# from the re-verification backlog oldest-first — FIRST the eleven r4
-# fillers the late-r8 sketch + two-level-k-means work displaced from
-# this window (llm_dedup_simhash, llm_heavy_hitters_cms,
+# from the re-verification backlog oldest-first — FIRST the twelve r4
+# fillers the late-r8 sketch + two-level-k-means + H.264-gate work
+# displaced from this window (llm_dedup_minhash_lsh,
+# llm_dedup_simhash, llm_heavy_hitters_cms,
 # llm_multimodal_frame_sample, llm_multimodal_payload_meta,
 # llm_pack_sequences, llm_pii_redaction, llm_quality_gate,
 # llm_sample_stratified, llm_shard_assignment, llm_text_fingerprint,

@@ -1121,22 +1121,40 @@ _VIDEO_PAYLOAD_SCHEMA = T.StructType(
 )
 
 
-_N_CODEC_VIDEOS = 12
+_N_CODEC_VIDEOS = 16
 
 
 def _mux_codec_fixture(vid: int) -> bytes:
     """Deterministic fixture video seeded by id (sf-independent):
     ids 0-7 alternate AVI rawvideo (BI_RGB DIB, even) and MJPEG
     (odd); ids 8-11 are ``raw ``-in-MP4 (packed top-down RGB with
-    real stsd/stsz/stco/stsc/stts sample tables) — one corpus
-    exercising all three decodable codec paths."""
+    real stsd/stsz/stco/stsc/stts sample tables); ids 12-15 are
+    H.264-in-MP4 (from-scratch CAVLC intra encoder -> avc1 sample
+    entry with a real avcC record, ``operators/h264.py`` +
+    ``multimodal.build_mp4_avc``) — one corpus exercising all four
+    decodable codec paths."""
     import numpy as np
 
     from ..operators import avi
+    from ..operators import h264
     from ..operators import multimodal as mm
     from ..operators.jpeg import encode_jpeg
 
     rng = np.random.default_rng(7000 + vid)
+    if vid >= 12:  # H.264: MB-aligned geometry, per-id QP spread
+        w = 16 * (1 + vid % 2)
+        h = 16 * (1 + (vid // 2) % 2)
+        n = 2 + vid % 3
+        fps = 4 + vid % 3
+        frames = [
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        stream, _ = h264.encode_h264_annexb(
+            frames, qp=18 + 5 * (vid % 4), chroma_qp_offset=vid % 3 - 1
+        )
+        avcc, samples = h264.annexb_to_avcc(stream)
+        return mm.build_mp4_avc(samples, avcc, w, h, fps=fps)
     w = 8 * (2 + vid % 3)
     h = 8 * (1 + vid % 2)
     n = 3 + vid % 4
@@ -1166,23 +1184,30 @@ SELECT * FROM (VALUES
   (8, 'rgb24', 3, 32, 8, 332, 6717079118),
   (9, 'rgb24', 4, 16, 16, 750, 8280422891),
   (10, 'rgb24', 5, 24, 8, 800, 9098864904),
-  (11, 'rgb24', 6, 32, 16, 830, 7924762775)
+  (11, 'rgb24', 6, 32, 16, 830, 7924762775),
+  (12, 'avc1', 2, 16, 16, 250, 2231330748),
+  (13, 'avc1', 3, 32, 16, 400, 2434106039),
+  (14, 'avc1', 4, 16, 32, 498, 11774723885),
+  (15, 'avc1', 2, 32, 32, 250, 2094537215)
 ) AS t(doc_id, codec, frames_decoded, width, height, dts_last_ms,
        crc_sum)
 """,
 )
 def video_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three decodable video codec paths through the REAL
-    operator chain (r6 verdict #6): 12 fixture videos — AVI rawvideo
-    (uncompressed BI_RGB DIB, even ids 0-7), MJPEG-in-AVI (odd ids
-    0-7), and ``raw ``-in-MP4 (packed top-down RGB with real stsd +
-    sample tables, ids 8-11) — are muxed, then demuxed by
-    ``extract_video_frames`` (which attaches the container-declared
-    codec + geometry to every frame) and decoded by
-    ``decode_video_frame_stats`` (codec-dispatched: T.81 JPEG vs DIB
-    vs packed-RGB unpack). The per-video SUM of decoded-pixel CRC32s
-    pins all three decode paths bit-for-bit; codec comes back from
-    the demux stage, proving the dispatch column survives the chain.
+    """All FOUR decodable video codec paths through the REAL
+    operator chain (r6 verdict #6; H.264 added r8): 16 fixture
+    videos — AVI rawvideo (uncompressed BI_RGB DIB, even ids 0-7),
+    MJPEG-in-AVI (odd ids 0-7), ``raw ``-in-MP4 (packed top-down RGB
+    with real stsd + sample tables, ids 8-11), and H.264-in-MP4
+    (avc1 + avcC, CAVLC intra streams from the from-scratch encoder,
+    ids 12-15) — are muxed, then demuxed by ``extract_video_frames``
+    (which attaches the container-declared codec + geometry to every
+    frame, and re-prefixes avc1 samples into self-contained Annex B)
+    and decoded by ``decode_video_frame_stats`` (codec-dispatched:
+    T.81 JPEG vs DIB vs packed-RGB unpack vs the H.264 intra
+    decoder). The per-video SUM of decoded-pixel CRC32s pins all
+    four decode paths bit-for-bit; codec comes back from the demux
+    stage, proving the dispatch column survives the chain.
 
     Scale posture: identical to ``llm_video_frame_stats`` — one video
     payload = one row, mux/demux/decode all inside Arrow-batched

@@ -36,6 +36,7 @@ from lms_erp_data_integration_spark.operators.jpeg import (  # noqa: E402
 )
 from lms_erp_data_integration_spark.operators import avi  # noqa: E402
 from lms_erp_data_integration_spark.operators import flac  # noqa: E402
+from lms_erp_data_integration_spark.operators import h264  # noqa: E402
 from lms_erp_data_integration_spark.operators.jpegls import (  # noqa: E402
     decode_jpegls,
     encode_jpegls,
@@ -69,10 +70,15 @@ PROBES = [
     flac.decode_flac,
     lambda p: mm._ima_adpcm_decode(p, 1, 128),
     lambda p: mm._ima_adpcm_decode(p, 2, 16),
+    h264.decode_h264_annexb,
+    h264.avcc_config,
+    lambda p: h264.avcc_to_annexb(p, p),
+    lambda p: h264.annexb_to_avcc(p) if p[:4] == b"\x00\x00\x00\x01" else None,
 ]
 
 MAGICS = [
-    b"fLaC", b"qoif",
+    b"fLaC", b"qoif", b"\x00\x00\x00\x01\x67", b"\x00\x00\x00\x01\x65",
+    b"\x01\x42\x00\x14\xff\xe1",  # avcC record prefix
     b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"RIFF", b"II*\x00",
     b"MM\x00*", b"P6\n", b"BM", b"WARC/1.0\r\n", b"%PDF-1.4",
     b"PK\x03\x04", b"\x00\x00\x01\x00", b"\x00\x00\x02\x00",
@@ -120,6 +126,10 @@ def _soak(trials: int, seed: int) -> int:
         flac.encode_flac(
             (rng.integers(-9000, 9000, 700)).astype("int64"), 8000,
             block_size=256),
+        h264.encode_h264_annexb(
+            [rng.integers(0, 256, (16, 32, 3), dtype=np.uint8)],
+            qp=20 + seed,
+        )[0],
         # short-segment WAV: seg_len < 256 exercised the reduceat
         # crash in audio_fingerprint's band-edge padding (r6 fix)
         (b"RIFF" + (28 + 800).to_bytes(4, "little") + b"WAVE"

@@ -3074,3 +3074,46 @@ def test_ima_adpcm_roundtrip_and_decode():
         # truncated data: clean None/short result, no exception
         mm._ima_adpcm_decode(data[:5], ch, ba)
         assert mm._ima_adpcm_decode(b"", ch, ba) is None
+
+
+def test_mp4_avc_mux_demux_decode_chain(spark):
+    """H.264-in-MP4 end to end: from-scratch encoder -> annexb_to_avcc
+    -> build_mp4_avc (avc1 + avcC stsd entry) -> extract_video_frames
+    (mp4-to-annexb re-prefix) -> decode_video_frame_stats dispatches
+    to the intra decoder; CRCs equal the encoder's closed-loop
+    reconstructions."""
+    import zlib
+
+    import numpy as np
+
+    from lms_erp_data_integration_spark.operators import h264
+
+    ys, xs = np.mgrid[0:32, 0:48]
+    frames = [
+        np.stack(
+            [(xs * 3 + ys + fi) % 256, (xs + ys * 5) % 256, (xs * 2) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for fi in range(3)
+    ]
+    stream, recons = h264.encode_h264_annexb(frames, qp=24)
+    avcc, samples = h264.annexb_to_avcc(stream)
+    payload = mm.build_mp4_avc(samples, avcc, 48, 32, fps=5)
+    cfg = mm.mp4_video_config(payload)
+    assert cfg["codec"] == "avc1" and (cfg["width"], cfg["height"]) == (48, 32)
+    assert cfg["avcc"] == avcc
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    ext = mm.extract_video_frames(df, every_n=1)
+    rows = ext.collect()
+    assert [r["codec"] for r in rows] == ["avc1"] * 3
+    # frame bytes are self-contained Annex B (start code prefixed)
+    assert bytes(rows[0]["frame_bytes"][:4]) == b"\x00\x00\x00\x01"
+    stats = mm.decode_video_frame_stats(ext).collect()
+    assert len(stats) == 3
+    by_idx = {r["sample_idx"]: r for r in stats}
+    for i, r in enumerate(recons):
+        assert by_idx[i]["pixel_crc32"] == zlib.crc32(r.tobytes())
+        assert (by_idx[i]["width"], by_idx[i]["height"]) == (48, 32)
