@@ -17,12 +17,17 @@ Supported (returns planes) vs rejected (returns None, never raises):
   (coeff_token / total_zeros / run_before per Tables 9-5..9-10),
   dequantisation (8.5.9-8.5.12) and the 4x4 integer inverse
   transform + luma DC Hadamard + chroma DC transform.
-- Deblocking must be OFF (``disable_deblocking_filter_idc == 1``):
-  the in-loop filter is not implemented, and decoding a stream that
-  requires it would silently produce non-conformant pixels — so such
-  streams are REJECTED (None), honoring the decoder family's
-  reject-cleanly contract (same posture as ``jpeg.py``'s
-  hierarchical processes). P/B slices and CABAC likewise reject.
+- The in-loop DEBLOCKING filter (8.7) is implemented for the
+  all-intra case (bS = 4 on macroblock edges, 3 inside; normal +
+  strong filters, slice alpha/beta offsets, I_PCM contributing
+  QPY = 0 to its edge averages per 8.7.2): streams may signal the filter on (idc 0/2) or off
+  (idc 1), and PPS without the control flags defaults to ON.
+  Because intra prediction reads pre-filter samples, the filter runs
+  as a picture-level pass after construction — equivalent to the
+  spec's per-MB ordering, which it replicates edge by edge.
+  P/B slices and CABAC are REJECTED (None), honoring the decoder
+  family's reject-cleanly contract (same posture as ``jpeg.py``'s
+  hierarchical processes).
 
 All VLC tables are transcribed from the public spec and checked for
 prefix-freeness by ``tests/test_h264.py``; fixtures come from this
@@ -969,6 +974,11 @@ class _Frame:
         # blocks as they are reconstructed reproduces the spec's
         # top-right availability rules constructively
         self.done4 = np.zeros((self.hmb * 4, self.wmb * 4), dtype=bool)
+        # per-MB QPY for the deblocking filter (0 for I_PCM per
+        # 8.7.2, damping the filter on its lossless samples)
+        self.qp_deblock = np.zeros((self.hmb, self.wmb), dtype=np.int32)
+        # slice id -> (disable_deblocking_filter_idc, alpha_off, beta_off)
+        self.slice_params: dict[int, tuple[int, int, int]] = {}
 
     def mb_avail(self, mbx: int, mby: int, cur_slice: int) -> bool:
         if mbx < 0 or mby < 0 or mbx >= self.wmb or mby >= self.hmb:
@@ -1071,16 +1081,15 @@ def _decode_slice(
     elif slice_type % 5 != 2:  # pragma: no cover - I-only
         raise ValueError("non-IDR reference handling unsupported")
     qp = pps["pic_init_qp"] + b.se()
+    idc, off_a, off_b = 0, 0, 0
     if pps["deblocking_control_present"]:
-        if b.ue() != 1:
-            raise ValueError(
-                "deblocking filter enabled: not implemented, rejecting "
-                "rather than emitting non-conformant pixels"
-            )
-    else:
-        raise ValueError(
-            "deblocking filter enabled (no control flags): rejecting"
-        )
+        idc = b.ue()
+        if idc > 2:
+            raise ValueError("bad disable_deblocking_filter_idc")
+        if idc != 1:
+            off_a = b.se()
+            off_b = b.se()
+    fr.slice_params[slice_id] = (idc, off_a, off_b)
     n_mbs = fr.wmb * fr.hmb
     for mb_addr in range(first_mb, n_mbs):
         qp = _decode_mb(fr, b, mb_addr, qp, pps, slice_id)
@@ -1112,7 +1121,8 @@ def _decode_mb(
         fr.nc_cb[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
         fr.nc_cr[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
         fr.done4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
-        return qp  # QP_prev unchanged? spec: QPY preserved for next MB
+        fr.qp_deblock[mby, mbx] = 0  # I_PCM: QPY taken as 0 for 8.7
+        return qp  # QPY_prev for the next MB's delta is unchanged
 
     if mb_type == 0:  # Intra_4x4
         i4_modes: list[int] = []
@@ -1153,6 +1163,7 @@ def _decode_mb(
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp > 0:
             qp = (qp + b.se() + 52) % 52
+        fr.qp_deblock[mby, mbx] = qp
         # ---- residuals (parse all, bitstream order)
         luma_blocks: list[np.ndarray] = []
         for blk in range(16):
@@ -1198,6 +1209,7 @@ def _decode_mb(
     if chroma_mode > 3:
         raise ValueError("bad intra_chroma_pred_mode")
     qp = (qp + b.se() + 52) % 52  # always present for I_16x16
+    fr.qp_deblock[mby, mbx] = qp
     fr.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = -1
     # DC block: nC from luma blk0 context
     nc = _nc_for(fr, fr.nc_y, mbx * 4, mby * 4, 4, slice_id)
@@ -1333,6 +1345,7 @@ def _decode_picture_nals(
         _decode_slice(fr, _Bits(rbsp), sps, pps, ntype, sid)
     if not fr.done4.all():
         raise ValueError("picture not fully covered by slices")
+    _deblock_picture(fr, pps)
     h, w = sps["height"], sps["width"]
     y = fr.y[:h, :w]
     cb = fr.cb[: (h + 1) // 2, : (w + 1) // 2]
@@ -1706,6 +1719,7 @@ def encode_h264_annexb(
     frames_rgb: list[np.ndarray],
     qp: int = 26,
     chroma_qp_offset: int = 0,
+    deblock: bool = False,
 ) -> tuple[bytes, list[np.ndarray]]:
     """Encode RGB frames (heights/widths multiple of 16) as an Annex B
     intra-only stream (every frame IDR, deblocking disabled). Returns
@@ -1716,7 +1730,12 @@ def encode_h264_annexb(
     Per-MB mode policy (deterministic, exercises every decode path):
     (frame + mb_addr) % 6 -> 0: I_PCM, 1/2: Intra_16x16, 3/4/5:
     Intra_4x4; pred modes cycle over whatever is available at that MB
-    position; mb_qp_delta wobbles +-1 every third MB."""
+    position; mb_qp_delta wobbles +-1 every third MB.
+
+    ``deblock=True`` emits disable_deblocking_filter_idc = 0 and runs
+    the in-loop filter (8.7) over the closed-loop reconstruction —
+    same post-construction pass as the decoder, so round trips stay
+    bit-exact; False keeps the filter signalled OFF (idc = 1)."""
     h, w = frames_rgb[0].shape[:2]
     if h % 16 or w % 16:
         raise ValueError("fixture frames must be MB-aligned")
@@ -1744,7 +1763,12 @@ def encode_h264_annexb(
         wtr.u(1, 0)  # no_output_of_prior_pics
         wtr.u(1, 0)  # long_term_reference
         wtr.se(0)  # slice_qp_delta
-        wtr.ue(1)  # disable_deblocking_filter_idc
+        if deblock:
+            wtr.ue(0)  # disable_deblocking_filter_idc: filter all edges
+            wtr.se(0)  # slice_alpha_c0_offset_div2
+            wtr.se(0)  # slice_beta_offset_div2
+        else:
+            wtr.ue(1)  # disable_deblocking_filter_idc
         cur_qp = qp
         for mb_addr in range(wmb * hmb):
             cur_qp = _encode_mb(
@@ -1752,6 +1776,9 @@ def encode_h264_annexb(
             )
         wtr.rbsp_trailing()
         out.append(_nal(5, wtr.tobytes()))
+        if deblock:
+            fr.slice_params[0] = (0, 0, 0)
+            _deblock_picture(fr, pps_d)
         recons.append(
             _yuv420_to_rgb(fr.y[:h, :w], fr.cb[: h // 2, : w // 2],
                            fr.cr[: h // 2, : w // 2])
@@ -1805,6 +1832,7 @@ def _encode_mb(
         fr.nc_cb[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
         fr.nc_cr[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
         fr.done4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
+        fr.qp_deblock[mby, mbx] = 0  # I_PCM: QPY taken as 0 for 8.7
         return qp
 
     # ---------------- shared chroma encode (levels + recon arrays)
@@ -1930,6 +1958,7 @@ def _encode_mb(
             )
         fr.y[oy : oy + 16, ox : ox + 16] = _clip8(recon)
         fr.done4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
+        fr.qp_deblock[mby, mbx] = qp
         chroma_emit_and_recon(cbp_c, dc_cb_l, dc_cr_l, acs_cb, acs_cr, qp)
         return qp
 
@@ -2000,6 +2029,7 @@ def _encode_mb(
             fr.nc_y[aby, abx] = total
         else:
             fr.nc_y[aby, abx] = 0
+    fr.qp_deblock[mby, mbx] = new_qp
     chroma_emit_and_recon(cbp_c, dc_cb_l, dc_cr_l, acs_cb, acs_cr, new_qp)
     return new_qp
 
@@ -2039,3 +2069,209 @@ def avcc_to_annexb(sample: bytes, avcc: bytes) -> bytes | None:
         return b"".join(parts)
     except _DECODE_ERRORS:
         return None
+
+
+# ---------------------------------------------------- deblocking (8.7)
+#
+# The in-loop filter, applied AFTER the whole picture is constructed
+# (intra prediction reads pre-filter samples, so reconstruction and
+# filtering separate cleanly for intra-only streams). All-intra makes
+# boundary strength trivial: 4 on macroblock edges, 3 inside.
+
+# Table 8-16: alpha / beta thresholds indexed by 0..51
+_ALPHA = [0] * 16 + [
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36,
+    40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182,
+    203, 226, 255, 255,
+]
+_BETA = [0] * 16 + [
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10,
+    11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18,
+]
+# Table 8-17: tC0 for bS 1..3 (only bS=3 is reachable all-intra)
+_TC0 = [
+    [0] * 16 + [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8,
+                9, 10, 11, 13],
+    [0] * 16 + [0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                2, 2, 2, 2, 3, 3, 3, 4, 4, 5, 5, 6, 7, 8, 8, 10,
+                11, 12, 13, 15, 17],
+    [0] * 16 + [0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3,
+                3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14,
+                16, 18, 20, 23, 25, 27],
+]
+
+
+def _clip3(lo, hi, v):
+    return np.minimum(np.maximum(v, lo), hi)
+
+
+def _deblock_edge_luma(
+    p: list[np.ndarray], q: list[np.ndarray], bs: int, idx_a: int,
+    idx_b: int,
+) -> None:
+    """Filter one luma edge in place. p = [p0, p1, p2, p3] and
+    q = [q0..q3] are length-L int64 line arrays (p0 adjacent to the
+    edge). 8.7.2.3 (bS < 4) / 8.7.2.4 (bS = 4)."""
+    alpha, beta = _ALPHA[idx_a], _BETA[idx_b]
+    p0, p1, p2, p3 = p
+    q0, q1, q2, q3 = q
+    fs = (
+        (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
+    )
+    if not fs.any():
+        return
+    ap = np.abs(p2 - p0)
+    aq = np.abs(q2 - q0)
+    if bs == 4:
+        small = np.abs(p0 - q0) < (alpha >> 2) + 2
+        sp = fs & small & (ap < beta)
+        sq = fs & small & (aq < beta)
+        p0n = np.where(
+            sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+            np.where(fs, (2 * p1 + p0 + q1 + 2) >> 2, p0),
+        )
+        p1n = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+        p2n = np.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+        q0n = np.where(
+            sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+            np.where(fs, (2 * q1 + q0 + p1 + 2) >> 2, q0),
+        )
+        q1n = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+        q2n = np.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+        p0[:], p1[:], p2[:] = p0n, p1n, p2n
+        q0[:], q1[:], q2[:] = q0n, q1n, q2n
+        return
+    tc0 = _TC0[bs - 1][idx_a]
+    tc = tc0 + (ap < beta).astype(np.int64) + (aq < beta).astype(np.int64)
+    delta = _clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+    p0n = np.where(fs, _clip8(p0 + delta), p0)
+    q0n = np.where(fs, _clip8(q0 - delta), q0)
+    dp1 = _clip3(
+        -tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1
+    )
+    p1n = np.where(fs & (ap < beta), p1 + dp1, p1)
+    dq1 = _clip3(
+        -tc0, tc0, (q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1
+    )
+    q1n = np.where(fs & (aq < beta), q1 + dq1, q1)
+    p0[:], p1[:] = p0n, p1n
+    q0[:], q1[:] = q0n, q1n
+
+
+def _deblock_edge_chroma(
+    p: list[np.ndarray], q: list[np.ndarray], bs: int, idx_a: int,
+    idx_b: int,
+) -> None:
+    """Chroma edge: only p0/q0 move; tC = tC0 + 1 for bS < 4."""
+    alpha, beta = _ALPHA[idx_a], _BETA[idx_b]
+    p0, p1 = p[0], p[1]
+    q0, q1 = q[0], q[1]
+    fs = (
+        (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
+    )
+    if not fs.any():
+        return
+    if bs == 4:
+        p0n = np.where(fs, (2 * p1 + p0 + q1 + 2) >> 2, p0)
+        q0n = np.where(fs, (2 * q1 + q0 + p1 + 2) >> 2, q0)
+        p0[:], q0[:] = p0n, q0n
+        return
+    tc = _TC0[bs - 1][idx_a] + 1
+    delta = _clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+    p0[:] = np.where(fs, _clip8(p0 + delta), p0)
+    q0[:] = np.where(fs, _clip8(q0 - delta), q0)
+
+
+def _deblock_picture(fr: _Frame, pps: dict) -> None:
+    """Apply the in-loop filter over the constructed picture, MB by MB
+    in raster order, vertical edges then horizontal (8.7). Uses the
+    per-MB QPY recorded during reconstruction (0 for I_PCM, which
+    damps — and for low-QP neighbours disables — filtering of its
+    lossless samples via the edge QP average) and per-slice
+    disable/offset parameters."""
+    coff = pps["chroma_qp_index_offset"]
+    for mby in range(fr.hmb):
+        for mbx in range(fr.wmb):
+            sid = int(fr.slice_of_mb[mby, mbx])
+            if sid < 0:
+                continue
+            idc, off_a, off_b = fr.slice_params.get(sid, (1, 0, 0))
+            if idc == 1:
+                continue
+            qp_cur = int(fr.qp_deblock[mby, mbx])
+
+            def edge_ok(nx: int, ny: int) -> bool:
+                if nx < 0 or ny < 0:
+                    return False
+                nsid = int(fr.slice_of_mb[ny, nx])
+                if nsid < 0:
+                    return False
+                return idc == 0 or nsid == sid
+
+            ox, oy = mbx * 16, mby * 16
+            cx, cy = mbx * 8, mby * 8
+            # ---- vertical edges (filter columns), left to right
+            for xe in (0, 4, 8, 12):
+                if xe == 0:
+                    if not edge_ok(mbx - 1, mby):
+                        continue
+                    qp_n = int(fr.qp_deblock[mby, mbx - 1])
+                    qpav = (qp_cur + qp_n + 1) >> 1
+                    bs = 4
+                else:
+                    qpav = qp_cur
+                    bs = 3
+                idx_a = max(0, min(51, qpav + 2 * off_a))
+                idx_b = max(0, min(51, qpav + 2 * off_b))
+                x = ox + xe
+                p = [fr.y[oy : oy + 16, x - 1 - i] for i in range(4)]
+                q = [fr.y[oy : oy + 16, x + i] for i in range(4)]
+                _deblock_edge_luma(p, q, bs, idx_a, idx_b)
+                if xe in (0, 8):
+                    qpc_av = (
+                        _chroma_qp(qp_cur, coff)
+                        + (_chroma_qp(qp_n, coff) if xe == 0
+                           else _chroma_qp(qp_cur, coff)) + 1
+                    ) >> 1
+                    ia = max(0, min(51, qpc_av + 2 * off_a))
+                    ib = max(0, min(51, qpc_av + 2 * off_b))
+                    xc = cx + xe // 2
+                    for plane in (fr.cb, fr.cr):
+                        pc = [plane[cy : cy + 8, xc - 1 - i] for i in range(2)]
+                        qc = [plane[cy : cy + 8, xc + i] for i in range(2)]
+                        _deblock_edge_chroma(pc, qc, bs, ia, ib)
+            # ---- horizontal edges (filter rows), top to bottom
+            for ye in (0, 4, 8, 12):
+                if ye == 0:
+                    if not edge_ok(mbx, mby - 1):
+                        continue
+                    qp_n = int(fr.qp_deblock[mby - 1, mbx])
+                    qpav = (qp_cur + qp_n + 1) >> 1
+                    bs = 4
+                else:
+                    qpav = qp_cur
+                    bs = 3
+                idx_a = max(0, min(51, qpav + 2 * off_a))
+                idx_b = max(0, min(51, qpav + 2 * off_b))
+                yy = oy + ye
+                p = [fr.y[yy - 1 - i, ox : ox + 16] for i in range(4)]
+                q = [fr.y[yy + i, ox : ox + 16] for i in range(4)]
+                _deblock_edge_luma(p, q, bs, idx_a, idx_b)
+                if ye in (0, 8):
+                    qpc_av = (
+                        _chroma_qp(qp_cur, coff)
+                        + (_chroma_qp(qp_n, coff) if ye == 0
+                           else _chroma_qp(qp_cur, coff)) + 1
+                    ) >> 1
+                    ia = max(0, min(51, qpc_av + 2 * off_a))
+                    ib = max(0, min(51, qpc_av + 2 * off_b))
+                    yc = cy + ye // 2
+                    for plane in (fr.cb, fr.cr):
+                        pc = [plane[yc - 1 - i, cx : cx + 8] for i in range(2)]
+                        qc = [plane[yc + i, cx : cx + 8] for i in range(2)]
+                        _deblock_edge_chroma(pc, qc, bs, ia, ib)

@@ -1121,7 +1121,7 @@ _VIDEO_PAYLOAD_SCHEMA = T.StructType(
 )
 
 
-_N_CODEC_VIDEOS = 16
+_N_CODEC_VIDEOS = 20
 
 
 def _mux_codec_fixture(vid: int) -> bytes:
@@ -1131,8 +1131,10 @@ def _mux_codec_fixture(vid: int) -> bytes:
     real stsd/stsz/stco/stsc/stts sample tables); ids 12-15 are
     H.264-in-MP4 (from-scratch CAVLC intra encoder -> avc1 sample
     entry with a real avcC record, ``operators/h264.py`` +
-    ``multimodal.build_mp4_avc``) — one corpus exercising all four
-    decodable codec paths."""
+    ``multimodal.build_mp4_avc``); ids 16-19 are H.264 with the
+    IN-LOOP DEBLOCKING filter signalled ON (idc 0 + 8.7 strong and
+    normal edge filters in both loops) — one corpus exercising all
+    four decodable codec paths."""
     import numpy as np
 
     from ..operators import avi
@@ -1141,7 +1143,8 @@ def _mux_codec_fixture(vid: int) -> bytes:
     from ..operators.jpeg import encode_jpeg
 
     rng = np.random.default_rng(7000 + vid)
-    if vid >= 12:  # H.264: MB-aligned geometry, per-id QP spread
+    if vid >= 12:  # H.264: MB-aligned geometry, per-id QP spread;
+        # ids 16-19 signal the in-loop deblocking filter ON
         w = 16 * (1 + vid % 2)
         h = 16 * (1 + (vid // 2) % 2)
         n = 2 + vid % 3
@@ -1151,7 +1154,8 @@ def _mux_codec_fixture(vid: int) -> bytes:
             for _ in range(n)
         ]
         stream, _ = h264.encode_h264_annexb(
-            frames, qp=18 + 5 * (vid % 4), chroma_qp_offset=vid % 3 - 1
+            frames, qp=18 + 5 * (vid % 4), chroma_qp_offset=vid % 3 - 1,
+            deblock=vid >= 16,
         )
         avcc, samples = h264.annexb_to_avcc(stream)
         return mm.build_mp4_avc(samples, avcc, w, h, fps=fps)
@@ -1188,19 +1192,24 @@ SELECT * FROM (VALUES
   (12, 'avc1', 2, 16, 16, 250, 2231330748),
   (13, 'avc1', 3, 32, 16, 400, 2434106039),
   (14, 'avc1', 4, 16, 32, 498, 11774723885),
-  (15, 'avc1', 2, 32, 32, 250, 2094537215)
+  (15, 'avc1', 2, 32, 32, 250, 2094537215),
+  (16, 'avc1', 3, 16, 16, 400, 7783187973),
+  (17, 'avc1', 4, 32, 16, 498, 2276320795),
+  (18, 'avc1', 2, 16, 32, 250, 5220596810),
+  (19, 'avc1', 3, 32, 32, 400, 7562168639)
 ) AS t(doc_id, codec, frames_decoded, width, height, dts_last_ms,
        crc_sum)
 """,
 )
 def video_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All FOUR decodable video codec paths through the REAL
-    operator chain (r6 verdict #6; H.264 added r8): 16 fixture
+    operator chain (r6 verdict #6; H.264 added r8): 20 fixture
     videos — AVI rawvideo (uncompressed BI_RGB DIB, even ids 0-7),
     MJPEG-in-AVI (odd ids 0-7), ``raw ``-in-MP4 (packed top-down RGB
     with real stsd + sample tables, ids 8-11), and H.264-in-MP4
     (avc1 + avcC, CAVLC intra streams from the from-scratch encoder,
-    ids 12-15) — are muxed, then demuxed by ``extract_video_frames``
+    ids 12-15 filter-off, ids 16-19 with the 8.7 in-loop deblocking
+    filter ON) — are muxed, then demuxed by ``extract_video_frames``
     (which attaches the container-declared codec + geometry to every
     frame, and re-prefixes avc1 samples into self-contained Annex B)
     and decoded by ``decode_video_frame_stats`` (codec-dispatched:
