@@ -994,11 +994,17 @@ def _luma_neighbors(
     pixel (px, py) of ``plane``; ``done`` is the 4x4 (luma) or 4x4-
     chroma availability map with granularity ``gran`` pixels. Top is
     length 2n for n == 4 (top-right rule: unavailable tail replicates
-    t[n-1]); length n otherwise."""
+    t[n-1]); length n otherwise. A sample is available only when its
+    block is decoded AND its macroblock belongs to ``cur_slice`` —
+    slices are independently decodable, so intra prediction never
+    crosses a slice boundary (8.3)."""
     h, w = plane.shape
+    mb_px = gran * 4  # pixels per MB side in this plane
 
     def avail(x: int, y: int) -> bool:
         if x < 0 or y < 0 or x >= w or y >= h:
+            return False
+        if fr.slice_of_mb[y // mb_px, x // mb_px] != cur_slice:
             return False
         return bool(done[y // gran, x // gran])
 
@@ -1786,14 +1792,16 @@ def encode_h264_annexb(
     return b"".join(out), recons
 
 
-def _i4_pred_mode_bits(fr: _Frame, abx: int, aby: int, mode: int) -> tuple[int, int]:
+def _i4_pred_mode_bits(
+    fr: _Frame, abx: int, aby: int, mode: int, sid: int = 0
+) -> tuple[int, int]:
     """-> (prev_flag, rem) for intra4x4 mode signalling (rem = -1 when
     prev_flag). Mirrors the decoder's predicted-mode derivation."""
 
     def nb_mode(x: int, y: int) -> int:
         if x < 0 or y < 0:
             return -9
-        if fr.slice_of_mb[y // 4, x // 4] != 0:
+        if fr.slice_of_mb[y // 4, x // 4] != sid:
             return -9
         m = int(fr.i4_mode[y, x])
         return m if m >= 0 else 2
@@ -1809,9 +1817,10 @@ def _i4_pred_mode_bits(fr: _Frame, abx: int, aby: int, mode: int) -> tuple[int, 
 def _encode_mb(
     fr: _Frame, w: _BitWriter, mb_addr: int, qp: int, pps: dict,
     y: np.ndarray, cb: np.ndarray, cr: np.ndarray, fi: int,
+    sid: int = 0,
 ) -> int:
     mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
-    fr.slice_of_mb[mby, mbx] = 0
+    fr.slice_of_mb[mby, mbx] = sid
     ox, oy = mbx * 16, mby * 16
     cx, cy = mbx * 8, mby * 8
     src_y = y[oy : oy + 16, ox : ox + 16].astype(np.int64)
@@ -1839,7 +1848,9 @@ def _encode_mb(
     def chroma_encode(qpc: int) -> tuple[list, list, list, list, int]:
         dcs, acs = [], []
         for src, plane in ((src_cb, fr.cb), (src_cr, fr.cr)):
-            t, l, c = _luma_neighbors(fr, cx, cy, 8, 0, plane, fr.done4, 2)
+            t, l, c = _luma_neighbors(
+                fr, cx, cy, 8, sid, plane, fr.done4, 2
+            )
             avail = [0] + [m for m, need in ((1, l), (2, t)) if need is not None]
             if t is not None and l is not None and c is not None:
                 avail.append(3)
@@ -1884,7 +1895,7 @@ def _encode_mb(
                 blkmat = acs[1][blk]
                 zig = _nat_to_zig(blkmat)[1:]
                 if cbp_c == 2:
-                    nc = _nc_for(fr, nc_map, abx, aby, 2, 0)
+                    nc = _nc_for(fr, nc_map, abx, aby, 2, sid)
                     total = _encode_residual_block(w, zig, nc, 15)
                     nc_map[aby, abx] = total
                 else:
@@ -1895,11 +1906,11 @@ def _encode_mb(
         use_dc_cr = dc_cr_l if cbp_c else [0, 0, 0, 0]
         _reconstruct_chroma(
             fr, mbx, mby, cmode, qpy, pps, use_dc_cb, use_dc_cr,
-            ac_nat_cb, ac_nat_cr, 0,
+            ac_nat_cb, ac_nat_cr, sid,
         )
 
     if choice in (1, 2):  # ---------------- Intra_16x16
-        t, l, c = _luma_neighbors(fr, ox, oy, 16, 0, fr.y, fr.done4, 4)
+        t, l, c = _luma_neighbors(fr, ox, oy, 16, sid, fr.y, fr.done4, 4)
         avail = [2] + [m for m, need in ((0, t), (1, l)) if need is not None]
         if t is not None and l is not None and c is not None:
             avail.append(3)
@@ -1928,7 +1939,7 @@ def _encode_mb(
         w.se(delta)
         fr.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = -1
         # DC block
-        nc = _nc_for(fr, fr.nc_y, mbx * 4, mby * 4, 4, 0)
+        nc = _nc_for(fr, fr.nc_y, mbx * 4, mby * 4, 4, sid)
         _encode_residual_block(w, _nat_to_zig(dc_lv), nc, 16)
         # AC blocks
         kept: list[np.ndarray] = []
@@ -1936,7 +1947,7 @@ def _encode_mb(
             bx4, by4 = _BLK_POS[blk]
             abx, aby = mbx * 4 + bx4, mby * 4 + by4
             if cbp_luma_flag:
-                nc = _nc_for(fr, fr.nc_y, abx, aby, 4, 0)
+                nc = _nc_for(fr, fr.nc_y, abx, aby, 4, sid)
                 total = _encode_residual_block(
                     w, _nat_to_zig(ac_levels[blk])[1:], nc, 15
                 )
@@ -1969,7 +1980,7 @@ def _encode_mb(
         bx4, by4 = _BLK_POS[blk]
         abx, aby = mbx * 4 + bx4, mby * 4 + by4
         px, py = ox + bx4 * 4, oy + by4 * 4
-        t, l, c = _luma_neighbors(fr, px, py, 4, 0, fr.y, fr.done4, 4)
+        t, l, c = _luma_neighbors(fr, px, py, 4, sid, fr.y, fr.done4, 4)
         avail = [2]
         if t is not None:
             avail += [0, 3, 7]
@@ -1978,7 +1989,7 @@ def _encode_mb(
         if t is not None and l is not None and c is not None:
             avail += [4, 5, 6]
         mode = sorted(avail)[(blk + mb_addr + fi) % len(avail)]
-        mode_bits.append(_i4_pred_mode_bits(fr, abx, aby, mode))
+        mode_bits.append(_i4_pred_mode_bits(fr, abx, aby, mode, sid))
         fr.i4_mode[aby, abx] = mode
         pred = _pred4x4(mode, t, l, c)
         res = src_y[by4 * 4 : by4 * 4 + 4, bx4 * 4 : bx4 * 4 + 4] - pred
@@ -2022,7 +2033,7 @@ def _encode_mb(
         bx4, by4 = _BLK_POS[blk]
         abx, aby = mbx * 4 + bx4, mby * 4 + by4
         if cbp_luma & (1 << (blk >> 2)):
-            nc = _nc_for(fr, fr.nc_y, abx, aby, 4, 0)
+            nc = _nc_for(fr, fr.nc_y, abx, aby, 4, sid)
             total = _encode_residual_block(
                 w, _nat_to_zig(blk_levels[blk]), nc, 16
             )

@@ -261,3 +261,51 @@ def test_h264_no_control_flags_defaults_to_filter_on():
     # Simplest equivalence: parse with flags (idc=0) vs default-on path
     h._decode_slice(fr, h._Bits(slice_rbsp), sps_d, pps_d, 5, 0)
     assert fr.slice_params[0] == (0, 0, 0)
+
+
+def test_h264_multi_slice_picture():
+    # hand-build a two-slice IDR picture (first_mb_in_slice 0 and 2 on
+    # a 2x2-MB frame): per-slice availability must keep slice-1 MBs
+    # from predicting into slice 0... actually slices are decoded into
+    # one picture; cross-slice neighbor access is forbidden DURING
+    # intra prediction (slice_of_mb mismatch -> unavailable), which
+    # this pins: MB 2 (first of slice 1) must treat MB 1 (slice 0) as
+    # unavailable even though it is decoded.
+    src = _grad(2, 32, 32)
+    # encode single-slice, then re-split: simplest is to encode two
+    # half-frames as separate slices via the internal writer
+    y, cb, cr = h._rgb_to_yuv420(src)
+    sps_d = {
+        "width_mbs": 2, "height_mbs": 2, "width": 32, "height": 32,
+        "poc_type": 2, "log2_max_frame_num": 4, "log2_max_poc_lsb": 0,
+    }
+    pps_d = {
+        "pic_init_qp": 28, "chroma_qp_index_offset": 0,
+        "deblocking_control_present": True, "constrained_intra": False,
+    }
+    fr = h._Frame(sps_d)
+    nals = [h._nal(7, h._sps_rbsp(2, 2)), h._nal(8, h._pps_rbsp(28, 0))]
+    for first_mb in (0, 2):
+        wtr = h._BitWriter()
+        wtr.ue(first_mb)
+        wtr.ue(7)
+        wtr.ue(0)
+        wtr.u(4, 0)
+        wtr.ue(first_mb // 2)  # idr_pic_id
+        wtr.u(1, 0)
+        wtr.u(1, 0)
+        wtr.se(0)
+        wtr.ue(1)  # deblocking off (slice-boundary semantics not the point)
+        sid = first_mb // 2
+        cur_qp = 28
+        for mb in (first_mb, first_mb + 1):
+            cur_qp = h._encode_mb(
+                fr, wtr, mb, cur_qp, pps_d, y, cb, cr, 0, sid=sid
+            )
+        wtr.rbsp_trailing()
+        nals.append(h._nal(5, wtr.tobytes()))
+    stream = b"".join(nals)
+    d = h.decode_h264_annexb(stream)
+    assert d is not None and len(d) == 1
+    expect = h._yuv420_to_rgb(fr.y[:32, :32], fr.cb[:16, :16], fr.cr[:16, :16])
+    assert np.array_equal(d[0], expect)
