@@ -2169,11 +2169,17 @@ def perceptual_hash(payload: bytes) -> int | None:
     edits — the visual analog of SimHash, and the standard key for
     image dedup in multimodal corpora. Returns None for unrecognized
     payloads."""
-    from .jpeg import _M
-
     px = _decode_pixels(payload)
     if px is None:
         return None
+    return phash_pixels(px)
+
+
+def phash_pixels(px: np.ndarray) -> int:
+    """64-bit pHash of an already-decoded (H, W, C) raster — the
+    pixel-level core of ``perceptual_hash``, exposed so decoded VIDEO
+    frames (H.264/MJPEG/raw paths) can be fingerprinted for visual
+    near-dup detection without a re-encode round trip."""
     gray = px.astype(np.float64).mean(axis=2)
     h, w = gray.shape
     if h < 32 or w < 32:  # tiny inputs: nearest-upsample first so the

@@ -75,6 +75,10 @@ registry.PRIORITY = [
     # encoder, decoded by operators/h264.py through the real
     # demux -> annexb -> decode chain)
     "llm_video_codec_stats",
+    # NEW late in r8: content-level video near-dup via per-frame
+    # pHash over REAL H.264 decode (mux -> demux -> intra decode ->
+    # DCT hash), pinned-VALUES oracle
+    "llm_video_visual_dedup",
     # r3-era re-verification backlog: the four fillers displaced late
     # in r7 first, then the remaining r3 rows alphabetically
     "rel_q16_supplier_counts",
@@ -100,7 +104,6 @@ registry.PRIORITY = [
     "llm_contamination_ngram",
     "llm_corpus_mix",
     "llm_corpus_stats",
-    "llm_dedup_exact",
 ]
 
 # r9 rotation plan (for the next round): keep the 8 sync queries
@@ -112,7 +115,8 @@ registry.PRIORITY = [
 # llm_multimodal_frame_sample, llm_multimodal_payload_meta,
 # llm_pack_sequences, llm_pii_redaction, llm_quality_gate,
 # llm_sample_stratified, llm_shard_assignment, llm_text_fingerprint,
-# llm_text_language_id),
+# llm_text_language_id, and llm_dedup_exact — displaced last by the
+# late-r8 llm_video_visual_dedup row),
 # then the r4 rows displaced earlier (llm_text_sentiment onward,
 # alphabetically from the r4 cohort), then the remaining r4 rows,
 # then r5 rows alphabetically. The stamped-hash policy stays as is;

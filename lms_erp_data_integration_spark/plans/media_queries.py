@@ -1258,3 +1258,199 @@ def video_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dts_last_ms", "crc_sum",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Visual (content-level) video near-dup detection — the capability
+# operators/multimodal.py:video_fingerprint's docstring deferred
+# "behind the codec gate": with the H.264 intra decoder landed, frames
+# decode for real and per-frame perceptual hashes drive dedup.
+
+_N_VISUAL_VIDEOS = 8
+
+
+def _visual_fixture_frames(cs: int) -> list:
+    """Structured content (gradients + a moving bright block) seeded
+    by content id — phash-stable under lossy re-encode, unlike
+    noise."""
+    import numpy as np
+
+    ys, xs = np.mgrid[0:32, 0:48]
+    frames = []
+    for t in range(3):
+        base = (xs * (2 + cs) + ys * (3 + (cs * 5) % 7) + t * 9) % 160 + 40
+        img = np.stack(
+            [base, (base * 2) % 200, 255 - base], axis=-1
+        ).astype(np.uint8)
+        bx = (cs * 7 + t * 11) % 32
+        img[8:20, bx : bx + 12] = (240, (240 - cs * 20) % 200, 30)
+        frames.append(img)
+    return frames
+
+
+def _visual_dedup_payload(vid: int) -> bytes:
+    """vids 0-5: three near-dup pairs — same content, pair members
+    H.264-encoded at QP 20 vs QP 34 (one with deblocking) so pixels
+    differ but structure survives; vids 6-7: unique content."""
+    from ..operators import h264
+    from ..operators import multimodal as mm
+
+    cs = vid // 2 if vid < 6 else vid
+    frames = _visual_fixture_frames(cs)
+    stream, _ = h264.encode_h264_annexb(
+        frames, qp=20 + (vid % 2) * 14, deblock=vid % 2 == 1
+    )
+    avcc, samples = h264.annexb_to_avcc(stream)
+    return mm.build_mp4_avc(samples, avcc, 48, 32, fps=5)
+
+
+_VISUAL_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def video_frame_phashes(spark: SparkSession) -> DataFrame:
+    """(doc_id, sample_idx, phash) for the visual-dedup fixture corpus
+    through the REAL chain: mux -> demux -> H.264 intra decode ->
+    ``phash_pixels`` — all inside Arrow ``mapInPandas``; only the
+    8-byte hashes ever shuffle, frame payloads stay in the task."""
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+    from ..operators.h264 import decode_h264_annexb
+
+    def mux(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"].astype("int64"),
+                    "payload": [
+                        _visual_dedup_payload(int(v)) for v in pdf["id"]
+                    ],
+                }
+            )
+
+    payloads = spark.range(0, _N_VISUAL_VIDEOS, 1, 4).mapInPandas(
+        mux, _VIDEO_PAYLOAD_SCHEMA
+    )
+    frames = mm.extract_video_frames(payloads)
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for i, si, fb in zip(
+                pdf["doc_id"], pdf["sample_idx"], pdf["frame_bytes"]
+            ):
+                pics = decode_h264_annexb(bytes(fb))
+                if not pics:
+                    continue
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "sample_idx": si,
+                        "phash": mm.phash_pixels(pics[0]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_idx", "phash"]
+            )
+
+    return frames.select("doc_id", "sample_idx", "frame_bytes").mapInPandas(
+        op, _VISUAL_PHASH_SCHEMA
+    )
+
+
+@query(
+    "llm_video_visual_dedup",
+    """
+WITH ph(doc_id, sample_idx, phash) AS (VALUES
+  (CAST(0 AS BIGINT), CAST(0 AS INTEGER), CAST(2723212641831233423 AS BIGINT)),
+  (0, 1, 3956767091357787562),
+  (0, 2, 1041114999249689701),
+  (1, 0, 2723212641831233423),
+  (1, 1, 3911731099379082666),
+  (1, 2, 5509811729508043879),
+  (2, 0, 9133445114537150863),
+  (2, 1, 7335119877204780394),
+  (2, 2, 7432233731111859148),
+  (3, 0, 9133449512587723151),
+  (3, 1, 7335119877204776298),
+  (3, 2, 7432233731111859148),
+  (4, 0, 7140735275866531699),
+  (4, 1, 7877273663950957898),
+  (4, 2, 3948699640088585932),
+  (5, 0, 7141861175505004387),
+  (5, 1, 7588766210885725514),
+  (5, 2, 8416270470440117964),
+  (6, 0, 1121394375018951540),
+  (6, 1, 7770448009674173226),
+  (6, 2, 8472340282162976297),
+  (7, 0, 279179249602278908),
+  (7, 1, 3140818576098824745),
+  (7, 2, 1289890081038149019)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(bit_count(xor(a.phash, b.phash))) AS BIGINT)
+         AS hamming_sum,
+       CAST(SUM(bit_count(xor(a.phash, b.phash))) <= 8 * COUNT(*)
+         AS BOOLEAN) AS is_dup
+FROM ph a JOIN ph b
+  ON a.sample_idx = b.sample_idx AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY doc_a, doc_b
+""",
+)
+def video_visual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-level video near-duplicate detection — the capability
+    ``video_fingerprint`` (container-level) explicitly deferred until
+    frame decode was real: 8 H.264-in-MP4 fixture videos (three
+    near-dup pairs re-encoded at QP 20 vs 34, one side deblocked, so
+    pixel bytes differ; two unique) run mux -> demux -> intra decode
+    -> per-frame 64-bit pHash (``multimodal.phash_pixels``), then an
+    aligned-frame self-join scores pairs by summed Hamming distance:
+    mean <= 8 bits/frame -> duplicate. Flags exactly the three
+    planted pairs; the closest non-pair sits at 82/192 bits.
+
+    The oracle pins the DECODED phashes as literal VALUES (codec work
+    is not SQL-expressible) and replicates the pair scoring in
+    cross-engine SQL (bit_count + xor exist in both) — so a drift in
+    ANY stage (encoder fixtures, demux, CAVLC/transform/deblock
+    decode, DCT phash, or the join math) flips the row hash.
+
+    Scale posture: one video = one row through Arrow ``mapInPandas``;
+    only 8-byte hashes shuffle. The all-pairs join is the fixture-
+    sized verifier — at corpus scale the same hashes feed the
+    banded SimHash/LSH bucketing machinery (``operators/dedup.py``),
+    which llm_dedup_simhash already proves out."""
+    ph = video_frame_phashes(spark)
+    a = ph.alias("a")
+    b = ph.alias("b")
+    ham = F.expr("bit_count(a.phash ^ b.phash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.sample_idx") == F.col("b.sample_idx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(ham).alias("hamming_sum"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_frames",
+            "hamming_sum",
+            (F.col("hamming_sum") <= 8 * F.col("n_frames")).alias("is_dup"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

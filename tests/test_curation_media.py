@@ -94,6 +94,27 @@ def test_media_queries_run_distributed(spark, sf_dir):
     assert vf.count() == media_queries._N_VIDEOS
 
 
+def test_video_visual_dedup_flags_planted_pairs(spark, sf_dir):
+    """The three QP-20-vs-QP-34 re-encode pairs (0,1) (2,3) (4,5) —
+    whose pixel bytes differ — must be the ONLY pairs under the
+    8-bits/frame pHash threshold; unique videos 6/7 must not pair
+    with anything."""
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in media_queries.video_visual_dedup(spark, sf_dir).collect()
+    }
+    n = media_queries._N_VISUAL_VIDEOS
+    assert len(rows) == n * (n - 1) // 2
+    dups = {k for k, r in rows.items() if r["is_dup"]}
+    assert dups == {(0, 1), (2, 3), (4, 5)}
+    for k in dups:
+        assert rows[k]["hamming_sum"] > 0  # near-dup, not byte-equal
+    non_pair_min = min(
+        r["hamming_sum"] for k, r in rows.items() if k not in dups
+    )
+    assert non_pair_min > 8 * 3 * 2  # clear margin over the threshold
+
+
 def test_bpe_encode_uses_frozen_merges(spark, sf_dir):
     out = tokenizer_queries.bpe_encode(spark, sf_dir).collect()
     assert {r["bucket"] for r in out} <= set(range(8))
