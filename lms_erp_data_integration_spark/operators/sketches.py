@@ -271,3 +271,75 @@ def bloom_positions(df: DataFrame, key: Column, out: str) -> DataFrame:
         % BLOOM_M
     )
     return rows.select(F.col("k").alias(out), pos.alias("pos"))
+
+
+# ------------------------------------------------------------ KMV / Theta
+
+KMV_K = 256
+# the hash universe size as an EXACT double (2^60 — 8-bit mantissa
+# after the shift, so the literal, its product with small ints, and
+# the single final division are bit-identical across engines)
+KMV_U = float(1 << HASH60_BITS)
+
+
+def kmv_sketch(
+    df: DataFrame, value: Column, *group_cols: str, prune: bool = True
+) -> DataFrame:
+    """Per-group KMV / Theta sketch (Bar-Yossef et al. 2002; Dasgupta
+    et al. "Theta sketch framework"): the ``KMV_K`` smallest distinct
+    60-bit hashes of the group's values, as one row per
+    (group, rank) — ``(*group_cols, h, r)`` with ``r`` 1-based.
+
+    The kth smallest hash theta estimates distinct cardinality as
+    ``(k-1) * 2^60 / theta``, and because two sketches of the SAME
+    hash family are coordinated samples, set operations (union /
+    intersection / Jaccard) fall out of comparing retained hashes
+    below a common theta — the property the set-ops query uses.
+
+    Scale posture: collapse-first (distinct values before hashing —
+    the CMS/HLL lesson, map-side combined), then, when ``prune``,
+    a hash-threshold pre-filter derived from Spark's built-in
+    ``approx_count_distinct`` with a 32x safety margin: only hashes
+    below ``32 * k * 2^60 / est`` reach the rank window, so the
+    final per-group sort sees O(k) candidates instead of every
+    distinct value. P(the true kth min exceeds the margin) is a
+    Chernoff tail at 32x the mean — negligible at any n, and the
+    pruned and unpruned paths are asserted equal in tests. The
+    window itself therefore shuffles sketch-sized data only.
+    """
+    from pyspark.sql import Window
+
+    # one distinct pass on the HASH (not the value): distinct values
+    # and colliding hashes collapse together, per KMV, in one
+    # map-side-combined shuffle
+    d = df.select(
+        *group_cols, hash60(value.cast("string")).alias("h")
+    ).distinct()
+    if prune:
+        est = d.groupBy(*group_cols).agg(
+            F.approx_count_distinct("h").alias("_est")
+        )
+        bound = F.when(
+            F.col("_est") <= F.lit(32 * KMV_K), F.lit((1 << HASH60_BITS) - 1)
+        ).otherwise(
+            (F.lit(32 * KMV_K * KMV_U) / F.col("_est")).cast("long")
+        )
+        d = d.join(F.broadcast(est.select(*group_cols, bound.alias("_b"))),
+                   list(group_cols))
+        d = d.where(F.col("h") <= F.col("_b")).select(*group_cols, "h")
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return d.select(
+        *group_cols, "h", F.row_number().over(w).alias("r")
+    ).where(F.col("r") <= KMV_K)
+
+
+def kmv_theta(sketch: DataFrame, *group_cols: str) -> DataFrame:
+    """Per-group (cnt, theta): theta = kth smallest hash when the
+    sketch is full, else 2^60 ("every hash retained" — the sketch IS
+    the exact distinct set and estimates are exact counts)."""
+    return sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.when(F.count(F.lit(1)) < KMV_K, F.lit(1 << HASH60_BITS))
+        .otherwise(F.max("h"))
+        .alias("theta"),
+    )

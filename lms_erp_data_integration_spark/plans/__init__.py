@@ -79,6 +79,10 @@ registry.PRIORITY = [
     # pHash over REAL H.264 decode (mux -> demux -> intra decode ->
     # DCT hash), pinned-VALUES oracle
     "llm_video_visual_dedup",
+    # NEW late in r8: KMV/Theta sketch set operations (union /
+    # intersection estimates from coordinated bottom-k samples),
+    # full cross-engine oracle, exact-audit columns
+    "rel_theta_setops",
     # r3-era re-verification backlog: the four fillers displaced late
     # in r7 first, then the remaining r3 rows alphabetically
     "rel_q16_supplier_counts",
@@ -103,7 +107,6 @@ registry.PRIORITY = [
     "llm_chunk_documents",
     "llm_contamination_ngram",
     "llm_corpus_mix",
-    "llm_corpus_stats",
 ]
 
 # r9 rotation plan (for the next round): keep the 8 sync queries
@@ -115,8 +118,9 @@ registry.PRIORITY = [
 # llm_multimodal_frame_sample, llm_multimodal_payload_meta,
 # llm_pack_sequences, llm_pii_redaction, llm_quality_gate,
 # llm_sample_stratified, llm_shard_assignment, llm_text_fingerprint,
-# llm_text_language_id, and llm_dedup_exact — displaced last by the
-# late-r8 llm_video_visual_dedup row),
+# llm_text_language_id, llm_dedup_exact, and llm_corpus_stats —
+# displaced last by the late-r8 llm_video_visual_dedup and
+# rel_theta_setops rows),
 # then the r4 rows displaced earlier (llm_text_sentiment onward,
 # alphabetically from the r4 cohort), then the remaining r4 rows,
 # then r5 rows alphabetically. The stamped-hash policy stays as is;

@@ -416,3 +416,192 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(total)
     )
     return sk.hll_estimate_row(rolled, "source", "lang")
+
+
+_THETA_U_SQL = "1152921504606846976.0::DOUBLE"  # 2^60, exact double
+
+
+@query(
+    "rel_theta_setops",
+    f"""
+WITH sl AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_custkey AS v
+  FROM orders
+  WHERE year(o_orderdate) BETWEEN 1995 AND 1997),
+dh AS (
+  SELECT DISTINCT yr,
+         ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM sl),
+skt AS (
+  SELECT yr, h, row_number() OVER (PARTITION BY yr ORDER BY h) AS r
+  FROM dh QUALIFY r <= 256),
+th AS (
+  SELECT yr, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CASE WHEN COUNT(*) < 256 THEN ((1::BIGINT) << 60)
+              ELSE MAX(h) END AS theta
+  FROM skt GROUP BY yr),
+est AS (
+  SELECT yr, theta,
+         CASE WHEN theta = ((1::BIGINT) << 60) THEN CAST(cnt AS DOUBLE)
+              ELSE (255.0::DOUBLE * {_THETA_U_SQL})
+                   / CAST(theta AS DOUBLE) END AS est
+  FROM th),
+pair AS (
+  SELECT a.yr AS yr_a, b.yr AS yr_b, a.est AS est_a, b.est AS est_b,
+         LEAST(a.theta, b.theta) AS theta_min
+  FROM est a JOIN est b ON a.yr < b.yr),
+com AS (
+  SELECT sa.yr AS yr_a, sb.yr AS yr_b, sa.h AS h
+  FROM skt sa JOIN skt sb ON sa.h = sb.h AND sa.yr < sb.yr),
+comc AS (
+  SELECT p.yr_a, p.yr_b, CAST(COUNT(c.h) AS BIGINT) AS common_below
+  FROM pair p LEFT JOIN com c
+    ON c.yr_a = p.yr_a AND c.yr_b = p.yr_b AND c.h < p.theta_min
+  GROUP BY p.yr_a, p.yr_b),
+sel AS (
+  SELECT p.yr_a, p.yr_b, p.est_a, p.est_b, cc.common_below,
+         CASE WHEN p.theta_min = ((1::BIGINT) << 60)
+              THEN CAST(cc.common_below AS DOUBLE)
+              ELSE (CAST(cc.common_below AS DOUBLE) * {_THETA_U_SQL})
+                   / CAST(p.theta_min AS DOUBLE) END AS est_intersect
+  FROM pair p
+  JOIN comc cc ON cc.yr_a = p.yr_a AND cc.yr_b = p.yr_b),
+dv AS (SELECT DISTINCT yr, v FROM sl),
+exact_n AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS n FROM dv GROUP BY yr),
+exact_i AS (
+  SELECT a.yr AS yr_a, b.yr AS yr_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_intersect
+  FROM dv a JOIN dv b ON a.v = b.v AND a.yr < b.yr
+  GROUP BY a.yr, b.yr)
+SELECT s.yr_a, s.yr_b, s.est_a, s.est_b, s.common_below, s.est_intersect,
+       (s.est_a + s.est_b) - s.est_intersect AS est_union,
+       na.n AS exact_a, nb.n AS exact_b, ei.exact_intersect,
+       CAST(na.n + nb.n - ei.exact_intersect AS BIGINT) AS exact_union
+FROM sel s
+JOIN exact_n na ON na.yr = s.yr_a
+JOIN exact_n nb ON nb.yr = s.yr_b
+JOIN exact_i ei ON ei.yr_a = s.yr_a AND ei.yr_b = s.yr_b
+ORDER BY s.yr_a, s.yr_b
+""",
+)
+def theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / Theta-sketch SET OPERATIONS (Dasgupta et al., the
+    framework behind DataSketches' theta sketches): per-year
+    bottom-256 hash sketches of the distinct ordering customers, then
+    union / intersection estimates for every year pair from comparing
+    retained hashes below the pair's common theta — with the exact
+    answers alongside as the accuracy audit (the
+    ``llm_sketch_cms_heavy_hitters`` pattern).
+
+    This is the sketch HLL cannot provide: HLL merges only to a
+    UNION; a theta sketch is a coordinated bottom-k sample, so
+    ``|A∩B|`` (and Jaccard, A-not-B, ...) come from the same k rows
+    per group. Both branches of the estimator are driver-pinned:
+    sf0.001 years hold < 256 distinct customers (sketch = exact set,
+    theta = 2^60), sf0.01+ years overflow into the (k-1)·2^60/theta
+    estimate.
+
+    Determinism: the sketch is a deterministic function of the data
+    (md5 bottom-k, integer state), and the only float arithmetic is
+    the mirrored final expressions over exact BIGINTs.
+
+    Scale posture: ``kmv_sketch`` collapses to distinct hashes
+    (map-side combine), prunes with a 32x-margin threshold from
+    ``approx_count_distinct`` so the rank window sorts O(k) rows per
+    group, and everything after the sketch is O(k · groups) — the
+    exact_* audit columns are the only data-sized aggregates, and at
+    corpus scale a consumer drops them."""
+    sl = (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .where(F.year("o_orderdate").between(1995, 1997))
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("o_custkey").alias("v"),
+        )
+    )
+    U = float(1 << 60)
+    skt = sk.kmv_sketch(sl, F.col("v"), "yr")
+    th = sk.kmv_theta(skt, "yr")
+    full = F.lit(1 << 60)
+    est = th.select(
+        "yr",
+        "theta",
+        F.when(F.col("theta") == full, F.col("cnt").cast("double"))
+        .otherwise(F.lit(255.0 * U) / F.col("theta").cast("double"))
+        .alias("est"),
+    )
+    a, b = est.alias("a"), est.alias("b")
+    pair = a.join(b, F.col("a.yr") < F.col("b.yr")).select(
+        F.col("a.yr").alias("yr_a"),
+        F.col("b.yr").alias("yr_b"),
+        F.col("a.est").alias("est_a"),
+        F.col("b.est").alias("est_b"),
+        F.least("a.theta", "b.theta").alias("theta_min"),
+    )
+    sa, sb = skt.alias("sa"), skt.alias("sb")
+    com = sa.join(
+        sb,
+        (F.col("sa.h") == F.col("sb.h")) & (F.col("sa.yr") < F.col("sb.yr")),
+    ).select(
+        F.col("sa.yr").alias("yr_a"),
+        F.col("sb.yr").alias("yr_b"),
+        F.col("sa.h").alias("h"),
+    )
+    comc = (
+        com.join(F.broadcast(pair.select("yr_a", "yr_b", "theta_min")),
+                 ["yr_a", "yr_b"])
+        .where(F.col("h") < F.col("theta_min"))
+        .groupBy("yr_a", "yr_b")
+        .agg(F.count(F.lit(1)).alias("common_below"))
+    )
+    sel = (
+        pair.join(comc, ["yr_a", "yr_b"], "left")
+        .withColumn("common_below", F.coalesce("common_below", F.lit(0)))
+        .select(
+            "yr_a", "yr_b", "est_a", "est_b", "common_below",
+            F.when(
+                F.col("theta_min") == full,
+                F.col("common_below").cast("double"),
+            )
+            .otherwise(
+                (F.col("common_below").cast("double") * F.lit(U))
+                / F.col("theta_min").cast("double")
+            )
+            .alias("est_intersect"),
+        )
+    )
+    dv = sl.distinct()
+    exact_n = dv.groupBy("yr").agg(F.count(F.lit(1)).alias("n"))
+    da, db = dv.alias("da"), dv.alias("db")
+    exact_i = (
+        da.join(
+            db,
+            (F.col("da.v") == F.col("db.v"))
+            & (F.col("da.yr") < F.col("db.yr")),
+        )
+        .groupBy(
+            F.col("da.yr").alias("yr_a"), F.col("db.yr").alias("yr_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    na = exact_n.alias("na")
+    nb = exact_n.alias("nb")
+    return (
+        sel.join(F.broadcast(na), F.col("na.yr") == F.col("yr_a"))
+        .join(F.broadcast(nb), F.col("nb.yr") == F.col("yr_b"))
+        .join(F.broadcast(exact_i), ["yr_a", "yr_b"])
+        .select(
+            "yr_a", "yr_b", "est_a", "est_b", "common_below",
+            "est_intersect",
+            ((F.col("est_a") + F.col("est_b")) - F.col("est_intersect"))
+            .alias("est_union"),
+            F.col("na.n").alias("exact_a"),
+            F.col("nb.n").alias("exact_b"),
+            "exact_intersect",
+            (F.col("na.n") + F.col("nb.n") - F.col("exact_intersect"))
+            .cast("long")
+            .alias("exact_union"),
+        )
+        .orderBy("yr_a", "yr_b")
+    )

@@ -173,3 +173,57 @@ def test_sketch_queries_invariants(spark, name):
         assert r["n_bloom_pass"] >= r["n_exact"]
         assert r["n_orders"] >= r["n_bloom_pass"]
         assert r["fp_ppm"] >= 0
+
+
+# ------------------------------------------------------------ KMV / Theta
+
+
+def test_kmv_sketch_pruned_matches_unpruned(spark):
+    df = _values_df(spark, [f"v-{i}" for i in range(4000)]).select(
+        F.lit("g").alias("g"), "val"
+    )
+    pruned = sorted(
+        (r["h"], r["r"])
+        for r in sk.kmv_sketch(df, F.col("val"), "g").collect()
+    )
+    full = sorted(
+        (r["h"], r["r"])
+        for r in sk.kmv_sketch(df, F.col("val"), "g", prune=False).collect()
+    )
+    assert pruned == full
+    assert len(pruned) == sk.KMV_K
+
+
+def test_kmv_estimate_accuracy_and_exact_branch(spark):
+    # exact branch: fewer distinct values than k -> theta = 2^60,
+    # sketch IS the set
+    small = _values_df(spark, [f"s-{i}" for i in range(100)] * 3).select(
+        F.lit("g").alias("g"), "val"
+    )
+    th = sk.kmv_theta(
+        sk.kmv_sketch(small, F.col("val"), "g"), "g"
+    ).collect()[0]
+    assert th["cnt"] == 100 and th["theta"] == 1 << 60
+    # estimator branch: 3-sigma KMV bound sigma ~ 1/sqrt(k-2)
+    n = 20000
+    big = _values_df(spark, [f"b-{i}" for i in range(n)]).select(
+        F.lit("g").alias("g"), "val"
+    )
+    row = sk.kmv_theta(
+        sk.kmv_sketch(big, F.col("val"), "g"), "g"
+    ).collect()[0]
+    est = (sk.KMV_K - 1) * (1 << 60) / row["theta"]
+    assert abs(est - n) / n < 3 / math.sqrt(sk.KMV_K - 2)
+
+
+def test_theta_setops_query_estimates_track_exact(spark):
+    rows = QUERIES["rel_theta_setops"](spark, SF_DIR).collect()
+    assert len(rows) == 3  # (95,96) (95,97) (96,97)
+    for r in rows:
+        assert r["exact_union"] == r["exact_a"] + r["exact_b"] - r["exact_intersect"]
+        # sf0.001 years hold < k distinct customers: sketch = exact set,
+        # so every estimate must be EXACT
+        assert r["est_a"] == float(r["exact_a"])
+        assert r["est_b"] == float(r["exact_b"])
+        assert r["est_intersect"] == float(r["exact_intersect"])
+        assert r["est_union"] == float(r["exact_union"])
