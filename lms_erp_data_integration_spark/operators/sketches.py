@@ -343,3 +343,85 @@ def kmv_theta(sketch: DataFrame, *group_cols: str) -> DataFrame:
         .otherwise(F.max("h"))
         .alias("theta"),
     )
+
+
+SAMPLE_K = 256
+
+
+def bottomk_sample(
+    df: DataFrame, key: Column, *group_cols: str, k: int = SAMPLE_K,
+    prune: bool = True
+) -> DataFrame:
+    """Per-group bottom-k ROW sample by hash rank: the ``k`` rows whose
+    60-bit hash of a UNIQUE ``key`` is smallest (ties broken by the
+    key itself), carrying every input column along — ``df.* + (h, r)``
+    with ``r`` 1-based.
+
+    This is the coordinated uniform sample behind mergeable quantile /
+    order-statistic estimation: because membership is a pure function
+    of the key's hash, the union of two groups' samples re-trimmed to
+    bottom-k IS the sample of the union (any global bottom-k row is in
+    its own group's bottom-k) — so 1000 executors sample independently
+    and a coordinator merges without re-scanning, the same algebra the
+    KMV/theta sketch uses for distinct sets, applied to whole rows.
+
+    Scale posture: one exact per-group count (map-side combined,
+    group-domain-sized shuffle) sets a 32x-margin hash threshold
+    ``32k * 2^60 / n`` so only ~32k candidate rows per group reach the
+    rank window — the window sort is sketch-sized, never data-sized.
+    P(true kth-smallest hash exceeds the margin) is a Chernoff tail at
+    32x the mean; the pruned and unpruned paths are asserted equal in
+    tests (the ``kmv_sketch`` pattern).
+    """
+    from pyspark.sql import Window
+
+    d = df.withColumn("h", hash60(key.cast("string")))
+    if prune:
+        n = d.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+        bound = F.when(
+            F.col("_n") <= F.lit(32 * k), F.lit((1 << HASH60_BITS) - 1)
+        ).otherwise((F.lit(32 * k * KMV_U) / F.col("_n")).cast("long"))
+        d = d.join(
+            F.broadcast(n.select(*group_cols, bound.alias("_b"))),
+            list(group_cols),
+        )
+        d = d.where(F.col("h") <= F.col("_b")).drop("_b")
+    w = Window.partitionBy(*group_cols).orderBy("h", key)
+    return d.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= k
+    )
+
+
+def sample_quantiles(
+    rows: DataFrame,
+    value_col: str,
+    key: Column,
+    percents: list[int],
+    *group_cols: str,
+    prefix: str = "est",
+) -> DataFrame:
+    """Per-group lower order statistics at integer ``percents``: the
+    element at 1-based rank ``(p * (n-1)) div 100 + 1`` when the group
+    is ordered by ``(value, key)``. All-integer rank arithmetic (no
+    float indexing) and values copied verbatim from the input — both
+    properties the cross-engine value-hash gate needs. Returns one row
+    per group: ``(*group_cols, {prefix}_n, {prefix}_p{p}...)``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col), key)
+    wn = Window.partitionBy(*group_cols)
+    r = rows.select(
+        *group_cols,
+        value_col,
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    aggs = [F.max("_n").cast("long").alias(f"{prefix}_n")]
+    for p in percents:
+        rank = F.expr(f"(({p} * (_n - 1)) div 100) + 1")
+        aggs.append(
+            F.max(
+                F.when(F.col("_rn") == rank, F.col(value_col))
+            ).alias(f"{prefix}_p{p}")
+        )
+    return r.groupBy(*group_cols).agg(*aggs)

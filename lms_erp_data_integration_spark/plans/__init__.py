@@ -83,6 +83,10 @@ registry.PRIORITY = [
     # intersection estimates from coordinated bottom-k samples),
     # full cross-engine oracle, exact-audit columns
     "rel_theta_setops",
+    # NEW late in r8: mergeable quantile sketch (coordinated bottom-k
+    # row sample, merged '*' grain, exact order-statistic audit) —
+    # completes the five canonical mergeable summaries
+    "rel_quantile_sketch",
     # r3-era re-verification backlog: the four fillers displaced late
     # in r7 first, then the remaining r3 rows alphabetically
     "rel_q16_supplier_counts",
@@ -106,7 +110,6 @@ registry.PRIORITY = [
     # r4-era rows, alphabetical fill to 50
     "llm_chunk_documents",
     "llm_contamination_ngram",
-    "llm_corpus_mix",
 ]
 
 # r9 rotation plan (for the next round): keep the 8 sync queries
@@ -118,9 +121,10 @@ registry.PRIORITY = [
 # llm_multimodal_frame_sample, llm_multimodal_payload_meta,
 # llm_pack_sequences, llm_pii_redaction, llm_quality_gate,
 # llm_sample_stratified, llm_shard_assignment, llm_text_fingerprint,
-# llm_text_language_id, llm_dedup_exact, and llm_corpus_stats —
-# displaced last by the late-r8 llm_video_visual_dedup and
-# rel_theta_setops rows),
+# llm_text_language_id, llm_dedup_exact, llm_corpus_stats, and
+# llm_corpus_mix — displaced last by the late-r8
+# llm_video_visual_dedup, rel_theta_setops, and rel_quantile_sketch
+# rows),
 # then the r4 rows displaced earlier (llm_text_sentiment onward,
 # alphabetically from the r4 cohort), then the remaining r4 rows,
 # then r5 rows alphabetically. The stamped-hash policy stays as is;

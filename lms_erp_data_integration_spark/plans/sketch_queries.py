@@ -605,3 +605,126 @@ def theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr_a", "yr_b")
     )
+
+
+@query(
+    "rel_quantile_sketch",
+    """
+WITH base AS (
+  SELECT o_orderpriority AS grp, o_orderkey AS k, o_totalprice AS v,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM orders),
+samp AS (
+  SELECT grp, k, v, h,
+         row_number() OVER (PARTITION BY grp ORDER BY h, k) AS r
+  FROM base QUALIFY r <= 256),
+merged AS (
+  SELECT '*' AS grp, k, v, h,
+         row_number() OVER (ORDER BY h, k) AS rg
+  FROM samp QUALIFY rg <= 256),
+s AS (
+  SELECT grp, k, v FROM samp UNION ALL SELECT grp, k, v FROM merged),
+sr AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v, k) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM s),
+est AS (
+  SELECT grp, CAST(MAX(n) AS BIGINT) AS sample_k,
+         MAX(CASE WHEN rn = (25 * (n - 1)) // 100 + 1 THEN v END) AS est_p25,
+         MAX(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN v END) AS est_p50,
+         MAX(CASE WHEN rn = (75 * (n - 1)) // 100 + 1 THEN v END) AS est_p75,
+         MAX(CASE WHEN rn = (95 * (n - 1)) // 100 + 1 THEN v END) AS est_p95
+  FROM sr GROUP BY grp),
+ab AS (
+  SELECT grp, k, v FROM base
+  UNION ALL SELECT '*' AS grp, k, v FROM base),
+ar AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v, k) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM ab),
+ex AS (
+  SELECT grp, CAST(MAX(n) AS BIGINT) AS n_rows,
+         MAX(CASE WHEN rn = (25 * (n - 1)) // 100 + 1 THEN v END)
+           AS exact_p25,
+         MAX(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN v END)
+           AS exact_p50,
+         MAX(CASE WHEN rn = (75 * (n - 1)) // 100 + 1 THEN v END)
+           AS exact_p75,
+         MAX(CASE WHEN rn = (95 * (n - 1)) // 100 + 1 THEN v END)
+           AS exact_p95
+  FROM ar GROUP BY grp)
+SELECT e.grp, x.n_rows, e.sample_k,
+       e.est_p25, e.est_p50, e.est_p75, e.est_p95,
+       x.exact_p25, x.exact_p50, x.exact_p75, x.exact_p95
+FROM est e JOIN ex x ON x.grp = e.grp
+ORDER BY e.grp
+""",
+)
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch — the fifth and last canonical
+    mergeable summary, completing the family (HLL: distinct, Count-Min:
+    frequency, Bloom: membership, KMV/theta: set ops, this: order
+    statistics). Per order-priority, a coordinated bottom-256-by-hash
+    row sample of orders estimates p25/p50/p75/p95 of o_totalprice,
+    and the '*' row is built by MERGING the per-group samples (union,
+    re-trim to global bottom-k — exactly the global sample, because
+    any globally-retained row is retained in its own group) — the
+    1000-executor property: sample once per shard, merge without
+    re-scanning. Exact order statistics ride along as the accuracy
+    audit (the CMS/theta pattern).
+
+    Determinism: sample membership is a pure md5 function of the
+    unique order key (ties by key), quantiles are order statistics at
+    all-integer ranks ``(p*(n-1)) div 100 + 1``, and every output
+    value is copied verbatim from the input — zero float arithmetic
+    anywhere, so the driver hash pins the full sample behavior.
+
+    Scale posture: ``bottomk_sample`` pre-prunes with a 32x-margin
+    hash threshold from exact per-group counts, so the rank window
+    sorts O(k) rows per group; the global merge re-ranks <= 5*256
+    sample rows on one partition (sketch-sized by construction). The
+    exact_* audit re-sorts full groups — gate-scale only; a 100 TB
+    consumer keeps the sketch columns."""
+    from pyspark.sql import Window
+
+    base = (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    samp = sk.bottomk_sample(base, F.col("k"), "grp")
+    # sketch-sized global merge: <= |groups| * k rows on one partition
+    wg = Window.orderBy("h", "k")
+    merged = (
+        samp.select(F.lit("*").alias("grp"), "k", "v", "h")
+        .withColumn("r", F.row_number().over(wg))
+        .where(F.col("r") <= sk.SAMPLE_K)
+    )
+    s = samp.select("grp", "k", "v").unionByName(
+        merged.select("grp", "k", "v")
+    )
+    est = sk.sample_quantiles(
+        s, "v", F.col("k"), [25, 50, 75, 95], "grp", prefix="est"
+    )
+    ab = base.unionByName(base.withColumn("grp", F.lit("*")))
+    ex = sk.sample_quantiles(
+        ab, "v", F.col("k"), [25, 50, 75, 95], "grp", prefix="exact"
+    )
+    return (
+        est.join(ex, "grp")
+        .select(
+            "grp",
+            F.col("exact_n").alias("n_rows"),
+            F.col("est_n").alias("sample_k"),
+            "est_p25", "est_p50", "est_p75", "est_p95",
+            "exact_p25", "exact_p50", "exact_p75", "exact_p95",
+        )
+        .orderBy("grp")
+    )

@@ -227,3 +227,74 @@ def test_theta_setops_query_estimates_track_exact(spark):
         assert r["est_b"] == float(r["exact_b"])
         assert r["est_intersect"] == float(r["exact_intersect"])
         assert r["est_union"] == float(r["exact_union"])
+
+
+def test_bottomk_sample_pruned_matches_unpruned_and_merges(spark):
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i, float(i) * 1.5) for i in range(4000)],
+        "grp string, k long, v double",
+    )
+    pruned = sorted(
+        (r["grp"], r["k"], r["r"])
+        for r in sk.bottomk_sample(df, F.col("k"), "grp").collect()
+    )
+    full = sorted(
+        (r["grp"], r["k"], r["r"])
+        for r in sk.bottomk_sample(
+            df, F.col("k"), "grp", prune=False
+        ).collect()
+    )
+    assert pruned == full
+    assert len(pruned) == 3 * sk.SAMPLE_K
+    # merge property: re-trimming the union of per-group samples by
+    # hash rank IS the global bottom-k sample of the whole input
+    samp = sk.bottomk_sample(df, F.col("k"), "grp")
+    merged = set(
+        r["k"]
+        for r in samp.orderBy("h", "k").limit(sk.SAMPLE_K).collect()
+    )
+    direct = set(
+        r["k"]
+        for r in sk.bottomk_sample(
+            df.withColumn("grp", F.lit("*")), F.col("k"), "grp"
+        ).collect()
+    )
+    assert merged == direct
+
+
+def test_sample_quantiles_exact_when_group_fits(spark):
+    # a group smaller than k: the sample IS the group, so estimated
+    # order statistics must equal the exact ones
+    vals = [(f"g", i, float((i * 37) % 101)) for i in range(sk.SAMPLE_K - 6)]
+    df = spark.createDataFrame(vals, "grp string, k long, v double")
+    samp = sk.bottomk_sample(df, F.col("k"), "grp")
+    est = sk.sample_quantiles(
+        samp, "v", F.col("k"), [25, 50, 75, 95], "grp", prefix="est"
+    ).collect()[0]
+    ex = sk.sample_quantiles(
+        df, "v", F.col("k"), [25, 50, 75, 95], "grp", prefix="exact"
+    ).collect()[0]
+    assert est["est_n"] == ex["exact_n"] == sk.SAMPLE_K - 6
+    for p in (25, 50, 75, 95):
+        assert est[f"est_p{p}"] == ex[f"exact_p{p}"]
+    # the lower order statistic at integer rank arithmetic: p50 of
+    # 0..n-1 permuted values is the element at rank (50*(n-1))//100+1
+    srt = sorted(v for _, _, v in vals)
+    assert ex["exact_p50"] == srt[(50 * (len(vals) - 1)) // 100]
+
+
+def test_quantile_sketch_query_estimates_bracket_exact(spark):
+    rows = QUERIES["rel_quantile_sketch"](spark, SF_DIR).collect()
+    by_grp = {r["grp"]: r for r in rows}
+    assert "*" in by_grp and len(rows) == 6
+    star = by_grp["*"]
+    assert star["n_rows"] == sum(
+        r["n_rows"] for g, r in by_grp.items() if g != "*"
+    )
+    for r in rows:
+        assert r["sample_k"] == min(sk.SAMPLE_K, r["n_rows"])
+        # sampled order statistics are real data points in range
+        for p in (25, 50, 75, 95):
+            assert r["exact_p25"] <= r[f"est_p{p}"] or p == 25
+        assert r["est_p25"] <= r["est_p50"] <= r["est_p75"] <= r["est_p95"]
+        assert r["exact_p25"] <= r["exact_p50"] <= r["exact_p95"]
