@@ -1,31 +1,45 @@
-"""From-scratch H.264/AVC INTRA-frame decoder (ITU-T H.264 / ISO/IEC
-14496-10) — Annex B byte streams and AVCC (length-prefixed) access
-units, Baseline-profile I slices with CAVLC entropy coding.
+"""From-scratch H.264/AVC decoder (ITU-T H.264 / ISO/IEC 14496-10) —
+Annex B byte streams and AVCC (length-prefixed) access units,
+Baseline-profile I and single-reference P slices with CAVLC entropy
+coding.
 
 Beyond-reference scope (the reference repo has no codec layer): this
 is the next step past r8's arithmetic-coded JPEG on the feasible-from-
-scratch codec frontier — H.264's integer transforms make intra decode
+scratch codec frontier — H.264's integer transforms make decode
 BIT-EXACT by spec, so decoded pixels can sit under the driver's CRC
 gate exactly like the JPEG/FLAC/ADPCM paths.
 
 Supported (returns planes) vs rejected (returns None, never raises):
 
-- I and SI-free IDR/I slices, ``entropy_coding_mode_flag == 0``
-  (CAVLC), ``frame_mbs_only_flag == 1``, 4:2:0 or implied chroma,
-  8-bit. Macroblock types: I_PCM, Intra_16x16 (all 4 pred modes),
-  Intra_4x4 (all 9 pred modes), with full CAVLC residual decoding
-  (coeff_token / total_zeros / run_before per Tables 9-5..9-10),
-  dequantisation (8.5.9-8.5.12) and the 4x4 integer inverse
-  transform + luma DC Hadamard + chroma DC transform.
-- The in-loop DEBLOCKING filter (8.7) is implemented for the
-  all-intra case (bS = 4 on macroblock edges, 3 inside; normal +
-  strong filters, slice alpha/beta offsets, I_PCM contributing
-  QPY = 0 to its edge averages per 8.7.2): streams may signal the filter on (idc 0/2) or off
-  (idc 1), and PPS without the control flags defaults to ON.
-  Because intra prediction reads pre-filter samples, the filter runs
-  as a picture-level pass after construction — equivalent to the
-  spec's per-MB ordering, which it replicates edge by edge.
-  P/B slices and CABAC are REJECTED (None), honoring the decoder
+- IDR/I slices, ``entropy_coding_mode_flag == 0`` (CAVLC),
+  ``frame_mbs_only_flag == 1``, 4:2:0 or implied chroma, 8-bit.
+  Macroblock types: I_PCM, Intra_16x16 (all 4 pred modes), Intra_4x4
+  (all 9 pred modes), with full CAVLC residual decoding (coeff_token
+  / total_zeros / run_before per Tables 9-5..9-10), dequantisation
+  (8.5.9-8.5.12) and the 4x4 integer inverse transform + luma DC
+  Hadamard + chroma DC transform.
+- P slices with a SINGLE L0 reference (the previous decoded picture;
+  sliding-window marking): P_Skip via mb_skip_run, P_L0_16x16,
+  P_L0_L0_16x8, P_L0_L0_8x16, and intra-in-P (mb_type - 5).
+  Quarter-sample luma interpolation (6-tap half-pel + quarter
+  averaging, 8.4.2.2.1; border-clamped fetches), eighth-sample
+  bilinear chroma (8.4.2.2.2), median MV prediction with the
+  16x8/8x16 directional rules (8.4.1.3) and the P_Skip zero-MV
+  conditions (8.4.1.1), and the Table 9-4 INTER coded_block_pattern
+  mapping.
+- The in-loop DEBLOCKING filter (8.7) with full per-segment boundary
+  strengths: 4 on intra MB edges, 3 inside intra MBs, and the
+  inter 2/1/0 tiers from coded coefficients and >= 1-sample MV
+  deltas; normal + strong filters, slice alpha/beta offsets, I_PCM
+  contributing QPY = 0 to its edge averages per 8.7.2. Streams may
+  signal the filter on (idc 0/2) or off (idc 1), and PPS without the
+  control flags defaults to ON. Because intra prediction reads
+  pre-filter samples, the filter runs as a picture-level pass after
+  construction — equivalent to the spec's per-MB ordering, which it
+  replicates edge by edge; P slices predict from the POST-filter
+  reference exactly as 8.4 requires.
+  B slices, multi-reference lists, weighted prediction, sub-8x8
+  partitions, and CABAC are REJECTED (None), honoring the decoder
   family's reject-cleanly contract (same posture as ``jpeg.py``'s
   hierarchical processes).
 
@@ -146,10 +160,15 @@ def _emulate(rbsp: bytes) -> bytes:
     return bytes(out)
 
 
-def parse_annexb_nals(data: bytes) -> list[tuple[int, bytes]]:
-    """Split an Annex B byte stream into (nal_unit_type, rbsp) pairs.
-    Returns [] when no start code is found."""
-    out: list[tuple[int, bytes]] = []
+def parse_annexb_nals(
+    data: bytes, with_ref_idc: bool = False
+) -> list[tuple]:
+    """Split an Annex B byte stream into (nal_unit_type, rbsp) pairs —
+    or (nal_unit_type, nal_ref_idc, rbsp) triples with
+    ``with_ref_idc`` (P-slice headers need ref_idc to know whether
+    dec_ref_pic_marking is present). Returns [] when no start code is
+    found."""
+    out: list[tuple] = []
     i, n = 0, len(data)
     starts: list[int] = []
     while i + 3 <= n:
@@ -169,7 +188,10 @@ def parse_annexb_nals(data: bytes) -> list[tuple[int, bytes]]:
         hdr = data[s]
         if hdr & 0x80:
             continue  # forbidden_zero_bit set: corrupt
-        out.append((hdr & 0x1F, _rbsp(data[s + 1 : e])))
+        if with_ref_idc:
+            out.append(((hdr & 0x1F), (hdr >> 5) & 3, _rbsp(data[s + 1 : e])))
+        else:
+            out.append((hdr & 0x1F, _rbsp(data[s + 1 : e])))
     return out
 
 
@@ -249,9 +271,9 @@ def parse_pps(rbsp: bytes) -> dict:
     b.flag()  # bottom_field_pic_order_in_frame_present
     if b.ue() != 0:
         raise ValueError("slice groups (FMO) not supported")
-    b.ue()  # num_ref_idx_l0_default_active_minus1
+    num_ref_l0 = b.ue() + 1  # num_ref_idx_l0_default_active_minus1
     b.ue()  # num_ref_idx_l1_default_active_minus1
-    b.flag()  # weighted_pred
+    weighted_pred = b.flag()
     b.u(2)  # weighted_bipred_idc
     pic_init_qp = b.se() + 26
     b.se()  # pic_init_qs
@@ -266,6 +288,8 @@ def parse_pps(rbsp: bytes) -> dict:
         "chroma_qp_index_offset": chroma_qp_index_offset,
         "deblocking_control_present": deblocking_control_present,
         "constrained_intra": constrained_intra,
+        "num_ref_idx_l0_active": num_ref_l0,
+        "weighted_pred": weighted_pred,
     }
 
 
@@ -940,6 +964,15 @@ _CBP_INTRA = [
 ]
 _CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
 
+# Table 9-4, Inter column (coded_block_pattern mapping for inter-coded
+# macroblocks, ChromaArrayType == 1)
+_CBP_INTER = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13, 14, 6,
+    9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46, 17, 18,
+    20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+_CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
+
 # zig-zag ordering of the 16 luma 4x4 blocks within a MB: blkIdx ->
 # (bx, by) in 4x4-block units
 _BLK_POS = [
@@ -979,6 +1012,11 @@ class _Frame:
         self.qp_deblock = np.zeros((self.hmb, self.wmb), dtype=np.int32)
         # slice id -> (disable_deblocking_filter_idc, alpha_off, beta_off)
         self.slice_params: dict[int, tuple[int, int, int]] = {}
+        # per-4x4 motion state (P slices): L0 MV in quarter-luma units
+        # and reference index — -2 = not yet decoded, -1 = intra-coded
+        # (mv treated as (0,0) by 8.4.1.3.2), 0 = inter ref0
+        self.mv4 = np.zeros((self.hmb * 4, self.wmb * 4, 2), dtype=np.int32)
+        self.ref4 = np.full((self.hmb * 4, self.wmb * 4), -2, dtype=np.int8)
 
     def mb_avail(self, mbx: int, mby: int, cur_slice: int) -> bool:
         if mbx < 0 or mby < 0 or mbx >= self.wmb or mby >= self.hmb:
@@ -1066,26 +1104,45 @@ def _zig_to_nat(coeffs: list[int]) -> np.ndarray:
 
 def _decode_slice(
     fr: _Frame, b: _Bits, sps: dict, pps: dict, nal_type: int,
-    slice_id: int,
+    slice_id: int, nal_ref_idc: int = 3, ref: tuple | None = None,
 ) -> None:
-    """Parse one I-slice header + data into ``fr``. Raises ValueError
-    on unsupported shapes (P/B, deblocking enabled, ASO)."""
+    """Parse one I- or P-slice header + data into ``fr``. ``ref`` is
+    the (y, cb, cr) planes of the reference picture (the previous
+    decoded picture, post-deblock) — required for P slices. Raises
+    ValueError on unsupported shapes (B slices, multi-ref, weighted
+    prediction, sub-8x8 partitions, ASO)."""
     first_mb = b.ue()
     slice_type = b.ue()
-    if slice_type % 5 != 2:
-        raise ValueError("only I slices supported")
+    st = slice_type % 5
+    if st not in (0, 2):
+        raise ValueError("only I/P slices supported")
+    is_p = st == 0
+    if is_p and ref is None:
+        raise ValueError("P slice without a reference picture")
     b.ue()  # pps_id (single active PPS assumed)
     b.u(sps["log2_max_frame_num"])  # frame_num
     if nal_type == 5:
         b.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
         b.u(sps["log2_max_poc_lsb"])
-    # dec_ref_pic_marking (IDR): no_output_of_prior_pics + long_term
+    if is_p:
+        if b.flag():  # num_ref_idx_active_override_flag
+            if b.ue() != 0:
+                raise ValueError("multiple reference pictures unsupported")
+        elif pps.get("num_ref_idx_l0_active", 1) != 1:
+            raise ValueError("multiple reference pictures unsupported")
+        if b.flag():  # ref_pic_list_modification_flag_l0
+            raise ValueError("ref pic list modification unsupported")
+        if pps.get("weighted_pred", False):
+            raise ValueError("weighted prediction unsupported")
+    # dec_ref_pic_marking: IDR = two flags; non-IDR reference slices =
+    # adaptive_ref_pic_marking_mode_flag (sliding window only)
     if nal_type == 5:
         b.flag()
         b.flag()
-    elif slice_type % 5 != 2:  # pragma: no cover - I-only
-        raise ValueError("non-IDR reference handling unsupported")
+    elif nal_ref_idc != 0:
+        if b.flag():
+            raise ValueError("adaptive ref pic marking unsupported")
     qp = pps["pic_init_qp"] + b.se()
     idc, off_a, off_b = 0, 0, 0
     if pps["deblocking_control_present"]:
@@ -1097,20 +1154,51 @@ def _decode_slice(
             off_b = b.se()
     fr.slice_params[slice_id] = (idc, off_a, off_b)
     n_mbs = fr.wmb * fr.hmb
-    for mb_addr in range(first_mb, n_mbs):
-        qp = _decode_mb(fr, b, mb_addr, qp, pps, slice_id)
+    if not is_p:
+        for mb_addr in range(first_mb, n_mbs):
+            qp = _decode_mb(fr, b, mb_addr, qp, pps, slice_id)
+            if not b.more_rbsp_data():
+                break
+        return
+    # P slice data: mb_skip_run before every explicitly coded MB
+    mb_addr = first_mb
+    while mb_addr < n_mbs:
+        skip_run = b.ue()
+        for _ in range(skip_run):
+            if mb_addr >= n_mbs:
+                raise ValueError("mb_skip_run past slice end")
+            _decode_skip_mb(fr, mb_addr, qp, slice_id, ref)
+            mb_addr += 1
+        if mb_addr >= n_mbs or not b.more_rbsp_data():
+            break
+        mb_type = b.ue()
+        if mb_type <= 2:
+            qp = _decode_mb_inter(
+                fr, b, mb_addr, qp, pps, slice_id, mb_type, ref
+            )
+        elif mb_type in (3, 4):
+            raise ValueError("P_8x8 sub-partitions unsupported")
+        else:
+            qp = _decode_mb(
+                fr, b, mb_addr, qp, pps, slice_id, mb_type - 5
+            )
+        mb_addr += 1
         if not b.more_rbsp_data():
             break
 
 
 def _decode_mb(
     fr: _Frame, b: _Bits, mb_addr: int, qp: int, pps: dict, slice_id: int,
+    mb_type: int | None = None,
 ) -> int:
     mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
     fr.slice_of_mb[mby, mbx] = slice_id
     ox, oy = mbx * 16, mby * 16  # luma pixel origin
     cx, cy = mbx * 8, mby * 8  # chroma pixel origin
-    mb_type = b.ue()
+    # every branch below is intra: mark for MV prediction / deblock bS
+    fr.ref4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = -1
+    if mb_type is None:
+        mb_type = b.ue()
     if mb_type > 25:
         raise ValueError(f"bad I mb_type {mb_type}")
 
@@ -1293,17 +1381,27 @@ def _reconstruct_chroma(
     fr: _Frame, mbx: int, mby: int, mode: int, qp_y: int, pps: dict,
     dc_cb: list[int], dc_cr: list[int], ac_cb: list[np.ndarray],
     ac_cr: list[np.ndarray], slice_id: int,
+    preds: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> None:
+    """``preds`` overrides the intra 8x8 prediction with externally
+    computed (pred_cb, pred_cr) planes — the inter (motion-compensated)
+    path; residual transform/scaling is identical either way."""
     qpc = _chroma_qp(qp_y, pps["chroma_qp_index_offset"])
     cx, cy = mbx * 8, mby * 8
-    for plane, dc, ac in ((fr.cb, dc_cb, ac_cb), (fr.cr, dc_cr, ac_cr)):
-        # chroma availability: reuse the luma done-map at MB granularity
-        # via a chroma-scaled view — a chroma sample is decoded iff its
-        # MB's luma co-site is (chroma decode happens with the MB)
-        t, l, c = _luma_neighbors(
-            fr, cx, cy, 8, slice_id, plane, fr.done4, 2
-        )
-        pred = _pred_chroma8x8(mode, t, l, c)
+    for ci, (plane, dc, ac) in enumerate(
+        ((fr.cb, dc_cb, ac_cb), (fr.cr, dc_cr, ac_cr))
+    ):
+        if preds is not None:
+            pred = preds[ci]
+        else:
+            # chroma availability: reuse the luma done-map at MB
+            # granularity via a chroma-scaled view — a chroma sample is
+            # decoded iff its MB's luma co-site is (chroma decode
+            # happens with the MB)
+            t, l, c = _luma_neighbors(
+                fr, cx, cy, 8, slice_id, plane, fr.done4, 2
+            )
+            pred = _pred_chroma8x8(mode, t, l, c)
         # 2x2 DC inverse transform + scale (8.5.11)
         cmat = np.array([[dc[0], dc[1]], [dc[2], dc[3]]], dtype=np.int64)
         h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
@@ -1319,6 +1417,293 @@ def _reconstruct_chroma(
                 pred[by2 * 4 : by2 * 4 + 4, bx2 * 4 : bx2 * 4 + 4] + res
             )
         plane[cy : cy + 8, cx : cx + 8] = _clip8(recon)
+
+
+# ------------------------------------------- inter prediction (P slices)
+#
+# Single-reference P slices (8.4): quarter-sample luma interpolation
+# (6-tap half-pel + quarter averaging, 8.4.2.2.1), eighth-sample
+# bilinear chroma (8.4.2.2.2), median MV prediction with the 16x8/8x16
+# directional rules (8.4.1.3) and the P_Skip zero-MV conditions
+# (8.4.1.1). Reference samples outside the picture are clamped to the
+# border, exactly the spec's Clip3 on fetch coordinates.
+
+_K6 = np.array([1, -5, 20, 20, -5, 1], dtype=np.int64)
+
+
+def _tap6(a: np.ndarray, axis: int) -> np.ndarray:
+    """Unshifted 6-tap filter along ``axis``: output length shrinks by
+    5 (valid positions only)."""
+    n = a.shape[axis] - 5
+    sl = [slice(None)] * a.ndim
+    out = np.zeros([n if i == axis else s for i, s in enumerate(a.shape)],
+                   dtype=np.int64)
+    for i in range(6):
+        sl[axis] = slice(i, i + n)
+        out += _K6[i] * a[tuple(sl)]
+    return out
+
+
+def _mc_luma(
+    ref: np.ndarray, y0: int, x0: int, hh: int, ww: int,
+    mv: tuple[int, int],
+) -> np.ndarray:
+    """Motion-compensated luma prediction block (8.4.2.2.1): full /
+    half (6-tap, +16 >> 5; center j via unrounded intermediates,
+    +512 >> 10) / quarter (averaging per Table 8-12) sample positions."""
+    mvx, mvy = mv
+    fx, fy = mvx & 3, mvy & 3
+    iy, ix = y0 + (mvy >> 2), x0 + (mvx >> 2)
+    rh, rw = ref.shape
+    rows = np.clip(np.arange(iy - 2, iy + hh + 3), 0, rh - 1)
+    cols = np.clip(np.arange(ix - 2, ix + ww + 3), 0, rw - 1)
+    win = ref[np.ix_(rows, cols)].astype(np.int64)  # (hh+5, ww+5)
+    g = win[2 : hh + 3, 2 : ww + 3]  # integer grid, (hh+1, ww+1)
+    if fx == 0 and fy == 0:
+        return g[:hh, :ww]
+    # half-pel grids over (hh+1, ww+1)
+    bh1 = _tap6(win, 1)  # horizontal intermediates, (hh+5, ww)
+    b = _clip8((bh1[2 : hh + 3, : ww + 1] + 16) >> 5)
+    hv1 = _tap6(win, 0)  # vertical intermediates, (hh, ww+5)
+    hgrid = _clip8((hv1[: hh + 1, 2 : ww + 3] + 16) >> 5)
+    j = _clip8((_tap6(bh1, 0)[: hh + 1, : ww + 1] + 512) >> 10)
+
+    def avg(a: np.ndarray, c: np.ndarray) -> np.ndarray:
+        return (a[:hh, :ww] + c[:hh, :ww] + 1) >> 1
+
+    g1x = g[:, 1:]
+    g1y = g[1:, :]
+    m = hgrid[:, 1:]  # h at x+1
+    s = b[1:, :]  # b at y+1
+    table = {
+        (1, 0): lambda: avg(g, b),
+        (2, 0): lambda: b[:hh, :ww],
+        (3, 0): lambda: avg(b, g1x),
+        (0, 1): lambda: avg(g, hgrid),
+        (1, 1): lambda: avg(b, hgrid),
+        (2, 1): lambda: avg(b, j),
+        (3, 1): lambda: avg(b, m),
+        (0, 2): lambda: hgrid[:hh, :ww],
+        (1, 2): lambda: avg(hgrid, j),
+        (2, 2): lambda: j[:hh, :ww],
+        (3, 2): lambda: avg(j, m),
+        (0, 3): lambda: avg(hgrid, g1y),
+        (1, 3): lambda: avg(hgrid, s),
+        (2, 3): lambda: avg(j, s),
+        (3, 3): lambda: avg(m, s),
+    }
+    return table[(fx, fy)]()
+
+
+def _mc_chroma(
+    ref: np.ndarray, y0: int, x0: int, hh: int, ww: int,
+    mv: tuple[int, int],
+) -> np.ndarray:
+    """Eighth-sample bilinear chroma prediction (8.4.2.2.2); the luma
+    quarter-pel MV is an eighth-pel chroma MV at 4:2:0."""
+    mvx, mvy = mv
+    dx, dy = mvx & 7, mvy & 7
+    iy, ix = y0 + (mvy >> 3), x0 + (mvx >> 3)
+    rh, rw = ref.shape
+    rows = np.clip(np.arange(iy, iy + hh + 1), 0, rh - 1)
+    cols = np.clip(np.arange(ix, ix + ww + 1), 0, rw - 1)
+    win = ref[np.ix_(rows, cols)].astype(np.int64)
+    a = win[:hh, :ww]
+    bb = win[:hh, 1:]
+    c = win[1:, :ww]
+    d = win[1:, 1:]
+    return (
+        (8 - dx) * (8 - dy) * a + dx * (8 - dy) * bb
+        + (8 - dx) * dy * c + dx * dy * d + 32
+    ) >> 6
+
+
+# P macroblock partitions: mb_type -> [(bx4, by4, w4, h4, kind)]
+_P_PARTS = {
+    0: [(0, 0, 4, 4, "16x16")],
+    1: [(0, 0, 4, 2, "16x8t"), (0, 2, 4, 2, "16x8b")],
+    2: [(0, 0, 2, 4, "8x16l"), (2, 0, 2, 4, "8x16r")],
+}
+
+
+def _mv_neighbor(
+    fr: _Frame, x4: int, y4: int, sid: int
+) -> tuple[tuple[int, int], int] | None:
+    """(mv, refIdx) of the 4x4 block at block coords, or None when the
+    block is unavailable (outside the picture/slice or not yet
+    decoded). Intra blocks are AVAILABLE with mv (0,0), refIdx -1
+    (8.4.1.3.2)."""
+    if x4 < 0 or y4 < 0 or x4 >= fr.wmb * 4 or y4 >= fr.hmb * 4:
+        return None
+    if fr.slice_of_mb[y4 // 4, x4 // 4] != sid:
+        return None
+    r = int(fr.ref4[y4, x4])
+    if r == -2:
+        return None
+    if r == -1:
+        return ((0, 0), -1)
+    return ((int(fr.mv4[y4, x4, 0]), int(fr.mv4[y4, x4, 1])), r)
+
+
+def _mv_pred(
+    fr: _Frame, bx: int, by: int, w4: int, h4: int, sid: int, kind: str,
+) -> tuple[int, int]:
+    """Luma MV predictor (8.4.1.3 + 8.4.1.3.1) for the partition whose
+    top-left 4x4 block is (bx, by): neighbours A (left), B (above),
+    C (above-right, D above-left fallback); directional overrides for
+    16x8 / 8x16 partitions when the directional neighbour's reference
+    matches (single-ref: refIdx 0); else median, with the B-and-C-
+    unavailable -> A rule."""
+    a = _mv_neighbor(fr, bx - 1, by, sid)
+    bn = _mv_neighbor(fr, bx, by - 1, sid)
+    c = _mv_neighbor(fr, bx + w4, by - 1, sid)
+    if c is None:
+        c = _mv_neighbor(fr, bx - 1, by - 1, sid)  # D fallback
+    if kind == "16x8t" and bn is not None and bn[1] == 0:
+        return bn[0]
+    if kind in ("16x8b", "8x16l") and a is not None and a[1] == 0:
+        return a[0]
+    if kind == "8x16r" and c is not None and c[1] == 0:
+        return c[0]
+    if bn is None and c is None:
+        return a[0] if a is not None else (0, 0)
+    mvs = [n[0] if n is not None else (0, 0) for n in (a, bn, c)]
+    refs = [n[1] if n is not None else -1 for n in (a, bn, c)]
+    same = [i for i in range(3) if refs[i] == 0]
+    if len(same) == 1:
+        return mvs[same[0]]
+    xs = sorted(v[0] for v in mvs)
+    ys = sorted(v[1] for v in mvs)
+    return (xs[1], ys[1])
+
+
+def _skip_mv(fr: _Frame, mbx: int, mby: int, sid: int) -> tuple[int, int]:
+    """P_Skip MV (8.4.1.1): zero when A or B is unavailable or either
+    is an inter ref0 block with a zero MV; else the 16x16 predictor."""
+    a = _mv_neighbor(fr, mbx * 4 - 1, mby * 4, sid)
+    bn = _mv_neighbor(fr, mbx * 4, mby * 4 - 1, sid)
+    if a is None or bn is None:
+        return (0, 0)
+    if a[1] == 0 and a[0] == (0, 0):
+        return (0, 0)
+    if bn[1] == 0 and bn[0] == (0, 0):
+        return (0, 0)
+    return _mv_pred(fr, mbx * 4, mby * 4, 4, 4, sid, "16x16")
+
+
+_REF = tuple  # (y, cb, cr) int64 planes of the reference picture
+
+
+def _decode_skip_mb(
+    fr: _Frame, mb_addr: int, qp: int, sid: int, ref: tuple,
+) -> None:
+    mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
+    fr.slice_of_mb[mby, mbx] = sid
+    mv = _skip_mv(fr, mbx, mby, sid)
+    b4x, b4y = mbx * 4, mby * 4
+    fr.mv4[b4y : b4y + 4, b4x : b4x + 4] = mv
+    fr.ref4[b4y : b4y + 4, b4x : b4x + 4] = 0
+    ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
+    fr.y[oy : oy + 16, ox : ox + 16] = _mc_luma(ref[0], oy, ox, 16, 16, mv)
+    fr.cb[cy : cy + 8, cx : cx + 8] = _mc_chroma(ref[1], cy, cx, 8, 8, mv)
+    fr.cr[cy : cy + 8, cx : cx + 8] = _mc_chroma(ref[2], cy, cx, 8, 8, mv)
+    fr.nc_y[b4y : b4y + 4, b4x : b4x + 4] = 0
+    fr.nc_cb[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+    fr.nc_cr[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+    fr.i4_mode[b4y : b4y + 4, b4x : b4x + 4] = -1
+    fr.done4[b4y : b4y + 4, b4x : b4x + 4] = True
+    fr.qp_deblock[mby, mbx] = qp
+
+
+def _inter_pred_planes(
+    fr: _Frame, mbx: int, mby: int, parts: list, mvs: list, ref: tuple,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
+    pred_y = np.empty((16, 16), dtype=np.int64)
+    pred_cb = np.empty((8, 8), dtype=np.int64)
+    pred_cr = np.empty((8, 8), dtype=np.int64)
+    for (pbx, pby, w4, h4, _kind), mv in zip(parts, mvs):
+        ph, pw = h4 * 4, w4 * 4
+        pred_y[pby * 4 : pby * 4 + ph, pbx * 4 : pbx * 4 + pw] = _mc_luma(
+            ref[0], oy + pby * 4, ox + pbx * 4, ph, pw, mv
+        )
+        ch, cw = h4 * 2, w4 * 2
+        pred_cb[pby * 2 : pby * 2 + ch, pbx * 2 : pbx * 2 + cw] = _mc_chroma(
+            ref[1], cy + pby * 2, cx + pbx * 2, ch, cw, mv
+        )
+        pred_cr[pby * 2 : pby * 2 + ch, pbx * 2 : pbx * 2 + cw] = _mc_chroma(
+            ref[2], cy + pby * 2, cx + pbx * 2, ch, cw, mv
+        )
+    return pred_y, pred_cb, pred_cr
+
+
+def _decode_mb_inter(
+    fr: _Frame, b: _Bits, mb_addr: int, qp: int, pps: dict, sid: int,
+    mb_type: int, ref: tuple,
+) -> int:
+    """P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16 (mb_type 0..2) with a
+    single L0 reference: mvd per partition, Table 9-4 inter CBP, CAVLC
+    residuals identical to intra, prediction motion-compensated."""
+    mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
+    fr.slice_of_mb[mby, mbx] = sid
+    ox, oy = mbx * 16, mby * 16
+    parts = _P_PARTS[mb_type]
+    # syntax order: all ref_idx_l0 (absent with one active ref), then
+    # all mvd_l0 pairs; derivation is sequential (partition 1's
+    # predictor may read partition 0's stored MV)
+    mvds = [(b.se(), b.se()) for _ in parts]
+    mvs: list[tuple[int, int]] = []
+    for (pbx, pby, w4, h4, kind), (dx, dy) in zip(parts, mvds):
+        bx, by = mbx * 4 + pbx, mby * 4 + pby
+        px_, py_ = _mv_pred(fr, bx, by, w4, h4, sid, kind)
+        mv = (px_ + dx, py_ + dy)
+        mvs.append(mv)
+        fr.mv4[by : by + h4, bx : bx + w4] = mv
+        fr.ref4[by : by + h4, bx : bx + w4] = 0
+    pred_y, pred_cb, pred_cr = _inter_pred_planes(
+        fr, mbx, mby, parts, mvs, ref
+    )
+    cbp_code = b.ue()
+    if cbp_code > 47:
+        raise ValueError("bad coded_block_pattern")
+    cbp = _CBP_INTER[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp > 0:
+        qp = (qp + b.se() + 52) % 52
+    fr.qp_deblock[mby, mbx] = qp
+    fr.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = -1
+    luma_blocks: list[np.ndarray] = []
+    for blk in range(16):
+        bx4, by4 = _BLK_POS[blk]
+        abx, aby = mbx * 4 + bx4, mby * 4 + by4
+        if cbp_luma & (1 << (blk >> 2)):
+            nc = _nc_for(fr, fr.nc_y, abx, aby, 4, sid)
+            coeffs, total = _residual_block(b, nc, 16)
+            fr.nc_y[aby, abx] = total
+            luma_blocks.append(_zig_to_nat(coeffs))
+        else:
+            fr.nc_y[aby, abx] = 0
+            luma_blocks.append(np.zeros((4, 4), dtype=np.int64))
+    dc_cb, dc_cr, ac_cb, ac_cr = _parse_chroma_residual(
+        fr, b, mbx, mby, cbp_chroma, sid
+    )
+    for blk in range(16):
+        bx4, by4 = _BLK_POS[blk]
+        px, py = ox + bx4 * 4, oy + by4 * 4
+        if luma_blocks[blk].any():
+            d = _dequant4x4(luma_blocks[blk], qp, skip_dc=False)
+            res = _itransform4x4(d)
+        else:
+            res = 0
+        fr.y[py : py + 4, px : px + 4] = _clip8(
+            pred_y[by4 * 4 : by4 * 4 + 4, bx4 * 4 : bx4 * 4 + 4] + res
+        )
+        fr.done4[py // 4, px // 4] = True
+    _reconstruct_chroma(
+        fr, mbx, mby, 0, qp, pps, dc_cb, dc_cr, ac_cb, ac_cr, sid,
+        preds=(pred_cb, pred_cr),
+    )
+    return qp
 
 
 # ------------------------------------------------------- top-level API
@@ -1343,12 +1728,15 @@ def _yuv420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def _decode_picture_nals(
-    slice_nals: list[tuple[int, bytes]], sps: dict, pps: dict
-) -> np.ndarray | None:
-    """Decode one picture's slice NALs -> cropped (H, W, 3) RGB."""
+    slice_nals: list[tuple[int, int, bytes]], sps: dict, pps: dict,
+    ref: tuple | None = None,
+) -> tuple[np.ndarray, tuple]:
+    """Decode one picture's (nal_type, nal_ref_idc, rbsp) slices ->
+    (cropped (H, W, 3) RGB, post-deblock (y, cb, cr) planes — the
+    reference the NEXT picture's P slices predict from)."""
     fr = _Frame(sps)
-    for sid, (ntype, rbsp) in enumerate(slice_nals):
-        _decode_slice(fr, _Bits(rbsp), sps, pps, ntype, sid)
+    for sid, (ntype, ref_idc, rbsp) in enumerate(slice_nals):
+        _decode_slice(fr, _Bits(rbsp), sps, pps, ntype, sid, ref_idc, ref)
     if not fr.done4.all():
         raise ValueError("picture not fully covered by slices")
     _deblock_picture(fr, pps)
@@ -1356,21 +1744,24 @@ def _decode_picture_nals(
     y = fr.y[:h, :w]
     cb = fr.cb[: (h + 1) // 2, : (w + 1) // 2]
     cr = fr.cr[: (h + 1) // 2, : (w + 1) // 2]
-    return _yuv420_to_rgb(y, cb, cr)
+    return _yuv420_to_rgb(y, cb, cr), (fr.y, fr.cb, fr.cr)
 
 
 def decode_h264_annexb(data: bytes) -> list[np.ndarray] | None:
     """Decode every coded picture of a self-contained Annex B stream
-    (inline SPS/PPS, intra-only) to a list of (H, W, 3) uint8 RGB
-    arrays. Returns None — never raises — on non-H.264 payloads and
-    the documented out-of-scope shapes (CABAC, P/B, deblocking on)."""
+    (inline SPS/PPS; IDR/I pictures plus single-reference P pictures,
+    each predicting from the immediately preceding decoded picture —
+    the IPP GOP shape) to a list of (H, W, 3) uint8 RGB arrays.
+    Returns None — never raises — on non-H.264 payloads and the
+    documented out-of-scope shapes (CABAC, B slices, multi-ref,
+    sub-8x8 partitions)."""
     try:
-        nals = parse_annexb_nals(data)
+        nals = parse_annexb_nals(data, with_ref_idc=True)
         if not nals:
             return None
         sps = pps = None
-        pics: list[list[tuple[int, bytes]]] = []
-        for ntype, rbsp in nals:
+        pics: list[list[tuple[int, int, bytes]]] = []
+        for ntype, ref_idc, rbsp in nals:
             if ntype == 7:
                 sps = parse_sps(rbsp)
             elif ntype == 8:
@@ -1379,10 +1770,15 @@ def decode_h264_annexb(data: bytes) -> list[np.ndarray] | None:
                 first_mb = _Bits(rbsp).ue()
                 if first_mb == 0 or not pics:
                     pics.append([])
-                pics[-1].append((ntype, rbsp))
+                pics[-1].append((ntype, ref_idc, rbsp))
         if sps is None or pps is None or not pics:
             return None
-        return [_decode_picture_nals(p, sps, pps) for p in pics]
+        out: list[np.ndarray] = []
+        ref: tuple | None = None
+        for p in pics:
+            rgb, ref = _decode_picture_nals(p, sps, pps, ref)
+            out.append(rgb)
+        return out
     except _DECODE_ERRORS:
         return None
 
@@ -1427,11 +1823,13 @@ def avcc_config(avcc: bytes) -> dict | None:
 
 def decode_h264_frame(sample: bytes, cfg: dict) -> np.ndarray | None:
     """Decode one AVCC length-prefixed access unit (an MP4 sample)
-    using out-of-band parameter sets from ``avcc_config``. Returns
-    (H, W, 3) uint8 RGB or None."""
+    using out-of-band parameter sets from ``avcc_config``. Intra-only
+    by construction — a lone sample carries no reference picture, so
+    P slices reject to None (use ``decode_h264_annexb`` over the full
+    sample stream for IPP GOPs). Returns (H, W, 3) uint8 RGB or None."""
     try:
         nls = cfg["nal_length_size"]
-        slices: list[tuple[int, bytes]] = []
+        slices: list[tuple[int, int, bytes]] = []
         i = 0
         while i + nls <= len(sample):
             ln = int.from_bytes(sample[i : i + nls], "big")
@@ -1441,11 +1839,14 @@ def decode_h264_frame(sample: bytes, cfg: dict) -> np.ndarray | None:
             hdr = sample[i]
             ntype = hdr & 0x1F
             if ntype in (1, 5):
-                slices.append((ntype, _rbsp(sample[i + 1 : i + ln])))
+                slices.append(
+                    (ntype, (hdr >> 5) & 3, _rbsp(sample[i + 1 : i + ln]))
+                )
             i += ln
         if not slices:
             return None
-        return _decode_picture_nals(slices, cfg["sps"], cfg["pps"])
+        rgb, _ = _decode_picture_nals(slices, cfg["sps"], cfg["pps"])
+        return rgb
     except _DECODE_ERRORS:
         return None
 
@@ -1726,22 +2127,30 @@ def encode_h264_annexb(
     qp: int = 26,
     chroma_qp_offset: int = 0,
     deblock: bool = False,
+    gop: str = "all_intra",
 ) -> tuple[bytes, list[np.ndarray]]:
     """Encode RGB frames (heights/widths multiple of 16) as an Annex B
-    intra-only stream (every frame IDR, deblocking disabled). Returns
-    (stream, reconstructions) where reconstructions are the encoder's
-    closed-loop RGB planes — decode_h264_annexb(stream) must equal
-    them bit-for-bit.
+    stream. ``gop="all_intra"`` makes every frame IDR; ``gop="ipp"``
+    makes frame 0 IDR and every later frame a P slice predicting from
+    the previous decoded picture (single reference, sliding window).
+    Returns (stream, reconstructions) where reconstructions are the
+    encoder's closed-loop RGB planes — decode_h264_annexb(stream) must
+    equal them bit-for-bit.
 
-    Per-MB mode policy (deterministic, exercises every decode path):
-    (frame + mb_addr) % 6 -> 0: I_PCM, 1/2: Intra_16x16, 3/4/5:
-    Intra_4x4; pred modes cycle over whatever is available at that MB
-    position; mb_qp_delta wobbles +-1 every third MB.
+    Intra per-MB mode policy (deterministic, exercises every decode
+    path): (frame + mb_addr) % 6 -> 0: I_PCM, 1/2: Intra_16x16,
+    3/4/5: Intra_4x4; pred modes cycle over whatever is available at
+    that MB position; mb_qp_delta wobbles +-1 every third MB. P-frame
+    policy: (frame + mb_addr) % 8 -> 0/4: P_Skip (mb_skip_run),
+    1: P_L0_16x16, 2: P_L0_L0_16x8, 3: P_L0_L0_8x16, 5/6/7: intra-in-P
+    (mb_type + 5); inter MVs sweep all 16 quarter-pel fractional
+    positions deterministically.
 
     ``deblock=True`` emits disable_deblocking_filter_idc = 0 and runs
     the in-loop filter (8.7) over the closed-loop reconstruction —
-    same post-construction pass as the decoder, so round trips stay
-    bit-exact; False keeps the filter signalled OFF (idc = 1)."""
+    same post-construction pass as the decoder, and P frames predict
+    from the POST-filter reference exactly as 8.4 requires; False
+    keeps the filter signalled OFF (idc = 1)."""
     h, w = frames_rgb[0].shape[:2]
     if h % 16 or w % 16:
         raise ValueError("fixture frames must be MB-aligned")
@@ -1756,18 +2165,28 @@ def encode_h264_annexb(
     }
     out = [_nal(7, _sps_rbsp(wmb, hmb)), _nal(8, _pps_rbsp(qp, chroma_qp_offset))]
     recons: list[np.ndarray] = []
+    ref: tuple | None = None
     for fi, rgb in enumerate(frames_rgb):
+        is_p = gop == "ipp" and fi > 0
         y, cb, cr = _rgb_to_yuv420(np.asarray(rgb, dtype=np.uint8))
         fr = _Frame(sps_d)
         wtr = _BitWriter()
         # slice header
         wtr.ue(0)  # first_mb
-        wtr.ue(7)  # slice_type I (all slices)
-        wtr.ue(0)  # pps_id
-        wtr.u(4, 0)  # frame_num
-        wtr.ue(fi % 8)  # idr_pic_id
-        wtr.u(1, 0)  # no_output_of_prior_pics
-        wtr.u(1, 0)  # long_term_reference
+        if not is_p:
+            wtr.ue(7)  # slice_type I (all slices)
+            wtr.ue(0)  # pps_id
+            wtr.u(4, 0)  # frame_num
+            wtr.ue(fi % 8)  # idr_pic_id
+            wtr.u(1, 0)  # no_output_of_prior_pics
+            wtr.u(1, 0)  # long_term_reference
+        else:
+            wtr.ue(5)  # slice_type P (all slices)
+            wtr.ue(0)  # pps_id
+            wtr.u(4, fi % 16)  # frame_num
+            wtr.u(1, 0)  # num_ref_idx_active_override_flag
+            wtr.u(1, 0)  # ref_pic_list_modification_flag_l0
+            wtr.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
         wtr.se(0)  # slice_qp_delta
         if deblock:
             wtr.ue(0)  # disable_deblocking_filter_idc: filter all edges
@@ -1776,15 +2195,39 @@ def encode_h264_annexb(
         else:
             wtr.ue(1)  # disable_deblocking_filter_idc
         cur_qp = qp
-        for mb_addr in range(wmb * hmb):
-            cur_qp = _encode_mb(
-                fr, wtr, mb_addr, cur_qp, pps_d, y, cb, cr, fi
-            )
+        if not is_p:
+            for mb_addr in range(wmb * hmb):
+                cur_qp = _encode_mb(
+                    fr, wtr, mb_addr, cur_qp, pps_d, y, cb, cr, fi
+                )
+        else:
+            skip_run = 0
+            for mb_addr in range(wmb * hmb):
+                choice = (fi + mb_addr) % 8
+                if choice in (0, 4):  # P_Skip
+                    _decode_skip_mb(fr, mb_addr, cur_qp, 0, ref)
+                    skip_run += 1
+                    continue
+                wtr.ue(skip_run)
+                skip_run = 0
+                if choice in (1, 2, 3):
+                    cur_qp = _encode_mb_inter(
+                        fr, wtr, mb_addr, cur_qp, pps_d, y, cb, cr, fi,
+                        ref, choice - 1,
+                    )
+                else:  # 5/6/7: intra-in-P, mb_type offset +5
+                    cur_qp = _encode_mb(
+                        fr, wtr, mb_addr, cur_qp, pps_d, y, cb, cr, fi,
+                        mb_type_offset=5,
+                    )
+            if skip_run:
+                wtr.ue(skip_run)
         wtr.rbsp_trailing()
-        out.append(_nal(5, wtr.tobytes()))
+        out.append(_nal(5 if not is_p else 1, wtr.tobytes()))
         if deblock:
             fr.slice_params[0] = (0, 0, 0)
             _deblock_picture(fr, pps_d)
+        ref = (fr.y, fr.cb, fr.cr)
         recons.append(
             _yuv420_to_rgb(fr.y[:h, :w], fr.cb[: h // 2, : w // 2],
                            fr.cr[: h // 2, : w // 2])
@@ -1817,10 +2260,12 @@ def _i4_pred_mode_bits(
 def _encode_mb(
     fr: _Frame, w: _BitWriter, mb_addr: int, qp: int, pps: dict,
     y: np.ndarray, cb: np.ndarray, cr: np.ndarray, fi: int,
-    sid: int = 0,
+    sid: int = 0, mb_type_offset: int = 0,
 ) -> int:
     mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
     fr.slice_of_mb[mby, mbx] = sid
+    # every branch below is intra (the inter encoder is _encode_mb_p)
+    fr.ref4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = -1
     ox, oy = mbx * 16, mby * 16
     cx, cy = mbx * 8, mby * 8
     src_y = y[oy : oy + 16, ox : ox + 16].astype(np.int64)
@@ -1829,7 +2274,7 @@ def _encode_mb(
     choice = (fi + mb_addr) % 6
 
     if choice == 0:  # I_PCM (lossless: recon = source)
-        w.ue(25)
+        w.ue(25 + mb_type_offset)
         w.byte_align_zero()
         w.raw_bytes(bytes(src_y.astype(np.uint8).reshape(-1)))
         w.raw_bytes(bytes(src_cb.astype(np.uint8).reshape(-1)))
@@ -1934,7 +2379,7 @@ def _encode_mb(
         qpc = _chroma_qp(qp, pps["chroma_qp_index_offset"])
         dc_cb_l, dc_cr_l, acs_cb, acs_cr, cbp_c = chroma_encode(qpc)
         mb_type = 1 + mode + 4 * cbp_c + (12 if cbp_luma_flag else 0)
-        w.ue(mb_type)
+        w.ue(mb_type + mb_type_offset)
         w.ue(acs_cb[0])  # intra_chroma_pred_mode
         w.se(delta)
         fr.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = -1
@@ -2020,7 +2465,7 @@ def _encode_mb(
     # re-quantizing after a qp change would be circular (cbp depends on
     # levels). Keep delta = 0 for I_4x4 so the closed loop stays exact.
     new_qp = qp
-    w.ue(0)  # mb_type I_4x4
+    w.ue(mb_type_offset)  # mb_type I_4x4 (+5 inside P slices)
     for prev, rem in mode_bits:
         w.u(1, prev)
         if not prev:
@@ -2043,6 +2488,143 @@ def _encode_mb(
     fr.qp_deblock[mby, mbx] = new_qp
     chroma_emit_and_recon(cbp_c, dc_cb_l, dc_cr_l, acs_cb, acs_cr, new_qp)
     return new_qp
+
+
+def _encode_mb_inter(
+    fr: _Frame, w: _BitWriter, mb_addr: int, qp: int, pps: dict,
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, fi: int,
+    ref: tuple, mb_type: int, sid: int = 0,
+) -> int:
+    """Encode one inter MB (P_L0_16x16 / 16x8 / 8x16) with
+    deterministic quarter-pel MVs (exercising every fractional
+    position across MBs) and closed-loop reconstruction running the
+    decoder's exact MC + dequant + inverse transform."""
+    mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
+    fr.slice_of_mb[mby, mbx] = sid
+    ox, oy = mbx * 16, mby * 16
+    cx, cy = mbx * 8, mby * 8
+    src_y = y[oy : oy + 16, ox : ox + 16].astype(np.int64)
+    src_cb = cb[cy : cy + 8, cx : cx + 8].astype(np.int64)
+    src_cr = cr[cy : cy + 8, cx : cx + 8].astype(np.int64)
+    parts = _P_PARTS[mb_type]
+    mvds: list[tuple[int, int]] = []
+    mvs: list[tuple[int, int]] = []
+    for pi, (pbx, pby, w4, h4, kind) in enumerate(parts):
+        bx, by = mbx * 4 + pbx, mby * 4 + pby
+        mvp = _mv_pred(fr, bx, by, w4, h4, sid, kind)
+        mv = (
+            ((mb_addr * 7 + fi * 3 + pi * 5) % 17) - 8,
+            ((mb_addr * 11 + fi * 5 + pi * 13) % 17) - 8,
+        )
+        mvs.append(mv)
+        mvds.append((mv[0] - mvp[0], mv[1] - mvp[1]))
+        fr.mv4[by : by + h4, bx : bx + w4] = mv
+        fr.ref4[by : by + h4, bx : bx + w4] = 0
+    pred_y, pred_cb, pred_cr = _inter_pred_planes(
+        fr, mbx, mby, parts, mvs, ref
+    )
+    res = src_y - pred_y
+    blk_levels: list[np.ndarray] = []
+    for blk in range(16):
+        bx4, by4 = _BLK_POS[blk]
+        blk_levels.append(
+            _quant4x4(
+                _fwd4x4(res[by4 * 4 : by4 * 4 + 4, bx4 * 4 : bx4 * 4 + 4]),
+                qp, skip_dc=False,
+            )
+        )
+    cbp_luma = 0
+    for g in range(4):
+        if any(blk_levels[g * 4 + k].any() for k in range(4)):
+            cbp_luma |= 1 << g
+    qpc = _chroma_qp(qp, pps["chroma_qp_index_offset"])
+    dcs: list[list[int]] = []
+    acs: list[list[np.ndarray]] = []
+    for src, pred in ((src_cb, pred_cb), (src_cr, pred_cr)):
+        resc = src - pred
+        dcmat = np.zeros((2, 2), dtype=np.int64)
+        blocks = []
+        for blk in range(4):
+            bx2, by2 = blk % 2, blk // 2
+            wmat = _fwd4x4(resc[by2 * 4 : by2 * 4 + 4, bx2 * 4 : bx2 * 4 + 4])
+            dcmat[by2, bx2] = wmat[0, 0]
+            blocks.append(_quant4x4(wmat, qpc, skip_dc=True))
+        h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+        dc_lv = _quant_dc(h2 @ dcmat @ h2, qpc)
+        dcs.append(
+            [int(dc_lv[0, 0]), int(dc_lv[0, 1]),
+             int(dc_lv[1, 0]), int(dc_lv[1, 1])]
+        )
+        acs.append(blocks)
+    any_ac = any(b.any() for bl in acs for b in bl)
+    any_dc = any(any(d) for d in dcs)
+    cbp_c = 2 if any_ac else (1 if any_dc else 0)
+    cbp = cbp_luma | (cbp_c << 4)
+    # ---- emit
+    w.ue(mb_type)
+    for dx, dy in mvds:
+        w.se(dx)
+        w.se(dy)
+    w.ue(_CBP_INTER_INV[cbp])
+    if cbp > 0:
+        w.se(0)
+    fr.qp_deblock[mby, mbx] = qp
+    fr.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = -1
+    kept: list[np.ndarray] = []
+    for blk in range(16):
+        bx4, by4 = _BLK_POS[blk]
+        abx, aby = mbx * 4 + bx4, mby * 4 + by4
+        if cbp_luma & (1 << (blk >> 2)):
+            nc = _nc_for(fr, fr.nc_y, abx, aby, 4, sid)
+            total = _encode_residual_block(
+                w, _nat_to_zig(blk_levels[blk]), nc, 16
+            )
+            fr.nc_y[aby, abx] = total
+            kept.append(blk_levels[blk])
+        else:
+            fr.nc_y[aby, abx] = 0
+            kept.append(np.zeros((4, 4), dtype=np.int64))
+    if cbp_c:
+        _encode_residual_block(w, dcs[0], -1, 4)
+        _encode_residual_block(w, dcs[1], -1, 4)
+    ac_nat_cb: list[np.ndarray] = []
+    ac_nat_cr: list[np.ndarray] = []
+    for comp, (nc_map, blocks) in enumerate(
+        ((fr.nc_cb, acs[0]), (fr.nc_cr, acs[1]))
+    ):
+        for blk in range(4):
+            bx2, by2 = blk % 2, blk // 2
+            abx, aby = mbx * 2 + bx2, mby * 2 + by2
+            blkmat = blocks[blk]
+            if cbp_c == 2:
+                nc = _nc_for(fr, nc_map, abx, aby, 2, sid)
+                total = _encode_residual_block(
+                    w, _nat_to_zig(blkmat)[1:], nc, 15
+                )
+                nc_map[aby, abx] = total
+            else:
+                nc_map[aby, abx] = 0
+                blkmat = np.zeros((4, 4), dtype=np.int64)
+            (ac_nat_cb if comp == 0 else ac_nat_cr).append(blkmat)
+    # ---- reconstruct (decoder path)
+    for blk in range(16):
+        bx4, by4 = _BLK_POS[blk]
+        px, py = ox + bx4 * 4, oy + by4 * 4
+        if kept[blk].any():
+            resd = _itransform4x4(_dequant4x4(kept[blk], qp, skip_dc=False))
+        else:
+            resd = 0
+        fr.y[py : py + 4, px : px + 4] = _clip8(
+            pred_y[by4 * 4 : by4 * 4 + 4, bx4 * 4 : bx4 * 4 + 4] + resd
+        )
+        fr.done4[py // 4, px // 4] = True
+    _reconstruct_chroma(
+        fr, mbx, mby, 0, qp, pps,
+        dcs[0] if cbp_c else [0, 0, 0, 0],
+        dcs[1] if cbp_c else [0, 0, 0, 0],
+        ac_nat_cb, ac_nat_cr, sid, preds=(pred_cb, pred_cr),
+    )
+    return qp
 
 
 def avcc_to_annexb(sample: bytes, avcc: bytes) -> bytes | None:
@@ -2198,13 +2780,43 @@ def _deblock_edge_chroma(
     q0[:] = np.where(fs, _clip8(q0 - delta), q0)
 
 
+def _bs_blocks(
+    fr: _Frame, px4: int, py4: int, qx4: int, qy4: int, mb_edge: bool,
+) -> int:
+    """Boundary strength between 4x4 luma blocks p and q (8.7.2.1,
+    frame coding): either intra -> 4 on MB edges, 3 inside; else 2
+    when either block carries non-zero luma coefficients; else 1 on a
+    reference mismatch or a >= 4-quarter-sample MV component delta;
+    else 0 (edge not filtered)."""
+    rp, rq = int(fr.ref4[py4, px4]), int(fr.ref4[qy4, qx4])
+    # < 0 covers intra (-1) and never-assigned (-2, hand-built frames):
+    # intra is the conservative strongest-filter default
+    if rp < 0 or rq < 0:
+        return 4 if mb_edge else 3
+    if fr.nc_y[py4, px4] > 0 or fr.nc_y[qy4, qx4] > 0:
+        return 2
+    if rp != rq:
+        return 1
+    if (
+        abs(int(fr.mv4[py4, px4, 0]) - int(fr.mv4[qy4, qx4, 0])) >= 4
+        or abs(int(fr.mv4[py4, px4, 1]) - int(fr.mv4[qy4, qx4, 1])) >= 4
+    ):
+        return 1
+    return 0
+
+
 def _deblock_picture(fr: _Frame, pps: dict) -> None:
     """Apply the in-loop filter over the constructed picture, MB by MB
-    in raster order, vertical edges then horizontal (8.7). Uses the
-    per-MB QPY recorded during reconstruction (0 for I_PCM, which
-    damps — and for low-QP neighbours disables — filtering of its
-    lossless samples via the edge QP average) and per-slice
-    disable/offset parameters."""
+    in raster order, vertical edges then horizontal (8.7). Boundary
+    strength is derived per 4-sample segment from the blocks' coding
+    state (``_bs_blocks``): all-intra pictures reduce to the classic
+    4-on-MB-edge / 3-inside, P pictures get the coefficient/MV-driven
+    2/1/0 tiers including unfiltered (bS 0) segments. Uses the per-MB
+    QPY recorded during reconstruction (0 for I_PCM, which damps — and
+    for low-QP neighbours disables — filtering of its lossless samples
+    via the edge QP average) and per-slice disable/offset parameters.
+    Chroma edges take each segment's bS from the co-sited luma
+    blocks."""
     coff = pps["chroma_qp_index_offset"]
     for mby in range(fr.hmb):
         for mbx in range(fr.wmb):
@@ -2233,29 +2845,42 @@ def _deblock_picture(fr: _Frame, pps: dict) -> None:
                         continue
                     qp_n = int(fr.qp_deblock[mby, mbx - 1])
                     qpav = (qp_cur + qp_n + 1) >> 1
-                    bs = 4
                 else:
+                    qp_n = qp_cur
                     qpav = qp_cur
-                    bs = 3
                 idx_a = max(0, min(51, qpav + 2 * off_a))
                 idx_b = max(0, min(51, qpav + 2 * off_b))
                 x = ox + xe
-                p = [fr.y[oy : oy + 16, x - 1 - i] for i in range(4)]
-                q = [fr.y[oy : oy + 16, x + i] for i in range(4)]
-                _deblock_edge_luma(p, q, bs, idx_a, idx_b)
+                qbx = (ox + xe) // 4
+                for seg in range(4):
+                    by4 = mby * 4 + seg
+                    bs = _bs_blocks(fr, qbx - 1, by4, qbx, by4, xe == 0)
+                    if bs == 0:
+                        continue
+                    rows = slice(oy + seg * 4, oy + seg * 4 + 4)
+                    p = [fr.y[rows, x - 1 - i] for i in range(4)]
+                    q = [fr.y[rows, x + i] for i in range(4)]
+                    _deblock_edge_luma(p, q, bs, idx_a, idx_b)
                 if xe in (0, 8):
                     qpc_av = (
                         _chroma_qp(qp_cur, coff)
-                        + (_chroma_qp(qp_n, coff) if xe == 0
-                           else _chroma_qp(qp_cur, coff)) + 1
+                        + _chroma_qp(qp_n, coff) + 1
                     ) >> 1
                     ia = max(0, min(51, qpc_av + 2 * off_a))
                     ib = max(0, min(51, qpc_av + 2 * off_b))
                     xc = cx + xe // 2
-                    for plane in (fr.cb, fr.cr):
-                        pc = [plane[cy : cy + 8, xc - 1 - i] for i in range(2)]
-                        qc = [plane[cy : cy + 8, xc + i] for i in range(2)]
-                        _deblock_edge_chroma(pc, qc, bs, ia, ib)
+                    for seg in range(4):
+                        by4 = mby * 4 + seg
+                        bs = _bs_blocks(
+                            fr, qbx - 1, by4, qbx, by4, xe == 0
+                        )
+                        if bs == 0:
+                            continue
+                        crows = slice(cy + seg * 2, cy + seg * 2 + 2)
+                        for plane in (fr.cb, fr.cr):
+                            pc = [plane[crows, xc - 1 - i] for i in range(2)]
+                            qc = [plane[crows, xc + i] for i in range(2)]
+                            _deblock_edge_chroma(pc, qc, bs, ia, ib)
             # ---- horizontal edges (filter rows), top to bottom
             for ye in (0, 4, 8, 12):
                 if ye == 0:
@@ -2263,26 +2888,39 @@ def _deblock_picture(fr: _Frame, pps: dict) -> None:
                         continue
                     qp_n = int(fr.qp_deblock[mby - 1, mbx])
                     qpav = (qp_cur + qp_n + 1) >> 1
-                    bs = 4
                 else:
+                    qp_n = qp_cur
                     qpav = qp_cur
-                    bs = 3
                 idx_a = max(0, min(51, qpav + 2 * off_a))
                 idx_b = max(0, min(51, qpav + 2 * off_b))
                 yy = oy + ye
-                p = [fr.y[yy - 1 - i, ox : ox + 16] for i in range(4)]
-                q = [fr.y[yy + i, ox : ox + 16] for i in range(4)]
-                _deblock_edge_luma(p, q, bs, idx_a, idx_b)
+                qby = (oy + ye) // 4
+                for seg in range(4):
+                    bx4 = mbx * 4 + seg
+                    bs = _bs_blocks(fr, bx4, qby - 1, bx4, qby, ye == 0)
+                    if bs == 0:
+                        continue
+                    colsl = slice(ox + seg * 4, ox + seg * 4 + 4)
+                    p = [fr.y[yy - 1 - i, colsl] for i in range(4)]
+                    q = [fr.y[yy + i, colsl] for i in range(4)]
+                    _deblock_edge_luma(p, q, bs, idx_a, idx_b)
                 if ye in (0, 8):
                     qpc_av = (
                         _chroma_qp(qp_cur, coff)
-                        + (_chroma_qp(qp_n, coff) if ye == 0
-                           else _chroma_qp(qp_cur, coff)) + 1
+                        + _chroma_qp(qp_n, coff) + 1
                     ) >> 1
                     ia = max(0, min(51, qpc_av + 2 * off_a))
                     ib = max(0, min(51, qpc_av + 2 * off_b))
                     yc = cy + ye // 2
-                    for plane in (fr.cb, fr.cr):
-                        pc = [plane[yc - 1 - i, cx : cx + 8] for i in range(2)]
-                        qc = [plane[yc + i, cx : cx + 8] for i in range(2)]
-                        _deblock_edge_chroma(pc, qc, bs, ia, ib)
+                    for seg in range(4):
+                        bx4 = mbx * 4 + seg
+                        bs = _bs_blocks(
+                            fr, bx4, qby - 1, bx4, qby, ye == 0
+                        )
+                        if bs == 0:
+                            continue
+                        ccols = slice(cx + seg * 2, cx + seg * 2 + 2)
+                        for plane in (fr.cb, fr.cr):
+                            pc = [plane[yc - 1 - i, ccols] for i in range(2)]
+                            qc = [plane[yc + i, ccols] for i in range(2)]
+                            _deblock_edge_chroma(pc, qc, bs, ia, ib)

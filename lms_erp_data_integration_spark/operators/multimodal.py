@@ -2162,6 +2162,85 @@ def decode_video_frame_stats(frames: DataFrame) -> DataFrame:
     ).mapInPandas(op, VIDEO_FRAME_STATS_SCHEMA)
 
 
+def mp4_avc_full_annexb(payload: bytes) -> bytes | None:
+    """Convert the WHOLE avc1 track of an MP4 payload into one
+    self-contained Annex B stream: every sample's NALs in decode
+    order, each access unit carrying the avcC record's SPS/PPS
+    (repeated parameter sets are legal and our decoder re-parses
+    them). This is the GOP form ``h264.decode_h264_annexb`` consumes,
+    where a P picture finds its reference in the immediately
+    preceding decoded picture — a shape the per-sample
+    ``avcc_to_annexb`` + single-frame decode cannot express."""
+    from .h264 import avcc_to_annexb
+
+    table = mp4_sample_table(payload)
+    cfg = mp4_video_config(payload)
+    if table is None or cfg is None or cfg.get("avcc") is None:
+        return None
+    avcc = cfg["avcc"]
+    parts: list[bytes] = []
+    for s in table:
+        fb = payload[s["offset"] : s["offset"] + s["n_bytes"]]
+        ab = avcc_to_annexb(fb, avcc)
+        if ab is None:
+            return None
+        parts.append(ab)
+    return b"".join(parts)
+
+
+def decode_video_gop_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """GOP-aware H.264-in-MP4 decode: whole video payloads map to one
+    Annex B stream each (``mp4_avc_full_annexb``) and decode
+    SEQUENTIALLY through the reference chain — IDR then P pictures
+    predicting from the previous decoded (post-deblock) picture. One
+    output row per decoded frame: (doc_id, sample_idx, dts_ms, width,
+    height, pixel_crc32), same shape as ``decode_video_frame_stats``.
+
+    Scale posture: video decode is inherently sequential WITHIN a GOP
+    (each P frame needs its predecessor), so the unit of parallelism
+    is the video, not the frame — one Arrow-batched ``mapInPandas``
+    row per video, payloads never shuffle, and a 100 TB corpus of
+    millions of clips parallelizes across them."""
+    import zlib as _zlib
+
+    from .h264 import decode_h264_annexb
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                stream = mp4_avc_full_annexb(bytes(p))
+                if stream is None:
+                    continue
+                pics = decode_h264_annexb(stream)
+                if pics is None:
+                    continue
+                table = mp4_sample_table(bytes(p)) or []
+                for si, px in enumerate(pics):
+                    dts = table[si]["dts_ms"] if si < len(table) else 0
+                    rows.append(
+                        {
+                            "doc_id": i,
+                            "sample_idx": si,
+                            "dts_ms": dts,
+                            "width": px.shape[1],
+                            "height": px.shape[0],
+                            "pixel_crc32": _zlib.crc32(px.tobytes()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_idx", "dts_ms", "width", "height",
+                    "pixel_crc32",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        op, VIDEO_FRAME_STATS_SCHEMA
+    )
+
+
 def perceptual_hash(payload: bytes) -> int | None:
     """64-bit pHash of any recognized raster: decode -> grayscale ->
     32x32 nearest resize -> 2D DCT -> top-left 8x8 low-frequency block

@@ -87,6 +87,10 @@ registry.PRIORITY = [
     # row sample, merged '*' grain, exact order-statistic audit) —
     # completes the five canonical mergeable summaries
     "rel_quantile_sketch",
+    # NEW late in r8: temporal H.264 — IPP GOPs (P_Skip / 16x16 /
+    # 16x8 / 8x16 / intra-in-P, quarter-pel MC, inter deblock tiers)
+    # decoded through the reference chain under the pixel-CRC gate
+    "llm_video_ipp_stats",
     # r3-era re-verification backlog: the four fillers displaced late
     # in r7 first, then the remaining r3 rows alphabetically
     "rel_q16_supplier_counts",
@@ -109,7 +113,6 @@ registry.PRIORITY = [
     "stream_static_enrich",
     # r4-era rows, alphabetical fill to 50
     "llm_chunk_documents",
-    "llm_contamination_ngram",
 ]
 
 # r9 rotation plan (for the next round): keep the 8 sync queries
@@ -121,10 +124,10 @@ registry.PRIORITY = [
 # llm_multimodal_frame_sample, llm_multimodal_payload_meta,
 # llm_pack_sequences, llm_pii_redaction, llm_quality_gate,
 # llm_sample_stratified, llm_shard_assignment, llm_text_fingerprint,
-# llm_text_language_id, llm_dedup_exact, llm_corpus_stats, and
-# llm_corpus_mix — displaced last by the late-r8
-# llm_video_visual_dedup, rel_theta_setops, and rel_quantile_sketch
-# rows),
+# llm_text_language_id, llm_dedup_exact, llm_corpus_stats,
+# llm_corpus_mix, and llm_contamination_ngram — displaced last by the
+# late-r8 llm_video_visual_dedup, rel_theta_setops,
+# rel_quantile_sketch, and llm_video_ipp_stats rows),
 # then the r4 rows displaced earlier (llm_text_sentiment onward,
 # alphabetically from the r4 cohort), then the remaining r4 rows,
 # then r5 rows alphabetically. The stamped-hash policy stays as is;

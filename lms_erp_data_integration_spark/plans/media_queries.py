@@ -1260,6 +1260,100 @@ def video_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_IPP_VIDEOS = 4
+
+
+def _mux_ipp_fixture(vid: int) -> bytes:
+    """H.264 IPP-GOP fixture: IDR + P pictures (P_Skip / 16x16 / 16x8
+    / 8x16 / intra-in-P macroblocks, quarter-pel MVs) from the
+    from-scratch encoder's temporal mode, muxed as avc1-in-MP4; ids
+    2-3 signal the in-loop deblocking filter ON (P pictures then
+    predict from the POST-filter reference, the 8.4 requirement the
+    closed loop pins)."""
+    import numpy as np
+
+    from ..operators import h264
+    from ..operators import multimodal as mm
+
+    rng = np.random.default_rng(7700 + vid)
+    w = 16 * (1 + vid % 2)
+    h = 16 * (1 + (vid // 2) % 2)
+    n = 3 + vid % 3
+    frames = [
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)
+    ]
+    stream, _ = h264.encode_h264_annexb(
+        frames, qp=20 + 4 * vid, chroma_qp_offset=(vid % 3) - 1,
+        deblock=vid >= 2, gop="ipp",
+    )
+    avcc, samples = h264.annexb_to_avcc(stream)
+    return mm.build_mp4_avc(samples, avcc, w, h, fps=4 + vid)
+
+
+@query(
+    "llm_video_ipp_stats",
+    """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(16 AS BIGINT),
+   CAST(16 AS BIGINT), CAST(500 AS BIGINT), CAST(8335319835 AS BIGINT)),
+  (1, 4, 32, 16, 600, 10672207217),
+  (2, 5, 16, 32, 664, 10054453907),
+  (3, 3, 32, 32, 284, 7140597168)
+) AS t(doc_id, frames_decoded, width, height, dts_last_ms, crc_sum)
+""",
+)
+def video_ipp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL (inter-predicted) H.264 under the driver CRC gate: 4
+    IPP-GOP fixture videos — IDR + P pictures with P_Skip/16x16/16x8/
+    8x16/intra-in-P macroblocks and quarter-pel motion sweeping all 16
+    fractional positions — are muxed as avc1-in-MP4, converted to one
+    Annex B stream per video (``mp4_avc_full_annexb``) and decoded
+    through the reference chain by ``decode_video_gop_stats``: each P
+    picture motion-compensates from the previous decoded picture
+    (post-deblock on ids 2-3). ``frames_decoded`` pins that every P
+    frame actually decodes (the per-sample path would drop them), and
+    ``crc_sum`` pins the motion-compensated pixels bit-for-bit —
+    quarter-pel 6-tap interpolation, median MV prediction, skip-MV
+    rules, inter CBP, and the 2/1/0 inter deblocking tiers all under
+    one hash.
+
+    Scale posture: decode is sequential WITHIN a GOP by data
+    dependency, so the parallel unit is the video — one Arrow-batched
+    ``mapInPandas`` row per clip, payloads never shuffle; the only
+    shuffle is the 4-group stat aggregate."""
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    def mux(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"].astype("int64"),
+                    "payload": [_mux_ipp_fixture(int(v)) for v in pdf["id"]],
+                }
+            )
+
+    payloads = spark.range(0, _N_IPP_VIDEOS, 1, 2).mapInPandas(
+        mux, _VIDEO_PAYLOAD_SCHEMA
+    )
+    stats = mm.decode_video_gop_stats(payloads)
+    return (
+        stats.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("frames_decoded"),
+            F.max("width").alias("width"),
+            F.max("height").alias("height"),
+            F.max("dts_ms").alias("dts_last_ms"),
+            F.sum("pixel_crc32").alias("crc_sum"),
+        )
+        .select(
+            "doc_id", "frames_decoded", "width", "height",
+            "dts_last_ms", "crc_sum",
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Visual (content-level) video near-dup detection — the capability
 # operators/multimodal.py:video_fingerprint's docstring deferred

@@ -131,3 +131,19 @@ def test_chat_render_stats_consistency(spark, sf_dir):
         assert 0 <= r["assistant_char_frac_micros"] <= 1_000_000
         # rendered length bounds: bos + system turn + per-turn overhead
         assert r["rendered_len"] >= 3 + 42
+
+
+def test_video_ipp_stats_decodes_every_p_frame(spark, sf_dir):
+    """The IPP gate's load-bearing claim: frames_decoded counts ALL
+    pictures (IDR + every P) — the per-sample intra path would decode
+    only the IDR. Sizes and CRCs must match the fixture geometry."""
+    rows = {
+        r["doc_id"]: r
+        for r in media_queries.video_ipp_stats(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(range(media_queries._N_IPP_VIDEOS))
+    for vid, r in rows.items():
+        assert r["frames_decoded"] == 3 + vid % 3  # every P frame decoded
+        assert r["width"] == 16 * (1 + vid % 2)
+        assert r["height"] == 16 * (1 + (vid // 2) % 2)
+        assert r["crc_sum"] > 0

@@ -309,3 +309,147 @@ def test_h264_multi_slice_picture():
     assert d is not None and len(d) == 1
     expect = h._yuv420_to_rgb(fr.y[:32, :32], fr.cb[:16, :16], fr.cr[:16, :16])
     assert np.array_equal(d[0], expect)
+
+
+# ------------------------------------------------- P slices (inter)
+
+@pytest.mark.parametrize("deblock", [False, True])
+def test_h264_ipp_roundtrip_bit_exact(deblock):
+    # IPP GOP: frame 0 IDR, later frames P slices predicting from the
+    # previous decoded (post-filter) picture. The decoder must equal
+    # the encoder's closed-loop reconstruction bit-for-bit across
+    # P_Skip / 16x16 / 16x8 / 8x16 / intra-in-P macroblocks and all
+    # 16 quarter-pel fractional positions the MV policy sweeps.
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+    stream, recons = h.encode_h264_annexb(
+        frames, qp=27, deblock=deblock, gop="ipp"
+    )
+    pics = h.decode_h264_annexb(stream)
+    assert pics is not None and len(pics) == 4
+    for p, r in zip(pics, recons):
+        assert np.array_equal(p, r)
+
+
+def test_h264_ipp_static_content_mostly_skips():
+    # identical frames: skip MBs reconstruct as pure MC of the (0,0)-
+    # predicted reference; every P frame must still round-trip exactly
+    src = _grad(1, 32, 32)
+    stream, recons = h.encode_h264_annexb([src] * 3, qp=24, gop="ipp")
+    pics = h.decode_h264_annexb(stream)
+    assert pics is not None and len(pics) == 3
+    for p, r in zip(pics, recons):
+        assert np.array_equal(p, r)
+
+
+def test_h264_p_sample_without_reference_rejects():
+    # an AVCC sample holding a P slice cannot decode stand-alone (no
+    # reference picture): decode_h264_frame must return None cleanly
+    rng = np.random.default_rng(5)
+    frames = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        for _ in range(2)
+    ]
+    stream, _ = h.encode_h264_annexb(frames, qp=26, gop="ipp")
+    packed = h.annexb_to_avcc(stream)
+    assert packed is not None
+    avcc, samples = packed
+    cfg = h.avcc_config(avcc)
+    assert cfg is not None
+    assert h.decode_h264_frame(samples[0], cfg) is not None  # IDR
+    assert h.decode_h264_frame(samples[1], cfg) is None  # P, no ref
+
+
+def test_h264_p8x8_rejects_cleanly():
+    # splice a P slice whose first explicit mb_type is 3 (P_8x8):
+    # unsupported sub-partitions must reject the stream to None
+    w = h._BitWriter()
+    w.ue(0)  # first_mb
+    w.ue(5)  # slice_type P
+    w.ue(0)  # pps_id
+    w.u(4, 1)  # frame_num
+    w.u(1, 0)  # num_ref_idx_active_override
+    w.u(1, 0)  # ref_pic_list_modification
+    w.u(1, 0)  # adaptive marking
+    w.se(0)  # qp delta
+    w.ue(1)  # deblocking off
+    w.ue(0)  # mb_skip_run
+    w.ue(3)  # mb_type P_8x8
+    w.rbsp_trailing()
+    rng = np.random.default_rng(5)
+    base = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)] * 2
+    stream, _ = h.encode_h264_annexb(base, qp=26, gop="ipp")
+    nals = h.parse_annexb_nals(stream)
+    out = []
+    for t, r in nals:
+        if t == 1:
+            out.append(h._nal(1, w.tobytes()))
+        else:
+            out.append(h._nal(t, {7: nals[0][1], 8: nals[1][1]}.get(t, r))
+                       if t in (7, 8) else h._nal(t, r))
+    assert h.decode_h264_annexb(b"".join(out)) is None
+
+
+def test_h264_mv_pred_median_and_directional():
+    # hand-check the 8.4.1.3 predictor: A=(4,0) B=(0,4) C=(8,8) ->
+    # median (4,4); 16x8 top with inter B -> mvB; unavailable B/C -> A
+    sps_d = {
+        "width_mbs": 3, "height_mbs": 3, "width": 48, "height": 48,
+        "poc_type": 2, "log2_max_frame_num": 4, "log2_max_poc_lsb": 0,
+    }
+    fr = h._Frame(sps_d)
+    fr.slice_of_mb[:] = 0
+    fr.ref4[:] = 0
+    fr.mv4[4:8, 0:4] = (4, 0)    # A: left MB of center MB
+    fr.mv4[0:4, 4:8] = (0, 4)    # B: above
+    fr.mv4[0:4, 8:12] = (8, 8)   # C: above-right
+    assert h._mv_pred(fr, 4, 4, 4, 4, 0, "16x16") == (4, 4)
+    assert h._mv_pred(fr, 4, 4, 4, 2, 0, "16x8t") == (0, 4)
+    assert h._mv_pred(fr, 4, 4, 2, 4, 0, "8x16l") == (4, 0)
+    assert h._mv_pred(fr, 6, 4, 2, 4, 0, "8x16r") == (8, 8)
+    # B and C unavailable, A available -> A (top-row MB at mby=0...
+    # use an MB on the left edge's right neighbor at row 0)
+    fr2 = h._Frame(sps_d)
+    fr2.slice_of_mb[0, 0] = 0
+    fr2.ref4[0:4, 0:4] = 0
+    fr2.mv4[0:4, 0:4] = (-6, 2)
+    fr2.slice_of_mb[0, 1] = 0
+    assert h._mv_pred(fr2, 4, 0, 4, 4, 0, "16x16") == (-6, 2)
+
+
+def test_h264_skip_mv_zero_conditions():
+    sps_d = {
+        "width_mbs": 2, "height_mbs": 2, "width": 32, "height": 32,
+        "poc_type": 2, "log2_max_frame_num": 4, "log2_max_poc_lsb": 0,
+    }
+    # top-left MB: A and B unavailable -> (0, 0)
+    fr = h._Frame(sps_d)
+    fr.slice_of_mb[:] = 0
+    assert h._skip_mv(fr, 0, 0, 0) == (0, 0)
+    # zero-MV ref0 neighbour forces zero even when the median is not
+    fr.ref4[:] = 0
+    fr.mv4[0:4, 0:4] = (4, 4)    # D of MB(1,1)
+    fr.mv4[0:4, 4:8] = (4, 4)    # B
+    # A (mv4[4:8, 0:4]) stays (0, 0): zero-MV ref0 -> forced zero
+    assert h._skip_mv(fr, 1, 1, 0) == (0, 0)
+    # without a zero neighbour the median predictor flows through
+    fr.mv4[4:8, 0:4] = (2, 2)
+    assert h._skip_mv(fr, 1, 1, 0) == (4, 4)
+
+
+def test_h264_quarter_pel_interpolation_matches_spec_shapes():
+    # flat reference: every fractional position must return the flat
+    # value (all filters are normalized); ramp reference: half-pel is
+    # the midpoint on the linear region away from clamped borders
+    ref = np.full((32, 32), 77, dtype=np.int64)
+    for fx in range(4):
+        for fy in range(4):
+            out = h._mc_luma(ref, 8, 8, 8, 8, (fx, fy))
+            assert out.shape == (8, 8) and (out == 77).all(), (fx, fy)
+    ramp = np.tile(np.arange(32, dtype=np.int64) * 4, (32, 1))
+    half = h._mc_luma(ramp, 8, 8, 8, 8, (2, 0))
+    exact = ramp[8:16, 8:16]
+    assert (half == exact + 2).all()  # midpoint of a +4/px ramp
