@@ -687,7 +687,10 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts O(k) rows per group; the global merge re-ranks <= 5*256
     sample rows on one partition (sketch-sized by construction). The
     exact_* audit re-sorts full groups — gate-scale only; a 100 TB
-    consumer keeps the sketch columns."""
+    consumer keeps the sketch columns. Measured decade (BASELINE.md):
+    exponent 0.87, and that is the audit's full-group order-statistic
+    sorts (incl. the one-partition '*' grain), not the sketch's —
+    the theta sibling with the same sketch machinery probes 0.30."""
     from pyspark.sql import Window
 
     base = (

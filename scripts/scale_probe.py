@@ -105,6 +105,10 @@ PROBE_QUERIES = [
     "rel_bloom_semi_join",
     # r8: the composed pipeline runner post shared-frame persist
     "sync_pipeline_run_report",
+    # late r8: theta set-ops and the bottom-k quantile sketch — the
+    # exact_* audit columns are the only data-sized aggregates
+    "rel_theta_setops",
+    "rel_quantile_sketch",
 ]
 
 
