@@ -274,7 +274,7 @@ def parse_pps(rbsp: bytes) -> dict:
     num_ref_l0 = b.ue() + 1  # num_ref_idx_l0_default_active_minus1
     b.ue()  # num_ref_idx_l1_default_active_minus1
     weighted_pred = b.flag()
-    b.u(2)  # weighted_bipred_idc
+    weighted_bipred_idc = b.u(2)
     pic_init_qp = b.se() + 26
     b.se()  # pic_init_qs
     chroma_qp_index_offset = b.se()
@@ -290,6 +290,7 @@ def parse_pps(rbsp: bytes) -> dict:
         "constrained_intra": constrained_intra,
         "num_ref_idx_l0_active": num_ref_l0,
         "weighted_pred": weighted_pred,
+        "weighted_bipred_idc": weighted_bipred_idc,
     }
 
 
@@ -1012,11 +1013,15 @@ class _Frame:
         self.qp_deblock = np.zeros((self.hmb, self.wmb), dtype=np.int32)
         # slice id -> (disable_deblocking_filter_idc, alpha_off, beta_off)
         self.slice_params: dict[int, tuple[int, int, int]] = {}
-        # per-4x4 motion state (P slices): L0 MV in quarter-luma units
-        # and reference index — -2 = not yet decoded, -1 = intra-coded
-        # (mv treated as (0,0) by 8.4.1.3.2), 0 = inter ref0
+        # per-4x4 motion state (P/B slices): per-list MV in quarter-luma
+        # units and reference index — -2 = not yet decoded, -1 = list
+        # unused (intra, or the other list only; mv treated as (0,0) by
+        # 8.4.1.3.2), 0 = ref0 of that list. mv4/ref4 are list 0,
+        # mv4b/ref4b list 1 (B slices only).
         self.mv4 = np.zeros((self.hmb * 4, self.wmb * 4, 2), dtype=np.int32)
         self.ref4 = np.full((self.hmb * 4, self.wmb * 4), -2, dtype=np.int8)
+        self.mv4b = np.zeros((self.hmb * 4, self.wmb * 4, 2), dtype=np.int32)
+        self.ref4b = np.full((self.hmb * 4, self.wmb * 4), -2, dtype=np.int8)
 
     def mb_avail(self, mbx: int, mby: int, cur_slice: int) -> bool:
         if mbx < 0 or mby < 0 or mbx >= self.wmb or mby >= self.hmb:
@@ -1104,37 +1109,52 @@ def _zig_to_nat(coeffs: list[int]) -> np.ndarray:
 
 def _decode_slice(
     fr: _Frame, b: _Bits, sps: dict, pps: dict, nal_type: int,
-    slice_id: int, nal_ref_idc: int = 3, ref: tuple | None = None,
+    slice_id: int, nal_ref_idc: int = 3, refs: list | None = None,
 ) -> None:
-    """Parse one I- or P-slice header + data into ``fr``. ``ref`` is
-    the (y, cb, cr) planes of the reference picture (the previous
-    decoded picture, post-deblock) — required for P slices. Raises
-    ValueError on unsupported shapes (B slices, multi-ref, weighted
+    """Parse one I-, P- or B-slice header + data into ``fr``. ``refs``
+    is the reference picture list as (y, cb, cr) plane tuples, most
+    recent first (post-deblock): P slices predict from refs[0]; B
+    slices use L0 = refs[0] and L1 = refs[1] (backward-only
+    bi-prediction — with no future references, the default RefPicList1
+    equals RefPicList0 and the spec swaps its first two entries, so
+    L1[0] is the second-most-recent picture). Raises ValueError on
+    unsupported shapes (direct/skip B modes, multi-ref, weighted
     prediction, sub-8x8 partitions, ASO)."""
     first_mb = b.ue()
     slice_type = b.ue()
     st = slice_type % 5
-    if st not in (0, 2):
-        raise ValueError("only I/P slices supported")
+    if st not in (0, 1, 2):
+        raise ValueError("only I/P/B slices supported")
     is_p = st == 0
-    if is_p and ref is None:
+    is_b = st == 1
+    if is_p and not refs:
         raise ValueError("P slice without a reference picture")
+    if is_b and (refs is None or len(refs) < 2):
+        raise ValueError("B slice without two reference pictures")
     b.ue()  # pps_id (single active PPS assumed)
     b.u(sps["log2_max_frame_num"])  # frame_num
     if nal_type == 5:
         b.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
         b.u(sps["log2_max_poc_lsb"])
-    if is_p:
+    if is_b:
+        b.flag()  # direct_spatial_mv_pred_flag (no direct MBs decoded)
+    if is_p or is_b:
         if b.flag():  # num_ref_idx_active_override_flag
             if b.ue() != 0:
+                raise ValueError("multiple reference pictures unsupported")
+            if is_b and b.ue() != 0:
                 raise ValueError("multiple reference pictures unsupported")
         elif pps.get("num_ref_idx_l0_active", 1) != 1:
             raise ValueError("multiple reference pictures unsupported")
         if b.flag():  # ref_pic_list_modification_flag_l0
             raise ValueError("ref pic list modification unsupported")
-        if pps.get("weighted_pred", False):
+        if is_b and b.flag():  # ref_pic_list_modification_flag_l1
+            raise ValueError("ref pic list modification unsupported")
+        if is_p and pps.get("weighted_pred", False):
             raise ValueError("weighted prediction unsupported")
+        if is_b and pps.get("weighted_bipred_idc", 0) != 0:
+            raise ValueError("weighted bi-prediction unsupported")
     # dec_ref_pic_marking: IDR = two flags; non-IDR reference slices =
     # adaptive_ref_pic_marking_mode_flag (sliding window only)
     if nal_type == 5:
@@ -1154,27 +1174,42 @@ def _decode_slice(
             off_b = b.se()
     fr.slice_params[slice_id] = (idc, off_a, off_b)
     n_mbs = fr.wmb * fr.hmb
-    if not is_p:
+    if not (is_p or is_b):
         for mb_addr in range(first_mb, n_mbs):
             qp = _decode_mb(fr, b, mb_addr, qp, pps, slice_id)
             if not b.more_rbsp_data():
                 break
         return
-    # P slice data: mb_skip_run before every explicitly coded MB
+    # P/B slice data: mb_skip_run before every explicitly coded MB
     mb_addr = first_mb
     while mb_addr < n_mbs:
         skip_run = b.ue()
+        if is_b and skip_run:
+            raise ValueError("B_Skip (direct prediction) unsupported")
         for _ in range(skip_run):
             if mb_addr >= n_mbs:
                 raise ValueError("mb_skip_run past slice end")
-            _decode_skip_mb(fr, mb_addr, qp, slice_id, ref)
+            _decode_skip_mb(fr, mb_addr, qp, slice_id, refs[0])
             mb_addr += 1
         if mb_addr >= n_mbs or not b.more_rbsp_data():
             break
         mb_type = b.ue()
-        if mb_type <= 2:
+        if is_b:
+            if mb_type == 0:
+                raise ValueError("B_Direct_16x16 unsupported")
+            if 1 <= mb_type <= 3:
+                qp = _decode_mb_inter_b(
+                    fr, b, mb_addr, qp, pps, slice_id, mb_type, refs
+                )
+            elif mb_type <= 22:
+                raise ValueError("B partitions / B_8x8 unsupported")
+            else:
+                qp = _decode_mb(
+                    fr, b, mb_addr, qp, pps, slice_id, mb_type - 23
+                )
+        elif mb_type <= 2:
             qp = _decode_mb_inter(
-                fr, b, mb_addr, qp, pps, slice_id, mb_type, ref
+                fr, b, mb_addr, qp, pps, slice_id, mb_type, refs[0]
             )
         elif mb_type in (3, 4):
             raise ValueError("P_8x8 sub-partitions unsupported")
@@ -1197,6 +1232,7 @@ def _decode_mb(
     cx, cy = mbx * 8, mby * 8  # chroma pixel origin
     # every branch below is intra: mark for MV prediction / deblock bS
     fr.ref4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = -1
+    fr.ref4b[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = -1
     if mb_type is None:
         mb_type = b.ue()
     if mb_type > 25:
@@ -1527,38 +1563,47 @@ _P_PARTS = {
 
 
 def _mv_neighbor(
-    fr: _Frame, x4: int, y4: int, sid: int
+    fr: _Frame, x4: int, y4: int, sid: int, lx: int = 0,
 ) -> tuple[tuple[int, int], int] | None:
-    """(mv, refIdx) of the 4x4 block at block coords, or None when the
-    block is unavailable (outside the picture/slice or not yet
-    decoded). Intra blocks are AVAILABLE with mv (0,0), refIdx -1
+    """(mv, refIdx) of the 4x4 block at block coords for reference
+    list ``lx``, or None when the block is unavailable (outside the
+    picture/slice or not yet decoded). Blocks that do not use list lx
+    (intra, or other-list-only) are AVAILABLE with mv (0,0), refIdx -1
     (8.4.1.3.2)."""
     if x4 < 0 or y4 < 0 or x4 >= fr.wmb * 4 or y4 >= fr.hmb * 4:
         return None
     if fr.slice_of_mb[y4 // 4, x4 // 4] != sid:
         return None
-    r = int(fr.ref4[y4, x4])
+    ref_arr = fr.ref4 if lx == 0 else fr.ref4b
+    mv_arr = fr.mv4 if lx == 0 else fr.mv4b
+    r = int(ref_arr[y4, x4])
     if r == -2:
+        # decoded blocks of slices without list-1 state (P inter
+        # before ref4b existed is impossible now, but an I/P picture's
+        # list-1 view of a decoded block is "list unused")
+        if lx == 1 and int(fr.ref4[y4, x4]) != -2:
+            return ((0, 0), -1)
         return None
     if r == -1:
         return ((0, 0), -1)
-    return ((int(fr.mv4[y4, x4, 0]), int(fr.mv4[y4, x4, 1])), r)
+    return ((int(mv_arr[y4, x4, 0]), int(mv_arr[y4, x4, 1])), r)
 
 
 def _mv_pred(
     fr: _Frame, bx: int, by: int, w4: int, h4: int, sid: int, kind: str,
+    lx: int = 0,
 ) -> tuple[int, int]:
     """Luma MV predictor (8.4.1.3 + 8.4.1.3.1) for the partition whose
-    top-left 4x4 block is (bx, by): neighbours A (left), B (above),
-    C (above-right, D above-left fallback); directional overrides for
-    16x8 / 8x16 partitions when the directional neighbour's reference
-    matches (single-ref: refIdx 0); else median, with the B-and-C-
-    unavailable -> A rule."""
-    a = _mv_neighbor(fr, bx - 1, by, sid)
-    bn = _mv_neighbor(fr, bx, by - 1, sid)
-    c = _mv_neighbor(fr, bx + w4, by - 1, sid)
+    top-left 4x4 block is (bx, by), over reference list ``lx``:
+    neighbours A (left), B (above), C (above-right, D above-left
+    fallback); directional overrides for 16x8 / 8x16 partitions when
+    the directional neighbour's reference matches (single-ref:
+    refIdx 0); else median, with the B-and-C-unavailable -> A rule."""
+    a = _mv_neighbor(fr, bx - 1, by, sid, lx)
+    bn = _mv_neighbor(fr, bx, by - 1, sid, lx)
+    c = _mv_neighbor(fr, bx + w4, by - 1, sid, lx)
     if c is None:
-        c = _mv_neighbor(fr, bx - 1, by - 1, sid)  # D fallback
+        c = _mv_neighbor(fr, bx - 1, by - 1, sid, lx)  # D fallback
     if kind == "16x8t" and bn is not None and bn[1] == 0:
         return bn[0]
     if kind in ("16x8b", "8x16l") and a is not None and a[1] == 0:
@@ -1603,6 +1648,7 @@ def _decode_skip_mb(
     b4x, b4y = mbx * 4, mby * 4
     fr.mv4[b4y : b4y + 4, b4x : b4x + 4] = mv
     fr.ref4[b4y : b4y + 4, b4x : b4x + 4] = 0
+    fr.ref4b[b4y : b4y + 4, b4x : b4x + 4] = -1
     ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
     fr.y[oy : oy + 16, ox : ox + 16] = _mc_luma(ref[0], oy, ox, 16, 16, mv)
     fr.cb[cy : cy + 8, cx : cx + 8] = _mc_chroma(ref[1], cy, cx, 8, 8, mv)
@@ -1660,9 +1706,24 @@ def _decode_mb_inter(
         mvs.append(mv)
         fr.mv4[by : by + h4, bx : bx + w4] = mv
         fr.ref4[by : by + h4, bx : bx + w4] = 0
+        fr.ref4b[by : by + h4, bx : bx + w4] = -1
     pred_y, pred_cb, pred_cr = _inter_pred_planes(
         fr, mbx, mby, parts, mvs, ref
     )
+    return _inter_residual_recon(
+        fr, b, mbx, mby, qp, pps, sid, pred_y, pred_cb, pred_cr
+    )
+
+
+def _inter_residual_recon(
+    fr: _Frame, b: _Bits, mbx: int, mby: int, qp: int, pps: dict,
+    sid: int, pred_y: np.ndarray, pred_cb: np.ndarray,
+    pred_cr: np.ndarray,
+) -> int:
+    """Shared inter-MB tail (P and B): Table 9-4 inter CBP, optional
+    mb_qp_delta, CAVLC residual parse, and reconstruction over the
+    given motion-compensated prediction planes."""
+    ox, oy = mbx * 16, mby * 16
     cbp_code = b.ue()
     if cbp_code > 47:
         raise ValueError("bad coded_block_pattern")
@@ -1706,6 +1767,48 @@ def _decode_mb_inter(
     return qp
 
 
+def _decode_mb_inter_b(
+    fr: _Frame, b: _Bits, mb_addr: int, qp: int, pps: dict, sid: int,
+    mb_type: int, refs: list,
+) -> int:
+    """B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (mb_type 1..3): one MV per
+    used list, default (unweighted) bi-prediction ``(L0 + L1 + 1)>>1``
+    per 8.4.2.3; ref lists hold one picture each — L0 = the closest
+    past reference, L1 = the one before it (the backward-only B shape
+    where decode order equals output order)."""
+    mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
+    fr.slice_of_mb[mby, mbx] = sid
+    use_l0 = mb_type in (1, 3)
+    use_l1 = mb_type in (2, 3)
+    b4x, b4y = mbx * 4, mby * 4
+    # syntax: mvd_l0 then mvd_l1 (ref_idx absent: one active per list)
+    mvd0 = (b.se(), b.se()) if use_l0 else None
+    mvd1 = (b.se(), b.se()) if use_l1 else None
+    parts = _P_PARTS[0]
+    preds = []
+    for lx, mvd, ref_arr, mv_arr, ref in (
+        (0, mvd0, fr.ref4, fr.mv4, refs[0]),
+        (1, mvd1, fr.ref4b, fr.mv4b, refs[1]),
+    ):
+        if mvd is None:
+            ref_arr[b4y : b4y + 4, b4x : b4x + 4] = -1
+            continue
+        px_, py_ = _mv_pred(fr, b4x, b4y, 4, 4, sid, "16x16", lx)
+        mv = (px_ + mvd[0], py_ + mvd[1])
+        mv_arr[b4y : b4y + 4, b4x : b4x + 4] = mv
+        ref_arr[b4y : b4y + 4, b4x : b4x + 4] = 0
+        preds.append(_inter_pred_planes(fr, mbx, mby, parts, [mv], ref))
+    if len(preds) == 2:
+        pred_y = (preds[0][0] + preds[1][0] + 1) >> 1
+        pred_cb = (preds[0][1] + preds[1][1] + 1) >> 1
+        pred_cr = (preds[0][2] + preds[1][2] + 1) >> 1
+    else:
+        pred_y, pred_cb, pred_cr = preds[0]
+    return _inter_residual_recon(
+        fr, b, mbx, mby, qp, pps, sid, pred_y, pred_cb, pred_cr
+    )
+
+
 # ------------------------------------------------------- top-level API
 
 _DECODE_ERRORS = (EOFError, ValueError, IndexError, KeyError)
@@ -1729,14 +1832,15 @@ def _yuv420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 def _decode_picture_nals(
     slice_nals: list[tuple[int, int, bytes]], sps: dict, pps: dict,
-    ref: tuple | None = None,
+    refs: list | None = None,
 ) -> tuple[np.ndarray, tuple]:
     """Decode one picture's (nal_type, nal_ref_idc, rbsp) slices ->
     (cropped (H, W, 3) RGB, post-deblock (y, cb, cr) planes — the
-    reference the NEXT picture's P slices predict from)."""
+    reference later P/B pictures predict from if this picture is
+    marked as a reference)."""
     fr = _Frame(sps)
     for sid, (ntype, ref_idc, rbsp) in enumerate(slice_nals):
-        _decode_slice(fr, _Bits(rbsp), sps, pps, ntype, sid, ref_idc, ref)
+        _decode_slice(fr, _Bits(rbsp), sps, pps, ntype, sid, ref_idc, refs)
     if not fr.done4.all():
         raise ValueError("picture not fully covered by slices")
     _deblock_picture(fr, pps)
@@ -1774,10 +1878,15 @@ def decode_h264_annexb(data: bytes) -> list[np.ndarray] | None:
         if sps is None or pps is None or not pics:
             return None
         out: list[np.ndarray] = []
-        ref: tuple | None = None
+        refs: list = []  # sliding-window DPB, most recent ref first
         for p in pics:
-            rgb, ref = _decode_picture_nals(p, sps, pps, ref)
+            rgb, planes = _decode_picture_nals(p, sps, pps, refs)
             out.append(rgb)
+            if any(ref_idc != 0 for _, ref_idc, _ in p):
+                if p[0][0] == 5:  # IDR: clears the DPB
+                    refs = [planes]
+                else:
+                    refs = [planes] + refs[:1]
         return out
     except _DECODE_ERRORS:
         return None
@@ -1845,7 +1954,7 @@ def decode_h264_frame(sample: bytes, cfg: dict) -> np.ndarray | None:
             i += ln
         if not slices:
             return None
-        rgb, _ = _decode_picture_nals(slices, cfg["sps"], cfg["pps"])
+        rgb, _ = _decode_picture_nals(slices, cfg["sps"], cfg["pps"], None)
         return rgb
     except _DECODE_ERRORS:
         return None
@@ -1854,14 +1963,25 @@ def decode_h264_frame(sample: bytes, cfg: dict) -> np.ndarray | None:
 def annexb_to_avcc(data: bytes) -> tuple[bytes, list[bytes]] | None:
     """Re-container an Annex B stream: -> (AVCDecoderConfigurationRecord,
     [length-prefixed samples, one per access unit]). The avcC carries
-    the stream's SPS/PPS; 4-byte NAL lengths."""
-    nals = parse_annexb_nals(data)
+    the stream's SPS/PPS; 4-byte NAL lengths. Returns None — never
+    raises — on streams whose SPS rejects (corrupt or out-of-scope
+    shapes), matching the decoder family's contract."""
+    try:
+        return _annexb_to_avcc(data)
+    except _DECODE_ERRORS:
+        return None
+
+
+def _annexb_to_avcc(data: bytes) -> tuple[bytes, list[bytes]] | None:
+    nals = parse_annexb_nals(data, with_ref_idc=True)
     sps_raw = pps_raw = None
-    # need raw (emulated) NAL bytes for the record: re-emulate
+    # need raw (emulated) NAL bytes for the record: re-emulate,
+    # PRESERVING nal_ref_idc (a non-reference B slice must keep its
+    # ref_idc 0 — dec_ref_pic_marking presence depends on it)
     samples: list[bytes] = []
     cur: list[bytes] = []
-    for ntype, rbsp in nals:
-        raw = bytes([(3 << 5) | ntype]) + _emulate(rbsp)
+    for ntype, ref_idc, rbsp in nals:
+        raw = bytes([(ref_idc << 5) | ntype]) + _emulate(rbsp)
         if ntype == 7:
             sps_raw = raw
         elif ntype == 8:
@@ -2077,15 +2197,19 @@ def _rgb_to_yuv420(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     return y, cb, cr
 
 
-def _sps_rbsp(wmb: int, hmb: int) -> bytes:
+def _sps_rbsp(wmb: int, hmb: int, poc_type: int = 2) -> bytes:
     w = _BitWriter()
-    w.u(8, 66)  # Baseline
+    # Baseline for intra/P GOPs; Main (77) when B slices are present
+    # (B is not a Baseline tool)
+    w.u(8, 66 if poc_type == 2 else 77)
     w.u(8, 0)
     w.u(8, 20)  # level 2.0
     w.ue(0)  # sps_id
     w.ue(0)  # log2_max_frame_num_minus4
-    w.ue(2)  # poc_type 2: no POC bits in slice headers
-    w.ue(1)  # max_num_ref_frames
+    w.ue(poc_type)  # 2: no POC bits; 0: pic_order_cnt_lsb in headers
+    if poc_type == 0:
+        w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4 -> 8 bits
+    w.ue(1 if poc_type == 2 else 2)  # max_num_ref_frames
     w.u(1, 0)  # gaps allowed
     w.ue(wmb - 1)
     w.ue(hmb - 1)
@@ -2118,8 +2242,12 @@ def _pps_rbsp(pic_init_qp: int, chroma_qp_offset: int) -> bytes:
     return w.tobytes()
 
 
-def _nal(ntype: int, rbsp: bytes) -> bytes:
-    return b"\x00\x00\x00\x01" + bytes([(3 << 5) | ntype]) + _emulate(rbsp)
+def _nal(ntype: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
+    return (
+        b"\x00\x00\x00\x01"
+        + bytes([(ref_idc << 5) | ntype])
+        + _emulate(rbsp)
+    )
 
 
 def encode_h264_annexb(
@@ -2137,14 +2265,22 @@ def encode_h264_annexb(
     encoder's closed-loop RGB planes — decode_h264_annexb(stream) must
     equal them bit-for-bit.
 
-    Intra per-MB mode policy (deterministic, exercises every decode
-    path): (frame + mb_addr) % 6 -> 0: I_PCM, 1/2: Intra_16x16,
-    3/4/5: Intra_4x4; pred modes cycle over whatever is available at
-    that MB position; mb_qp_delta wobbles +-1 every third MB. P-frame
-    policy: (frame + mb_addr) % 8 -> 0/4: P_Skip (mb_skip_run),
-    1: P_L0_16x16, 2: P_L0_L0_16x8, 3: P_L0_L0_8x16, 5/6/7: intra-in-P
-    (mb_type + 5); inter MVs sweep all 16 quarter-pel fractional
-    positions deterministically.
+    ``gop="ibp"`` alternates P (reference) and B (non-reference)
+    pictures after the IDR: decode order I P1 B2 P3 B4 ... where each
+    B bi-predicts from the two most recent reference pictures (L0 =
+    closest past, L1 = the one before — backward-only, so decode
+    order equals output order and no reordering buffer is needed);
+    poc_type 0 with pic_order_cnt_lsb = 2*frame is signalled as B
+    requires. Intra per-MB mode policy (deterministic, exercises
+    every decode path): (frame + mb_addr) % 6 -> 0: I_PCM, 1/2:
+    Intra_16x16, 3/4/5: Intra_4x4; pred modes cycle over whatever is
+    available at that MB position; mb_qp_delta wobbles +-1 every
+    third MB. P-frame policy: (frame + mb_addr) % 8 -> 0/4: P_Skip
+    (mb_skip_run), 1: P_L0_16x16, 2: P_L0_L0_16x8, 3: P_L0_L0_8x16,
+    5/6/7: intra-in-P (mb_type + 5); inter MVs sweep all 16
+    quarter-pel fractional positions deterministically. B-frame
+    policy: (frame + mb_addr) % 4 -> 0: B_L0_16x16, 1: B_L1_16x16,
+    2: B_Bi_16x16 (unweighted average), 3: intra-in-B (mb_type + 23).
 
     ``deblock=True`` emits disable_deblocking_filter_idc = 0 and runs
     the in-loop filter (8.7) over the closed-loop reconstruction —
@@ -2155,38 +2291,62 @@ def encode_h264_annexb(
     if h % 16 or w % 16:
         raise ValueError("fixture frames must be MB-aligned")
     wmb, hmb = w // 16, h // 16
+    poc_type = 0 if gop == "ibp" else 2
     sps_d = {
         "width_mbs": wmb, "height_mbs": hmb, "width": w, "height": h,
-        "poc_type": 2, "log2_max_frame_num": 4, "log2_max_poc_lsb": 0,
+        "poc_type": poc_type, "log2_max_frame_num": 4,
+        "log2_max_poc_lsb": 8,
     }
     pps_d = {
         "pic_init_qp": qp, "chroma_qp_index_offset": chroma_qp_offset,
         "deblocking_control_present": True, "constrained_intra": False,
     }
-    out = [_nal(7, _sps_rbsp(wmb, hmb)), _nal(8, _pps_rbsp(qp, chroma_qp_offset))]
+    out = [
+        _nal(7, _sps_rbsp(wmb, hmb, poc_type)),
+        _nal(8, _pps_rbsp(qp, chroma_qp_offset)),
+    ]
     recons: list[np.ndarray] = []
-    ref: tuple | None = None
+    refs: list = []
+    ref_count = 0  # frame_num of the next reference picture
     for fi, rgb in enumerate(frames_rgb):
-        is_p = gop == "ipp" and fi > 0
+        if fi == 0:
+            kind = "i"
+        elif gop == "ipp":
+            kind = "p"
+        elif gop == "ibp":
+            kind = "p" if fi % 2 == 1 else "b"
+        else:
+            kind = "i"
+        is_ref = kind != "b"
         y, cb, cr = _rgb_to_yuv420(np.asarray(rgb, dtype=np.uint8))
         fr = _Frame(sps_d)
         wtr = _BitWriter()
         # slice header
         wtr.ue(0)  # first_mb
-        if not is_p:
+        if kind == "i":
             wtr.ue(7)  # slice_type I (all slices)
             wtr.ue(0)  # pps_id
             wtr.u(4, 0)  # frame_num
             wtr.ue(fi % 8)  # idr_pic_id
+            if poc_type == 0:
+                wtr.u(8, (2 * fi) % 256)  # pic_order_cnt_lsb
             wtr.u(1, 0)  # no_output_of_prior_pics
             wtr.u(1, 0)  # long_term_reference
         else:
-            wtr.ue(5)  # slice_type P (all slices)
+            wtr.ue(5 if kind == "p" else 6)  # slice_type P / B
             wtr.ue(0)  # pps_id
-            wtr.u(4, fi % 16)  # frame_num
+            # non-reference pictures carry PrevRefFrameNum + 1 (7.4.3)
+            wtr.u(4, ref_count % 16)
+            if poc_type == 0:
+                wtr.u(8, (2 * fi) % 256)  # pic_order_cnt_lsb
+            if kind == "b":
+                wtr.u(1, 0)  # direct_spatial_mv_pred_flag
             wtr.u(1, 0)  # num_ref_idx_active_override_flag
             wtr.u(1, 0)  # ref_pic_list_modification_flag_l0
-            wtr.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
+            if kind == "b":
+                wtr.u(1, 0)  # ref_pic_list_modification_flag_l1
+            if is_ref:
+                wtr.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
         wtr.se(0)  # slice_qp_delta
         if deblock:
             wtr.ue(0)  # disable_deblocking_filter_idc: filter all edges
@@ -2195,17 +2355,17 @@ def encode_h264_annexb(
         else:
             wtr.ue(1)  # disable_deblocking_filter_idc
         cur_qp = qp
-        if not is_p:
+        if kind == "i":
             for mb_addr in range(wmb * hmb):
                 cur_qp = _encode_mb(
                     fr, wtr, mb_addr, cur_qp, pps_d, y, cb, cr, fi
                 )
-        else:
+        elif kind == "p":
             skip_run = 0
             for mb_addr in range(wmb * hmb):
                 choice = (fi + mb_addr) % 8
                 if choice in (0, 4):  # P_Skip
-                    _decode_skip_mb(fr, mb_addr, cur_qp, 0, ref)
+                    _decode_skip_mb(fr, mb_addr, cur_qp, 0, refs[0])
                     skip_run += 1
                     continue
                 wtr.ue(skip_run)
@@ -2213,7 +2373,7 @@ def encode_h264_annexb(
                 if choice in (1, 2, 3):
                     cur_qp = _encode_mb_inter(
                         fr, wtr, mb_addr, cur_qp, pps_d, y, cb, cr, fi,
-                        ref, choice - 1,
+                        refs[0], choice - 1,
                     )
                 else:  # 5/6/7: intra-in-P, mb_type offset +5
                     cur_qp = _encode_mb(
@@ -2222,12 +2382,30 @@ def encode_h264_annexb(
                     )
             if skip_run:
                 wtr.ue(skip_run)
+        else:  # B
+            for mb_addr in range(wmb * hmb):
+                wtr.ue(0)  # mb_skip_run (no B_Skip: direct unsupported)
+                choice = (fi + mb_addr) % 4
+                if choice < 3:
+                    cur_qp = _encode_mb_inter_b(
+                        fr, wtr, mb_addr, cur_qp, pps_d, y, cb, cr, fi,
+                        refs, choice + 1,
+                    )
+                else:  # intra-in-B, mb_type offset +23
+                    cur_qp = _encode_mb(
+                        fr, wtr, mb_addr, cur_qp, pps_d, y, cb, cr, fi,
+                        mb_type_offset=23,
+                    )
         wtr.rbsp_trailing()
-        out.append(_nal(5 if not is_p else 1, wtr.tobytes()))
+        ntype = 5 if kind == "i" else 1
+        out.append(_nal(ntype, wtr.tobytes(), ref_idc=3 if is_ref else 0))
         if deblock:
             fr.slice_params[0] = (0, 0, 0)
             _deblock_picture(fr, pps_d)
-        ref = (fr.y, fr.cb, fr.cr)
+        if is_ref:
+            planes = (fr.y, fr.cb, fr.cr)
+            refs = [planes] if kind == "i" else [planes] + refs[:1]
+            ref_count += 1
         recons.append(
             _yuv420_to_rgb(fr.y[:h, :w], fr.cb[: h // 2, : w // 2],
                            fr.cr[: h // 2, : w // 2])
@@ -2264,8 +2442,10 @@ def _encode_mb(
 ) -> int:
     mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
     fr.slice_of_mb[mby, mbx] = sid
-    # every branch below is intra (the inter encoder is _encode_mb_p)
+    # every branch below is intra (the inter encoders are
+    # _encode_mb_inter / _encode_mb_inter_b)
     fr.ref4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = -1
+    fr.ref4b[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = -1
     ox, oy = mbx * 16, mby * 16
     cx, cy = mbx * 8, mby * 8
     src_y = y[oy : oy + 16, ox : ox + 16].astype(np.int64)
@@ -2520,9 +2700,33 @@ def _encode_mb_inter(
         mvds.append((mv[0] - mvp[0], mv[1] - mvp[1]))
         fr.mv4[by : by + h4, bx : bx + w4] = mv
         fr.ref4[by : by + h4, bx : bx + w4] = 0
+        fr.ref4b[by : by + h4, bx : bx + w4] = -1
     pred_y, pred_cb, pred_cr = _inter_pred_planes(
         fr, mbx, mby, parts, mvs, ref
     )
+    w.ue(mb_type)
+    for dx, dy in mvds:
+        w.se(dx)
+        w.se(dy)
+    _emit_inter_residual(
+        fr, w, mbx, mby, qp, pps, pred_y, pred_cb, pred_cr,
+        src_y, src_cb, src_cr, sid,
+    )
+    return qp
+
+
+def _emit_inter_residual(
+    fr: _Frame, w: _BitWriter, mbx: int, mby: int, qp: int, pps: dict,
+    pred_y: np.ndarray, pred_cb: np.ndarray, pred_cr: np.ndarray,
+    src_y: np.ndarray, src_cb: np.ndarray, src_cr: np.ndarray,
+    sid: int = 0,
+) -> tuple[int, int]:
+    """Shared inter residual encoder tail: quantize luma/chroma
+    residuals against the MC prediction, return (cbp, cbp_c) after
+    WRITING the CBP code + residual blocks and reconstructing via the
+    decoder's math. The caller must already have written mb_type +
+    mvds."""
+    ox, oy = mbx * 16, mby * 16
     res = src_y - pred_y
     blk_levels: list[np.ndarray] = []
     for blk in range(16):
@@ -2560,11 +2764,6 @@ def _encode_mb_inter(
     any_dc = any(any(d) for d in dcs)
     cbp_c = 2 if any_ac else (1 if any_dc else 0)
     cbp = cbp_luma | (cbp_c << 4)
-    # ---- emit
-    w.ue(mb_type)
-    for dx, dy in mvds:
-        w.se(dx)
-        w.se(dy)
     w.ue(_CBP_INTER_INV[cbp])
     if cbp > 0:
         w.se(0)
@@ -2606,7 +2805,6 @@ def _encode_mb_inter(
                 nc_map[aby, abx] = 0
                 blkmat = np.zeros((4, 4), dtype=np.int64)
             (ac_nat_cb if comp == 0 else ac_nat_cr).append(blkmat)
-    # ---- reconstruct (decoder path)
     for blk in range(16):
         bx4, by4 = _BLK_POS[blk]
         px, py = ox + bx4 * 4, oy + by4 * 4
@@ -2623,6 +2821,60 @@ def _encode_mb_inter(
         dcs[0] if cbp_c else [0, 0, 0, 0],
         dcs[1] if cbp_c else [0, 0, 0, 0],
         ac_nat_cb, ac_nat_cr, sid, preds=(pred_cb, pred_cr),
+    )
+    return cbp, cbp_c
+
+
+def _encode_mb_inter_b(
+    fr: _Frame, w: _BitWriter, mb_addr: int, qp: int, pps: dict,
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, fi: int,
+    refs: list, mb_type: int, sid: int = 0,
+) -> int:
+    """Encode one B-slice inter MB (B_L0_16x16 / B_L1_16x16 /
+    B_Bi_16x16, mb_type 1..3) with deterministic per-list MVs and the
+    default unweighted bi-prediction average."""
+    mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
+    fr.slice_of_mb[mby, mbx] = sid
+    ox, oy = mbx * 16, mby * 16
+    cx, cy = mbx * 8, mby * 8
+    src_y = y[oy : oy + 16, ox : ox + 16].astype(np.int64)
+    src_cb = cb[cy : cy + 8, cx : cx + 8].astype(np.int64)
+    src_cr = cr[cy : cy + 8, cx : cx + 8].astype(np.int64)
+    use_l0 = mb_type in (1, 3)
+    use_l1 = mb_type in (2, 3)
+    b4x, b4y = mbx * 4, mby * 4
+    parts = _P_PARTS[0]
+    mvds: list[tuple[int, int]] = []
+    preds = []
+    for lx, used, ref_arr, mv_arr, ref in (
+        (0, use_l0, fr.ref4, fr.mv4, refs[0]),
+        (1, use_l1, fr.ref4b, fr.mv4b, refs[1]),
+    ):
+        if not used:
+            ref_arr[b4y : b4y + 4, b4x : b4x + 4] = -1
+            continue
+        mvp = _mv_pred(fr, b4x, b4y, 4, 4, sid, "16x16", lx)
+        mv = (
+            ((mb_addr * 5 + fi * 7 + lx * 3) % 17) - 8,
+            ((mb_addr * 13 + fi * 3 + lx * 11) % 17) - 8,
+        )
+        mvds.append((mv[0] - mvp[0], mv[1] - mvp[1]))
+        mv_arr[b4y : b4y + 4, b4x : b4x + 4] = mv
+        ref_arr[b4y : b4y + 4, b4x : b4x + 4] = 0
+        preds.append(_inter_pred_planes(fr, mbx, mby, parts, [mv], ref))
+    if len(preds) == 2:
+        pred_y = (preds[0][0] + preds[1][0] + 1) >> 1
+        pred_cb = (preds[0][1] + preds[1][1] + 1) >> 1
+        pred_cr = (preds[0][2] + preds[1][2] + 1) >> 1
+    else:
+        pred_y, pred_cb, pred_cr = preds[0]
+    w.ue(mb_type)
+    for dx, dy in mvds:
+        w.se(dx)
+        w.se(dy)
+    _emit_inter_residual(
+        fr, w, mbx, mby, qp, pps, pred_y, pred_cb, pred_cr,
+        src_y, src_cb, src_cr, sid,
     )
     return qp
 
@@ -2780,28 +3032,47 @@ def _deblock_edge_chroma(
     q0[:] = np.where(fs, _clip8(q0 - delta), q0)
 
 
+def _block_pic_mvs(
+    fr: _Frame, x4: int, y4: int
+) -> list[tuple[int, int, int]]:
+    """[(reference-picture id, mvx, mvy)] used by the 4x4 block: L0
+    ref0 is picture 0 (most recent reference), L1 ref0 is picture 1 —
+    list-agnostic identities, as 8.7.2.1 compares reference PICTURES
+    not lists."""
+    out = []
+    if int(fr.ref4[y4, x4]) == 0:
+        out.append((0, int(fr.mv4[y4, x4, 0]), int(fr.mv4[y4, x4, 1])))
+    if int(fr.ref4b[y4, x4]) == 0:
+        out.append((1, int(fr.mv4b[y4, x4, 0]), int(fr.mv4b[y4, x4, 1])))
+    return out
+
+
 def _bs_blocks(
     fr: _Frame, px4: int, py4: int, qx4: int, qy4: int, mb_edge: bool,
 ) -> int:
     """Boundary strength between 4x4 luma blocks p and q (8.7.2.1,
     frame coding): either intra -> 4 on MB edges, 3 inside; else 2
-    when either block carries non-zero luma coefficients; else 1 on a
-    reference mismatch or a >= 4-quarter-sample MV component delta;
-    else 0 (edge not filtered)."""
-    rp, rq = int(fr.ref4[py4, px4]), int(fr.ref4[qy4, qx4])
-    # < 0 covers intra (-1) and never-assigned (-2, hand-built frames):
-    # intra is the conservative strongest-filter default
-    if rp < 0 or rq < 0:
+    when either block carries non-zero luma coefficients; else 1 when
+    the blocks use different reference pictures or a different number
+    of motion vectors, or any same-picture MV pair differs by >= 4
+    quarter samples in a component; else 0 (edge not filtered)."""
+    p_inter = int(fr.ref4[py4, px4]) == 0 or int(fr.ref4b[py4, px4]) == 0
+    q_inter = int(fr.ref4[qy4, qx4]) == 0 or int(fr.ref4b[qy4, qx4]) == 0
+    # non-inter covers intra (-1) and never-assigned (-2, hand-built
+    # frames): intra is the conservative strongest-filter default
+    if not p_inter or not q_inter:
         return 4 if mb_edge else 3
     if fr.nc_y[py4, px4] > 0 or fr.nc_y[qy4, qx4] > 0:
         return 2
-    if rp != rq:
+    pmv = _block_pic_mvs(fr, px4, py4)
+    qmv = _block_pic_mvs(fr, qx4, qy4)
+    if {m[0] for m in pmv} != {m[0] for m in qmv}:
         return 1
-    if (
-        abs(int(fr.mv4[py4, px4, 0]) - int(fr.mv4[qy4, qx4, 0])) >= 4
-        or abs(int(fr.mv4[py4, px4, 1]) - int(fr.mv4[qy4, qx4, 1])) >= 4
-    ):
-        return 1
+    qby = {m[0]: m for m in qmv}
+    for pic, mx, my in pmv:
+        _, qx, qy = qby[pic]
+        if abs(mx - qx) >= 4 or abs(my - qy) >= 4:
+            return 1
     return 0
 
 

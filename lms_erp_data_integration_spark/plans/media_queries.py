@@ -1260,16 +1260,19 @@ def video_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_IPP_VIDEOS = 4
+_N_IPP_VIDEOS = 6
 
 
 def _mux_ipp_fixture(vid: int) -> bytes:
-    """H.264 IPP-GOP fixture: IDR + P pictures (P_Skip / 16x16 / 16x8
-    / 8x16 / intra-in-P macroblocks, quarter-pel MVs) from the
-    from-scratch encoder's temporal mode, muxed as avc1-in-MP4; ids
-    2-3 signal the in-loop deblocking filter ON (P pictures then
-    predict from the POST-filter reference, the 8.4 requirement the
-    closed loop pins)."""
+    """H.264 temporal-GOP fixture: ids 0-3 are IPP (IDR + P pictures:
+    P_Skip / 16x16 / 16x8 / 8x16 / intra-in-P macroblocks, quarter-pel
+    MVs; ids 2-3 with the in-loop deblocking filter ON, so P pictures
+    predict from the POST-filter reference — the 8.4 requirement the
+    closed loop pins); ids 4-5 are IBP (I P1 B2 P3 B4: non-reference
+    B pictures bi-predicting from the two most recent references with
+    the default unweighted average, B_L0/B_L1/B_Bi/intra-in-B
+    macroblocks; id 5 deblocked), all from the from-scratch encoder's
+    temporal modes, muxed as avc1-in-MP4."""
     import numpy as np
 
     from ..operators import h264
@@ -1283,8 +1286,8 @@ def _mux_ipp_fixture(vid: int) -> bytes:
         rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)
     ]
     stream, _ = h264.encode_h264_annexb(
-        frames, qp=20 + 4 * vid, chroma_qp_offset=(vid % 3) - 1,
-        deblock=vid >= 2, gop="ipp",
+        frames, qp=20 + 4 * (vid % 4), chroma_qp_offset=(vid % 3) - 1,
+        deblock=vid in (2, 3, 5), gop="ibp" if vid >= 4 else "ipp",
     )
     avcc, samples = h264.annexb_to_avcc(stream)
     return mm.build_mp4_avc(samples, avcc, w, h, fps=4 + vid)
@@ -1298,24 +1301,31 @@ SELECT * FROM (VALUES
    CAST(16 AS BIGINT), CAST(500 AS BIGINT), CAST(8335319835 AS BIGINT)),
   (1, 4, 32, 16, 600, 10672207217),
   (2, 5, 16, 32, 664, 10054453907),
-  (3, 3, 32, 32, 284, 7140597168)
+  (3, 3, 32, 32, 284, 7140597168),
+  (4, 4, 16, 16, 375, 8406193680),
+  (5, 5, 32, 16, 444, 15211029894)
 ) AS t(doc_id, frames_decoded, width, height, dts_last_ms, crc_sum)
 """,
 )
 def video_ipp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TEMPORAL (inter-predicted) H.264 under the driver CRC gate: 4
-    IPP-GOP fixture videos — IDR + P pictures with P_Skip/16x16/16x8/
-    8x16/intra-in-P macroblocks and quarter-pel motion sweeping all 16
-    fractional positions — are muxed as avc1-in-MP4, converted to one
-    Annex B stream per video (``mp4_avc_full_annexb``) and decoded
-    through the reference chain by ``decode_video_gop_stats``: each P
-    picture motion-compensates from the previous decoded picture
-    (post-deblock on ids 2-3). ``frames_decoded`` pins that every P
-    frame actually decodes (the per-sample path would drop them), and
-    ``crc_sum`` pins the motion-compensated pixels bit-for-bit —
-    quarter-pel 6-tap interpolation, median MV prediction, skip-MV
-    rules, inter CBP, and the 2/1/0 inter deblocking tiers all under
-    one hash.
+    """TEMPORAL (inter-predicted) H.264 under the driver CRC gate: 6
+    fixture videos — ids 0-3 IPP GOPs (IDR + P pictures with P_Skip/
+    16x16/16x8/8x16/intra-in-P macroblocks and quarter-pel motion
+    sweeping all 16 fractional positions), ids 4-5 IBP GOPs
+    (non-reference B pictures bi-predicting from the two most recent
+    references with the default unweighted average; B_L0/B_L1/B_Bi/
+    intra-in-B macroblocks) — are muxed as avc1-in-MP4, converted to
+    one Annex B stream per video (``mp4_avc_full_annexb``) and decoded
+    through the reference chain by ``decode_video_gop_stats``: each
+    P/B picture motion-compensates from decoded reference pictures
+    (post-deblock on ids 2-3 and 5; non-ref B frames never enter the
+    DPB, so P3 predicts from P1 across the intervening B2).
+    ``frames_decoded`` pins that every P and B frame actually decodes
+    (the per-sample path would drop them), and ``crc_sum`` pins the
+    motion-compensated pixels bit-for-bit — quarter-pel 6-tap
+    interpolation, median MV prediction, skip-MV rules, bi-prediction
+    averaging, inter CBP, and the 2/1/0 inter deblocking tiers all
+    under one hash.
 
     Scale posture: decode is sequential WITHIN a GOP by data
     dependency, so the parallel unit is the video — one Arrow-batched

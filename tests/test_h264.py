@@ -453,3 +453,98 @@ def test_h264_quarter_pel_interpolation_matches_spec_shapes():
     half = h._mc_luma(ramp, 8, 8, 8, 8, (2, 0))
     exact = ramp[8:16, 8:16]
     assert (half == exact + 2).all()  # midpoint of a +4/px ramp
+
+
+# ------------------------------------------------ B slices (bi-pred)
+
+@pytest.mark.parametrize("deblock", [False, True])
+def test_h264_ibp_roundtrip_bit_exact(deblock):
+    # IBP GOP: I P1 B2 P3 B4 — each B bi-predicts from the two most
+    # recent REFERENCE pictures (non-ref B frames never enter the
+    # DPB, so P3 predicts from P1 across the intervening B2). The
+    # decoder must equal the encoder's closed-loop reconstruction
+    # bit-for-bit across B_L0 / B_L1 / B_Bi / intra-in-B macroblocks.
+    rng = np.random.default_rng(23)
+    frames = [
+        rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        for _ in range(5)
+    ]
+    stream, recons = h.encode_h264_annexb(
+        frames, qp=28, deblock=deblock, gop="ibp"
+    )
+    pics = h.decode_h264_annexb(stream)
+    assert pics is not None and len(pics) == 5
+    for p, r in zip(pics, recons):
+        assert np.array_equal(p, r)
+
+
+def test_h264_b_stream_signals_main_profile_and_poc0():
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        for _ in range(3)
+    ]
+    stream, _ = h.encode_h264_annexb(frames, qp=26, gop="ibp")
+    nals = h.parse_annexb_nals(stream, with_ref_idc=True)
+    sps = next(r for t, _, r in nals if t == 7)
+    d = h.parse_sps(sps)
+    assert d["profile"] == 77 and d["poc_type"] == 0
+    # non-reference B slice carries nal_ref_idc 0; P/IDR are refs
+    idcs = [(t, ri) for t, ri, _ in nals if t in (1, 5)]
+    assert idcs[0] == (5, 3) and idcs[1] == (1, 3) and idcs[2][1] == 0
+
+
+def test_h264_b_direct_rejects_cleanly():
+    # a B slice whose first mb_type is 0 (B_Direct_16x16) must reject
+    rng = np.random.default_rng(3)
+    base = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)] * 3
+    stream, _ = h.encode_h264_annexb(base, qp=26, gop="ibp")
+    w = h._BitWriter()
+    w.ue(0)   # first_mb
+    w.ue(6)   # slice_type B
+    w.ue(0)   # pps_id
+    w.u(4, 2)  # frame_num
+    w.u(8, 4)  # pic_order_cnt_lsb
+    w.u(1, 0)  # direct_spatial_mv_pred_flag
+    w.u(1, 0)  # num_ref_idx_active_override
+    w.u(1, 0)  # ref list mod l0
+    w.u(1, 0)  # ref list mod l1
+    w.se(0)   # qp delta
+    w.ue(1)   # deblocking off
+    w.ue(0)   # mb_skip_run
+    w.ue(0)   # mb_type B_Direct_16x16
+    w.rbsp_trailing()
+    nals = h.parse_annexb_nals(stream, with_ref_idc=True)
+    out = []
+    b_seen = False
+    for t, ri, r in nals:
+        if t == 1 and ri == 0 and not b_seen:
+            out.append(h._nal(1, w.tobytes(), ref_idc=0))
+            b_seen = True
+        else:
+            out.append(h._nal(t, r, ref_idc=ri))
+    assert b_seen
+    assert h.decode_h264_annexb(b"".join(out)) is None
+
+
+def test_h264_bi_prediction_is_average():
+    # hand-check 8.4.2.3 default bi-prediction: flat refs 60 and 100
+    # with zero MVs -> (60 + 100 + 1) >> 1 = 80 everywhere
+    sps_d = {
+        "width_mbs": 1, "height_mbs": 1, "width": 16, "height": 16,
+        "poc_type": 0, "log2_max_frame_num": 4, "log2_max_poc_lsb": 8,
+    }
+    fr = h._Frame(sps_d)
+    fr.slice_of_mb[:] = 0
+    ref0 = (np.full((16, 16), 60, dtype=np.int64),
+            np.full((8, 8), 90, dtype=np.int64),
+            np.full((8, 8), 110, dtype=np.int64))
+    ref1 = (np.full((16, 16), 100, dtype=np.int64),
+            np.full((8, 8), 30, dtype=np.int64),
+            np.full((8, 8), 50, dtype=np.int64))
+    p0 = h._inter_pred_planes(fr, 0, 0, h._P_PARTS[0], [(0, 0)], ref0)
+    p1 = h._inter_pred_planes(fr, 0, 0, h._P_PARTS[0], [(0, 0)], ref1)
+    avg_y = (p0[0] + p1[0] + 1) >> 1
+    assert (avg_y == 80).all()
+    assert (((p0[1] + p1[1] + 1) >> 1) == 60).all()
+    assert (((p0[2] + p1[2] + 1) >> 1) == 80).all()
