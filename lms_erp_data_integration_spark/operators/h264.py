@@ -18,15 +18,17 @@ Supported (returns planes) vs rejected (returns None, never raises):
   / total_zeros / run_before per Tables 9-5..9-10), dequantisation
   (8.5.9-8.5.12) and the 4x4 integer inverse transform + luma DC
   Hadamard + chroma DC transform.
-- P slices with a SINGLE L0 reference (the previous decoded picture;
-  sliding-window marking): P_Skip via mb_skip_run, P_L0_16x16,
-  P_L0_L0_16x8, P_L0_L0_8x16, and intra-in-P (mb_type - 5).
-  Quarter-sample luma interpolation (6-tap half-pel + quarter
-  averaging, 8.4.2.2.1; border-clamped fetches), eighth-sample
+- P slices with up to TWO L0 references (sliding-window marking;
+  per-partition ``ref_idx_l0`` te(v) when two are active): P_Skip via
+  mb_skip_run, P_L0_16x16, P_L0_L0_16x8, P_L0_L0_8x16, and intra-in-P
+  (mb_type - 5). Quarter-sample luma interpolation (6-tap half-pel +
+  quarter averaging, 8.4.2.2.1; border-clamped fetches), eighth-sample
   bilinear chroma (8.4.2.2.2), median MV prediction with the
   16x8/8x16 directional rules (8.4.1.3) and the P_Skip zero-MV
   conditions (8.4.1.1), and the Table 9-4 INTER coded_block_pattern
-  mapping.
+  mapping. EXPLICIT WEIGHTED PREDICTION (pred_weight_table, 7.3.3.2):
+  per-ref luma/chroma weights + offsets applied per 8.4.2.3.3,
+  including to P_Skip macroblocks.
 - The in-loop DEBLOCKING filter (8.7) with full per-segment boundary
   strengths: 4 on intra MB edges, 3 inside intra MBs, and the
   inter 2/1/0 tiers from coded coefficients and >= 1-sample MV
@@ -38,10 +40,10 @@ Supported (returns planes) vs rejected (returns None, never raises):
   construction — equivalent to the spec's per-MB ordering, which it
   replicates edge by edge; P slices predict from the POST-filter
   reference exactly as 8.4 requires.
-  B slices, multi-reference lists, weighted prediction, sub-8x8
-  partitions, and CABAC are REJECTED (None), honoring the decoder
-  family's reject-cleanly contract (same posture as ``jpeg.py``'s
-  hierarchical processes).
+  B direct/skip modes, B partitions, more than two references,
+  weighted BI-prediction, sub-8x8 partitions, and CABAC are REJECTED
+  (None), honoring the decoder family's reject-cleanly contract (same
+  posture as ``jpeg.py``'s hierarchical processes).
 
 All VLC tables are transcribed from the public spec and checked for
 prefix-freeness by ``tests/test_h264.py``; fixtures come from this
@@ -1137,22 +1139,47 @@ def _decode_slice(
         b.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
         b.u(sps["log2_max_poc_lsb"])
+    n_active = 1
+    wp: dict | None = None
     if is_b:
         b.flag()  # direct_spatial_mv_pred_flag (no direct MBs decoded)
     if is_p or is_b:
         if b.flag():  # num_ref_idx_active_override_flag
-            if b.ue() != 0:
-                raise ValueError("multiple reference pictures unsupported")
+            n_active = 1 + b.ue()
             if is_b and b.ue() != 0:
-                raise ValueError("multiple reference pictures unsupported")
-        elif pps.get("num_ref_idx_l0_active", 1) != 1:
-            raise ValueError("multiple reference pictures unsupported")
+                raise ValueError("multiple L1 references unsupported")
+        else:
+            n_active = pps.get("num_ref_idx_l0_active", 1)
+        if is_b and n_active != 1:
+            raise ValueError("multiple L0 references in B unsupported")
+        if n_active > 2:
+            raise ValueError("more than two reference pictures unsupported")
+        if is_p and len(refs) < n_active:
+            raise ValueError("reference list shorter than active count")
         if b.flag():  # ref_pic_list_modification_flag_l0
             raise ValueError("ref pic list modification unsupported")
         if is_b and b.flag():  # ref_pic_list_modification_flag_l1
             raise ValueError("ref pic list modification unsupported")
         if is_p and pps.get("weighted_pred", False):
-            raise ValueError("weighted prediction unsupported")
+            # pred_weight_table (7.3.3.2), explicit P weights
+            l_lwd = b.ue()
+            c_lwd = b.ue()
+            if l_lwd > 7 or c_lwd > 7:
+                raise ValueError("bad log2_weight_denom")
+            wp = {"l_lwd": l_lwd, "c_lwd": c_lwd, "l": [], "c": []}
+            for _ in range(n_active):
+                if b.flag():  # luma_weight_l0_flag
+                    wp["l"].append((b.se(), b.se()))
+                else:
+                    wp["l"].append((1 << l_lwd, 0))
+                if b.flag():  # chroma_weight_l0_flag
+                    wp["c"].append(
+                        ((b.se(), b.se()), (b.se(), b.se()))
+                    )
+                else:
+                    wp["c"].append(
+                        ((1 << c_lwd, 0), (1 << c_lwd, 0))
+                    )
         if is_b and pps.get("weighted_bipred_idc", 0) != 0:
             raise ValueError("weighted bi-prediction unsupported")
     # dec_ref_pic_marking: IDR = two flags; non-IDR reference slices =
@@ -1189,7 +1216,7 @@ def _decode_slice(
         for _ in range(skip_run):
             if mb_addr >= n_mbs:
                 raise ValueError("mb_skip_run past slice end")
-            _decode_skip_mb(fr, mb_addr, qp, slice_id, refs[0])
+            _decode_skip_mb(fr, mb_addr, qp, slice_id, refs[0], wp)
             mb_addr += 1
         if mb_addr >= n_mbs or not b.more_rbsp_data():
             break
@@ -1209,7 +1236,8 @@ def _decode_slice(
                 )
         elif mb_type <= 2:
             qp = _decode_mb_inter(
-                fr, b, mb_addr, qp, pps, slice_id, mb_type, refs[0]
+                fr, b, mb_addr, qp, pps, slice_id, mb_type, refs,
+                n_active, wp,
             )
         elif mb_type in (3, 4):
             raise ValueError("P_8x8 sub-partitions unsupported")
@@ -1591,30 +1619,32 @@ def _mv_neighbor(
 
 def _mv_pred(
     fr: _Frame, bx: int, by: int, w4: int, h4: int, sid: int, kind: str,
-    lx: int = 0,
+    lx: int = 0, cur_ref: int = 0,
 ) -> tuple[int, int]:
     """Luma MV predictor (8.4.1.3 + 8.4.1.3.1) for the partition whose
-    top-left 4x4 block is (bx, by), over reference list ``lx``:
-    neighbours A (left), B (above), C (above-right, D above-left
-    fallback); directional overrides for 16x8 / 8x16 partitions when
-    the directional neighbour's reference matches (single-ref:
-    refIdx 0); else median, with the B-and-C-unavailable -> A rule."""
+    top-left 4x4 block is (bx, by), over reference list ``lx`` with
+    the partition's reference index ``cur_ref``: neighbours A (left),
+    B (above), C (above-right, D above-left fallback); directional
+    overrides for 16x8 / 8x16 partitions when the directional
+    neighbour's reference equals cur_ref; else median, with the
+    B-and-C-unavailable -> A rule and the exactly-one-matching-ref
+    shortcut."""
     a = _mv_neighbor(fr, bx - 1, by, sid, lx)
     bn = _mv_neighbor(fr, bx, by - 1, sid, lx)
     c = _mv_neighbor(fr, bx + w4, by - 1, sid, lx)
     if c is None:
         c = _mv_neighbor(fr, bx - 1, by - 1, sid, lx)  # D fallback
-    if kind == "16x8t" and bn is not None and bn[1] == 0:
+    if kind == "16x8t" and bn is not None and bn[1] == cur_ref:
         return bn[0]
-    if kind in ("16x8b", "8x16l") and a is not None and a[1] == 0:
+    if kind in ("16x8b", "8x16l") and a is not None and a[1] == cur_ref:
         return a[0]
-    if kind == "8x16r" and c is not None and c[1] == 0:
+    if kind == "8x16r" and c is not None and c[1] == cur_ref:
         return c[0]
     if bn is None and c is None:
         return a[0] if a is not None else (0, 0)
     mvs = [n[0] if n is not None else (0, 0) for n in (a, bn, c)]
     refs = [n[1] if n is not None else -1 for n in (a, bn, c)]
-    same = [i for i in range(3) if refs[i] == 0]
+    same = [i for i in range(3) if refs[i] == cur_ref]
     if len(same) == 1:
         return mvs[same[0]]
     xs = sorted(v[0] for v in mvs)
@@ -1639,8 +1669,37 @@ def _skip_mv(fr: _Frame, mbx: int, mby: int, sid: int) -> tuple[int, int]:
 _REF = tuple  # (y, cb, cr) int64 planes of the reference picture
 
 
+def _apply_wp(
+    pred: np.ndarray, w: int, o: int, lwd: int
+) -> np.ndarray:
+    """Explicit weighted-prediction sample transform (8.4.2.3.3,
+    uni-directional): Clip1(((pred * w + 2^(lwd-1)) >> lwd) + o), or
+    the shift-free form when lwd == 0."""
+    if lwd >= 1:
+        return _clip8(((pred * w + (1 << (lwd - 1))) >> lwd) + o)
+    return _clip8(pred * w + o)
+
+
+def _wp_planes(
+    pred_y: np.ndarray, pred_cb: np.ndarray, pred_cr: np.ndarray,
+    wp: dict | None, ri: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Apply a P slice's pred_weight_table entry for ref ``ri`` to the
+    three MC planes (identity when the slice carries no table)."""
+    if wp is None:
+        return pred_y, pred_cb, pred_cr
+    lw, lo = wp["l"][ri]
+    (cbw, cbo), (crw, cro) = wp["c"][ri]
+    return (
+        _apply_wp(pred_y, lw, lo, wp["l_lwd"]),
+        _apply_wp(pred_cb, cbw, cbo, wp["c_lwd"]),
+        _apply_wp(pred_cr, crw, cro, wp["c_lwd"]),
+    )
+
+
 def _decode_skip_mb(
     fr: _Frame, mb_addr: int, qp: int, sid: int, ref: tuple,
+    wp: dict | None = None,
 ) -> None:
     mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
     fr.slice_of_mb[mby, mbx] = sid
@@ -1650,9 +1709,15 @@ def _decode_skip_mb(
     fr.ref4[b4y : b4y + 4, b4x : b4x + 4] = 0
     fr.ref4b[b4y : b4y + 4, b4x : b4x + 4] = -1
     ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
-    fr.y[oy : oy + 16, ox : ox + 16] = _mc_luma(ref[0], oy, ox, 16, 16, mv)
-    fr.cb[cy : cy + 8, cx : cx + 8] = _mc_chroma(ref[1], cy, cx, 8, 8, mv)
-    fr.cr[cy : cy + 8, cx : cx + 8] = _mc_chroma(ref[2], cy, cx, 8, 8, mv)
+    py_, pcb, pcr = _wp_planes(
+        _mc_luma(ref[0], oy, ox, 16, 16, mv),
+        _mc_chroma(ref[1], cy, cx, 8, 8, mv),
+        _mc_chroma(ref[2], cy, cx, 8, 8, mv),
+        wp, 0,
+    )
+    fr.y[oy : oy + 16, ox : ox + 16] = py_
+    fr.cb[cy : cy + 8, cx : cx + 8] = pcb
+    fr.cr[cy : cy + 8, cx : cx + 8] = pcr
     fr.nc_y[b4y : b4y + 4, b4x : b4x + 4] = 0
     fr.nc_cb[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
     fr.nc_cr[mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
@@ -1685,33 +1750,60 @@ def _inter_pred_planes(
 
 def _decode_mb_inter(
     fr: _Frame, b: _Bits, mb_addr: int, qp: int, pps: dict, sid: int,
-    mb_type: int, ref: tuple,
+    mb_type: int, refs: list, n_active: int = 1, wp: dict | None = None,
 ) -> int:
-    """P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16 (mb_type 0..2) with a
-    single L0 reference: mvd per partition, Table 9-4 inter CBP, CAVLC
-    residuals identical to intra, prediction motion-compensated."""
+    """P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16 (mb_type 0..2):
+    optional per-partition ref_idx_l0 (te(v), present when two refs
+    are active), mvd per partition, optional explicit weighted
+    prediction, Table 9-4 inter CBP, CAVLC residuals identical to
+    intra, prediction motion-compensated."""
     mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
     fr.slice_of_mb[mby, mbx] = sid
-    ox, oy = mbx * 16, mby * 16
     parts = _P_PARTS[mb_type]
     # syntax order: all ref_idx_l0 (absent with one active ref), then
     # all mvd_l0 pairs; derivation is sequential (partition 1's
     # predictor may read partition 0's stored MV)
+    if n_active == 2:
+        # te(v) with range 0..1: one bit, inverted
+        ris = [1 - b.u(1) for _ in parts]
+    else:
+        ris = [0 for _ in parts]
     mvds = [(b.se(), b.se()) for _ in parts]
     mvs: list[tuple[int, int]] = []
-    for (pbx, pby, w4, h4, kind), (dx, dy) in zip(parts, mvds):
+    for (pbx, pby, w4, h4, kind), (dx, dy), ri in zip(parts, mvds, ris):
         bx, by = mbx * 4 + pbx, mby * 4 + pby
-        px_, py_ = _mv_pred(fr, bx, by, w4, h4, sid, kind)
+        px_, py_ = _mv_pred(fr, bx, by, w4, h4, sid, kind, 0, ri)
         mv = (px_ + dx, py_ + dy)
         mvs.append(mv)
         fr.mv4[by : by + h4, bx : bx + w4] = mv
-        fr.ref4[by : by + h4, bx : bx + w4] = 0
+        fr.ref4[by : by + h4, bx : bx + w4] = ri
         fr.ref4b[by : by + h4, bx : bx + w4] = -1
-    pred_y, pred_cb, pred_cr = _inter_pred_planes(
-        fr, mbx, mby, parts, mvs, ref
-    )
+    pred_y = np.empty((16, 16), dtype=np.int64)
+    pred_cb = np.empty((8, 8), dtype=np.int64)
+    pred_cr = np.empty((8, 8), dtype=np.int64)
+    for (pbx, pby, w4, h4, kind), mv, ri in zip(parts, mvs, ris):
+        py_, pcb, pcr = _wp_planes(
+            *_partition_mc(fr, mbx, mby, pbx, pby, w4, h4, mv, refs[ri]),
+            wp, ri,
+        )
+        pred_y[pby * 4 : pby * 4 + h4 * 4, pbx * 4 : pbx * 4 + w4 * 4] = py_
+        pred_cb[pby * 2 : pby * 2 + h4 * 2, pbx * 2 : pbx * 2 + w4 * 2] = pcb
+        pred_cr[pby * 2 : pby * 2 + h4 * 2, pbx * 2 : pbx * 2 + w4 * 2] = pcr
     return _inter_residual_recon(
         fr, b, mbx, mby, qp, pps, sid, pred_y, pred_cb, pred_cr
+    )
+
+
+def _partition_mc(
+    fr: _Frame, mbx: int, mby: int, pbx: int, pby: int, w4: int,
+    h4: int, mv: tuple[int, int], ref: tuple,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """MC planes for ONE partition of an MB (pre-weighting)."""
+    ox, oy, cx, cy = mbx * 16, mby * 16, mbx * 8, mby * 8
+    return (
+        _mc_luma(ref[0], oy + pby * 4, ox + pbx * 4, h4 * 4, w4 * 4, mv),
+        _mc_chroma(ref[1], cy + pby * 2, cx + pbx * 2, h4 * 2, w4 * 2, mv),
+        _mc_chroma(ref[2], cy + pby * 2, cx + pbx * 2, h4 * 2, w4 * 2, mv),
     )
 
 
@@ -2221,7 +2313,9 @@ def _sps_rbsp(wmb: int, hmb: int, poc_type: int = 2) -> bytes:
     return w.tobytes()
 
 
-def _pps_rbsp(pic_init_qp: int, chroma_qp_offset: int) -> bytes:
+def _pps_rbsp(
+    pic_init_qp: int, chroma_qp_offset: int, weighted_pred: bool = False,
+) -> bytes:
     w = _BitWriter()
     w.ue(0)  # pps_id
     w.ue(0)  # sps_id
@@ -2230,7 +2324,7 @@ def _pps_rbsp(pic_init_qp: int, chroma_qp_offset: int) -> bytes:
     w.ue(0)  # one slice group
     w.ue(0)
     w.ue(0)
-    w.u(1, 0)  # weighted_pred
+    w.u(1, 1 if weighted_pred else 0)  # weighted_pred
     w.u(2, 0)
     w.se(pic_init_qp - 26)
     w.se(0)  # pic_init_qs
@@ -2292,6 +2386,7 @@ def encode_h264_annexb(
         raise ValueError("fixture frames must be MB-aligned")
     wmb, hmb = w // 16, h // 16
     poc_type = 0 if gop == "ibp" else 2
+    weighted = gop == "ippw"
     sps_d = {
         "width_mbs": wmb, "height_mbs": hmb, "width": w, "height": h,
         "poc_type": poc_type, "log2_max_frame_num": 4,
@@ -2303,7 +2398,7 @@ def encode_h264_annexb(
     }
     out = [
         _nal(7, _sps_rbsp(wmb, hmb, poc_type)),
-        _nal(8, _pps_rbsp(qp, chroma_qp_offset)),
+        _nal(8, _pps_rbsp(qp, chroma_qp_offset, weighted)),
     ]
     recons: list[np.ndarray] = []
     refs: list = []
@@ -2311,13 +2406,29 @@ def encode_h264_annexb(
     for fi, rgb in enumerate(frames_rgb):
         if fi == 0:
             kind = "i"
-        elif gop == "ipp":
+        elif gop in ("ipp", "ippw"):
             kind = "p"
         elif gop == "ibp":
             kind = "p" if fi % 2 == 1 else "b"
         else:
             kind = "i"
         is_ref = kind != "b"
+        n_active = min(2, len(refs)) if weighted else 1
+        wp: dict | None = None
+        if weighted and kind == "p":
+            wp = {
+                "l_lwd": 5, "c_lwd": 5,
+                "l": [
+                    (32 + ((fi * 8) % 17) - 8 + 2 * ri,
+                     (fi % 5) - 2 + ri)
+                    for ri in range(n_active)
+                ],
+                "c": [
+                    ((32 - (fi % 3) + ri, (fi % 3) - 1),
+                     (33 - (fi % 4), -(fi % 2) + ri))
+                    for ri in range(n_active)
+                ],
+            }
         y, cb, cr = _rgb_to_yuv420(np.asarray(rgb, dtype=np.uint8))
         fr = _Frame(sps_d)
         wtr = _BitWriter()
@@ -2341,10 +2452,26 @@ def encode_h264_annexb(
                 wtr.u(8, (2 * fi) % 256)  # pic_order_cnt_lsb
             if kind == "b":
                 wtr.u(1, 0)  # direct_spatial_mv_pred_flag
-            wtr.u(1, 0)  # num_ref_idx_active_override_flag
+            if kind == "p" and n_active == 2:
+                wtr.u(1, 1)  # num_ref_idx_active_override_flag
+                wtr.ue(n_active - 1)
+            else:
+                wtr.u(1, 0)  # num_ref_idx_active_override_flag
             wtr.u(1, 0)  # ref_pic_list_modification_flag_l0
             if kind == "b":
                 wtr.u(1, 0)  # ref_pic_list_modification_flag_l1
+            if wp is not None:  # pred_weight_table (7.3.3.2)
+                wtr.ue(wp["l_lwd"])
+                wtr.ue(wp["c_lwd"])
+                for ri in range(n_active):
+                    wtr.u(1, 1)  # luma_weight_l0_flag
+                    wtr.se(wp["l"][ri][0])
+                    wtr.se(wp["l"][ri][1])
+                    wtr.u(1, 1)  # chroma_weight_l0_flag
+                    wtr.se(wp["c"][ri][0][0])
+                    wtr.se(wp["c"][ri][0][1])
+                    wtr.se(wp["c"][ri][1][0])
+                    wtr.se(wp["c"][ri][1][1])
             if is_ref:
                 wtr.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
         wtr.se(0)  # slice_qp_delta
@@ -2365,7 +2492,7 @@ def encode_h264_annexb(
             for mb_addr in range(wmb * hmb):
                 choice = (fi + mb_addr) % 8
                 if choice in (0, 4):  # P_Skip
-                    _decode_skip_mb(fr, mb_addr, cur_qp, 0, refs[0])
+                    _decode_skip_mb(fr, mb_addr, cur_qp, 0, refs[0], wp)
                     skip_run += 1
                     continue
                 wtr.ue(skip_run)
@@ -2373,7 +2500,7 @@ def encode_h264_annexb(
                 if choice in (1, 2, 3):
                     cur_qp = _encode_mb_inter(
                         fr, wtr, mb_addr, cur_qp, pps_d, y, cb, cr, fi,
-                        refs[0], choice - 1,
+                        refs, choice - 1, n_active=n_active, wp=wp,
                     )
                 else:  # 5/6/7: intra-in-P, mb_type offset +5
                     cur_qp = _encode_mb(
@@ -2673,12 +2800,15 @@ def _encode_mb(
 def _encode_mb_inter(
     fr: _Frame, w: _BitWriter, mb_addr: int, qp: int, pps: dict,
     y: np.ndarray, cb: np.ndarray, cr: np.ndarray, fi: int,
-    ref: tuple, mb_type: int, sid: int = 0,
+    refs: list, mb_type: int, sid: int = 0, n_active: int = 1,
+    wp: dict | None = None,
 ) -> int:
     """Encode one inter MB (P_L0_16x16 / 16x8 / 8x16) with
     deterministic quarter-pel MVs (exercising every fractional
-    position across MBs) and closed-loop reconstruction running the
-    decoder's exact MC + dequant + inverse transform."""
+    position across MBs), deterministic per-partition ref_idx when two
+    references are active, optional explicit weighting, and
+    closed-loop reconstruction running the decoder's exact MC +
+    dequant + inverse transform."""
     mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
     fr.slice_of_mb[mby, mbx] = sid
     ox, oy = mbx * 16, mby * 16
@@ -2687,11 +2817,14 @@ def _encode_mb_inter(
     src_cb = cb[cy : cy + 8, cx : cx + 8].astype(np.int64)
     src_cr = cr[cy : cy + 8, cx : cx + 8].astype(np.int64)
     parts = _P_PARTS[mb_type]
+    ris = [
+        (mb_addr + fi + pi) % n_active for pi in range(len(parts))
+    ]
     mvds: list[tuple[int, int]] = []
     mvs: list[tuple[int, int]] = []
     for pi, (pbx, pby, w4, h4, kind) in enumerate(parts):
         bx, by = mbx * 4 + pbx, mby * 4 + pby
-        mvp = _mv_pred(fr, bx, by, w4, h4, sid, kind)
+        mvp = _mv_pred(fr, bx, by, w4, h4, sid, kind, 0, ris[pi])
         mv = (
             ((mb_addr * 7 + fi * 3 + pi * 5) % 17) - 8,
             ((mb_addr * 11 + fi * 5 + pi * 13) % 17) - 8,
@@ -2699,12 +2832,23 @@ def _encode_mb_inter(
         mvs.append(mv)
         mvds.append((mv[0] - mvp[0], mv[1] - mvp[1]))
         fr.mv4[by : by + h4, bx : bx + w4] = mv
-        fr.ref4[by : by + h4, bx : bx + w4] = 0
+        fr.ref4[by : by + h4, bx : bx + w4] = ris[pi]
         fr.ref4b[by : by + h4, bx : bx + w4] = -1
-    pred_y, pred_cb, pred_cr = _inter_pred_planes(
-        fr, mbx, mby, parts, mvs, ref
-    )
+    pred_y = np.empty((16, 16), dtype=np.int64)
+    pred_cb = np.empty((8, 8), dtype=np.int64)
+    pred_cr = np.empty((8, 8), dtype=np.int64)
+    for (pbx, pby, w4, h4, kind), mv, ri in zip(parts, mvs, ris):
+        py_, pcb, pcr = _wp_planes(
+            *_partition_mc(fr, mbx, mby, pbx, pby, w4, h4, mv, refs[ri]),
+            wp, ri,
+        )
+        pred_y[pby * 4 : pby * 4 + h4 * 4, pbx * 4 : pbx * 4 + w4 * 4] = py_
+        pred_cb[pby * 2 : pby * 2 + h4 * 2, pbx * 2 : pbx * 2 + w4 * 2] = pcb
+        pred_cr[pby * 2 : pby * 2 + h4 * 2, pbx * 2 : pbx * 2 + w4 * 2] = pcr
     w.ue(mb_type)
+    if n_active == 2:
+        for ri in ris:
+            w.u(1, 1 - ri)  # te(v), range 0..1: inverted single bit
     for dx, dy in mvds:
         w.se(dx)
         w.se(dy)
@@ -3035,13 +3179,14 @@ def _deblock_edge_chroma(
 def _block_pic_mvs(
     fr: _Frame, x4: int, y4: int
 ) -> list[tuple[int, int, int]]:
-    """[(reference-picture id, mvx, mvy)] used by the 4x4 block: L0
-    ref0 is picture 0 (most recent reference), L1 ref0 is picture 1 —
-    list-agnostic identities, as 8.7.2.1 compares reference PICTURES
-    not lists."""
+    """[(reference-picture id, mvx, mvy)] used by the 4x4 block: the
+    picture id is the physical DPB index — L0 ref_idx r is picture r
+    (most recent reference = 0), L1 ref0 is picture 1 — list-agnostic
+    identities, as 8.7.2.1 compares reference PICTURES not lists."""
     out = []
-    if int(fr.ref4[y4, x4]) == 0:
-        out.append((0, int(fr.mv4[y4, x4, 0]), int(fr.mv4[y4, x4, 1])))
+    r0 = int(fr.ref4[y4, x4])
+    if r0 >= 0:
+        out.append((r0, int(fr.mv4[y4, x4, 0]), int(fr.mv4[y4, x4, 1])))
     if int(fr.ref4b[y4, x4]) == 0:
         out.append((1, int(fr.mv4b[y4, x4, 0]), int(fr.mv4b[y4, x4, 1])))
     return out

