@@ -274,7 +274,7 @@ def parse_pps(rbsp: bytes) -> dict:
     if b.ue() != 0:
         raise ValueError("slice groups (FMO) not supported")
     num_ref_l0 = b.ue() + 1  # num_ref_idx_l0_default_active_minus1
-    b.ue()  # num_ref_idx_l1_default_active_minus1
+    num_ref_l1 = b.ue() + 1  # num_ref_idx_l1_default_active_minus1
     weighted_pred = b.flag()
     weighted_bipred_idc = b.u(2)
     pic_init_qp = b.se() + 26
@@ -291,6 +291,7 @@ def parse_pps(rbsp: bytes) -> dict:
         "deblocking_control_present": deblocking_control_present,
         "constrained_intra": constrained_intra,
         "num_ref_idx_l0_active": num_ref_l0,
+        "num_ref_idx_l1_active": num_ref_l1,
         "weighted_pred": weighted_pred,
         "weighted_bipred_idc": weighted_bipred_idc,
     }
@@ -1120,8 +1121,9 @@ def _decode_slice(
     bi-prediction — with no future references, the default RefPicList1
     equals RefPicList0 and the spec swaps its first two entries, so
     L1[0] is the second-most-recent picture). Raises ValueError on
-    unsupported shapes (direct/skip B modes, multi-ref, weighted
-    prediction, sub-8x8 partitions, ASO)."""
+    unsupported shapes (direct/skip B modes, multi-ref L1, weighted
+    bi-prediction, sub-8x8 partitions, constrained intra in P/B,
+    ASO)."""
     first_mb = b.ue()
     slice_type = b.ue()
     st = slice_type % 5
@@ -1133,6 +1135,15 @@ def _decode_slice(
         raise ValueError("P slice without a reference picture")
     if is_b and (refs is None or len(refs) < 2):
         raise ValueError("B slice without two reference pictures")
+    if (is_p or is_b) and pps.get("constrained_intra", False):
+        # 8.3.1: with constrained_intra_pred_flag, intra MBs inside
+        # P/B slices must treat inter-coded neighbours as unavailable
+        # for prediction. The decoder predicts from all decoded
+        # neighbours, so decoding such a stream would produce silently
+        # wrong pixels — reject cleanly instead.
+        raise ValueError(
+            "constrained_intra_pred in P/B slices unsupported"
+        )
     b.ue()  # pps_id (single active PPS assumed)
     b.u(sps["log2_max_frame_num"])  # frame_num
     if nal_type == 5:
@@ -1150,6 +1161,11 @@ def _decode_slice(
                 raise ValueError("multiple L1 references unsupported")
         else:
             n_active = pps.get("num_ref_idx_l0_active", 1)
+            if is_b and pps.get("num_ref_idx_l1_active", 1) != 1:
+                # without the override flag the PPS L1 default applies;
+                # >1 would put te(v) ref_idx_l1 syntax in the stream
+                # that this decoder never parses — reject, don't desync
+                raise ValueError("multiple L1 references unsupported")
         if is_b and n_active != 1:
             raise ValueError("multiple L0 references in B unsupported")
         if n_active > 2:
@@ -3187,8 +3203,9 @@ def _block_pic_mvs(
     r0 = int(fr.ref4[y4, x4])
     if r0 >= 0:
         out.append((r0, int(fr.mv4[y4, x4, 0]), int(fr.mv4[y4, x4, 1])))
-    if int(fr.ref4b[y4, x4]) == 0:
-        out.append((1, int(fr.mv4b[y4, x4, 0]), int(fr.mv4b[y4, x4, 1])))
+    rb = int(fr.ref4b[y4, x4])
+    if rb >= 0:
+        out.append((1 + rb, int(fr.mv4b[y4, x4, 0]), int(fr.mv4b[y4, x4, 1])))
     return out
 
 
@@ -3201,8 +3218,8 @@ def _bs_blocks(
     the blocks use different reference pictures or a different number
     of motion vectors, or any same-picture MV pair differs by >= 4
     quarter samples in a component; else 0 (edge not filtered)."""
-    p_inter = int(fr.ref4[py4, px4]) == 0 or int(fr.ref4b[py4, px4]) == 0
-    q_inter = int(fr.ref4[qy4, qx4]) == 0 or int(fr.ref4b[qy4, qx4]) == 0
+    p_inter = int(fr.ref4[py4, px4]) >= 0 or int(fr.ref4b[py4, px4]) >= 0
+    q_inter = int(fr.ref4[qy4, qx4]) >= 0 or int(fr.ref4b[qy4, qx4]) >= 0
     # non-inter covers intra (-1) and never-assigned (-2, hand-built
     # frames): intra is the conservative strongest-filter default
     if not p_inter or not q_inter:

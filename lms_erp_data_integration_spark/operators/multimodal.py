@@ -2171,6 +2171,16 @@ def mp4_avc_full_annexb(payload: bytes) -> bytes | None:
     where a P picture finds its reference in the immediately
     preceding decoded picture — a shape the per-sample
     ``avcc_to_annexb`` + single-frame decode cannot express."""
+    st = mp4_avc_annexb_with_table(payload)
+    return None if st is None else st[0]
+
+
+def mp4_avc_annexb_with_table(
+    payload: bytes,
+) -> tuple[bytes, list[dict]] | None:
+    """``mp4_avc_full_annexb`` plus the sample table it was built
+    from, so GOP decoders can map decoded picture index -> sample
+    timing without re-walking the ISO BMFF boxes."""
     from .h264 import avcc_to_annexb
 
     table = mp4_sample_table(payload)
@@ -2185,7 +2195,7 @@ def mp4_avc_full_annexb(payload: bytes) -> bytes | None:
         if ab is None:
             return None
         parts.append(ab)
-    return b"".join(parts)
+    return b"".join(parts), table
 
 
 def decode_video_gop_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2209,15 +2219,21 @@ def decode_video_gop_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             rows = []
             for i, p in zip(pdf[id_col], pdf["payload"]):
-                stream = mp4_avc_full_annexb(bytes(p))
-                if stream is None:
+                st = mp4_avc_annexb_with_table(bytes(p))
+                if st is None:
                     continue
+                stream, table = st
                 pics = decode_h264_annexb(stream)
                 if pics is None:
                     continue
-                table = mp4_sample_table(bytes(p)) or []
+                if len(pics) != len(table):
+                    # decoded-picture count disagreeing with the
+                    # container's sample table means a desynced or
+                    # corrupt stream — skip the video rather than
+                    # emit frames with fabricated timing
+                    continue
                 for si, px in enumerate(pics):
-                    dts = table[si]["dts_ms"] if si < len(table) else 0
+                    dts = table[si]["dts_ms"]
                     rows.append(
                         {
                             "doc_id": i,

@@ -421,7 +421,7 @@ SELECT * FROM (VALUES
   (47, 'jpeg_arith_prog', 1009, 14, 19, 3, 2679052247),
   (48, 'jpeg12', 913, 15, 14, 1, 3553017373),
   (49, 'jpeg12', 2819, 20, 15, 3, 1531271430),
-  (50, 'jpeg12', 965, 12, 16, 1, 2082860512),
+  (50, 'jpeg12', 965, 12, 16, 1, 619439275),
   (51, 'jpeg12', 2772, 17, 17, 3, 939371539),
   (52, 'jpeg12', 866, 9, 18, 1, 1673475466),
   (53, 'jpeg12', 2809, 14, 19, 3, 3997106092),
@@ -1309,7 +1309,7 @@ SELECT * FROM (VALUES
   (4, 4, 16, 16, 375, 8406193680),
   (5, 5, 32, 16, 444, 15211029894),
   (6, 3, 16, 32, 200, 9062735757),
-  (7, 4, 32, 32, 270, 9883904264)
+  (7, 4, 32, 32, 270, 8581016192)
 ) AS t(doc_id, frames_decoded, width, height, dts_last_ms, crc_sum)
 """,
 )
