@@ -408,13 +408,30 @@ kcr AS (SELECT n, MAX(j + o) AS r
         WHERE (j + o) * (j + o) * (j + o) <= n * n GROUP BY n),
 kk AS (SELECT GREATEST(8, CAST(floor(0.125::DOUBLE * r) AS BIGINT)) AS k
        FROM kcr),
-gg AS (SELECT GREATEST(2, CAST(floor(sqrt(k * 1.0)) AS BIGINT)) AS g
-       FROM kk),"""
+gg AS (SELECT CASE WHEN n < 8192 THEN k
+              ELSE GREATEST(2, CAST(floor(sqrt(k * 1.0)) AS BIGINT))
+              END AS g
+       FROM kk, nn),"""
+
+# Small-corpus crossover (r8 verdict #5): the two-level scan's win is
+# asymptotic — per-iteration it adds three bounded stages (coarse
+# sums, centroid->seed join, probe-cell join) whose fixed shuffle
+# overhead dominates below the measured crossover (local[8], min-of-2:
+# flat/two-level sec = 1.17/2.05 @ n=2k, 1.30/1.90 @ 5k, 2.87/2.37
+# @ 10k, 7.24/3.45 @ 20k). Below n=8192 the Spark side takes the flat
+# scan; the oracle keeps the SINGLE unrolled two-level SQL shape with
+# g = k there, which prunes nothing — every centroid seeds its own
+# singleton coarse cell, so the pruned argmin IS the flat argmin
+# (tests/test_llm_ops.py:test_kmeans_two_level_degenerate_equals_flat
+# pins the equivalence) — results stay bit-identical on both paths.
+_KMEANS_TWO_LEVEL_MIN_N = 8192
 
 
-def _kmeans_k(emb) -> int:
-    """Corpus-scaled cluster count (see comment above): exact integer
-    floor(0.125 * floor(cbrt(n^2))), clamped at 8."""
+def _kmeans_params(emb) -> tuple[int, int | None]:
+    """(k, coarse_groups) for a corpus: exact integer
+    k = max(8, floor(0.125 * floor(cbrt(n^2)))), and the coarse
+    codebook size g = max(2, floor(sqrt(k))) — or None (flat scan)
+    below the two-level crossover."""
     import math
 
     n = emb.count()
@@ -423,14 +440,10 @@ def _kmeans_k(emb) -> int:
         j += 1
     while j > 0 and j**3 > n * n:
         j -= 1
-    return max(_KMEANS_K_MIN, int(math.floor(0.125 * j)))
-
-
-def _kmeans_g(k: int) -> int:
-    """Coarse codebook size for the two-level assignment scan."""
-    import math
-
-    return max(2, int(math.floor(math.sqrt(k))))
+    k = max(_KMEANS_K_MIN, int(math.floor(0.125 * j)))
+    if n < _KMEANS_TWO_LEVEL_MIN_N:
+        return k, None
+    return k, max(2, int(math.floor(math.sqrt(k))))
 
 
 _KMEANS_CDIST = (
@@ -505,16 +518,18 @@ SELECT vec_id, cid FROM a2
 def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (corpus-scaled
     k = max(8, floor(0.125 * n^(2/3))), 2 iterations, two-level
-    IVF-style assignment through g = floor(sqrt(k)) coarse cells) —
-    learns the IVF centroids instead of taking them as given. The
+    IVF-style assignment through g = floor(sqrt(k)) coarse cells once
+    n clears the measured crossover, flat scan below it — see the
+    ``_KMEANS_TWO_LEVEL_MIN_N`` comment) — learns the IVF centroids
+    instead of taking them as given. The
     oracle unrolls both iterations in SQL with the same exact-integer
     k; integer-scaled sums + exactly-rounded mean division keep every
     iteration's argmin — including the coarse-cell pruning — bit-
     identical (see operators/similarity.py:kmeans_assignments)."""
     emb = Catalog(spark, sf_dir).embeddings
-    k = _kmeans_k(emb)
+    k, g = _kmeans_params(emb)
     return sim.kmeans_assignments(
-        emb, k=k, iterations=2, coarse_groups=_kmeans_g(k)
+        emb, k=k, iterations=2, coarse_groups=g
     )
 
 
@@ -548,9 +563,9 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = Catalog(spark, sf_dir).embeddings
-    k = _kmeans_k(emb)
+    k, g = _kmeans_params(emb)
     assign = sim.kmeans_assignments(
-        emb, k=k, iterations=2, coarse_groups=_kmeans_g(k)
+        emb, k=k, iterations=2, coarse_groups=g
     )
     keeper = F.min("vec_id").over(W.partitionBy("cid"))
     return assign.select(
@@ -586,9 +601,9 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import profiling
 
     emb = Catalog(spark, sf_dir).embeddings
-    k = _kmeans_k(emb)
+    k, g = _kmeans_params(emb)
     assign = sim.kmeans_assignments(
-        emb, k=k, iterations=2, coarse_groups=_kmeans_g(k)
+        emb, k=k, iterations=2, coarse_groups=g
     )
     return profiling.bucket_sizes(assign, ["cid"]).select(
         "cid",
@@ -632,9 +647,9 @@ def dedup_semantic_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two vector fetches — unpersisted it would re-scan the source per
     # consumer
     emb = tracked_persist(Catalog(spark, sf_dir).embeddings)
-    k = _kmeans_k(emb)
+    k, g = _kmeans_params(emb)
     assign = sim.kmeans_assignments(
-        emb, k=k, iterations=2, coarse_groups=_kmeans_g(k)
+        emb, k=k, iterations=2, coarse_groups=g
     )
     return sim.cluster_verified_pairs(assign, emb, threshold=0.35)
 
@@ -848,9 +863,9 @@ def sim_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = Catalog(spark, sf_dir).embeddings
-    k = _kmeans_k(emb)
+    k, g = _kmeans_params(emb)
     assign = sim.kmeans_assignments(
-        emb, k=k, iterations=2, coarse_groups=_kmeans_g(k)
+        emb, k=k, iterations=2, coarse_groups=g
     )
     cl = (
         assign.join(emb.select("vec_id", "label"), "vec_id")

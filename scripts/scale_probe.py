@@ -109,6 +109,10 @@ PROBE_QUERIES = [
     # exact_* audit columns are the only data-sized aggregates
     "rel_theta_setops",
     "rel_quantile_sketch",
+    # r9: the audit half of the quantile split (verdict #3) — its
+    # full-group exact sorts are the expensive path the production
+    # row no longer carries
+    "rel_quantile_sketch_audit",
 ]
 
 
@@ -262,6 +266,15 @@ DECADE2_QUERIES = [
     "llm_dup_span_detect",
     "llm_winnow_pairs",
     "llm_dedup_minhash_lsh",
+    # r9 (r8 verdict #4): every remaining probed query whose
+    # first-decade exponent exceeded ~0.5 without a second-decade
+    # entry. llm_dedup_incremental and rel_q18_large_orders read
+    # lineitem/orders-family tables, which the sf10 doc/emb-only
+    # drop does not replicate — document-family targets only here.
+    "llm_minhash_accuracy",
+    "llm_contamination_ngram",
+    "llm_text_tfidf_top_terms",
+    "llm_dedup_incremental",
 ]
 
 

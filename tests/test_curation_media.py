@@ -147,3 +147,24 @@ def test_video_ipp_stats_decodes_every_p_frame(spark, sf_dir):
         assert r["width"] == 16 * (1 + vid % 2)
         assert r["height"] == 16 * (1 + (vid // 2) % 2)
         assert r["crc_sum"] > 0
+
+
+def test_image_visual_dedup_flags_planted_pairs(spark, sf_dir):
+    """The four planted content pairs — incl. the pixel-identical
+    PNG/QOI pair and the resized TIFF/JPEG pair — must be flagged as
+    duplicates; with zero non-pair band collisions in the fixture,
+    candidates are exactly the planted pairs."""
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in media_queries.image_visual_dedup(spark, sf_dir).collect()
+    }
+    assert set(rows) == {(0, 1), (2, 3), (4, 5), (6, 7)}
+    for k, r in rows.items():
+        assert r["is_dup"], k
+        assert 1 <= r["n_shared_bands"] <= 4
+        assert r["hamming"] <= media_queries._IMG_DUP_BITS
+    # the PNG/QOI pair is pixel-identical: Hamming 0, all bands shared
+    assert rows[(2, 3)]["hamming"] == 0
+    assert rows[(2, 3)]["n_shared_bands"] == 4
+    # lossy pairs are NEAR dups, not byte-equal hashes
+    assert rows[(0, 1)]["hamming"] > 0
