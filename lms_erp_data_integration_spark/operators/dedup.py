@@ -284,6 +284,41 @@ def incremental_minhash_duplicates(
     )
 
 
+def compact_dedup_index(
+    index_df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-run dedup-index STATE COMPACTION: collapse the index's
+    own near-dup clusters to their keeper (min-id) representatives
+    and drop every other member, returning the compacted index (same
+    schema as ``index_df``).
+
+    Why this is safe for future ingests: a dropped member sits in a
+    near-dup cluster with its keeper, so a future batch doc that
+    near-matches the member is (to LSH recall) also caught by the
+    keeper's postings — while every posting list shrinks by the
+    index's internal duplication rate. At 100 TB this is the
+    periodic maintenance job that keeps the persisted (band,
+    band_key) index from growing with corpus duplication instead of
+    corpus novelty: run it at compaction cadence, not per ingest.
+    The pipeline is cluster-bounded throughout — LSH candidates, one
+    connected-components pass (log-bounded label propagation), one
+    anti join; no all-pairs term anywhere."""
+    pairs = minhash_near_duplicates(
+        index_df, threshold, num_hashes, bands, shingle_n, id_col, text_col
+    )
+    clusters = duplicate_clusters(pairs)
+    dropped = clusters.where(
+        F.col("member") != F.col("cluster_id")
+    ).select(F.col("member").alias(id_col))
+    return index_df.join(dropped, id_col, "left_anti")
+
+
 # Posting-list cap for the exact n-gram-Jaccard join: shingles present
 # in more docs than this are excluded from CANDIDATE GENERATION (never
 # from the Jaccard value itself). Shared with the DuckDB oracles.

@@ -69,6 +69,10 @@ registry.PRIORITY = [
     "llm_dedup_cluster_histogram",
     "llm_dedup_semantic_verified",
     "llm_sim_kmeans_purity",
+    # NEW in r9: cross-run dedup-index state compaction — keeper-only
+    # index rewrite proven safe by re-running the ingest batch against
+    # both index states (full recursive-closure oracle)
+    "llm_dedup_index_compaction",
     # r4-era re-verification backlog: the sixteen fillers displaced
     # by the late-r8 sketch + two-level-k-means + H.264-gate work
     "llm_contamination_ngram",
@@ -103,14 +107,15 @@ registry.PRIORITY = [
     "rel_percentiles_acctbal",
     "rel_profile_columns",
     "rel_q14_promo_revenue",
-    "rel_q1_pricing_summary",
 ]
 
 # r10 rotation plan (for the next round): keep the 8 sync queries
 # pinned and any r10-new/changed queries ahead of fillers, then fill
 # from the re-verification backlog oldest-first — FIRST the last four
 # r4 rows (rel_recursive_month_spine, rel_try_arithmetic,
-# rel_udaf_median_value, rel_window_value_surface), then the r5
+# rel_udaf_median_value, rel_window_value_surface, and
+# rel_q1_pricing_summary, displaced late in r9 by the compaction
+# row), then the r5
 # cohort alphabetically (llm_bpe_top_pairs onward — 36 rows, so r10
 # closes r4 and makes a large dent in r5; r11 finishes r5 and starts
 # r6). The stamped-hash policy stays as is; stamp with

@@ -1280,6 +1280,134 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
 """
 
 
+def _index_compaction_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
+    """Oracle for llm_dedup_index_compaction. Uses the subset-filter
+    equivalence: running incremental dedup against the COMPACTED index
+    equals the full-index matches restricted to surviving (keeper)
+    docs, because band-join candidates against a subset of the index
+    are exactly the subset's candidates and verification is per-pair.
+    The Spark side really re-runs the batch against the compacted
+    index; this SQL twin proves the result identical."""
+    banded = _mh_banded_cte(num_hashes, rows_per_band).replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    )
+    return rf"""
+{banded}
+icands AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 <> 0),
+{_SIZES_CTE}
+iinter AS (
+  SELECT c.i, c.j, COUNT(*) AS inter
+  FROM icands c
+  JOIN shing si ON si.doc_id = c.i
+  JOIN shing sj ON sj.doc_id = c.j AND sj.shingle = si.shingle
+  GROUP BY c.i, c.j),
+ipairs AS (
+  SELECT i, j FROM iinter
+  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+edges AS (
+  SELECT i AS src, j AS dst FROM ipairs
+  UNION SELECT j AS src, i AS dst FROM ipairs),
+reach AS (
+  SELECT src AS node, dst AS target FROM edges
+  UNION
+  SELECT r.node, e.dst AS target FROM reach r JOIN edges e ON e.src = r.target),
+dropped AS (
+  SELECT node FROM reach GROUP BY node
+  HAVING LEAST(node, MIN(target)) <> node),
+fcands AS (
+  SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS new_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+finter AS (
+  SELECT c.index_id, c.new_id, COUNT(*) AS inter
+  FROM fcands c
+  JOIN shing si ON si.doc_id = c.index_id
+  JOIN shing sj ON sj.doc_id = c.new_id AND sj.shingle = si.shingle
+  GROUP BY c.index_id, c.new_id),
+fmatch AS (
+  SELECT new_id, index_id FROM finter
+  JOIN sizes sa ON sa.doc_id = index_id
+  JOIN sizes sb ON sb.doc_id = new_id
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8)
+SELECT f.new_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches_full,
+       CAST(SUM(CASE WHEN d.node IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matches_compacted,
+       CAST(SUM(CASE WHEN d.node IS NULL THEN 1 ELSE 0 END) > 0
+         AS BOOLEAN) AS survives_compaction
+FROM fmatch f LEFT JOIN dropped d ON d.node = f.index_id
+GROUP BY f.new_id
+"""
+
+
+@query("llm_dedup_index_compaction", _index_compaction_oracle())
+def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run dedup-index STATE COMPACTION (r8 verdict #6's second
+    frontier): the persisted LSH index accumulates its own internal
+    near-dup clusters across ingests; ``compact_dedup_index``
+    collapses each cluster to its keeper and drops the rest, and this
+    query PROVES the maintenance job safe by re-running the ingest
+    batch (doc_id % 5 = 0) against BOTH index states — per batch doc,
+    how many index matches the full index finds, how many survive
+    compaction, and whether the doc still dedups at all
+    (survives_compaction). A keeper covering every dropped member's
+    future matches is the LSH-recall argument; this row measures it
+    on real data instead of asserting it.
+
+    The oracle replicates the whole pipeline — banded MinHash, the
+    index's internal pairs, the recursive keeper closure, the
+    batch-vs-index verify — and uses the subset-filter equivalence
+    (compacted-index matches = full matches restricted to keepers),
+    which the Spark side does NOT use: it genuinely re-runs
+    ``incremental_minhash_duplicates`` against the compacted index,
+    so the equivalence itself is under test.
+
+    Scale posture: compaction is the periodic index-maintenance job
+    (cluster-bounded: LSH candidates + log-bounded label propagation
+    + one anti join), NOT a per-ingest cost; per ingest the batch
+    pays one band equi-join against postings that compaction keeps
+    sized by corpus novelty instead of corpus duplication."""
+    docs = Catalog(spark, sf_dir).documents
+    index_df = docs.where(F.col("doc_id") % 5 != 0)
+    batch_df = docs.where(F.col("doc_id") % 5 == 0)
+    compacted = dd.compact_dedup_index(
+        index_df, threshold=0.8, num_hashes=16, bands=8, shingle_n=3
+    )
+    full = dd.incremental_minhash_duplicates(
+        index_df, batch_df, threshold=0.8, num_hashes=16, bands=8,
+        shingle_n=3,
+    )
+    comp = dd.incremental_minhash_duplicates(
+        compacted, batch_df, threshold=0.8, num_hashes=16, bands=8,
+        shingle_n=3,
+    )
+    nf = full.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_matches_full")
+    )
+    nc = comp.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("_n_comp")
+    )
+    return (
+        nf.join(nc, "new_id", "left")
+        .select(
+            "new_id",
+            "n_matches_full",
+            F.coalesce(F.col("_n_comp"), F.lit(0))
+            .cast("long")
+            .alias("n_matches_compacted"),
+            (F.coalesce(F.col("_n_comp"), F.lit(0)) > 0).alias(
+                "survives_compaction"
+            ),
+        )
+    )
+
+
 @query("llm_dedup_incremental", _incremental_minhash_oracle())
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: the deterministic 20% slice

@@ -3117,3 +3117,34 @@ def test_mp4_avc_mux_demux_decode_chain(spark):
     for i, r in enumerate(recons):
         assert by_idx[i]["pixel_crc32"] == zlib.crc32(r.tobytes())
         assert (by_idx[i]["width"], by_idx[i]["height"]) == (48, 32)
+
+
+def test_compact_dedup_index_keeps_keepers_and_uniques(spark):
+    """Compaction drops exactly the non-keeper members of the index's
+    internal near-dup clusters; unique docs and keepers survive, and
+    a batch doc near-matching a dropped member still dedups against
+    the surviving keeper."""
+    # long docs so one added shingle can't dominate the affine
+    # minhash mins (tiny sets make slots correlate on a small hash)
+    base = " ".join(f"w{i:02d}" for i in range(30))
+    rows = [
+        (1, base),                       # keeper of the (1, 2) cluster
+        (2, base + " tail"),             # near-dup of 1 -> dropped
+        (3, "totally unrelated content about seven silver ships sailing"),
+        (4, "another unique document describing mountain weather today"),
+    ]
+    idx = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {
+        r["doc_id"]
+        for r in dd.compact_dedup_index(idx, threshold=0.5).collect()
+    }
+    assert kept == {1, 3, 4}
+    # a new batch doc near-matching dropped member 2 still matches
+    batch = spark.createDataFrame(
+        [(100, base + " coda")], "doc_id long, text string"
+    )
+    compacted = idx.where(F.col("doc_id").isin(list(kept)))
+    hits = dd.incremental_minhash_duplicates(
+        compacted, batch, threshold=0.5
+    ).collect()
+    assert {(r["new_id"], r["index_id"]) for r in hits} == {(100, 1)}
