@@ -77,6 +77,8 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     sets_col: str | None = None,
+    persist: bool = True,
+    carry_sets: bool = False,
 ) -> DataFrame:
     """(id, sigs: array<long>[num_hashes]) — minhash signature per doc.
 
@@ -88,7 +90,10 @@ def minhash_signatures(
     a single codegen'd projection.)
 
     Pass ``sets_col`` to reuse a precomputed (ideally cached) distinct
-    shingle-array column instead of shingling ``text_col``."""
+    shingle-array column instead of shingling ``text_col``;
+    ``carry_sets`` passes that column through to the output (for
+    streaming callers that cannot re-join it without a stream-stream
+    join)."""
     a, b = mh_params(num_hashes)
     shset = (
         F.col(sets_col)
@@ -96,13 +101,18 @@ def minhash_signatures(
         else F.array_distinct(shingle_array(F.col(text_col), shingle_n))
     )
     # persist: CollapseProject would otherwise inline _hs into every
-    # signature slot and recompute shingling+md5 16x per row
-    hashed = tracked_persist(
-        df.select(
-            F.col(id_col),
-            F.transform(shset, lambda s: _md5_int28(s)).alias("_hs"),
-        )
+    # signature slot and recompute shingling+md5 16x per row.
+    # ``persist=False`` for STREAMING inputs (persist is illegal on a
+    # streaming DataFrame): the 16x md5 recompute is the documented
+    # price of the stateless per-row path there.
+    carried = [F.col(sets_col)] if carry_sets and sets_col else []
+    hashed = df.select(
+        F.col(id_col),
+        *carried,
+        F.transform(shset, lambda s: _md5_int28(s)).alias("_hs"),
     )
+    if persist:
+        hashed = tracked_persist(hashed)
     def slot(i: int):
         # closure factory: a defaulted second lambda param would make
         # PySpark pass the array index into it
@@ -111,7 +121,9 @@ def minhash_signatures(
         )
 
     sigs = F.array(*[slot(i) for i in range(num_hashes)])
-    return hashed.where(F.size("_hs") > 0).select(F.col(id_col), sigs.alias("sigs"))
+    return hashed.where(F.size("_hs") > 0).select(
+        F.col(id_col), *carried, sigs.alias("sigs")
+    )
 
 
 def _band_keys(bands: int, rows_per_band: int) -> Column:

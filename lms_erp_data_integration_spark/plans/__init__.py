@@ -73,6 +73,11 @@ registry.PRIORITY = [
     # index rewrite proven safe by re-running the ingest batch against
     # both index states (full recursive-closure oracle)
     "llm_dedup_index_compaction",
+    # NEW in r9: continuous-ingest dedup — stateless streaming MinHash
+    # + stream-static band join against the persisted index postings;
+    # shares the batch incremental row's oracle (bounded stream must
+    # equal the batch answer)
+    "stream_dedup_ingest",
     # r4-era re-verification backlog: the sixteen fillers displaced
     # by the late-r8 sketch + two-level-k-means + H.264-gate work
     "llm_contamination_ngram",
@@ -106,16 +111,16 @@ registry.PRIORITY = [
     "rel_pagerank_parts",
     "rel_percentiles_acctbal",
     "rel_profile_columns",
-    "rel_q14_promo_revenue",
 ]
 
 # r10 rotation plan (for the next round): keep the 8 sync queries
 # pinned and any r10-new/changed queries ahead of fillers, then fill
 # from the re-verification backlog oldest-first — FIRST the last four
 # r4 rows (rel_recursive_month_spine, rel_try_arithmetic,
-# rel_udaf_median_value, rel_window_value_surface, and
-# rel_q1_pricing_summary, displaced late in r9 by the compaction
-# row), then the r5
+# rel_udaf_median_value, rel_window_value_surface,
+# rel_q1_pricing_summary and rel_q14_promo_revenue — the last two
+# displaced late in r9 by the compaction and streaming-ingest rows),
+# then the r5
 # cohort alphabetically (llm_bpe_top_pairs onward — 36 rows, so r10
 # closes r4 and makes a large dent in r5; r11 finishes r5 and starts
 # r6). The stamped-hash policy stays as is; stamp with

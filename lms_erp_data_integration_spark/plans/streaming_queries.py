@@ -17,11 +17,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.windows import (
+    documents_stream,
     events_stream,
     hourly_event_counts,
     run_to_memory_sink,
 )
+from .llm_queries import _incremental_minhash_oracle
 from .registry import query
+
+# the streaming ingest-dedup row shares the batch row's oracle: on a
+# bounded input the stream must produce exactly the batch answer
+_incremental_oracle_sql = _incremental_minhash_oracle()
 
 # memory-sink names are session-global; a counter keeps repeat
 # invocations (parity + bench in one session) from colliding
@@ -556,3 +562,108 @@ def stream_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overestimate"),
     )
+
+@query(
+    "stream_dedup_ingest",
+    # identical semantics (and oracle) to the batch llm_dedup_incremental
+    # row: the stream must produce exactly the batch answer
+    _incremental_oracle_sql,
+)
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS-INGEST dedup — the Structured Streaming form of
+    ``llm_dedup_incremental``: arriving documents (the doc_id % 5 = 0
+    slice, one file per micro-batch) are MinHash-signed and banded
+    with STATELESS per-row expressions on the stream, then a
+    stream-static equi-join on (band, band_key) probes the persisted
+    index postings (the % 5 != 0 corpus, signed once as a batch
+    frame); collisions verify by exact shingle-set Jaccard >= 0.8
+    per row, and the only stateful operator is the final
+    candidate-pair aggregate (complete mode; one state row per
+    VERIFIED pair, never per collision — the >= 0.8 filter runs
+    before state).
+
+    Scale posture: this is the per-ingest steady state a 100 TB
+    corpus actually runs — signatures for new docs only, a band join
+    sized by collisions against postings a periodic
+    ``compact_dedup_index`` pass keeps bounded, zero stream-side
+    state for the join itself (stream-static joins keep no watermark
+    state). The sole batch/stream asymmetry is documented in
+    ``minhash_signatures(persist=False)``: a stream cannot cache the
+    per-row md5 hashes, so the 16 affine rehashes recompute them."""
+    from ..caching import tracked_persist
+    from ..catalog import Catalog
+    from ..operators import dedup as dd
+
+    num_hashes, bands, rows_per_band, shingle_n = 16, 8, 2, 3
+    docs = Catalog(spark, sf_dir).documents
+    index_df = docs.where(F.col("doc_id") % 5 != 0)
+
+    # static side, built once: (band, band_key) postings + the
+    # verification shingle sets (in production: a bucketed table)
+    sets_idx = tracked_persist(
+        index_df.select(
+            "doc_id",
+            F.array_distinct(
+                dd.shingle_array(F.col("text"), shingle_n)
+            ).alias("shset"),
+        )
+    )
+    sig_idx = dd.minhash_signatures(
+        sets_idx, num_hashes, sets_col="shset"
+    )
+    postings = (
+        sig_idx.select(
+            F.col("doc_id").alias("index_id"),
+            F.posexplode(dd._band_keys(bands, rows_per_band)).alias(
+                "band", "band_key"
+            ),
+        )
+        .join(
+            sets_idx.select(
+                F.col("doc_id").alias("index_id"),
+                F.col("shset").alias("_sh_i"),
+            ),
+            "index_id",
+        )
+    )
+
+    # streaming side: stateless shingle -> sign -> band expressions
+    new_docs = documents_stream(spark, sf_dir).where(
+        F.col("doc_id") % 5 == 0
+    )
+    sets_new = new_docs.select(
+        "doc_id",
+        F.array_distinct(
+            dd.shingle_array(F.col("text"), shingle_n)
+        ).alias("shset"),
+    )
+    sig_new = dd.minhash_signatures(
+        sets_new, num_hashes, sets_col="shset", persist=False,
+        carry_sets=True,
+    )
+    bn = sig_new.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("shset").alias("_sh_j"),
+        F.posexplode(dd._band_keys(bands, rows_per_band)).alias(
+            "band", "band_key"
+        ),
+    )
+
+    inter = F.size(F.array_intersect(F.col("_sh_i"), F.col("_sh_j")))
+    union = F.size("_sh_i") + F.size("_sh_j") - inter
+    verified = (
+        bn.join(postings, ["band", "band_key"])
+        .select(
+            "new_id", "index_id", (inter / union).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= 0.8)
+    )
+    # one state row per verified pair (a pair colliding in several
+    # bands carries the same jaccard in each — max() collapses them)
+    agg = verified.groupBy("new_id", "index_id").agg(
+        F.max("jaccard").alias("jaccard")
+    )
+    out = run_to_memory_sink(
+        agg, f"stream_dedup_ingest_{next(_SINK_SEQ)}", mode="complete"
+    )
+    return out.select("new_id", "index_id", "jaccard")

@@ -61,6 +61,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table — the continuous-
+    ingest shape of a training-data pipeline (each arriving file is
+    one micro-batch of new documents)."""
+    batch_schema = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").schema
+    )
+    return (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+
+
 def hourly_event_counts(
     events: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:

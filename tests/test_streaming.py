@@ -199,3 +199,19 @@ def test_streaming_multimodal_decode(spark, tmp_path):
     assert (got[1]["width"], got[1]["height"]) == (4, 6)  # real JPEG
     assert got[2]["channels"] == 3  # real PPM
     assert got[3]["n_bytes"] == 4  # junk -> deterministic fake row
+
+
+def test_stream_dedup_ingest_matches_batch_incremental(spark, sf_dir):
+    """The streaming ingest-dedup row must produce exactly the batch
+    llm_dedup_incremental answer on the bounded source — same pairs,
+    same Jaccard values (the stream-static band join and the
+    stateless streaming signatures are the only moving parts)."""
+    from lms_erp_data_integration_spark.plans.registry import QUERIES
+
+    stream = QUERIES["stream_dedup_ingest"](spark, sf_dir)
+    batch = QUERIES["llm_dedup_incremental"](spark, sf_dir)
+    key = lambda df: {  # noqa: E731
+        (r["new_id"], r["index_id"], r["jaccard"]) for r in df.collect()
+    }
+    got, want = key(stream), key(batch)
+    assert got == want and len(got) > 0
