@@ -113,6 +113,11 @@ PROBE_QUERIES = [
     # full-group exact sorts are the expensive path the production
     # row no longer carries
     "rel_quantile_sketch_audit",
+    # r9: the new dedup-lifecycle rows — compaction is the repo's
+    # heaviest bench row (three dedup passes by construction), the
+    # streaming ingest row is the steady-state per-ingest cost
+    "llm_dedup_index_compaction",
+    "stream_dedup_ingest",
 ]
 
 

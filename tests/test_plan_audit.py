@@ -349,3 +349,113 @@ def test_emb_label_drift_no_raw_vector_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_postings_index_side_joins_without_exchange(spark):
+    """Back the docstring claim the ingest-dedup family makes ('in
+    production the index postings are persisted as a bucketed table'):
+    a (band, band_key)-bucketed postings table must join the arriving
+    batch's bands with ZERO exchange on the index side — only the
+    (small) batch side shuffles to the bucket layout. At 100 TB this
+    is the difference between re-shuffling the index per ingest and
+    never moving it."""
+    from lms_erp_data_integration_spark.catalog import Catalog
+    from lms_erp_data_integration_spark.operators import dedup as dd
+
+    docs = Catalog(spark, SF_DIR).documents
+    index_df = docs.where(F.col("doc_id") % 5 != 0)
+    sets = index_df.select(
+        "doc_id",
+        F.array_distinct(dd.shingle_array(F.col("text"), 3)).alias("shset"),
+    )
+    sigs = dd.minhash_signatures(sets, 16, sets_col="shset")
+    postings = sigs.select(
+        F.col("doc_id").alias("index_id"),
+        F.posexplode(dd._band_keys(8, 2)).alias("band", "band_key"),
+    )
+    spark.sql("DROP TABLE IF EXISTS postings_bucketed")
+    # a killed prior run can leave the managed location behind, which
+    # blocks CREATE even after DROP
+    import shutil
+
+    shutil.rmtree(
+        "spark-warehouse/postings_bucketed", ignore_errors=True
+    )
+    (
+        postings.write.bucketBy(8, "band", "band_key")
+        .sortBy("band", "band_key")
+        .saveAsTable("postings_bucketed")
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_abc = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        # force the sort-merge path: at gate scale AQE broadcasts the
+        # tiny batch side (index side equally exchange-free, but then
+        # the bucketed mechanism itself goes unexercised). BOTH
+        # thresholds must go to -1: the session factory sets the
+        # adaptive one explicitly, and AQE re-converts the SMJ at
+        # runtime if only the static conf is disabled.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+        static = spark.table("postings_bucketed")
+        batch = docs.where(F.col("doc_id") % 5 == 0).select(
+            "doc_id",
+            F.array_distinct(
+                dd.shingle_array(F.col("text"), 3)
+            ).alias("shset"),
+        )
+        bn = dd.minhash_signatures(batch, 16, sets_col="shset").select(
+            F.col("doc_id").alias("new_id"),
+            F.posexplode(dd._band_keys(8, 2)).alias("band", "band_key"),
+        )
+        joined = bn.join(static, ["band", "band_key"]).select(
+            "new_id", "index_id"
+        )
+        joined.collect()
+        plan = (
+            joined._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
+        # the bucketed scan is consumed as-is: SMJ with bucket
+        # metadata on the scan and NO exchange between the join and
+        # the index-side scan (the batch side exchanges to the bucket
+        # layout — that's the side that is allowed to move)
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # NO exchange anywhere on the index-side subtree: in the
+        # depth-first printout the join's FIRST child's lines carry a
+        # ":" rail, the second (index) child's lines do not — so the
+        # index subtree is the rail-free lines between the join and
+        # the bucketed scan. (A global exchange count would be
+        # order-dependent: session state left by earlier tests can
+        # legitimately change the batch side's shape.)
+        lines = plan.splitlines()
+        jidx = next(
+            i for i, l in enumerate(lines) if "SortMergeJoin" in l
+        )
+        sidx = next(
+            i
+            for i, l in enumerate(lines)
+            if "postings_bucketed" in l and "FileScan" in l
+        )
+        index_side = [
+            l
+            for l in lines[jidx + 1 : sidx + 1]
+            if ":" not in l.split("+-")[0]
+        ]
+        assert index_side, plan
+        assert not any("Exchange" in l for l in index_side), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        if prev_abc is None:
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_abc
+            )
+        spark.sql("DROP TABLE IF EXISTS postings_bucketed")
