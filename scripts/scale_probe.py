@@ -280,6 +280,11 @@ DECADE2_QUERIES = [
     "llm_contamination_ngram",
     "llm_text_tfidf_top_terms",
     "llm_dedup_incremental",
+    # r9 rows above the 0.5 first-decade bar: compaction is linear by
+    # design (a maintenance job must touch every index signature
+    # once); decade 2 checks no hidden super-linear term
+    "llm_dedup_index_compaction",
+    "stream_dedup_ingest",
 ]
 
 
