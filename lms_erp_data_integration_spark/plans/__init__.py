@@ -78,6 +78,10 @@ registry.PRIORITY = [
     # shares the batch incremental row's oracle (bounded stream must
     # equal the batch answer)
     "stream_dedup_ingest",
+    # NEW in r9: near-dup eval decontamination of the train split
+    # (MinHash-LSH leakage guard + anti-join removal, per-source
+    # accounting)
+    "llm_decontaminate_train",
     # r4-era re-verification backlog: the sixteen fillers displaced
     # by the late-r8 sketch + two-level-k-means + H.264-gate work
     "llm_contamination_ngram",
@@ -110,7 +114,6 @@ registry.PRIORITY = [
     "rel_event_transitions",
     "rel_pagerank_parts",
     "rel_percentiles_acctbal",
-    "rel_profile_columns",
 ]
 
 # r10 rotation plan (for the next round): keep the 8 sync queries
@@ -118,9 +121,9 @@ registry.PRIORITY = [
 # from the re-verification backlog oldest-first — FIRST the last four
 # r4 rows (rel_recursive_month_spine, rel_try_arithmetic,
 # rel_udaf_median_value, rel_window_value_surface,
-# rel_q1_pricing_summary and rel_q14_promo_revenue — the last two
-# displaced late in r9 by the compaction and streaming-ingest rows),
-# then the r5
+# rel_q1_pricing_summary, rel_q14_promo_revenue and
+# rel_profile_columns — the last three displaced late in r9 by the
+# compaction, streaming-ingest and decontamination rows), then the r5
 # cohort alphabetically (llm_bpe_top_pairs onward — 36 rows, so r10
 # closes r4 and makes a large dent in r5; r11 finishes r5 and starts
 # r6). The stamped-hash policy stays as is; stamp with

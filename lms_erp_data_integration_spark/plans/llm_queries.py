@@ -1425,6 +1425,81 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontaminate_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
+    return rf"""
+{_mh_banded_cte(num_hashes, rows_per_band)}
+cands AS (
+  SELECT DISTINCT a.doc_id AS eval_id, b.doc_id AS train_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+{_SIZES_CTE}
+inter AS (
+  SELECT c.eval_id, c.train_id, COUNT(*) AS inter
+  FROM cands c
+  JOIN shing si ON si.doc_id = c.eval_id
+  JOIN shing sj ON sj.doc_id = c.train_id AND sj.shingle = si.shingle
+  GROUP BY c.eval_id, c.train_id),
+leaked AS (
+  SELECT DISTINCT train_id FROM inter
+  JOIN sizes sa ON sa.doc_id = eval_id
+  JOIN sizes sb ON sb.doc_id = train_id
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN l.train_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN l.train_id IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN leaked l ON l.train_id = d.doc_id
+WHERE d.doc_id % 10 <> 7
+GROUP BY d.source
+"""
+
+
+@query("llm_decontaminate_train", _decontaminate_oracle())
+def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP eval decontamination of a train split — the leakage
+    guard every pretraining pipeline runs before a data release:
+    documents split into train (doc_id % 10 != 7) and held-out eval
+    (% 10 = 7); any train doc whose shingle-set Jaccard against ANY
+    eval doc reaches 0.8 (MinHash-LSH candidates, exact verify) is
+    REMOVED from train, and the row reports per-source train /
+    removed / kept counts. Complements ``llm_contamination_ngram``
+    (which reports verbatim n-gram overlap): this one acts at the
+    near-duplicate level, catching paraphrase-lite re-crawls of eval
+    data that exact n-grams miss, and actually produces the cleaned
+    split (the anti join) instead of a report.
+
+    Scale posture: identical to incremental dedup with the sides
+    swapped — the EVAL set is the (small) index whose postings a
+    100 TB train corpus band-joins against, so cost ∝ train
+    signatures + collisions; the removal is one anti join on doc_id.
+    The candidate join never pairs train docs with each other."""
+    docs = Catalog(spark, sf_dir).documents
+    eval_df = docs.where(F.col("doc_id") % 10 == 7)
+    train_df = docs.where(F.col("doc_id") % 10 != 7)
+    leaks = dd.incremental_minhash_duplicates(
+        eval_df, train_df, threshold=0.8, num_hashes=16, bands=8,
+        shingle_n=3,
+    )
+    leaked_ids = leaks.select(
+        F.col("new_id").alias("doc_id")
+    ).distinct()
+    flagged = train_df.join(
+        leaked_ids.withColumn("_leaked", F.lit(1)), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.when(F.col("_leaked").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("_leaked").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
 def _lsh_histogram_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
     return rf"""
 {_mh_banded_cte(num_hashes, rows_per_band)}

@@ -118,6 +118,9 @@ PROBE_QUERIES = [
     # streaming ingest row is the steady-state per-ingest cost
     "llm_dedup_index_compaction",
     "stream_dedup_ingest",
+    # r9: the eval-leakage guard (incremental-dedup shape, sides
+    # swapped)
+    "llm_decontaminate_train",
 ]
 
 
@@ -285,6 +288,7 @@ DECADE2_QUERIES = [
     # once); decade 2 checks no hidden super-linear term
     "llm_dedup_index_compaction",
     "stream_dedup_ingest",
+    "llm_decontaminate_train",
 ]
 
 

@@ -3148,3 +3148,22 @@ def test_compact_dedup_index_keeps_keepers_and_uniques(spark):
         compacted, batch, threshold=0.5
     ).collect()
     assert {(r["new_id"], r["index_id"]) for r in hits} == {(100, 1)}
+
+
+def test_decontaminate_train_removes_eval_near_dups(spark, sf_dir):
+    """The near-dup leakage guard: counts reconcile (train = removed +
+    kept), the split covers all non-eval docs, and the fixture corpus
+    has real cross-split leakage to remove."""
+    from lms_erp_data_integration_spark.plans import QUERIES
+    from lms_erp_data_integration_spark.catalog import Catalog
+
+    rows = QUERIES["llm_decontaminate_train"](spark, sf_dir).collect()
+    n_train_expect = (
+        Catalog(spark, sf_dir)
+        .documents.where(F.col("doc_id") % 10 != 7)
+        .count()
+    )
+    assert sum(r["n_train"] for r in rows) == n_train_expect
+    for r in rows:
+        assert r["n_train"] == r["n_removed"] + r["n_kept"]
+    assert sum(r["n_removed"] for r in rows) > 0  # real leakage caught
