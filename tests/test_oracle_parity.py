@@ -59,6 +59,7 @@ def test_literal_values_oracle_inventory():
         "llm_video_codec_stats",
         "llm_video_ipp_stats",
         "llm_video_visual_dedup",
+        "llm_image_visual_dedup",
     }
 
 
