@@ -197,6 +197,7 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
@@ -206,15 +207,17 @@ def minhash_near_duplicates(
     rows_per_band = num_hashes // bands
     # one cached pass builds the per-doc shingle SET arrays; signatures
     # and the verify join both read it (cache prevents CollapseProject
-    # from re-inlining the shingling into every consumer)
-    sets = tracked_persist(
-        df.select(
-            F.col(id_col),
-            F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias(
-                "shset"
-            ),
+    # from re-inlining the shingling into every consumer). Callers
+    # sharing the arrays across several dedup passes pass `sets`.
+    if sets is None:
+        sets = tracked_persist(
+            df.select(
+                F.col(id_col),
+                F.array_distinct(
+                    shingle_array(F.col(text_col), shingle_n)
+                ).alias("shset"),
+            )
         )
-    )
     sigs = minhash_signatures(sets, num_hashes, id_col=id_col, sets_col="shset")
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
     # exact-Jaccard verify on candidates only, via array_intersect on
@@ -240,6 +243,8 @@ def incremental_minhash_duplicates(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index_sets: DataFrame | None = None,
+    batch_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup: near-dup pairs between a NEW batch and
     an existing INDEX, never within either side.
@@ -263,7 +268,11 @@ def incremental_minhash_duplicates(
             )
         )
 
-    sets_idx, sets_new = _sets(index_df), _sets(batch_df)
+    # callers running SEVERAL incremental passes over the same side
+    # (e.g. compaction's full-vs-compacted verification) pass the
+    # persisted (id, shset) frame directly so shingling+md5 runs once
+    sets_idx = index_sets if index_sets is not None else _sets(index_df)
+    sets_new = batch_sets if batch_sets is not None else _sets(batch_df)
     sig_idx = minhash_signatures(
         sets_idx, num_hashes, id_col=id_col, sets_col="shset"
     )

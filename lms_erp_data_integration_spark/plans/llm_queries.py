@@ -1350,8 +1350,10 @@ GROUP BY f.new_id
 def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-run dedup-index STATE COMPACTION (r8 verdict #6's second
     frontier): the persisted LSH index accumulates its own internal
-    near-dup clusters across ingests; ``compact_dedup_index``
-    collapses each cluster to its keeper and drops the rest, and this
+    near-dup clusters across ingests; the ``compact_dedup_index``
+    procedure (inlined here so all three dedup passes share one
+    persisted shingle-set frame per side) collapses each cluster to
+    its keeper and drops the rest, and this
     query PROVES the maintenance job safe by re-running the ingest
     batch (doc_id % 5 = 0) against BOTH index states — per batch doc,
     how many index matches the full index finds, how many survive
@@ -1373,19 +1375,41 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one anti join), NOT a per-ingest cost; per ingest the batch
     pays one band equi-join against postings that compaction keeps
     sized by corpus novelty instead of corpus duplication."""
+    from ..caching import tracked_persist
+
     docs = Catalog(spark, sf_dir).documents
     index_df = docs.where(F.col("doc_id") % 5 != 0)
     batch_df = docs.where(F.col("doc_id") % 5 == 0)
-    compacted = dd.compact_dedup_index(
-        index_df, threshold=0.8, num_hashes=16, bands=8, shingle_n=3
+    # shingle+md5 once per side: all three dedup passes below (index
+    # pairs, batch-vs-full, batch-vs-compacted) share the persisted
+    # (doc_id, shset) frames — pure common-subexpression sharing, the
+    # passes themselves still run for real
+    def _sets(d):
+        return tracked_persist(
+            d.select(
+                "doc_id",
+                F.array_distinct(
+                    dd.shingle_array(F.col("text"), 3)
+                ).alias("shset"),
+            )
+        )
+
+    sets_idx, sets_batch = _sets(index_df), _sets(batch_df)
+    pairs = dd.minhash_near_duplicates(
+        index_df, threshold=0.8, num_hashes=16, bands=8, shingle_n=3,
+        sets=sets_idx,
     )
+    dropped = dd.duplicate_clusters(pairs).where(
+        F.col("member") != F.col("cluster_id")
+    ).select(F.col("member").alias("doc_id"))
+    compacted_sets = sets_idx.join(dropped, "doc_id", "left_anti")
     full = dd.incremental_minhash_duplicates(
         index_df, batch_df, threshold=0.8, num_hashes=16, bands=8,
-        shingle_n=3,
+        shingle_n=3, index_sets=sets_idx, batch_sets=sets_batch,
     )
     comp = dd.incremental_minhash_duplicates(
-        compacted, batch_df, threshold=0.8, num_hashes=16, bands=8,
-        shingle_n=3,
+        index_df, batch_df, threshold=0.8, num_hashes=16, bands=8,
+        shingle_n=3, index_sets=compacted_sets, batch_sets=sets_batch,
     )
     nf = full.groupBy("new_id").agg(
         F.count(F.lit(1)).alias("n_matches_full")
