@@ -82,6 +82,9 @@ registry.PRIORITY = [
     # (MinHash-LSH leakage guard + anti-join removal, per-source
     # accounting)
     "llm_decontaminate_train",
+    # NEW in r9: Matryoshka-truncation recall audit (16/64-dim prefix
+    # search vs full-dim exact top-10)
+    "llm_emb_matryoshka_recall",
     # r4-era re-verification backlog: the sixteen fillers displaced
     # by the late-r8 sketch + two-level-k-means + H.264-gate work
     "llm_contamination_ngram",
@@ -113,7 +116,6 @@ registry.PRIORITY = [
     "rel_asof_last_purchase",
     "rel_event_transitions",
     "rel_pagerank_parts",
-    "rel_percentiles_acctbal",
 ]
 
 # r10 rotation plan (for the next round): keep the 8 sync queries
@@ -121,9 +123,10 @@ registry.PRIORITY = [
 # from the re-verification backlog oldest-first — FIRST the last four
 # r4 rows (rel_recursive_month_spine, rel_try_arithmetic,
 # rel_udaf_median_value, rel_window_value_surface,
-# rel_q1_pricing_summary, rel_q14_promo_revenue and
-# rel_profile_columns — the last three displaced late in r9 by the
-# compaction, streaming-ingest and decontamination rows), then the r5
+# rel_q1_pricing_summary, rel_q14_promo_revenue, rel_profile_columns
+# and rel_percentiles_acctbal — the last four displaced late in r9 by
+# the compaction, streaming-ingest, decontamination and matryoshka
+# rows), then the r5
 # cohort alphabetically (llm_bpe_top_pairs onward — 36 rows, so r10
 # closes r4 and makes a large dent in r5; r11 finishes r5 and starts
 # r6). The stamped-hash policy stays as is; stamp with

@@ -170,6 +170,82 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRUNC_DIM = 16
+_COS_T = _COS.format(
+    a="(e.embedding::DOUBLE[])[1:16]", b="q.qv"
+)
+
+
+@query(
+    "llm_emb_matryoshka_recall",
+    f"""
+WITH bf AS ({{bf}}),
+tq AS (
+  SELECT vec_id AS query_id, (embedding::DOUBLE[])[1:16] AS qv
+  FROM embeddings WHERE vec_id < 5),
+tscored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COS_T} AS score
+  FROM embeddings e, tq q WHERE e.vec_id <> q.query_id),
+tranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM tscored),
+tr AS (SELECT query_id, neighbor_id FROM tranked WHERE rank <= 10)
+SELECT bf.query_id,
+       CAST(COUNT(tr.neighbor_id) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(tr.neighbor_id) * 100 // COUNT(*) AS BIGINT)
+         AS recall_pct
+FROM bf LEFT JOIN tr
+  ON tr.query_id = bf.query_id AND tr.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+""".format(bf=_ORACLES["llm_sim_topk_bruteforce"]),
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA-truncation quality audit: search with only the
+    FIRST 16 of 64 embedding dimensions (the MRL deployment pattern —
+    coarse search on a prefix that is 4x cheaper to store and scan)
+    and measure recall@10 against the full-dimension exact top-10,
+    per query. Cosine needs no re-normalization under truncation (it
+    self-normalizes), so the audit is pure prefix arithmetic — the
+    number a team reads before switching its ANN index to truncated
+    vectors. Same audit shape as ``llm_sim_ivf_recall``: the recall
+    denominator is the registered full-dim brute-force row, so the
+    oracle composes both searches and the overlap join.
+
+    Scale posture: like every recall audit here, it runs on a SAMPLE
+    of queries (5 fixed probes) — the corpus side is one broadcast-
+    join scan per variant, and at 100 TB the truncated scan is the
+    cheap one by construction (16/64 of the bytes)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, _TRUNC_DIM).alias("embedding")
+    )
+    queries_full = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    queries_trunc = trunc.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = sim.brute_force_topk(emb, queries_full, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    tr = sim.brute_force_topk(trunc, queries_trunc, k=10).select(
+        F.col("query_id").alias("qi"), F.col("neighbor_id").alias("ni")
+    )
+    j = bf.join(
+        tr,
+        (F.col("query_id") == F.col("qi"))
+        & (F.col("neighbor_id") == F.col("ni")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("ni").alias("hits"),
+        F.count(F.lit(1)).alias("k"),
+        F.expr("count(ni) * 100 div count(*)").alias("recall_pct"),
+    )
+
+
 @query(
     "llm_sim_near_dup_embeddings",
     f"""

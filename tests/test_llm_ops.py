@@ -3167,3 +3167,18 @@ def test_decontaminate_train_removes_eval_near_dups(spark, sf_dir):
     for r in rows:
         assert r["n_train"] == r["n_removed"] + r["n_kept"]
     assert sum(r["n_removed"] for r in rows) > 0  # real leakage caught
+
+
+def test_matryoshka_recall_bounds_and_prefix_sensitivity(spark, sf_dir):
+    """Truncated-prefix search: recall is a valid percentage, hits <=
+    k, and the 16/64 prefix on untrained synthetic embeddings must
+    lose SOME neighbors (a perfect 100 across all probes would mean
+    the audit is vacuous)."""
+    from lms_erp_data_integration_spark.plans import QUERIES
+
+    rows = QUERIES["llm_emb_matryoshka_recall"](spark, sf_dir).collect()
+    assert {r["query_id"] for r in rows} == set(range(5))
+    for r in rows:
+        assert 0 <= r["hits"] <= r["k"] == 10
+        assert r["recall_pct"] == r["hits"] * 100 // r["k"]
+    assert any(r["recall_pct"] < 100 for r in rows)
