@@ -120,13 +120,13 @@ registry.PRIORITY = [
 
 # r10 rotation plan (for the next round): keep the 8 sync queries
 # pinned and any r10-new/changed queries ahead of fillers, then fill
-# from the re-verification backlog oldest-first — FIRST the last four
-# r4 rows (rel_recursive_month_spine, rel_try_arithmetic,
-# rel_udaf_median_value, rel_window_value_surface,
-# rel_q1_pricing_summary, rel_q14_promo_revenue, rel_profile_columns
-# and rel_percentiles_acctbal — the last four displaced late in r9 by
-# the compaction, streaming-ingest, decontamination and matryoshka
-# rows), then the r5
+# from the re-verification backlog oldest-first — FIRST the EIGHT
+# remaining r4 rows (rel_percentiles_acctbal, rel_profile_columns,
+# rel_q14_promo_revenue, rel_q1_pricing_summary,
+# rel_recursive_month_spine, rel_try_arithmetic,
+# rel_udaf_median_value, rel_window_value_surface — four never fit
+# this window, four were displaced late in r9 by the compaction,
+# streaming-ingest, decontamination and matryoshka rows), then the r5
 # cohort alphabetically (llm_bpe_top_pairs onward — 36 rows, so r10
 # closes r4 and makes a large dent in r5; r11 finishes r5 and starts
 # r6). The stamped-hash policy stays as is; stamp with
