@@ -94,6 +94,12 @@ def minhash_signatures(
     ``carry_sets`` passes that column through to the output (for
     streaming callers that cannot re-join it without a stream-stream
     join)."""
+    if carry_sets and not sets_col:
+        raise ValueError(
+            "carry_sets=True requires sets_col: there is no shingle-set "
+            "column to carry when shingling from text_col (the computed "
+            "set is internal to the projection)"
+        )
     a, b = mh_params(num_hashes)
     shset = (
         F.col(sets_col)

@@ -3205,7 +3205,14 @@ def _block_pic_mvs(
         out.append((r0, int(fr.mv4[y4, x4, 0]), int(fr.mv4[y4, x4, 1])))
     rb = int(fr.ref4b[y4, x4])
     if rb >= 0:
-        out.append((1 + rb, int(fr.mv4b[y4, x4, 0]), int(fr.mv4b[y4, x4, 1])))
+        # RefPicList1 is RefPicList0 with the first two entries swapped
+        # (8.2.4.2.3 for our no-reorder streams): L1[0] is picture 1,
+        # L1[1] is picture 0, L1[r>=2] stays picture r. Only rb == 0 is
+        # reachable today (_decode_slice rejects multi-ref L1), but the
+        # mapping follows the swap rule so lifting that guard cannot
+        # silently misattribute reference pictures in 8.7.2.1.
+        pic = 1 if rb == 0 else (0 if rb == 1 else rb)
+        out.append((pic, int(fr.mv4b[y4, x4, 0]), int(fr.mv4b[y4, x4, 1])))
     return out
 
 

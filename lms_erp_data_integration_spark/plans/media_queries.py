@@ -1695,7 +1695,10 @@ def image_phashes(spark: SparkSession) -> DataFrame:
 
 @query(
     "llm_image_visual_dedup",
-    """
+    # Band count / width / dup threshold are interpolated from the
+    # module constants (r9 ADVICE) so one definition drives both the
+    # Spark plan and the oracle.
+    f"""
 WITH ph(doc_id, phash) AS (VALUES
   (CAST(0 AS BIGINT), CAST(227258910004145624 AS BIGINT)),
   (1, 1380180406021057946),
@@ -1710,8 +1713,9 @@ WITH ph(doc_id, phash) AS (VALUES
 ),
 bands AS (
   SELECT doc_id, i AS band_idx,
-         (phash >> CAST(16 * i AS INTEGER)) & 65535 AS band_val
-  FROM ph, range(4) t(i)),
+         (phash >> CAST({64 // _IMG_PHASH_BANDS} * i AS INTEGER))
+           & {(1 << (64 // _IMG_PHASH_BANDS)) - 1} AS band_val
+  FROM ph, range({_IMG_PHASH_BANDS}) t(i)),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(COUNT(*) AS BIGINT) AS n_shared_bands
@@ -1721,7 +1725,8 @@ cand AS (
   GROUP BY a.doc_id, b.doc_id)
 SELECT c.doc_a, c.doc_b, c.n_shared_bands,
        CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming,
-       CAST(bit_count(xor(pa.phash, pb.phash)) <= 8 AS BOOLEAN) AS is_dup
+       CAST(bit_count(xor(pa.phash, pb.phash)) <= {_IMG_DUP_BITS}
+            AS BOOLEAN) AS is_dup
 FROM cand c JOIN ph pa ON pa.doc_id = c.doc_a
             JOIN ph pb ON pb.doc_id = c.doc_b
 ORDER BY doc_a, doc_b
@@ -1760,8 +1765,8 @@ def image_visual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("phash"), 16 * i)
-                    .bitwiseAND(F.lit(65535))
+                    F.shiftright(F.col("phash"), (64 // _IMG_PHASH_BANDS) * i)
+                    .bitwiseAND(F.lit((1 << (64 // _IMG_PHASH_BANDS)) - 1))
                     .alias(f"b{i}")
                     for i in range(_IMG_PHASH_BANDS)
                 ]

@@ -171,8 +171,11 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRUNC_DIM = 16
+# The oracle SQL interpolates _TRUNC_DIM (f-string below) so changing
+# the Python constant can never desync the Spark plan from the oracle
+# (r9 ADVICE).
 _COS_T = _COS.format(
-    a="(e.embedding::DOUBLE[])[1:16]", b="q.qv"
+    a=f"(e.embedding::DOUBLE[])[1:{_TRUNC_DIM}]", b="q.qv"
 )
 
 
@@ -181,7 +184,7 @@ _COS_T = _COS.format(
     f"""
 WITH bf AS ({{bf}}),
 tq AS (
-  SELECT vec_id AS query_id, (embedding::DOUBLE[])[1:16] AS qv
+  SELECT vec_id AS query_id, (embedding::DOUBLE[])[1:{_TRUNC_DIM}] AS qv
   FROM embeddings WHERE vec_id < 5),
 tscored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id, {_COS_T} AS score

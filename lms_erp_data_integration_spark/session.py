@@ -55,6 +55,17 @@ def get_spark(
         # Mirror refreshes overwrite only the partitions present in
         # the incoming snapshot (per-term), never the whole table.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Whole-stage-codegen class cache (static conf, default 100
+        # entries). A long-lived session serving a large query surface
+        # (193 registered queries here; any real multi-tenant cluster)
+        # evicts every generated class between repeat runs at the
+        # default, so each re-run pays full janino re-compilation —
+        # measured 5.4 s vs 2.4 s warm on the ngram-Jaccard plan (the
+        # r9 bench "regression" was exactly this: min-of-3 sweeps where
+        # all three samples were eviction-cold). Sized to hold the
+        # whole suite's generated classes; memory cost is source
+        # strings + class refs, negligible against a 48g driver.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         # Runtime semi-join reduction: when a selective dimension
         # filter feeds a shuffle join, inject a bloom filter on the
         # fact side so filtered-out rows never shuffle. Invisible at

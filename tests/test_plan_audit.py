@@ -6,6 +6,8 @@ introduces a cartesian product or un-pushes a filter)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -375,11 +377,17 @@ def test_bucketed_postings_index_side_joins_without_exchange(spark):
     )
     spark.sql("DROP TABLE IF EXISTS postings_bucketed")
     # a killed prior run can leave the managed location behind, which
-    # blocks CREATE even after DROP
+    # blocks CREATE even after DROP; resolve the managed location from
+    # the session's warehouse dir (cwd-relative paths miss it whenever
+    # pytest runs from a different directory — r9 ADVICE)
     import shutil
+    from urllib.parse import urlparse
 
+    warehouse = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir")
+    ).path or spark.conf.get("spark.sql.warehouse.dir")
     shutil.rmtree(
-        "spark-warehouse/postings_bucketed", ignore_errors=True
+        os.path.join(warehouse, "postings_bucketed"), ignore_errors=True
     )
     (
         postings.write.bucketBy(8, "band", "band_key")
