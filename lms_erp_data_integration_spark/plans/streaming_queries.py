@@ -667,3 +667,300 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg, f"stream_dedup_ingest_{next(_SINK_SEQ)}", mode="complete"
     )
     return out.select("new_id", "index_id", "jaccard")
+
+
+def _lifecycle_oracle(
+    num_hashes: int = 16, rows_per_band: int = 2, n_batches: int = 3
+) -> str:
+    """Oracle for ``stream_dedup_lifecycle``: the greedy sequential
+    ingest loop UNROLLED batch-by-batch over the same deterministic
+    batch assignment (seed = doc_id % (K+1) = 0, batch k = residue k).
+
+    The near-dup relation ``nd`` is computed ONCE over the full corpus
+    (band collisions + exact-Jaccard verify) and each unrolled stage
+    filters it — valid because LSH candidate generation is pairwise,
+    so candidates within any subset of docs are exactly the full
+    relation restricted to that subset (the same subset-filter
+    equivalence the compaction oracle uses). The Spark side does NOT
+    get this shortcut: it genuinely re-probes its growing index state
+    per micro-batch."""
+    from .llm_queries import _SIZES_CTE, _mh_banded_cte
+
+    banded = _mh_banded_cte(num_hashes, rows_per_band).replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    )
+    mod = n_batches + 1
+    stages = []
+    for k in range(1, n_batches + 1):
+        prev = f"idx{k - 1}"
+        # anti-joins, never correlated NOT EXISTS: inside a WITH
+        # RECURSIVE block DuckDB plans the correlated form as a
+        # dependent join that re-evaluates the whole nd pipeline per
+        # outer row (measured: 10+ min vs sub-second at sf0.01)
+        stages.append(f"""
+b{k} AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % {mod} = {k}),
+s{k} AS MATERIALIZED (
+  SELECT d.doc_id FROM b{k} d
+  LEFT JOIN (SELECT DISTINCT nd.i FROM nd
+             JOIN {prev} x ON x.doc_id = nd.j) m{k}
+    ON m{k}.i = d.doc_id
+  WHERE m{k}.i IS NULL),
+k{k} AS MATERIALIZED (
+  SELECT d.doc_id FROM s{k} d
+  LEFT JOIN (SELECT DISTINCT nd.i FROM nd
+             JOIN s{k} e ON e.doc_id = nd.j
+             WHERE nd.j < nd.i) w{k}
+    ON w{k}.i = d.doc_id
+  WHERE w{k}.i IS NULL),
+idx{k} AS MATERIALIZED (SELECT doc_id FROM {prev} UNION ALL SELECT doc_id FROM k{k}),""")
+        # summary row for stage k (assembled below)
+    stage_sql = "".join(stages)
+    summary_rows = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS stage_id, 'batch_{k}' AS stage,
+       (SELECT COUNT(*) FROM b{k}) AS n_in,
+       (SELECT COUNT(*) FROM b{k}) - (SELECT COUNT(*) FROM s{k})
+         AS n_dropped_vs_index,
+       (SELECT COUNT(*) FROM s{k}) - (SELECT COUNT(*) FROM k{k})
+         AS n_dropped_within,
+       (SELECT COUNT(*) FROM k{k}) AS n_appended,
+       (SELECT COUNT(*) FROM idx{k}) AS index_size_after"""
+        for k in range(1, n_batches + 1)
+    )
+    last = f"idx{n_batches}"
+    return f"""
+{banded}
+{_SIZES_CTE}
+cands AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.i, c.j, COUNT(*) AS inter
+  FROM cands c
+  JOIN shing si ON si.doc_id = c.i
+  JOIN shing sj ON sj.doc_id = c.j AND sj.shingle = si.shingle
+  GROUP BY c.i, c.j),
+vp AS (
+  SELECT i, j FROM inter
+  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+nd AS MATERIALIZED (SELECT i, j FROM vp UNION ALL SELECT j AS i, i AS j FROM vp),
+idx0 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % {mod} = 0),{stage_sql}
+fedges AS MATERIALIZED (
+  SELECT nd.i AS src, nd.j AS dst FROM nd
+  JOIN {last} xi ON xi.doc_id = nd.i
+  JOIN {last} xj ON xj.doc_id = nd.j),
+reach AS (
+  SELECT src AS node, dst AS target FROM fedges
+  UNION
+  SELECT r.node, e.dst AS target
+  FROM reach r JOIN fedges e ON e.src = r.target),
+fdropped AS (
+  SELECT node FROM reach GROUP BY node
+  HAVING LEAST(node, MIN(target)) <> node),
+summary AS (
+{summary_rows}
+UNION ALL
+SELECT {n_batches + 1} AS stage_id, 'compaction' AS stage,
+       (SELECT COUNT(*) FROM {last}) AS n_in,
+       0 AS n_dropped_vs_index,
+       (SELECT COUNT(*) FROM fdropped) AS n_dropped_within,
+       0 AS n_appended,
+       (SELECT COUNT(*) FROM {last}) - (SELECT COUNT(*) FROM fdropped)
+         AS index_size_after)
+SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_dropped_vs_index AS BIGINT) AS n_dropped_vs_index,
+       CAST(n_dropped_within AS BIGINT) AS n_dropped_within,
+       CAST(n_appended AS BIGINT) AS n_appended,
+       CAST(index_size_after AS BIGINT) AS index_size_after
+FROM summary ORDER BY stage_id
+"""
+
+
+def _run_dedup_lifecycle(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_batches: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> tuple[list[tuple], DataFrame, DataFrame]:
+    """Drive the foreachBatch ingest loop and terminal compaction;
+    returns (summary_rows, final_index_sets, compacted_keeper_ids).
+    Split out of the registered query so
+    ``tests/test_streaming.py`` can pin the final index CONTENT (not
+    just the oracle-checked counts) against a plain-batch greedy
+    unroll of the same policy."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..operators import dedup as dd
+
+    mod = n_batches + 1
+
+    def _sets(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.array_distinct(
+                dd.shingle_array(F.col("text"), shingle_n)
+            ).alias("shset"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="dedup_lifecycle_")
+    try:
+        # one parquet FILE per micro-batch, mtimes strictly ascending
+        # (the file source admits oldest-first)
+        now = _time.time()
+        for k in range(1, n_batches + 1):
+            staging = os.path.join(tmp, f"_stage{k}")
+            (
+                docs.where(F.col("doc_id") % mod == k)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            part = next(
+                f for f in os.listdir(staging)
+                if f.endswith(".parquet")
+            )
+            dst = os.path.join(tmp, f"batch_{k}.parquet")
+            os.rename(os.path.join(staging, part), dst)
+            shutil.rmtree(staging)
+            os.utime(dst, (now + 10 * k, now + 10 * k))
+
+        state = {
+            "sets": _sets(
+                docs.where(F.col("doc_id") % mod == 0)
+            ).localCheckpoint(eager=True)
+        }
+        results: dict[int, tuple[int, int, int, int, int]] = {}
+
+        def ingest(batch_df: DataFrame, _bid: int) -> None:
+            # stage id from the batch's own rows (file order is
+            # pinned by mtime, but never trusted)
+            k = int(
+                batch_df.select(
+                    F.min(F.col("doc_id") % mod)
+                ).first()[0]
+            )
+            bsets = _sets(batch_df).localCheckpoint(eager=True)
+            matches = dd.incremental_minhash_duplicates(
+                None, None, threshold=0.8, num_hashes=num_hashes,
+                bands=bands, shingle_n=shingle_n,
+                index_sets=state["sets"], batch_sets=bsets,
+            )
+            matched = matches.select(
+                F.col("new_id").alias("doc_id")
+            ).distinct()
+            surv = bsets.join(matched, "doc_id", "left_anti"
+                              ).localCheckpoint(eager=True)
+            wpairs = dd.minhash_near_duplicates(
+                None, threshold=0.8, num_hashes=num_hashes,
+                bands=bands, shingle_n=shingle_n, sets=surv,
+            )
+            dropped_within = wpairs.select(
+                F.col("j").alias("doc_id")
+            ).distinct()
+            kept = surv.join(dropped_within, "doc_id", "left_anti")
+            new_state = state["sets"].unionByName(kept).localCheckpoint(
+                eager=True
+            )
+            n_in = batch_df.count()
+            n_surv = surv.count()
+            n_idx = new_state.count()
+            n_kept = n_idx - state["sets"].count()
+            results[k] = (
+                n_in, n_in - n_surv, n_surv - n_kept, n_kept, n_idx
+            )
+            state["sets"] = new_state
+
+        ckpt = os.path.join(tmp, "_ckpt")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        )
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # terminal maintenance: compact the grown index
+        final_sets = state["sets"]
+        pairs = dd.minhash_near_duplicates(
+            None, threshold=0.8, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, sets=final_sets,
+        )
+        dropped_comp = (
+            dd.duplicate_clusters(pairs)
+            .where(F.col("member") != F.col("cluster_id"))
+            .select(F.col("member").alias("doc_id"))
+        )
+        compacted = final_sets.select("doc_id").join(
+            dropped_comp, "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_final = final_sets.count()
+        n_compacted = compacted.count()
+        rows = [
+            (k, f"batch_{k}", *results[k])
+            for k in sorted(results)
+        ] + [
+            (
+                n_batches + 1, "compaction", n_final, 0,
+                n_final - n_compacted, 0, n_compacted,
+            )
+        ]
+        return rows, final_sets, compacted
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("stream_dedup_lifecycle", _lifecycle_oracle())
+def stream_dedup_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup-index lifecycle, composed end-to-end
+    (r9 verdict #5): a real ``foreachBatch`` Structured Streaming run
+    ingests the corpus in K micro-batches against a GROWING index —
+    per batch: probe arriving docs against the current index postings
+    (band join + exact-Jaccard verify), drop matches, dedup the
+    survivors within the batch (min-id direct-neighbor policy: a doc
+    drops iff a lower-id surviving doc verifies >= 0.8), APPEND the
+    keepers' shingle sets to the index state — then one
+    ``compact_dedup_index`` pass collapses the final index's internal
+    clusters. This exercises the batch->index APPEND edge that
+    ``stream_dedup_ingest`` (static index) and
+    ``llm_dedup_index_compaction`` (index->batch) leave untested.
+
+    Determinism: batch membership is doc_id % (K+1) (seed = residue
+    0); the K batch files are written with strictly ascending mtimes
+    so the file source admits them in arrival order, and the stage id
+    is re-derived from the batch's own rows, never from file order.
+
+    Scale posture: per micro-batch the work is one band equi-join
+    against the index postings plus a within-batch self-join sized by
+    the BATCH (not the corpus); index state grows by corpus novelty
+    only, and the terminal compaction is the same cluster-bounded
+    maintenance job as ``llm_dedup_index_compaction``. State between
+    batches is an eager ``localCheckpoint`` (lineage truncated per
+    ingest — in production: the persisted bucketed postings table).
+
+    The oracle unrolls the identical greedy sequence in SQL (nd
+    computed once, subset-filtered per stage — pairwise LSH makes
+    that equivalence exact); ``tests/test_streaming.py`` additionally
+    pins the final index CONTENT against a plain-batch unroll."""
+    from ..catalog import Catalog
+
+    docs = Catalog(spark, sf_dir).documents
+    rows, _final, _compacted = _run_dedup_lifecycle(spark, docs)
+    return spark.createDataFrame(
+        rows,
+        "stage_id long, stage string, n_in long, "
+        "n_dropped_vs_index long, n_dropped_within long, "
+        "n_appended long, index_size_after long",
+    )

@@ -180,9 +180,32 @@ def build_sf1(
             """
         )
     if doc_emb_only:
-        # second-decade drop: only the document/embedding family is
-        # probed there; copy the fixed-cardinality dims so
-        # Catalog.register_all() still resolves
+        # second-decade drop: the document/embedding family plus
+        # ORDERS (r9 verdict #3: rel_quantile_sketch_audit is the one
+        # >0.5-exponent row outside the doc family; its only input is
+        # orders, replicated here with the standard key stride — 15M
+        # rows at 100x, still /tmp-sized). Fixed-cardinality dims are
+        # copied so Catalog.register_all() still resolves.
+        if not os.path.exists(f"{out_dir}/orders.parquet"):
+            cols = [
+                r[0]
+                for r in con.execute(
+                    f"DESCRIBE SELECT * FROM '{SRC}/orders.parquet'"
+                ).fetchall()
+            ]
+            keyed = {
+                "o_orderkey": "l.o_orderkey + k * 10000000",
+                "o_custkey": "l.o_custkey + k * 10000000",
+            }
+            sel = ", ".join(
+                f"{keyed.get(c, 'l.' + c)} AS {c}" for c in cols
+            )
+            con.execute(
+                f"""
+                COPY (SELECT {sel} FROM '{SRC}/orders.parquet' l, ks)
+                TO '{out_dir}/orders.parquet' (FORMAT parquet)
+                """
+            )
         for t in ("region", "nation"):
             if not os.path.exists(f"{out_dir}/{t}.parquet"):
                 con.execute(
@@ -289,6 +312,11 @@ DECADE2_QUERIES = [
     "llm_dedup_index_compaction",
     "stream_dedup_ingest",
     "llm_decontaminate_train",
+    # r10 (r9 verdict #3): the audit half of the quantile split read
+    # 0.75 over decade 1 — orders is now replicated into the sf10
+    # drop so the claim "the exact per-group sorts are the only
+    # data-sized cost" is measured over a second decade too
+    "rel_quantile_sketch_audit",
 ]
 
 

@@ -215,3 +215,62 @@ def test_stream_dedup_ingest_matches_batch_incremental(spark, sf_dir):
     }
     got, want = key(stream), key(batch)
     assert got == want and len(got) > 0
+
+
+def test_dedup_lifecycle_final_index_matches_batch_unroll(spark, sf_dir):
+    """The streaming foreachBatch ingest loop must produce the SAME
+    final index CONTENT (doc ids, not just the oracle-checked counts)
+    as a plain-batch greedy unroll of the identical policy — the
+    stream==batch equivalence for the batch->index APPEND edge."""
+    from lms_erp_data_integration_spark.operators import dedup as dd
+    from lms_erp_data_integration_spark.plans.streaming_queries import (
+        _run_dedup_lifecycle,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    rows, final_sets, compacted = _run_dedup_lifecycle(spark, docs)
+    stream_ids = {r.doc_id for r in final_sets.select("doc_id").collect()}
+
+    def _sets(d):
+        return d.select(
+            "doc_id",
+            F.array_distinct(dd.shingle_array(F.col("text"), 3)).alias(
+                "shset"
+            ),
+        )
+
+    mod = 4
+    state = _sets(docs.where(F.col("doc_id") % mod == 0)).localCheckpoint(
+        eager=True
+    )
+    for k in range(1, mod):
+        bsets = _sets(docs.where(F.col("doc_id") % mod == k)
+                      ).localCheckpoint(eager=True)
+        matched = (
+            dd.incremental_minhash_duplicates(
+                None, None, threshold=0.8, num_hashes=16, bands=8,
+                shingle_n=3, index_sets=state, batch_sets=bsets,
+            )
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        surv = bsets.join(matched, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        dropped_within = (
+            dd.minhash_near_duplicates(
+                None, threshold=0.8, num_hashes=16, bands=8,
+                shingle_n=3, sets=surv,
+            )
+            .select(F.col("j").alias("doc_id"))
+            .distinct()
+        )
+        kept = surv.join(dropped_within, "doc_id", "left_anti")
+        state = state.unionByName(kept).localCheckpoint(eager=True)
+    batch_ids = {r.doc_id for r in state.select("doc_id").collect()}
+
+    assert stream_ids == batch_ids
+    # compaction keeps a subset; every stage conserves its arrivals
+    assert {r.doc_id for r in compacted.collect()} <= stream_ids
+    for (_sid, _st, n_in, d_idx, d_within, n_app, _sz) in rows[:-1]:
+        assert n_in == d_idx + d_within + n_app
