@@ -125,16 +125,16 @@ def _p_micro_expr(w: list[int], means: list[int]):
     return F.floor(p * MICRO + F.lit(0.5)).cast("long")
 
 
-def train_quality_logreg(
+def fit_quality_logreg(
     docs: DataFrame,
     text_col: str = "text",
     iterations: int = 6,
     step_divisor: int = 2_000,
-) -> DataFrame:
-    """Full-batch logistic regression on the quality features.
-    Returns ONE row: the learned micro-weights, the training-set
-    confusion matrix at p >= 0.5, and n — every value an exact
-    BIGINT, bit-identical across partitionings."""
+) -> tuple[DataFrame, list[int], list[int], int]:
+    """Run the training loop only; returns (persisted feature frame,
+    micro-weights, integer feature means, n). Shared by the training
+    row and the threshold-calibration row so the calibration scores
+    with exactly the weights the classifier row reports."""
     from ..caching import tracked_persist
 
     feats = tracked_persist(feature_frame(docs, text_col))
@@ -158,6 +158,22 @@ def train_quality_logreg(
             w[j] - _tdiv(int(g[f"g{j}"]), n * step_divisor)
             for j in range(4)
         ]
+    return feats, w, means, n
+
+
+def train_quality_logreg(
+    docs: DataFrame,
+    text_col: str = "text",
+    iterations: int = 6,
+    step_divisor: int = 2_000,
+) -> DataFrame:
+    """Full-batch logistic regression on the quality features.
+    Returns ONE row: the learned micro-weights, the training-set
+    confusion matrix at p >= 0.5, and n — every value an exact
+    BIGINT, bit-identical across partitionings."""
+    feats, w, means, n = fit_quality_logreg(
+        docs, text_col, iterations, step_divisor
+    )
     pred = (_p_micro_expr(w, means) >= MICRO // 2).cast("long")
     out = feats.select(pred.alias("pred"), "y").agg(
         F.sum(F.expr("pred * y")).alias("tp"),

@@ -752,10 +752,10 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_corpus_divergence",
-    r"""
-WITH tok AS (
+# per-source unigram-KL CTEs (ends in ``kl(source, n_tokens,
+# kl_micronats)``) — shared by the divergence row and the DoReMi
+# domain-mix row so the excess-loss signal cannot drift between them
+_DIVERGENCE_CTES = r"""tok AS (
   SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
   FROM documents),
 sc AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
@@ -770,12 +770,20 @@ contrib AS (
   FROM sc
   JOIN cc ON cc.w = sc.w
   JOIN st ON st.source = sc.source
-  CROSS JOIN ct)
-SELECT source,
-       MAX(n_tokens) AS n_tokens,
-       CAST(CAST(SUM(m) AS BIGINT) // MAX(n_tokens) AS BIGINT)
-         AS kl_micronats
-FROM contrib GROUP BY source
+  CROSS JOIN ct),
+kl AS (
+  SELECT source,
+         MAX(n_tokens) AS n_tokens,
+         CAST(CAST(SUM(m) AS BIGINT) // MAX(n_tokens) AS BIGINT)
+           AS kl_micronats
+  FROM contrib GROUP BY source)"""
+
+
+@query(
+    "llm_corpus_divergence",
+    rf"""
+WITH {_DIVERGENCE_CTES}
+SELECT source, n_tokens, kl_micronats FROM kl
 """,
 )
 def corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,7 +802,13 @@ def corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     both map-side-partial) -> a vocabulary-keyed hash join -> one
     grouped sum; output is source-cardinality-sized. The corpus total
     is a broadcast 1-row cross join."""
-    docs = Catalog(spark, sf_dir).documents.select("source", "text")
+    docs = Catalog(spark, sf_dir).documents
+    return _divergence_frame(docs)
+
+
+def _divergence_frame(docs: DataFrame) -> DataFrame:
+    """(source, n_tokens, kl_micronats) — Spark twin of
+    ``_DIVERGENCE_CTES``; shared by the divergence and DoReMi rows."""
     tok = docs.select(
         "source", F.explode(tx.ws_tokens(F.col("text"))).alias("w")
     )
@@ -824,6 +838,103 @@ def corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("source").agg(
         F.max("n_tokens").alias("n_tokens"),
         F.expr("sum(m) div max(n_tokens)").alias("kl_micronats"),
+    )
+
+
+@query(
+    "llm_domain_mix_doremi",
+    rf"""
+WITH {_DIVERGENCE_CTES},
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM kl),
+scored AS (
+  SELECT kl.source, kl.n_tokens, kl.kl_micronats,
+         (kl.n_tokens * 1000000) // tot.total AS share_ppm,
+         CAST(floor(exp(CAST(kl.kl_micronats AS DOUBLE) / 1000000.0)
+                    * 1000000 + 0.5) AS BIGINT) AS boost_micro,
+         tot.n_sources
+  FROM kl, tot),
+weighted AS (
+  SELECT *, (share_ppm * boost_micro) // 1000000 AS score
+  FROM scored),
+norm AS (SELECT CAST(SUM(score) AS BIGINT) AS z FROM weighted)
+SELECT w.source, w.n_tokens, w.kl_micronats, w.share_ppm,
+       w.boost_micro,
+       CAST((w.score * 1000000) // norm.z AS BIGINT) AS doremi_weight_ppm,
+       CAST((800000 * ((w.score * 1000000) // norm.z)
+             + 200000 * (1000000 // w.n_sources)) // 1000000 AS BIGINT)
+         AS smoothed_weight_ppm
+FROM weighted w, norm
+ORDER BY w.source
+""",
+)
+def domain_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-mix reweighting (r9 verdict #6; Xie et al.
+    2023, public paper) as exact-integer aggregation: per-source
+    multiplicative-weights update w_i ∝ share_i * exp(excess_loss_i),
+    normalized to ppm and smoothed 80/20 with the uniform mixture —
+    the sampling weights the next training epoch draws from. The
+    excess-loss signal is the per-source unigram KL vs the pooled
+    corpus (``_DIVERGENCE_CTES``/``_divergence_frame``, shared with
+    ``llm_corpus_divergence``): a deterministic stand-in for DoReMi's
+    proxy-vs-reference loss gap that needs no model checkpoint, with
+    the same monotone semantics (a domain the pooled model fits
+    poorly gets up-weighted).
+
+    Numeric contract: the only float is exp(), rounded half-up to
+    micro-units (the sigmoid/micro-nat precedent); shares, scores,
+    normalization, and the 80/20 smoothing are all BIGINT ppm
+    arithmetic, so the driver hash pins the full mixture.
+
+    Scale posture: everything after the shared KL frame is
+    source-cardinality-sized (a handful of rows at any corpus size);
+    the KL frame itself is two map-side-combined grouped counts and a
+    vocabulary hash join — the same cost class the divergence row
+    already probes."""
+    docs = Catalog(spark, sf_dir).documents
+    kl = _divergence_frame(docs)
+    tot = kl.agg(
+        F.sum("n_tokens").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    scored = kl.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "kl_micronats",
+        F.expr("(n_tokens * 1000000) div total").alias("share_ppm"),
+        F.floor(
+            F.exp(F.col("kl_micronats").cast("double") / 1_000_000.0)
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("boost_micro"),
+        "n_sources",
+    )
+    weighted = scored.withColumn(
+        "score", F.expr("(share_ppm * boost_micro) div 1000000")
+    )
+    norm = weighted.agg(F.sum("score").alias("z"))
+    return (
+        weighted.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_tokens",
+            "kl_micronats",
+            "share_ppm",
+            "boost_micro",
+            F.expr("(score * 1000000) div z")
+            .cast("long")
+            .alias("doremi_weight_ppm"),
+            F.expr(
+                "(800000 * ((score * 1000000) div z)"
+                " + 200000 * (1000000 div n_sources)) div 1000000"
+            )
+            .cast("long")
+            .alias("smoothed_weight_ppm"),
+        )
+        .orderBy("source")
     )
 
 

@@ -170,11 +170,13 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _logreg_oracle(iterations: int = 6, step_divisor: int = 2000) -> str:
-    """Unrolled-iteration DuckDB twin of ``train_quality_logreg``
-    (the BPE/k-means precedent: every gradient step becomes a CTE
-    whose integer arithmetic mirrors the engine's exactly; DuckDB
-    ``//`` and Spark ``div`` both truncate toward zero)."""
+def _logreg_cte_parts(
+    iterations: int = 6, step_divisor: int = 2000
+) -> tuple[list[str], "callable", str]:
+    """Shared unrolled-training CTE chain (feat/m/i0..iK) for the
+    logreg oracles; returns (parts, p_micro(it) -> sql, final_it).
+    Split out of ``_logreg_oracle`` so the calibration oracle scores
+    with the identical unrolled weights."""
     from ..operators.quality_ml import MICRO, SCALES, _STOP_MIN_MICRO
     from .llm_queries import _STOP_SQL
 
@@ -238,7 +240,17 @@ i0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
         parts.append(
             f"i{k + 1} AS (SELECT {w_cols} FROM g{k}, m, i{k})"
         )
-    it = f"i{iterations}"
+    return parts, p_micro, f"i{iterations}"
+
+
+def _logreg_oracle(iterations: int = 6, step_divisor: int = 2000) -> str:
+    """Unrolled-iteration DuckDB twin of ``train_quality_logreg``
+    (the BPE/k-means precedent: every gradient step becomes a CTE
+    whose integer arithmetic mirrors the engine's exactly; DuckDB
+    ``//`` and Spark ``div`` both truncate toward zero)."""
+    from ..operators.quality_ml import MICRO
+
+    parts, p_micro, it = _logreg_cte_parts(iterations, step_divisor)
     parts.append(
         f"""conf AS (
   SELECT SUM(pred * y) AS tp, SUM(pred * (1 - y)) AS fp,
@@ -256,6 +268,53 @@ SELECT {sel}, m.m1 AS mean1, m.m2 AS mean2, m.m3 AS mean3,
        CAST(conf.fn AS BIGINT) AS fn, CAST(conf.tn AS BIGINT) AS tn,
        m.n AS n_docs
 FROM {it}, m, conf
+"""
+    )
+
+
+_CAL_THRESHOLDS = tuple(range(100_000, 1_000_000, 100_000))
+
+
+def _calibration_oracle(
+    iterations: int = 6, step_divisor: int = 2000
+) -> str:
+    """Threshold-sweep twin: score every doc with the unrolled
+    weights, then per operating threshold compute the confusion
+    matrix and integer-micro precision/recall/F1 vs the weak labels.
+    Non-negative operands throughout, so DuckDB ``//`` == Spark
+    ``div``."""
+    from ..operators.quality_ml import MICRO
+
+    parts, p_micro, it = _logreg_cte_parts(iterations, step_divisor)
+    th = ", ".join(str(t) for t in _CAL_THRESHOLDS)
+    parts.append(
+        f"""scored AS MATERIALIZED (
+  SELECT {p_micro(it)} AS p, y FROM feat, m, {it}),
+th AS (SELECT unnest([{th}]) AS threshold_micro),
+conf AS (
+  SELECT threshold_micro,
+         SUM(CASE WHEN p >= threshold_micro THEN y ELSE 0 END) AS tp,
+         SUM(CASE WHEN p >= threshold_micro THEN 1 - y ELSE 0 END) AS fp,
+         SUM(CASE WHEN p < threshold_micro THEN y ELSE 0 END) AS fn,
+         SUM(CASE WHEN p < threshold_micro THEN 1 - y ELSE 0 END) AS tn
+  FROM scored, th GROUP BY threshold_micro)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CAST(threshold_micro AS BIGINT) AS threshold_micro,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CAST({MICRO} * tp // greatest(tp + fp, 1) AS BIGINT)
+         AS precision_micro,
+       CAST({MICRO} * tp // greatest(tp + fn, 1) AS BIGINT)
+         AS recall_micro,
+       CAST(2 * ({MICRO} * tp // greatest(tp + fp, 1))
+              * ({MICRO} * tp // greatest(tp + fn, 1))
+            // greatest(({MICRO} * tp // greatest(tp + fp, 1))
+                        + ({MICRO} * tp // greatest(tp + fn, 1)), 1)
+            AS BIGINT) AS f1_micro
+FROM conf ORDER BY threshold_micro
 """
     )
 
@@ -280,3 +339,75 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     return train_quality_logreg(docs)
+
+
+@query("llm_quality_calibration", _calibration_oracle())
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-threshold CALIBRATION of the learned quality filter
+    (r9 verdict #6): train the same exact-integer logistic regression,
+    score every document once, and sweep the decision threshold over
+    0.1..0.9 — per threshold the confusion matrix vs the weak labels
+    plus integer-micro precision / recall / F1. This is the curve a
+    100 TB curation run reads to PICK its cut-off (recall-heavy for a
+    first sweep, precision-heavy for a final pass) instead of
+    defaulting to 0.5; the classifier row reports only the 0.5 point.
+
+    Exactness: scores are the micro-rounded sigmoid (the family's one
+    documented float exposure); thresholding, confusion counts, and
+    the derived ratios are all BIGINT arithmetic on non-negative
+    operands, so the driver hash pins the full curve.
+
+    Scale posture: ONE scan of the persisted narrow feature frame;
+    the 9 thresholds explode per row BEFORE the aggregate, so the
+    shuffle carries 9 partial-sum rows per partition, not 9x the
+    corpus."""
+    from ..operators.quality_ml import _p_micro_expr, fit_quality_logreg
+
+    docs = Catalog(spark, sf_dir).documents
+    feats, w, means, _n = fit_quality_logreg(docs)
+    scored = feats.select(_p_micro_expr(w, means).alias("p"), "y")
+    sc = scored.select(
+        "p",
+        "y",
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in _CAL_THRESHOLDS])
+        ).alias("threshold_micro"),
+    )
+    conf = sc.groupBy("threshold_micro").agg(
+        F.sum(F.expr("CASE WHEN p >= threshold_micro THEN y ELSE 0 END"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(
+            F.expr("CASE WHEN p >= threshold_micro THEN 1 - y ELSE 0 END")
+        )
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.expr("CASE WHEN p < threshold_micro THEN y ELSE 0 END"))
+        .cast("long")
+        .alias("fn"),
+        F.sum(
+            F.expr("CASE WHEN p < threshold_micro THEN 1 - y ELSE 0 END")
+        )
+        .cast("long")
+        .alias("tn"),
+    )
+    from ..operators.quality_ml import MICRO
+
+    prec = F.expr(f"{MICRO} * tp div greatest(tp + fp, 1)")
+    rec = F.expr(f"{MICRO} * tp div greatest(tp + fn, 1)")
+    f1 = F.expr(
+        f"2 * ({MICRO} * tp div greatest(tp + fp, 1))"
+        f" * ({MICRO} * tp div greatest(tp + fn, 1))"
+        f" div greatest(({MICRO} * tp div greatest(tp + fp, 1))"
+        f" + ({MICRO} * tp div greatest(tp + fn, 1)), 1)"
+    )
+    return conf.select(
+        "threshold_micro",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        prec.cast("long").alias("precision_micro"),
+        rec.cast("long").alias("recall_micro"),
+        f1.cast("long").alias("f1_micro"),
+    ).orderBy("threshold_micro")

@@ -1693,13 +1693,11 @@ def image_phashes(spark: SparkSession) -> DataFrame:
     )
 
 
-@query(
-    "llm_image_visual_dedup",
-    # Band count / width / dup threshold are interpolated from the
-    # module constants (r9 ADVICE) so one definition drives both the
-    # Spark plan and the oracle.
-    f"""
-WITH ph(doc_id, phash) AS (VALUES
+# Pinned per-payload pHashes for the mixed-format fixture corpus —
+# ONE definition shared by the llm_image_visual_dedup oracle (whose
+# live-operator guard in tests/test_oracle_parity.py keeps these pins
+# honest) and the cross-modal dedup oracle.
+_PHASH_VALUES_SQL = """ph(doc_id, phash) AS (VALUES
   (CAST(0 AS BIGINT), CAST(227258910004145624 AS BIGINT)),
   (1, 1380180406021057946),
   (2, 4404166120930691378),
@@ -1710,25 +1708,36 @@ WITH ph(doc_id, phash) AS (VALUES
   (7, 5588174915641051810),
   (8, 1989859192593037408),
   (9, 1406077611615757052)
-),
-bands AS (
+)"""
+
+# Banded-LSH candidate generation + Hamming verify over the pinned
+# pHashes — shared CTE tail (band count/width/threshold interpolated
+# from the module constants, r9 ADVICE).
+_PHASH_BANDS_CTES = f"""bands AS (
   SELECT doc_id, i AS band_idx,
          (phash >> CAST({64 // _IMG_PHASH_BANDS} * i AS INTEGER))
            & {(1 << (64 // _IMG_PHASH_BANDS)) - 1} AS band_val
   FROM ph, range({_IMG_PHASH_BANDS}) t(i)),
-cand AS (
+vcand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(COUNT(*) AS BIGINT) AS n_shared_bands
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
+  GROUP BY a.doc_id, b.doc_id)"""
+
+
+@query(
+    "llm_image_visual_dedup",
+    f"""
+WITH {_PHASH_VALUES_SQL},
+{_PHASH_BANDS_CTES}
 SELECT c.doc_a, c.doc_b, c.n_shared_bands,
        CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming,
        CAST(bit_count(xor(pa.phash, pb.phash)) <= {_IMG_DUP_BITS}
             AS BOOLEAN) AS is_dup
-FROM cand c JOIN ph pa ON pa.doc_id = c.doc_a
-            JOIN ph pb ON pb.doc_id = c.doc_b
+FROM vcand c JOIN ph pa ON pa.doc_id = c.doc_a
+             JOIN ph pb ON pb.doc_id = c.doc_b
 ORDER BY doc_a, doc_b
 """,
 )
@@ -1760,6 +1769,20 @@ def image_visual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-band hot-bucket cap (operators/dedup.py pattern) to bound
     collision blowup."""
     ph = tracked_persist(image_phashes(spark))
+    cand = _phash_candidates(ph)
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        "n_shared_bands",
+        "hamming",
+        (F.col("hamming") <= _IMG_DUP_BITS).alias("is_dup"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _phash_candidates(ph: DataFrame) -> DataFrame:
+    """Banded-LSH candidates + Hamming verify over a (doc_id, phash)
+    frame -> (doc_a, doc_b, n_shared_bands, hamming). Shared by the
+    visual-dedup and cross-modal rows (mirrors _PHASH_BANDS_CTES)."""
     bands = ph.select(
         "doc_id",
         F.posexplode(
@@ -1798,11 +1821,112 @@ def image_visual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(pa, "doc_a")
         .join(pb, "doc_b")
         .select(
+            "doc_a", "doc_b", "n_shared_bands",
+            ham.cast("long").alias("hamming"),
+        )
+    )
+
+
+def _crossmodal_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
+    """Cross-modal near-dup oracle: the TEXT pipeline (MinHash-LSH +
+    exact-Jaccard verify over the whole documents corpus) full-outer
+    joined with the VISUAL pipeline (pinned pHashes -> banded LSH ->
+    Hamming <= dup threshold over the fixture image corpus). The
+    pHash pins are the SAME ``_PHASH_VALUES_SQL`` block the guarded
+    visual-dedup oracle uses, so they cannot drift independently."""
+    from .llm_queries import _SIZES_CTE, _mh_banded_cte
+
+    return f"""
+{_mh_banded_cte(num_hashes, rows_per_band)}
+{_SIZES_CTE}
+tcands AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+tinter AS (
+  SELECT c.i, c.j, COUNT(*) AS inter
+  FROM tcands c
+  JOIN shing si ON si.doc_id = c.i
+  JOIN shing sj ON sj.doc_id = c.j AND sj.shingle = si.shingle
+  GROUP BY c.i, c.j),
+tp AS (
+  SELECT i AS doc_a, j AS doc_b,
+         inter * 1.0 / (sa.n + sb.n - inter) AS text_jaccard
+  FROM tinter
+  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+{_PHASH_VALUES_SQL},
+{_PHASH_BANDS_CTES},
+vp AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+  FROM vcand c JOIN ph pa ON pa.doc_id = c.doc_a
+               JOIN ph pb ON pb.doc_id = c.doc_b
+  WHERE bit_count(xor(pa.phash, pb.phash)) <= {_IMG_DUP_BITS})
+SELECT COALESCE(t.doc_a, v.doc_a) AS doc_a,
+       COALESCE(t.doc_b, v.doc_b) AS doc_b,
+       t.text_jaccard,
+       v.hamming AS visual_hamming,
+       CASE WHEN t.doc_a IS NOT NULL AND v.doc_a IS NOT NULL THEN 'both'
+            WHEN t.doc_a IS NOT NULL THEN 'text'
+            ELSE 'visual' END AS modality
+FROM tp t FULL OUTER JOIN vp v
+  ON v.doc_a = t.doc_a AND v.doc_b = t.doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("llm_crossmodal_dedup", _crossmodal_oracle())
+def crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL near-dup join (r9 verdict #6): a multimodal corpus
+    dedups on the UNION of modality-specific near-dup relations —
+    text MinHash-LSH pairs (whole documents corpus, exact-Jaccard
+    >= 0.8) merged with image pHash pairs (decoded mixed-format
+    payloads, banded LSH + Hamming <= {dup} bits) — because a
+    re-encoded image with rewritten alt-text evades text dedup, and
+    boilerplate pages around distinct images evade visual dedup.
+    Output is one row per flagged pair with both evidence columns
+    (text_jaccard, visual_hamming — NULL where that modality did not
+    fire) and a modality verdict ('text' / 'visual' / 'both').
+
+    Scale posture: each modality runs its own bucketed candidate
+    generation (banded MinHash; banded pHash) — the cross-modal step
+    is ONE outer join on the pair key, sized by flagged pairs, never
+    by the corpus. At 100 TB the pair frames are the two pipelines'
+    existing outputs; the merge adds no new quadratic term.
+    """
+    from ..catalog import Catalog
+    from ..operators import dedup as dd
+
+    docs = Catalog(spark, sf_dir).documents
+    tpairs = dd.minhash_near_duplicates(
+        docs, threshold=0.8, num_hashes=16, bands=8, shingle_n=3
+    ).select(
+        F.col("i").alias("doc_a"),
+        F.col("j").alias("doc_b"),
+        F.col("jaccard").alias("text_jaccard"),
+    )
+    ph = tracked_persist(image_phashes(spark))
+    vpairs = (
+        _phash_candidates(ph)
+        .where(F.col("hamming") <= _IMG_DUP_BITS)
+        .select("doc_a", "doc_b", F.col("hamming").alias("visual_hamming"))
+    )
+    return (
+        tpairs.join(vpairs, ["doc_a", "doc_b"], "full_outer")
+        .select(
             "doc_a",
             "doc_b",
-            "n_shared_bands",
-            ham.cast("long").alias("hamming"),
-            (ham <= _IMG_DUP_BITS).alias("is_dup"),
+            "text_jaccard",
+            "visual_hamming",
+            F.when(
+                F.col("text_jaccard").isNotNull()
+                & F.col("visual_hamming").isNotNull(),
+                F.lit("both"),
+            )
+            .when(F.col("text_jaccard").isNotNull(), F.lit("text"))
+            .otherwise(F.lit("visual"))
+            .alias("modality"),
         )
         .orderBy("doc_a", "doc_b")
     )
