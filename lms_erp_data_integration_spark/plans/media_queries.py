@@ -1609,7 +1609,14 @@ def _image_dedup_payload(img_id: int) -> bytes:
     JPEG q80 of the 1.5x-upscaled content (re-encode + resize);
     (6,7) JPEG-LS vs a PNG brightened +6 with ±14 deterministic
     noise; 8/9 unique content (PNG, JPEG). Measured pHash Hamming:
-    pairs 4/0/4/2 bits, nearest non-pair >= 22."""
+    pairs 4/0/4/2 bits, nearest non-pair >= 22.
+
+    Ids >= 10 extend the corpus for the SCALE probe
+    (``scripts/probe_image_dedup.py``): each consecutive (even, odd)
+    id pair shares one fresh content id — PNG original vs a
+    noisy QOI re-encode — so planted-pair density stays constant as
+    n grows (the collision load the band join must absorb). The
+    registered 10-image row and its pinned oracle are untouched."""
     import numpy as np
 
     from ..operators import multimodal as mm
@@ -1654,7 +1661,13 @@ def _image_dedup_payload(img_id: int) -> bytes:
         return mm.encode_png(noisy(bright, 3, 14))
     if img_id == 8:
         return mm.encode_png(_image_content(4))
-    return encode_jpeg(_image_content(5), quality=85)
+    if img_id == 9:
+        return encode_jpeg(_image_content(5), quality=85)
+    # scale-probe extension: fresh content per (even, odd) pair
+    cs = 10 + (img_id - 10) // 2
+    if img_id % 2 == 0:
+        return mm.encode_png(_image_content(cs))
+    return encode_qoi(noisy(_image_content(cs), img_id, 3))
 
 
 _IMAGE_PHASH_SCHEMA = T.StructType(
@@ -1665,7 +1678,9 @@ _IMAGE_PHASH_SCHEMA = T.StructType(
 )
 
 
-def image_phashes(spark: SparkSession) -> DataFrame:
+def image_phashes(
+    spark: SparkSession, n_images: int = _N_DEDUP_IMAGES
+) -> DataFrame:
     """(doc_id, phash) for the image-dedup fixture corpus: payloads
     are built AND hashed inside one Arrow ``mapInPandas`` pass
     (encode -> format-sniffing decode -> 32x32 box downsample -> DCT
@@ -1688,9 +1703,9 @@ def image_phashes(spark: SparkSession) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 
-    return spark.range(0, _N_DEDUP_IMAGES, 1, 4).mapInPandas(
-        op, _IMAGE_PHASH_SCHEMA
-    )
+    return spark.range(
+        0, n_images, 1, max(4, n_images // 64)
+    ).mapInPandas(op, _IMAGE_PHASH_SCHEMA)
 
 
 # Pinned per-payload pHashes for the mixed-format fixture corpus —

@@ -121,6 +121,17 @@ PROBE_QUERIES = [
     # r9: the eval-leakage guard (incremental-dedup shape, sides
     # swapped)
     "llm_decontaminate_train",
+    # r10: the composed ingest->append->compact lifecycle (per-batch
+    # band joins against a GROWING index + terminal compaction), the
+    # threshold-calibration scan, the DoReMi mix (KL frame + source-
+    # sized tail), the cross-modal pair merge (text LSH side scales,
+    # image side is the fixture), and the matryoshka recall audit
+    # (5-query brute-force exact top-10 — linear in corpus by design)
+    "stream_dedup_lifecycle",
+    "llm_quality_calibration",
+    "llm_domain_mix_doremi",
+    "llm_crossmodal_dedup",
+    "llm_emb_matryoshka_recall",
 ]
 
 
