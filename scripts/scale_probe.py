@@ -323,6 +323,12 @@ DECADE2_QUERIES = [
     "llm_dedup_index_compaction",
     "stream_dedup_ingest",
     "llm_decontaminate_train",
+    # r10 rows above the 0.5 first-decade bar: the cross-modal row's
+    # text side is a full MinHash-LSH pass (0.81 decade 1), the
+    # matryoshka audit is 5-query brute force (0.53 — linear by
+    # design; decade 2 checks nothing hides above it)
+    "llm_crossmodal_dedup",
+    "llm_emb_matryoshka_recall",
     # r10 (r9 verdict #3): the audit half of the quantile split read
     # 0.75 over decade 1 — orders is now replicated into the sf10
     # drop so the claim "the exact per-group sorts are the only
