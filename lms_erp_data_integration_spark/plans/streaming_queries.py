@@ -809,54 +809,99 @@ def _run_dedup_lifecycle(
             ).alias("shset"),
         )
 
+    rows_per_band = num_hashes // bands
+
+    def _postings(sets_df: DataFrame) -> DataFrame:
+        """(band, band_key, index_id, _sh_i) for a (doc_id, shset)
+        frame — each doc is SIGNED ONCE, when it enters the index
+        (the append-only posting-table shape production persists)."""
+        sig = dd.minhash_signatures(
+            sets_df, num_hashes, sets_col="shset", carry_sets=True,
+            persist=False,
+        )
+        return sig.select(
+            F.col("doc_id").alias("index_id"),
+            F.col("shset").alias("_sh_i"),
+            F.posexplode(
+                dd._band_keys(bands, rows_per_band)
+            ).alias("band", "band_key"),
+        )
+
     tmp = tempfile.mkdtemp(prefix="dedup_lifecycle_")
     try:
         # one parquet FILE per micro-batch, mtimes strictly ascending
-        # (the file source admits oldest-first)
+        # (the file source admits oldest-first). ONE partitioned write
+        # job produces all K files (vs K filter+coalesce jobs).
         now = _time.time()
+        staging = os.path.join(tmp, "_staging")
+        (
+            docs.where(F.col("doc_id") % mod != 0)
+            .withColumn("b", F.col("doc_id") % mod)
+            .repartition(n_batches, "b")
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(staging)
+        )
         for k in range(1, n_batches + 1):
-            staging = os.path.join(tmp, f"_stage{k}")
-            (
-                docs.where(F.col("doc_id") % mod == k)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(staging)
-            )
-            part = next(
-                f for f in os.listdir(staging)
-                if f.endswith(".parquet")
-            )
+            bdir = os.path.join(staging, f"b={k}")
+            parts = [
+                f for f in os.listdir(bdir) if f.endswith(".parquet")
+            ]
+            assert len(parts) == 1, parts
             dst = os.path.join(tmp, f"batch_{k}.parquet")
-            os.rename(os.path.join(staging, part), dst)
-            shutil.rmtree(staging)
+            os.rename(os.path.join(bdir, parts[0]), dst)
             os.utime(dst, (now + 10 * k, now + 10 * k))
+        shutil.rmtree(staging)
 
+        seed_sets = _sets(
+            docs.where(F.col("doc_id") % mod == 0)
+        ).localCheckpoint(eager=True)
         state = {
-            "sets": _sets(
-                docs.where(F.col("doc_id") % mod == 0)
-            ).localCheckpoint(eager=True)
+            "sets": seed_sets,
+            "postings": _postings(seed_sets).localCheckpoint(eager=True),
+            "n": seed_sets.count(),
         }
         results: dict[int, tuple[int, int, int, int, int]] = {}
 
         def ingest(batch_df: DataFrame, _bid: int) -> None:
             # stage id from the batch's own rows (file order is
-            # pinned by mtime, but never trusted)
+            # pinned by mtime, but never trusted; partitionBy strips
+            # the b column from the file data, so re-derive it)
             k = int(
                 batch_df.select(
                     F.min(F.col("doc_id") % mod)
                 ).first()[0]
             )
-            bsets = _sets(batch_df).localCheckpoint(eager=True)
-            matches = dd.incremental_minhash_duplicates(
-                None, None, threshold=0.8, num_hashes=num_hashes,
-                bands=bands, shingle_n=shingle_n,
-                index_sets=state["sets"], batch_sets=bsets,
+            # within-batch frames: lazy persist (multiple consumers,
+            # shallow lineage) — eager checkpoints here would add one
+            # full job each per micro-batch; only the cross-batch
+            # STATE needs lineage truncation
+            bsets = _sets(batch_df).persist()
+            # probe the persisted postings: stateless batch-side
+            # sign+band, one equi-join, exact-Jaccard verify — the
+            # index side is NEVER re-signed (append-only state)
+            bsig = dd.minhash_signatures(
+                bsets, num_hashes, sets_col="shset", carry_sets=True,
+                persist=False,
             )
-            matched = matches.select(
-                F.col("new_id").alias("doc_id")
-            ).distinct()
-            surv = bsets.join(matched, "doc_id", "left_anti"
-                              ).localCheckpoint(eager=True)
+            bn = bsig.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("shset").alias("_sh_j"),
+                F.posexplode(
+                    dd._band_keys(bands, rows_per_band)
+                ).alias("band", "band_key"),
+            )
+            inter = F.size(
+                F.array_intersect(F.col("_sh_i"), F.col("_sh_j"))
+            )
+            union = F.size("_sh_i") + F.size("_sh_j") - inter
+            matched = (
+                bn.join(state["postings"], ["band", "band_key"])
+                .where((inter / union) >= 0.8)
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            surv = bsets.join(matched, "doc_id", "left_anti").persist()
             wpairs = dd.minhash_near_duplicates(
                 None, threshold=0.8, num_hashes=num_hashes,
                 bands=bands, shingle_n=shingle_n, sets=surv,
@@ -864,18 +909,24 @@ def _run_dedup_lifecycle(
             dropped_within = wpairs.select(
                 F.col("j").alias("doc_id")
             ).distinct()
-            kept = surv.join(dropped_within, "doc_id", "left_anti")
-            new_state = state["sets"].unionByName(kept).localCheckpoint(
-                eager=True
-            )
+            kept = surv.join(dropped_within, "doc_id", "left_anti"
+                             ).persist()
             n_in = batch_df.count()
             n_surv = surv.count()
-            n_idx = new_state.count()
-            n_kept = n_idx - state["sets"].count()
+            n_kept = kept.count()
+            n_idx = state["n"] + n_kept
             results[k] = (
                 n_in, n_in - n_surv, n_surv - n_kept, n_kept, n_idx
             )
-            state["sets"] = new_state
+            state["sets"] = state["sets"].unionByName(
+                kept
+            ).localCheckpoint(eager=True)
+            state["postings"] = state["postings"].unionByName(
+                _postings(kept)
+            ).localCheckpoint(eager=True)
+            state["n"] = n_idx
+            for f in (bsets, surv, kept):
+                f.unpersist(False)
 
         ckpt = os.path.join(tmp, "_ckpt")
         stream = (
