@@ -875,3 +875,98 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .where(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def memorization_spans(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    span_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Longest verbatim train-overlap span per eval document.
+
+    Every ``span_tokens``-token sliding window of an eval doc is
+    probed (60-bit hash semi-join) against the DISTINCT window-hash
+    set of the train corpus; a run of R consecutive matched positions
+    certifies an exact R+span_tokens-1-token verbatim span
+    (gaps-and-islands run-length over hit positions — every token of
+    the reported span is covered by a matched window, so the measure
+    is exact, not a heuristic). Returns per eval doc: token/window
+    counts, hit-window count, ``max_span_tokens``, and
+    ``memorized_ppm`` (span/doc-length in ppm).
+
+    Scale posture: the train side reduces to distinct hashes with
+    map-side partials (the ``duplicate_span_stats`` shape); the probe
+    is a hash semi-join (Bloom/broadcast-able when the eval audit is
+    the small side); the window function sorts HIT positions only —
+    per-doc state ∝ matches, never ∝ document length."""
+    from pyspark.sql import Window as W
+
+    def _span_hashes(col):
+        return F.transform(
+            shingle_array(col, span_tokens), lambda s: _md5_int(s)
+        )
+
+    train_spans = train_df.select(
+        F.explode(
+            F.array_distinct(_span_hashes(F.col(text_col)))
+        ).alias("h")
+    ).distinct()
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    evw = tracked_persist(
+        eval_df.where(F.size(toks) >= span_tokens)
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.posexplode(_span_hashes(F.col(text_col))).alias(
+                "pos0", "h"
+            ),
+        )
+        .select(
+            id_col, "n_tokens", (F.col("pos0") + 1).alias("pos"), "h"
+        )
+    )
+    hits = tracked_persist(
+        evw.join(train_spans, "h", "left_semi").select(id_col, "pos")
+    )
+    runs = hits.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy(id_col).orderBy("pos")),
+    )
+    longest = (
+        runs.groupBy(id_col, "grp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("r"))
+    )
+    per_doc = evw.groupBy(id_col).agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+    n_hits = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit_windows")
+    )
+    span = F.coalesce(
+        F.col("r") + (span_tokens - 1), F.lit(0)
+    ).cast("long")
+    return (
+        per_doc.join(n_hits, id_col, "left")
+        .join(longest, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_windows",
+            F.coalesce(F.col("n_hit_windows"), F.lit(0))
+            .cast("long")
+            .alias("n_hit_windows"),
+            span.alias("max_span_tokens"),
+            F.expr(
+                f"(1000000 * coalesce(r + {span_tokens - 1}, 0))"
+                " div n_tokens"
+            )
+            .cast("long")
+            .alias("memorized_ppm"),
+        )
+    )

@@ -23,8 +23,8 @@ from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 # llm_corpus_divergence (oracle refactored into the shared KL CTE the
 # DoReMi row reuses — same semantics, new SQL text) — then the EIGHT
 # remaining r4 rows (closing the r4 backlog), then the r5 cohort
-# alphabetically (27 of 36 fit; the tail from
-# rel_mirror_reconcile_rows spills to r11).
+# alphabetically (26 of 36 fit; the tail from
+# rel_mirror_drift_buckets spills to r11).
 registry.PRIORITY = [
     # core reference surface — pinned every round
     "sync_missing_faculty_users",
@@ -56,6 +56,10 @@ registry.PRIORITY = [
     # shared _PHASH_VALUES_SQL the cross-modal row reuses
     "llm_image_visual_dedup",
     "llm_emb_matryoshka_recall",
+    # NEW in r10: longest verbatim train-overlap span per eval doc
+    # (gaps-and-islands over 8-token window hits — the memorization
+    # audit's severity metric, complementing the containment rows)
+    "llm_memorization_span",
     # the EIGHT remaining r4-era rows — closes the r4 backlog
     "rel_percentiles_acctbal",
     "rel_profile_columns",
@@ -93,15 +97,15 @@ registry.PRIORITY = [
     "rel_join_size_profile",
     "rel_key_skew_profile",
     "rel_lateral_topk",
-    "rel_mirror_drift_buckets",
 ]
 
 # r11 rotation plan (for the next round): keep the 8 sync rows pinned
 # and any r11-new/changed queries ahead of fillers, then FIRST the
-# EIGHT r5 rows this window displaced (rel_mirror_reconcile_rows,
-# rel_salted_distinct, rel_scd2_user_history, rel_temporal_state_join,
-# rel_triangle_count, rel_value_histogram, stream_dq_gate,
-# stream_value_histogram — finishing r5), then the r6 cohort
+# NINE r5 rows this window displaced (rel_mirror_drift_buckets,
+# rel_mirror_reconcile_rows, rel_salted_distinct,
+# rel_scd2_user_history, rel_temporal_state_join, rel_triangle_count,
+# rel_value_histogram, stream_dq_gate, stream_value_histogram —
+# finishing r5), then the r6 cohort
 # alphabetically. Stamp window-only with
 # scripts/update_checked_hashes.py, never --bootstrap.
 

@@ -1648,3 +1648,85 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "llm_memorization_span",
+    r"""
+WITH tr AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id % 50 <> 0),
+train_spans AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')),
+                         1, 15))::BIGINT AS h
+  FROM tr, unnest(range(1, len(w) - 6)) AS t(i)
+  WHERE len(w) >= 8),
+ev AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id % 50 = 0),
+evw AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(i AS BIGINT) AS pos,
+         ('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')),
+                         1, 15))::BIGINT AS h
+  FROM ev, unnest(range(1, len(w) - 6)) AS t(i)
+  WHERE len(w) >= 8),
+hits AS (
+  SELECT evw.doc_id, evw.pos FROM evw
+  WHERE EXISTS (SELECT 1 FROM train_spans ts WHERE ts.h = evw.h)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits),
+longest AS (
+  SELECT doc_id, MAX(c) AS r FROM (
+    SELECT doc_id, grp, COUNT(*) AS c FROM runs GROUP BY doc_id, grp)
+  GROUP BY doc_id),
+per_doc AS (
+  SELECT doc_id, MAX(n_tokens) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN EXISTS (
+             SELECT 1 FROM train_spans ts WHERE ts.h = evw.h)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_windows
+  FROM evw GROUP BY doc_id)
+SELECT p.doc_id, p.n_tokens, p.n_windows, p.n_hit_windows,
+       CAST(CASE WHEN l.r IS NULL THEN 0 ELSE l.r + 7 END AS BIGINT)
+         AS max_span_tokens,
+       CAST((1000000 * CASE WHEN l.r IS NULL THEN 0 ELSE l.r + 7 END)
+            // p.n_tokens AS BIGINT) AS memorized_ppm
+FROM per_doc p LEFT JOIN longest l USING (doc_id)
+ORDER BY p.doc_id
+""",
+)
+def memorization_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEMORIZATION-SPAN scan: for every eval document (the
+    ``llm_contamination_ngram`` doc_id % 50 split), the LONGEST
+    contiguous token run that also appears verbatim in the train
+    corpus — computed as the longest run of consecutive hit positions
+    over 8-token sliding windows (a run of R consecutive matched
+    windows certifies an R+7-token verbatim span). This is the metric
+    a memorization audit actually reads: containment counts
+    (``llm_contamination_ngram``) say THAT an eval doc overlaps
+    training data; the span length says HOW BADLY — a 9-token quote
+    and a wholesale copy both "overlap", only one invalidates the
+    eval. The gaps-and-islands run-length is exact, not a heuristic:
+    every position in the reported span is covered by a matched
+    window, so the span is verbatim by construction.
+
+    Scale posture: the train side reduces to DISTINCT 60-bit window
+    hashes (map-side partials, one shuffle — the
+    ``duplicate_span_stats`` shape), probed by a hash semi-join from
+    the eval side's per-position windows (eval is the small side of
+    any real audit; at 100 TB the train-hash set is the big build
+    side and the join flips to shuffled semi-join, or a Bloom
+    pre-filter — both standard). The only per-doc state is the
+    window over hit POSITIONS (hits only, never all windows), and the
+    run-length trick needs one partition-local sort of those hits.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    return dd.memorization_spans(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        span_tokens=8,
+    ).orderBy("doc_id")

@@ -132,6 +132,9 @@ PROBE_QUERIES = [
     "llm_domain_mix_doremi",
     "llm_crossmodal_dedup",
     "llm_emb_matryoshka_recall",
+    # r10: memorization-span scan (train distinct-hash set + eval
+    # semi-join + hit-position run-length)
+    "llm_memorization_span",
 ]
 
 
@@ -334,6 +337,8 @@ DECADE2_QUERIES = [
     # drop so the claim "the exact per-group sorts are the only
     # data-sized cost" is measured over a second decade too
     "rel_quantile_sketch_audit",
+    # r10: memorization span read 0.66 over decade 1 — above the bar
+    "llm_memorization_span",
 ]
 
 

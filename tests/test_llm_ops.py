@@ -3182,3 +3182,42 @@ def test_matryoshka_recall_bounds_and_prefix_sensitivity(spark, sf_dir):
         assert 0 <= r["hits"] <= r["k"] == 10
         assert r["recall_pct"] == r["hits"] * 100 // r["k"]
     assert any(r["recall_pct"] < 100 for r in rows)
+
+
+def test_memorization_span_partial_run_exact(spark):
+    """Gaps-and-islands span measurement on a constructed corpus: the
+    eval doc shares a 12-token contiguous block with train (expected
+    span exactly 12 — 5 consecutive matched 8-windows), plus one
+    isolated 8-token match later (a second, shorter island that must
+    NOT extend the max). A clean doc reports 0."""
+    def words(prefix, n, start=0):
+        return " ".join(f"{prefix}{i}" for i in range(start, start + n))
+
+    shared12 = words("s", 12)
+    shared8 = words("x", 8)
+    train = spark.createDataFrame(
+        [(100, f"{words('t', 20)} {shared12} {words('u', 20)} "
+               f"{shared8} {words('v', 10)}")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            # 10 unique tokens, the 12 shared, 10 unique, the 8 shared,
+            # 6 unique => islands of 5 and 1 matched windows
+            (0, f"{words('a', 10)} {shared12} {words('b', 10)} "
+                f"{shared8} {words('c', 6)}"),
+            (1, words("z", 30)),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dd.memorization_spans(train, ev, span_tokens=8).collect()
+    }
+    assert rows[0]["max_span_tokens"] == 12
+    assert rows[0]["n_hit_windows"] == 6  # 5-run + isolated 1
+    assert rows[0]["n_tokens"] == 46
+    assert rows[0]["memorized_ppm"] == 1_000_000 * 12 // 46
+    assert rows[1]["max_span_tokens"] == 0
+    assert rows[1]["n_hit_windows"] == 0
+    assert rows[1]["memorized_ppm"] == 0
