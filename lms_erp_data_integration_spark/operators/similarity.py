@@ -86,10 +86,12 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_sim: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (argmax,
     ties -> lower centroid_id). centroids: (centroid_id, embedding) —
-    tiny, broadcast."""
+    tiny, broadcast. ``keep_sim`` carries the winning cosine through
+    as ``centroid_sim`` (for list-quality/drift consumers)."""
     c = centroids.select(
         F.col("centroid_id"), F.col(vec_col).alias("_cv")
     )
@@ -100,10 +102,11 @@ def ivf_assign(
         cosine(F.col(vec_col), F.col("_cv")).alias("_sim"),
     )
     w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+    extra = [F.col("_sim").alias("centroid_sim")] if keep_sim else []
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+        .select(id_col, vec_col, "centroid_id", *extra)
     )
 
 

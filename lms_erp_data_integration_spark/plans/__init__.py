@@ -23,8 +23,8 @@ from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 # llm_corpus_divergence (oracle refactored into the shared KL CTE the
 # DoReMi row reuses — same semantics, new SQL text) — then the EIGHT
 # remaining r4 rows (closing the r4 backlog), then the r5 cohort
-# alphabetically (26 of 36 fit; the tail from
-# rel_mirror_drift_buckets spills to r11).
+# alphabetically (25 of 36 fit; the tail from rel_lateral_topk
+# spills to r11).
 registry.PRIORITY = [
     # core reference surface — pinned every round
     "sync_missing_faculty_users",
@@ -60,6 +60,10 @@ registry.PRIORITY = [
     # (gaps-and-islands over 8-token window hits — the memorization
     # audit's severity metric, complementing the containment rows)
     "llm_memorization_span",
+    # NEW in r10: IVF index-append audit (per-list growth + cosine
+    # drift of appended vs existing members — the ANN maintenance
+    # twin of stream_dedup_lifecycle)
+    "llm_emb_ivf_append",
     # the EIGHT remaining r4-era rows — closes the r4 backlog
     "rel_percentiles_acctbal",
     "rel_profile_columns",
@@ -96,12 +100,12 @@ registry.PRIORITY = [
     "rel_interval_overlap",
     "rel_join_size_profile",
     "rel_key_skew_profile",
-    "rel_lateral_topk",
 ]
 
 # r11 rotation plan (for the next round): keep the 8 sync rows pinned
 # and any r11-new/changed queries ahead of fillers, then FIRST the
-# NINE r5 rows this window displaced (rel_mirror_drift_buckets,
+# TEN r5 rows this window displaced (rel_lateral_topk,
+# rel_mirror_drift_buckets,
 # rel_mirror_reconcile_rows, rel_salted_distinct,
 # rel_scd2_user_history, rel_temporal_state_join, rel_triangle_count,
 # rel_value_histogram, stream_dq_gate, stream_value_histogram —

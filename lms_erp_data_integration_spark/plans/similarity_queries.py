@@ -1046,3 +1046,107 @@ def emb_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cos_to_global_micros"),
     )
+
+
+_IVF_APPEND_SIDE = """
+  SELECT t.centroid_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(t.sim * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS s
+  FROM (
+    SELECT e.vec_id, c.centroid_id,
+           {cos} AS sim,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {cos} DESC, c.centroid_id) AS rn
+    FROM embeddings e, cent c WHERE e.vec_id % 5 {side}) t
+  WHERE t.rn = 1 GROUP BY t.centroid_id"""
+
+
+@query(
+    "llm_emb_ivf_append",
+    f"""
+WITH cent AS (
+  SELECT label AS centroid_id, arg_min(embedding, vec_id)::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 5 <> 0 GROUP BY label),
+gi AS ({_IVF_APPEND_SIDE.format(
+        cos=_COS.format(a="e.embedding::DOUBLE[]", b="c.cv"),
+        side="<> 0")}),
+gb AS ({_IVF_APPEND_SIDE.format(
+        cos=_COS.format(a="e.embedding::DOUBLE[]", b="c.cv"),
+        side="= 0")})
+SELECT gi.centroid_id,
+       gi.n AS n_index,
+       CAST(COALESCE(gb.n, 0) AS BIGINT) AS n_appended,
+       CAST((1000000 * COALESCE(gb.n, 0)) // gi.n AS BIGINT)
+         AS growth_ppm,
+       CAST(gi.s // gi.n AS BIGINT) AS mean_cos_index_micro,
+       CAST(CASE WHEN gb.n IS NULL THEN 0 ELSE gb.s // gb.n END
+            AS BIGINT) AS mean_cos_appended_micro
+FROM gi LEFT JOIN gb ON gb.centroid_id = gi.centroid_id
+ORDER BY gi.centroid_id
+""",
+)
+def emb_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index APPEND audit — the ANN-side maintenance twin of
+    ``stream_dedup_lifecycle``: an arriving vector batch (vec_id % 5
+    = 0) is assigned to the EXISTING index's centroids (built from
+    the % 5 != 0 corpus — appends never retrain), and per inverted
+    list the row reports growth (appended/existing in ppm) and list
+    quality drift (mean cosine-to-centroid of appended vs existing
+    members, micro-quantized per row then integer-averaged — the
+    partial-aggregation-exact convention). This is the dashboard an
+    IVF deployment reads to decide WHEN to recenter: balanced growth
+    and stable list cosine mean appends are safe; a hot list or a
+    falling appended-cosine mean both say the centroids no longer
+    describe the data.
+
+    Scale posture: centroids broadcast (k rows), both assignments are
+    narrow k-way scans + a per-vector top-1 window, aggregates are
+    map-side-combined to k rows; nothing shuffles wider than the
+    k-row summaries at any corpus size."""
+    emb = Catalog(spark, sf_dir).embeddings
+    index = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    centroids = index.groupBy(F.col("label").alias("centroid_id")).agg(
+        F.min_by("embedding", "vec_id").alias("embedding")
+    )
+    micro = F.floor(F.col("centroid_sim") * 1_000_000 + F.lit(0.5)).cast(
+        "long"
+    )
+
+    def side(d: DataFrame) -> DataFrame:
+        return (
+            sim.ivf_assign(d, centroids, keep_sim=True)
+            .groupBy("centroid_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(micro).alias("s"),
+            )
+        )
+
+    gi = side(index)
+    gb = side(batch).select(
+        F.col("centroid_id"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    return (
+        gi.join(gb, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.col("n").alias("n_index"),
+            F.coalesce(F.col("nb"), F.lit(0))
+            .cast("long")
+            .alias("n_appended"),
+            F.expr("(1000000 * coalesce(nb, 0)) div n")
+            .cast("long")
+            .alias("growth_ppm"),
+            F.expr("s div n").cast("long").alias("mean_cos_index_micro"),
+            F.expr(
+                "CASE WHEN nb IS NULL THEN 0 ELSE sb div nb END"
+            )
+            .cast("long")
+            .alias("mean_cos_appended_micro"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -135,6 +135,8 @@ PROBE_QUERIES = [
     # r10: memorization-span scan (train distinct-hash set + eval
     # semi-join + hit-position run-length)
     "llm_memorization_span",
+    # r10: IVF append audit (broadcast-centroid narrow scans)
+    "llm_emb_ivf_append",
 ]
 
 
