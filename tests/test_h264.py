@@ -614,3 +614,23 @@ def test_h264_multiref_uses_both_reference_pictures():
         for pi in range(2)
     }
     assert ris == {0, 1}
+
+
+def test_block_pic_mvs_l1_ref_index_follows_list_swap():
+    """Deblock reference-picture identity for L1 entries (8.7.2.1 via
+    the RefPicList1 convention): with no reordering, L1 is L0 with the
+    first two entries swapped — so rb=0 names picture 1, rb=1 names
+    picture 0, rb>=2 stays picture rb. Multi-ref L1 is rejected by
+    _decode_slice today; this pins the mapping so lifting that guard
+    cannot silently misattribute pictures (r9 advice)."""
+    fr = h._Frame({"width_mbs": 1, "height_mbs": 1})
+    fr.ref4[0, 0] = -1  # no L0 prediction for this block
+    for rb, want_pic in ((0, 1), (1, 0), (2, 2)):
+        fr.ref4b[0, 0] = rb
+        fr.mv4b[0, 0] = (4, -8)
+        assert h._block_pic_mvs(fr, 0, 0) == [(want_pic, 4, -8)]
+    # L0 entries keep their direct identity next to an L1 entry
+    fr.ref4[0, 0] = 1
+    fr.mv4[0, 0] = (2, 2)
+    fr.ref4b[0, 0] = 0
+    assert h._block_pic_mvs(fr, 0, 0) == [(1, 2, 2), (1, 4, -8)]
