@@ -81,6 +81,43 @@ def brute_force_topk(
     )
 
 
+def ivf_assign_literal(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """STATELESS nearest-centroid assignment: the k centroids are
+    baked into the projection as literals (array<struct<cv, cid>>),
+    so the argmax is a pure per-row expression — usable on STREAMING
+    DataFrames, where ``ivf_assign``'s row_number window is illegal.
+    Tie-break matches ivf_assign exactly: max cosine, then lower
+    centroid_id (encoded as struct(sim, -cid) under array_max's
+    lexicographic compare). In production the centroid set is exactly
+    the broadcast constant this models."""
+    sims = F.transform(
+        F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, cv in sorted(centroids)
+            ]
+        ),
+        lambda c: F.struct(
+            cosine(F.col(vec_col), c["cv"]).alias("sim"),
+            (-c["cid"]).alias("ncid"),
+        ),
+    )
+    best = F.array_max(sims)
+    return vectors.select(
+        F.col(id_col),
+        (-best["ncid"]).cast("long").alias("centroid_id"),
+        best["sim"].alias("centroid_sim"),
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -23,8 +23,8 @@ from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 # llm_corpus_divergence (oracle refactored into the shared KL CTE the
 # DoReMi row reuses — same semantics, new SQL text) — then the EIGHT
 # remaining r4 rows (closing the r4 backlog), then the r5 cohort
-# alphabetically (25 of 36 fit; the tail from rel_lateral_topk
-# spills to r11).
+# alphabetically (24 of 36 fit; the tail from
+# rel_key_skew_profile spills to r11).
 registry.PRIORITY = [
     # core reference surface — pinned every round
     "sync_missing_faculty_users",
@@ -64,6 +64,10 @@ registry.PRIORITY = [
     # drift of appended vs existing members — the ANN maintenance
     # twin of stream_dedup_lifecycle)
     "llm_emb_ivf_append",
+    # NEW in r10: its STREAMING twin — stateless literal-centroid
+    # assignment on the embeddings stream, k-row complete-mode state;
+    # shares the batch row's oracle (stream must equal batch)
+    "stream_emb_ivf_append",
     # the EIGHT remaining r4-era rows — closes the r4 backlog
     "rel_percentiles_acctbal",
     "rel_profile_columns",
@@ -99,13 +103,12 @@ registry.PRIORITY = [
     "rel_incremental_agg_merge",
     "rel_interval_overlap",
     "rel_join_size_profile",
-    "rel_key_skew_profile",
 ]
 
 # r11 rotation plan (for the next round): keep the 8 sync rows pinned
 # and any r11-new/changed queries ahead of fillers, then FIRST the
-# TEN r5 rows this window displaced (rel_lateral_topk,
-# rel_mirror_drift_buckets,
+# ELEVEN r5 rows this window displaced (rel_key_skew_profile,
+# rel_lateral_topk, rel_mirror_drift_buckets,
 # rel_mirror_reconcile_rows, rel_salted_distinct,
 # rel_scd2_user_history, rel_temporal_state_join, rel_triangle_count,
 # rel_value_histogram, stream_dq_gate, stream_value_histogram —

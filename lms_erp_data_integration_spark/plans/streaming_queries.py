@@ -1015,3 +1015,96 @@ def stream_dedup_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropped_vs_index long, n_dropped_within long, "
         "n_appended long, index_size_after long",
     )
+
+
+from .registry import ORACLES as _REG_ORACLES  # noqa: E402
+
+
+@query(
+    "stream_emb_ivf_append",
+    # shares the batch llm_emb_ivf_append oracle: on a bounded stream
+    # the per-list growth/drift summary must equal the batch answer
+    _REG_ORACLES["llm_emb_ivf_append"],
+)
+def stream_emb_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING form of ``llm_emb_ivf_append`` — vectors arrive as a
+    file stream and are assigned to the existing index's centroids by
+    a STATELESS per-row expression (``ivf_assign_literal``: the k
+    centroids baked into the projection as literals, exactly the
+    broadcast constants a production assigner ships), with the only
+    stateful operator the k-row complete-mode per-centroid aggregate
+    (count + micro-quantized cosine sum — both order-exact integers).
+    The k centroid rows are collected to the driver once: that
+    driver-side collect is the documented pattern for closure-
+    broadcast constants (the BPE merge-table precedent), sized k,
+    never corpus.
+
+    Sharing the batch row's oracle makes this the batch/stream twin
+    pair for ANN maintenance that ``stream_dedup_ingest`` /
+    ``llm_dedup_incremental`` form for dedup: the bounded stream must
+    produce the batch answer bit-for-bit."""
+    from ..catalog import Catalog
+    from ..operators import similarity as sim
+    from ..streaming.windows import embeddings_stream
+
+    emb = Catalog(spark, sf_dir).embeddings
+    index = emb.where(F.col("vec_id") % 5 != 0)
+    cent_rows = (
+        index.groupBy(F.col("label").alias("centroid_id"))
+        .agg(F.min_by("embedding", "vec_id").alias("embedding"))
+        .collect()
+    )
+    cents = [(int(r["centroid_id"]), list(r["embedding"])) for r in cent_rows]
+
+    arriving = embeddings_stream(spark, sf_dir).where(
+        F.col("vec_id") % 5 == 0
+    )
+    micro = F.floor(
+        F.col("centroid_sim") * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        sim.ivf_assign_literal(arriving, cents)
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(micro).alias("sb"),
+        )
+    )
+    gb = run_to_memory_sink(
+        agg, f"stream_emb_ivf_append_{next(_SINK_SEQ)}", mode="complete"
+    )
+
+    # static index side: batch aggregates, identical to the batch row
+    from ..operators.similarity import ivf_assign
+
+    centroids_df = index.groupBy(F.col("label").alias("centroid_id")).agg(
+        F.min_by("embedding", "vec_id").alias("embedding")
+    )
+    gi = (
+        ivf_assign(index, centroids_df, keep_sim=True)
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(micro).alias("s"),
+        )
+    )
+    return (
+        gi.join(gb, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.col("n").alias("n_index"),
+            F.coalesce(F.col("nb"), F.lit(0))
+            .cast("long")
+            .alias("n_appended"),
+            F.expr("(1000000 * coalesce(nb, 0)) div n")
+            .cast("long")
+            .alias("growth_ppm"),
+            F.expr("s div n").cast("long").alias("mean_cos_index_micro"),
+            F.expr(
+                "CASE WHEN nb IS NULL THEN 0 ELSE sb div nb END"
+            )
+            .cast("long")
+            .alias("mean_cos_appended_micro"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -76,6 +76,20 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings table — arriving vector
+    batches for streaming index-maintenance rows."""
+    batch_schema = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet").schema
+    )
+    return (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+
+
 def hourly_event_counts(
     events: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:

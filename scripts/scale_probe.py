@@ -135,8 +135,10 @@ PROBE_QUERIES = [
     # r10: memorization-span scan (train distinct-hash set + eval
     # semi-join + hit-position run-length)
     "llm_memorization_span",
-    # r10: IVF append audit (broadcast-centroid narrow scans)
+    # r10: IVF append audit (broadcast-centroid narrow scans) + its
+    # streaming twin (stateless literal-centroid assignment)
     "llm_emb_ivf_append",
+    "stream_emb_ivf_append",
 ]
 
 
