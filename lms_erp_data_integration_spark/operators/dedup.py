@@ -204,6 +204,7 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     sets: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
@@ -214,7 +215,9 @@ def minhash_near_duplicates(
     # one cached pass builds the per-doc shingle SET arrays; signatures
     # and the verify join both read it (cache prevents CollapseProject
     # from re-inlining the shingling into every consumer). Callers
-    # sharing the arrays across several dedup passes pass `sets`.
+    # sharing the arrays across several dedup passes pass `sets`;
+    # callers sharing the SIGNATURES too (compaction's three passes)
+    # pass `sigs` as well — a persisted (id, sigs) frame.
     if sets is None:
         sets = tracked_persist(
             df.select(
@@ -224,7 +227,10 @@ def minhash_near_duplicates(
                 ).alias("shset"),
             )
         )
-    sigs = minhash_signatures(sets, num_hashes, id_col=id_col, sets_col="shset")
+    if sigs is None:
+        sigs = minhash_signatures(
+            sets, num_hashes, id_col=id_col, sets_col="shset"
+        )
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
     # exact-Jaccard verify on candidates only, via array_intersect on
     # the cached set arrays — no exploded-shingle shuffle at all
@@ -251,6 +257,8 @@ def incremental_minhash_duplicates(
     text_col: str = "text",
     index_sets: DataFrame | None = None,
     batch_sets: DataFrame | None = None,
+    index_sigs: DataFrame | None = None,
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup: near-dup pairs between a NEW batch and
     an existing INDEX, never within either side.
@@ -279,11 +287,22 @@ def incremental_minhash_duplicates(
     # persisted (id, shset) frame directly so shingling+md5 runs once
     sets_idx = index_sets if index_sets is not None else _sets(index_df)
     sets_new = batch_sets if batch_sets is not None else _sets(batch_df)
-    sig_idx = minhash_signatures(
-        sets_idx, num_hashes, id_col=id_col, sets_col="shset"
+    # likewise, passes repeating a side's SIGNATURES share the
+    # persisted (id, sigs) frame (the 16 affine folds + their md5
+    # base-hash cache run once per side, not once per pass)
+    sig_idx = (
+        index_sigs
+        if index_sigs is not None
+        else minhash_signatures(
+            sets_idx, num_hashes, id_col=id_col, sets_col="shset"
+        )
     )
-    sig_new = minhash_signatures(
-        sets_new, num_hashes, id_col=id_col, sets_col="shset"
+    sig_new = (
+        batch_sigs
+        if batch_sigs is not None
+        else minhash_signatures(
+            sets_new, num_hashes, id_col=id_col, sets_col="shset"
+        )
     )
     bk = _band_keys(bands, rows_per_band)
     bi = sig_idx.select(

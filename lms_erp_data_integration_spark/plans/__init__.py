@@ -23,8 +23,8 @@ from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 # llm_corpus_divergence (oracle refactored into the shared KL CTE the
 # DoReMi row reuses — same semantics, new SQL text) — then the EIGHT
 # remaining r4 rows (closing the r4 backlog), then the r5 cohort
-# alphabetically (24 of 36 fit; the tail from
-# rel_key_skew_profile spills to r11).
+# alphabetically (23 of 36 fit; the tail from
+# rel_join_size_profile spills to r11).
 registry.PRIORITY = [
     # core reference surface — pinned every round
     "sync_missing_faculty_users",
@@ -51,6 +51,10 @@ registry.PRIORITY = [
     "llm_domain_mix_doremi",
     # changed in r10: oracle now assembled from the shared KL CTE
     "llm_corpus_divergence",
+    # changed in r10: the compaction row now signs each side ONCE and
+    # shares the persisted signature frames across its three passes
+    # (warm A/B at sf0.1: 7.0-12.4s -> 4.3-5.1s)
+    "llm_dedup_index_compaction",
     # changed in r10 (r9 ADVICE): band/dim constants interpolated into
     # the oracle SQL; the image oracle's VALUES block is now the
     # shared _PHASH_VALUES_SQL the cross-modal row reuses
@@ -102,12 +106,12 @@ registry.PRIORITY = [
     "rel_grouping_sets",
     "rel_incremental_agg_merge",
     "rel_interval_overlap",
-    "rel_join_size_profile",
 ]
 
 # r11 rotation plan (for the next round): keep the 8 sync rows pinned
 # and any r11-new/changed queries ahead of fillers, then FIRST the
-# ELEVEN r5 rows this window displaced (rel_key_skew_profile,
+# TWELVE r5 rows this window displaced (rel_join_size_profile,
+# rel_key_skew_profile,
 # rel_lateral_topk, rel_mirror_drift_buckets,
 # rel_mirror_reconcile_rows, rel_salted_distinct,
 # rel_scd2_user_history, rel_temporal_state_join, rel_triangle_count,

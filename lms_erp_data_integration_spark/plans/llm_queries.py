@@ -1395,21 +1395,34 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     sets_idx, sets_batch = _sets(index_df), _sets(batch_df)
+    # ...and the SIGNATURES once per side too (r10): the index frame
+    # is signed once and reused by all three passes — the compacted
+    # pass takes the keeper SUBSET of the same persisted frame via
+    # anti-join, never re-hashing anything
+    sigs_idx = tracked_persist(
+        dd.minhash_signatures(sets_idx, 16, sets_col="shset")
+    )
+    sigs_batch = tracked_persist(
+        dd.minhash_signatures(sets_batch, 16, sets_col="shset")
+    )
     pairs = dd.minhash_near_duplicates(
         index_df, threshold=0.8, num_hashes=16, bands=8, shingle_n=3,
-        sets=sets_idx,
+        sets=sets_idx, sigs=sigs_idx,
     )
     dropped = dd.duplicate_clusters(pairs).where(
         F.col("member") != F.col("cluster_id")
     ).select(F.col("member").alias("doc_id"))
     compacted_sets = sets_idx.join(dropped, "doc_id", "left_anti")
+    compacted_sigs = sigs_idx.join(dropped, "doc_id", "left_anti")
     full = dd.incremental_minhash_duplicates(
         index_df, batch_df, threshold=0.8, num_hashes=16, bands=8,
         shingle_n=3, index_sets=sets_idx, batch_sets=sets_batch,
+        index_sigs=sigs_idx, batch_sigs=sigs_batch,
     )
     comp = dd.incremental_minhash_duplicates(
         index_df, batch_df, threshold=0.8, num_hashes=16, bands=8,
         shingle_n=3, index_sets=compacted_sets, batch_sets=sets_batch,
+        index_sigs=compacted_sigs, batch_sigs=sigs_batch,
     )
     nf = full.groupBy("new_id").agg(
         F.count(F.lit(1)).alias("n_matches_full")
