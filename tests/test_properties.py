@@ -855,3 +855,74 @@ def test_dib_and_mp4raw_round_trip_property(w, h, rnd):
     assert np.array_equal(
         mm.decode_mp4_raw_frame(rgb.tobytes(), w, h), rgb
     )
+
+
+# ------------------------------------------- r10: memorization spans
+
+
+def test_memorization_spans_matches_python_reference(spark):
+    """Seeded random corpus with PLANTED variable-length train slices
+    inside eval docs: the operator's gaps-and-islands span measurement
+    must equal a brute-force Python reference doc-for-doc (one Spark
+    job; the 60-bit window hashes make accidental collisions
+    negligible)."""
+    from lms_erp_data_integration_spark.operators.dedup import (
+        memorization_spans,
+    )
+
+    rng = random.Random(4242)
+    vocab = [f"tok{i}" for i in range(5000)]
+
+    def rand_tokens(n):
+        return [rng.choice(vocab) for _ in range(n)]
+
+    train = [(i, " ".join(rand_tokens(rng.randint(12, 60))))
+             for i in range(30)]
+    ev = []
+    for i in range(20):
+        toks = rand_tokens(rng.randint(4, 15))
+        if i % 4 != 3:  # three in four eval docs embed a train slice
+            src = train[rng.randrange(len(train))][1].split()
+            ln = rng.randint(0, min(25, len(src)))
+            start = rng.randint(0, len(src) - ln) if ln else 0
+            toks += src[start:start + ln]
+        toks += rand_tokens(rng.randint(4, 15))
+        ev.append((100 + i, " ".join(toks)))
+
+    span_n = 8
+    train_windows = set()
+    for _, text in train:
+        t = text.split()
+        for j in range(len(t) - span_n + 1):
+            train_windows.add(" ".join(t[j:j + span_n]))
+    expect = {}
+    for did, text in ev:
+        t = text.split()
+        if len(t) < span_n:
+            continue
+        hits = [
+            " ".join(t[j:j + span_n]) in train_windows
+            for j in range(len(t) - span_n + 1)
+        ]
+        best = cur = n_hit = 0
+        for h2 in hits:
+            cur = cur + 1 if h2 else 0
+            n_hit += int(h2)
+            best = max(best, cur)
+        span = best + span_n - 1 if best else 0
+        expect[did] = (
+            len(t), len(hits), n_hit, span, 1_000_000 * span // len(t)
+        )
+
+    train_df = spark.createDataFrame(train, "doc_id long, text string")
+    ev_df = spark.createDataFrame(ev, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_windows"], r["n_hit_windows"],
+            r["max_span_tokens"], r["memorized_ppm"],
+        )
+        for r in memorization_spans(
+            train_df, ev_df, span_tokens=span_n
+        ).collect()
+    }
+    assert got == expect
