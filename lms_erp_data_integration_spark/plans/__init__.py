@@ -226,8 +226,9 @@ _PRIORITY_R9 = [
 ]
 
 # r10 rotation plan as committed at r9 close (EXECUTED — the live
-# window above follows it: 5 r10-new/changed rows ahead of the eight
-# r4 rows, then 29 of the 36 r5 rows; the judge can diff the two):
+# window above follows it: 11 r10-new/changed rows (7 new + 4
+# changed) ahead of the eight r4 rows, then 23 of the 36 r5 rows
+# alphabetically; the judge can diff the two):
 # keep the 8 sync queries
 # pinned and any r10-new/changed queries ahead of fillers, then fill
 # from the re-verification backlog oldest-first — FIRST the EIGHT

@@ -1613,10 +1613,13 @@ def _image_dedup_payload(img_id: int) -> bytes:
 
     Ids >= 10 extend the corpus for the SCALE probe
     (``scripts/probe_image_dedup.py``): each consecutive (even, odd)
-    id pair shares one fresh content id — PNG original vs a
-    noisy QOI re-encode — so planted-pair density stays constant as
-    n grows (the collision load the band join must absorb). The
-    registered 10-image row and its pinned oracle are untouched."""
+    id pair plants one PNG-original/noisy-QOI-re-encode near-dup.
+    Note the content formula itself repeats (base pattern period ~160
+    in cs), so large probe corpora ALSO carry unplanned identical-
+    content clusters whose pair count grows super-linearly — the
+    harder collision load BASELINE.md's probe entry records the band
+    join absorbing. The registered 10-image row and its pinned oracle
+    are untouched."""
     import numpy as np
 
     from ..operators import multimodal as mm
@@ -1897,7 +1900,7 @@ def crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedups on the UNION of modality-specific near-dup relations —
     text MinHash-LSH pairs (whole documents corpus, exact-Jaccard
     >= 0.8) merged with image pHash pairs (decoded mixed-format
-    payloads, banded LSH + Hamming <= {dup} bits) — because a
+    payloads, banded LSH + Hamming <= 8 bits, _IMG_DUP_BITS) — because a
     re-encoded image with rewritten alt-text evades text dedup, and
     boilerplate pages around distinct images evade visual dedup.
     Output is one row per flagged pair with both evidence columns

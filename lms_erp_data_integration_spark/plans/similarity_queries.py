@@ -1107,31 +1107,48 @@ def emb_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     index = emb.where(F.col("vec_id") % 5 != 0)
     batch = emb.where(F.col("vec_id") % 5 == 0)
-    centroids = index.groupBy(F.col("label").alias("centroid_id")).agg(
+    centroids = ivf_index_centroids(index)
+    gi = ivf_append_side_summary(
+        sim.ivf_assign(index, centroids, keep_sim=True)
+    )
+    gb = ivf_append_side_summary(
+        sim.ivf_assign(batch, centroids, keep_sim=True)
+    )
+    return ivf_append_report(gi, gb)
+
+
+def ivf_index_centroids(index: DataFrame) -> DataFrame:
+    """One centroid per label (min-vec_id representative) over the
+    INDEX side. Shared by the batch append row and its streaming
+    twin so the two cannot drift."""
+    return index.groupBy(F.col("label").alias("centroid_id")).agg(
         F.min_by("embedding", "vec_id").alias("embedding")
     )
-    micro = F.floor(F.col("centroid_sim") * 1_000_000 + F.lit(0.5)).cast(
-        "long"
+
+
+def ivf_append_side_summary(assigned: DataFrame) -> DataFrame:
+    """(centroid_id, n, s) per-list member count + micro-quantized
+    cosine sum over an assignment frame carrying ``centroid_sim``."""
+    micro = F.floor(
+        F.col("centroid_sim") * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micro).alias("s"),
     )
 
-    def side(d: DataFrame) -> DataFrame:
-        return (
-            sim.ivf_assign(d, centroids, keep_sim=True)
-            .groupBy("centroid_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(micro).alias("s"),
-            )
-        )
 
-    gi = side(index)
-    gb = side(batch).select(
+def ivf_append_report(gi: DataFrame, gb: DataFrame) -> DataFrame:
+    """Join the index-side and appended-side (centroid_id, n, s)
+    summaries into the audit columns — the single definition of the
+    growth/drift arithmetic both twin rows hash against."""
+    gb2 = gb.select(
         F.col("centroid_id"),
         F.col("n").alias("nb"),
         F.col("s").alias("sb"),
     )
     return (
-        gi.join(gb, "centroid_id", "left")
+        gi.join(gb2, "centroid_id", "left")
         .select(
             "centroid_id",
             F.col("n").alias("n_index"),

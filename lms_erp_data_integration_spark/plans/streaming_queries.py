@@ -844,6 +844,11 @@ def _run_dedup_lifecycle(
         )
         for k in range(1, n_batches + 1):
             bdir = os.path.join(staging, f"b={k}")
+            if not os.path.isdir(bdir):
+                # an empty residue class simply produces no
+                # micro-batch (arbitrary caller frames; real sf dirs
+                # populate every class)
+                continue
             parts = [
                 f for f in os.listdir(bdir) if f.endswith(".parquet")
             ]
@@ -867,11 +872,10 @@ def _run_dedup_lifecycle(
             # stage id from the batch's own rows (file order is
             # pinned by mtime, but never trusted; partitionBy strips
             # the b column from the file data, so re-derive it)
-            k = int(
-                batch_df.select(
-                    F.min(F.col("doc_id") % mod)
-                ).first()[0]
-            )
+            k_row = batch_df.select(F.min(F.col("doc_id") % mod)).first()
+            if k_row[0] is None:
+                return  # empty micro-batch: nothing to ingest
+            k = int(k_row[0])
             # within-batch frames: lazy persist (multiple consumers,
             # shallow lineage) — eager checkpoints here would add one
             # full job each per micro-batch; only the cross-batch
@@ -1047,64 +1051,32 @@ def stream_emb_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as sim
     from ..streaming.windows import embeddings_stream
 
+    from .similarity_queries import (
+        ivf_append_report,
+        ivf_append_side_summary,
+        ivf_index_centroids,
+    )
+
     emb = Catalog(spark, sf_dir).embeddings
     index = emb.where(F.col("vec_id") % 5 != 0)
-    cent_rows = (
-        index.groupBy(F.col("label").alias("centroid_id"))
-        .agg(F.min_by("embedding", "vec_id").alias("embedding"))
-        .collect()
-    )
-    cents = [(int(r["centroid_id"]), list(r["embedding"])) for r in cent_rows]
+    centroids_df = ivf_index_centroids(index)
+    cents = [
+        (int(r["centroid_id"]), list(r["embedding"]))
+        for r in centroids_df.collect()
+    ]
 
     arriving = embeddings_stream(spark, sf_dir).where(
         F.col("vec_id") % 5 == 0
     )
-    micro = F.floor(
-        F.col("centroid_sim") * 1_000_000 + F.lit(0.5)
-    ).cast("long")
-    agg = (
+    agg = ivf_append_side_summary(
         sim.ivf_assign_literal(arriving, cents)
-        .groupBy("centroid_id")
-        .agg(
-            F.count(F.lit(1)).alias("nb"),
-            F.sum(micro).alias("sb"),
-        )
     )
     gb = run_to_memory_sink(
         agg, f"stream_emb_ivf_append_{next(_SINK_SEQ)}", mode="complete"
     )
-
-    # static index side: batch aggregates, identical to the batch row
-    from ..operators.similarity import ivf_assign
-
-    centroids_df = index.groupBy(F.col("label").alias("centroid_id")).agg(
-        F.min_by("embedding", "vec_id").alias("embedding")
+    # static index side + report: the SAME helpers the batch row uses,
+    # so the twins cannot drift
+    gi = ivf_append_side_summary(
+        sim.ivf_assign(index, centroids_df, keep_sim=True)
     )
-    gi = (
-        ivf_assign(index, centroids_df, keep_sim=True)
-        .groupBy("centroid_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(micro).alias("s"),
-        )
-    )
-    return (
-        gi.join(gb, "centroid_id", "left")
-        .select(
-            "centroid_id",
-            F.col("n").alias("n_index"),
-            F.coalesce(F.col("nb"), F.lit(0))
-            .cast("long")
-            .alias("n_appended"),
-            F.expr("(1000000 * coalesce(nb, 0)) div n")
-            .cast("long")
-            .alias("growth_ppm"),
-            F.expr("s div n").cast("long").alias("mean_cos_index_micro"),
-            F.expr(
-                "CASE WHEN nb IS NULL THEN 0 ELSE sb div nb END"
-            )
-            .cast("long")
-            .alias("mean_cos_appended_micro"),
-        )
-        .orderBy("centroid_id")
-    )
+    return ivf_append_report(gi, gb)
