@@ -3221,3 +3221,94 @@ def test_memorization_span_partial_run_exact(spark):
     assert rows[1]["max_span_tokens"] == 0
     assert rows[1]["n_hit_windows"] == 0
     assert rows[1]["memorized_ppm"] == 0
+
+
+def test_ivf_append_report_matches_python_reference(spark):
+    """Batch IVF-append audit vs a brute-force reference on a synthetic
+    embeddings frame: nearest-centroid assignment (max cosine, ties ->
+    lower centroid_id), per-list counts, and quantize-then-average
+    micro arithmetic must all agree."""
+    import math
+    import random as _r
+
+    from lms_erp_data_integration_spark.plans.similarity_queries import (
+        ivf_append_report,
+        ivf_append_side_summary,
+        ivf_index_centroids,
+    )
+
+    rng = _r.Random(77)
+    dim = 8
+    rows = []
+    for vid in range(60):
+        rows.append(
+            (vid, [rng.uniform(-1, 1) for _ in range(dim)], vid % 4)
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    index_rows = [r for r in rows if r[0] % 5 != 0]
+    batch_rows = [r for r in rows if r[0] % 5 == 0]
+    # python reference
+    cents = {}
+    for vid, v, lab in index_rows:
+        if lab not in cents or vid < cents[lab][0]:
+            cents[lab] = (vid, v)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(y * y for y in b))
+        )
+
+    def assign(v):
+        best = None
+        for cid in sorted(cents):
+            s = cos(v, cents[cid][1])
+            if best is None or s > best[1]:
+                best = (cid, s)
+        return best
+
+    def side(rs):
+        out = {}
+        for _vid, v, _lab in rs:
+            cid, s = assign(v)
+            n, tot = out.get(cid, (0, 0))
+            out[cid] = (n + 1, tot + math.floor(s * 1_000_000 + 0.5))
+        return out
+
+    gi, gb = side(index_rows), side(batch_rows)
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    expect = {}
+    for cid, (n, s) in gi.items():
+        nb, sb = gb.get(cid, (0, 0))
+        expect[cid] = (
+            n, nb, tdiv(1_000_000 * nb, n), tdiv(s, n),
+            tdiv(sb, nb) if nb else 0,
+        )
+
+    from lms_erp_data_integration_spark.operators import similarity as sim
+
+    index_df = emb.where(F.col("vec_id") % 5 != 0)
+    batch_df = emb.where(F.col("vec_id") % 5 == 0)
+    centroids = ivf_index_centroids(index_df)
+    got = {
+        r["centroid_id"]: (
+            r["n_index"], r["n_appended"], r["growth_ppm"],
+            r["mean_cos_index_micro"], r["mean_cos_appended_micro"],
+        )
+        for r in ivf_append_report(
+            ivf_append_side_summary(
+                sim.ivf_assign(index_df, centroids, keep_sim=True)
+            ),
+            ivf_append_side_summary(
+                sim.ivf_assign(batch_df, centroids, keep_sim=True)
+            ),
+        ).collect()
+    }
+    assert got == expect
