@@ -3312,3 +3312,40 @@ def test_ivf_append_report_matches_python_reference(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_ivf_assign_literal_matches_window_form_on_exact_ties(spark):
+    """The stateless literal-centroid argmax must agree with the
+    row_number-window form EVERYWHERE, including exact similarity
+    ties: duplicate centroid vectors under different ids force
+    bit-equal cosines, and both forms must pick the LOWER
+    centroid_id."""
+    import random as _r
+
+    from lms_erp_data_integration_spark.operators import similarity as sim
+
+    rng = _r.Random(9)
+    dim = 6
+    cvs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(3)]
+    # centroid 3 duplicates centroid 1's vector; 4 duplicates 0's
+    cents = [(0, cvs[0]), (1, cvs[1]), (2, cvs[2]),
+             (3, list(cvs[1])), (4, list(cvs[0]))]
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)
+    ] + [(100, list(cvs[1])), (101, list(cvs[0]))]  # exact centroid hits
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents],
+        "centroid_id long, embedding array<double>",
+    )
+    w = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_sim"])
+        for r in sim.ivf_assign(vdf, cdf, keep_sim=True).collect()
+    }
+    lit = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_sim"])
+        for r in sim.ivf_assign_literal(vdf, cents).collect()
+    }
+    assert w == lit
+    # the duplicated-vector ties resolved to the LOWER ids
+    assert w[100][0] == 1 and w[101][0] == 0
