@@ -23,8 +23,8 @@ from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 # llm_corpus_divergence (oracle refactored into the shared KL CTE the
 # DoReMi row reuses — same semantics, new SQL text) — then the EIGHT
 # remaining r4 rows (closing the r4 backlog), then the r5 cohort
-# alphabetically (23 of 36 fit; the tail from
-# rel_join_size_profile spills to r11).
+# alphabetically (22 of 36 fit; the tail from
+# rel_interval_overlap spills to r11).
 registry.PRIORITY = [
     # core reference surface — pinned every round
     "sync_missing_faculty_users",
@@ -72,6 +72,9 @@ registry.PRIORITY = [
     # assignment on the embeddings stream, k-row complete-mode state;
     # shares the batch row's oracle (stream must equal batch)
     "stream_emb_ivf_append",
+    # NEW in r10: the recenter action the append row's drift signal
+    # triggers — one exact-integer Lloyd step + churn/shift report
+    "llm_emb_ivf_recenter",
     # the EIGHT remaining r4-era rows — closes the r4 backlog
     "rel_percentiles_acctbal",
     "rel_profile_columns",
@@ -105,12 +108,12 @@ registry.PRIORITY = [
     "rel_event_burst_pairs",
     "rel_grouping_sets",
     "rel_incremental_agg_merge",
-    "rel_interval_overlap",
 ]
 
 # r11 rotation plan (for the next round): keep the 8 sync rows pinned
 # and any r11-new/changed queries ahead of fillers, then FIRST the
-# TWELVE r5 rows this window displaced (rel_join_size_profile,
+# THIRTEEN r5 rows this window displaced (rel_interval_overlap,
+# rel_join_size_profile,
 # rel_key_skew_profile,
 # rel_lateral_topk, rel_mirror_drift_buckets,
 # rel_mirror_reconcile_rows, rel_salted_distinct,
@@ -226,8 +229,8 @@ _PRIORITY_R9 = [
 ]
 
 # r10 rotation plan as committed at r9 close (EXECUTED — the live
-# window above follows it: 11 r10-new/changed rows (7 new + 4
-# changed) ahead of the eight r4 rows, then 23 of the 36 r5 rows
+# window above follows it: 12 r10-new/changed rows (8 new + 4
+# changed) ahead of the eight r4 rows, then 22 of the 36 r5 rows
 # alphabetically; the judge can diff the two):
 # keep the 8 sync queries
 # pinned and any r10-new/changed queries ahead of fillers, then fill

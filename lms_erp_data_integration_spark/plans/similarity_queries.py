@@ -1167,3 +1167,180 @@ def ivf_append_report(gi: DataFrame, gb: DataFrame) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+_RC_COS_OLD = _COS.format(a="e.embedding::DOUBLE[]", b="c.cv")
+_RC_COS_NEW = _COS.format(a="e.embedding::DOUBLE[]", b="c.cv2")
+
+
+@query(
+    "llm_emb_ivf_recenter",
+    f"""
+WITH cent AS (
+  SELECT label AS centroid_id, arg_min(embedding, vec_id)::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 5 <> 0 GROUP BY label),
+a_old AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {_RC_COS_OLD} DESC, c.centroid_id) AS rn
+    FROM embeddings e, cent c) t WHERE rn = 1),
+ex AS (
+  SELECT centroid_id, i AS pos,
+         CAST(floor((embedding::DOUBLE[])[i] * 1000000 + 0.5)
+              AS BIGINT) AS xm
+  FROM a_old, unnest(range(1, len(embedding) + 1)) AS t(i)),
+means AS (
+  SELECT centroid_id, pos,
+         CAST(SUM(xm) // COUNT(*) AS BIGINT) AS mm
+  FROM ex GROUP BY centroid_id, pos),
+ncent AS (
+  SELECT centroid_id,
+         list(mm / 1000000.0 ORDER BY pos) AS cv2
+  FROM means GROUP BY centroid_id),
+a_new AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {_RC_COS_NEW} DESC, c.centroid_id) AS rn
+    FROM embeddings e, ncent c) t WHERE rn = 1),
+no AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_old
+       FROM a_old GROUP BY centroid_id),
+nn AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_new
+       FROM a_new GROUP BY centroid_id),
+stay AS (
+  SELECT o.centroid_id, CAST(COUNT(*) AS BIGINT) AS n_stay
+  FROM a_old o JOIN a_new n
+    ON n.vec_id = o.vec_id AND n.centroid_id = o.centroid_id
+  GROUP BY o.centroid_id),
+shift AS (
+  SELECT c.centroid_id,
+         CAST(floor({_COS.format(a="c.cv", b="n.cv2")} * 1000000 + 0.5)
+              AS BIGINT) AS shift_cos_micro
+  FROM cent c JOIN ncent n ON n.centroid_id = c.centroid_id)
+SELECT no.centroid_id, no.n_old,
+       CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(st.n_stay, 0) AS BIGINT) AS n_stay,
+       CAST(COALESCE(nn.n_new, 0) - COALESCE(st.n_stay, 0) AS BIGINT)
+         AS n_gained,
+       CAST(no.n_old - COALESCE(st.n_stay, 0) AS BIGINT) AS n_lost,
+       CAST(COALESCE(sh.shift_cos_micro, 0) AS BIGINT)
+         AS shift_cos_micro
+FROM no
+LEFT JOIN nn ON nn.centroid_id = no.centroid_id
+LEFT JOIN stay st ON st.centroid_id = no.centroid_id
+LEFT JOIN shift sh ON sh.centroid_id = no.centroid_id
+ORDER BY no.centroid_id
+""",
+)
+def emb_ivf_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF RECENTERING — the maintenance action
+    ``llm_emb_ivf_append``'s drift signal triggers: one exact-integer
+    Lloyd step over the full corpus (new centroid = per-dimension mean
+    of each list's members, elements micro-quantized then
+    integer-averaged, so the distributed mean is order-exact), then
+    reassignment under the new centroids. Per list the row reports
+    membership churn (n_stay / n_gained / n_lost — how much the
+    recenter actually moved) and the old→new centroid cosine
+    (shift_cos_micro — how far each centroid traveled). Together with
+    the append row this closes the ANN maintenance loop: append →
+    watch drift → recenter → measure the improvement.
+
+    Exactness: means are BIGINT arithmetic end-to-end; the only
+    floats are the cosines (assignment ranking + the quantized shift
+    column), the family's documented exposure.
+
+    Scale posture: one posexplode of the corpus (dim x n rows, narrow)
+    into a (centroid, dim)-keyed aggregate — map-side-combined to
+    k*dim partial rows; both assignment passes are broadcast-centroid
+    narrow scans; every output is k rows. The Lloyd step runs at
+    recenter cadence, not per ingest."""
+    emb = Catalog(spark, sf_dir).embeddings
+    index = emb.where(F.col("vec_id") % 5 != 0)
+    old_c = ivf_index_centroids(index)
+    a_old = sim.ivf_assign(emb, old_c).localCheckpoint(eager=True)
+    ex = a_old.select(
+        "centroid_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * 1_000_000 + F.lit(0.5)
+                ).cast("long"),
+            )
+        ).alias("pos", "xm"),
+    )
+    means = ex.groupBy("centroid_id", "pos").agg(
+        F.expr("sum(xm) div count(*)").cast("long").alias("mm")
+    )
+    ncent = means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mm"))),
+            lambda t: t["mm"].cast("double") / 1_000_000.0,
+        ).alias("embedding")
+    )
+    a_new = sim.ivf_assign(emb, ncent).localCheckpoint(eager=True)
+    n_old = a_old.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_old")
+    )
+    n_new = a_new.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    stay = (
+        a_old.select("vec_id", "centroid_id")
+        .join(
+            a_new.select(
+                F.col("vec_id"), F.col("centroid_id").alias("_nc")
+            ),
+            "vec_id",
+        )
+        .where(F.col("centroid_id") == F.col("_nc"))
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_stay"))
+    )
+    shift = (
+        old_c.select("centroid_id", F.col("embedding").alias("_ov"))
+        .join(
+            ncent.select(
+                "centroid_id", F.col("embedding").alias("_nv")
+            ),
+            "centroid_id",
+        )
+        .select(
+            "centroid_id",
+            F.floor(
+                sim.cosine(F.col("_ov"), F.col("_nv")) * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("shift_cos_micro"),
+        )
+    )
+    return (
+        n_old.join(n_new, "centroid_id", "left")
+        .join(stay, "centroid_id", "left")
+        .join(shift, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            "n_old",
+            F.coalesce(F.col("n_new"), F.lit(0))
+            .cast("long")
+            .alias("n_new"),
+            F.coalesce(F.col("n_stay"), F.lit(0))
+            .cast("long")
+            .alias("n_stay"),
+            (
+                F.coalesce(F.col("n_new"), F.lit(0))
+                - F.coalesce(F.col("n_stay"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_gained"),
+            (F.col("n_old") - F.coalesce(F.col("n_stay"), F.lit(0)))
+            .cast("long")
+            .alias("n_lost"),
+            F.coalesce(F.col("shift_cos_micro"), F.lit(0))
+            .cast("long")
+            .alias("shift_cos_micro"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -135,10 +135,12 @@ PROBE_QUERIES = [
     # r10: memorization-span scan (train distinct-hash set + eval
     # semi-join + hit-position run-length)
     "llm_memorization_span",
-    # r10: IVF append audit (broadcast-centroid narrow scans) + its
-    # streaming twin (stateless literal-centroid assignment)
+    # r10: IVF append audit (broadcast-centroid narrow scans), its
+    # streaming twin (stateless literal-centroid assignment), and the
+    # recenter Lloyd step (posexplode mean + two assignment passes)
     "llm_emb_ivf_append",
     "stream_emb_ivf_append",
+    "llm_emb_ivf_recenter",
 ]
 
 
