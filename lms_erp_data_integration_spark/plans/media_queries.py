@@ -1907,6 +1907,14 @@ def crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text_jaccard, visual_hamming — NULL where that modality did not
     fire) and a modality verdict ('text' / 'visual' / 'both').
 
+    Modeling contract (r10 ADVICE #3): the two relations share ONE
+    document-id namespace — image fixture id i is the image ATTACHED
+    to document doc_id=i (image_id == doc_id), the multimodal-row
+    shape where each doc carries its media payload. A 'both' verdict
+    is therefore evidence that the same document pair matches on text
+    AND on its attached images; a corpus whose image ids are not
+    document-attached must namespace them before this union.
+
     Scale posture: each modality runs its own bucketed candidate
     generation (banded MinHash; banded pHash) — the cross-modal step
     is ONE outer join on the pair key, sized by flagged pairs, never

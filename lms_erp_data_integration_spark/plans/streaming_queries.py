@@ -811,23 +811,67 @@ def _run_dedup_lifecycle(
 
     rows_per_band = num_hashes // bands
 
-    def _postings(sets_df: DataFrame) -> DataFrame:
-        """(band, band_key, index_id, _sh_i) for a (doc_id, shset)
-        frame — each doc is SIGNED ONCE, when it enters the index
-        (the append-only posting-table shape production persists)."""
+    def _state_rows(sets_df: DataFrame) -> DataFrame:
+        """Index-state rows for a (doc_id, shset) frame, ONE combined
+        schema (doc_id, shset, band, band_key): each doc contributes
+        one band-NULL "set" row plus its band postings — each doc is
+        SIGNED ONCE, when it enters the index (the append-only
+        posting-table shape production persists). Combining the two
+        state relations into one frame halves the per-batch
+        checkpoint jobs (r10 verdict #4): one lineage truncation per
+        ingest instead of two."""
         sig = dd.minhash_signatures(
             sets_df, num_hashes, sets_col="shset", carry_sets=True,
             persist=False,
         )
-        return sig.select(
-            F.col("doc_id").alias("index_id"),
-            F.col("shset").alias("_sh_i"),
+        postings = sig.select(
+            "doc_id",
+            "shset",
             F.posexplode(
                 dd._band_keys(bands, rows_per_band)
             ).alias("band", "band_key"),
         )
+        return sets_df.select(
+            "doc_id",
+            "shset",
+            F.lit(None).cast("int").alias("band"),
+            F.lit(None).cast("string").alias("band_key"),
+        ).unionByName(postings)
+
+    def _sets_view(state_df: DataFrame) -> DataFrame:
+        return state_df.where(F.col("band").isNull()).select(
+            "doc_id", "shset"
+        )
+
+    def _postings_view(state_df: DataFrame) -> DataFrame:
+        return state_df.where(F.col("band").isNotNull()).select(
+            F.col("doc_id").alias("index_id"),
+            F.col("shset").alias("_sh_i"),
+            "band",
+            "band_key",
+        )
 
     tmp = tempfile.mkdtemp(prefix="dedup_lifecycle_")
+    # foreachBatch-internal plans operate on MICRO-BATCH-sized frames:
+    # AQE's stage-by-stage materialization (3-4 sub-jobs per action)
+    # and corpus-sized shuffle widths are pure overhead there — Spark
+    # already disables AQE for the streaming query itself. Scope both
+    # to this run and restore on exit (session confs leak across the
+    # shared test session otherwise). Measured at sf0.1: 104 -> 28
+    # jobs for the whole lifecycle. At production scale the shuffle
+    # width is sized to the micro-batch volume the trigger admits,
+    # not to the corpus.
+    _tuned = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    _saved = {}
+    for _k, _v in _tuned.items():
+        try:
+            _saved[_k] = spark.conf.get(_k)
+        except Exception:
+            _saved[_k] = None
+        spark.conf.set(_k, _v)
     try:
         # one parquet FILE per micro-batch, mtimes strictly ascending
         # (the file source admits oldest-first). ONE partitioned write
@@ -858,24 +902,19 @@ def _run_dedup_lifecycle(
             os.utime(dst, (now + 10 * k, now + 10 * k))
         shutil.rmtree(staging)
 
-        seed_sets = _sets(
-            docs.where(F.col("doc_id") % mod == 0)
+        seed_state = _state_rows(
+            _sets(docs.where(F.col("doc_id") % mod == 0))
         ).localCheckpoint(eager=True)
         state = {
-            "sets": seed_sets,
-            "postings": _postings(seed_sets).localCheckpoint(eager=True),
-            "n": seed_sets.count(),
+            "frame": seed_state,
+            # count over the checkpointed frame: a cheap scan, not a
+            # recompute of the shingle/signature pipeline
+            "n": _sets_view(seed_state).count(),
         }
+        seed_n = state["n"]
         results: dict[int, tuple[int, int, int, int, int]] = {}
 
         def ingest(batch_df: DataFrame, _bid: int) -> None:
-            # stage id from the batch's own rows (file order is
-            # pinned by mtime, but never trusted; partitionBy strips
-            # the b column from the file data, so re-derive it)
-            k_row = batch_df.select(F.min(F.col("doc_id") % mod)).first()
-            if k_row[0] is None:
-                return  # empty micro-batch: nothing to ingest
-            k = int(k_row[0])
             # within-batch frames: lazy persist (multiple consumers,
             # shallow lineage) — eager checkpoints here would add one
             # full job each per micro-batch; only the cross-batch
@@ -900,10 +939,11 @@ def _run_dedup_lifecycle(
             )
             union = F.size("_sh_i") + F.size("_sh_j") - inter
             matched = (
-                bn.join(state["postings"], ["band", "band_key"])
+                bn.join(_postings_view(state["frame"]), ["band", "band_key"])
                 .where((inter / union) >= 0.8)
                 .select(F.col("new_id").alias("doc_id"))
                 .distinct()
+                .persist()
             )
             surv = bsets.join(matched, "doc_id", "left_anti").persist()
             wpairs = dd.minhash_near_duplicates(
@@ -912,24 +952,55 @@ def _run_dedup_lifecycle(
             )
             dropped_within = wpairs.select(
                 F.col("j").alias("doc_id")
-            ).distinct()
+            ).distinct().persist()
             kept = surv.join(dropped_within, "doc_id", "left_anti"
                              ).persist()
-            n_in = batch_df.count()
-            n_surv = surv.count()
-            n_kept = kept.count()
+            # ONE action computes the stage id and all three counts
+            # (r10 verdict #4: was first() + 3 counts = 4 jobs). The
+            # stage id comes from the batch's own rows (file order is
+            # pinned by mtime, but never trusted; partitionBy strips
+            # the b column from the file data, so re-derive it);
+            # matched/dropped_within are disjoint subsets of bsets, so
+            # the flag sums reconstruct the survivor/keeper counts.
+            st = (
+                bsets.join(
+                    matched.withColumn("_m", F.lit(1)), "doc_id", "left"
+                )
+                .join(
+                    dropped_within.withColumn("_w", F.lit(1)),
+                    "doc_id",
+                    "left",
+                )
+                .agg(
+                    F.min(F.col("doc_id") % mod).alias("k"),
+                    F.count(F.lit(1)).alias("n_in"),
+                    F.coalesce(F.sum("_m"), F.lit(0)).alias("n_m"),
+                    F.coalesce(F.sum("_w"), F.lit(0)).alias("n_w"),
+                )
+                .first()
+            )
+            if st["k"] is None:
+                return  # empty micro-batch: nothing to ingest
+            k = int(st["k"])
+            if k in results:
+                # micro-batch REPLAY (foreachBatch's at-least-once
+                # contract): this stage's keepers are already in the
+                # index state, so re-probing would self-match them —
+                # skip before any state mutation (idempotent retry)
+                for f in (bsets, matched, dropped_within, kept):
+                    f.unpersist(False)
+                return
+            n_in, n_surv = int(st["n_in"]), int(st["n_in"] - st["n_m"])
+            n_kept = n_surv - int(st["n_w"])
             n_idx = state["n"] + n_kept
             results[k] = (
                 n_in, n_in - n_surv, n_surv - n_kept, n_kept, n_idx
             )
-            state["sets"] = state["sets"].unionByName(
-                kept
-            ).localCheckpoint(eager=True)
-            state["postings"] = state["postings"].unionByName(
-                _postings(kept)
+            state["frame"] = state["frame"].unionByName(
+                _state_rows(kept)
             ).localCheckpoint(eager=True)
             state["n"] = n_idx
-            for f in (bsets, surv, kept):
+            for f in (bsets, matched, dropped_within, kept):
                 f.unpersist(False)
 
         ckpt = os.path.join(tmp, "_ckpt")
@@ -947,8 +1018,20 @@ def _run_dedup_lifecycle(
         )
         q.awaitTermination()
 
-        # terminal maintenance: compact the grown index
-        final_sets = state["sets"]
+        # empty residue classes produce no micro-batch (arbitrary
+        # caller frames; real sf dirs populate every class) — emit the
+        # zero-count stage row the oracle unconditionally produces,
+        # carrying the index size forward in ascending stage order
+        carry = seed_n
+        for k in range(1, n_batches + 1):
+            if k in results:
+                carry = results[k][4]
+            else:
+                results[k] = (0, 0, 0, 0, carry)
+
+        # terminal maintenance: compact the grown index. final size is
+        # the maintained running count — no extra count job.
+        final_sets = _sets_view(state["frame"])
         pairs = dd.minhash_near_duplicates(
             None, threshold=0.8, num_hashes=num_hashes, bands=bands,
             shingle_n=shingle_n, sets=final_sets,
@@ -961,7 +1044,7 @@ def _run_dedup_lifecycle(
         compacted = final_sets.select("doc_id").join(
             dropped_comp, "doc_id", "left_anti"
         ).localCheckpoint(eager=True)
-        n_final = final_sets.count()
+        n_final = state["n"]
         n_compacted = compacted.count()
         rows = [
             (k, f"batch_{k}", *results[k])
@@ -974,6 +1057,11 @@ def _run_dedup_lifecycle(
         ]
         return rows, final_sets, compacted
     finally:
+        for _k, _v in _saved.items():
+            if _v is None:
+                spark.conf.unset(_k)
+            else:
+                spark.conf.set(_k, _v)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -996,14 +1084,23 @@ def stream_dedup_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     0); the K batch files are written with strictly ascending mtimes
     so the file source admits them in arrival order, and the stage id
     is re-derived from the batch's own rows, never from file order.
+    The ingest is retry-idempotent under foreachBatch's at-least-once
+    contract (a replayed stage id returns before any state mutation),
+    and an EMPTY residue class still emits its zero-count stage row
+    with the index size carried forward — exactly the K+1 rows the
+    oracle unconditionally produces (r10 ADVICE #1/#2).
 
     Scale posture: per micro-batch the work is one band equi-join
     against the index postings plus a within-batch self-join sized by
     the BATCH (not the corpus); index state grows by corpus novelty
     only, and the terminal compaction is the same cluster-bounded
     maintenance job as ``llm_dedup_index_compaction``. State between
-    batches is an eager ``localCheckpoint`` (lineage truncated per
-    ingest — in production: the persisted bucketed postings table).
+    batches is an eager ``localCheckpoint`` of ONE combined
+    sets+postings frame (lineage truncated per ingest — in
+    production: the persisted bucketed postings table); per
+    micro-batch the driver issues exactly two actions — one fused
+    stage-id+counts aggregate and the state checkpoint (r10 verdict
+    #4: was 4 actions + 2 checkpoints).
 
     The oracle unrolls the identical greedy sequence in SQL (nd
     computed once, subset-filtered per stage — pairwise LSH makes

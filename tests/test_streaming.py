@@ -274,3 +274,29 @@ def test_dedup_lifecycle_final_index_matches_batch_unroll(spark, sf_dir):
     assert {r.doc_id for r in compacted.collect()} <= stream_ids
     for (_sid, _st, n_in, d_idx, d_within, n_app, _sz) in rows[:-1]:
         assert n_in == d_idx + d_within + n_app
+
+
+def test_dedup_lifecycle_empty_residue_class_emits_zero_row(spark):
+    """An EMPTY residue class produces no micro-batch, but the summary
+    must still carry its zero-count stage row with the index size
+    carried forward — matching the oracle, which unconditionally
+    emits K+1 rows (r10 ADVICE #1)."""
+    from lms_erp_data_integration_spark.plans.streaming_queries import (
+        _run_dedup_lifecycle,
+    )
+
+    docs = (
+        Catalog(spark, "/root/testdata/sf0.001")
+        .documents.where(F.col("doc_id") % 4 != 2)
+        .localCheckpoint(eager=True)
+    )
+    rows, _final, _compacted = _run_dedup_lifecycle(spark, docs)
+    by_stage = {r[0]: r for r in rows}
+    assert sorted(by_stage) == [1, 2, 3, 4], rows
+    stage2 = by_stage[2]
+    # (stage_id, stage, n_in, n_dropped_vs_index, n_dropped_within,
+    #  n_appended, index_size_after)
+    assert stage2[2:6] == (0, 0, 0, 0)
+    # index size carried forward from stage 1, and stage 3 builds on it
+    assert stage2[6] == by_stage[1][6]
+    assert by_stage[3][6] == stage2[6] + by_stage[3][5]
