@@ -1172,14 +1172,17 @@ def ivf_append_report(gi: DataFrame, gb: DataFrame) -> DataFrame:
 _RC_COS_OLD = _COS.format(a="e.embedding::DOUBLE[]", b="c.cv")
 _RC_COS_NEW = _COS.format(a="e.embedding::DOUBLE[]", b="c.cv2")
 
-
-@query(
-    "llm_emb_ivf_recenter",
-    f"""
-WITH cent AS (
+# The IVF-centroid CTE shared by the append / recenter / trigger
+# oracles (one definition: the index side is the vec_id % 5 <> 0
+# corpus, centroid = min-vec_id representative per label).
+_IVF_CENT_CTE = """cent AS (
   SELECT label AS centroid_id, arg_min(embedding, vec_id)::DOUBLE[] AS cv
-  FROM embeddings WHERE vec_id % 5 <> 0 GROUP BY label),
-a_old AS (
+  FROM embeddings WHERE vec_id % 5 <> 0 GROUP BY label)"""
+
+# The recenter CTE chain (one exact-integer Lloyd step + reassignment
+# + churn/shift summaries) shared by llm_emb_ivf_recenter and the
+# trigger-policy row — the SQL twin of :func:`ivf_recenter_report`.
+_RC_CTES = f"""a_old AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1217,7 +1220,14 @@ shift AS (
   SELECT c.centroid_id,
          CAST(floor({_COS.format(a="c.cv", b="n.cv2")} * 1000000 + 0.5)
               AS BIGINT) AS shift_cos_micro
-  FROM cent c JOIN ncent n ON n.centroid_id = c.centroid_id)
+  FROM cent c JOIN ncent n ON n.centroid_id = c.centroid_id)"""
+
+
+@query(
+    "llm_emb_ivf_recenter",
+    f"""
+WITH {_IVF_CENT_CTE},
+{_RC_CTES}
 SELECT no.centroid_id, no.n_old,
        CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
        CAST(COALESCE(st.n_stay, 0) AS BIGINT) AS n_stay,
@@ -1258,6 +1268,17 @@ def emb_ivf_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     index = emb.where(F.col("vec_id") % 5 != 0)
     old_c = ivf_index_centroids(index)
+    return ivf_recenter_report(emb, old_c)
+
+
+def ivf_recenter_report(emb: DataFrame, old_c: DataFrame) -> DataFrame:
+    """One exact-integer Lloyd step over ``emb`` under the ``old_c``
+    centroids, reporting per-list churn and centroid shift — the
+    single definition of the recenter arithmetic shared by
+    ``llm_emb_ivf_recenter`` and the trigger-policy row
+    ``llm_emb_ivf_recenter_trigger`` (same pattern as
+    :func:`ivf_append_report`: a duplicated tail would desync
+    silently when only one row is edited)."""
     a_old = sim.ivf_assign(emb, old_c).localCheckpoint(eager=True)
     ex = a_old.select(
         "centroid_id",
@@ -1344,3 +1365,161 @@ def emb_ivf_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# Recenter-trigger policy thresholds (module constants so the Spark
+# plan and the oracle SQL interpolate ONE definition — r9 ADVICE
+# pattern): a list triggers when its append-audit row shows hot
+# growth (appended/existing >= 30% in ppm) OR quality drift (appended
+# members' mean cosine-to-centroid at least 0.015 below the existing
+# members' — the centroid no longer describes arrivals).
+IVF_GROWTH_TRIGGER_PPM = 300_000
+IVF_DRIFT_TRIGGER_MICRO = 15_000
+
+_TRIGGER_PRED_SQL = (
+    f"growth_ppm >= {IVF_GROWTH_TRIGGER_PPM} OR "
+    f"mean_cos_index_micro - mean_cos_appended_micro >= "
+    f"{IVF_DRIFT_TRIGGER_MICRO}"
+)
+
+
+@query(
+    "llm_emb_ivf_recenter_trigger",
+    f"""
+WITH {_IVF_CENT_CTE},
+gi AS ({_IVF_APPEND_SIDE.format(
+        cos=_COS.format(a="e.embedding::DOUBLE[]", b="c.cv"),
+        side="<> 0")}),
+gb AS ({_IVF_APPEND_SIDE.format(
+        cos=_COS.format(a="e.embedding::DOUBLE[]", b="c.cv"),
+        side="= 0")}),
+rep AS (
+  SELECT gi.centroid_id,
+         gi.n AS n_index,
+         CAST(COALESCE(gb.n, 0) AS BIGINT) AS n_appended,
+         CAST((1000000 * COALESCE(gb.n, 0)) // gi.n AS BIGINT)
+           AS growth_ppm,
+         CAST(gi.s // gi.n AS BIGINT) AS mean_cos_index_micro,
+         CAST(CASE WHEN gb.n IS NULL THEN 0 ELSE gb.s // gb.n END
+              AS BIGINT) AS mean_cos_appended_micro
+  FROM gi LEFT JOIN gb ON gb.centroid_id = gi.centroid_id),
+trig AS (
+  SELECT rep.*,
+         CAST(CASE WHEN {_TRIGGER_PRED_SQL} THEN 1 ELSE 0 END
+              AS BIGINT) AS triggered
+  FROM rep),
+dec AS (SELECT MAX(triggered) AS do_recenter FROM trig),
+{_RC_CTES}
+SELECT t.centroid_id, t.n_index, t.n_appended, t.growth_ppm,
+       t.mean_cos_index_micro, t.mean_cos_appended_micro, t.triggered,
+       CAST(d.do_recenter AS BIGINT) AS do_recenter,
+       CAST(CASE WHEN d.do_recenter = 1
+                 THEN COALESCE(st.n_stay, 0) ELSE 0 END
+            AS BIGINT) AS n_stay,
+       CAST(CASE WHEN d.do_recenter = 1
+                 THEN COALESCE(nn.n_new, 0) - COALESCE(st.n_stay, 0)
+                 ELSE 0 END AS BIGINT) AS n_gained,
+       CAST(CASE WHEN d.do_recenter = 1
+                 THEN COALESCE(no.n_old, 0) - COALESCE(st.n_stay, 0)
+                 ELSE 0 END AS BIGINT) AS n_lost,
+       CAST(CASE WHEN d.do_recenter = 1
+                 THEN COALESCE(sh.shift_cos_micro, 0) ELSE 0 END
+            AS BIGINT) AS shift_cos_micro
+FROM trig t CROSS JOIN dec d
+LEFT JOIN no ON no.centroid_id = t.centroid_id
+LEFT JOIN nn ON nn.centroid_id = t.centroid_id
+LEFT JOIN stay st ON st.centroid_id = t.centroid_id
+LEFT JOIN shift sh ON sh.centroid_id = t.centroid_id
+ORDER BY t.centroid_id
+""",
+)
+def emb_ivf_recenter_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recenter-TRIGGER policy (r10 verdict #2) — the decision
+    edge that closes the ANN maintenance loop end-to-end: the append
+    row reports drift, the recenter row measures the fix, and THIS
+    row encodes WHEN to act. Per inverted list it evaluates the
+    trigger predicate over ``llm_emb_ivf_append``'s audit columns
+    (hot growth >= IVF_GROWTH_TRIGGER_PPM, or appended-member cosine
+    drifting >= IVF_DRIFT_TRIGGER_MICRO below the existing members'),
+    emits the per-list ``triggered`` flag and the global
+    ``do_recenter`` decision (any hot list recenters the WHOLE index
+    — one Lloyd step is global), and, when the decision fires, the
+    post-recenter improvement measured by ``llm_emb_ivf_recenter``'s
+    churn/shift columns (zeros when the trigger does not fire — the
+    Lloyd step is then never planned, which is the point of a
+    trigger).
+
+    All three rows ride the SAME shared helpers
+    (:func:`ivf_index_centroids`, :func:`ivf_append_side_summary`,
+    :func:`ivf_append_report`, :func:`ivf_recenter_report`) and the
+    thresholds are module constants interpolated into the oracle SQL
+    — one definition each, nothing can desync.
+
+    Scale posture: everything before the decision is k-row arithmetic
+    on broadcast-centroid scans (the append row's posture); the
+    decision itself is a driver-side ``first()`` over the k-row
+    aggregate (bounded, the documented closure-constant pattern); the
+    recenter cost is paid only on trigger — at 100 TB this is exactly
+    the cadence policy that keeps index maintenance off the per-ingest
+    path."""
+    emb = Catalog(spark, sf_dir).embeddings
+    index = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    return ivf_recenter_trigger_report(emb, index, batch)
+
+
+def ivf_recenter_trigger_report(
+    emb: DataFrame,
+    index: DataFrame,
+    batch: DataFrame,
+    growth_ppm_trigger: int = IVF_GROWTH_TRIGGER_PPM,
+    drift_micro_trigger: int = IVF_DRIFT_TRIGGER_MICRO,
+) -> DataFrame:
+    """Append audit -> per-list trigger -> global decision -> gated
+    recenter report. Parameterized thresholds so tests can force both
+    decision branches on the same corpus."""
+    cents = ivf_index_centroids(index)
+    rep = ivf_append_report(
+        ivf_append_side_summary(sim.ivf_assign(index, cents, keep_sim=True)),
+        ivf_append_side_summary(sim.ivf_assign(batch, cents, keep_sim=True)),
+    )
+    drift = F.col("mean_cos_index_micro") - F.col("mean_cos_appended_micro")
+    trig = rep.withColumn(
+        "triggered",
+        (
+            (F.col("growth_ppm") >= F.lit(growth_ppm_trigger))
+            | (drift >= F.lit(drift_micro_trigger))
+        ).cast("long"),
+    ).localCheckpoint(eager=True)  # k rows: decision read + join reuse
+    # the global decision is a bounded driver-side read of the k-row
+    # trigger frame (the documented closure-constant collect pattern)
+    row = trig.agg(F.max("triggered").alias("d")).first()
+    do_recenter = int(row["d"] or 0)
+    base = trig.withColumn(
+        "do_recenter", F.lit(do_recenter).cast("long")
+    )
+    if do_recenter:
+        rc = ivf_recenter_report(emb, cents).select(
+            "centroid_id", "n_stay", "n_gained", "n_lost",
+            "shift_cos_micro",
+        )
+        out = base.join(rc, "centroid_id", "left").select(
+            base["*"],
+            F.coalesce(F.col("n_stay"), F.lit(0)).cast("long").alias("_st"),
+            F.coalesce(F.col("n_gained"), F.lit(0)).cast("long").alias("_ga"),
+            F.coalesce(F.col("n_lost"), F.lit(0)).cast("long").alias("_lo"),
+            F.coalesce(F.col("shift_cos_micro"), F.lit(0))
+            .cast("long")
+            .alias("_sh"),
+        ).drop("n_stay", "n_gained", "n_lost", "shift_cos_micro")
+        out = (
+            out.withColumnRenamed("_st", "n_stay")
+            .withColumnRenamed("_ga", "n_gained")
+            .withColumnRenamed("_lo", "n_lost")
+            .withColumnRenamed("_sh", "shift_cos_micro")
+        )
+    else:
+        out = base
+        for c in ("n_stay", "n_gained", "n_lost", "shift_cos_micro"):
+            out = out.withColumn(c, F.lit(0).cast("long"))
+    return out.orderBy("centroid_id")

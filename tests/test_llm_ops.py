@@ -3349,3 +3349,61 @@ def test_ivf_assign_literal_matches_window_form_on_exact_ties(spark):
     assert w == lit
     # the duplicated-vector ties resolved to the LOWER ids
     assert w[100][0] == 1 and w[101][0] == 0
+
+
+def test_ivf_recenter_trigger_both_decision_branches(spark):
+    """The trigger row's two global branches on the SAME corpus:
+    impossible thresholds -> do_recenter 0 and all recenter columns
+    zero (the Lloyd step is never planned); trivial thresholds ->
+    do_recenter 1 and churn/shift equal to the shared
+    ivf_recenter_report on the full frame."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from lms_erp_data_integration_spark.plans.similarity_queries import (
+        ivf_index_centroids,
+        ivf_recenter_report,
+        ivf_recenter_trigger_report,
+    )
+
+    rng = _r.Random(11)
+    rows = [
+        (vid, [rng.uniform(-1, 1) for _ in range(8)], vid % 3)
+        for vid in range(45)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    index = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+
+    off = ivf_recenter_trigger_report(
+        emb, index, batch,
+        growth_ppm_trigger=10**9, drift_micro_trigger=10**9,
+    ).collect()
+    assert all(r.triggered == 0 and r.do_recenter == 0 for r in off)
+    assert all(
+        (r.n_stay, r.n_gained, r.n_lost, r.shift_cos_micro)
+        == (0, 0, 0, 0)
+        for r in off
+    )
+
+    on = ivf_recenter_trigger_report(
+        emb, index, batch,
+        growth_ppm_trigger=0, drift_micro_trigger=-(10**9),
+    ).collect()
+    assert all(r.triggered == 1 and r.do_recenter == 1 for r in on)
+    ref = {
+        r.centroid_id: r
+        for r in ivf_recenter_report(
+            emb, ivf_index_centroids(index)
+        ).collect()
+    }
+    for r in on:
+        assert (r.n_stay, r.n_gained, r.n_lost, r.shift_cos_micro) == (
+            ref[r.centroid_id].n_stay,
+            ref[r.centroid_id].n_gained,
+            ref[r.centroid_id].n_lost,
+            ref[r.centroid_id].shift_cos_micro,
+        )
