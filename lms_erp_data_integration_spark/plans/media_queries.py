@@ -1845,13 +1845,20 @@ def _phash_candidates(ph: DataFrame) -> DataFrame:
     )
 
 
-def _crossmodal_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
-    """Cross-modal near-dup oracle: the TEXT pipeline (MinHash-LSH +
-    exact-Jaccard verify over the whole documents corpus) full-outer
-    joined with the VISUAL pipeline (pinned pHashes -> banded LSH ->
-    Hamming <= dup threshold over the fixture image corpus). The
+def _crossmodal_pair_ctes(
+    num_hashes: int = 16, rows_per_band: int = 2
+) -> str:
+    """The cross-modal pair-relation CTE prelude shared by
+    ``llm_crossmodal_dedup`` and ``llm_crossmodal_components``: TEXT
+    pipeline (MinHash-LSH + exact-Jaccard verify over the whole
+    documents corpus) full-outer joined with the VISUAL pipeline
+    (pinned pHashes -> banded LSH -> Hamming <= dup threshold) into
+    ``up`` — one row per flagged pair with evidence + modality. The
     pHash pins are the SAME ``_PHASH_VALUES_SQL`` block the guarded
-    visual-dedup oracle uses, so they cannot drift independently."""
+    visual-dedup oracle uses, so they cannot drift independently.
+    ``up`` is MATERIALIZED: the components oracle references it from
+    inside a WITH RECURSIVE block, where an inlined CTE would be
+    re-evaluated per reference."""
     from .llm_queries import _SIZES_CTE, _mh_banded_cte
 
     return f"""
@@ -1880,16 +1887,24 @@ vp AS (
          CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
   FROM vcand c JOIN ph pa ON pa.doc_id = c.doc_a
                JOIN ph pb ON pb.doc_id = c.doc_b
-  WHERE bit_count(xor(pa.phash, pb.phash)) <= {_IMG_DUP_BITS})
-SELECT COALESCE(t.doc_a, v.doc_a) AS doc_a,
-       COALESCE(t.doc_b, v.doc_b) AS doc_b,
-       t.text_jaccard,
-       v.hamming AS visual_hamming,
-       CASE WHEN t.doc_a IS NOT NULL AND v.doc_a IS NOT NULL THEN 'both'
-            WHEN t.doc_a IS NOT NULL THEN 'text'
-            ELSE 'visual' END AS modality
-FROM tp t FULL OUTER JOIN vp v
-  ON v.doc_a = t.doc_a AND v.doc_b = t.doc_b
+  WHERE bit_count(xor(pa.phash, pb.phash)) <= {_IMG_DUP_BITS}),
+up AS MATERIALIZED (
+  SELECT COALESCE(t.doc_a, v.doc_a) AS doc_a,
+         COALESCE(t.doc_b, v.doc_b) AS doc_b,
+         t.text_jaccard,
+         v.hamming AS visual_hamming,
+         CASE WHEN t.doc_a IS NOT NULL AND v.doc_a IS NOT NULL THEN 'both'
+              WHEN t.doc_a IS NOT NULL THEN 'text'
+              ELSE 'visual' END AS modality
+  FROM tp t FULL OUTER JOIN vp v
+    ON v.doc_a = t.doc_a AND v.doc_b = t.doc_b)"""
+
+
+def _crossmodal_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
+    return f"""
+{_crossmodal_pair_ctes(num_hashes, rows_per_band)}
+SELECT doc_a, doc_b, text_jaccard, visual_hamming, modality
+FROM up
 ORDER BY doc_a, doc_b
 """
 
@@ -1921,6 +1936,17 @@ def crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the corpus. At 100 TB the pair frames are the two pipelines'
     existing outputs; the merge adds no new quadratic term.
     """
+    return _crossmodal_pair_frame(spark, sf_dir).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _crossmodal_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNION near-dup pair relation both cross-modal rows read:
+    text MinHash pairs full-outer joined with image pHash pairs on
+    the pair key, one row per flagged pair with evidence columns and
+    the modality verdict — the Spark twin of
+    :func:`_crossmodal_pair_ctes`'s ``up`` CTE."""
     from ..catalog import Catalog
     from ..operators import dedup as dd
 
@@ -1938,21 +1964,133 @@ def crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= _IMG_DUP_BITS)
         .select("doc_a", "doc_b", F.col("hamming").alias("visual_hamming"))
     )
-    return (
-        tpairs.join(vpairs, ["doc_a", "doc_b"], "full_outer")
-        .select(
-            "doc_a",
-            "doc_b",
-            "text_jaccard",
-            "visual_hamming",
-            F.when(
-                F.col("text_jaccard").isNotNull()
-                & F.col("visual_hamming").isNotNull(),
-                F.lit("both"),
-            )
-            .when(F.col("text_jaccard").isNotNull(), F.lit("text"))
-            .otherwise(F.lit("visual"))
-            .alias("modality"),
+    return tpairs.join(vpairs, ["doc_a", "doc_b"], "full_outer").select(
+        "doc_a",
+        "doc_b",
+        "text_jaccard",
+        "visual_hamming",
+        F.when(
+            F.col("text_jaccard").isNotNull()
+            & F.col("visual_hamming").isNotNull(),
+            F.lit("both"),
         )
-        .orderBy("doc_a", "doc_b")
+        .when(F.col("text_jaccard").isNotNull(), F.lit("text"))
+        .otherwise(F.lit("visual"))
+        .alias("modality"),
+    )
+
+
+_CROSSMODAL_COMPONENTS_ORACLE = f"""
+{_crossmodal_pair_ctes().replace("WITH ", "WITH RECURSIVE ", 1)},
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM up
+  UNION SELECT doc_b AS src, doc_a AS dst FROM up),
+reach AS (
+  SELECT src AS node, dst AS target FROM edges
+  UNION
+  SELECT r.node, e.dst AS target
+  FROM reach r JOIN edges e ON e.src = r.target),
+labels AS MATERIALIZED (
+  SELECT node AS member, LEAST(node, MIN(target)) AS cluster_id
+  FROM reach GROUP BY node),
+members AS (
+  SELECT cluster_id, COUNT(*) AS n_members
+  FROM labels GROUP BY cluster_id),
+epc AS MATERIALIZED (
+  SELECT l.cluster_id,
+         SUM(CASE WHEN u.modality = 'text' THEN 1 ELSE 0 END) AS n_t,
+         SUM(CASE WHEN u.modality = 'visual' THEN 1 ELSE 0 END) AS n_v,
+         SUM(CASE WHEN u.modality = 'both' THEN 1 ELSE 0 END) AS n_b
+  FROM up u JOIN labels l ON l.member = u.doc_a
+  GROUP BY l.cluster_id)
+SELECT m.cluster_id,
+       CAST(m.n_members AS BIGINT) AS n_members,
+       CAST(m.n_members - 1 AS BIGINT) AS n_dropped,
+       CAST(COALESCE(e.n_t, 0) AS BIGINT) AS n_text_pairs,
+       CAST(COALESCE(e.n_v, 0) AS BIGINT) AS n_visual_pairs,
+       CAST(COALESCE(e.n_b, 0) AS BIGINT) AS n_both_pairs
+FROM members m LEFT JOIN epc e ON e.cluster_id = m.cluster_id
+ORDER BY m.cluster_id
+"""
+
+
+@query("llm_crossmodal_components", _CROSSMODAL_COMPONENTS_ORACLE)
+def crossmodal_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal CONNECTED COMPONENTS + keeper pick (r10 verdict
+    #3): a real multimodal dedup cannot stop at the pair relation —
+    a text match A~B and a visual match B~C must collapse {A,B,C}
+    into ONE cluster even though A and C never matched directly. This
+    row takes connected components over the UNION pair relation
+    ``llm_crossmodal_dedup`` emits (same
+    :func:`_crossmodal_pair_frame`, same image_id == doc_id
+    attachment contract) via the identical log-bounded
+    label-propagation ``duplicate_clusters`` pass that
+    ``compact_dedup_index`` uses for text-only pairs, picks the
+    min-id keeper per cluster, and reports per cluster: member count,
+    drops, and the modality mix of the evidence edges (how much of
+    the cluster is held together by text vs visual vs both).
+
+    Scale posture: components run over the FLAGGED-PAIR graph (sized
+    by near-dup density, never the corpus), label propagation
+    converges in O(log diameter) checkpointed rounds, and the
+    per-cluster summaries are one groupBy over the pair frame — the
+    same cluster-bounded shape as the text-only compaction row. The
+    oracle unrolls the closure with a recursive reachability CTE over
+    MATERIALIZED pair CTEs (the subset-filter/anti-join discipline
+    the lifecycle oracle established)."""
+    pairs = tracked_persist(_crossmodal_pair_frame(spark, sf_dir))
+    return crossmodal_cluster_summary(pairs)
+
+
+def crossmodal_cluster_summary(pairs: DataFrame) -> DataFrame:
+    """Connected components + per-cluster modality-mix summary over a
+    (doc_a, doc_b, ..., modality) pair frame — split out so tests can
+    prove the cross-modal MERGE (a text edge and a visual edge
+    collapsing into one cluster) on a synthetic frame; the fixture
+    corpus's visual pairs happen never to share a cluster with a text
+    pair."""
+    from ..operators import dedup as dd
+
+    clusters = dd.duplicate_clusters(
+        pairs.select(
+            F.col("doc_a").alias("i"), F.col("doc_b").alias("j")
+        )
+    )
+    members = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    epc = (
+        pairs.join(
+            clusters.withColumnRenamed("member", "doc_a"), "doc_a"
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.sum(
+                F.when(F.col("modality") == "text", 1).otherwise(0)
+            ).cast("long").alias("n_text_pairs"),
+            F.sum(
+                F.when(F.col("modality") == "visual", 1).otherwise(0)
+            ).cast("long").alias("n_visual_pairs"),
+            F.sum(
+                F.when(F.col("modality") == "both", 1).otherwise(0)
+            ).cast("long").alias("n_both_pairs"),
+        )
+    )
+    return (
+        members.join(epc, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+            F.coalesce(F.col("n_text_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_text_pairs"),
+            F.coalesce(F.col("n_visual_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_visual_pairs"),
+            F.coalesce(F.col("n_both_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_both_pairs"),
+        )
+        .orderBy("cluster_id")
     )

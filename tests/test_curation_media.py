@@ -168,3 +168,40 @@ def test_image_visual_dedup_flags_planted_pairs(spark, sf_dir):
     assert rows[(2, 3)]["n_shared_bands"] == 4
     # lossy pairs are NEAR dups, not byte-equal hashes
     assert rows[(0, 1)]["hamming"] > 0
+
+
+def test_crossmodal_components_merges_across_modalities(spark):
+    """The components row's reason to exist: a text edge A~B and a
+    visual edge B~C must collapse {A,B,C} into ONE cluster with the
+    modality mix on the evidence edges — even though A and C never
+    matched directly in any modality."""
+    from pyspark.sql import functions as F
+
+    from lms_erp_data_integration_spark.plans.media_queries import (
+        crossmodal_cluster_summary,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (10, 20, "text"),     # A~B by text
+            (20, 30, "visual"),   # B~C by image
+            (40, 50, "both"),     # disjoint pair, both modalities
+        ],
+        "doc_a long, doc_b long, modality string",
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.lit(None).cast("double").alias("text_jaccard"),
+        F.lit(None).cast("long").alias("visual_hamming"),
+        "modality",
+    )
+    rows = {r.cluster_id: r for r in crossmodal_cluster_summary(pairs).collect()}
+    assert set(rows) == {10, 40}
+    merged = rows[10]
+    assert (merged.n_members, merged.n_dropped) == (3, 2)
+    assert (
+        merged.n_text_pairs,
+        merged.n_visual_pairs,
+        merged.n_both_pairs,
+    ) == (1, 1, 0)
+    assert (rows[40].n_members, rows[40].n_both_pairs) == (2, 1)
