@@ -767,3 +767,144 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# Sampled-slice audit parameters (module constants interpolated into
+# the oracle SQL — one definition per engine pair). The slice is a
+# deterministic 1-in-QSK_SLICE_MOD hash slice of orders (same 60-bit
+# key hash the sample uses, different predicate: residue, not
+# bottom-k — membership in the two is uncorrelated beyond the shared
+# key). The acceptance bound is the two-sided 2-sigma binomial rank
+# error of BOTH estimators: 2/sqrt(SAMPLE_K) for the sketch plus
+# 2/sqrt(n_slice) for the slice, in ppm.
+QSK_SLICE_MOD = 8
+QSK_SKETCH_BOUND_PPM = 2_000_000 // int(sk.SAMPLE_K ** 0.5)  # 125000
+
+
+@query(
+    "rel_quantile_sketch_audit_sampled",
+    _QSK_SKETCH_CTES
+    + f""",
+sl AS (
+  SELECT grp, k, v FROM base WHERE h % {QSK_SLICE_MOD} = 0
+  UNION ALL
+  SELECT '*' AS grp, k, v FROM base WHERE h % {QSK_SLICE_MOD} = 0),
+sn AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_slice FROM sl GROUP BY grp),
+el AS (
+  SELECT grp, 25 AS pct, sample_k, est_p25 AS est_v FROM est
+  UNION ALL SELECT grp, 50, sample_k, est_p50 FROM est
+  UNION ALL SELECT grp, 75, sample_k, est_p75 FROM est
+  UNION ALL SELECT grp, 95, sample_k, est_p95 FROM est),
+rk AS (
+  SELECT e.grp, e.pct, e.sample_k, e.est_v, sn.n_slice,
+         CAST(1000000 * SUM(CASE WHEN s.v <= e.est_v THEN 1 ELSE 0 END)
+              // sn.n_slice AS BIGINT) AS slice_rank_ppm
+  FROM el e JOIN sn ON sn.grp = e.grp JOIN sl s ON s.grp = e.grp
+  GROUP BY e.grp, e.pct, e.sample_k, e.est_v, sn.n_slice),
+vb AS (
+  SELECT *,
+         CAST(ABS(slice_rank_ppm - pct * 10000) AS BIGINT) AS err_ppm,
+         CAST({QSK_SKETCH_BOUND_PPM}
+              + floor(2000000 / sqrt(CAST(n_slice AS DOUBLE)))
+              AS BIGINT) AS bound_ppm
+  FROM rk)
+SELECT grp, CAST(pct AS BIGINT) AS pct, n_slice, sample_k, est_v,
+       slice_rank_ppm, err_ppm, bound_ppm,
+       CAST(CASE WHEN err_ppm <= bound_ppm THEN 1 ELSE 0 END AS BIGINT)
+         AS within_bound
+FROM vb ORDER BY grp, pct
+""",
+)
+def quantile_sketch_audit_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLED-SLICE audit cadence, made executable (r10 verdict #5):
+    several sketch rows' 100 TB story is "run the audit on a sampled
+    slice" — this row IS that audit. Instead of the full-sort exact
+    quantiles of ``rel_quantile_sketch_audit`` (O(n log n), incl. a
+    one-partition '*' grain), it takes a deterministic
+    1-in-{QSK_SLICE_MOD} hash slice of orders (same 60-bit key hash
+    the sample uses, residue predicate — membership uncorrelated with
+    bottom-k membership), locates each production-sketch estimate's
+    RANK within the slice, and verifies the rank error against the
+    STATED bound: 2-sigma binomial rank error of the sketch
+    (2/sqrt(256) = 125000 ppm) plus 2-sigma slice error
+    (2e6/sqrt(n_slice) ppm). One long-format row per (grain,
+    percentile) with the estimate, its slice rank, the error, the
+    bound, and the within_bound verdict the cadence job alerts on.
+
+    Exactness: ranks are integer counts over the slice; the only
+    float is the bound's sqrt term (IEEE sqrt + divide + floor —
+    bit-identical across engines, the family's documented exposure).
+
+    Scale posture: the slice is corpus/{QSK_SLICE_MOD} rows read once
+    (filter pushed to the scan's hash projection), joined against the
+    SKETCH-SIZED estimate list (broadcast, 4 rows per grain) and
+    map-side-combined to grain x percentile counts — no full sort,
+    no one-partition grain, cost linear in the slice at any corpus
+    size; the slice fraction is the cadence knob."""
+    base, est = _quantile_sketch_est(spark, sf_dir)
+    sl0 = (
+        base.withColumn("h", sk.hash60(F.col("k").cast("string")))
+        .where(F.col("h") % QSK_SLICE_MOD == 0)
+        .select("grp", "v")
+    )
+    sl = sl0.unionByName(sl0.withColumn("grp", F.lit("*")))
+    sn = sl.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_slice")
+    )
+    el = est.selectExpr(
+        "grp",
+        "est_n AS sample_k",
+        "stack(4, 25L, est_p25, 50L, est_p50, 75L, est_p75, "
+        "95L, est_p95) AS (pct, est_v)",
+    )
+    rk = (
+        sl.join(F.broadcast(el), "grp")
+        .groupBy("grp", "pct", "sample_k", "est_v")
+        .agg(
+            F.sum(
+                F.when(F.col("v") <= F.col("est_v"), 1).otherwise(0)
+            ).alias("_le")
+        )
+        .join(F.broadcast(sn), "grp")
+        .select(
+            "grp",
+            "pct",
+            "n_slice",
+            "sample_k",
+            "est_v",
+            F.expr("(1000000 * _le) div n_slice")
+            .cast("long")
+            .alias("slice_rank_ppm"),
+        )
+    )
+    bound = (
+        F.lit(QSK_SKETCH_BOUND_PPM)
+        + F.floor(
+            F.lit(2_000_000) / F.sqrt(F.col("n_slice").cast("double"))
+        )
+    ).cast("long")
+    return (
+        rk.select(
+            "grp",
+            "pct",
+            "n_slice",
+            "sample_k",
+            "est_v",
+            "slice_rank_ppm",
+            F.abs(
+                F.col("slice_rank_ppm") - F.col("pct") * 10_000
+            )
+            .cast("long")
+            .alias("err_ppm"),
+            bound.alias("bound_ppm"),
+        )
+        .withColumn(
+            "within_bound",
+            (F.col("err_ppm") <= F.col("bound_ppm"))
+            .cast("long"),
+        )
+        .orderBy("grp", "pct")
+    )

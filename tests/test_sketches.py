@@ -310,3 +310,25 @@ def test_quantile_sketch_query_estimates_bracket_exact(spark):
         assert r["sample_k"] == by_grp[g]["sample_k"]
         for p in (25, 50, 75, 95):
             assert r[f"est_p{p}"] == by_grp[g][f"est_p{p}"]
+
+
+def test_quantile_sampled_audit_within_bound_and_slice_sized(spark, sf_dir):
+    """The sampled-slice audit's contract at gate scale: every
+    (grain, percentile) verdict is within the stated 2-sigma bound,
+    the slice is ~1/QSK_SLICE_MOD of each grain (hash-uniform), and
+    the error column is consistent with the rank column."""
+    from lms_erp_data_integration_spark.plans.sketch_queries import (
+        QSK_SLICE_MOD,
+        quantile_sketch_audit_sampled,
+    )
+
+    rows = quantile_sketch_audit_sampled(spark, sf_dir).collect()
+    assert len(rows) == 24  # (5 priorities + '*') x 4 percentiles
+    assert all(r.within_bound == 1 for r in rows)
+    for r in rows:
+        assert r.err_ppm == abs(r.slice_rank_ppm - r.pct * 10_000)
+        assert r.bound_ppm > 125_000  # sketch term + positive slice term
+    # hash slice is unbiased: '*' grain holds ~n/8 of orders
+    star = next(r for r in rows if r.grp == "*")
+    full = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert abs(star.n_slice - full / QSK_SLICE_MOD) < full * 0.02
