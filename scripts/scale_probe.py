@@ -141,6 +141,16 @@ PROBE_QUERIES = [
     "llm_emb_ivf_append",
     "stream_emb_ivf_append",
     "llm_emb_ivf_recenter",
+    # r11: the recenter-trigger policy row (append audit + gated Lloyd
+    # step — at the fixed thresholds the gate FIRES on this data, so
+    # the probe measures the triggered path), cross-modal connected
+    # components (pair-graph label propagation + cluster summaries),
+    # and the sampled-slice quantile audit (slice scan + broadcast
+    # estimate join, the row designed to replace the full-sort audit
+    # at scale)
+    "llm_emb_ivf_recenter_trigger",
+    "llm_crossmodal_components",
+    "rel_quantile_sketch_audit_sampled",
 ]
 
 
@@ -345,6 +355,11 @@ DECADE2_QUERIES = [
     "rel_quantile_sketch_audit",
     # r10: memorization span read 0.66 over decade 1 — above the bar
     "llm_memorization_span",
+    # r11: cross-modal components read 0.69 over decade 1 (the text
+    # LSH pair side dominates, same as llm_crossmodal_dedup) — above
+    # the bar, so the label-propagation + cluster-summary tail is
+    # checked over a second decade too
+    "llm_crossmodal_components",
 ]
 
 
