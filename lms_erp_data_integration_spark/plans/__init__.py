@@ -18,7 +18,8 @@ from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 # close, below): 8 sync rows pinned, then everything new or
 # behavior-changed in r11 — the IVF recenter-TRIGGER policy row (r10
 # verdict #2), cross-modal connected components (r10 verdict #3), the
-# sampled-slice quantile audit (r10 verdict #5), the reworked
+# sampled-slice quantile audit (r10 verdict #5), the late-round
+# compaction-trigger and cross-modal-apply rows, the reworked
 # dedup-index lifecycle (r10 verdict #4 trim + ADVICE #1/#2:
 # replay-idempotent ingest, empty-batch zero rows), llm_crossmodal_dedup
 # (ADVICE #3 contract docstring + body factored into the shared pair
@@ -26,8 +27,8 @@ from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 # shared ivf_recenter_report helper + CTE constants the trigger row
 # reuses — same semantics, new source text) — then the THIRTEEN r5
 # rows the r10 window displaced (finishing r5), then the r6 cohort
-# alphabetically (23 of 32 fit; the tail from
-# rel_q22_inactive_balance spills to r12).
+# alphabetically (21 of 32 fit; the tail from
+# rel_q18_large_orders spills to r12).
 registry.PRIORITY = [
     # core reference surface — pinned every round
     "sync_missing_faculty_users",
@@ -59,6 +60,14 @@ registry.PRIORITY = [
     # changed in r11: recenter arithmetic factored into the shared
     # ivf_recenter_report helper / _RC_CTES oracle constants
     "llm_emb_ivf_recenter",
+    # NEW in r11 (late): the compaction-TRIGGER policy row — cheap
+    # per-band posting-collision signal, global decision, gated
+    # compaction yield (the recenter-trigger's text-side twin)
+    "llm_dedup_compaction_trigger",
+    # NEW in r11 (late): the cross-modal APPLY step — drop every
+    # non-keeper member of the union-relation clusters (pairs ->
+    # components -> cleaned corpus)
+    "llm_crossmodal_apply",
     # the THIRTEEN r5 rows the r10 window displaced — finishes r5
     "rel_interval_overlap",
     "rel_join_size_profile",
@@ -73,8 +82,8 @@ registry.PRIORITY = [
     "rel_value_histogram",
     "stream_dq_gate",
     "stream_value_histogram",
-    # r6 cohort, alphabetical fill to 50 (23 of 32; the remaining 9
-    # from rel_q22_inactive_balance spill to r12)
+    # r6 cohort, alphabetical fill to 50 (21 of 32; the remaining 11
+    # from rel_q18_large_orders spill to r12)
     "llm_bpe_encode",
     "llm_bpe_train_vocab",
     "llm_chat_loss_mask",
@@ -96,13 +105,12 @@ registry.PRIORITY = [
     "rel_parameterized_sql",
     "rel_pivot_order_status",
     "rel_q10_returned_items",
-    "rel_q18_large_orders",
-    "rel_q19_disjunctive_filter",
 ]
 
 # r12 rotation plan (for the next round): keep the 8 sync rows pinned
 # and any r12-new/changed queries ahead of fillers, then FIRST the
-# NINE r6 rows this window displaced (rel_q22_inactive_balance,
+# ELEVEN r6 rows this window displaced (rel_q18_large_orders,
+# rel_q19_disjunctive_filter, rel_q22_inactive_balance,
 # rel_q3_shipping_priority, rel_q4_order_priority,
 # rel_q5_region_revenue, rel_q6_revenue_filter,
 # rel_range_join_balance_bands, rel_resample_ffill,

@@ -1280,20 +1280,12 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
 """
 
 
-def _index_compaction_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
-    """Oracle for llm_dedup_index_compaction. Uses the subset-filter
-    equivalence: running incremental dedup against the COMPACTED index
-    equals the full-index matches restricted to surviving (keeper)
-    docs, because band-join candidates against a subset of the index
-    are exactly the subset's candidates and verification is per-pair.
-    The Spark side really re-runs the batch against the compacted
-    index; this SQL twin proves the result identical."""
-    banded = _mh_banded_cte(num_hashes, rows_per_band).replace(
-        "WITH ", "WITH RECURSIVE ", 1
-    )
-    return rf"""
-{banded}
-icands AS (
+# The INDEX-side keeper closure shared by the compaction row and the
+# compaction-TRIGGER row (one definition: band candidates restricted
+# to the % 5 <> 0 index, exact-Jaccard verify, recursive reachability,
+# non-keeper ``dropped`` set). Interpolated byte-identically into the
+# compaction oracle it was extracted from.
+_INDEX_DROPPED_CTES = rf"""icands AS (
   SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -1318,7 +1310,23 @@ reach AS (
   SELECT r.node, e.dst AS target FROM reach r JOIN edges e ON e.src = r.target),
 dropped AS (
   SELECT node FROM reach GROUP BY node
-  HAVING LEAST(node, MIN(target)) <> node),
+  HAVING LEAST(node, MIN(target)) <> node)"""
+
+
+def _index_compaction_oracle(num_hashes: int = 16, rows_per_band: int = 2) -> str:
+    """Oracle for llm_dedup_index_compaction. Uses the subset-filter
+    equivalence: running incremental dedup against the COMPACTED index
+    equals the full-index matches restricted to surviving (keeper)
+    docs, because band-join candidates against a subset of the index
+    are exactly the subset's candidates and verification is per-pair.
+    The Spark side really re-runs the batch against the compacted
+    index; this SQL twin proves the result identical."""
+    banded = _mh_banded_cte(num_hashes, rows_per_band).replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    )
+    return rf"""
+{banded}
+{_INDEX_DROPPED_CTES},
 fcands AS (
   SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS new_id
   FROM banded a JOIN banded b
@@ -1743,3 +1751,167 @@ def memorization_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 50 == 0),
         span_tokens=8,
     ).orderBy("doc_id")
+
+
+# Compaction-trigger threshold (module constant interpolated into the
+# oracle SQL): a band triggers when >= 12% of the index's postings in
+# that band sit in multi-doc buckets — the cheap collision-rate proxy
+# for internal index duplication (collisions upper-bound the verified
+# near-dup rate; the verify join only shrinks it).
+DEDUP_COMPACT_TRIGGER_PPM = 120_000
+
+
+def _compaction_trigger_oracle(
+    num_hashes: int = 16, rows_per_band: int = 2
+) -> str:
+    banded = _mh_banded_cte(num_hashes, rows_per_band).replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    )
+    return rf"""
+{banded}
+bstat AS (
+  SELECT band, band_key, COUNT(*) AS c FROM banded
+  WHERE doc_id % 5 <> 0 GROUP BY band, band_key),
+trig AS MATERIALIZED (
+  SELECT CAST(band AS BIGINT) AS band,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+           AS n_collided_docs,
+         CAST(1000000 * SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+              // SUM(c) AS BIGINT) AS collision_ppm
+  FROM bstat GROUP BY band),
+dec AS (
+  SELECT MAX(CASE WHEN collision_ppm >= {DEDUP_COMPACT_TRIGGER_PPM}
+                  THEN 1 ELSE 0 END) AS do_compact
+  FROM trig),
+{_INDEX_DROPPED_CTES},
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dropped)
+SELECT t.band, t.n_docs, t.n_buckets, t.n_collided_docs,
+       t.collision_ppm,
+       CAST(CASE WHEN t.collision_ppm >= {DEDUP_COMPACT_TRIGGER_PPM}
+                 THEN 1 ELSE 0 END AS BIGINT) AS triggered,
+       CAST(d.do_compact AS BIGINT) AS do_compact,
+       CAST(CASE WHEN d.do_compact = 1 THEN nd.n ELSE 0 END
+            AS BIGINT) AS n_dropped,
+       CAST(t.n_docs - CASE WHEN d.do_compact = 1 THEN nd.n ELSE 0 END
+            AS BIGINT) AS index_size_after
+FROM trig t CROSS JOIN dec d CROSS JOIN nd
+ORDER BY t.band
+"""
+
+
+@query("llm_dedup_compaction_trigger", _compaction_trigger_oracle())
+def dedup_compaction_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction-TRIGGER policy for the dedup index — the text-side
+    twin of ``llm_emb_ivf_recenter_trigger``, closing the dedup
+    maintenance loop the same way: ``stream_dedup_lifecycle`` grows
+    the index, ``llm_dedup_index_compaction`` proves the maintenance
+    job safe, and THIS row encodes WHEN to run it. The trigger signal
+    is deliberately CHEAP: per band, the fraction of index postings
+    sitting in multi-doc (band, band_key) buckets (collision_ppm) —
+    read straight off the persisted posting table with one count per
+    bucket, no shingle verify, no pair join. Band collisions
+    upper-bound the verified near-dup rate, so a quiet posting table
+    proves compaction unnecessary without ever paying for it. Any
+    band over DEDUP_COMPACT_TRIGGER_PPM fires the global decision;
+    only then is the real compaction (LSH pairs + exact verify +
+    keeper closure) planned, and the row reports its yield
+    (n_dropped, index_size_after — unchanged when the gate holds).
+
+    Scale posture: the trigger pass is one map-side-combined count
+    over the posting table (bucket-sized shuffle) reduced to
+    bands x 1 rows; the decision is a driver-side read of that
+    8-row frame; the compaction cost is paid only on trigger — the
+    cadence policy that keeps index maintenance off the per-ingest
+    path at 100 TB. Signatures are shared between the trigger pass
+    and the gated compaction (signed once, persisted)."""
+    docs = Catalog(spark, sf_dir).documents
+    return dedup_compaction_trigger_report(
+        docs.where(F.col("doc_id") % 5 != 0)
+    )
+
+
+def dedup_compaction_trigger_report(
+    index_df: DataFrame,
+    trigger_ppm: int = DEDUP_COMPACT_TRIGGER_PPM,
+) -> DataFrame:
+    """Per-band collision stats -> trigger flags -> global decision ->
+    gated compaction yield. Parameterized threshold so tests can force
+    both decision branches on the same corpus (the
+    ``ivf_recenter_trigger_report`` pattern)."""
+    from ..caching import tracked_persist
+
+    sets = tracked_persist(
+        index_df.select(
+            "doc_id",
+            F.array_distinct(dd.shingle_array(F.col("text"), 3)).alias(
+                "shset"
+            ),
+        )
+    )
+    sigs = tracked_persist(
+        dd.minhash_signatures(sets, 16, sets_col="shset")
+    )
+    bn = sigs.select(
+        "doc_id",
+        F.posexplode(dd._band_keys(8, 2)).alias("band", "band_key"),
+    )
+    bstat = bn.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    trig = (
+        bstat.groupBy(F.col("band").cast("long").alias("band"))
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_collided_docs"),
+        )
+        .select(
+            "band",
+            "n_docs",
+            "n_buckets",
+            "n_collided_docs",
+            F.expr("(1000000 * n_collided_docs) div n_docs")
+            .cast("long")
+            .alias("collision_ppm"),
+        )
+        .withColumn(
+            "triggered",
+            (
+                F.col("collision_ppm") >= F.lit(trigger_ppm)
+            ).cast("long"),
+        )
+        .localCheckpoint(eager=True)  # bands x 1 rows: decision + output
+    )
+    # global decision: bounded driver-side read of the 8-row frame
+    do_compact = int(
+        trig.agg(F.max("triggered").alias("d")).first()["d"] or 0
+    )
+    if do_compact:
+        pairs = dd.minhash_near_duplicates(
+            index_df, threshold=0.8, num_hashes=16, bands=8,
+            shingle_n=3, sets=sets, sigs=sigs,
+        )
+        n_dropped = (
+            dd.duplicate_clusters(pairs)
+            .where(F.col("member") != F.col("cluster_id"))
+            .count()
+        )
+    else:
+        n_dropped = 0
+    return trig.select(
+        "band",
+        "n_docs",
+        "n_buckets",
+        "n_collided_docs",
+        "collision_ppm",
+        "triggered",
+        F.lit(do_compact).cast("long").alias("do_compact"),
+        F.lit(n_dropped).cast("long").alias("n_dropped"),
+        (F.col("n_docs") - F.lit(n_dropped))
+        .cast("long")
+        .alias("index_size_after"),
+    ).orderBy("band")

@@ -2094,3 +2094,57 @@ def crossmodal_cluster_summary(pairs: DataFrame) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_CROSSMODAL_APPLY_ORACLE = f"""
+{_crossmodal_pair_ctes().replace("WITH ", "WITH RECURSIVE ", 1)},
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM up
+  UNION SELECT doc_b AS src, doc_a AS dst FROM up),
+reach AS (
+  SELECT src AS node, dst AS target FROM edges
+  UNION
+  SELECT r.node, e.dst AS target
+  FROM reach r JOIN edges e ON e.src = r.target),
+losers AS MATERIALIZED (
+  SELECT node FROM reach GROUP BY node
+  HAVING LEAST(node, MIN(target)) <> node)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d LEFT JOIN losers l ON l.node = d.doc_id
+WHERE l.node IS NULL
+"""
+
+
+@query("llm_crossmodal_apply", _CROSSMODAL_APPLY_ORACLE)
+def crossmodal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the MULTIMODAL-deduped corpus — the apply step on
+    top of ``llm_crossmodal_components``: every non-keeper member of
+    a cross-modal near-dup cluster (text evidence, visual evidence,
+    or a transitive mix) is dropped; survivors keep their metadata.
+    This is ``llm_dedup_apply``'s shape with the UNION pair relation,
+    completing the cross-modal story end-to-end: pairs -> components
+    -> cleaned corpus. Same image_id == doc_id attachment contract as
+    the other cross-modal rows.
+
+    Scale posture: the loser set is cluster-bounded (components over
+    the flagged-pair graph), the final step is one anti-join on
+    doc_id; no broadcast hint — at web scale the duplicate set is
+    corpus-proportional, and AQE still picks broadcast-hash when the
+    loser set is genuinely small (the ``llm_dedup_apply``
+    precedent)."""
+    from ..catalog import Catalog
+    from ..operators import dedup as dd
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = tracked_persist(_crossmodal_pair_frame(spark, sf_dir))
+    clusters = dd.duplicate_clusters(
+        pairs.select(
+            F.col("doc_a").alias("i"), F.col("doc_b").alias("j")
+        )
+    )
+    losers = clusters.where(
+        F.col("member") != F.col("cluster_id")
+    ).select(F.col("member").alias("doc_id"))
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )

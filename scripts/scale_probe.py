@@ -151,6 +151,12 @@ PROBE_QUERIES = [
     "llm_emb_ivf_recenter_trigger",
     "llm_crossmodal_components",
     "rel_quantile_sketch_audit_sampled",
+    # r11 (late): the compaction-trigger policy row (cheap per-band
+    # collision stats + gated compaction — the gate FIRES on this
+    # data, so the probe measures the triggered path) and the
+    # cross-modal apply step (union-pair components + one anti-join)
+    "llm_dedup_compaction_trigger",
+    "llm_crossmodal_apply",
 ]
 
 
@@ -360,6 +366,12 @@ DECADE2_QUERIES = [
     # the bar, so the label-propagation + cluster-summary tail is
     # checked over a second decade too
     "llm_crossmodal_components",
+    # r11 (late): compaction trigger 0.56 and cross-modal apply 0.61
+    # over decade 1 — both above the bar (signing the index / the
+    # text LSH side are the linear-by-design terms; decade 2 checks
+    # nothing hides above them)
+    "llm_dedup_compaction_trigger",
+    "llm_crossmodal_apply",
 ]
 
 

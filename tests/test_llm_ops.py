@@ -3407,3 +3407,48 @@ def test_ivf_recenter_trigger_both_decision_branches(spark):
             ref[r.centroid_id].n_lost,
             ref[r.centroid_id].shift_cos_micro,
         )
+
+
+def test_dedup_compaction_trigger_both_decision_branches(spark, sf_dir):
+    """Both global branches of the compaction trigger on the real
+    corpus: impossible threshold -> do_compact 0, zero yield, index
+    size unchanged (the pair/closure pass is never planned); trivial
+    threshold -> do_compact 1 with the yield equal to the actual
+    non-keeper count of the index's near-dup clusters."""
+    from pyspark.sql import functions as F
+
+    from lms_erp_data_integration_spark.catalog import Catalog
+    from lms_erp_data_integration_spark.operators import dedup as dd
+    from lms_erp_data_integration_spark.plans.llm_queries import (
+        dedup_compaction_trigger_report,
+    )
+
+    index_df = (
+        Catalog(spark, sf_dir)
+        .documents.where(F.col("doc_id") % 5 != 0)
+    )
+
+    off = dedup_compaction_trigger_report(
+        index_df, trigger_ppm=10**9
+    ).collect()
+    assert len(off) == 8
+    assert all(r.triggered == 0 and r.do_compact == 0 for r in off)
+    assert all(
+        r.n_dropped == 0 and r.index_size_after == r.n_docs for r in off
+    )
+
+    on = dedup_compaction_trigger_report(index_df, trigger_ppm=0).collect()
+    assert all(r.triggered == 1 and r.do_compact == 1 for r in on)
+    pairs = dd.minhash_near_duplicates(
+        index_df, threshold=0.8, num_hashes=16, bands=8, shingle_n=3
+    )
+    expected = (
+        dd.duplicate_clusters(pairs)
+        .where(F.col("member") != F.col("cluster_id"))
+        .count()
+    )
+    assert all(
+        r.n_dropped == expected
+        and r.index_size_after == r.n_docs - expected
+        for r in on
+    )
