@@ -411,3 +411,233 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec.cast("long").alias("recall_micro"),
         f1.cast("long").alias("f1_micro"),
     ).orderBy("threshold_micro")
+
+
+# PSI drift threshold (module constant interpolated into the oracle):
+# the industry-standard "investigate" line — PSI >= 0.1 (100000 micro).
+PSI_DRIFT_MICRO = 100_000
+
+_PSI_EDGE_COLS = ", ".join(
+    f"MAX(CASE WHEN rn = ({p} * (n - 1)) // 100 + 1 THEN score END)"
+    f" AS e{j}"
+    for j, p in enumerate(range(10, 100, 10), 1)
+)
+_PSI_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN score >= e{j} THEN 1 ELSE 0 END)" for j in range(1, 10)
+)
+
+
+@query(
+    "llm_quality_psi_by_source",
+    rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(text), '\s+') AS w,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+  FROM documents),
+sc AS (
+  SELECT doc_id, source,
+         1000000 * len(list_filter(wl, x -> x IN ({_STOP_SQL})))
+           // greatest(len(w), 1) AS score
+  FROM t),
+samp AS (
+  SELECT score, doc_id FROM (
+    SELECT score, doc_id,
+           row_number() OVER (ORDER BY
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+             doc_id) AS r
+    FROM sc) WHERE r <= 256),
+sr AS (
+  SELECT score, doc_id,
+         row_number() OVER (ORDER BY score, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM samp),
+ed AS (SELECT {_PSI_EDGE_COLS} FROM sr),
+bk AS (
+  SELECT source, CAST(1 + {_PSI_BUCKET_SQL} AS BIGINT) AS bucket
+  FROM sc, ed),
+srcs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+  FROM sc GROUP BY source),
+grid AS (
+  SELECT s.source, s.n_src, CAST(t.b AS BIGINT) AS bucket
+  FROM srcs s, unnest(range(1, 11)) AS t(b)),
+refc AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_ref
+  FROM bk GROUP BY bucket),
+reft AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+srcc AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bk GROUP BY source, bucket),
+sh AS (
+  SELECT g.source, g.bucket,
+         CAST(COALESCE(r.n_ref, 0) AS BIGINT) AS n_ref,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n_src_bucket,
+         CAST(GREATEST(1000000 * COALESCE(r.n_ref, 0) // reft.n, 1)
+              AS BIGINT) AS ref_ppm,
+         CAST(GREATEST(1000000 * COALESCE(c.n, 0) // g.n_src, 1)
+              AS BIGINT) AS src_ppm
+  FROM grid g CROSS JOIN reft
+  LEFT JOIN refc r ON r.bucket = g.bucket
+  LEFT JOIN srcc c ON c.source = g.source AND c.bucket = g.bucket),
+terms AS (
+  SELECT *,
+         CAST((src_ppm - ref_ppm)
+              * CAST(ROUND(LN(CAST(src_ppm AS DOUBLE) / ref_ppm)
+                           * 1000000) AS BIGINT)
+              // 1000000 AS BIGINT) AS psi_term_micro
+  FROM sh)
+SELECT source, bucket, n_ref, n_src_bucket, ref_ppm, src_ppm,
+       psi_term_micro,
+       CAST(SUM(psi_term_micro) OVER (PARTITION BY source) AS BIGINT)
+         AS psi_total_micro,
+       CAST(CASE WHEN SUM(psi_term_micro) OVER (PARTITION BY source)
+                      >= {PSI_DRIFT_MICRO}
+                 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+FROM terms
+ORDER BY source, bucket
+""",
+)
+def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score DRIFT monitor — Population Stability Index per
+    source against the pooled corpus, the standard production check
+    that a new crawl/source's quality distribution still looks like
+    the training mix (complementing ``llm_corpus_divergence``'s
+    unigram KL with the score-space view the quality gate actually
+    filters on). Score = stopword ratio in ppm (the gate's gibberish
+    signal, integer-exact); bucket edges are the POOLED corpus's
+    decile order statistics estimated from the same coordinated
+    bottom-256-by-hash sample the quantile sketch uses (sketch-sized,
+    mergeable — production never full-sorts for bin edges); each
+    source's bucket shares (ppm, clamped >= 1 so empty cells
+    contribute a finite penalty) enter
+    PSI = sum((src - ref) * ln(src / ref)) with the log-ratio
+    quantized to micro per bucket then integer-summed (the micro-nat
+    convention of ``_DIVERGENCE_CTES``). One row per (source, bucket)
+    with the term, the source's PSI total, and the verdict at the
+    standard PSI >= 0.1 investigate line.
+
+    Small-slice caveat (by design, documented): PSI inflates when a
+    source's doc count is small relative to the bucket count — at
+    sf0.01 most 25-doc sources read over the line while at sf0.1 none
+    do; the production cadence watches slices big enough that the
+    clamp never binds.
+
+    Scale posture: scoring is one narrow projection; the edge sample
+    is sketch-sized (256 rows); bucketing is a broadcast join against
+    ONE 9-edge row; counts are map-side-combined to (source x 10)
+    rows — nothing downstream of the scan exceeds source-cardinality
+    x 10 at any corpus size."""
+    return quality_psi_report(Catalog(spark, sf_dir).documents)
+
+
+def quality_psi_report(docs: DataFrame) -> DataFrame:
+    """Score -> sketch-edged buckets -> per-source shares -> PSI.
+    Split out so tests can pin the identity PSI(corpus || corpus) = 0
+    on a single-source frame."""
+    from pyspark.sql import Window
+
+    from ..caching import tracked_persist
+    from ..operators import sketches as sk
+    from ..operators import text as tx
+
+    sc_df = tracked_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            tx.stopword_count(F.col("text")).alias("ns"),
+            F.size(tx.ws_tokens(F.col("text"))).alias("nt"),
+        ).select(
+            "doc_id",
+            "source",
+            F.expr("(1000000 * ns) div greatest(nt, 1)")
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    g = sc_df.withColumn("g", F.lit("*"))
+    samp = sk.bottomk_sample(g, F.col("doc_id"), "g")
+    edges = sk.sample_quantiles(
+        samp, "score", F.col("doc_id"),
+        list(range(10, 100, 10)), "g", prefix="e",
+    )
+    bucket = F.lit(1)
+    for p in range(10, 100, 10):
+        bucket = bucket + F.when(
+            F.col("score") >= F.col(f"e_p{p}"), 1
+        ).otherwise(0)
+    bk = g.join(F.broadcast(edges), "g").select(
+        "source", bucket.cast("long").alias("bucket")
+    )
+    srcs = sc_df.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    grid = srcs.select(
+        "source",
+        "n_src",
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("_b"),
+    ).select(
+        "source", "n_src", F.col("_b").cast("long").alias("bucket")
+    )
+    refc = bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ref")
+    )
+    reft = sc_df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    srcc = bk.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src_bucket")
+    )
+    sh = (
+        grid.crossJoin(F.broadcast(reft))
+        .join(F.broadcast(refc), "bucket", "left")
+        .join(srcc, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce(F.col("n_ref"), F.lit(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.coalesce(F.col("n_src_bucket"), F.lit(0))
+            .cast("long")
+            .alias("n_src_bucket"),
+            F.greatest(
+                F.expr("(1000000 * coalesce(n_ref, 0)) div n_total"),
+                F.lit(1),
+            )
+            .cast("long")
+            .alias("ref_ppm"),
+            F.greatest(
+                F.expr(
+                    "(1000000 * coalesce(n_src_bucket, 0)) div n_src"
+                ),
+                F.lit(1),
+            )
+            .cast("long")
+            .alias("src_ppm"),
+        )
+    )
+    lr_micro = F.round(
+        F.log(F.col("src_ppm").cast("double") / F.col("ref_ppm"))
+        * 1_000_000
+    ).cast("long")
+    terms = (
+        sh.withColumn("_lr", lr_micro)
+        .withColumn(
+            "psi_term_micro",
+            F.expr("((src_ppm - ref_ppm) * _lr) div 1000000")
+            .cast("long"),
+        )
+        .drop("_lr")
+    )
+    w = Window.partitionBy("source")
+    return (
+        terms.withColumn(
+            "psi_total_micro",
+            F.sum("psi_term_micro").over(w).cast("long"),
+        )
+        .withColumn(
+            "drifted",
+            (F.col("psi_total_micro") >= F.lit(PSI_DRIFT_MICRO))
+            .cast("long"),
+        )
+        .orderBy("source", "bucket")
+    )

@@ -157,6 +157,9 @@ PROBE_QUERIES = [
     # cross-modal apply step (union-pair components + one anti-join)
     "llm_dedup_compaction_trigger",
     "llm_crossmodal_apply",
+    # r11 (late): the PSI drift monitor (narrow scoring scan +
+    # sketch-sized edge sample + source x 10 aggregates)
+    "llm_quality_psi_by_source",
 ]
 
 
@@ -372,6 +375,9 @@ DECADE2_QUERIES = [
     # nothing hides above them)
     "llm_dedup_compaction_trigger",
     "llm_crossmodal_apply",
+    # r11 (late): the PSI drift monitor (narrow scoring scan +
+    # sketch-sized edge sample + source x 10 aggregates)
+    "llm_quality_psi_by_source",
 ]
 
 

@@ -58,3 +58,38 @@ def test_training_deterministic_and_learns(spark):
     # stopword ratio is the rule's main signal -> largest learned
     # weight, positive
     assert a["w1"] > 0 and a["w1"] >= max(abs(a["w2"]), abs(a["w3"]))
+
+
+def test_quality_psi_invariants_and_self_psi_zero(spark, sf_dir):
+    """PSI contract: every source emits exactly 10 bucket rows, each
+    term is non-negative ((src-ref) and ln(src/ref) share sign), the
+    verdict matches the threshold — and a corpus compared against
+    itself (one source) has PSI exactly 0 in every bucket."""
+    from pyspark.sql import functions as F
+
+    from lms_erp_data_integration_spark.catalog import Catalog
+    from lms_erp_data_integration_spark.plans.curation_queries import (
+        PSI_DRIFT_MICRO,
+        quality_psi_by_source,
+        quality_psi_report,
+    )
+
+    rows = quality_psi_by_source(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert sorted(x.bucket for x in rs) == list(range(1, 11)), src
+        assert all(x.psi_term_micro >= 0 for x in rs)
+        total = sum(x.psi_term_micro for x in rs)
+        assert all(x.psi_total_micro == total for x in rs)
+        assert all(
+            x.drifted == int(total >= PSI_DRIFT_MICRO) for x in rs
+        )
+
+    one = Catalog(spark, sf_dir).documents.withColumn(
+        "source", F.lit("all")
+    )
+    self_rows = quality_psi_report(one).collect()
+    assert len(self_rows) == 10
+    assert all(r.psi_term_micro == 0 and r.drifted == 0 for r in self_rows)
