@@ -427,9 +427,7 @@ _PSI_BUCKET_SQL = " + ".join(
 )
 
 
-@query(
-    "llm_quality_psi_by_source",
-    rf"""
+_PSI_ORACLE = rf"""
 WITH t AS (
   SELECT doc_id, source,
          regexp_split_to_array(trim(text), '\s+') AS w,
@@ -496,8 +494,10 @@ SELECT source, bucket, n_ref, n_src_bucket, ref_ppm, src_ppm,
                  THEN 1 ELSE 0 END AS BIGINT) AS drifted
 FROM terms
 ORDER BY source, bucket
-""",
-)
+"""
+
+
+@query("llm_quality_psi_by_source", _PSI_ORACLE)
 def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score DRIFT monitor — Population Stability Index per
     source against the pooled corpus, the standard production check
@@ -531,30 +531,48 @@ def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_psi_report(Catalog(spark, sf_dir).documents)
 
 
+def psi_score_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, score): stopword ratio in exact ppm — pure
+    stateless projections, so the SAME expression scores a streaming
+    frame (the streaming twin's per-row path)."""
+    from ..operators import text as tx
+
+    return docs.select(
+        "doc_id",
+        "source",
+        tx.stopword_count(F.col("text")).alias("ns"),
+        F.size(tx.ws_tokens(F.col("text"))).alias("nt"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("(1000000 * ns) div greatest(nt, 1)")
+        .cast("long")
+        .alias("score"),
+    )
+
+
+def psi_bucket_expr(edges: list[int]) -> "F.Column":
+    """1-based decile bucket from LITERAL edge values — the stateless
+    per-row form the streaming twin bakes its (driver-collected,
+    9-value) edge constants into; bit-equal to the broadcast-join
+    form because both compare the same BIGINT score to the same
+    BIGINT edges."""
+    bucket = F.lit(1)
+    for e in edges:
+        bucket = bucket + F.when(
+            F.col("score") >= F.lit(int(e)), 1
+        ).otherwise(0)
+    return bucket.cast("long")
+
+
 def quality_psi_report(docs: DataFrame) -> DataFrame:
     """Score -> sketch-edged buckets -> per-source shares -> PSI.
     Split out so tests can pin the identity PSI(corpus || corpus) = 0
     on a single-source frame."""
-    from pyspark.sql import Window
-
     from ..caching import tracked_persist
     from ..operators import sketches as sk
-    from ..operators import text as tx
 
-    sc_df = tracked_persist(
-        docs.select(
-            "doc_id",
-            "source",
-            tx.stopword_count(F.col("text")).alias("ns"),
-            F.size(tx.ws_tokens(F.col("text"))).alias("nt"),
-        ).select(
-            "doc_id",
-            "source",
-            F.expr("(1000000 * ns) div greatest(nt, 1)")
-            .cast("long")
-            .alias("score"),
-        )
-    )
+    sc_df = tracked_persist(psi_score_frame(docs))
     g = sc_df.withColumn("g", F.lit("*"))
     samp = sk.bottomk_sample(g, F.col("doc_id"), "g")
     edges = sk.sample_quantiles(
@@ -569,8 +587,27 @@ def quality_psi_report(docs: DataFrame) -> DataFrame:
     bk = g.join(F.broadcast(edges), "g").select(
         "source", bucket.cast("long").alias("bucket")
     )
-    srcs = sc_df.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_src")
+    refc = bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ref")
+    )
+    srcc = bk.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src_bucket")
+    )
+    return psi_from_bucket_counts(srcc, refc)
+
+
+def psi_from_bucket_counts(srcc: DataFrame, refc: DataFrame) -> DataFrame:
+    """The PSI summary tail over (source, bucket, n_src_bucket) and
+    (bucket, n_ref) count frames — ONE definition shared by the batch
+    row and its streaming twin (the ``ivf_append_report`` pattern:
+    duplicated tails desync silently when only one is edited).
+    Totals, the complete source x 1..10 grid, ppm shares clamped
+    >= 1, micro-quantized log-ratios, per-source PSI and the
+    threshold verdict all live here."""
+    from pyspark.sql import Window
+
+    srcs = srcc.groupBy("source").agg(
+        F.sum("n_src_bucket").cast("long").alias("n_src")
     )
     grid = srcs.select(
         "source",
@@ -579,13 +616,7 @@ def quality_psi_report(docs: DataFrame) -> DataFrame:
     ).select(
         "source", "n_src", F.col("_b").cast("long").alias("bucket")
     )
-    refc = bk.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_ref")
-    )
-    reft = sc_df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    srcc = bk.groupBy("source", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_src_bucket")
-    )
+    reft = refc.agg(F.sum("n_ref").cast("long").alias("n_total"))
     sh = (
         grid.crossJoin(F.broadcast(reft))
         .join(F.broadcast(refc), "bucket", "left")

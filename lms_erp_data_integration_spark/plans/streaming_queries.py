@@ -1177,3 +1177,70 @@ def stream_emb_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.ivf_assign(index, centroids_df, keep_sim=True)
     )
     return ivf_append_report(gi, gb)
+
+
+from .curation_queries import _PSI_ORACLE  # noqa: E402  (the batch PSI oracle the streaming twin shares; curation_queries imports nothing from this module, so the early import is cycle-free)
+
+
+@query(
+    "stream_quality_psi",
+    # shares the batch llm_quality_psi_by_source oracle: on a bounded
+    # stream the per-source drift report must equal the batch answer
+    _PSI_ORACLE,
+)
+def stream_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING form of ``llm_quality_psi_by_source`` — quality-score
+    drift monitoring where it actually runs in production: on the
+    document ingest stream. Per arriving row the score (stopword
+    ratio in ppm) and its decile bucket are STATELESS projections —
+    the 9 bucket edges come from the static reference corpus's
+    coordinated bottom-256 sample and are baked into the expression
+    as BIGINT literals (one bounded driver-side collect of a 1-row
+    edge frame: the ``ivf_assign_literal`` closure-constant pattern).
+    The only stateful operator is the (source x bucket)-row
+    complete-mode count; the reference side's bucket counts are
+    static-frame aggregates, and the summary tail is the SHARED
+    :func:`psi_from_bucket_counts` — so the stream must equal the
+    batch answer bit-for-bit, which sharing the batch oracle
+    enforces.
+
+    Scale posture: per event the work is one projection; state is
+    sources x 10 rows; the reference side is computed once per edge
+    refresh, not per micro-batch."""
+    from ..caching import tracked_persist
+    from ..catalog import Catalog
+    from ..operators import sketches as sk
+    from .curation_queries import (
+        psi_bucket_expr,
+        psi_from_bucket_counts,
+        psi_score_frame,
+    )
+
+    static_docs = Catalog(spark, sf_dir).documents
+    sc_static = tracked_persist(psi_score_frame(static_docs))
+    g = sc_static.withColumn("g", F.lit("*"))
+    samp = sk.bottomk_sample(g, F.col("doc_id"), "g")
+    edges_row = sk.sample_quantiles(
+        samp, "score", F.col("doc_id"),
+        list(range(10, 100, 10)), "g", prefix="e",
+    ).first()
+    edges = [int(edges_row[f"e_p{p}"]) for p in range(10, 100, 10)]
+
+    refc = sc_static.select(
+        psi_bucket_expr(edges).alias("bucket")
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ref")
+    )
+
+    arriving = psi_score_frame(documents_stream(spark, sf_dir))
+    agg = arriving.select(
+        "source", psi_bucket_expr(edges).alias("bucket")
+    ).groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src_bucket")
+    )
+    srcc = run_to_memory_sink(
+        agg, f"stream_quality_psi_{next(_SINK_SEQ)}", mode="complete"
+    ).localCheckpoint(eager=True)  # sources x 10 rows; the summary
+    # tail self-joins this frame (totals/grid), and the memory-sink
+    # VIEW cannot be self-joined (conflicting attribute ids)
+    return psi_from_bucket_counts(srcc, refc)

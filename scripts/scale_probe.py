@@ -158,8 +158,11 @@ PROBE_QUERIES = [
     "llm_dedup_compaction_trigger",
     "llm_crossmodal_apply",
     # r11 (late): the PSI drift monitor (narrow scoring scan +
-    # sketch-sized edge sample + source x 10 aggregates)
+    # sketch-sized edge sample + source x 10 aggregates) and its
+    # streaming twin (stateless literal-edge scoring, complete-mode
+    # source x 10 state)
     "llm_quality_psi_by_source",
+    "stream_quality_psi",
 ]
 
 
@@ -376,8 +379,11 @@ DECADE2_QUERIES = [
     "llm_dedup_compaction_trigger",
     "llm_crossmodal_apply",
     # r11 (late): the PSI drift monitor (narrow scoring scan +
-    # sketch-sized edge sample + source x 10 aggregates)
+    # sketch-sized edge sample + source x 10 aggregates) and its
+    # streaming twin (stateless literal-edge scoring, complete-mode
+    # source x 10 state)
     "llm_quality_psi_by_source",
+    "stream_quality_psi",
 ]
 
 
