@@ -551,16 +551,20 @@ def psi_score_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def psi_bucket_expr(edges: list[int]) -> "F.Column":
-    """1-based decile bucket from LITERAL edge values — the stateless
-    per-row form the streaming twin bakes its (driver-collected,
-    9-value) edge constants into; bit-equal to the broadcast-join
-    form because both compare the same BIGINT score to the same
-    BIGINT edges."""
+def psi_bucket_expr(edges: list) -> "F.Column":
+    """1-based decile bucket over the score column — ONE
+    definition of the bucket contract (>= comparison, 9 edges) for
+    both PSI rows. edges entries are ints (the streaming twin
+    bakes its driver-collected edge constants in as BIGINT literals —
+    a stateless per-row expression) or Columns (the batch row passes
+    the sample frame's edge columns after its broadcast join); both
+    compare the same BIGINT score to the same BIGINT edges, so the
+    forms are bit-equal."""
     bucket = F.lit(1)
     for e in edges:
+        e_col = F.lit(int(e)) if isinstance(e, int) else e
         bucket = bucket + F.when(
-            F.col("score") >= F.lit(int(e)), 1
+            F.col("score") >= e_col, 1
         ).otherwise(0)
     return bucket.cast("long")
 
@@ -579,13 +583,11 @@ def quality_psi_report(docs: DataFrame) -> DataFrame:
         samp, "score", F.col("doc_id"),
         list(range(10, 100, 10)), "g", prefix="e",
     )
-    bucket = F.lit(1)
-    for p in range(10, 100, 10):
-        bucket = bucket + F.when(
-            F.col("score") >= F.col(f"e_p{p}"), 1
-        ).otherwise(0)
     bk = g.join(F.broadcast(edges), "g").select(
-        "source", bucket.cast("long").alias("bucket")
+        "source",
+        psi_bucket_expr(
+            [F.col(f"e_p{p}") for p in range(10, 100, 10)]
+        ).alias("bucket"),
     )
     refc = bk.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_ref")

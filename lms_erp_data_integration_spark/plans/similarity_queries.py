@@ -1377,9 +1377,15 @@ IVF_GROWTH_TRIGGER_PPM = 300_000
 IVF_DRIFT_TRIGGER_MICRO = 15_000
 
 _TRIGGER_PRED_SQL = (
+    # the drift branch requires n_appended > 0: a list with NO appends
+    # encodes mean_cos_appended_micro = 0, and without the guard the
+    # drift test degenerates to mean_cos_index_micro >= threshold —
+    # true for essentially every populated list, so a QUIET cadence
+    # window would spuriously recenter (r11 review finding)
     f"growth_ppm >= {IVF_GROWTH_TRIGGER_PPM} OR "
+    f"(n_appended > 0 AND "
     f"mean_cos_index_micro - mean_cos_appended_micro >= "
-    f"{IVF_DRIFT_TRIGGER_MICRO}"
+    f"{IVF_DRIFT_TRIGGER_MICRO})"
 )
 
 
@@ -1439,8 +1445,9 @@ def emb_ivf_recenter_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     row reports drift, the recenter row measures the fix, and THIS
     row encodes WHEN to act. Per inverted list it evaluates the
     trigger predicate over ``llm_emb_ivf_append``'s audit columns
-    (hot growth >= IVF_GROWTH_TRIGGER_PPM, or appended-member cosine
-    drifting >= IVF_DRIFT_TRIGGER_MICRO below the existing members'),
+    (hot growth >= IVF_GROWTH_TRIGGER_PPM, or — only for lists that
+    actually received appends — appended-member cosine drifting
+    >= IVF_DRIFT_TRIGGER_MICRO below the existing members'),
     emits the per-list ``triggered`` flag and the global
     ``do_recenter`` decision (any hot list recenters the WHOLE index
     — one Lloyd step is global), and, when the decision fires, the
@@ -1488,7 +1495,10 @@ def ivf_recenter_trigger_report(
         "triggered",
         (
             (F.col("growth_ppm") >= F.lit(growth_ppm_trigger))
-            | (drift >= F.lit(drift_micro_trigger))
+            | (
+                (F.col("n_appended") > 0)
+                & (drift >= F.lit(drift_micro_trigger))
+            )
         ).cast("long"),
     ).localCheckpoint(eager=True)  # k rows: decision read + join reuse
     # the global decision is a bounded driver-side read of the k-row
@@ -1505,18 +1515,12 @@ def ivf_recenter_trigger_report(
         )
         out = base.join(rc, "centroid_id", "left").select(
             base["*"],
-            F.coalesce(F.col("n_stay"), F.lit(0)).cast("long").alias("_st"),
-            F.coalesce(F.col("n_gained"), F.lit(0)).cast("long").alias("_ga"),
-            F.coalesce(F.col("n_lost"), F.lit(0)).cast("long").alias("_lo"),
-            F.coalesce(F.col("shift_cos_micro"), F.lit(0))
-            .cast("long")
-            .alias("_sh"),
-        ).drop("n_stay", "n_gained", "n_lost", "shift_cos_micro")
-        out = (
-            out.withColumnRenamed("_st", "n_stay")
-            .withColumnRenamed("_ga", "n_gained")
-            .withColumnRenamed("_lo", "n_lost")
-            .withColumnRenamed("_sh", "shift_cos_micro")
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in (
+                    "n_stay", "n_gained", "n_lost", "shift_cos_micro"
+                )
+            ],
         )
     else:
         out = base

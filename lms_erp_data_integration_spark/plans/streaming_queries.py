@@ -980,7 +980,11 @@ def _run_dedup_lifecycle(
                 .first()
             )
             if st["k"] is None:
-                return  # empty micro-batch: nothing to ingest
+                # empty micro-batch: nothing to ingest — but the st
+                # aggregate already materialized the persisted frames
+                for f in (bsets, matched, dropped_within, kept):
+                    f.unpersist(False)
+                return
             k = int(st["k"])
             if k in results:
                 # micro-batch REPLAY (foreachBatch's at-least-once
@@ -993,13 +997,17 @@ def _run_dedup_lifecycle(
             n_in, n_surv = int(st["n_in"]), int(st["n_in"] - st["n_m"])
             n_kept = n_surv - int(st["n_w"])
             n_idx = state["n"] + n_kept
-            results[k] = (
-                n_in, n_in - n_surv, n_surv - n_kept, n_kept, n_idx
-            )
+            # mutate-then-commit: the state checkpoint lands BEFORE
+            # results[k] is recorded, so a replay after a mid-ingest
+            # failure re-runs the stage instead of skipping keepers
+            # that never reached the index (r11 review finding)
             state["frame"] = state["frame"].unionByName(
                 _state_rows(kept)
             ).localCheckpoint(eager=True)
             state["n"] = n_idx
+            results[k] = (
+                n_in, n_in - n_surv, n_surv - n_kept, n_kept, n_idx
+            )
             for f in (bsets, matched, dropped_within, kept):
                 f.unpersist(False)
 

@@ -3452,3 +3452,35 @@ def test_dedup_compaction_trigger_both_decision_branches(spark, sf_dir):
         and r.index_size_after == r.n_docs - expected
         for r in on
     )
+
+
+def test_ivf_recenter_trigger_quiet_window_is_noop(spark):
+    """A cadence window with NO appends must not trigger: the drift
+    branch requires n_appended > 0 (without the guard, the encoded
+    mean_cos_appended_micro = 0 makes every populated list look
+    drifted and a quiet window spuriously recenters)."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from lms_erp_data_integration_spark.plans.similarity_queries import (
+        ivf_recenter_trigger_report,
+    )
+
+    rng = _r.Random(23)
+    rows = [
+        (vid, [rng.uniform(-1, 1) for _ in range(8)], vid % 3)
+        for vid in range(30)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    empty_batch = emb.where(F.col("vec_id") < 0)
+    out = ivf_recenter_trigger_report(emb, emb, empty_batch).collect()
+    assert all(r.n_appended == 0 for r in out)
+    assert all(r.triggered == 0 and r.do_recenter == 0 for r in out)
+    assert all(
+        (r.n_stay, r.n_gained, r.n_lost, r.shift_cos_micro)
+        == (0, 0, 0, 0)
+        for r in out
+    )
