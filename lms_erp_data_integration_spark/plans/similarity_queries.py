@@ -1527,3 +1527,197 @@ def ivf_recenter_trigger_report(
         for c in ("n_stay", "n_gained", "n_lost", "shift_cos_micro"):
             out = out.withColumn(c, F.lit(0).cast("long"))
     return out.orderBy("centroid_id")
+
+
+# nprobe tuning-sweep parameters (module constants interpolated into
+# the oracle): sweep 1..IVF_NPROBE_MAX probes; the chosen operating
+# point is the smallest nprobe whose mean recall@10 over the probe
+# queries reaches IVF_TARGET_RECALL_PCT.
+IVF_NPROBE_MAX = 4
+IVF_TARGET_RECALL_PCT = 90
+
+
+@query(
+    "llm_sim_ivf_nprobe_curve",
+    f"""
+{_IVF_ASSIGNED}
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5),
+qc AS (
+  SELECT query_id, qv, centroid_id, rn AS rnc FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             {_COS.format(a="c.cv", b="q.qv")} DESC, c.centroid_id) AS rn
+    FROM q, cent c) t WHERE rn <= {IVF_NPROBE_MAX}),
+cand AS (
+  SELECT qc.query_id, qc.rnc, a.vec_id AS neighbor_id,
+         {_COS.format(a="a.embedding::DOUBLE[]", b="qc.qv")} AS score
+  FROM assigned a JOIN qc ON a.centroid_id = qc.centroid_id
+  WHERE a.vec_id <> qc.query_id),
+ex AS (
+  SELECT query_id, neighbor_id, score, CAST(t.np AS BIGINT) AS np
+  FROM cand, unnest(range(rnc, {IVF_NPROBE_MAX} + 1)) AS t(np)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY np, query_id
+              ORDER BY score DESC, neighbor_id) AS r
+  FROM ex),
+top AS (SELECT np, query_id, neighbor_id FROM ranked WHERE r <= 10),
+bfs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS score
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS r
+    FROM bfs) WHERE r <= 10),
+nps AS (
+  SELECT CAST(t.np AS BIGINT) AS nprobe
+  FROM unnest(range(1, {IVF_NPROBE_MAX} + 1)) AS t(np)),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q),
+hits AS (
+  SELECT t.np, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM top t JOIN bf USING (query_id, neighbor_id) GROUP BY t.np),
+scan AS (
+  SELECT np, CAST(COUNT(*) AS BIGINT) AS scanned_pairs
+  FROM ex GROUP BY np),
+curve AS (
+  SELECT nps.nprobe, nq.n_queries,
+         CAST(COALESCE(s.scanned_pairs, 0) AS BIGINT) AS scanned_pairs,
+         CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         CAST(COALESCE(h.hits, 0) * 100 // (nq.n_queries * 10)
+              AS BIGINT) AS recall_pct
+  FROM nps CROSS JOIN nq
+  LEFT JOIN hits h ON h.np = nps.nprobe
+  LEFT JOIN scan s ON s.np = nps.nprobe)
+SELECT nprobe, n_queries, scanned_pairs, hits, recall_pct,
+       CAST(CASE WHEN nprobe = MIN(CASE WHEN recall_pct
+                      >= {IVF_TARGET_RECALL_PCT} THEN nprobe END)
+                      OVER () THEN 1 ELSE 0 END AS BIGINT) AS chosen
+FROM curve ORDER BY nprobe
+""",
+)
+def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe TUNING CURVE — the operating-point calibration that
+    completes the ANN policy family (quality-threshold calibration is
+    its curation-side twin): for nprobe 1..IVF_NPROBE_MAX, recall@10
+    of the multi-probe search against the exact brute-force baseline
+    (the audit llm_sim_ivf_recall runs for nprobe=1) plus the COST of
+    each point (scanned_pairs: candidate vectors actually scored),
+    and the ``chosen`` marker on the smallest nprobe reaching
+    IVF_TARGET_RECALL_PCT — the knob a team turns before shipping an
+    index, as one driver-hashed curve. On this corpus the chosen
+    point moves with scale (nprobe=1 at sf0.01, 3 at sf0.1): exactly
+    why the curve must be measured, not assumed.
+
+    One pass serves every sweep point: candidates from the top
+    IVF_NPROBE_MAX lists are scored ONCE, then a neighbor in the
+    rank-r list participates in every nprobe >= r via an explode on
+    the list rank (shuffle carries candidates x remaining-sweep
+    rows, never re-scores). The brute-force side is the existing
+    bounded-query-sample audit shape.
+
+    Scale posture: candidates are the probe queries' top-4 lists
+    (4/k of the corpus per query, broadcast-centroid ranked); the
+    exact side stays constant as the corpus grows (fixed probe
+    sample); outputs are IVF_NPROBE_MAX rows."""
+    from pyspark.sql import Window as W
+
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+    )
+    centroids = emb.groupBy(F.col("label").alias("centroid_id")).agg(
+        F.min_by("embedding", "vec_id").alias("embedding")
+    )
+    c = centroids.select(
+        "centroid_id", F.col("embedding").alias("_cv")
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        sim.cosine(F.col("_cv"), F.col("_qv")).desc(),
+        F.col("centroid_id"),
+    )
+    qc = (
+        queries.join(F.broadcast(c))
+        .withColumn("rnc", F.row_number().over(wq))
+        .where(F.col("rnc") <= IVF_NPROBE_MAX)
+        .select("query_id", "_qv", "centroid_id", "rnc")
+    )
+    assigned = sim.ivf_assign(emb, centroids)
+    cand = (
+        assigned.join(F.broadcast(qc), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "rnc",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.cosine(F.col("embedding"), F.col("_qv")).alias("score"),
+        )
+    )
+    ex = cand.select(
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.explode(
+            F.sequence(F.col("rnc"), F.lit(IVF_NPROBE_MAX))
+        ).alias("_np"),
+    ).select(
+        "query_id", "neighbor_id", "score",
+        F.col("_np").cast("long").alias("np"),
+    )
+    wr = W.partitionBy("np", "query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    top = (
+        ex.withColumn("r", F.row_number().over(wr))
+        .where(F.col("r") <= 10)
+        .select("np", "query_id", "neighbor_id")
+    )
+    bf = sim.brute_force_topk(
+        emb, queries.select("query_id", F.col("_qv").alias("embedding")),
+        k=10,
+    ).select("query_id", "neighbor_id")
+    nps = spark.range(1, IVF_NPROBE_MAX + 1).select(
+        F.col("id").cast("long").alias("nprobe")
+    )
+    nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    hits = top.join(bf, ["query_id", "neighbor_id"]).groupBy(
+        F.col("np").alias("nprobe")
+    ).agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    scan = ex.groupBy(F.col("np").alias("nprobe")).agg(
+        F.count(F.lit(1)).cast("long").alias("scanned_pairs")
+    )
+    curve = (
+        nps.crossJoin(F.broadcast(nq))
+        .join(F.broadcast(hits), "nprobe", "left")
+        .join(F.broadcast(scan), "nprobe", "left")
+        .select(
+            "nprobe",
+            "n_queries",
+            F.coalesce(F.col("scanned_pairs"), F.lit(0))
+            .cast("long")
+            .alias("scanned_pairs"),
+            F.coalesce(F.col("hits"), F.lit(0))
+            .cast("long")
+            .alias("hits"),
+            F.expr("(coalesce(hits, 0) * 100) div (n_queries * 10)")
+            .cast("long")
+            .alias("recall_pct"),
+        )
+    )
+    w_all = W.partitionBy()
+    chosen_np = F.min(
+        F.when(
+            F.col("recall_pct") >= IVF_TARGET_RECALL_PCT,
+            F.col("nprobe"),
+        )
+    ).over(w_all)
+    return (
+        curve.withColumn(
+            "chosen",
+            (F.col("nprobe") == chosen_np).cast("long"),
+        )
+        .orderBy("nprobe")
+    )

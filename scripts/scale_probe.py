@@ -163,6 +163,9 @@ PROBE_QUERIES = [
     # source x 10 state)
     "llm_quality_psi_by_source",
     "stream_quality_psi",
+    # r11 (late): the nprobe tuning sweep (top-4-list candidates
+    # scored once, explode over the sweep, fixed probe-query sample)
+    "llm_sim_ivf_nprobe_curve",
 ]
 
 
@@ -384,6 +387,9 @@ DECADE2_QUERIES = [
     # source x 10 state)
     "llm_quality_psi_by_source",
     "stream_quality_psi",
+    # r11 (late): the nprobe tuning sweep (top-4-list candidates
+    # scored once, explode over the sweep, fixed probe-query sample)
+    "llm_sim_ivf_nprobe_curve",
 ]
 
 

@@ -3484,3 +3484,31 @@ def test_ivf_recenter_trigger_quiet_window_is_noop(spark):
         == (0, 0, 0, 0)
         for r in out
     )
+
+
+def test_ivf_nprobe_curve_invariants(spark, sf_dir):
+    """Curve contract: recall@10 is monotone non-decreasing in nprobe
+    (candidate sets are nested, and any candidate outscoring an exact
+    top-10 member is itself in the exact top-10, so growth never
+    displaces a hit), scanned cost strictly grows, and exactly one
+    row is chosen — the smallest nprobe at or above the target."""
+    from lms_erp_data_integration_spark.plans.similarity_queries import (
+        IVF_NPROBE_MAX,
+        IVF_TARGET_RECALL_PCT,
+        sim_ivf_nprobe_curve,
+    )
+
+    rows = sorted(
+        sim_ivf_nprobe_curve(spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == list(range(1, IVF_NPROBE_MAX + 1))
+    recalls = [r.recall_pct for r in rows]
+    assert recalls == sorted(recalls), "recall must be monotone"
+    scans = [r.scanned_pairs for r in rows]
+    assert all(b > a for a, b in zip(scans, scans[1:]))
+    qualifying = [
+        r.nprobe for r in rows if r.recall_pct >= IVF_TARGET_RECALL_PCT
+    ]
+    chosen = [r.nprobe for r in rows if r.chosen == 1]
+    assert chosen == (qualifying[:1] if qualifying else [])
