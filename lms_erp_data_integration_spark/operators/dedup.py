@@ -402,15 +402,21 @@ def _shingle_pair_stats(
         )
     )
     shingled = sets.select(F.col(id_col), F.explode("_shset").alias("shingle"))
-    # hot shingles: tiny by construction (df > cap), so broadcast; the
-    # big exploded table is then guarded by a NARROW anti-join
+    # hot shingles: usually tiny (df > cap), but the set is
+    # CORPUS-DEPENDENT — a replicated/boilerplate-heavy corpus can
+    # push millions of shingles over the cap, and a mandatory
+    # broadcast hint would collect that unbounded side to the driver
+    # (measured: the 100x sf10 probe drop blew
+    # spark.driver.maxResultSize through exactly this hint). No hint:
+    # AQE still picks the broadcast anti-join from observed sizes
+    # whenever the hot set is genuinely small.
     hot = (
         shingled.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
         .where(F.col("_df") > max_doc_freq)
         .select("shingle")
     )
-    posting = shingled.join(F.broadcast(hot), "shingle", "left_anti")
+    posting = shingled.join(hot, "shingle", "left_anti")
     # cold-shingle intersection counts via grouped posting lists: one
     # shuffle on shingle, then ordered pairs are generated INSIDE each
     # (cap-bounded, <= max_doc_freq elements) list with two Generate
@@ -444,7 +450,7 @@ def _shingle_pair_stats(
     # hot-shingle correction: Jaccard must count the FULL intersection,
     # so add back shared hot shingles — but only for the (small) set of
     # surviving candidate pairs, never via a hot-shingle self-join
-    hot_post = shingled.join(F.broadcast(hot), "shingle", "left_semi")
+    hot_post = shingled.join(hot, "shingle", "left_semi")
     inter_hot = (
         inter_cold.select("i", "j")
         .join(hot_post.select(F.col(id_col).alias("i"), "shingle"), "i")

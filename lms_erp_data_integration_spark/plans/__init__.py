@@ -27,8 +27,8 @@ from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 # shared ivf_recenter_report helper + CTE constants the trigger row
 # reuses — same semantics, new source text) — then the THIRTEEN r5
 # rows the r10 window displaced (finishing r5), then the r6 cohort
-# alphabetically (18 of 32 fit; the tail from
-# rel_parameterized_sql spills to r12).
+# alphabetically (17 of 32 fit; the tail from
+# rel_left_outer_customer_orders spills to r12).
 registry.PRIORITY = [
     # core reference surface — pinned every round
     "sync_missing_faculty_users",
@@ -79,6 +79,10 @@ registry.PRIORITY = [
     # NEW in r11 (late): the nprobe tuning curve — recall@10 + scan
     # cost per probe count, chosen operating point at the 90% target
     "llm_sim_ivf_nprobe_curve",
+    # NEW in r11 (late): the dedup threshold curve — pair volume /
+    # drop rate per Jaccard threshold from ONE exact-overlap pass
+    # (integer predicate 100*inter >= t*union)
+    "llm_dedup_threshold_curve",
     # the THIRTEEN r5 rows the r10 window displaced — finishes r5
     "rel_interval_overlap",
     "rel_join_size_profile",
@@ -93,8 +97,8 @@ registry.PRIORITY = [
     "rel_value_histogram",
     "stream_dq_gate",
     "stream_value_histogram",
-    # r6 cohort, alphabetical fill to 50 (18 of 32; the remaining 14
-    # from rel_parameterized_sql spill to r12)
+    # r6 cohort, alphabetical fill to 50 (17 of 32; the remaining 15
+    # from rel_left_outer_customer_orders spill to r12)
     "llm_bpe_encode",
     "llm_bpe_train_vocab",
     "llm_chat_loss_mask",
@@ -112,12 +116,12 @@ registry.PRIORITY = [
     "rel_events_variant",
     "rel_full_outer_year_diff",
     "rel_latest_event_per_user",
-    "rel_left_outer_customer_orders",
 ]
 
 # r12 rotation plan (for the next round): keep the 8 sync rows pinned
 # and any r12-new/changed queries ahead of fillers, then FIRST the
-# FOURTEEN r6 rows this window displaced (rel_parameterized_sql,
+# FIFTEEN r6 rows this window displaced
+# (rel_left_outer_customer_orders, rel_parameterized_sql,
 # rel_pivot_order_status,
 # rel_q10_returned_items,
 # rel_q18_large_orders,

@@ -1915,3 +1915,136 @@ def dedup_compaction_trigger_report(
         .cast("long")
         .alias("index_size_after"),
     ).orderBy("band")
+
+
+# Dedup threshold-sweep points (percent; module constant interpolated
+# into the oracle). The membership predicate is exact-integer:
+# jaccard >= t/100  <=>  100 * inter >= t * union.
+DEDUP_THRESHOLD_SWEEP_PCT = (70, 75, 80, 85, 90)
+
+_SWEEP_SQL = ", ".join(str(t) for t in DEDUP_THRESHOLD_SWEEP_PCT)
+
+
+@query(
+    "llm_dedup_threshold_curve",
+    rf"""
+{_TOKS_SHING}
+{_SIZES_COLD_CTE}
+{_cold_pairs_inter("cands")},
+st AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT inter.i, inter.j, inter.inter AS ic,
+           sa.n + sb.n - inter.inter AS un
+    FROM inter JOIN sizes sa ON sa.doc_id = inter.i
+               JOIN sizes sb ON sb.doc_id = inter.j)
+  WHERE 100 * ic >= 70 * un),
+ths AS (SELECT CAST(t.th AS BIGINT) AS threshold_pct
+        FROM unnest([{_SWEEP_SQL}]) AS t(th)),
+pl AS (
+  SELECT th.threshold_pct, CAST(COUNT(st.i) AS BIGINT) AS n_pairs
+  FROM ths th LEFT JOIN st ON 100 * st.ic >= th.threshold_pct * st.un
+  GROUP BY th.threshold_pct),
+dl AS (
+  SELECT th.threshold_pct,
+         CAST(COUNT(DISTINCT st.j) AS BIGINT) AS n_dropped
+  FROM ths th LEFT JOIN st ON 100 * st.ic >= th.threshold_pct * st.un
+  GROUP BY th.threshold_pct),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT p.threshold_pct, nd.n_docs, p.n_pairs, d.n_dropped,
+       CAST(1000000 * d.n_dropped // nd.n_docs AS BIGINT)
+         AS drop_rate_ppm,
+       CAST(nd.n_docs - d.n_dropped AS BIGINT) AS n_surviving
+FROM pl p JOIN dl d USING (threshold_pct) CROSS JOIN nd
+ORDER BY p.threshold_pct
+""",
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD tuning curve — the third leg of the
+    calibration family (quality: ``llm_quality_calibration``, ANN:
+    ``llm_sim_ivf_nprobe_curve``, dedup: this): for each candidate
+    Jaccard threshold, the flagged-pair volume, the documents dropped
+    under the min-id direct-neighbor policy (a doc drops iff a
+    lower-id candidate partner meets the threshold), the drop rate in
+    ppm and the surviving-corpus size — the aggressiveness/volume
+    trade-off a curation team reads (against a labeled near-dup
+    sample) before fixing the production threshold.
+
+    One pass serves every sweep point: the exact-overlap pair stats
+    (cold-capped inverted index, full-set-corrected intersections —
+    the ground-truth machinery every dedup row shares) are computed
+    ONCE, and a pair enters each sweep point via the EXACT-INTEGER
+    predicate 100*inter >= t*union — no float thresholds, so the
+    driver hash pins the whole curve. The sweep explode carries
+    pairs x |qualifying thresholds| rows (monotone: higher thresholds
+    are subsets), never re-walking shingles.
+
+    Scale posture: identical to ``llm_dedup_ngram_jaccard`` plus a
+    5-way conditional explode of its (collision-bounded) pair frame
+    and two 5-row aggregates — the curve costs one threshold's dedup
+    pass, not five."""
+    from ..caching import tracked_persist
+
+    docs = Catalog(spark, sf_dir).documents
+    # persist only pairs at/above the sweep FLOOR: the candidate
+    # relation (any cold-shingle overlap) is far larger than the
+    # flagged set, and no sweep point looks below the floor
+    st = tracked_persist(
+        dd._shingle_pair_stats(
+            docs, 3, "doc_id", "text", dd.NGRAM_MAX_DOC_FREQ
+        ).select(
+            "i",
+            "j",
+            F.col("_in").alias("ic"),
+            (F.col("ni") + F.col("nj") - F.col("_in")).alias("un"),
+        ).where(
+            F.lit(100) * F.col("ic")
+            >= F.lit(int(DEDUP_THRESHOLD_SWEEP_PCT[0])) * F.col("un")
+        )
+    )
+    sweep = F.array(
+        *[F.lit(int(t)) for t in DEDUP_THRESHOLD_SWEEP_PCT]
+    )
+    qualifying = F.filter(
+        sweep,
+        lambda t: F.lit(100) * F.col("ic") >= t * F.col("un"),
+    )
+    pl = (
+        st.select(F.explode(qualifying).alias("_t"))
+        .groupBy(F.col("_t").cast("long").alias("threshold_pct"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    dl = (
+        st.select("j", F.explode(qualifying).alias("_t"))
+        .distinct()
+        .groupBy(F.col("_t").cast("long").alias("threshold_pct"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    )
+    ths = spark.createDataFrame(
+        [(int(t),) for t in DEDUP_THRESHOLD_SWEEP_PCT],
+        "threshold_pct long",
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        ths.crossJoin(F.broadcast(nd))
+        .join(F.broadcast(pl), "threshold_pct", "left")
+        .join(F.broadcast(dl), "threshold_pct", "left")
+        .select(
+            "threshold_pct",
+            "n_docs",
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_dropped"), F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.expr(
+                "(1000000 * coalesce(n_dropped, 0)) div n_docs"
+            )
+            .cast("long")
+            .alias("drop_rate_ppm"),
+            (F.col("n_docs") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_surviving"),
+        )
+        .orderBy("threshold_pct")
+    )

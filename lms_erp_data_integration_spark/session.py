@@ -73,6 +73,15 @@ def get_spark(
         # (Only the bloomFilter conf: the 3.x semiJoinReduction key is
         # gone in Spark 4 and setting it breaks RuntimeConfig.get.)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # AQE converts a shuffle join to broadcast from the COMPRESSED
+        # shuffle size; a highly compressible build side (repetitive
+        # shingle strings: < 64 MiB compressed, > 1 GiB row-serialized)
+        # then blows the 1g default during the driver-side broadcast
+        # collect — measured on the 100x probe drop's hot-shingle
+        # anti-join. The driver budget here (and on the production
+        # tier) comfortably covers the adaptive threshold's worst-case
+        # decompression factor.
+        .config("spark.driver.maxResultSize", "8g")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

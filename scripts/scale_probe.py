@@ -165,7 +165,10 @@ PROBE_QUERIES = [
     "stream_quality_psi",
     # r11 (late): the nprobe tuning sweep (top-4-list candidates
     # scored once, explode over the sweep, fixed probe-query sample)
+    # and the dedup threshold sweep (one exact-overlap pass + a 5-way
+    # conditional explode of the collision-bounded pair frame)
     "llm_sim_ivf_nprobe_curve",
+    "llm_dedup_threshold_curve",
 ]
 
 
@@ -370,6 +373,10 @@ DECADE2_QUERIES = [
     "rel_quantile_sketch_audit",
     # r10: memorization span read 0.66 over decade 1 — above the bar
     "llm_memorization_span",
+    # r11 (late): the dedup threshold sweep read 0.60 over decade 1
+    # (the exact-overlap pair pass is the linear-by-design term after
+    # the sweep-floor filter) — above the bar
+    "llm_dedup_threshold_curve",
     # r11: cross-modal components read 0.69 over decade 1 (the text
     # LSH pair side dominates, same as llm_crossmodal_dedup) — above
     # the bar, so the label-propagation + cluster-summary tail is
@@ -381,15 +388,6 @@ DECADE2_QUERIES = [
     # nothing hides above them)
     "llm_dedup_compaction_trigger",
     "llm_crossmodal_apply",
-    # r11 (late): the PSI drift monitor (narrow scoring scan +
-    # sketch-sized edge sample + source x 10 aggregates) and its
-    # streaming twin (stateless literal-edge scoring, complete-mode
-    # source x 10 state)
-    "llm_quality_psi_by_source",
-    "stream_quality_psi",
-    # r11 (late): the nprobe tuning sweep (top-4-list candidates
-    # scored once, explode over the sweep, fixed probe-query sample)
-    "llm_sim_ivf_nprobe_curve",
 ]
 
 

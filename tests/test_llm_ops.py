@@ -3512,3 +3512,29 @@ def test_ivf_nprobe_curve_invariants(spark, sf_dir):
     ]
     chosen = [r.nprobe for r in rows if r.chosen == 1]
     assert chosen == (qualifying[:1] if qualifying else [])
+
+
+def test_dedup_threshold_curve_monotone(spark, sf_dir):
+    """Curve contract: raising the threshold can only shrink the
+    flagged-pair set and the dropped-doc set (the integer predicate
+    is monotone in t), and the bookkeeping columns agree."""
+    from lms_erp_data_integration_spark.plans.llm_queries import (
+        DEDUP_THRESHOLD_SWEEP_PCT,
+        dedup_threshold_curve,
+    )
+
+    rows = sorted(
+        dedup_threshold_curve(spark, sf_dir).collect(),
+        key=lambda r: r.threshold_pct,
+    )
+    assert [r.threshold_pct for r in rows] == list(
+        DEDUP_THRESHOLD_SWEEP_PCT
+    )
+    pairs = [r.n_pairs for r in rows]
+    dropped = [r.n_dropped for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert dropped == sorted(dropped, reverse=True)
+    assert rows[0].n_pairs > 0, "sweep floor must flag something"
+    for r in rows:
+        assert r.n_surviving == r.n_docs - r.n_dropped
+        assert r.drop_rate_ppm == (1_000_000 * r.n_dropped) // r.n_docs
