@@ -1937,7 +1937,7 @@ st AS MATERIALIZED (
            sa.n + sb.n - inter.inter AS un
     FROM inter JOIN sizes sa ON sa.doc_id = inter.i
                JOIN sizes sb ON sb.doc_id = inter.j)
-  WHERE 100 * ic >= 70 * un),
+  WHERE 100 * ic >= {DEDUP_THRESHOLD_SWEEP_PCT[0]} * un),
 ths AS (SELECT CAST(t.th AS BIGINT) AS threshold_pct
         FROM unnest([{_SWEEP_SQL}]) AS t(th)),
 pl AS (
