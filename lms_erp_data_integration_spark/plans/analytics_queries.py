@@ -1432,7 +1432,15 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", F.explode("parts").alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
-    return pagerank_micros(edges, iterations=3, degrees=degrees).select(
+    # broadcast_ranks=False: the node set is PART-cardinality —
+    # corpus-proportional — so the rank vector must never ride a
+    # mandatory broadcast (r12 audit; the operator's True path is for
+    # catalog-sized graphs only). The False path hash-partitions the
+    # persisted adjacency once and reuses that partitioning every
+    # round.
+    return pagerank_micros(
+        edges, iterations=3, degrees=degrees, broadcast_ranks=False
+    ).select(
         F.col("node").alias("p_partkey"), F.col("r").alias("rank_micros")
     )
 

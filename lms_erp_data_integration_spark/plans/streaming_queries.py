@@ -288,9 +288,12 @@ GROUP BY n.n_name
 )
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the event stream inner-joins a static
-    customer->nation dimension (broadcast — the static side is re-read
-    per micro-batch, so keeping it broadcast-small is the scale
-    contract) and aggregates per nation in exact integer micros.
+    customer->nation dimension and aggregates per nation in exact
+    integer micros. nation (25 rows, fixed) keeps its broadcast hint;
+    the customer->nation map is CUSTOMER-cardinality — corpus-
+    proportional — so it carries none (r12 audit): the planner
+    auto-broadcasts it under the threshold per micro-batch and falls
+    back to a shuffled stream-static join at 100 TB.
 
     This is the canonical streaming lookup-enrich pattern: no state is
     kept for the join itself (only the downstream aggregation), so at
@@ -311,7 +314,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.round(F.col("value") * 1_000_000).cast("long").alias("v_micros")
     )
     agg = (
-        ev.join(F.broadcast(dim), "user_id")
+        ev.join(dim, "user_id")
         .groupBy("nation")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

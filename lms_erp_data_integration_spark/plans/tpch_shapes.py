@@ -74,7 +74,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated scalar MIN decorrelated into a
     per-part aggregate joined back on equality. The part↔supplier
     pairs come from lineitem (no partsupp table); s_acctbal stands in
-    for ps_supplycost. Supplier side is dimension-sized → broadcast."""
+    for ps_supplycost. nation/region are FIXED-cardinality (25/5) and
+    broadcast; the region-filtered supplier slice scales with SF, so
+    it carries no hint — AQE broadcasts it while it is genuinely
+    small and falls back to a shuffle join at 100 TB (r12 audit: the
+    r11 hot-shingle lesson applied to every corpus-proportional
+    build side)."""
     cat = Catalog(spark, sf_dir)
     ps = cat.lineitem.select("l_partkey", "l_suppkey").distinct()
     eu = (
@@ -87,7 +92,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    pairs = ps.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    pairs = ps.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
     # per-part scalar MIN as a window over one shuffle — the
     # groupBy + join-back decorrelation would recompute the distinct
     # pairs twice and add a fact-fact merge join
@@ -382,7 +387,10 @@ GROUP BY p_brand, p_type, p_size
 def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: NOT IN (a null-free key subquery → anti-join)
     plus COUNT DISTINCT per part attribute. Complaint-supplier filter
-    stands in as negative account balance (no s_comment column)."""
+    stands in as negative account balance (no s_comment column). The
+    bad-supplier slice is supplier-proportional (scales with SF), so
+    the anti-join carries no broadcast hint — AQE decides (r12
+    audit)."""
     cat = Catalog(spark, sf_dir)
     ps = cat.lineitem.select("l_partkey", "l_suppkey").distinct()
     bad = cat.supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
@@ -392,7 +400,7 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
     )
     return (
-        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        ps.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(parts, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -424,11 +432,14 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     # Push the brand filter below BOTH uses of lineitem: the per-part
     # aggregate only matters for parts that survive the brand predicate,
-    # so restrict first via a broadcast join and aggregate the ~1/25
+    # so restrict first via a key join and aggregate the ~1/25
     # surviving rows instead of the whole table. The per-part totals are
     # identical (the filter is a whole-group predicate on l_partkey).
-    brand_parts = F.broadcast(
-        cat.part.where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    # The brand slice is part-proportional (scales with SF) — no
+    # mandatory broadcast; AQE upgrades the join while it fits (r12
+    # audit).
+    brand_parts = cat.part.where(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
     )
     li = cat.lineitem.select(
         "l_partkey", "l_quantity", "l_extendedprice"
@@ -481,7 +492,9 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     promo = (
-        cat.lineitem.join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        # the red-part slice is part-proportional — no mandatory
+        # broadcast (r12 audit); AQE decides from observed size
+        cat.lineitem.join(red, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(qty_1996.alias("q96"), F.sum(_dec("l_quantity")).alias("qall"))
         .where((F.col("q96") * 2 > F.col("qall")) & (F.col("qall") >= 50))
@@ -566,7 +579,9 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         waiting.join(
-            F.broadcast(cat.supplier.select("s_suppkey", "s_name")),
+            # full supplier projection: supplier-proportional, so no
+            # mandatory broadcast (r12 audit) — AQE decides
+            cat.supplier.select("s_suppkey", "s_name"),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .groupBy("s_name")

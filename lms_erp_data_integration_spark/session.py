@@ -15,6 +15,20 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+_MEM_UNIT_MB = {"k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+
+
+def _max_result_size_mb(driver_mem: str) -> int:
+    """spark.driver.maxResultSize budget in MiB for a given driver
+    heap: heap/6 capped at 8 GiB (the measured hot-shingle broadcast
+    decompression headroom) and floored at Spark's stock 1 GiB — so a
+    4g driver keeps the 1g fail-fast guard instead of inheriting an
+    8g ceiling its heap can't honor (r11 ADVICE #1)."""
+    s = driver_mem.strip().lower()
+    unit = _MEM_UNIT_MB.get(s[-1], None)
+    heap_mb = float(s[:-1]) * unit if unit else float(s) / (1024 * 1024)
+    return int(min(8 * 1024, max(1024, heap_mb // 6)))
+
 
 def get_spark(
     app_name: str = "lms_erp_data_integration_spark",
@@ -78,10 +92,15 @@ def get_spark(
         # shingle strings: < 64 MiB compressed, > 1 GiB row-serialized)
         # then blows the 1g default during the driver-side broadcast
         # collect — measured on the 100x probe drop's hot-shingle
-        # anti-join. The driver budget here (and on the production
-        # tier) comfortably covers the adaptive threshold's worst-case
-        # decompression factor.
-        .config("spark.driver.maxResultSize", "8g")
+        # anti-join. Sized to the DRIVER HEAP, not globally (r11
+        # ADVICE #1): 8g against the default 48g heap, scaled down to
+        # heap/6 on smaller drivers so the fail-fast collect guard is
+        # never replaced by a driver OOM, and never below Spark's 1g
+        # default (the guard must not get STRICTER than stock).
+        .config(
+            "spark.driver.maxResultSize",
+            f"{_max_result_size_mb(os.environ.get('SPARK_DRIVER_MEM', '48g'))}m",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
