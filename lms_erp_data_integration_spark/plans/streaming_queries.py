@@ -788,6 +788,7 @@ def _run_dedup_lifecycle(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    replay_stage: int | None = None,
 ) -> tuple[list[tuple], DataFrame, DataFrame]:
     """Drive the foreachBatch ingest loop and terminal compaction;
     returns (summary_rows, final_index_sets, compacted_keeper_ids).
@@ -916,6 +917,10 @@ def _run_dedup_lifecycle(
         }
         seed_n = state["n"]
         results: dict[int, tuple[int, int, int, int, int]] = {}
+        # replay_stage (tests only): after that stage completes, drop
+        # its results entry and redeliver the batch — simulating a
+        # crash in the checkpoint-committed / results-lost window
+        _replayed = {"done": False}
 
         def ingest(batch_df: DataFrame, _bid: int) -> None:
             # within-batch frames: lazy persist (multiple consumers,
@@ -941,9 +946,32 @@ def _run_dedup_lifecycle(
                 F.array_intersect(F.col("_sh_i"), F.col("_sh_j"))
             )
             union = F.size("_sh_i") + F.size("_sh_j") - inter
-            matched = (
+            # slim (new_id, index_id) hit relation, persisted once for
+            # the two derivations below. In normal operation batch ids
+            # never intersect index ids (disjoint residue classes), so
+            # self_ids is empty and the anti-join is a no-op. On an
+            # at-least-once REPLAY whose first attempt died after the
+            # state checkpoint (r11 ADVICE #2), this batch's committed
+            # keepers sit in the index under their own ids — each one
+            # self-collides in every band (identical shingle set =>
+            # identical signature) at Jaccard 1.0, so self_ids is
+            # exactly the committed-keeper set, and excluding ALL hits
+            # against those entries makes the probe see the index the
+            # ORIGINAL attempt saw: every downstream count reproduces
+            # bit-identically.
+            probe = (
                 bn.join(_postings_view(state["frame"]), ["band", "band_key"])
                 .where((inter / union) >= 0.8)
+                .select("new_id", "index_id")
+                .persist()
+            )
+            self_ids = (
+                probe.where(F.col("new_id") == F.col("index_id"))
+                .select("index_id")
+                .distinct()
+            )
+            matched = (
+                probe.join(self_ids, "index_id", "left_anti")
                 .select(F.col("new_id").alias("doc_id"))
                 .distinct()
                 .persist()
@@ -974,45 +1002,77 @@ def _run_dedup_lifecycle(
                     "doc_id",
                     "left",
                 )
+                .join(
+                    self_ids.select(
+                        F.col("index_id").alias("doc_id")
+                    ).withColumn("_r", F.lit(1)),
+                    "doc_id",
+                    "left",
+                )
                 .agg(
                     F.min(F.col("doc_id") % mod).alias("k"),
                     F.count(F.lit(1)).alias("n_in"),
                     F.coalesce(F.sum("_m"), F.lit(0)).alias("n_m"),
                     F.coalesce(F.sum("_w"), F.lit(0)).alias("n_w"),
+                    F.coalesce(F.sum("_r"), F.lit(0)).alias("n_r"),
                 )
                 .first()
             )
             if st["k"] is None:
                 # empty micro-batch: nothing to ingest — but the st
                 # aggregate already materialized the persisted frames
-                for f in (bsets, matched, dropped_within, kept):
+                for f in (probe, bsets, matched, dropped_within, kept):
                     f.unpersist(False)
                 return
             k = int(st["k"])
             if k in results:
-                # micro-batch REPLAY (foreachBatch's at-least-once
-                # contract): this stage's keepers are already in the
-                # index state, so re-probing would self-match them —
-                # skip before any state mutation (idempotent retry)
-                for f in (bsets, matched, dropped_within, kept):
+                # fully-completed REPLAY (state committed AND results
+                # recorded): nothing to do (idempotent retry)
+                for f in (probe, bsets, matched, dropped_within, kept):
                     f.unpersist(False)
                 return
             n_in, n_surv = int(st["n_in"]), int(st["n_in"] - st["n_m"])
             n_kept = n_surv - int(st["n_w"])
-            n_idx = state["n"] + n_kept
-            # mutate-then-commit: the state checkpoint lands BEFORE
-            # results[k] is recorded, so a replay after a mid-ingest
-            # failure re-runs the stage instead of skipping keepers
-            # that never reached the index (r11 review finding)
-            state["frame"] = state["frame"].unionByName(
-                _state_rows(kept)
-            ).localCheckpoint(eager=True)
-            state["n"] = n_idx
-            results[k] = (
-                n_in, n_in - n_surv, n_surv - n_kept, n_kept, n_idx
-            )
-            for f in (bsets, matched, dropped_within, kept):
+            if int(st["n_r"]) > 0:
+                # REPLAY in the non-atomic window: the first attempt
+                # checkpointed the state union but died before
+                # results[k] landed. The keepers are already in the
+                # index (detected by their exact-id self-collisions),
+                # the probe above already excluded their entries so
+                # every count reproduces the original attempt — heal
+                # the in-memory size from the committed frame (the n
+                # assignment may also have died) and record, WITHOUT
+                # re-appending keeper rows.
+                state["n"] = _sets_view(state["frame"]).count()
+                results[k] = (
+                    n_in, n_in - n_surv, n_surv - n_kept, n_kept,
+                    state["n"],
+                )
+            else:
+                n_idx = state["n"] + n_kept
+                # state mutation first, results[k] last: a crash
+                # before the checkpoint re-runs the stage cleanly (no
+                # trace in the index); a crash after it is the n_r>0
+                # branch above; only results[k] itself marks the stage
+                # complete.
+                state["frame"] = state["frame"].unionByName(
+                    _state_rows(kept)
+                ).localCheckpoint(eager=True)
+                state["n"] = n_idx
+                results[k] = (
+                    n_in, n_in - n_surv, n_surv - n_kept, n_kept, n_idx
+                )
+            for f in (probe, bsets, matched, dropped_within, kept):
                 f.unpersist(False)
+            if replay_stage is not None and k == replay_stage and not (
+                _replayed["done"]
+            ):
+                # test hook: simulate the at-least-once redelivery in
+                # the exact non-atomic window — state committed,
+                # results[k] lost — and re-run the stage body
+                _replayed["done"] = True
+                del results[k]
+                ingest(batch_df, _bid)
 
         ckpt = os.path.join(tmp, "_ckpt")
         stream = (

@@ -300,3 +300,35 @@ def test_dedup_lifecycle_empty_residue_class_emits_zero_row(spark):
     # index size carried forward from stage 1, and stage 3 builds on it
     assert stage2[6] == by_stage[1][6]
     assert by_stage[3][6] == stage2[6] + by_stage[3][5]
+
+
+def test_dedup_lifecycle_replay_after_commit_reproduces_counts(spark):
+    """r11 ADVICE #2: foreachBatch's at-least-once contract can
+    redeliver a batch whose first attempt died AFTER the state
+    checkpoint but BEFORE its results entry landed. The retried stage
+    must reproduce the original counts bit-identically (the probe
+    excludes the committed keepers' index entries, detected by their
+    exact-id band self-collisions) and must NOT re-append keeper rows
+    to the index."""
+    from lms_erp_data_integration_spark.plans.streaming_queries import (
+        _run_dedup_lifecycle,
+    )
+
+    docs = (
+        Catalog(spark, "/root/testdata/sf0.001")
+        .documents.localCheckpoint(eager=True)
+    )
+    rows_plain, final_plain, _ = _run_dedup_lifecycle(spark, docs)
+    rows_replay, final_replay, _ = _run_dedup_lifecycle(
+        spark, docs, replay_stage=2
+    )
+    assert rows_replay == rows_plain
+    ids_plain = {r.doc_id for r in final_plain.select("doc_id").collect()}
+    # full content (with multiplicity) — a double-append would keep the
+    # id SET equal while duplicating rows
+    n_rows_replay = final_replay.count()
+    ids_replay = {
+        r.doc_id for r in final_replay.select("doc_id").collect()
+    }
+    assert ids_replay == ids_plain
+    assert n_rows_replay == len(ids_plain)
