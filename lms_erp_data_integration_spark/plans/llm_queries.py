@@ -1924,12 +1924,17 @@ DEDUP_THRESHOLD_SWEEP_PCT = (70, 75, 80, 85, 90)
 
 _SWEEP_SQL = ", ".join(str(t) for t in DEDUP_THRESHOLD_SWEEP_PCT)
 
+# Drop budget for the calibrate->apply composition: the most
+# aggressive (lowest) sweep threshold whose curve drop rate stays
+# within this budget is the production operating point; if every
+# point overshoots, fall back to the most conservative sweep point.
+DEDUP_DROP_BUDGET_PPM = 50_000
 
-@query(
-    "llm_dedup_threshold_curve",
-    rf"""
-{_TOKS_SHING}
-{_SIZES_COLD_CTE}
+# Curve CTE block shared BYTE-IDENTICALLY by the threshold-curve
+# oracle and the calibrate->apply composition oracle (the
+# _INDEX_DROPPED_CTES contract: one definition, the pair stats /
+# sweep aggregates cannot desync between the curve and its consumer).
+_CURVE_CTES = rf"""{_SIZES_COLD_CTE}
 {_cold_pairs_inter("cands")},
 st AS MATERIALIZED (
   SELECT * FROM (
@@ -1949,7 +1954,14 @@ dl AS (
          CAST(COUNT(DISTINCT st.j) AS BIGINT) AS n_dropped
   FROM ths th LEFT JOIN st ON 100 * st.ic >= th.threshold_pct * st.un
   GROUP BY th.threshold_pct),
-nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)"""
+
+
+@query(
+    "llm_dedup_threshold_curve",
+    rf"""
+{_TOKS_SHING}
+{_CURVE_CTES}
 SELECT p.threshold_pct, nd.n_docs, p.n_pairs, d.n_dropped,
        CAST(1000000 * d.n_dropped // nd.n_docs AS BIGINT)
          AS drop_rate_ppm,
@@ -1978,6 +1990,15 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs x |qualifying thresholds| rows (monotone: higher thresholds
     are subsets), never re-walking shingles.
 
+    Drop-count caveat (measured by ``llm_dedup_calibrated_apply``):
+    ``n_dropped`` counts the MIN-ID DIRECT-NEIGHBOR policy (a doc
+    drops iff a lower-id partner meets the threshold), which
+    LOWER-BOUNDS the production apply rows' cluster-closure drop — a
+    member whose qualifying edges all point to higher ids survives
+    this count but is dropped by closure when its component's min id
+    sits below it. The composition row runs both definitions at the
+    chosen point and reports the gap.
+
     Scale posture: identical to ``llm_dedup_ngram_jaccard`` plus a
     5-way conditional explode of its (collision-bounded) pair frame
     and two 5-row aggregates — the curve costs one threshold's dedup
@@ -1988,19 +2009,36 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist only pairs at/above the sweep FLOOR: the candidate
     # relation (any cold-shingle overlap) is far larger than the
     # flagged set, and no sweep point looks below the floor
-    st = tracked_persist(
-        dd._shingle_pair_stats(
-            docs, 3, "doc_id", "text", dd.NGRAM_MAX_DOC_FREQ
-        ).select(
-            "i",
-            "j",
-            F.col("_in").alias("ic"),
-            (F.col("ni") + F.col("nj") - F.col("_in")).alias("un"),
-        ).where(
-            F.lit(100) * F.col("ic")
-            >= F.lit(int(DEDUP_THRESHOLD_SWEEP_PCT[0])) * F.col("un")
-        )
+    st = tracked_persist(_pairs_at_sweep_floor(docs))
+    return _threshold_curve_frame(spark, st, docs).orderBy(
+        "threshold_pct"
     )
+
+
+def _pairs_at_sweep_floor(docs: DataFrame) -> DataFrame:
+    """Exact-overlap pair stats filtered at the sweep FLOOR — the
+    (i, j, ic, un) relation every sweep point and the calibrated
+    apply step read. One definition: the curve and its consumer
+    cannot disagree on the candidate set."""
+    return dd._shingle_pair_stats(
+        docs, 3, "doc_id", "text", dd.NGRAM_MAX_DOC_FREQ
+    ).select(
+        "i",
+        "j",
+        F.col("_in").alias("ic"),
+        (F.col("ni") + F.col("nj") - F.col("_in")).alias("un"),
+    ).where(
+        F.lit(100) * F.col("ic")
+        >= F.lit(int(DEDUP_THRESHOLD_SWEEP_PCT[0])) * F.col("un")
+    )
+
+
+def _threshold_curve_frame(
+    spark: SparkSession, st: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """The sweep aggregates over a (persisted) floor-filtered pair
+    frame — shared by ``llm_dedup_threshold_curve`` and the
+    calibrate->apply composition (unordered; callers sort)."""
     sweep = F.array(
         *[F.lit(int(t)) for t in DEDUP_THRESHOLD_SWEEP_PCT]
     )
@@ -2046,5 +2084,136 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_surviving"),
         )
-        .orderBy("threshold_pct")
+    )
+
+
+@query(
+    "llm_dedup_calibrated_apply",
+    rf"""
+WITH RECURSIVE {_TOKS_SHING_BODY}
+{_CURVE_CTES},
+curve AS (
+  SELECT p.threshold_pct, p.n_pairs, d.n_dropped,
+         CAST(1000000 * d.n_dropped // nd.n_docs AS BIGINT)
+           AS drop_rate_ppm
+  FROM pl p JOIN dl d USING (threshold_pct) CROSS JOIN nd),
+chosen AS (
+  SELECT COALESCE(
+           (SELECT MIN(threshold_pct) FROM curve
+            WHERE drop_rate_ppm <= {DEDUP_DROP_BUDGET_PPM}),
+           {max(DEDUP_THRESHOLD_SWEEP_PCT)}) AS th),
+cv AS (SELECT c.* FROM curve c JOIN chosen ch ON c.threshold_pct = ch.th),
+cpairs AS (
+  SELECT st.i, st.j FROM st, chosen
+  WHERE 100 * st.ic >= chosen.th * st.un),
+edges AS (
+  SELECT i AS src, j AS dst FROM cpairs
+  UNION SELECT j AS src, i AS dst FROM cpairs),
+reach AS (
+  SELECT src AS node, dst AS target FROM edges
+  UNION
+  SELECT r.node, e.dst AS target FROM reach r JOIN edges e ON e.src = r.target),
+clusters AS (
+  SELECT node AS member, least(node, MIN(target)) AS cluster_id
+  FROM reach GROUP BY node),
+ad AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_apply
+       FROM clusters WHERE member <> cluster_id)
+SELECT cv.threshold_pct AS chosen_threshold_pct,
+       CAST(CASE WHEN cv.drop_rate_ppm <= {DEDUP_DROP_BUDGET_PPM}
+                 THEN 1 ELSE 0 END AS BIGINT) AS within_budget,
+       nd.n_docs,
+       cv.n_pairs AS curve_n_pairs,
+       cv.n_dropped AS curve_n_dropped,
+       ad.n_apply AS apply_n_dropped,
+       CAST(nd.n_docs - ad.n_apply AS BIGINT) AS n_surviving,
+       CAST(1000000 * ad.n_apply // nd.n_docs AS BIGINT) AS apply_drop_ppm
+FROM cv CROSS JOIN nd CROSS JOIN ad
+""",
+)
+def dedup_calibrated_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATE -> APPLY composition — closes the calibration loop
+    the way the trigger rows closed maintenance (r11 verdict #3): run
+    the threshold tuning curve, CHOOSE the operating point (the most
+    aggressive sweep threshold whose drop rate fits
+    ``DEDUP_DROP_BUDGET_PPM``; if every point overshoots, fall back
+    to the most conservative point with ``within_budget = 0``), then
+    run the PRODUCTION cluster-closure apply step AT that point and
+    report both drop counts side by side: the curve's direct-neighbor
+    estimate (``curve_n_dropped``, a proven lower bound) and the
+    closure drop the corpus actually loses (``apply_n_dropped``).
+
+    The pair stats are computed ONCE (``_pairs_at_sweep_floor``,
+    persisted) and serve both the 5-point curve and the chosen-point
+    apply; the oracle interpolates the SAME ``_CURVE_CTES`` block as
+    ``llm_dedup_threshold_curve`` (byte-identical, the
+    ``_INDEX_DROPPED_CTES`` contract) and re-derives the choice in
+    SQL, so Spark's driver-side decision and DuckDB's scalar subquery
+    must agree or the hash gate fails. The decision itself is read
+    from the 5-row curve frame — bounded by the sweep constant, the
+    documented closure-constant pattern of the trigger rows. Both
+    decision branches are pinned by a parameterized-budget pytest.
+
+    Scale posture: curve cost (one dedup pass + 5-row aggregates) +
+    one label-propagation closure over the chosen-point pair graph —
+    exactly the ``llm_dedup_apply`` class; the only driver traffic is
+    the 5-row curve."""
+    from ..caching import tracked_persist
+
+    docs = Catalog(spark, sf_dir).documents
+    return dedup_calibrated_apply_frame(
+        spark, tracked_persist(_pairs_at_sweep_floor(docs)), docs
+    )
+
+
+def dedup_calibrated_apply_frame(
+    spark: SparkSession,
+    st: DataFrame,
+    docs: DataFrame,
+    budget_ppm: int = DEDUP_DROP_BUDGET_PPM,
+) -> DataFrame:
+    """Body of ``llm_dedup_calibrated_apply``, parameterized on the
+    drop budget so tests pin BOTH decision branches (a generous
+    budget -> lowest sweep point, ``within_budget = 1``; an
+    impossible budget -> conservative fallback, ``within_budget =
+    0``). ``st`` must be the persisted sweep-floor pair frame — it is
+    scanned by the curve aggregates and again by the chosen-point
+    closure."""
+    curve = {
+        int(r["threshold_pct"]): r
+        for r in _threshold_curve_frame(spark, st, docs).collect()
+    }  # bounded: one row per sweep constant
+    within = [
+        t
+        for t in sorted(curve)
+        if int(curve[t]["drop_rate_ppm"]) <= int(budget_ppm)
+    ]
+    chosen = within[0] if within else max(curve)
+    cv = curve[chosen]
+    n_docs = int(cv["n_docs"])
+    drops = dd.duplicate_clusters(
+        st.where(
+            F.lit(100) * F.col("ic") >= F.lit(int(chosen)) * F.col("un")
+        ).select("i", "j")
+    ).where(F.col("member") != F.col("cluster_id"))
+    return drops.agg(
+        F.count(F.lit(1)).cast("long").alias("apply_n_dropped")
+    ).select(
+        F.lit(int(chosen)).cast("long").alias("chosen_threshold_pct"),
+        F.lit(
+            1 if int(cv["drop_rate_ppm"]) <= int(budget_ppm) else 0
+        )
+        .cast("long")
+        .alias("within_budget"),
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.lit(int(cv["n_pairs"])).cast("long").alias("curve_n_pairs"),
+        F.lit(int(cv["n_dropped"]))
+        .cast("long")
+        .alias("curve_n_dropped"),
+        F.col("apply_n_dropped"),
+        (F.lit(n_docs) - F.col("apply_n_dropped"))
+        .cast("long")
+        .alias("n_surviving"),
+        F.expr(f"(1000000 * apply_n_dropped) div {max(n_docs, 1)}")
+        .cast("long")
+        .alias("apply_drop_ppm"),
     )

@@ -3538,3 +3538,63 @@ def test_dedup_threshold_curve_monotone(spark, sf_dir):
     for r in rows:
         assert r.n_surviving == r.n_docs - r.n_dropped
         assert r.drop_rate_ppm == (1_000_000 * r.n_dropped) // r.n_docs
+
+
+def test_dedup_calibrated_apply_both_decision_branches(spark, sf_dir):
+    """Both decision branches of the calibrate->apply composition on
+    the real corpus: a generous budget picks the LOWEST (most
+    aggressive) sweep point with within_budget = 1; an impossible
+    budget falls back to the most conservative point with
+    within_budget = 0. Also pins the composition's two contracts:
+    the curve's direct-neighbor count lower-bounds the closure drop,
+    and apply_n_dropped equals the production duplicate_clusters
+    non-keeper count at the chosen point."""
+    from pyspark.sql import functions as F
+
+    from lms_erp_data_integration_spark.catalog import Catalog
+    from lms_erp_data_integration_spark.operators import dedup as dd
+    from lms_erp_data_integration_spark.plans.llm_queries import (
+        DEDUP_THRESHOLD_SWEEP_PCT,
+        _pairs_at_sweep_floor,
+        dedup_calibrated_apply_frame,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    st = _pairs_at_sweep_floor(docs).persist()
+    try:
+        g = dedup_calibrated_apply_frame(
+            spark, st, docs, budget_ppm=10**6
+        ).collect()
+        assert len(g) == 1
+        g = g[0]
+        assert g.chosen_threshold_pct == min(DEDUP_THRESHOLD_SWEEP_PCT)
+        assert g.within_budget == 1
+        # direct-neighbor curve count lower-bounds the closure drop
+        assert g.curve_n_dropped <= g.apply_n_dropped
+        assert g.apply_n_dropped > 0
+        assert g.n_surviving == g.n_docs - g.apply_n_dropped
+        assert g.apply_drop_ppm == (
+            1_000_000 * g.apply_n_dropped
+        ) // g.n_docs
+        expected = (
+            dd.duplicate_clusters(
+                st.where(
+                    F.lit(100) * F.col("ic")
+                    >= F.lit(int(g.chosen_threshold_pct)) * F.col("un")
+                ).select("i", "j")
+            )
+            .where(F.col("member") != F.col("cluster_id"))
+            .count()
+        )
+        assert g.apply_n_dropped == expected
+
+        f = dedup_calibrated_apply_frame(
+            spark, st, docs, budget_ppm=0
+        ).collect()[0]
+        assert f.chosen_threshold_pct == max(DEDUP_THRESHOLD_SWEEP_PCT)
+        assert f.within_budget == 0
+        # the conservative fallback never drops more than the
+        # aggressive point
+        assert f.apply_n_dropped <= g.apply_n_dropped
+    finally:
+        st.unpersist()

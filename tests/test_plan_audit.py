@@ -530,11 +530,11 @@ BROADCAST_SITES = {
     # --- plans/llm_queries.py
     ("plans/llm_queries.py", "corpus_rebalance", "t"):
         "scalar-agg: 1-row corpus total",
-    ("plans/llm_queries.py", "dedup_threshold_curve", "nd"):
+    ("plans/llm_queries.py", "_threshold_curve_frame", "nd"):
         "scalar-agg: 1-row document count",
-    ("plans/llm_queries.py", "dedup_threshold_curve", "pl"):
+    ("plans/llm_queries.py", "_threshold_curve_frame", "pl"):
         "k-row: one row per sweep threshold (5 constants)",
-    ("plans/llm_queries.py", "dedup_threshold_curve", "dl"):
+    ("plans/llm_queries.py", "_threshold_curve_frame", "dl"):
         "k-row: one row per sweep threshold (5 constants)",
     # --- plans/relational_queries.py
     ("plans/relational_queries.py", "q5_region_revenue", "cat.nation"):
