@@ -427,8 +427,11 @@ _PSI_BUCKET_SQL = " + ".join(
 )
 
 
-_PSI_ORACLE = rf"""
-WITH t AS (
+# PSI CTE block shared BYTE-IDENTICALLY by the per-source monitor
+# oracle and the drift-gate (action) oracle — the _INDEX_DROPPED_CTES
+# contract: one definition of score/edges/buckets/shares/terms, the
+# monitor and the action it gates cannot desync.
+_PSI_CTES = rf"""WITH t AS (
   SELECT doc_id, source,
          regexp_split_to_array(trim(text), '\s+') AS w,
          regexp_split_to_array(trim(lower(text)), '\s+') AS wl
@@ -484,7 +487,10 @@ terms AS (
               * CAST(ROUND(LN(CAST(src_ppm AS DOUBLE) / ref_ppm)
                            * 1000000) AS BIGINT)
               // 1000000 AS BIGINT) AS psi_term_micro
-  FROM sh)
+  FROM sh)"""
+
+_PSI_ORACLE = rf"""
+{_PSI_CTES}
 SELECT source, bucket, n_ref, n_src_bucket, ref_ppm, src_ppm,
        psi_term_micro,
        CAST(SUM(psi_term_micro) OVER (PARTITION BY source) AS BIGINT)
@@ -673,4 +679,62 @@ def psi_from_bucket_counts(srcc: DataFrame, refc: DataFrame) -> DataFrame:
             .cast("long"),
         )
         .orderBy("source", "bucket")
+    )
+
+
+_PSI_GATE_ORACLE = rf"""
+{_PSI_CTES},
+psis AS (
+  SELECT source, CAST(SUM(psi_term_micro) AS BIGINT) AS psi_total_micro
+  FROM terms GROUP BY source)
+SELECT d.doc_id, d.lang, d.source, p.psi_total_micro
+FROM documents d JOIN psis p ON p.source = d.source
+WHERE p.psi_total_micro < {PSI_DRIFT_MICRO}
+"""
+
+
+@query("llm_quality_psi_gate", _PSI_GATE_ORACLE)
+def quality_psi_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift -> ACTION gate — closes the quality family's
+    monitor -> decide -> act loop the way the trigger rows closed
+    maintenance (r11 verdict #5): sources whose quality-score PSI
+    against the pooled corpus reads at or over the standard
+    ``PSI_DRIFT_MICRO`` investigate line are QUARANTINED — their
+    documents are excluded from the curated corpus until the drift is
+    adjudicated — and every retained document carries its source's
+    PSI total as the audit column. The verdict comes from the same
+    ``quality_psi_report`` tail (``psi_from_bucket_counts``) the
+    monitor row and its streaming twin share, and the oracle
+    interpolates the SAME ``_PSI_CTES`` block as the monitor oracle
+    (byte-identical), so the gate can never disagree with the monitor
+    it acts on. Both decision branches are pinned by a
+    parameterized-threshold pytest.
+
+    Scale posture: the monitor's cost (narrow scoring projection +
+    sketch-sized edges + (source x 10)-row counts) plus ONE join of
+    the corpus against a source-cardinality verdict frame — no hint;
+    AQE broadcasts the per-source aggregate from observed size, and
+    the plan stays valid even if source cardinality grows with the
+    corpus (the r11 hot-shingle lesson)."""
+    return quality_psi_gate_frame(Catalog(spark, sf_dir).documents)
+
+
+def quality_psi_gate_frame(
+    docs: DataFrame, drift_micro: int = PSI_DRIFT_MICRO
+) -> DataFrame:
+    """Body of ``llm_quality_psi_gate``, parameterized on the drift
+    line so tests pin BOTH branches (an impossible line quarantines
+    everything -> empty corpus; a generous line retains everything).
+    Retained = psi_total_micro < line, the complement of the monitor's
+    ``drifted`` verdict at the production constant."""
+    kept = (
+        quality_psi_report(docs)
+        .groupBy("source")
+        .agg(
+            F.max("psi_total_micro").cast("long").alias("psi_total_micro")
+        )
+        .where(F.col("psi_total_micro") < F.lit(int(drift_micro)))
+    )
+    return docs.join(kept, "source").select(
+        "doc_id", "lang", "source", "psi_total_micro"
     )

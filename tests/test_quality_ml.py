@@ -93,3 +93,55 @@ def test_quality_psi_invariants_and_self_psi_zero(spark, sf_dir):
     self_rows = quality_psi_report(one).collect()
     assert len(self_rows) == 10
     assert all(r.psi_term_micro == 0 and r.drifted == 0 for r in self_rows)
+
+
+def test_quality_psi_gate_both_decision_branches(spark, sf_dir):
+    """Both branches of the PSI drift gate on the real corpus: a
+    generous line retains every document, an impossible line
+    quarantines every source (empty curated corpus), and at the
+    production PSI_DRIFT_MICRO line the gate is exactly the monitor's
+    complement — retained sources are the drifted=0 sources, each
+    retained doc carries its source's monitor PSI total, and a
+    quarantined source contributes zero rows."""
+    from lms_erp_data_integration_spark.catalog import Catalog
+    from lms_erp_data_integration_spark.plans.curation_queries import (
+        quality_psi_by_source,
+        quality_psi_gate_frame,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    n_docs = docs.count()
+
+    assert quality_psi_gate_frame(docs, drift_micro=10**12).count() == n_docs
+    assert quality_psi_gate_frame(docs, drift_micro=0).count() == 0
+
+    monitor = {
+        r.source: r
+        for r in quality_psi_by_source(spark, sf_dir).collect()
+    }
+    kept = quality_psi_gate_frame(docs).collect()
+    kept_sources = {r.source for r in kept}
+    expected_kept = {s for s, r in monitor.items() if r.drifted == 0}
+    assert kept_sources == expected_kept
+
+    # a data-derived mid line splits the sources, so both branches are
+    # live in ONE run regardless of how drifted this corpus slice is
+    # (at sf0.001 every 25-doc source reads over the standard line —
+    # the monitor's documented small-slice caveat)
+    totals = sorted(r.psi_total_micro for r in monitor.values())
+    mid = totals[len(totals) // 2]
+    kept_mid = quality_psi_gate_frame(docs, drift_micro=mid).collect()
+    mid_sources = {r.source for r in kept_mid}
+    assert mid_sources == {
+        s for s, r in monitor.items() if r.psi_total_micro < mid
+    }
+    assert mid_sources and set(monitor) - mid_sources
+    assert all(
+        r.psi_total_micro == monitor[r.source].psi_total_micro
+        for r in kept_mid
+    )
+    per_source = docs.groupBy("source").count().collect()
+    expected_rows = sum(
+        r["count"] for r in per_source if r.source in mid_sources
+    )
+    assert len(kept_mid) == expected_rows
