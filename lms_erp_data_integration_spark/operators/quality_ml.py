@@ -61,13 +61,18 @@ def _tdiv(a: int, b: int) -> int:
     return -q if a < 0 else q
 
 
-def feature_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def feature_frame(
+    docs: DataFrame, text_col: str = "text", keep: tuple = ()
+) -> DataFrame:
     """Integer micro-scaled features + weak label per document.
     Columns: f0 (bias), f1 (stopword ratio), f2 (mean token length),
     f3 (capped token count), y (label in {0, 1}). The punctuation
     ratio is deliberately absent: the synthetic corpus contains none,
     so it would be a constant-zero column (its rule clause is then
-    vacuous and omitted from the label too)."""
+    vacuous and omitted from the label too). ``keep`` passes
+    identifier columns (e.g. ``("doc_id",)``) through unchanged for
+    consumers that score per document (the calibrated gate); the
+    training aggregates never read them."""
     text = F.col(text_col)
     toks = F.split(F.trim(text), r"\s+")
     n_tokens = F.size(toks).cast("long")
@@ -79,6 +84,7 @@ def feature_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
     ).cast("long")
     base = docs.select(
+        *keep,
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars"),
         n_stop.alias("n_stop"),
@@ -89,6 +95,7 @@ def feature_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     f3 = F.least(F.col("n_tokens"), F.lit(200)) * F.lit(5000)
     return base.select(
+        *keep,
         F.lit(MICRO).cast("long").alias("f0"),
         f1.cast("long").alias("f1"),
         f2.cast("long").alias("f2"),
@@ -130,14 +137,18 @@ def fit_quality_logreg(
     text_col: str = "text",
     iterations: int = 6,
     step_divisor: int = 2_000,
+    keep: tuple = (),
 ) -> tuple[DataFrame, list[int], list[int], int]:
     """Run the training loop only; returns (persisted feature frame,
     micro-weights, integer feature means, n). Shared by the training
     row and the threshold-calibration row so the calibration scores
-    with exactly the weights the classifier row reports."""
+    with exactly the weights the classifier row reports. ``keep``
+    threads identifier columns through the persisted feature frame
+    (the gradient aggregates never touch them, so the learned weights
+    are identical with or without)."""
     from ..caching import tracked_persist
 
-    feats = tracked_persist(feature_frame(docs, text_col))
+    feats = tracked_persist(feature_frame(docs, text_col, keep))
     stats = feats.agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(f"f{j}").alias(f"s{j}") for j in range(4)],

@@ -171,12 +171,18 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _logreg_cte_parts(
-    iterations: int = 6, step_divisor: int = 2000
+    iterations: int = 6, step_divisor: int = 2000, id_cols: str = ""
 ) -> tuple[list[str], "callable", str]:
     """Shared unrolled-training CTE chain (feat/m/i0..iK) for the
     logreg oracles; returns (parts, p_micro(it) -> sql, final_it).
     Split out of ``_logreg_oracle`` so the calibration oracle scores
-    with the identical unrolled weights."""
+    with the identical unrolled weights. ``id_cols`` (e.g.
+    ``"doc_id, "``) threads identifier columns through t/cnt/feat for
+    consumers that need per-document scores (the calibrated gate);
+    the default produces byte-identical text to the id-less chain, so
+    ONE function defines the training arithmetic for every logreg
+    oracle — the desync-proofing the byte-identical-CTE contract
+    exists for."""
     from ..operators.quality_ml import MICRO, SCALES, _STOP_MIN_MICRO
     from .llm_queries import _STOP_SQL
 
@@ -196,16 +202,16 @@ def _logreg_cte_parts(
 
     parts = [
         rf"""WITH t AS (
-  SELECT regexp_split_to_array(trim(text), '\s+') AS w,
+  SELECT {id_cols}regexp_split_to_array(trim(text), '\s+') AS w,
          CAST(length(text) AS BIGINT) AS nc
   FROM documents),
 cnt AS (
-  SELECT CAST(len(w) AS BIGINT) AS nt, nc,
+  SELECT {id_cols}CAST(len(w) AS BIGINT) AS nt, nc,
          CAST(len(list_filter(list_transform(w, x -> lower(x)),
                               x -> x IN ({_STOP_SQL}))) AS BIGINT) AS ns
   FROM t),
 feat AS (
-  SELECT CAST({MICRO} AS BIGINT) AS f0,
+  SELECT {id_cols}CAST({MICRO} AS BIGINT) AS f0,
          ({MICRO} * ns) // greatest(nt, 1) AS f1,
          ({MICRO} * (nc - nt + 1)) // greatest(nt, 1) AS f2,
          least(nt, 200) * 5000 AS f3,
@@ -275,21 +281,25 @@ FROM {it}, m, conf
 _CAL_THRESHOLDS = tuple(range(100_000, 1_000_000, 100_000))
 
 
-def _calibration_oracle(
-    iterations: int = 6, step_divisor: int = 2000
-) -> str:
-    """Threshold-sweep twin: score every doc with the unrolled
-    weights, then per operating threshold compute the confusion
-    matrix and integer-micro precision/recall/F1 vs the weak labels.
-    Non-negative operands throughout, so DuckDB ``//`` == Spark
-    ``div``."""
+def _cal_curve_parts(
+    iterations: int = 6, step_divisor: int = 2000, id_cols: str = ""
+) -> list[str]:
+    """Shared threshold-sweep CTE chain ending in ``curve`` (per
+    threshold: confusion matrix + integer-micro precision / recall /
+    F1) — ONE definition serving the calibration-curve oracle and the
+    calibrate->gate composition oracle (the ``_CURVE_CTES`` contract:
+    the curve and the action that consumes its chosen point cannot
+    desync). Non-negative operands throughout, so DuckDB ``//`` ==
+    Spark ``div``."""
     from ..operators.quality_ml import MICRO
 
-    parts, p_micro, it = _logreg_cte_parts(iterations, step_divisor)
+    parts, p_micro, it = _logreg_cte_parts(
+        iterations, step_divisor, id_cols
+    )
     th = ", ".join(str(t) for t in _CAL_THRESHOLDS)
     parts.append(
         f"""scored AS MATERIALIZED (
-  SELECT {p_micro(it)} AS p, y FROM feat, m, {it}),
+  SELECT {id_cols}{p_micro(it)} AS p, y FROM feat, m, {it}),
 th AS (SELECT unnest([{th}]) AS threshold_micro),
 conf AS (
   SELECT threshold_micro,
@@ -297,24 +307,39 @@ conf AS (
          SUM(CASE WHEN p >= threshold_micro THEN 1 - y ELSE 0 END) AS fp,
          SUM(CASE WHEN p < threshold_micro THEN y ELSE 0 END) AS fn,
          SUM(CASE WHEN p < threshold_micro THEN 1 - y ELSE 0 END) AS tn
-  FROM scored, th GROUP BY threshold_micro)"""
+  FROM scored, th GROUP BY threshold_micro),
+curve AS (
+  SELECT CAST(threshold_micro AS BIGINT) AS threshold_micro,
+         CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+         CAST({MICRO} * tp // greatest(tp + fp, 1) AS BIGINT)
+           AS precision_micro,
+         CAST({MICRO} * tp // greatest(tp + fn, 1) AS BIGINT)
+           AS recall_micro,
+         CAST(2 * ({MICRO} * tp // greatest(tp + fp, 1))
+                * ({MICRO} * tp // greatest(tp + fn, 1))
+              // greatest(({MICRO} * tp // greatest(tp + fp, 1))
+                          + ({MICRO} * tp // greatest(tp + fn, 1)), 1)
+              AS BIGINT) AS f1_micro
+  FROM conf)"""
     )
+    return parts
+
+
+def _calibration_oracle(
+    iterations: int = 6, step_divisor: int = 2000
+) -> str:
+    """Threshold-sweep twin: score every doc with the unrolled
+    weights, then per operating threshold compute the confusion
+    matrix and integer-micro precision/recall/F1 vs the weak labels
+    (the shared ``curve`` CTE the calibrated gate also reads)."""
+    parts = _cal_curve_parts(iterations, step_divisor)
     return (
         ",\n".join(parts)
-        + f"""
-SELECT CAST(threshold_micro AS BIGINT) AS threshold_micro,
-       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
-       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
-       CAST({MICRO} * tp // greatest(tp + fp, 1) AS BIGINT)
-         AS precision_micro,
-       CAST({MICRO} * tp // greatest(tp + fn, 1) AS BIGINT)
-         AS recall_micro,
-       CAST(2 * ({MICRO} * tp // greatest(tp + fp, 1))
-              * ({MICRO} * tp // greatest(tp + fn, 1))
-            // greatest(({MICRO} * tp // greatest(tp + fp, 1))
-                        + ({MICRO} * tp // greatest(tp + fn, 1)), 1)
-            AS BIGINT) AS f1_micro
-FROM conf ORDER BY threshold_micro
+        + """
+SELECT threshold_micro, tp, fp, fn, tn,
+       precision_micro, recall_micro, f1_micro
+FROM curve ORDER BY threshold_micro
 """
     )
 
@@ -361,10 +386,25 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 9 thresholds explode per row BEFORE the aggregate, so the
     shuffle carries 9 partial-sum rows per partition, not 9x the
     corpus."""
-    from ..operators.quality_ml import _p_micro_expr, fit_quality_logreg
+    from ..operators.quality_ml import fit_quality_logreg
 
     docs = Catalog(spark, sf_dir).documents
     feats, w, means, _n = fit_quality_logreg(docs)
+    return quality_curve_frame(feats, w, means).orderBy(
+        "threshold_micro"
+    )
+
+
+def quality_curve_frame(
+    feats: DataFrame, w: list, means: list
+) -> DataFrame:
+    """The threshold-sweep metric curve over a trained feature frame
+    — shared by ``llm_quality_calibration`` and the calibrate->gate
+    composition (unordered; callers sort). One definition of the
+    confusion/precision/recall/F1 arithmetic, mirroring the shared
+    ``curve`` CTE on the oracle side."""
+    from ..operators.quality_ml import _p_micro_expr
+
     scored = feats.select(_p_micro_expr(w, means).alias("p"), "y")
     sc = scored.select(
         "p",
@@ -410,7 +450,107 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         prec.cast("long").alias("precision_micro"),
         rec.cast("long").alias("recall_micro"),
         f1.cast("long").alias("f1_micro"),
-    ).orderBy("threshold_micro")
+    )
+
+
+# Precision floor for the calibrate->gate composition: the chosen
+# operating point is the highest-F1 sweep threshold whose precision
+# meets this floor (a curation team's "don't pollute the corpus"
+# constraint); if no sweep point reaches it, fall back to the global
+# highest-F1 point with met_floor = 0.
+QUALITY_PRECISION_FLOOR_MICRO = 800_000
+
+_CAL_GATE_ORACLE = (
+    ",\n".join(_cal_curve_parts(id_cols="doc_id, "))
+    + f""",
+chosen AS (
+  SELECT COALESCE(
+           (SELECT threshold_micro FROM curve
+            WHERE precision_micro >= {QUALITY_PRECISION_FLOOR_MICRO}
+            ORDER BY f1_micro DESC, threshold_micro LIMIT 1),
+           (SELECT threshold_micro FROM curve
+            ORDER BY f1_micro DESC, threshold_micro LIMIT 1)) AS th,
+         CAST(CASE WHEN EXISTS (
+                SELECT 1 FROM curve
+                WHERE precision_micro >= {QUALITY_PRECISION_FLOOR_MICRO})
+              THEN 1 ELSE 0 END AS BIGINT) AS met)
+SELECT s.doc_id, CAST(s.p AS BIGINT) AS p_micro,
+       ch.th AS chosen_threshold_micro, ch.met AS met_floor
+FROM scored s, chosen ch WHERE s.p >= ch.th
+"""
+)
+
+
+@query("llm_quality_calibrated_gate", _CAL_GATE_ORACLE)
+def quality_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATE -> GATE composition for the learned quality filter —
+    the quality family's leg of the calibration-loop closure (the
+    dedup leg is ``llm_dedup_calibrated_apply``): train the
+    exact-integer logistic regression, sweep the decision threshold
+    (``llm_quality_calibration``'s curve), CHOOSE the operating point
+    — the highest-F1 sweep threshold whose precision meets
+    ``QUALITY_PRECISION_FLOOR_MICRO`` (tie -> lowest threshold), with
+    the global highest-F1 point as the ``met_floor = 0`` fallback —
+    then apply the PRODUCTION gate AT that point: every document the
+    classifier scores at/above the chosen threshold survives,
+    carrying its micro-score and the chosen point as audit columns.
+
+    The oracle interpolates the SAME curve CTE chain as the
+    calibration row (``_cal_curve_parts`` — one definition of the
+    unrolled training arithmetic and the sweep metrics, the
+    ``_CURVE_CTES`` contract) and re-derives the choice as scalar
+    subqueries, so Spark's driver-side decision and DuckDB must agree
+    or the hash gate fails. The decision reads the
+    ``len(_CAL_THRESHOLDS)``-row curve frame — bounded by the sweep
+    constant, the documented closure-constant pattern. Both decision
+    branches are pinned by a parameterized-floor pytest.
+
+    Scale posture: the calibration row's cost (K narrow training
+    scans + one 9-way pre-aggregate explode of the persisted feature
+    frame) plus ONE more scan of that same persisted frame for the
+    final filter — no new shuffle; the kept set streams straight to
+    the sink."""
+    return quality_calibrated_gate_frame(
+        Catalog(spark, sf_dir).documents
+    )
+
+
+def quality_calibrated_gate_frame(
+    docs: DataFrame,
+    floor_micro: int = QUALITY_PRECISION_FLOOR_MICRO,
+) -> DataFrame:
+    """Body of ``llm_quality_calibrated_gate``, parameterized on the
+    precision floor so tests pin BOTH decision branches (a zero floor
+    -> every sweep point qualifies, ``met_floor = 1``; an impossible
+    floor -> global-F1 fallback, ``met_floor = 0``)."""
+    from ..operators.quality_ml import _p_micro_expr, fit_quality_logreg
+
+    feats, w, means, _n = fit_quality_logreg(docs, keep=("doc_id",))
+    rows = quality_curve_frame(feats, w, means).collect()
+    # bounded: one row per _CAL_THRESHOLDS sweep constant
+    qual = [
+        r for r in rows
+        if int(r["precision_micro"]) >= int(floor_micro)
+    ]
+    met = 1 if qual else 0
+    pool = qual if qual else list(rows)
+    chosen = sorted(
+        pool,
+        key=lambda r: (-int(r["f1_micro"]), int(r["threshold_micro"])),
+    )[0]
+    th = int(chosen["threshold_micro"])
+    return (
+        feats.select(
+            "doc_id", _p_micro_expr(w, means).alias("p_micro")
+        )
+        .where(F.col("p_micro") >= F.lit(th))
+        .select(
+            "doc_id",
+            "p_micro",
+            F.lit(th).cast("long").alias("chosen_threshold_micro"),
+            F.lit(met).cast("long").alias("met_floor"),
+        )
+    )
 
 
 # PSI drift threshold (module constant interpolated into the oracle):

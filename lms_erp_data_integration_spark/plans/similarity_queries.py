@@ -1537,10 +1537,13 @@ IVF_NPROBE_MAX = 4
 IVF_TARGET_RECALL_PCT = 90
 
 
-@query(
-    "llm_sim_ivf_nprobe_curve",
-    f"""
-{_IVF_ASSIGNED}
+# nprobe-sweep CTE block shared BYTE-IDENTICALLY by the tuning-curve
+# oracle and the calibrated-search composition oracle (the
+# _INDEX_DROPPED_CTES contract: one definition of the probe lists,
+# candidate scoring, per-np ranking, brute-force baseline and the
+# recall/cost curve — the curve and the search that consumes its
+# chosen point cannot desync).
+_NPROBE_CURVE_CTES = f"""{_IVF_ASSIGNED}
 q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
   FROM embeddings WHERE vec_id < 5),
@@ -1590,7 +1593,13 @@ curve AS (
               AS BIGINT) AS recall_pct
   FROM nps CROSS JOIN nq
   LEFT JOIN hits h ON h.np = nps.nprobe
-  LEFT JOIN scan s ON s.np = nps.nprobe)
+  LEFT JOIN scan s ON s.np = nps.nprobe)"""
+
+
+@query(
+    "llm_sim_ivf_nprobe_curve",
+    f"""
+{_NPROBE_CURVE_CTES}
 SELECT nprobe, n_queries, scanned_pairs, hits, recall_pct,
        CAST(CASE WHEN nprobe = MIN(CASE WHEN recall_pct
                       >= {IVF_TARGET_RECALL_PCT} THEN nprobe END)
@@ -1622,9 +1631,23 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4/k of the corpus per query, broadcast-centroid ranked); the
     exact side stays constant as the corpus grows (fixed probe
     sample); outputs are IVF_NPROBE_MAX rows."""
+    return nprobe_curve_frame(
+        spark, Catalog(spark, sf_dir).embeddings
+    ).orderBy("nprobe")
+
+
+def nprobe_curve_frame(
+    spark: SparkSession,
+    emb: DataFrame,
+    target_pct: int = IVF_TARGET_RECALL_PCT,
+) -> DataFrame:
+    """The nprobe recall/cost curve with the ``chosen`` marker —
+    shared by ``llm_sim_ivf_nprobe_curve`` and the calibrated-search
+    composition (unordered; callers sort), parameterized on the
+    recall target so tests pin both decision branches. Mirrors the
+    shared ``_NPROBE_CURVE_CTES`` block on the oracle side."""
     from pyspark.sql import Window as W
 
-    emb = Catalog(spark, sf_dir).embeddings
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("_qv"),
@@ -1710,14 +1733,100 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = W.partitionBy()
     chosen_np = F.min(
         F.when(
-            F.col("recall_pct") >= IVF_TARGET_RECALL_PCT,
+            F.col("recall_pct") >= F.lit(int(target_pct)),
             F.col("nprobe"),
         )
     ).over(w_all)
-    return (
-        curve.withColumn(
-            "chosen",
-            (F.col("nprobe") == chosen_np).cast("long"),
-        )
-        .orderBy("nprobe")
+    return curve.withColumn(
+        "chosen",
+        (F.col("nprobe") == chosen_np).cast("long"),
+    )
+
+
+@query(
+    "llm_sim_ivf_calibrated_search",
+    f"""
+{_NPROBE_CURVE_CTES},
+chosen AS (
+  SELECT COALESCE(MIN(CASE WHEN recall_pct >= {IVF_TARGET_RECALL_PCT}
+                        THEN nprobe END), {IVF_NPROBE_MAX}) AS np,
+         CAST(CASE WHEN MIN(CASE WHEN recall_pct
+                        >= {IVF_TARGET_RECALL_PCT} THEN nprobe END)
+                   IS NULL THEN 0 ELSE 1 END AS BIGINT) AS met
+  FROM curve)
+SELECT r.query_id, r.neighbor_id, r.score, r.r AS rank,
+       ch.np AS chosen_nprobe, ch.met AS met_target
+FROM ranked r JOIN chosen ch ON r.np = ch.np
+WHERE r.r <= 10
+""",
+)
+def sim_ivf_calibrated_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CALIBRATE -> SEARCH composition — the ANN leg of the
+    calibration-loop closure (the dedup leg is
+    ``llm_dedup_calibrated_apply``, the quality leg
+    ``llm_quality_calibrated_gate``): run the nprobe tuning curve,
+    CHOOSE the operating point (the smallest nprobe whose recall@10
+    reaches ``IVF_TARGET_RECALL_PCT``; if no sweep point reaches it,
+    fall back to ``IVF_NPROBE_MAX`` with ``met_target = 0``), then
+    run the PRODUCTION multi-probe IVF top-10 search
+    (``operators/similarity.py ivf_topk`` — the
+    ``llm_sim_ivf_multiprobe`` machinery) AT that point, each result
+    row carrying the chosen nprobe and the met flag as audit columns.
+
+    The oracle interpolates the SAME ``_NPROBE_CURVE_CTES`` block as
+    ``llm_sim_ivf_nprobe_curve`` (byte-identical) and re-derives the
+    choice as a scalar aggregate over the curve, so Spark's
+    driver-side decision and DuckDB must agree or the hash gate
+    fails; the search side is then simply the shared ``ranked`` CTE
+    at np = chosen. The decision reads the IVF_NPROBE_MAX-row curve
+    frame — bounded by the sweep constant, the documented
+    closure-constant pattern. Both decision branches are pinned by a
+    parameterized-target pytest.
+
+    Scale posture: the curve's cost (candidates scored once from the
+    probe queries' top-IVF_NPROBE_MAX lists, exploded per remaining
+    sweep point; constant-sized brute-force baseline) plus one
+    production ``ivf_topk`` at the chosen point — broadcast-centroid
+    narrow scans throughout; the only driver traffic is the
+    IVF_NPROBE_MAX-row curve."""
+    return sim_ivf_calibrated_search_frame(
+        spark, Catalog(spark, sf_dir).embeddings
+    )
+
+
+def sim_ivf_calibrated_search_frame(
+    spark: SparkSession,
+    emb: DataFrame,
+    target_pct: int = IVF_TARGET_RECALL_PCT,
+) -> DataFrame:
+    """Body of ``llm_sim_ivf_calibrated_search``, parameterized on
+    the recall target so tests pin BOTH decision branches (target 0
+    -> nprobe 1 qualifies, ``met_target = 1``; target 101 -> nothing
+    qualifies, the IVF_NPROBE_MAX fallback with ``met_target = 0``)."""
+    rows = nprobe_curve_frame(spark, emb, target_pct).collect()
+    # bounded: one row per probe count 1..IVF_NPROBE_MAX
+    within = [
+        int(r["nprobe"])
+        for r in rows
+        if int(r["recall_pct"]) >= int(target_pct)
+    ]
+    chosen = min(within) if within else IVF_NPROBE_MAX
+    met = 1 if within else 0
+    centroids = emb.groupBy(F.col("label").alias("centroid_id")).agg(
+        F.min_by("embedding", "vec_id").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_topk(
+        emb, queries, centroids, k=10, nprobe=chosen
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "score",
+        "rank",
+        F.lit(int(chosen)).cast("long").alias("chosen_nprobe"),
+        F.lit(int(met)).cast("long").alias("met_target"),
     )

@@ -169,6 +169,15 @@ PROBE_QUERIES = [
     # conditional explode of the collision-bounded pair frame)
     "llm_sim_ivf_nprobe_curve",
     "llm_dedup_threshold_curve",
+    # r12: the calibrate->act composition rows — each costs its curve
+    # plus ONE production pass at the chosen point (dedup: closure
+    # over the chosen-threshold pair graph; quality: one more scan of
+    # the persisted feature frame; ANN: one ivf_topk) — and the PSI
+    # drift gate (the monitor's cost + one corpus-vs-verdict join)
+    "llm_dedup_calibrated_apply",
+    "llm_quality_calibrated_gate",
+    "llm_sim_ivf_calibrated_search",
+    "llm_quality_psi_gate",
 ]
 
 

@@ -3598,3 +3598,61 @@ def test_dedup_calibrated_apply_both_decision_branches(spark, sf_dir):
         assert f.apply_n_dropped <= g.apply_n_dropped
     finally:
         st.unpersist()
+
+
+def test_ivf_calibrated_search_both_decision_branches(spark, sf_dir):
+    """Both decision branches of the ANN calibrate->search
+    composition: target 0 -> every probe count qualifies, the
+    smallest (nprobe=1) is chosen with met_target = 1; target 101 ->
+    nothing qualifies, the IVF_NPROBE_MAX fallback with met_target =
+    0. The search side must equal the production ivf_topk at the
+    chosen point exactly, and the fallback's brute-force hit count is
+    monotone >= the aggressive point's (more probes never lose
+    recall)."""
+    from pyspark.sql import functions as F
+
+    from lms_erp_data_integration_spark.catalog import Catalog
+    from lms_erp_data_integration_spark.operators import similarity as sim
+    from lms_erp_data_integration_spark.plans.similarity_queries import (
+        IVF_NPROBE_MAX,
+        nprobe_curve_frame,
+        sim_ivf_calibrated_search_frame,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+
+    g = sim_ivf_calibrated_search_frame(spark, emb, target_pct=0)
+    grows = g.collect()
+    assert grows and all(r.met_target == 1 for r in grows)
+    assert all(r.chosen_nprobe == 1 for r in grows)
+
+    f = sim_ivf_calibrated_search_frame(spark, emb, target_pct=101)
+    frows = f.collect()
+    assert frows and all(r.met_target == 0 for r in frows)
+    assert all(r.chosen_nprobe == IVF_NPROBE_MAX for r in frows)
+
+    # search side == production ivf_topk at the chosen point
+    centroids = emb.groupBy(F.col("label").alias("centroid_id")).agg(
+        F.min_by("embedding", "vec_id").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    expected = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sim.ivf_topk(
+            emb, queries, centroids, k=10, nprobe=IVF_NPROBE_MAX
+        ).collect()
+    }
+    assert {
+        (r.query_id, r.rank): r.neighbor_id for r in frows
+    } == expected
+
+    # recall monotonicity over the curve: hits never drop as nprobe
+    # grows (supersets of candidate lists)
+    curve = sorted(
+        nprobe_curve_frame(spark, emb).collect(),
+        key=lambda r: int(r["nprobe"]),
+    )
+    hits = [int(r["hits"]) for r in curve]
+    assert hits == sorted(hits)

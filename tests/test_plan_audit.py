@@ -554,15 +554,15 @@ BROADCAST_SITES = {
         "k-row: fixture query vectors (constant count)",
     ("plans/similarity_queries.py", "emb_label_drift", "gsum"):
         "enum-bounded: per-dimension totals (embedding dim index)",
-    ("plans/similarity_queries.py", "sim_ivf_nprobe_curve", "c"):
+    ("plans/similarity_queries.py", "nprobe_curve_frame", "c"):
         "k-row: IVF centroids (k constant)",
-    ("plans/similarity_queries.py", "sim_ivf_nprobe_curve", "qc"):
+    ("plans/similarity_queries.py", "nprobe_curve_frame", "qc"):
         "k-row: query x centroid distances (constants)",
-    ("plans/similarity_queries.py", "sim_ivf_nprobe_curve", "nq"):
+    ("plans/similarity_queries.py", "nprobe_curve_frame", "nq"):
         "scalar-agg: 1-row query count",
-    ("plans/similarity_queries.py", "sim_ivf_nprobe_curve", "hits"):
+    ("plans/similarity_queries.py", "nprobe_curve_frame", "hits"):
         "k-row: one row per nprobe sweep point",
-    ("plans/similarity_queries.py", "sim_ivf_nprobe_curve", "scan"):
+    ("plans/similarity_queries.py", "nprobe_curve_frame", "scan"):
         "k-row: one row per nprobe sweep point",
     # --- plans/sketch_queries.py
     ("plans/sketch_queries.py", "theta_setops",

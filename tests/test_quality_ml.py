@@ -145,3 +145,60 @@ def test_quality_psi_gate_both_decision_branches(spark, sf_dir):
         r["count"] for r in per_source if r.source in mid_sources
     )
     assert len(kept_mid) == expected_rows
+
+
+def test_quality_calibrated_gate_both_decision_branches(spark, sf_dir):
+    """Both decision branches of the quality calibrate->gate
+    composition on the real corpus: a zero precision floor qualifies
+    every sweep point (met_floor = 1, chosen = global argmax-F1); an
+    impossible floor falls back to the same global argmax-F1 point
+    with met_floor = 0. Also pins the composition's consistency
+    contract: the kept set is exactly the scored docs at/above the
+    chosen threshold, and its size equals tp + fp at that curve row."""
+    from pyspark.sql import functions as F
+
+    from lms_erp_data_integration_spark.catalog import Catalog
+    from lms_erp_data_integration_spark.operators.quality_ml import (
+        MICRO,
+        _p_micro_expr,
+        fit_quality_logreg,
+    )
+    from lms_erp_data_integration_spark.plans.curation_queries import (
+        quality_calibrated_gate_frame,
+        quality_curve_frame,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    feats, w, means, _n = fit_quality_logreg(docs, keep=("doc_id",))
+    curve = {
+        int(r["threshold_micro"]): r
+        for r in quality_curve_frame(feats, w, means).collect()
+    }
+    best = sorted(
+        curve.values(),
+        key=lambda r: (-int(r["f1_micro"]), int(r["threshold_micro"])),
+    )[0]
+
+    g = quality_calibrated_gate_frame(docs, floor_micro=0).collect()
+    assert g and all(r.met_floor == 1 for r in g)
+    th = g[0].chosen_threshold_micro
+    assert th == int(best["threshold_micro"])
+    # kept set == scored docs at/above the chosen threshold
+    expected = {
+        r.doc_id: r.p
+        for r in feats.select(
+            "doc_id", _p_micro_expr(w, means).alias("p")
+        ).collect()
+        if r.p >= th
+    }
+    assert {r.doc_id: r.p_micro for r in g} == expected
+    # |kept| == tp + fp at the chosen curve row
+    assert len(g) == int(curve[th]["tp"]) + int(curve[th]["fp"])
+
+    f = quality_calibrated_gate_frame(
+        docs, floor_micro=2 * MICRO
+    ).collect()
+    assert f and all(r.met_floor == 0 for r in f)
+    # fallback is the global argmax-F1 point — same chosen threshold
+    assert f[0].chosen_threshold_micro == th
+    assert {r.doc_id for r in f} == set(expected)
