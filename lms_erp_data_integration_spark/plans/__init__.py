@@ -63,6 +63,14 @@ registry.PRIORITY = [
     # curve CTE + body into quality_curve_frame (same semantics, new
     # source text)
     "llm_quality_calibration",
+    # NEW in r12: the quarantine gate driven on the ingest stream —
+    # shared monitor report -> kept-source verdict -> stream-static
+    # join; shares the batch gate oracle bit-for-bit
+    "stream_quality_psi_gate",
+    # changed in r12: monitor body factored into the shared
+    # _stream_psi_report the streaming gate acts on (same semantics,
+    # new source text)
+    "stream_quality_psi",
     # changed in r12: factored into _CURVE_CTES + the ADVICE-#3
     # direct-neighbor-vs-closure drop-definition docstring
     "llm_dedup_threshold_curve",
@@ -101,16 +109,15 @@ registry.PRIORITY = [
     "llm_video_codec_stats",
     "stream_warc_ingest",
     "sync_jdbc_mirror_roundtrip",
-    # r8 cohort, alphabetical fill to 50 (8 of 11; the remaining 3
-    # from stream_sketch_cms, plus the whole r9 cohort, spill to r13)
+    # r8 cohort, alphabetical fill to 50 (6 of 11; the remaining 5
+    # from rel_quantile_sketch, plus the whole r9 cohort, spill to
+    # r13)
     "llm_sketch_cms_heavy_hitters",
     "llm_sketch_hll_distinct",
     "llm_sketch_hll_rollup",
     "llm_video_ipp_stats",
     "llm_video_visual_dedup",
     "rel_bloom_semi_join",
-    "rel_quantile_sketch",
-    "rel_theta_setops",
 ]
 
 # Round-11 driver-window rotation (HISTORICAL — superseded by the r12
@@ -220,13 +227,13 @@ _PRIORITY_R11 = [
 
 # r13 rotation plan (for the next round): keep the 8 sync rows pinned
 # and any r13-new/changed queries ahead of fillers, then FIRST the
-# THREE r8 rows this window displaced (stream_sketch_cms,
-# stream_sketch_distinct, sync_pipeline_run_report — finishing r8),
-# then the SIX r9 rows (llm_decontaminate_train,
-# llm_dedup_index_compaction, llm_emb_matryoshka_recall,
-# llm_image_visual_dedup, rel_quantile_sketch_audit,
-# stream_dedup_ingest — finishing r9), then the r10 cohort
-# alphabetically. Stamp window-only with
+# FIVE r8 rows this window displaced (rel_quantile_sketch,
+# rel_theta_setops, stream_sketch_cms, stream_sketch_distinct,
+# sync_pipeline_run_report — finishing r8), then the SIX r9 rows
+# (llm_decontaminate_train, llm_dedup_index_compaction,
+# llm_emb_matryoshka_recall, llm_image_visual_dedup,
+# rel_quantile_sketch_audit, stream_dedup_ingest — finishing r9),
+# then the r10 cohort alphabetically. Stamp window-only with
 # scripts/update_checked_hashes.py, never --bootstrap.
 
 # Round-10 driver-window rotation (HISTORICAL — superseded by the r11

@@ -1278,6 +1278,14 @@ def stream_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: per event the work is one projection; state is
     sources x 10 rows; the reference side is computed once per edge
     refresh, not per micro-batch."""
+    return _stream_psi_report(spark, sf_dir)
+
+
+def _stream_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming PSI monitor body — shared by
+    ``stream_quality_psi`` and the streaming quarantine gate (which
+    acts on this report's verdict), so the monitor and the action
+    cannot desync."""
     from ..caching import tracked_persist
     from ..catalog import Catalog
     from ..operators import sketches as sk
@@ -1315,3 +1323,72 @@ def stream_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tail self-joins this frame (totals/grid), and the memory-sink
     # VIEW cannot be self-joined (conflicting attribute ids)
     return psi_from_bucket_counts(srcc, refc)
+
+
+from .curation_queries import _PSI_GATE_ORACLE  # noqa: E402  (the batch gate oracle the streaming twin shares; same cycle-free direction as _PSI_ORACLE above)
+
+
+@query(
+    "stream_quality_psi_gate",
+    # shares the batch llm_quality_psi_gate oracle: on a bounded
+    # stream the quarantined-and-retained corpus must equal the batch
+    # gate's answer bit-for-bit
+    _PSI_GATE_ORACLE,
+)
+def stream_quality_psi_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING form of ``llm_quality_psi_gate`` — the quarantine
+    ACTION where it actually runs in production: on the document
+    ingest stream. Phase 1 is the shared streaming monitor
+    (``_stream_psi_report`` — the same body ``stream_quality_psi``
+    returns), whose per-source verdict frame is reduced to the kept
+    set (psi_total_micro < ``PSI_DRIFT_MICRO``, the complement of
+    ``drifted``) and checkpointed. Phase 2 re-drives the document
+    stream through a STREAM-STATIC inner join against that verdict
+    frame — the standard production shape where the quarantine table
+    is refreshed per monitor cadence and the ingest stream joins
+    against it; no literal-baking of the source set (source
+    cardinality is corpus-dependent, the batch gate's documented
+    no-hint rationale) and no broadcast hint (AQE upgrades the
+    verdict side from observed size).
+
+    Scale posture: the monitor's cost plus one more stateless stream
+    pass whose per-row work is one join probe; the only driver
+    traffic is the monitor's (source x 10)-row complete-mode state.
+    Oracle: shares the batch gate's SQL — the stream must reproduce
+    the batch-curated corpus bit-for-bit."""
+    return stream_quality_psi_gate_frame(spark, sf_dir)
+
+
+def stream_quality_psi_gate_frame(
+    spark: SparkSession, sf_dir: str, drift_micro: int | None = None
+) -> DataFrame:
+    """Body of ``stream_quality_psi_gate``, parameterized on the
+    drift line (the batch ``quality_psi_gate_frame`` precedent) so
+    tests can drive a data-derived mid line — at tiny slices every
+    small source reads over the production constant and the retained
+    set is legitimately empty."""
+    from .curation_queries import PSI_DRIFT_MICRO
+
+    if drift_micro is None:
+        drift_micro = PSI_DRIFT_MICRO
+    kept = (
+        _stream_psi_report(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.max("psi_total_micro").cast("long").alias("psi_total_micro")
+        )
+        .where(F.col("psi_total_micro") < F.lit(int(drift_micro)))
+        .localCheckpoint(eager=True)  # sources-sized verdict frame;
+        # checkpointed so the second stream's static side does not
+        # re-run the monitor per micro-batch
+    )
+    arriving = documents_stream(spark, sf_dir)
+    out = arriving.join(kept, "source").select(
+        "doc_id", "lang", "source", "psi_total_micro"
+    )
+    return run_to_memory_sink(
+        out, f"stream_quality_psi_gate_{next(_SINK_SEQ)}", mode="append"
+    )  # stateless filter pass: append emits every joined row; no
+    # window/watermark is involved, so nothing is ever held back

@@ -178,6 +178,9 @@ PROBE_QUERIES = [
     "llm_quality_calibrated_gate",
     "llm_sim_ivf_calibrated_search",
     "llm_quality_psi_gate",
+    # r12 (late): the streaming quarantine gate — the monitor's cost
+    # plus one stateless stream-static join pass
+    "stream_quality_psi_gate",
 ]
 
 
@@ -397,6 +400,12 @@ DECADE2_QUERIES = [
     # nothing hides above them)
     "llm_dedup_compaction_trigger",
     "llm_crossmodal_apply",
+    # r12: the calibrate->apply composition read 0.96 over decade 1
+    # (the exact-overlap pair pass + chosen-point closure are the
+    # linear-by-design terms, same class as the threshold curve it
+    # composes) — above the bar; decade 2 checks nothing hides above
+    # the designed class
+    "llm_dedup_calibrated_apply",
 ]
 
 

@@ -332,3 +332,52 @@ def test_dedup_lifecycle_replay_after_commit_reproduces_counts(spark):
     }
     assert ids_replay == ids_plain
     assert n_rows_replay == len(ids_plain)
+
+
+def test_stream_quality_psi_gate_equals_batch_gate(spark, sf_dir):
+    """The streaming quarantine gate (monitor stream -> kept-source
+    verdict -> stream-static join) must reproduce the batch gate's
+    curated corpus exactly — same retained doc_ids, same per-doc PSI
+    audit values. At the production constant every small sf0.001
+    source drifts (the monitor's documented small-slice caveat), so
+    the sets are compared BOTH there (legitimately empty, still
+    equal) and at a data-derived mid line where both branches carry
+    rows."""
+    from lms_erp_data_integration_spark.catalog import Catalog
+    from lms_erp_data_integration_spark.plans.curation_queries import (
+        quality_psi_gate_frame,
+        quality_psi_report,
+    )
+    from lms_erp_data_integration_spark.plans.streaming_queries import (
+        stream_quality_psi_gate_frame,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+
+    def key(rows):
+        return {
+            (r.doc_id, r.lang, r.source, r.psi_total_micro)
+            for r in rows
+        }
+
+    got = key(stream_quality_psi_gate_frame(spark, sf_dir).collect())
+    want = key(quality_psi_gate_frame(docs).collect())
+    assert got == want
+
+    totals = sorted(
+        r.psi_total_micro
+        for r in quality_psi_report(docs)
+        .groupBy("source")
+        .agg(F.max("psi_total_micro").alias("psi_total_micro"))
+        .collect()
+    )
+    mid = int(totals[len(totals) // 2])
+    got_mid = key(
+        stream_quality_psi_gate_frame(
+            spark, sf_dir, drift_micro=mid
+        ).collect()
+    )
+    want_mid = key(
+        quality_psi_gate_frame(docs, drift_micro=mid).collect()
+    )
+    assert got_mid == want_mid and got_mid
