@@ -71,6 +71,11 @@ registry.PRIORITY = [
     # _stream_psi_report the streaming gate acts on (same semantics,
     # new source text)
     "stream_quality_psi",
+    # NEW in r12 (late): the curation pipeline AT its calibrated
+    # operating points — quality/drift/dedup drop sets intersected,
+    # stage-attributed counts + every chosen point in one row; the
+    # oracle nests each family's exact shared block as its own scope
+    "llm_corpus_curate_calibrated",
     # changed in r12: factored into _CURVE_CTES + the ADVICE-#3
     # direct-neighbor-vs-closure drop-definition docstring
     "llm_dedup_threshold_curve",
@@ -109,15 +114,14 @@ registry.PRIORITY = [
     "llm_video_codec_stats",
     "stream_warc_ingest",
     "sync_jdbc_mirror_roundtrip",
-    # r8 cohort, alphabetical fill to 50 (6 of 11; the remaining 5
-    # from rel_quantile_sketch, plus the whole r9 cohort, spill to
+    # r8 cohort, alphabetical fill to 50 (5 of 11; the remaining 6
+    # from rel_bloom_semi_join, plus the whole r9 cohort, spill to
     # r13)
     "llm_sketch_cms_heavy_hitters",
     "llm_sketch_hll_distinct",
     "llm_sketch_hll_rollup",
     "llm_video_ipp_stats",
     "llm_video_visual_dedup",
-    "rel_bloom_semi_join",
 ]
 
 # Round-11 driver-window rotation (HISTORICAL — superseded by the r12
@@ -227,9 +231,10 @@ _PRIORITY_R11 = [
 
 # r13 rotation plan (for the next round): keep the 8 sync rows pinned
 # and any r13-new/changed queries ahead of fillers, then FIRST the
-# FIVE r8 rows this window displaced (rel_quantile_sketch,
-# rel_theta_setops, stream_sketch_cms, stream_sketch_distinct,
-# sync_pipeline_run_report — finishing r8), then the SIX r9 rows
+# SIX r8 rows this window displaced (rel_bloom_semi_join,
+# rel_quantile_sketch, rel_theta_setops, stream_sketch_cms,
+# stream_sketch_distinct, sync_pipeline_run_report — finishing r8),
+# then the SIX r9 rows
 # (llm_decontaminate_train, llm_dedup_index_compaction,
 # llm_emb_matryoshka_recall, llm_image_visual_dedup,
 # rel_quantile_sketch_audit, stream_dedup_ingest — finishing r9),

@@ -460,10 +460,9 @@ def quality_curve_frame(
 # highest-F1 point with met_floor = 0.
 QUALITY_PRECISION_FLOOR_MICRO = 800_000
 
-_CAL_GATE_ORACLE = (
-    ",\n".join(_cal_curve_parts(id_cols="doc_id, "))
-    + f""",
-chosen AS (
+# The operating-point choice CTE, shared BYTE-IDENTICALLY by the
+# calibrate->gate oracle and the composed calibrated-curation oracle.
+_CAL_CHOSEN_CTE = f"""chosen AS (
   SELECT COALESCE(
            (SELECT threshold_micro FROM curve
             WHERE precision_micro >= {QUALITY_PRECISION_FLOOR_MICRO}
@@ -473,12 +472,36 @@ chosen AS (
          CAST(CASE WHEN EXISTS (
                 SELECT 1 FROM curve
                 WHERE precision_micro >= {QUALITY_PRECISION_FLOOR_MICRO})
-              THEN 1 ELSE 0 END AS BIGINT) AS met)
+              THEN 1 ELSE 0 END AS BIGINT) AS met)"""
+
+_CAL_GATE_ORACLE = (
+    ",\n".join(_cal_curve_parts(id_cols="doc_id, "))
+    + f""",
+{_CAL_CHOSEN_CTE}
 SELECT s.doc_id, CAST(s.p AS BIGINT) AS p_micro,
        ch.th AS chosen_threshold_micro, ch.met AS met_floor
 FROM scored s, chosen ch WHERE s.p >= ch.th
 """
 )
+
+
+def _choose_quality_point(rows, floor_micro: int) -> tuple[int, int]:
+    """The driver-side twin of ``_CAL_CHOSEN_CTE``: highest-F1 sweep
+    point whose precision meets the floor (tie -> lowest threshold);
+    global highest-F1 fallback with met = 0. Shared by the gate frame
+    and the composed calibrated-curation frame so the two rows cannot
+    disagree on the operating point."""
+    qual = [
+        r for r in rows
+        if int(r["precision_micro"]) >= int(floor_micro)
+    ]
+    met = 1 if qual else 0
+    pool = qual if qual else list(rows)
+    chosen = sorted(
+        pool,
+        key=lambda r: (-int(r["f1_micro"]), int(r["threshold_micro"])),
+    )[0]
+    return int(chosen["threshold_micro"]), met
 
 
 @query("llm_quality_calibrated_gate", _CAL_GATE_ORACLE)
@@ -528,17 +551,7 @@ def quality_calibrated_gate_frame(
     feats, w, means, _n = fit_quality_logreg(docs, keep=("doc_id",))
     rows = quality_curve_frame(feats, w, means).collect()
     # bounded: one row per _CAL_THRESHOLDS sweep constant
-    qual = [
-        r for r in rows
-        if int(r["precision_micro"]) >= int(floor_micro)
-    ]
-    met = 1 if qual else 0
-    pool = qual if qual else list(rows)
-    chosen = sorted(
-        pool,
-        key=lambda r: (-int(r["f1_micro"]), int(r["threshold_micro"])),
-    )[0]
-    th = int(chosen["threshold_micro"])
+    th, met = _choose_quality_point(rows, floor_micro)
     return (
         feats.select(
             "doc_id", _p_micro_expr(w, means).alias("p_micro")
@@ -877,4 +890,214 @@ def quality_psi_gate_frame(
     )
     return docs.join(kept, "source").select(
         "doc_id", "lang", "source", "psi_total_micro"
+    )
+
+
+# ------------------------------------------------- calibrated curation
+
+# The composed calibrated-curation oracle stitches the three family
+# blocks together as NESTED derived tables (each block keeps its own
+# WITH scope, so the t/feat/curve/chosen names of the quality chain
+# cannot collide with the dedup chain's): the quality gate block and
+# the PSI gate block are the EXACT _CAL_GATE_ORACLE / _PSI_GATE_ORACLE
+# texts, and the dedup drop-set / chosen-point chains interpolate the
+# same _TOKS_SHING_BODY + _CURVE_CTES + _CAL_APPLY_CTES constants the
+# calibrate->apply oracle uses — every stage of the composition is
+# byte-shared with the row that owns it.
+from .llm_queries import (  # noqa: E402  (cycle-free: llm_queries imports nothing from this module)
+    _CAL_APPLY_CTES,
+    _CURVE_CTES,
+    _TOKS_SHING_BODY,
+    DEDUP_DROP_BUDGET_PPM,
+)
+
+_CAL_CURVE_SQL = ",\n".join(_cal_curve_parts())
+
+_CURATE_CAL_ORACLE = rf"""
+WITH q AS MATERIALIZED (
+SELECT doc_id FROM (
+{_CAL_GATE_ORACLE}
+) gq),
+dr AS MATERIALIZED (
+SELECT doc_id FROM (
+{_PSI_GATE_ORACLE}
+) gp),
+dup AS MATERIALIZED (
+SELECT member AS doc_id FROM (
+WITH RECURSIVE {_TOKS_SHING_BODY}
+{_CURVE_CTES},
+{_CAL_APPLY_CTES}
+SELECT member, cluster_id FROM clusters
+) gd WHERE member <> cluster_id),
+qch AS (
+SELECT th AS quality_threshold_micro, met AS quality_met_floor FROM (
+{_CAL_CURVE_SQL},
+{_CAL_CHOSEN_CTE}
+SELECT ch.th, ch.met FROM chosen ch
+) gqc),
+dch AS (
+SELECT dedup_threshold_pct, dedup_within_budget FROM (
+WITH RECURSIVE {_TOKS_SHING_BODY}
+{_CURVE_CTES},
+{_CAL_APPLY_CTES}
+SELECT cv.threshold_pct AS dedup_threshold_pct,
+       CAST(CASE WHEN cv.drop_rate_ppm <= {DEDUP_DROP_BUDGET_PPM}
+            THEN 1 ELSE 0 END AS BIGINT) AS dedup_within_budget
+FROM cv
+) gdc),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM q),
+nqd AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM q JOIN dr USING (doc_id)),
+ndup AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+         FROM q JOIN dr USING (doc_id) JOIN dup USING (doc_id))
+SELECT nd.n_docs,
+       qch.quality_threshold_micro, qch.quality_met_floor,
+       CAST(nd.n_docs - nq.c AS BIGINT) AS n_fail_quality,
+       CAST({PSI_DRIFT_MICRO} AS BIGINT) AS psi_line_micro,
+       CAST(nq.c - nqd.c AS BIGINT) AS n_drift_dropped,
+       dch.dedup_threshold_pct, dch.dedup_within_budget,
+       ndup.c AS n_dup_dropped,
+       CAST(nqd.c - ndup.c AS BIGINT) AS n_kept
+FROM nd, nq, nqd, ndup, qch, dch
+"""
+
+
+@query("llm_corpus_curate_calibrated", _CURATE_CAL_ORACLE)
+def corpus_curate_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATION PIPELINE AT ITS CALIBRATED OPERATING POINTS — the
+    capstone of the calibration family: the corpus is curated by the
+    three production filters, each at the point its own loop chose
+    (quality: highest-F1 threshold meeting the precision floor, the
+    ``llm_quality_calibrated_gate`` policy; drift: sources under the
+    standard PSI investigate line, the ``llm_quality_psi_gate``
+    verdict; dedup: cluster-closure non-keepers at the most
+    aggressive threshold within the drop budget, the
+    ``llm_dedup_calibrated_apply`` policy), and the single audit row
+    attributes every document to its first failing stage in the
+    fixed quality -> drift -> dedup order, alongside every chosen
+    operating point. The drop SETS are corpus-level (each filter is
+    calibrated and evaluated on the full corpus, then intersected —
+    single-pass curation semantics, not a re-calibrated cascade);
+    the stage order only attributes the counts.
+
+    The oracle nests each family's EXACT shared block as its own
+    derived-table scope (``_CAL_GATE_ORACLE``, ``_PSI_GATE_ORACLE``,
+    ``_TOKS_SHING_BODY + _CURVE_CTES + _CAL_APPLY_CTES``,
+    ``_CAL_CHOSEN_CTE``) — nothing is re-stated, so the composition
+    cannot disagree with any of the five rows it composes. All three
+    driver-side decisions read sweep-constant-sized frames (9-row
+    quality curve, 5-row dedup curve; the PSI line is a module
+    constant) — the documented closure-constant pattern.
+
+    Scale posture: the sum of its parts, nothing more — K narrow
+    training scans + one feature-frame sweep (quality), the
+    sketch-edged PSI monitor + one source-verdict join (drift), one
+    exact-overlap pair pass + chosen-point closure (dedup), then ONE
+    flag-join aggregate over the persisted feature frame; output is
+    one row."""
+    return corpus_curate_calibrated_frame(
+        spark, Catalog(spark, sf_dir).documents
+    )
+
+
+def corpus_curate_calibrated_frame(
+    spark: SparkSession,
+    docs: DataFrame,
+    floor_micro: int = QUALITY_PRECISION_FLOOR_MICRO,
+    drift_micro: int = PSI_DRIFT_MICRO,
+    budget_ppm: int = DEDUP_DROP_BUDGET_PPM,
+) -> DataFrame:
+    """Body of ``llm_corpus_curate_calibrated``, parameterized on all
+    three policy knobs so tests pin the decision branches and the
+    stage-count identity (n_docs = n_fail_quality + n_drift_dropped +
+    n_dup_dropped + n_kept) independently of the corpus slice."""
+    from ..caching import tracked_persist
+    from ..operators import dedup as dd_ops
+    from ..operators.quality_ml import _p_micro_expr, fit_quality_logreg
+    from .llm_queries import _pairs_at_sweep_floor, _threshold_curve_frame
+
+    feats, w, means, _n = fit_quality_logreg(docs, keep=("doc_id",))
+    qth, qmet = _choose_quality_point(
+        quality_curve_frame(feats, w, means).collect(), floor_micro
+    )  # bounded: one row per _CAL_THRESHOLDS sweep constant
+    kept_src = (
+        quality_psi_report(docs)
+        .groupBy("source")
+        .agg(
+            F.max("psi_total_micro").cast("long").alias("psi_total_micro")
+        )
+        .where(F.col("psi_total_micro") < F.lit(int(drift_micro)))
+        .select("source", F.lit(1).alias("_ok_src"))
+    )
+    st = tracked_persist(_pairs_at_sweep_floor(docs))
+    curve = {
+        int(r["threshold_pct"]): r
+        for r in _threshold_curve_frame(spark, st, docs).collect()
+    }  # bounded: one row per sweep constant
+    within = [
+        t
+        for t in sorted(curve)
+        if int(curve[t]["drop_rate_ppm"]) <= int(budget_ppm)
+    ]
+    dth = within[0] if within else max(curve)
+    dwb = 1 if within else 0
+    drops = (
+        dd_ops.duplicate_clusters(
+            st.where(
+                F.lit(100) * F.col("ic") >= F.lit(int(dth)) * F.col("un")
+            ).select("i", "j")
+        )
+        .where(F.col("member") != F.col("cluster_id"))
+        .select(F.col("member").alias("doc_id"), F.lit(1).alias("_dup"))
+    )
+    flags = (
+        feats.select("doc_id", _p_micro_expr(w, means).alias("p"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .join(kept_src, "source", "left")
+        .join(drops, "doc_id", "left")
+        # no hints: the source-verdict and drop-set sides are
+        # corpus-dependent; AQE upgrades them from observed sizes
+    )
+    q_pass = f"p >= {int(qth)}"
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.expr(f"CASE WHEN NOT ({q_pass}) THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_fail_quality"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN ({q_pass}) AND _ok_src IS NULL"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_drift_dropped"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN ({q_pass}) AND _ok_src = 1 AND _dup = 1"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_dup_dropped"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN ({q_pass}) AND _ok_src = 1 AND _dup IS NULL"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_kept"),
+    )
+    return agg.select(
+        "n_docs",
+        F.lit(int(qth)).cast("long").alias("quality_threshold_micro"),
+        F.lit(int(qmet)).cast("long").alias("quality_met_floor"),
+        "n_fail_quality",
+        F.lit(int(drift_micro)).cast("long").alias("psi_line_micro"),
+        "n_drift_dropped",
+        F.lit(int(dth)).cast("long").alias("dedup_threshold_pct"),
+        F.lit(int(dwb)).cast("long").alias("dedup_within_budget"),
+        "n_dup_dropped",
+        "n_kept",
     )

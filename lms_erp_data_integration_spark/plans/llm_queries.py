@@ -2087,12 +2087,12 @@ def _threshold_curve_frame(
     )
 
 
-@query(
-    "llm_dedup_calibrated_apply",
-    rf"""
-WITH RECURSIVE {_TOKS_SHING_BODY}
-{_CURVE_CTES},
-curve AS (
+# curve -> chosen point -> chosen-point closure CTE chain, shared
+# BYTE-IDENTICALLY by the calibrate->apply oracle and the composed
+# calibrated-curation oracle (the _CURVE_CTES contract, one level
+# up: the composition cannot disagree with the apply row on either
+# the chosen threshold or the closure drop set).
+_CAL_APPLY_CTES = rf"""curve AS (
   SELECT p.threshold_pct, p.n_pairs, d.n_dropped,
          CAST(1000000 * d.n_dropped // nd.n_docs AS BIGINT)
            AS drop_rate_ppm
@@ -2115,7 +2115,15 @@ reach AS (
   SELECT r.node, e.dst AS target FROM reach r JOIN edges e ON e.src = r.target),
 clusters AS (
   SELECT node AS member, least(node, MIN(target)) AS cluster_id
-  FROM reach GROUP BY node),
+  FROM reach GROUP BY node)"""
+
+
+@query(
+    "llm_dedup_calibrated_apply",
+    rf"""
+WITH RECURSIVE {_TOKS_SHING_BODY}
+{_CURVE_CTES},
+{_CAL_APPLY_CTES},
 ad AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_apply
        FROM clusters WHERE member <> cluster_id)
 SELECT cv.threshold_pct AS chosen_threshold_pct,

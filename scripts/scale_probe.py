@@ -181,6 +181,10 @@ PROBE_QUERIES = [
     # r12 (late): the streaming quarantine gate — the monitor's cost
     # plus one stateless stream-static join pass
     "stream_quality_psi_gate",
+    # r12 (late): the composed calibrated-curation capstone — the sum
+    # of the quality/drift/dedup family costs + one flag-join
+    # aggregate (the dedup pair pass is the linear-by-design term)
+    "llm_corpus_curate_calibrated",
 ]
 
 
@@ -406,6 +410,10 @@ DECADE2_QUERIES = [
     # composes) — above the bar; decade 2 checks nothing hides above
     # the designed class
     "llm_dedup_calibrated_apply",
+    # r12 (late): the calibrated-curation capstone read 0.76 over
+    # decade 1 (its dedup stage is the same linear-by-design term) —
+    # above the bar
+    "llm_corpus_curate_calibrated",
 ]
 
 

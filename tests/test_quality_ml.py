@@ -202,3 +202,67 @@ def test_quality_calibrated_gate_both_decision_branches(spark, sf_dir):
     # fallback is the global argmax-F1 point — same chosen threshold
     assert f[0].chosen_threshold_micro == th
     assert {r.doc_id for r in f} == set(expected)
+
+
+def test_corpus_curate_calibrated_stage_identity_and_consistency(
+    spark, sf_dir
+):
+    """The composed calibrated-curation row must (a) partition the
+    corpus exactly (n_docs = n_fail_quality + n_drift_dropped +
+    n_dup_dropped + n_kept), (b) agree with each family row it
+    composes on the chosen operating points and the per-stage sets,
+    and (c) attribute drift drops only when the drift line actually
+    splits the sources (driven via a data-derived mid line, since at
+    tiny slices every source drifts and n_kept is legitimately 0)."""
+    from lms_erp_data_integration_spark.catalog import Catalog
+    from lms_erp_data_integration_spark.plans.curation_queries import (
+        corpus_curate_calibrated_frame,
+        quality_calibrated_gate_frame,
+        quality_psi_report,
+    )
+    from lms_erp_data_integration_spark.plans.llm_queries import (
+        _pairs_at_sweep_floor,
+        dedup_calibrated_apply_frame,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    n_total = docs.count()
+
+    totals = sorted(
+        r.psi_total_micro
+        for r in quality_psi_report(docs)
+        .groupBy("source")
+        .agg(F.max("psi_total_micro").alias("psi_total_micro"))
+        .collect()
+    )
+    mid = int(totals[len(totals) // 2])
+
+    g = corpus_curate_calibrated_frame(
+        spark, docs, drift_micro=mid
+    ).collect()
+    assert len(g) == 1
+    g = g[0]
+    # (a) exact partition of the corpus
+    assert g.n_docs == n_total
+    assert (
+        g.n_fail_quality + g.n_drift_dropped + g.n_dup_dropped + g.n_kept
+        == g.n_docs
+    )
+    assert g.n_drift_dropped > 0 and g.n_kept > 0
+
+    # (b) chosen points agree with the family rows
+    gate = quality_calibrated_gate_frame(docs).collect()
+    assert g.quality_threshold_micro == gate[0].chosen_threshold_micro
+    assert g.quality_met_floor == gate[0].met_floor
+    assert g.n_fail_quality == n_total - len(gate)
+
+    st = _pairs_at_sweep_floor(docs).persist()
+    try:
+        ap = dedup_calibrated_apply_frame(spark, st, docs).collect()[0]
+        assert g.dedup_threshold_pct == ap.chosen_threshold_pct
+        assert g.dedup_within_budget == ap.within_budget
+        # the composition's dup drops are the apply row's drop SET
+        # restricted to quality+drift survivors — never more
+        assert g.n_dup_dropped <= ap.apply_n_dropped
+    finally:
+        st.unpersist()
