@@ -147,6 +147,48 @@ def ivf_assign(
     )
 
 
+def ivf_probe_assign_literal(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """STATELESS multi-probe assignment — (id, vec, centroid_id) rows
+    for each of the ``nprobe`` nearest centroids, with the k
+    centroids baked into the projection as literals: the streaming-
+    legal generalization of :func:`ivf_assign_literal` (no window),
+    for query streams searched against a static index. Ranking and
+    tie-break match :func:`ivf_probe_assign` exactly — cosine DESC,
+    then lower centroid_id, via struct(sim, -cid) under
+    ``sort_array``'s lexicographic descending compare."""
+    sims = F.transform(
+        F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, cv in sorted(centroids)
+            ]
+        ),
+        lambda c: F.struct(
+            cosine(F.col(vec_col), c["cv"]).alias("sim"),
+            (-c["cid"]).alias("ncid"),
+        ),
+    )
+    probes = F.slice(F.sort_array(sims, asc=False), 1, int(nprobe))
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(probes).alias("_p"),
+    ).select(
+        id_col,
+        vec_col,
+        (-F.col("_p.ncid")).cast("long").alias("centroid_id"),
+    )
+
+
 def ivf_probe_assign(
     vectors: DataFrame,
     centroids: DataFrame,

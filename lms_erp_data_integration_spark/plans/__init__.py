@@ -76,6 +76,11 @@ registry.PRIORITY = [
     # stage-attributed counts + every chosen point in one row; the
     # oracle nests each family's exact shared block as its own scope
     "llm_corpus_curate_calibrated",
+    # NEW in r12 (late): ANN SERVING on a query stream — stateless
+    # literal multi-probe assignment, stream-static candidate join
+    # against the persisted index at the calibrated nprobe, batch
+    # top-k merge; shares the batch calibrate->search oracle
+    "stream_sim_ivf_search",
     # changed in r12: factored into _CURVE_CTES + the ADVICE-#3
     # direct-neighbor-vs-closure drop-definition docstring
     "llm_dedup_threshold_curve",
@@ -114,14 +119,13 @@ registry.PRIORITY = [
     "llm_video_codec_stats",
     "stream_warc_ingest",
     "sync_jdbc_mirror_roundtrip",
-    # r8 cohort, alphabetical fill to 50 (5 of 11; the remaining 6
-    # from rel_bloom_semi_join, plus the whole r9 cohort, spill to
+    # r8 cohort, alphabetical fill to 50 (4 of 11; the remaining 7
+    # from llm_video_visual_dedup, plus the whole r9 cohort, spill to
     # r13)
     "llm_sketch_cms_heavy_hitters",
     "llm_sketch_hll_distinct",
     "llm_sketch_hll_rollup",
     "llm_video_ipp_stats",
-    "llm_video_visual_dedup",
 ]
 
 # Round-11 driver-window rotation (HISTORICAL — superseded by the r12
@@ -231,10 +235,10 @@ _PRIORITY_R11 = [
 
 # r13 rotation plan (for the next round): keep the 8 sync rows pinned
 # and any r13-new/changed queries ahead of fillers, then FIRST the
-# SIX r8 rows this window displaced (rel_bloom_semi_join,
-# rel_quantile_sketch, rel_theta_setops, stream_sketch_cms,
-# stream_sketch_distinct, sync_pipeline_run_report — finishing r8),
-# then the SIX r9 rows
+# SEVEN r8 rows this window displaced (llm_video_visual_dedup,
+# rel_bloom_semi_join, rel_quantile_sketch, rel_theta_setops,
+# stream_sketch_cms, stream_sketch_distinct, sync_pipeline_run_report
+# — finishing r8), then the SIX r9 rows
 # (llm_decontaminate_train, llm_dedup_index_compaction,
 # llm_emb_matryoshka_recall, llm_image_visual_dedup,
 # rel_quantile_sketch_audit, stream_dedup_ingest — finishing r9),

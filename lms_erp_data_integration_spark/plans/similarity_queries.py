@@ -1743,9 +1743,11 @@ def nprobe_curve_frame(
     )
 
 
-@query(
-    "llm_sim_ivf_calibrated_search",
-    f"""
+# The full calibrate->search oracle, shared by the batch composition
+# row and its STREAMING serving twin (a bounded query stream searched
+# against the static index must produce the batch answer
+# bit-for-bit, so the twin simply reuses this text).
+_CAL_SEARCH_ORACLE = f"""
 {_NPROBE_CURVE_CTES},
 chosen AS (
   SELECT COALESCE(MIN(CASE WHEN recall_pct >= {IVF_TARGET_RECALL_PCT}
@@ -1758,8 +1760,25 @@ SELECT r.query_id, r.neighbor_id, r.score, r.r AS rank,
        ch.np AS chosen_nprobe, ch.met AS met_target
 FROM ranked r JOIN chosen ch ON r.np = ch.np
 WHERE r.r <= 10
-""",
-)
+"""
+
+
+def _choose_nprobe(rows, target_pct: int) -> tuple[int, int]:
+    """Driver-side twin of the oracle's ``chosen`` aggregate:
+    smallest probe count whose recall meets the target, with the
+    IVF_NPROBE_MAX fallback and met flag. Shared by the batch
+    composition and its streaming serving twin so the two cannot
+    disagree on the operating point."""
+    within = [
+        int(r["nprobe"])
+        for r in rows
+        if int(r["recall_pct"]) >= int(target_pct)
+    ]
+    return (min(within) if within else IVF_NPROBE_MAX,
+            1 if within else 0)
+
+
+@query("llm_sim_ivf_calibrated_search", _CAL_SEARCH_ORACLE)
 def sim_ivf_calibrated_search(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1807,13 +1826,7 @@ def sim_ivf_calibrated_search_frame(
     qualifies, the IVF_NPROBE_MAX fallback with ``met_target = 0``)."""
     rows = nprobe_curve_frame(spark, emb, target_pct).collect()
     # bounded: one row per probe count 1..IVF_NPROBE_MAX
-    within = [
-        int(r["nprobe"])
-        for r in rows
-        if int(r["recall_pct"]) >= int(target_pct)
-    ]
-    chosen = min(within) if within else IVF_NPROBE_MAX
-    met = 1 if within else 0
+    chosen, met = _choose_nprobe(rows, target_pct)
     centroids = emb.groupBy(F.col("label").alias("centroid_id")).agg(
         F.min_by("embedding", "vec_id").alias("embedding")
     )

@@ -1392,3 +1392,104 @@ def stream_quality_psi_gate_frame(
         out, f"stream_quality_psi_gate_{next(_SINK_SEQ)}", mode="append"
     )  # stateless filter pass: append emits every joined row; no
     # window/watermark is involved, so nothing is ever held back
+
+
+from .similarity_queries import _CAL_SEARCH_ORACLE  # noqa: E402  (the batch calibrate->search oracle the streaming serving twin shares; similarity_queries imports nothing from this module, so the early import is cycle-free)
+
+
+@query(
+    "stream_sim_ivf_search",
+    # shares the batch llm_sim_ivf_calibrated_search oracle: a
+    # bounded query stream searched against the static index must
+    # produce the batch answer bit-for-bit
+    _CAL_SEARCH_ORACLE,
+)
+def stream_sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING form of ``llm_sim_ivf_calibrated_search`` — ANN
+    SERVING where it actually runs in production: queries arrive as a
+    stream and are searched against the STATIC index at the
+    calibrated operating point. The calibration (nprobe curve ->
+    chosen probe count) happens driver-side exactly as the batch row
+    does it (shared ``nprobe_curve_frame`` + ``_choose_nprobe``, so
+    the twins cannot disagree on the point); per arriving query the
+    top-chosen probe lists come from a STATELESS literal-centroid
+    expression (``ivf_probe_assign_literal`` — the k centroids baked
+    into the projection, the ``ivf_assign_literal`` closure-constant
+    pattern, no window on the stream), candidates come from one
+    STREAM-STATIC equi-join against the persisted assigned index on
+    centroid_id, and scoring is a stateless per-row cosine. Scored
+    candidates land in the append-mode sink; the final top-10 merge
+    per query is a BATCH window over the (queries x probed-list)-
+    sized sink — the serving-layer merge step, deliberately NOT
+    per-query streaming state (per-query candidate lists are
+    corpus-proportional, exactly what must never accumulate in a
+    state store).
+
+    Scale posture: per arriving query the stream does k literal
+    cosines + one equi-join probe + |candidate| cosines — no shuffle
+    wider than the candidate rows, no streaming state at all; the
+    static side is assigned once and persisted; the merge input is
+    the same candidate relation the batch row ranks."""
+    from ..caching import tracked_persist
+    from ..catalog import Catalog
+    from ..operators import similarity as sim
+    from ..streaming.windows import embeddings_stream
+    from .similarity_queries import (
+        IVF_TARGET_RECALL_PCT,
+        _choose_nprobe,
+        nprobe_curve_frame,
+    )
+    from pyspark.sql import Window as W
+
+    emb = Catalog(spark, sf_dir).embeddings
+    chosen, met = _choose_nprobe(
+        nprobe_curve_frame(spark, emb).collect(), IVF_TARGET_RECALL_PCT
+    )  # bounded: one row per probe count 1..IVF_NPROBE_MAX
+    centroids_df = emb.groupBy(F.col("label").alias("centroid_id")).agg(
+        F.min_by("embedding", "vec_id").alias("embedding")
+    )
+    cents = [
+        (int(r["centroid_id"]), list(r["embedding"]))
+        for r in centroids_df.collect()
+    ]  # k rows: the documented closure-broadcast constant
+    assigned = tracked_persist(
+        sim.ivf_assign(emb, centroids_df).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("_nv"),
+            "centroid_id",
+        )
+    )
+    arriving = embeddings_stream(spark, sf_dir).where(F.col("vec_id") < 5)
+    cand = (
+        sim.ivf_probe_assign_literal(arriving, cents, chosen)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qv"),
+            "centroid_id",
+        )
+        .join(assigned, "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            sim.cosine(F.col("_nv"), F.col("_qv")).alias("score"),
+        )
+    )
+    sunk = run_to_memory_sink(
+        cand, f"stream_sim_ivf_search_{next(_SINK_SEQ)}", mode="append"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        sunk.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            "rank",
+            F.lit(int(chosen)).cast("long").alias("chosen_nprobe"),
+            F.lit(int(met)).cast("long").alias("met_target"),
+        )
+    )

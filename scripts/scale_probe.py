@@ -185,6 +185,9 @@ PROBE_QUERIES = [
     # of the quality/drift/dedup family costs + one flag-join
     # aggregate (the dedup pair pass is the linear-by-design term)
     "llm_corpus_curate_calibrated",
+    # r12 (late): the streaming ANN serving twin — curve cost +
+    # stateless per-query probe/score stream pass + batch top-k merge
+    "stream_sim_ivf_search",
 ]
 
 

@@ -381,3 +381,35 @@ def test_stream_quality_psi_gate_equals_batch_gate(spark, sf_dir):
         quality_psi_gate_frame(docs, drift_micro=mid).collect()
     )
     assert got_mid == want_mid and got_mid
+
+
+def test_stream_sim_ivf_search_equals_batch_search(spark, sf_dir):
+    """The streaming ANN serving twin (query stream -> literal
+    multi-probe assignment -> stream-static candidate join -> batch
+    top-k merge) must reproduce the batch calibrate->search row
+    exactly: same chosen point, same per-rank neighbors, identical
+    scores (both sides evaluate the same cosine expression on the
+    same data)."""
+    from lms_erp_data_integration_spark.catalog import Catalog
+    from lms_erp_data_integration_spark.plans.similarity_queries import (
+        sim_ivf_calibrated_search_frame,
+    )
+    from lms_erp_data_integration_spark.plans.streaming_queries import (
+        stream_sim_ivf_search,
+    )
+
+    got = {
+        (r.query_id, r.rank): (
+            r.neighbor_id, r.score, r.chosen_nprobe, r.met_target
+        )
+        for r in stream_sim_ivf_search(spark, sf_dir).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (
+            r.neighbor_id, r.score, r.chosen_nprobe, r.met_target
+        )
+        for r in sim_ivf_calibrated_search_frame(
+            spark, Catalog(spark, sf_dir).embeddings
+        ).collect()
+    }
+    assert got == want and got
