@@ -28,9 +28,8 @@ from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 # verdict-#2 plan audit removed (q2/q16/q17/q20/q21,
 # stream_static_enrich, rel_pagerank_parts — AQE still upgrades the
 # joins while the build sides are genuinely small) — then the FIFTEEN
-# r6 rows the r11 window displaced (finishing r6), then the r7 and r8
-# cohorts alphabetically and the first r9 row
-# (llm_decontaminate_train) to fill 50.
+# r6 rows the r11 window displaced (finishing r6), then the whole r7
+# cohort (4) and the r8 cohort alphabetically (4 of 11) to fill 50.
 registry.PRIORITY = [
     # core reference surface — pinned every round
     "sync_missing_faculty_users",

@@ -880,16 +880,26 @@ def quality_psi_gate_frame(
     everything -> empty corpus; a generous line retains everything).
     Retained = psi_total_micro < line, the complement of the monitor's
     ``drifted`` verdict at the production constant."""
-    kept = (
-        quality_psi_report(docs)
-        .groupBy("source")
+    kept = psi_kept_sources(quality_psi_report(docs), drift_micro)
+    return docs.join(kept, "source").select(
+        "doc_id", "lang", "source", "psi_total_micro"
+    )
+
+
+def psi_kept_sources(report: DataFrame, drift_micro: int) -> DataFrame:
+    """(source, psi_total_micro) rows for sources UNDER the drift
+    line — the complement of the monitor's ``drifted`` verdict. ONE
+    definition of the quarantine-set reduction, shared by the batch
+    gate, the calibrated-curation capstone, and the streaming gate
+    twin — three rows contractually required to agree bit-for-bit on
+    the kept set (the ``psi_from_bucket_counts`` shared-tail
+    contract, one level up)."""
+    return (
+        report.groupBy("source")
         .agg(
             F.max("psi_total_micro").cast("long").alias("psi_total_micro")
         )
         .where(F.col("psi_total_micro") < F.lit(int(drift_micro)))
-    )
-    return docs.join(kept, "source").select(
-        "doc_id", "lang", "source", "psi_total_micro"
     )
 
 
@@ -1012,47 +1022,39 @@ def corpus_curate_calibrated_frame(
     stage-count identity (n_docs = n_fail_quality + n_drift_dropped +
     n_dup_dropped + n_kept) independently of the corpus slice."""
     from ..caching import tracked_persist
-    from ..operators import dedup as dd_ops
     from ..operators.quality_ml import _p_micro_expr, fit_quality_logreg
-    from .llm_queries import _pairs_at_sweep_floor, _threshold_curve_frame
+    from .llm_queries import (
+        _choose_dedup_threshold,
+        _drops_at_threshold,
+        _pairs_at_sweep_floor,
+        _threshold_curve_frame,
+    )
 
-    feats, w, means, _n = fit_quality_logreg(docs, keep=("doc_id",))
+    # source rides the persisted feature frame (feature_frame's keep
+    # tuple) — no extra corpus-sized join just to recover it; the
+    # training aggregates never read it, so the weights are identical
+    feats, w, means, _n = fit_quality_logreg(
+        docs, keep=("doc_id", "source")
+    )
     qth, qmet = _choose_quality_point(
         quality_curve_frame(feats, w, means).collect(), floor_micro
     )  # bounded: one row per _CAL_THRESHOLDS sweep constant
-    kept_src = (
-        quality_psi_report(docs)
-        .groupBy("source")
-        .agg(
-            F.max("psi_total_micro").cast("long").alias("psi_total_micro")
-        )
-        .where(F.col("psi_total_micro") < F.lit(int(drift_micro)))
-        .select("source", F.lit(1).alias("_ok_src"))
-    )
+    kept_src = psi_kept_sources(
+        quality_psi_report(docs), drift_micro
+    ).select("source", F.lit(1).alias("_ok_src"))
     st = tracked_persist(_pairs_at_sweep_floor(docs))
     curve = {
         int(r["threshold_pct"]): r
         for r in _threshold_curve_frame(spark, st, docs).collect()
     }  # bounded: one row per sweep constant
-    within = [
-        t
-        for t in sorted(curve)
-        if int(curve[t]["drop_rate_ppm"]) <= int(budget_ppm)
-    ]
-    dth = within[0] if within else max(curve)
-    dwb = 1 if within else 0
-    drops = (
-        dd_ops.duplicate_clusters(
-            st.where(
-                F.lit(100) * F.col("ic") >= F.lit(int(dth)) * F.col("un")
-            ).select("i", "j")
-        )
-        .where(F.col("member") != F.col("cluster_id"))
-        .select(F.col("member").alias("doc_id"), F.lit(1).alias("_dup"))
+    dth, dwb = _choose_dedup_threshold(curve, budget_ppm)
+    drops = _drops_at_threshold(st, dth).select(
+        F.col("member").alias("doc_id"), F.lit(1).alias("_dup")
     )
     flags = (
-        feats.select("doc_id", _p_micro_expr(w, means).alias("p"))
-        .join(docs.select("doc_id", "source"), "doc_id")
+        feats.select(
+            "doc_id", "source", _p_micro_expr(w, means).alias("p")
+        )
         .join(kept_src, "source", "left")
         .join(drops, "doc_id", "left")
         # no hints: the source-verdict and drop-set sides are

@@ -2173,6 +2173,35 @@ def dedup_calibrated_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _choose_dedup_threshold(curve: dict, budget_ppm: int) -> tuple[int, int]:
+    """Driver-side twin of the apply oracle's ``chosen`` CTE: the
+    most aggressive (lowest) sweep threshold whose curve drop rate
+    fits the budget, with the most-conservative fallback and the
+    within_budget flag. Shared by the calibrate->apply frame and the
+    calibrated-curation capstone so the two cannot disagree on the
+    operating point (the ``_choose_quality_point``/``_choose_nprobe``
+    contract)."""
+    within = [
+        t
+        for t in sorted(curve)
+        if int(curve[t]["drop_rate_ppm"]) <= int(budget_ppm)
+    ]
+    return (within[0] if within else max(curve), 1 if within else 0)
+
+
+def _drops_at_threshold(st: DataFrame, threshold_pct: int) -> DataFrame:
+    """Cluster-closure non-keepers of the sweep-floor pair frame at
+    one threshold — (member, cluster_id) rows with member !=
+    cluster_id. ONE definition of the production drop set, shared by
+    the calibrate->apply frame and the capstone."""
+    return dd.duplicate_clusters(
+        st.where(
+            F.lit(100) * F.col("ic")
+            >= F.lit(int(threshold_pct)) * F.col("un")
+        ).select("i", "j")
+    ).where(F.col("member") != F.col("cluster_id"))
+
+
 def dedup_calibrated_apply_frame(
     spark: SparkSession,
     st: DataFrame,
@@ -2190,28 +2219,15 @@ def dedup_calibrated_apply_frame(
         int(r["threshold_pct"]): r
         for r in _threshold_curve_frame(spark, st, docs).collect()
     }  # bounded: one row per sweep constant
-    within = [
-        t
-        for t in sorted(curve)
-        if int(curve[t]["drop_rate_ppm"]) <= int(budget_ppm)
-    ]
-    chosen = within[0] if within else max(curve)
+    chosen, _wb = _choose_dedup_threshold(curve, budget_ppm)
     cv = curve[chosen]
     n_docs = int(cv["n_docs"])
-    drops = dd.duplicate_clusters(
-        st.where(
-            F.lit(100) * F.col("ic") >= F.lit(int(chosen)) * F.col("un")
-        ).select("i", "j")
-    ).where(F.col("member") != F.col("cluster_id"))
+    drops = _drops_at_threshold(st, chosen)
     return drops.agg(
         F.count(F.lit(1)).cast("long").alias("apply_n_dropped")
     ).select(
         F.lit(int(chosen)).cast("long").alias("chosen_threshold_pct"),
-        F.lit(
-            1 if int(cv["drop_rate_ppm"]) <= int(budget_ppm) else 0
-        )
-        .cast("long")
-        .alias("within_budget"),
+        F.lit(int(_wb)).cast("long").alias("within_budget"),
         F.lit(n_docs).cast("long").alias("n_docs"),
         F.lit(int(cv["n_pairs"])).cast("long").alias("curve_n_pairs"),
         F.lit(int(cv["n_dropped"]))

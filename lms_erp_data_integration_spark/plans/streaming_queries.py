@@ -946,32 +946,36 @@ def _run_dedup_lifecycle(
                 F.array_intersect(F.col("_sh_i"), F.col("_sh_j"))
             )
             union = F.size("_sh_i") + F.size("_sh_j") - inter
-            # slim (new_id, index_id) hit relation, persisted once for
-            # the two derivations below. In normal operation batch ids
-            # never intersect index ids (disjoint residue classes), so
-            # self_ids is empty and the anti-join is a no-op. On an
+            # Committed-id overlap: batch ids already present in the
+            # index's set rows. In normal operation batch ids never
+            # intersect index ids (disjoint residue classes), so this
+            # is empty and the anti-joins below are no-ops. On an
             # at-least-once REPLAY whose first attempt died after the
             # state checkpoint (r11 ADVICE #2), this batch's committed
-            # keepers sit in the index under their own ids — each one
-            # self-collides in every band (identical shingle set =>
-            # identical signature) at Jaccard 1.0, so self_ids is
-            # exactly the committed-keeper set, and excluding ALL hits
-            # against those entries makes the probe see the index the
-            # ORIGINAL attempt saw: every downstream count reproduces
+            # keepers sit in the index under their own ids, and the
+            # id overlap detects EVERY one of them — including keepers
+            # whose shingle set is empty (docs shorter than shingle_n
+            # tokens carry a set row but no postings, so the earlier
+            # band-self-collision detection missed an all-empty-keeper
+            # batch and double-appended it). Excluding ALL hits
+            # against committed entries makes the probe see the index
+            # the ORIGINAL attempt saw: every count reproduces
             # bit-identically.
+            committed = (
+                bsets.select("doc_id")
+                .join(_sets_view(state["frame"]).select("doc_id"), "doc_id")
+                .select(F.col("doc_id").alias("index_id"))
+                .distinct()
+            )
+            # slim (new_id, index_id) hit relation, persisted once
             probe = (
                 bn.join(_postings_view(state["frame"]), ["band", "band_key"])
                 .where((inter / union) >= 0.8)
                 .select("new_id", "index_id")
                 .persist()
             )
-            self_ids = (
-                probe.where(F.col("new_id") == F.col("index_id"))
-                .select("index_id")
-                .distinct()
-            )
             matched = (
-                probe.join(self_ids, "index_id", "left_anti")
+                probe.join(committed, "index_id", "left_anti")
                 .select(F.col("new_id").alias("doc_id"))
                 .distinct()
                 .persist()
@@ -1003,7 +1007,7 @@ def _run_dedup_lifecycle(
                     "left",
                 )
                 .join(
-                    self_ids.select(
+                    committed.select(
                         F.col("index_id").alias("doc_id")
                     ).withColumn("_r", F.lit(1)),
                     "doc_id",
@@ -1037,7 +1041,7 @@ def _run_dedup_lifecycle(
                 # REPLAY in the non-atomic window: the first attempt
                 # checkpointed the state union but died before
                 # results[k] landed. The keepers are already in the
-                # index (detected by their exact-id self-collisions),
+                # index (detected by the committed-id overlap),
                 # the probe above already excluded their entries so
                 # every count reproduces the original attempt — heal
                 # the in-memory size from the committed frame (the n
@@ -1369,21 +1373,17 @@ def stream_quality_psi_gate_frame(
     tests can drive a data-derived mid line — at tiny slices every
     small source reads over the production constant and the retained
     set is legitimately empty."""
-    from .curation_queries import PSI_DRIFT_MICRO
+    from .curation_queries import PSI_DRIFT_MICRO, psi_kept_sources
 
     if drift_micro is None:
         drift_micro = PSI_DRIFT_MICRO
-    kept = (
-        _stream_psi_report(spark, sf_dir)
-        .groupBy("source")
-        .agg(
-            F.max("psi_total_micro").cast("long").alias("psi_total_micro")
-        )
-        .where(F.col("psi_total_micro") < F.lit(int(drift_micro)))
-        .localCheckpoint(eager=True)  # sources-sized verdict frame;
-        # checkpointed so the second stream's static side does not
-        # re-run the monitor per micro-batch
-    )
+    kept = psi_kept_sources(
+        _stream_psi_report(spark, sf_dir), drift_micro
+    ).localCheckpoint(eager=True)  # sources-sized verdict frame;
+    # checkpointed so the second stream's static side does not
+    # re-run the monitor per micro-batch; the reduction itself is the
+    # shared psi_kept_sources — the batch gate, the capstone and this
+    # twin cannot disagree on the kept set
     arriving = documents_stream(spark, sf_dir)
     out = arriving.join(kept, "source").select(
         "doc_id", "lang", "source", "psi_total_micro"

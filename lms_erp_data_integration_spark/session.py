@@ -23,10 +23,20 @@ def _max_result_size_mb(driver_mem: str) -> int:
     heap: heap/6 capped at 8 GiB (the measured hot-shingle broadcast
     decompression headroom) and floored at Spark's stock 1 GiB — so a
     4g driver keeps the 1g fail-fast guard instead of inheriting an
-    8g ceiling its heap can't honor (r11 ADVICE #1)."""
+    8g ceiling its heap can't honor (r11 ADVICE #1). Accepts every
+    suffix form Spark's JavaUtils does (k/m/g/t and kb/mb/gb/tb,
+    any case) plus a bare byte count; anything unparseable falls
+    back to the stock 1 GiB floor rather than failing the session."""
     s = driver_mem.strip().lower()
-    unit = _MEM_UNIT_MB.get(s[-1], None)
-    heap_mb = float(s[:-1]) * unit if unit else float(s) / (1024 * 1024)
+    if s.endswith("b") and len(s) > 1 and s[-2] in _MEM_UNIT_MB:
+        s = s[:-1]  # gb -> g, mb -> m, kb -> k, tb -> t
+    try:
+        unit = _MEM_UNIT_MB.get(s[-1]) if s else None
+        heap_mb = (
+            float(s[:-1]) * unit if unit else float(s) / (1024 * 1024)
+        )
+    except (ValueError, IndexError):
+        heap_mb = 6 * 1024.0  # unparseable: keep the stock 1g guard
     return int(min(8 * 1024, max(1024, heap_mb // 6)))
 
 

@@ -49,3 +49,23 @@ EXPECTED = {
 def test_table_schema(spark, sf_dir, table):
     got = Catalog(spark, sf_dir).table(table).schema.simpleString()
     assert got == EXPECTED[table], f"{table}: {got}"
+
+
+def test_max_result_size_mb_accepts_all_spark_suffix_forms():
+    """Spark's JavaUtils accepts k/m/g/t AND kb/mb/gb/tb (any case)
+    for spark.driver.memory; the maxResultSize derivation must parse
+    every form it passes through, and fall back to the stock 1 GiB
+    guard — never crash the session build — on unparseable input."""
+    from lms_erp_data_integration_spark.session import _max_result_size_mb
+
+    assert _max_result_size_mb("48g") == 8 * 1024          # capped
+    assert _max_result_size_mb("48gb") == 8 * 1024         # two-letter
+    assert _max_result_size_mb("48GB") == 8 * 1024         # any case
+    assert _max_result_size_mb("12g") == 2 * 1024          # heap/6
+    assert _max_result_size_mb("12288m") == 2 * 1024
+    assert _max_result_size_mb("12288mb") == 2 * 1024
+    assert _max_result_size_mb("4g") == 1024               # floored
+    assert _max_result_size_mb(str(12 * 1024**3)) == 2 * 1024  # bytes
+    assert _max_result_size_mb("") == 1024                 # fallback
+    assert _max_result_size_mb("oops") == 1024             # fallback
+    assert _max_result_size_mb("b") == 1024                # fallback

@@ -308,7 +308,7 @@ def test_dedup_lifecycle_replay_after_commit_reproduces_counts(spark):
     checkpoint but BEFORE its results entry landed. The retried stage
     must reproduce the original counts bit-identically (the probe
     excludes the committed keepers' index entries, detected by their
-    exact-id band self-collisions) and must NOT re-append keeper rows
+    committed-id overlap) and must NOT re-append keeper rows
     to the index."""
     from lms_erp_data_integration_spark.plans.streaming_queries import (
         _run_dedup_lifecycle,
@@ -413,3 +413,47 @@ def test_stream_sim_ivf_search_equals_batch_search(spark, sf_dir):
         ).collect()
     }
     assert got == want and got
+
+
+def test_dedup_lifecycle_replay_all_empty_shingle_keepers(spark):
+    """Regression (r12 review): a replayed batch whose committed
+    keepers ALL have empty shingle sets (docs shorter than shingle_n
+    tokens carry a set row but NO postings) used to evade the
+    band-self-collision replay detection and re-append every keeper.
+    The committed-id overlap detection must catch it: counts
+    reproduce and the final index carries each keeper exactly once."""
+    from lms_erp_data_integration_spark.plans.streaming_queries import (
+        _run_dedup_lifecycle,
+    )
+
+    base = (
+        Catalog(spark, "/root/testdata/sf0.001")
+        .documents.select("doc_id", "text")
+    )
+    # residue class 2 (mod 4): replace every doc's text with a
+    # two-token string -> empty 3-shingle set -> no postings, always
+    # a keeper; other classes keep their real text
+    docs = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 2, F.lit("a b"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).localCheckpoint(eager=True)
+
+    rows_plain, final_plain, _ = _run_dedup_lifecycle(spark, docs)
+    rows_replay, final_replay, _ = _run_dedup_lifecycle(
+        spark, docs, replay_stage=2
+    )
+    assert rows_replay == rows_plain
+    # stage 2's keepers are exactly its inputs (nothing can match or
+    # pair without shingles)
+    by_stage = {r[0]: r for r in rows_plain}
+    assert by_stage[2][5] == by_stage[2][2] and by_stage[2][2] > 0
+    ids_plain = {r.doc_id for r in final_plain.select("doc_id").collect()}
+    ids_replay = {
+        r.doc_id for r in final_replay.select("doc_id").collect()
+    }
+    assert ids_replay == ids_plain
+    # multiplicity: a double-append keeps the id SET equal while
+    # duplicating rows
+    assert final_replay.count() == len(ids_plain)
