@@ -163,3 +163,29 @@ def test_entry_points_expose_registry():
     # every oracle key has a query
     dangling = [n for n in entry_mod.oracle_sql() if n not in qs]
     assert not dangling
+
+
+def test_probe_lists_reference_registered_queries_only():
+    """Probe-list integrity (r11 incident class: a probe-list edit
+    via text replace once silently dropped list members): every
+    PROBE_QUERIES / DECADE2_QUERIES entry must name a registered
+    query, and every decade-2 target must also be a decade-1 probe —
+    an unregistered or orphaned name would make the probe run skip
+    the row silently instead of failing loudly."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe", os.path.join(repo, "scripts", "scale_probe.py")
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+
+    assert not [q for q in sp.PROBE_QUERIES if q not in plans.QUERIES]
+    assert not [q for q in sp.DECADE2_QUERIES if q not in plans.QUERIES]
+    assert not [
+        q for q in sp.DECADE2_QUERIES if q not in sp.PROBE_QUERIES
+    ]
+    assert len(set(sp.PROBE_QUERIES)) == len(sp.PROBE_QUERIES)
+    assert len(set(sp.DECADE2_QUERIES)) == len(sp.DECADE2_QUERIES)
