@@ -435,7 +435,13 @@ def _write_rice(bw: _BitWriter, resid: list[int], order: int, plen: int = 4) -> 
 def _lpc_coeffs(block: list[int], order: int, precision: int = 12):
     """Levinson-Durbin on the block autocorrelation, quantized to
     ``precision``-bit integers with a common shift."""
-    x = np.asarray(block, np.float64)
+    # int64 autocorrelation: float np.dot is a BLAS reduction whose
+    # summation order is CPU-dispatch-dependent — for loud 24-bit
+    # blocks the partial sums pass 2^53 and the lsb becomes
+    # host-dependent, flipping LPC quantization (and thus the encoded
+    # bytes) between executors. Integer dot is numpy's own exact loop;
+    # products*n stay under 2^63 through 24-bit x 4096-sample blocks.
+    x = np.asarray(block, np.int64)
     n = len(x)
     if n <= order:
         return None

@@ -69,6 +69,20 @@ for _u in range(8):
     for _x in range(8):
         _M[_u, _x] = _a / 2 * np.cos((2 * _x + 1) * _u * np.pi / 16)
 
+# Fixed-point integer DCT basis (scale 2^13), used for BOTH the FDCT
+# and the IDCT. A float64 ``@`` is a SIMD/FMA-dependent reduction: the
+# same stream decoded on different CPU generations can differ by one
+# ulp, and np.round / astype turns that into a different coefficient
+# or pixel whenever a value sits on a rounding boundary (the
+# llm_decode_pixel_checksums id-50 CRC flip the r8 driver caught, and
+# again between r11/r12 hosts). int64 matmul is exact and associative
+# — bit-identical on every executor of a heterogeneous fleet — the
+# same reproducibility argument as libjpeg's islow integer DCT.
+# Overflow bound (decode, hostile input): |coef*q| < 2^31, basis
+# < 2^12, so stage-2 partials < 8 * 2^45 * 2^12 = 2^61 < 2^63.
+_DCT_SHIFT = 13
+_MI = np.round(_M * (1 << _DCT_SHIFT)).astype(np.int64)
+
 # Annex K quantization tables (natural row-major order)
 _QT_LUMA = np.array(
     [
@@ -1088,7 +1102,14 @@ def _reconstruct(
         bh, bw = arr.shape[:2]
         nat = np.zeros((bh, bw, 8, 8), np.int64)
         nat[:, :, _ZZ_ROWS, _ZZ_COLS] = arr
-        px = _M.T @ (nat * q).astype(np.float64) @ _M
+        # fixed-point IDCT: exact int64 matmul (bit-identical across
+        # hosts — float matmul is a SIMD/FMA-dependent reduction; the
+        # r8 driver flip on llm_decode_pixel_checksums id 50 was one
+        # coefficient landing on such a boundary), then ONE
+        # deterministic int->float conversion and a power-of-two scale
+        px = (_MI.T @ (nat * q) @ _MI).astype(np.float64) / float(
+            1 << (2 * _DCT_SHIFT)
+        )
         plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         plane = plane[: c["ch"], : c["cw"]]
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -1096,12 +1117,15 @@ def _reconstruct(
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         out_planes.append(plane[:h, :w])
 
+    # np.rint before the int cast: sample reconstruction rounds to
+    # nearest (astype would truncate — a latent bug the float DCT's
+    # luck masked on exact-DC blocks). Elementwise, so deterministic.
     if len(out_planes) == 1:
-        y = np.clip(out_planes[0] + mid, 0, top)
+        y = np.clip(np.rint(out_planes[0] + mid), 0, top)
         return y.astype(dt)[..., None]
     if frame.get("rgb_direct"):
         rgb = np.stack([p + mid for p in out_planes], axis=-1)
-        return np.clip(rgb, 0, top).astype(dt)
+        return np.clip(np.rint(rgb), 0, top).astype(dt)
     y, cb, cr = (p + mid for p in out_planes)
     cb -= mid
     cr -= mid
@@ -1109,7 +1133,7 @@ def _reconstruct(
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(rgb, 0, top).astype(dt)
+    return np.clip(np.rint(rgb), 0, top).astype(dt)
 
 
 # ---------------------------------------------------------------- encode
@@ -1225,9 +1249,20 @@ def _plane_blocks(plane: np.ndarray) -> np.ndarray:
 
 
 def _fdct_quant(blocks: np.ndarray, qtab: np.ndarray) -> np.ndarray:
-    """Vectorized FDCT + quantize over a (by, bx, 8, 8) stack."""
-    f = _M @ blocks @ _M.T
-    return np.round(f / qtab).astype(np.int64)
+    """Vectorized FDCT + quantize over a (by, bx, 8, 8) stack.
+
+    Fixed-point: ``f`` is the true DCT scaled by 2^(2*_DCT_SHIFT) in
+    exact int64 (blocks are level-shifted integers), and the quantizer
+    divides by ``qtab`` on that rational with round-half-away — no
+    float reduction anywhere, so the coefficients are bit-identical on
+    every host."""
+    # np.rint is elementwise (deterministic); color-converted planes
+    # carry fractional samples, 8/12-bit gray planes are already exact
+    f = _MI @ np.rint(blocks).astype(np.int64) @ _MI.T
+    d = qtab.astype(np.int64) << (2 * _DCT_SHIFT)
+    return np.where(
+        f >= 0, (2 * f + d) // (2 * d), -((-2 * f + d) // (2 * d))
+    )
 
 
 def _color_planes(

@@ -2270,6 +2270,24 @@ def perceptual_hash(payload: bytes) -> int | None:
     return phash_pixels(px)
 
 
+# Fixed-point 32-point DCT-II basis for pHash (scale 2^13) — exact
+# int64 arithmetic so the hash is bit-identical on every host of a
+# heterogeneous executor fleet (same rationale as jpeg._MI).
+_PHASH_N = 32
+_PHASH_BI = np.round(
+    np.where(
+        np.arange(_PHASH_N)[:, None] == 0, 1 / np.sqrt(2), 1.0
+    )
+    * np.cos(
+        (2 * np.arange(_PHASH_N)[None, :] + 1)
+        * np.arange(_PHASH_N)[:, None]
+        * np.pi
+        / (2 * _PHASH_N)
+    )
+    * (1 << 13)
+).astype(np.int64)
+
+
 def phash_pixels(px: np.ndarray) -> int:
     """64-bit pHash of an already-decoded (H, W, C) raster — the
     pixel-level core of ``perceptual_hash``, exposed so decoded VIDEO
@@ -2291,14 +2309,14 @@ def phash_pixels(px: np.ndarray) -> int:
     cols = np.add.reduceat(rows / rcnt, xb, axis=1)
     ccnt = np.diff(np.append(xb, w))[None, :]
     small = cols / ccnt
-    # 32x32 DCT-II via the 8x8 basis generalized: build once per call
-    # (32x32 matmul — microseconds)
-    n = 32
-    u = np.arange(n)[:, None]
-    x = np.arange(n)[None, :]
-    basis = np.cos((2 * x + 1) * u * np.pi / (2 * n))
-    basis[0] *= 1 / np.sqrt(2)
-    d = basis @ small @ basis.T
+    # 32x32 DCT-II in fixed point: float ``@`` is a BLAS reduction
+    # whose rounding is CPU-dispatch-dependent, so a coefficient
+    # sitting next to the median could flip a hash bit between hosts
+    # (the jpeg12 id-50 class — see operators/jpeg.py:_MI). Bucket
+    # means are snapped to 1/256 grid elementwise (deterministic),
+    # then the DCT runs as exact int64 matmul: |small|<=255*256=2^16,
+    # basis<=2^13, stage-2 partials <= 32*2^34*2^13 = 2^52.
+    d = _PHASH_BI @ np.rint(small * 256.0).astype(np.int64) @ _PHASH_BI.T
     block = d[:8, :8].ravel()
     med = np.median(block[1:])  # skip DC: it is just mean brightness
     bits = block > med

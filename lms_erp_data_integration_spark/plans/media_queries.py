@@ -371,28 +371,27 @@ def _pixel_rows(ids) -> list[dict]:
     # intentional codec change
     """
 SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), 'png', CAST(133 AS BIGINT), CAST(4 AS BIGINT),
-   CAST(5 AS BIGINT), CAST(3 AS BIGINT), CAST(302040629 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST('png' AS VARCHAR), CAST(133 AS BIGINT), CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(3 AS BIGINT), CAST(302040629 AS BIGINT)),
   (1, 'png_i', 206, 7, 6, 3, 1191826467),
-  (2, 'jpeg', 1025, 10, 7, 3, 900072907),
+  (2, 'jpeg', 1022, 10, 7, 3, 1303101238),
   (3, 'gif', 248, 4, 8, 3, 2627054745),
   (4, 'tiff', 354, 7, 9, 3, 3760656964),
   (5, 'pnm', 313, 10, 10, 3, 167433302),
   (6, 'png', 211, 4, 11, 3, 2035333664),
   (7, 'png_i', 184, 7, 5, 3, 2328249974),
-  (8, 'jpeg', 979, 10, 6, 3, 518544634),
+  (8, 'jpeg', 981, 10, 6, 3, 1853650848),
   (9, 'gif', 246, 4, 7, 3, 1289101628),
   (10, 'tiff', 332, 7, 8, 3, 73762456),
   (11, 'pnm', 282, 10, 9, 3, 2230487362),
   (12, 'png', 198, 4, 10, 3, 4165442502),
   (13, 'png_i', 321, 7, 11, 3, 22684973),
-  (14, 'jpeg', 1012, 10, 5, 3, 269281904),
+  (14, 'jpeg', 1013, 10, 5, 3, 1047514336),
   (15, 'gif', 242, 4, 6, 3, 1733413688),
   (16, 'tiff', 308, 7, 7, 3, 2371697587),
   (17, 'pnm', 252, 10, 8, 3, 3472453583),
   (18, 'png', 185, 4, 9, 3, 2145153027),
   (19, 'png_i', 298, 7, 10, 3, 1946913871),
-  (20, 'jpeg', 1373, 10, 11, 3, 39004862),
+  (20, 'jpeg', 1375, 10, 11, 3, 1532692962),
   (21, 'gif', 239, 4, 5, 3, 3081674837),
   (22, 'tiff', 284, 7, 6, 3, 125636109),
   (23, 'pnm', 222, 10, 7, 3, 2708203307),
@@ -402,30 +401,30 @@ SELECT * FROM (VALUES
   (27, 'tiff_tiled', 4796, 34, 25, 3, 2599770881),
   (28, 'tiff_tiled', 650, 16, 26, 1, 2574825527),
   (29, 'tiff_tiled', 1979, 21, 27, 3, 4048868154),
-  (30, 'jpeg_arith', 350, 10, 17, 1, 269347071),
-  (31, 'jpeg_arith', 1074, 17, 18, 3, 1556219762),
-  (32, 'jpeg_arith', 789, 11, 19, 3, 1154603329),
-  (33, 'jpeg_arith', 334, 18, 9, 1, 3002422338),
-  (34, 'jpeg_arith', 455, 12, 10, 3, 1284519635),
-  (35, 'jpeg_arith', 1101, 19, 11, 3, 1585755788),
+  (30, 'jpeg_arith', 350, 10, 17, 1, 3745164620),
+  (31, 'jpeg_arith', 1068, 17, 18, 3, 84221391),
+  (32, 'jpeg_arith', 790, 11, 19, 3, 1561402792),
+  (33, 'jpeg_arith', 334, 18, 9, 1, 3617295482),
+  (34, 'jpeg_arith', 455, 12, 10, 3, 380617304),
+  (35, 'jpeg_arith', 1096, 19, 11, 3, 1961870652),
   (36, 'jpeg_lossless', 166, 10, 7, 1, 3958878314),
   (37, 'jpeg_lossless', 585, 15, 8, 3, 2382531046),
   (38, 'jpeg_lossless', 181, 9, 9, 1, 3842572368),
   (39, 'jpeg_lossless', 692, 14, 10, 3, 3324785416),
   (40, 'jpeg_lossless', 192, 8, 11, 1, 1294595814),
   (41, 'jpeg_lossless', 697, 13, 12, 3, 3096708290),
-  (42, 'jpeg_arith_prog', 345, 16, 14, 1, 795134671),
-  (43, 'jpeg_arith_prog', 898, 19, 15, 3, 77398477),
-  (44, 'jpeg_arith_prog', 682, 22, 16, 3, 3407053932),
-  (45, 'jpeg_arith_prog', 519, 25, 17, 1, 2550151901),
-  (46, 'jpeg_arith_prog', 589, 11, 18, 3, 215816135),
-  (47, 'jpeg_arith_prog', 1009, 14, 19, 3, 2679052247),
-  (48, 'jpeg12', 913, 15, 14, 1, 3553017373),
-  (49, 'jpeg12', 2819, 20, 15, 3, 1531271430),
-  (50, 'jpeg12', 965, 12, 16, 1, 619439275),
-  (51, 'jpeg12', 2772, 17, 17, 3, 939371539),
-  (52, 'jpeg12', 866, 9, 18, 1, 1673475466),
-  (53, 'jpeg12', 2809, 14, 19, 3, 3997106092),
+  (42, 'jpeg_arith_prog', 345, 16, 14, 1, 2114405455),
+  (43, 'jpeg_arith_prog', 901, 19, 15, 3, 4021160576),
+  (44, 'jpeg_arith_prog', 682, 22, 16, 3, 2433937771),
+  (45, 'jpeg_arith_prog', 518, 25, 17, 1, 3929470375),
+  (46, 'jpeg_arith_prog', 590, 11, 18, 3, 3884512524),
+  (47, 'jpeg_arith_prog', 1009, 14, 19, 3, 3315520893),
+  (48, 'jpeg12', 913, 15, 14, 1, 871743508),
+  (49, 'jpeg12', 2819, 20, 15, 3, 3678634773),
+  (50, 'jpeg12', 965, 12, 16, 1, 2638500597),
+  (51, 'jpeg12', 2771, 17, 17, 3, 1923201571),
+  (52, 'jpeg12', 866, 9, 18, 1, 3593233707),
+  (53, 'jpeg12', 2809, 14, 19, 3, 845289056),
   (54, 'qoi', 395, 18, 12, 3, 2545604476),
   (55, 'qoi', 603, 10, 13, 4, 1998668283),
   (56, 'qoi', 389, 13, 14, 3, 1321189785),
@@ -1074,16 +1073,14 @@ def _video_rows(ids) -> list[dict]:
     "llm_video_frame_stats",
     """
 SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
-   CAST(16 AS BIGINT), CAST(8 AS BIGINT), CAST(500 AS BIGINT),
-   CAST(2095567451 AS BIGINT)),
-  (1, 4, 4, 24, 16, 600, 384050024),
-  (2, 5, 5, 32, 8, 666, 357274385),
-  (3, 6, 6, 16, 16, 1250, 2302043108),
-  (4, 3, 3, 24, 8, 400, 1077237347),
-  (5, 4, 4, 32, 16, 499, 2175386667),
-  (6, 5, 5, 16, 8, 1000, 1811565628),
-  (7, 6, 6, 24, 16, 1000, 478724115)
+  (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(16 AS BIGINT), CAST(8 AS BIGINT), CAST(500 AS BIGINT), CAST(2936782930 AS BIGINT)),
+  (1, 4, 4, 24, 16, 600, 4159262582),
+  (2, 5, 5, 32, 8, 666, 3524704602),
+  (3, 6, 6, 16, 16, 1250, 924695305),
+  (4, 3, 3, 24, 8, 400, 2565567128),
+  (5, 4, 4, 32, 16, 499, 1674484812),
+  (6, 5, 5, 16, 8, 1000, 2569562802),
+  (7, 6, 6, 24, 16, 1000, 3570284818)
 ) AS t(video_id, n_frames, frames_decoded, width, height,
        dts_last_ms, pixels_crc32)
 """,
@@ -1176,16 +1173,14 @@ def _mux_codec_fixture(vid: int) -> bytes:
     "llm_video_codec_stats",
     """
 SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), CAST('raw' AS VARCHAR), CAST(3 AS BIGINT),
-   CAST(16 AS BIGINT), CAST(8 AS BIGINT), CAST(500 AS BIGINT),
-   CAST(6659364664 AS BIGINT)),
-  (1, 'MJPG', 4, 24, 16, 600, 6198423401),
+  (CAST(0 AS BIGINT), CAST('raw' AS VARCHAR), CAST(3 AS BIGINT), CAST(16 AS BIGINT), CAST(8 AS BIGINT), CAST(500 AS BIGINT), CAST(6659364664 AS BIGINT)),
+  (1, 'MJPG', 4, 24, 16, 600, 6612949530),
   (2, 'raw', 5, 32, 8, 666, 7294885029),
-  (3, 'MJPG', 6, 16, 16, 1250, 6122152986),
+  (3, 'MJPG', 6, 16, 16, 1250, 12106122364),
   (4, 'raw', 3, 24, 8, 400, 10633261190),
-  (5, 'MJPG', 4, 32, 16, 499, 9396022643),
+  (5, 'MJPG', 4, 32, 16, 499, 7417584520),
   (6, 'raw', 5, 16, 8, 1000, 15781340042),
-  (7, 'MJPG', 6, 24, 16, 1000, 10096676126),
+  (7, 'MJPG', 6, 24, 16, 1000, 19168781562),
   (8, 'rgb24', 3, 32, 8, 332, 6717079118),
   (9, 'rgb24', 4, 16, 16, 750, 8280422891),
   (10, 'rgb24', 5, 24, 8, 800, 9098864904),
