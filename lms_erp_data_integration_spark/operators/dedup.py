@@ -995,3 +995,186 @@ def memorization_spans(
             .alias("memorized_ppm"),
         )
     )
+
+
+# ------------------------------------------------------- line-level dedup
+
+# C4/MassiveText-style sub-document cleaning: a "line" is a
+# non-overlapping LINE_WINDOW-token window (the synthetic corpus has no
+# newline structure; real corpora would split on '\n' with the same
+# downstream plan). A line seen in >= LINE_MIN_DOCS distinct documents
+# is boilerplate (navigation chrome, cookie banners, licence headers)
+# and is removed from every document that carries it.
+LINE_WINDOW = 4
+LINE_MIN_DOCS = 3
+
+
+def line_windows(
+    df: DataFrame,
+    window: int = LINE_WINDOW,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, line_no, line): non-overlapping ``window``-token lines per
+    document; the ``len(w) % window`` tail tokens belong to no line.
+    Pure narrow explode — no shuffle."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.select(F.col(id_col), w.alias("_w"))
+        .where(F.size("_w") >= window)
+        .select(
+            id_col,
+            "_w",
+            F.explode(
+                F.sequence(
+                    F.lit(0), (F.size("_w") / window).cast("int") - 1
+                )
+            ).alias("line_no"),
+        )
+        .select(
+            id_col,
+            "line_no",
+            F.concat_ws(
+                " ", F.slice("_w", F.col("line_no") * window + 1, window)
+            ).alias("line"),
+        )
+    )
+
+
+def line_dedup_stats(
+    df: DataFrame,
+    window: int = LINE_WINDOW,
+    min_docs: int = LINE_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document line dedup (the C4 boilerplate-removal pass):
+    corpus-wide line frequency -> boilerplate set (lines in >=
+    ``min_docs`` distinct docs) -> per-document retention report.
+
+    Scale shape: ONE shuffle on the line key with map-side partial
+    aggregation builds the frequency table (at 100 TB this is the
+    classic C4 job; a production run would group on a 128-bit line
+    hash to keep shuffle rows narrow — kept as the raw string here so
+    the DuckDB oracle is bit-exact), then one line-key join back and
+    one per-doc aggregation. The boilerplate side is corpus-dependent,
+    so it is NOT broadcast-hinted (the r11 sf10 lesson); AQE promotes
+    it when it is genuinely small.
+
+    Output per document (exact integers only): token count, line
+    count, boilerplate-line occurrences dropped, and the token count
+    that survives (tail tokens always survive — they belong to no
+    line).
+    """
+    lines = tracked_persist(line_windows(df, window, id_col, text_col))
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+    dropped = (
+        lines.join(boiler, "line")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_ndrop"))
+    )
+    per_doc = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nl"))
+    base = df.select(
+        id_col,
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("_nl"), F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce(F.col("_ndrop"), F.lit(0))
+            .cast("long")
+            .alias("n_dropped_lines"),
+            (
+                F.col("n_tokens")
+                - window * F.coalesce(F.col("_ndrop"), F.lit(0))
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------------ takedown/retract
+
+# Deterministic takedown slice for the retract row: every doc whose id
+# is a multiple of RETRACT_MOD is removed (GDPR/takedown stand-in).
+# Chosen so the sf0.01 corpus exercises keeper-removal (re-admission),
+# non-keeper-removal, and untouched clusters.
+RETRACT_MOD = 29
+
+
+def retract_report(
+    docs: DataFrame,
+    clusters: DataFrame,
+    removed_mod: int = RETRACT_MOD,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Takedown propagation through a near-dup keeper policy: remove
+    the docs in the takedown slice, re-elect each cluster's keeper as
+    the min SURVIVING member, and report every document's status
+    transition — in particular the docs RE-ADMITTED to the corpus
+    because their keeper was taken down (the reverse edge of the
+    append/ingest lifecycle rows; without it a takedown silently
+    shrinks the corpus by the whole cluster, not just the removed doc).
+
+    ``clusters`` is a (member, cluster_id) frame (duplicate_clusters
+    output). Plan shape: one left join of the corpus ids against the
+    cluster membership (pair-graph-bounded, tiny next to the corpus),
+    one k-cluster-row aggregation for the surviving-min re-election,
+    one join back. No driver-side state, no broadcast hints.
+    """
+    m = (
+        docs.select(id_col)
+        .join(
+            clusters.withColumnRenamed("member", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias(
+                "cluster_id"
+            ),
+            F.col("cluster_id").isNotNull().alias("_in_graph"),
+            (F.col(id_col) % removed_mod == 0).alias("_removed"),
+        )
+    )
+    m = tracked_persist(m)
+    keeper_after = (
+        m.where(~F.col("_removed"))
+        .groupBy("cluster_id")
+        .agg(F.min(id_col).alias("_keeper_after"))
+    )
+    status_before = (
+        F.when(~F.col("_in_graph"), F.lit("unique"))
+        .when(F.col(id_col) == F.col("cluster_id"), F.lit("keeper"))
+        .otherwise(F.lit("dropped"))
+    )
+    status_after = (
+        F.when(F.col("_removed"), F.lit("removed"))
+        .when(~F.col("_in_graph"), F.lit("unique"))
+        .when(F.col(id_col) == F.col("_keeper_after"), F.lit("keeper"))
+        .otherwise(F.lit("dropped"))
+    )
+    return (
+        m.join(keeper_after, "cluster_id", "left")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            status_before.alias("status_before"),
+            status_after.alias("status_after"),
+            (
+                (status_before == F.lit("dropped"))
+                & (status_after == F.lit("keeper"))
+            ).alias("readmitted"),
+        )
+    )

@@ -27,9 +27,12 @@ from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 # rows whose mandatory corpus-proportional broadcast hints the r11
 # verdict-#2 plan audit removed (q2/q16/q17/q20/q21,
 # stream_static_enrich, rel_pagerank_parts — AQE still upgrades the
-# joins while the build sides are genuinely small) — then the FIFTEEN
-# r6 rows the r11 window displaced (finishing r6), then the whole r7
-# cohort (4) and the r8 cohort alphabetically (4 of 11) to fill 50.
+# joins while the build sides are genuinely small), plus the late-r12
+# additions: the line-dedup and takedown-retract rows and the two
+# DCT-family media rows re-pinned under the deterministic fixed-point
+# integer DCT (llm_video_codec_stats, also re-pinned, already sits in
+# the r7 cohort below) — then the FIFTEEN r6 rows the r11 window
+# displaced (finishing r6) and the whole r7 cohort (4) to fill 50.
 registry.PRIORITY = [
     # core reference surface — pinned every round
     "sync_missing_faculty_users",
@@ -87,6 +90,24 @@ registry.PRIORITY = [
     # checkpoint/results window — a retried stage excludes hits
     # against already-committed keepers and routes to record-only
     "stream_dedup_lifecycle",
+    # NEW in r12 (late): cross-document LINE dedup — the C4/
+    # MassiveText boilerplate pass (corpus-wide window-line
+    # frequency -> per-doc retention), the sub-document complement
+    # of the doc-level dedup family
+    "llm_line_dedup",
+    # NEW in r12 (late): takedown/retract propagation — keeper
+    # re-election over the shared _CLUSTERS_REACH component relation,
+    # re-admitting docs whose keeper was taken down (the DELETE edge
+    # of the dedup-index lifecycle)
+    "llm_dedup_retract",
+    # changed in r12 (late): the float-matmul DCT was replaced by an
+    # exact fixed-point int64 DCT (encode+decode) after the pinned
+    # jpeg12 CRC flipped BETWEEN driver hosts (SIMD/FMA-dependent
+    # reduction — the r8 hash_match:false on this row was the same
+    # class); DCT-family pins regenerated, lossless families
+    # untouched
+    "llm_decode_pixel_checksums",
+    "llm_video_frame_stats",
     # changed in r12 (r11 verdict #2): mandatory broadcast hints on
     # corpus-proportional build sides removed; AQE upgrades from
     # observed sizes
@@ -118,13 +139,10 @@ registry.PRIORITY = [
     "llm_video_codec_stats",
     "stream_warc_ingest",
     "sync_jdbc_mirror_roundtrip",
-    # r8 cohort, alphabetical fill to 50 (4 of 11; the remaining 7
-    # from llm_video_visual_dedup, plus the whole r9 cohort, spill to
-    # r13)
-    "llm_sketch_cms_heavy_hitters",
-    "llm_sketch_hll_distinct",
-    "llm_sketch_hll_rollup",
-    "llm_video_ipp_stats",
+    # (the r8 alphabetical fill — llm_sketch_cms_heavy_hitters,
+    # llm_sketch_hll_distinct, llm_sketch_hll_rollup,
+    # llm_video_ipp_stats — was displaced by the four late-r12
+    # rows above; all eleven remaining r8 rows spill to r13)
 ]
 
 # Round-11 driver-window rotation (HISTORICAL — superseded by the r12
@@ -234,10 +252,12 @@ _PRIORITY_R11 = [
 
 # r13 rotation plan (for the next round): keep the 8 sync rows pinned
 # and any r13-new/changed queries ahead of fillers, then FIRST the
-# SEVEN r8 rows this window displaced (llm_video_visual_dedup,
-# rel_bloom_semi_join, rel_quantile_sketch, rel_theta_setops,
-# stream_sketch_cms, stream_sketch_distinct, sync_pipeline_run_report
-# — finishing r8), then the SIX r9 rows
+# ELEVEN r8 rows this window displaced (llm_sketch_cms_heavy_hitters,
+# llm_sketch_hll_distinct, llm_sketch_hll_rollup,
+# llm_video_ipp_stats, llm_video_visual_dedup, rel_bloom_semi_join,
+# rel_quantile_sketch, rel_theta_setops, stream_sketch_cms,
+# stream_sketch_distinct, sync_pipeline_run_report — finishing r8),
+# then the SIX r9 rows
 # (llm_decontaminate_train, llm_dedup_index_compaction,
 # llm_emb_matryoshka_recall, llm_image_visual_dedup,
 # rel_quantile_sketch_audit, stream_dedup_ingest — finishing r9),

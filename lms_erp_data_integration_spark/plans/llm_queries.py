@@ -2241,3 +2241,99 @@ def dedup_calibrated_apply_frame(
         .cast("long")
         .alias("apply_drop_ppm"),
     )
+
+
+# ------------------------------------------------- line-level dedup (r12)
+
+@query(
+    "llm_line_dedup",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+lines AS (
+  SELECT doc_id,
+         array_to_string(
+           w[(i*{dd.LINE_WINDOW}+1):((i+1)*{dd.LINE_WINDOW})], ' ') AS line
+  FROM toks, unnest(range(0, len(w) // {dd.LINE_WINDOW})) AS t(i)),
+boiler AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING COUNT(DISTINCT doc_id) >= {dd.LINE_MIN_DOCS}),
+perdoc AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id),
+dropped AS (
+  SELECT doc_id, COUNT(*) AS n_dropped_lines
+  FROM lines JOIN boiler USING (line) GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(x.n_dropped_lines, 0) AS BIGINT) AS n_dropped_lines,
+       CAST(len(t.w) - {dd.LINE_WINDOW} * COALESCE(x.n_dropped_lines, 0)
+            AS BIGINT) AS kept_tokens
+FROM toks t
+LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+LEFT JOIN dropped x ON x.doc_id = t.doc_id
+""",
+)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document LINE dedup — the C4/MassiveText boilerplate
+    pass: corpus-wide frequency of non-overlapping
+    ``LINE_WINDOW``-token lines, lines present in >= ``LINE_MIN_DOCS``
+    distinct docs removed everywhere, per-doc retention report. The
+    sub-document complement of the doc-level dedup family (a doc
+    survives but its repeated navigation/licence lines do not). One
+    line-key shuffle with map-side partial aggregation + one join
+    back; no broadcast hints (boilerplate volume is corpus-dependent —
+    the r11 sf10 lesson)."""
+    return dd.line_dedup_stats(Catalog(spark, sf_dir).documents)
+
+
+# ---------------------------------------------- takedown retraction (r12)
+
+@query(
+    "llm_dedup_retract",
+    f"""
+{_CLUSTERS_REACH}
+),
+comp AS (
+  SELECT node AS member, least(node, MIN(target)) AS cluster_id
+  FROM reach GROUP BY node),
+m AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         c.member IS NOT NULL AS in_graph,
+         d.doc_id % {dd.RETRACT_MOD} = 0 AS removed
+  FROM documents d LEFT JOIN comp c ON c.member = d.doc_id),
+ka AS (
+  SELECT cluster_id, MIN(doc_id) AS keeper_after
+  FROM m WHERE NOT removed GROUP BY cluster_id),
+st AS (
+  SELECT m.doc_id, m.cluster_id,
+         CASE WHEN NOT m.in_graph THEN 'unique'
+              WHEN m.doc_id = m.cluster_id THEN 'keeper'
+              ELSE 'dropped' END AS status_before,
+         CASE WHEN m.removed THEN 'removed'
+              WHEN NOT m.in_graph THEN 'unique'
+              WHEN m.doc_id = k.keeper_after THEN 'keeper'
+              ELSE 'dropped' END AS status_after
+  FROM m LEFT JOIN ka k ON k.cluster_id = m.cluster_id)
+SELECT doc_id, cluster_id, status_before, status_after,
+       status_before = 'dropped' AND status_after = 'keeper' AS readmitted
+FROM st
+""",
+)
+def dedup_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown/retract propagation through the near-dup keeper
+    policy (the DELETE edge of the dedup-index lifecycle; the
+    append/ingest/compaction rows cover the other direction). Remove
+    the deterministic takedown slice (doc_id % RETRACT_MOD = 0),
+    re-elect each cluster's keeper as the min surviving member, and
+    report every doc's status transition — ``readmitted`` marks docs
+    the plain apply step had dropped whose keeper was taken down;
+    without this pass a takedown silently loses the whole cluster.
+    Cluster relation = the same exact-Jaccard component pass as
+    ``llm_dedup_clusters`` (shared ``_CLUSTERS_REACH`` oracle
+    prelude); the retract layer adds one membership left join, one
+    k-cluster-row re-election aggregate, one join back."""
+    docs = Catalog(spark, sf_dir).documents
+    pairs = dd.ngram_jaccard_duplicates(docs, threshold=0.8, shingle_n=3)
+    clusters = dd.duplicate_clusters(pairs.select("i", "j"))
+    return dd.retract_report(docs, clusters)

@@ -188,6 +188,13 @@ PROBE_QUERIES = [
     # r12 (late): the streaming ANN serving twin — curve cost +
     # stateless per-query probe/score stream pass + batch top-k merge
     "stream_sim_ivf_search",
+    # r12 (late): cross-document line dedup (ONE line-key shuffle
+    # with map-side combine + one join back — the C4 boilerplate job;
+    # expected near-linear, the frequency table is the data-sized
+    # term) and takedown retraction (the component pass + a
+    # k-cluster-row re-election aggregate)
+    "llm_line_dedup",
+    "llm_dedup_retract",
 ]
 
 

@@ -3656,3 +3656,100 @@ def test_ivf_calibrated_search_both_decision_branches(spark, sf_dir):
     )
     hits = [int(r["hits"]) for r in curve]
     assert hits == sorted(hits)
+
+
+# ------------------------------------------------- line-level dedup (r12)
+
+
+def test_line_windows_alignment_and_tail(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h x"), (2, "u v w")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["line_no"]): r["line"]
+        for r in dd.line_windows(df, window=4).collect()
+    }
+    # 9 tokens -> two aligned lines, the tail token belongs to none;
+    # a 3-token doc emits no lines at all
+    assert got == {(1, 0): "a b c d", (1, 1): "e f g h"}
+
+
+def test_line_dedup_stats_boilerplate_removal(spark):
+    rows = [
+        (1, "a b c d w x y z"),       # boilerplate at line 0
+        (2, "a b c d p q r s t"),     # boilerplate + 1 tail token
+        (3, "m n o p a b c d"),       # boilerplate at line 1
+        (4, "x a b c d e f g"),       # misaligned -> NOT a line hit
+        (5, "u v w"),                 # too short for any line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_lines"],
+            r["n_dropped_lines"],
+            r["kept_tokens"],
+        )
+        for r in dd.line_dedup_stats(df, window=4, min_docs=3).collect()
+    }
+    assert out == {
+        1: (8, 2, 1, 4),
+        2: (9, 2, 1, 5),
+        3: (8, 2, 1, 4),
+        4: (8, 2, 0, 8),
+        5: (3, 0, 0, 3),
+    }
+
+
+def test_line_dedup_below_min_docs_survives(spark):
+    # the shared line sits in only two docs; min_docs=3 keeps it
+    rows = [(1, "a b c d"), (2, "a b c d"), (3, "e f g h")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["n_dropped_lines"]
+        for r in dd.line_dedup_stats(df, window=4, min_docs=3).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 0}
+    out2 = {
+        r["doc_id"]: r["n_dropped_lines"]
+        for r in dd.line_dedup_stats(df, window=4, min_docs=2).collect()
+    }
+    assert out2 == {1: 1, 2: 1, 3: 0}
+
+
+# ---------------------------------------------- takedown retraction (r12)
+
+
+def test_retract_report_all_transitions(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in (5, 7, 8, 10, 14, 15, 21, 28, 35)], "doc_id long"
+    )
+    clusters = spark.createDataFrame(
+        [
+            (7, 7), (8, 7), (10, 7),   # keeper 7 removed -> 8 re-elected
+            (15, 15), (21, 15),        # non-keeper 21 removed
+            (14, 14), (28, 14),        # whole cluster removed
+        ],
+        "member long, cluster_id long",
+    )
+    out = {
+        r["doc_id"]: (
+            r["cluster_id"],
+            r["status_before"],
+            r["status_after"],
+            r["readmitted"],
+        )
+        for r in dd.retract_report(docs, clusters, removed_mod=7).collect()
+    }
+    assert out == {
+        5: (5, "unique", "unique", False),
+        7: (7, "keeper", "removed", False),
+        8: (7, "dropped", "keeper", True),
+        10: (7, "dropped", "dropped", False),
+        14: (14, "keeper", "removed", False),
+        15: (15, "keeper", "keeper", False),
+        21: (15, "dropped", "removed", False),
+        28: (14, "dropped", "removed", False),
+        35: (35, "unique", "removed", False),
+    }
