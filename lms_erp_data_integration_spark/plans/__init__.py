@@ -108,6 +108,11 @@ registry.PRIORITY = [
     # untouched
     "llm_decode_pixel_checksums",
     "llm_video_frame_stats",
+    # NEW in r12 (late): the line-dedup INGEST twin — batch-learned
+    # boilerplate set checkpointed, stateless line explode +
+    # stream-static flag join on the document stream, per-doc report
+    # as a batch merge over the append sink; shares the batch oracle
+    "stream_line_dedup",
     # changed in r12 (r11 verdict #2): mandatory broadcast hints on
     # corpus-proportional build sides removed; AQE upgrades from
     # observed sizes
@@ -134,11 +139,12 @@ registry.PRIORITY = [
     "rel_resample_ffill",
     "rel_rollup_revenue",
     "rel_running_total_per_user",
-    # r7 cohort, alphabetical (all 4)
+    # r7 cohort, alphabetical (3 of 4; sync_jdbc_mirror_roundtrip was
+    # displaced by the late-r12 stream_line_dedup twin and spills to
+    # r13 ahead of the r8 rows)
     "llm_quality_classifier",
     "llm_video_codec_stats",
     "stream_warc_ingest",
-    "sync_jdbc_mirror_roundtrip",
     # (the r8 alphabetical fill — llm_sketch_cms_heavy_hitters,
     # llm_sketch_hll_distinct, llm_sketch_hll_rollup,
     # llm_video_ipp_stats — was displaced by the four late-r12
@@ -251,7 +257,8 @@ _PRIORITY_R11 = [
 ]
 
 # r13 rotation plan (for the next round): keep the 8 sync rows pinned
-# and any r13-new/changed queries ahead of fillers, then FIRST the
+# and any r13-new/changed queries ahead of fillers, then the displaced
+# r7 row (sync_jdbc_mirror_roundtrip — finishing r7), then the
 # ELEVEN r8 rows this window displaced (llm_sketch_cms_heavy_hitters,
 # llm_sketch_hll_distinct, llm_sketch_hll_rollup,
 # llm_video_ipp_stats, llm_video_visual_dedup, rel_bloom_semi_join,

@@ -2245,9 +2245,10 @@ def dedup_calibrated_apply_frame(
 
 # ------------------------------------------------- line-level dedup (r12)
 
-@query(
-    "llm_line_dedup",
-    rf"""
+# Shared by the batch row and the streaming ingest twin
+# (stream_line_dedup): on a bounded stream the per-doc retention
+# report must equal the batch answer bit-for-bit.
+_LINE_DEDUP_ORACLE = rf"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
 lines AS (
@@ -2271,8 +2272,10 @@ SELECT t.doc_id,
 FROM toks t
 LEFT JOIN perdoc p ON p.doc_id = t.doc_id
 LEFT JOIN dropped x ON x.doc_id = t.doc_id
-""",
-)
+"""
+
+
+@query("llm_line_dedup", _LINE_DEDUP_ORACLE)
 def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document LINE dedup — the C4/MassiveText boilerplate
     pass: corpus-wide frequency of non-overlapping

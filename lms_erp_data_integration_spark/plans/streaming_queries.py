@@ -1493,3 +1493,88 @@ def stream_sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(int(met)).cast("long").alias("met_target"),
         )
     )
+
+
+from .llm_queries import _LINE_DEDUP_ORACLE  # noqa: E402  (the batch line-dedup oracle the streaming ingest twin shares; llm_queries imports nothing from this module, so the early import is cycle-free)
+
+
+@query(
+    "stream_line_dedup",
+    # shares the batch llm_line_dedup oracle: a bounded document
+    # stream cleaned against the learned boilerplate set must
+    # reproduce the batch per-doc retention report bit-for-bit
+    _LINE_DEDUP_ORACLE,
+)
+def stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING form of ``llm_line_dedup`` — boilerplate-line
+    removal where it actually runs in production: the corpus-wide
+    line-frequency pass learns the boilerplate set at monitor
+    cadence, and the document INGEST stream is cleaned against it.
+    The boilerplate frame is batch-derived and checkpointed (it is
+    corpus-dependent and unbounded, so it is neither collected,
+    broadcast-hinted, nor baked into literals — the r11 hot-shingle
+    lesson); every arriving document's window-lines come from a
+    STATELESS narrow explode (``line_windows`` — split, sequence
+    explode, slice; no window, no watermark), and each line is
+    flagged via one STREAM-STATIC left join probe against the
+    boilerplate set. Flagged line rows land in the append-mode sink;
+    the per-document retention report is a BATCH aggregate over the
+    sink joined to the static corpus's token counts (the
+    ``stream_sim_ivf_search`` batch-merge precedent: per-doc counts
+    are corpus-proportional, exactly what must never accumulate in a
+    state store — documents shorter than one line never reach the
+    sink and enter through the static base frame with zero counts).
+
+    Scale posture: per arriving document the stream does one narrow
+    explode + |lines| join probes — no streaming state at all; the
+    static side is one checkpointed aggregate refreshed per cadence.
+    Oracle: shares the batch row's SQL."""
+    from ..catalog import Catalog
+    from ..operators import dedup as dd
+
+    docs = Catalog(spark, sf_dir).documents
+    boiler = (
+        dd.line_windows(docs)
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= dd.LINE_MIN_DOCS)
+        .select("line", F.lit(1).alias("_hit"))
+        .localCheckpoint(eager=True)
+    )
+    arriving = documents_stream(spark, sf_dir)
+    flagged = (
+        dd.line_windows(arriving)
+        .join(boiler, "line", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"),
+        )
+    )
+    sunk = run_to_memory_sink(
+        flagged, f"stream_line_dedup_{next(_SINK_SEQ)}", mode="append"
+    )  # stateless flag pass: append emits every line row as it
+    # arrives; nothing is windowed, so nothing is ever held back
+    per_doc = sunk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_nl"),
+        F.sum("hit").alias("_ndrop"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("_nl"), F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce(F.col("_ndrop"), F.lit(0))
+        .cast("long")
+        .alias("n_dropped_lines"),
+        (
+            F.col("n_tokens")
+            - dd.LINE_WINDOW * F.coalesce(F.col("_ndrop"), F.lit(0))
+        )
+        .cast("long")
+        .alias("kept_tokens"),
+    )

@@ -195,6 +195,10 @@ PROBE_QUERIES = [
     # k-cluster-row re-election aggregate)
     "llm_line_dedup",
     "llm_dedup_retract",
+    # r12 (late): the line-dedup ingest twin — the batch frequency
+    # pass (checkpointed) + one stateless stream pass of flag probes
+    # + the batch per-doc merge over the append sink
+    "stream_line_dedup",
 ]
 
 

@@ -457,3 +457,35 @@ def test_dedup_lifecycle_replay_all_empty_shingle_keepers(spark):
     # multiplicity: a double-append keeps the id SET equal while
     # duplicating rows
     assert final_replay.count() == len(ids_plain)
+
+
+def test_stream_line_dedup_equals_batch(spark, sf_dir):
+    """The ingest twin must reproduce the batch per-doc retention
+    report bit-for-bit on a bounded stream (shared-oracle contract)."""
+    from lms_erp_data_integration_spark.operators import dedup as dd
+    from lms_erp_data_integration_spark.catalog import Catalog
+    from lms_erp_data_integration_spark.plans.streaming_queries import (
+        stream_line_dedup,
+    )
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_lines"],
+            r["n_dropped_lines"],
+            r["kept_tokens"],
+        )
+        for r in stream_line_dedup(spark, sf_dir).collect()
+    }
+    want = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_lines"],
+            r["n_dropped_lines"],
+            r["kept_tokens"],
+        )
+        for r in dd.line_dedup_stats(
+            Catalog(spark, sf_dir).documents
+        ).collect()
+    }
+    assert got == want and len(got) > 0
