@@ -1041,6 +1041,58 @@ def line_windows(
     )
 
 
+def boilerplate_lines(
+    lines: DataFrame,
+    min_docs: int = LINE_MIN_DOCS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate set over a ``line_windows`` frame:
+    the distinct lines present in >= ``min_docs`` distinct documents.
+    ONE definition shared by the batch row and the streaming ingest
+    twin — the two must agree on the set bit-for-bit."""
+    return (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+
+
+def line_retention_report(
+    df: DataFrame,
+    counts: DataFrame,
+    window: int = LINE_WINDOW,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document retention report from a (id, _nl, _ndrop) counts
+    frame: left-join the corpus token counts and derive kept tokens
+    (tail tokens always survive — they belong to no line). ONE
+    definition of the report arithmetic, shared by the batch row and
+    the streaming twin; documents too short for any line are absent
+    from ``counts`` and enter here with zero counts."""
+    base = df.select(
+        id_col,
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return base.join(counts, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("_nl"), F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce(F.col("_ndrop"), F.lit(0))
+        .cast("long")
+        .alias("n_dropped_lines"),
+        (
+            F.col("n_tokens")
+            - window * F.coalesce(F.col("_ndrop"), F.lit(0))
+        )
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
 def line_dedup_stats(
     df: DataFrame,
     window: int = LINE_WINDOW,
@@ -1067,42 +1119,15 @@ def line_dedup_stats(
     line).
     """
     lines = tracked_persist(line_windows(df, window, id_col, text_col))
-    boiler = (
-        lines.groupBy("line")
-        .agg(F.countDistinct(id_col).alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
-        .select("line")
-    )
+    boiler = boilerplate_lines(lines, min_docs, id_col)
     dropped = (
         lines.join(boiler, "line")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("_ndrop"))
     )
     per_doc = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nl"))
-    base = df.select(
-        id_col,
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-        .cast("long")
-        .alias("n_tokens"),
-    )
-    return (
-        base.join(per_doc, id_col, "left")
-        .join(dropped, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            F.coalesce(F.col("_nl"), F.lit(0)).cast("long").alias("n_lines"),
-            F.coalesce(F.col("_ndrop"), F.lit(0))
-            .cast("long")
-            .alias("n_dropped_lines"),
-            (
-                F.col("n_tokens")
-                - window * F.coalesce(F.col("_ndrop"), F.lit(0))
-            )
-            .cast("long")
-            .alias("kept_tokens"),
-        )
-    )
+    counts = per_doc.join(dropped, id_col, "left")
+    return line_retention_report(df, counts, window, id_col, text_col)
 
 
 # ------------------------------------------------------ takedown/retract

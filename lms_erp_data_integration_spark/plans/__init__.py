@@ -31,8 +31,9 @@ from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 # additions: the line-dedup and takedown-retract rows and the two
 # DCT-family media rows re-pinned under the deterministic fixed-point
 # integer DCT (llm_video_codec_stats, also re-pinned, already sits in
-# the r7 cohort below) — then the FIFTEEN r6 rows the r11 window
-# displaced (finishing r6) and the whole r7 cohort (4) to fill 50.
+# the r7 cohort below) and the line-dedup ingest twin — then the
+# FIFTEEN r6 rows the r11 window displaced (finishing r6) and the r7
+# cohort (3 of 4; sync_jdbc_mirror_roundtrip spills to r13) to fill 50.
 registry.PRIORITY = [
     # core reference surface — pinned every round
     "sync_missing_faculty_users",

@@ -22,7 +22,7 @@ from ..streaming.windows import (
     hourly_event_counts,
     run_to_memory_sink,
 )
-from .llm_queries import _incremental_minhash_oracle
+from .llm_queries import _LINE_DEDUP_ORACLE, _incremental_minhash_oracle
 from .registry import query
 
 # the streaming ingest-dedup row shares the batch row's oracle: on a
@@ -1495,9 +1495,6 @@ def stream_sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .llm_queries import _LINE_DEDUP_ORACLE  # noqa: E402  (the batch line-dedup oracle the streaming ingest twin shares; llm_queries imports nothing from this module, so the early import is cycle-free)
-
-
 @query(
     "stream_line_dedup",
     # shares the batch llm_line_dedup oracle: a bounded document
@@ -1534,10 +1531,7 @@ def stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     boiler = (
-        dd.line_windows(docs)
-        .groupBy("line")
-        .agg(F.countDistinct("doc_id").alias("_nd"))
-        .where(F.col("_nd") >= dd.LINE_MIN_DOCS)
+        dd.boilerplate_lines(dd.line_windows(docs))
         .select("line", F.lit(1).alias("_hit"))
         .localCheckpoint(eager=True)
     )
@@ -1558,23 +1552,4 @@ def stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_nl"),
         F.sum("hit").alias("_ndrop"),
     )
-    base = docs.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))
-        .cast("long")
-        .alias("n_tokens"),
-    )
-    return base.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce(F.col("_nl"), F.lit(0)).cast("long").alias("n_lines"),
-        F.coalesce(F.col("_ndrop"), F.lit(0))
-        .cast("long")
-        .alias("n_dropped_lines"),
-        (
-            F.col("n_tokens")
-            - dd.LINE_WINDOW * F.coalesce(F.col("_ndrop"), F.lit(0))
-        )
-        .cast("long")
-        .alias("kept_tokens"),
-    )
+    return dd.line_retention_report(docs, per_doc)

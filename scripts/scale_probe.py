@@ -527,7 +527,12 @@ def main() -> int:
         if old and old["sf0_1_sec"] <= round(a, 3) and old[
                 "sf1_0_sec"] <= round(b, 3):
             continue
+        # spread the OLD row first: a decade-1 improvement must never
+        # erase the row's decade-2 fields (sf1_0_dec2_sec / sf10_sec /
+        # exponent2 — a review pass caught this merge dropping
+        # llm_dup_span_detect's second-decade record)
         merged[n] = {
+            **(old or {}),
             "query": n,
             "sf0_1_sec": round(min(a, old["sf0_1_sec"]) if old else a, 3),
             "sf1_0_sec": round(min(b, old["sf1_0_sec"]) if old else b, 3),
