@@ -444,6 +444,37 @@ DECADE2_QUERIES = [
 ]
 
 
+def merge_decade1_rows(
+    merged: dict, rows: list[tuple[str, float, float, float]]
+) -> None:
+    """Fold freshly-probed decade-1 (query, sf0.1, sf1.0, exponent)
+    rows into the consolidated record IN PLACE. Per-field min across
+    runs (tenancy noise only ever inflates), and the OLD row is
+    spread first so a decade-1 improvement never erases the row's
+    decade-2 fields (sf1_0_dec2_sec / sf10_sec / exponent2 — a review
+    pass caught the unfactored merge dropping llm_dup_span_detect's
+    second-decade record; pinned by
+    ``tests/test_registry.py::test_probe_merge_preserves_decade2``)."""
+    for n, a, b, _e in rows:
+        old = merged.get(n)
+        if old and old["sf0_1_sec"] <= round(a, 3) and old[
+                "sf1_0_sec"] <= round(b, 3):
+            continue
+        merged[n] = {
+            **(old or {}),
+            "query": n,
+            "sf0_1_sec": round(min(a, old["sf0_1_sec"]) if old else a, 3),
+            "sf1_0_sec": round(min(b, old["sf1_0_sec"]) if old else b, 3),
+            "exponent": round(
+                math.log10(
+                    (min(b, old["sf1_0_sec"]) if old else b)
+                    / (min(a, old["sf0_1_sec"]) if old else a)
+                ),
+                3,
+            ),
+        }
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only: list[str] = []
@@ -521,29 +552,7 @@ def main() -> int:
         merged = {r["query"]: r for r in prior}
     except (OSError, ValueError):
         merged, note = {}, ""
-    for n, a, b, e in rows:
-        # min across probe runs: tenancy noise only ever inflates
-        old = merged.get(n)
-        if old and old["sf0_1_sec"] <= round(a, 3) and old[
-                "sf1_0_sec"] <= round(b, 3):
-            continue
-        # spread the OLD row first: a decade-1 improvement must never
-        # erase the row's decade-2 fields (sf1_0_dec2_sec / sf10_sec /
-        # exponent2 — a review pass caught this merge dropping
-        # llm_dup_span_detect's second-decade record)
-        merged[n] = {
-            **(old or {}),
-            "query": n,
-            "sf0_1_sec": round(min(a, old["sf0_1_sec"]) if old else a, 3),
-            "sf1_0_sec": round(min(b, old["sf1_0_sec"]) if old else b, 3),
-            "exponent": round(
-                math.log10(
-                    (min(b, old["sf1_0_sec"]) if old else b)
-                    / (min(a, old["sf0_1_sec"]) if old else a)
-                ),
-                3,
-            ),
-        }
+    merge_decade1_rows(merged, rows)
     with open("scale_probe_result.json", "w") as f:
         json.dump(
             {

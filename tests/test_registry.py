@@ -189,3 +189,48 @@ def test_probe_lists_reference_registered_queries_only():
     ]
     assert len(set(sp.PROBE_QUERIES)) == len(sp.PROBE_QUERIES)
     assert len(set(sp.DECADE2_QUERIES)) == len(sp.DECADE2_QUERIES)
+
+
+def test_probe_merge_preserves_decade2():
+    """A decade-1 improvement must take per-field mins WITHOUT erasing
+    the row's decade-2 fields (the review-caught data-loss bug that
+    dropped llm_dup_span_detect's sf10 record from the committed
+    JSON), and a strictly-worse rerun must leave the row untouched."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe", os.path.join(repo, "scripts", "scale_probe.py")
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+
+    merged = {
+        "q": {
+            "query": "q",
+            "sf0_1_sec": 2.7,
+            "sf1_0_sec": 19.4,
+            "exponent": 0.857,
+            "sf1_0_dec2_sec": 16.475,
+            "sf10_sec": 59.721,
+            "exponent2": 0.559,
+        }
+    }
+    # improved decade-1 rerun: mins taken, decade-2 fields intact
+    sp.merge_decade1_rows(merged, [("q", 2.4, 10.3, 0.632)])
+    row = merged["q"]
+    assert (row["sf0_1_sec"], row["sf1_0_sec"]) == (2.4, 10.3)
+    assert row["sf10_sec"] == 59.721 and row["exponent2"] == 0.559
+    assert row["sf1_0_dec2_sec"] == 16.475
+    # mixed rerun (one field better): still min per field, dec2 kept
+    sp.merge_decade1_rows(merged, [("q", 9.9, 8.8, 0.0)])
+    assert (merged["q"]["sf0_1_sec"], merged["q"]["sf1_0_sec"]) == (2.4, 8.8)
+    assert merged["q"]["sf10_sec"] == 59.721
+    # strictly worse rerun: untouched
+    before = dict(merged["q"])
+    sp.merge_decade1_rows(merged, [("q", 99.0, 99.0, 0.0)])
+    assert merged["q"] == before
+    # brand-new query: plain insert
+    sp.merge_decade1_rows(merged, [("new", 1.0, 10.0, 1.0)])
+    assert merged["new"]["exponent"] == 1.0
