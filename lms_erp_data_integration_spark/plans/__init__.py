@@ -14,7 +14,84 @@ from . import curation_queries  # noqa: F401, E402
 from . import media_queries  # noqa: F401, E402
 from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 
-# Round-12 driver-window rotation (per the plan committed at r11
+# Round-13 driver-window rotation (per the r12 VERDICT #2 + ADVICE #1
+# plan): 8 sync rows pinned, then `sync_jdbc_mirror_roundtrip` — the
+# only S5/S8 end-to-end driver row, displaced two rounds running, it
+# leads this window — then the rows whose DECODE HELPERS changed in
+# late r12 without a driver re-check (ADVICE #1: the fixed-point-DCT
+# pHash and int64-LPC edits flipped behavior-relevant helpers that the
+# v1 source hash did not cover; `tests/query_hashes.py` v2 now walks
+# the transitive helper closure so this class of escape is mechanized
+# away — these five rows plus llm_audio_decode_stats get their driver
+# row now), then any r13-new/changed rows, then the re-verification
+# backlog oldest-first: the rest of the r7 cohort (last checked r7),
+# then r8-cohort rows alphabetically to fill 50.
+registry.PRIORITY = [
+    # core reference surface — pinned every round
+    "sync_missing_faculty_users",
+    "sync_missing_student_users",
+    "sync_missing_courses",
+    "sync_missing_sections",
+    "sync_daily_enrollment",
+    "sync_ctl_library_courses",
+    "sync_ctl_library_sections",
+    "sync_clean_users",
+    # r7 spill, two rounds displaced — the only end-to-end JDBC
+    # (S5 source + S8 truncate-and-append mirror sink) driver row
+    "sync_jdbc_mirror_roundtrip",
+    # ADVICE #1: consumers of the r12 fixed-point-DCT pHash rework
+    # (llm_image/video_visual_dedup, crossmodal family) and the int64
+    # LPC autocorrelation (llm_audio_decode_stats) — helper-level
+    # behavior changes that escaped the r12 window
+    "llm_image_visual_dedup",
+    "llm_video_visual_dedup",
+    "llm_crossmodal_dedup",
+    "llm_crossmodal_components",
+    "llm_crossmodal_apply",
+    "llm_audio_decode_stats",
+    # re-verification backlog: the rest of the r7 cohort (last driver
+    # check r7), alphabetical
+    "llm_corpus_curate",
+    "llm_dedup_containment",
+    "llm_dedup_incremental",
+    "llm_sim_lsh_hyperplane",
+    "llm_sim_near_dup_embeddings",
+    "llm_sim_pq_adc_topk",
+    "llm_sim_pq_codes",
+    "llm_sim_pq_recall",
+    "llm_sim_topk_bruteforce",
+    "llm_warc_ingest_stats",
+    "llm_winnow_pairs",
+    "rel_array_hof_surface",
+    "rel_cohort_retention",
+    "rel_events_props_json",
+    "rel_funnel_conversion",
+    "rel_fuzzy_part_match",
+    "rel_moving_window_range",
+    "rel_outlier_iqr",
+    "rel_q11_important_parts",
+    "rel_q12_priority_class",
+    "rel_q13_order_distribution",
+    "rel_q15_top_supplier",
+    "rel_salted_join_revenue",
+    "rel_semi_anti_counts",
+    "rel_session_window_native",
+    "rel_string_surface",
+    "rel_term_successor",
+    "rel_top_orders_per_customer",
+    "rel_unpivot_part_measures",
+    # r8 cohort, alphabetical fill to 50 (displaced first if r13 adds
+    # new/changed rows, which enter ahead of this block)
+    "llm_chunk_documents",
+    "llm_dedup_apply",
+    "llm_dedup_clusters",
+    "llm_dedup_ngram_jaccard",
+    "llm_sim_ivf_multiprobe",
+    "llm_sim_ivf_topk",
+]
+
+# Round-12 driver-window rotation (HISTORICAL — superseded by the r13
+# window above; kept for the audit trail, per the plan committed at r11
 # close, below): 8 sync rows pinned, then everything new or
 # behavior-changed in r12 — the calibrate->apply composition row
 # closing the dedup calibration loop (r11 verdict #3), the PSI
@@ -34,7 +111,7 @@ from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 # the r7 cohort below) and the line-dedup ingest twin — then the
 # FIFTEEN r6 rows the r11 window displaced (finishing r6) and the r7
 # cohort (3 of 4; sync_jdbc_mirror_roundtrip spills to r13) to fill 50.
-registry.PRIORITY = [
+_PRIORITY_R12 = [
     # core reference surface — pinned every round
     "sync_missing_faculty_users",
     "sync_missing_student_users",
