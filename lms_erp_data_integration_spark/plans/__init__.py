@@ -49,6 +49,10 @@ registry.PRIORITY = [
     "llm_crossmodal_components",
     "llm_crossmodal_apply",
     "llm_audio_decode_stats",
+    # NEW in r13: transformWithStateInPandas execution unblocked by
+    # the vendored protobuf shim — the typed-state twin of
+    # stream_stateful_user_totals, same batch oracle
+    "stream_tws_user_totals",
     # re-verification backlog: the rest of the r7 cohort (last driver
     # check r7), alphabetical
     "llm_corpus_curate",
@@ -87,7 +91,6 @@ registry.PRIORITY = [
     "llm_dedup_clusters",
     "llm_dedup_ngram_jaccard",
     "llm_sim_ivf_multiprobe",
-    "llm_sim_ivf_topk",
 ]
 
 # Round-12 driver-window rotation (HISTORICAL — superseded by the r13

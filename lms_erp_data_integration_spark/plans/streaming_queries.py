@@ -91,6 +91,56 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_tws_user_totals",
+    """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_value_micros
+FROM events GROUP BY user_id
+""",
+)
+def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` twin of
+    ``stream_stateful_user_totals`` — the SAME per-user exact-integer
+    running totals through Spark 4's typed-state API (ValueState
+    handle + RocksDB state store) instead of v1's
+    ``applyInPandasWithState``, hash-checked against the same batch
+    oracle. The protobuf worker protocol runs on the vendored shim
+    when the real distribution is absent (``vendor/pbshim``).
+
+    Scale posture: identical to the v1 row — state shards by user_id
+    across the RocksDB store; TWS adds the typed list/map/timer/TTL
+    surface without changing the partitioning story."""
+    from ..streaming.tws import tws_running_user_totals
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_memory_sink(
+            tws_running_user_totals(events_stream(spark, sf_dir)),
+            f"stream_tws_user_totals_{next(_SINK_SEQ)}",
+            mode="update",
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+    # same final-state extraction as the v1 row: update-mode sink keeps
+    # one row per (user, micro-batch); n_events is strictly increasing
+    return (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value_micros")).alias("_s"))
+        .select("user_id", "_s.n_events", "_s.total_value_micros")
+    )
+
+
+@query(
     "stream_dq_gate",
     """
 SELECT COUNT(*) AS n_events,

@@ -52,6 +52,14 @@ def get_spark(
     cluster you would size it to ~2-3x total executor cores, or simply
     let AQE coalesce from a high initial number; both paths are AQE'd.
     """
+    # transformWithStateInPandas workers speak protobuf to the JVM
+    # state server; when the real distribution is absent the vendored
+    # shim must be on PYTHONPATH BEFORE the JVM launches (workers
+    # inherit the JVM's environment) — so resolve it here, at the one
+    # place every session is built.
+    from .vendor import ensure_protobuf
+
+    ensure_protobuf()
     master = master or f"local[{DEFAULT_CPUS}]"
     cpus = DEFAULT_CPUS if "local" in master else "200"
     builder = (

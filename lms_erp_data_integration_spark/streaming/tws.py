@@ -5,15 +5,17 @@
 target.
 
 Requires the RocksDB state-store provider
-(``spark.sql.streaming.stateStore.providerClass``) and the
-``protobuf`` Python package at EXECUTION time (the TWS worker speaks
+(``spark.sql.streaming.stateStore.providerClass``) and a
+``google.protobuf`` runtime at EXECUTION time (the TWS worker speaks
 protobuf to the state server). This container ships pyspark 4.1.2
-without ``protobuf``, so the operator is environment-gated like the
-multimodal codecs: plan construction and the processor are real and
-unit-tested; end-to-end execution is covered by a test that skips
-when ``google.protobuf`` is absent (``tests/test_streaming.py``), and
-the operator is intentionally NOT a registered query — a driver run
-would need protobuf installed.
+without ``protobuf``; since r13 the vendored pure-Python shim
+(``vendor/pbshim`` — wire format + dynamic messages, real package
+wins when installed) unblocks execution: ``session.get_spark``
+resolves it onto PYTHONPATH before the JVM launches so the Python
+workers inherit it. End-to-end execution is tested
+(``tests/test_streaming.py::test_tws_executes_matches_batch``) and
+registered as the driver row ``stream_tws_user_totals`` with the
+same batch oracle as the v1 ``applyInPandasWithState`` row.
 
 State here is a single int64 ValueState per user: order-independent
 integer accumulation, so on a bounded source the final state equals
@@ -64,6 +66,28 @@ class UserTotalsProcessor(StatefulProcessor):
         pass
 
 
+def _ensure_worker_protobuf(events: DataFrame) -> None:
+    """Make ``google.protobuf`` importable in the Python workers this
+    plan will spawn, even when the JVM was launched (by a harness that
+    doesn't use ``session.get_spark``) before the shim path existed:
+    pyspark ships ``sc.environment`` with every wrapped function and
+    the JVM merges its ``PYTHONPATH`` entry into the worker
+    environment (``_prepare_for_python_RDD`` -> SimplePythonFunction
+    envVars), so a runtime update here reaches both the TWS driver
+    worker and the per-task workers."""
+    import os
+
+    from ..vendor import _PBSHIM_DIR, ensure_protobuf
+
+    if ensure_protobuf() == "shim":
+        sc = events.sparkSession.sparkContext
+        existing = sc.environment.get("PYTHONPATH", "")
+        if _PBSHIM_DIR not in existing.split(os.pathsep):
+            sc.environment["PYTHONPATH"] = _PBSHIM_DIR + (
+                os.pathsep + existing if existing else ""
+            )
+
+
 def tws_running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running totals through ``transformWithStateInPandas``.
 
@@ -71,6 +95,7 @@ def tws_running_user_totals(events: DataFrame) -> DataFrame:
     exactly like the v1 operator; what TWS adds is the typed state
     surface (list/map state, timers, TTL) without changing the
     partitioning story."""
+    _ensure_worker_protobuf(events)
     scaled = events.select(
         "user_id",
         F.round(F.col("value") * 1_000_000).cast("long").alias("v_micros"),

@@ -86,9 +86,12 @@ def test_registered_streaming_queries_match_batch(spark, sf_dir):
 
 
 def _has_protobuf() -> bool:
+    # real distribution or the vendored pbshim — either unblocks the
+    # TWS worker protocol (session.get_spark resolves the same way)
     try:
-        import google.protobuf  # noqa: F401
+        from lms_erp_data_integration_spark.vendor import ensure_protobuf
 
+        ensure_protobuf()
         return True
     except ImportError:
         return False
