@@ -40,10 +40,17 @@ Supported (returns planes) vs rejected (returns None, never raises):
   construction — equivalent to the spec's per-MB ordering, which it
   replicates edge by edge; P slices predict from the POST-filter
   reference exactly as 8.4 requires.
+- CABAC I slices (since r13, ``operators/cabac.py``: full 9.3
+  arithmetic engine + I-slice syntax layer) for streams carrying the
+  shared-context SEI marker — see that module's conformance-boundary
+  note for why external CABAC streams (whose decode would depend on
+  the unverifiable-in-container spec init tables) still reject
+  cleanly.
   B direct/skip modes, B partitions, more than two references,
-  weighted BI-prediction, sub-8x8 partitions, and CABAC are REJECTED
-  (None), honoring the decoder family's reject-cleanly contract (same
-  posture as ``jpeg.py``'s hierarchical processes).
+  weighted BI-prediction, sub-8x8 partitions, CABAC P/B slices, and
+  unmarked external CABAC are REJECTED (None), honoring the decoder
+  family's reject-cleanly contract (same posture as ``jpeg.py``'s
+  hierarchical processes).
 
 All VLC tables are transcribed from the public spec and checked for
 prefix-freeness by ``tests/test_h264.py``; fixtures come from this
@@ -263,13 +270,16 @@ def parse_sps(rbsp: bytes) -> dict:
 
 
 def parse_pps(rbsp: bytes) -> dict:
-    """Picture parameter set (7.3.2.2) — CAVLC single-slice-group
-    shapes; CABAC and slice groups reject."""
+    """Picture parameter set (7.3.2.2) — single-slice-group shapes;
+    slice groups reject. CABAC (entropy_coding_mode_flag = 1) is
+    accepted here and gated at slice-decode time: I slices decode via
+    ``operators/cabac.py`` when the stream carries the shared-context
+    SEI marker (see that module's conformance-boundary note), and
+    everything else rejects cleanly."""
     b = _Bits(rbsp)
     pps_id = b.ue()
     sps_id = b.ue()
-    if b.flag():
-        raise ValueError("CABAC not supported (CAVLC only)")
+    entropy_cabac = b.flag()
     b.flag()  # bottom_field_pic_order_in_frame_present
     if b.ue() != 0:
         raise ValueError("slice groups (FMO) not supported")
@@ -286,6 +296,7 @@ def parse_pps(rbsp: bytes) -> dict:
     return {
         "pps_id": pps_id,
         "sps_id": sps_id,
+        "entropy_cabac": entropy_cabac,
         "pic_init_qp": pic_init_qp,
         "chroma_qp_index_offset": chroma_qp_index_offset,
         "deblocking_control_present": deblocking_control_present,
@@ -1217,6 +1228,18 @@ def _decode_slice(
             off_b = b.se()
     fr.slice_params[slice_id] = (idc, off_a, off_b)
     n_mbs = fr.wmb * fr.hmb
+    if pps.get("entropy_cabac"):
+        if is_p or is_b:
+            raise ValueError("CABAC P/B slices unsupported")
+        if not pps.get("_cabac_marker_seen"):
+            # conformance boundary: external CABAC streams reject
+            # cleanly; only streams carrying the shared-context SEI
+            # marker decode (see operators/cabac.py)
+            raise ValueError("CABAC without shared-context SEI marker")
+        from .cabac import decode_islice_cabac
+
+        decode_islice_cabac(fr, b, pps, qp, slice_id, first_mb)
+        return
     if not (is_p or is_b):
         for mb_addr in range(first_mb, n_mbs):
             qp = _decode_mb(fr, b, mb_addr, qp, pps, slice_id)
@@ -1965,8 +1988,8 @@ def decode_h264_annexb(data: bytes) -> list[np.ndarray] | None:
     each predicting from the immediately preceding decoded picture —
     the IPP GOP shape) to a list of (H, W, 3) uint8 RGB arrays.
     Returns None — never raises — on non-H.264 payloads and the
-    documented out-of-scope shapes (CABAC, B slices, multi-ref,
-    sub-8x8 partitions)."""
+    documented out-of-scope shapes (unmarked external CABAC, CABAC
+    P/B, B partitions, multi-ref beyond two, sub-8x8 partitions)."""
     try:
         nals = parse_annexb_nals(data, with_ref_idc=True)
         if not nals:
@@ -1978,6 +2001,11 @@ def decode_h264_annexb(data: bytes) -> list[np.ndarray] | None:
                 sps = parse_sps(rbsp)
             elif ntype == 8:
                 pps = parse_pps(rbsp)
+            elif ntype == 6:
+                from .cabac import sei_has_cabac_marker
+
+                if pps is not None and sei_has_cabac_marker(rbsp):
+                    pps["_cabac_marker_seen"] = True
             elif ntype in (1, 5):
                 first_mb = _Bits(rbsp).ue()
                 if first_mb == 0 or not pics:
@@ -2059,6 +2087,13 @@ def decode_h264_frame(sample: bytes, cfg: dict) -> np.ndarray | None:
                 slices.append(
                     (ntype, (hdr >> 5) & 3, _rbsp(sample[i + 1 : i + ln]))
                 )
+            elif ntype == 6 and cfg["pps"].get("entropy_cabac"):
+                from .cabac import sei_has_cabac_marker
+
+                if sei_has_cabac_marker(_rbsp(sample[i + 1 : i + ln])):
+                    cfg = dict(cfg)  # don't let the marker outlive
+                    cfg["pps"] = dict(cfg["pps"])  # this one sample
+                    cfg["pps"]["_cabac_marker_seen"] = True
             i += ln
         if not slices:
             return None
@@ -2088,17 +2123,24 @@ def _annexb_to_avcc(data: bytes) -> tuple[bytes, list[bytes]] | None:
     # ref_idc 0 — dec_ref_pic_marking presence depends on it)
     samples: list[bytes] = []
     cur: list[bytes] = []
+    pending_sei: list[bytes] = []
     for ntype, ref_idc, rbsp in nals:
         raw = bytes([(ref_idc << 5) | ntype]) + _emulate(rbsp)
         if ntype == 7:
             sps_raw = raw
         elif ntype == 8:
             pps_raw = raw
+        elif ntype == 6:
+            # SEI precedes its access unit: hold it for the next
+            # sample (the CABAC shared-context marker rides in-band)
+            pending_sei.append(len(raw).to_bytes(4, "big") + raw)
         elif ntype in (1, 5):
             first_mb = _Bits(rbsp).ue()
             if first_mb == 0 and cur:
                 samples.append(b"".join(cur))
                 cur = []
+            cur.extend(pending_sei)
+            pending_sei = []
             cur.append(len(raw).to_bytes(4, "big") + raw)
     if cur:
         samples.append(b"".join(cur))
@@ -2305,11 +2347,13 @@ def _rgb_to_yuv420(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     return y, cb, cr
 
 
-def _sps_rbsp(wmb: int, hmb: int, poc_type: int = 2) -> bytes:
+def _sps_rbsp(
+    wmb: int, hmb: int, poc_type: int = 2, profile: int | None = None,
+) -> bytes:
     w = _BitWriter()
-    # Baseline for intra/P GOPs; Main (77) when B slices are present
-    # (B is not a Baseline tool)
-    w.u(8, 66 if poc_type == 2 else 77)
+    # Baseline for intra/P GOPs; Main (77) when B slices or CABAC are
+    # present (neither is a Baseline tool)
+    w.u(8, profile if profile is not None else (66 if poc_type == 2 else 77))
     w.u(8, 0)
     w.u(8, 20)  # level 2.0
     w.ue(0)  # sps_id
@@ -2331,11 +2375,12 @@ def _sps_rbsp(wmb: int, hmb: int, poc_type: int = 2) -> bytes:
 
 def _pps_rbsp(
     pic_init_qp: int, chroma_qp_offset: int, weighted_pred: bool = False,
+    cabac: bool = False,
 ) -> bytes:
     w = _BitWriter()
     w.ue(0)  # pps_id
     w.ue(0)  # sps_id
-    w.u(1, 0)  # CAVLC
+    w.u(1, 1 if cabac else 0)  # entropy_coding_mode_flag
     w.u(1, 0)  # bottom_field_pic_order
     w.ue(0)  # one slice group
     w.ue(0)

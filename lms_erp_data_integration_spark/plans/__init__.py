@@ -53,6 +53,15 @@ registry.PRIORITY = [
     # the vendored protobuf shim — the typed-state twin of
     # stream_stateful_user_totals, same batch oracle
     "stream_tws_user_totals",
+    # changed in r13: corpus extended with CABAC intra H.264 (ids
+    # 20-23, operators/cabac.py) — five decodable codec paths, new
+    # CRC pins closed-loop-verified against encoder reconstructions
+    "llm_video_codec_stats",
+    # helper-closure re-check (h264.py touched for CABAC: parse_pps
+    # CABAC acceptance, SEI-in-sample muxing — CAVLC behavior
+    # preserved by pinned oracles, driver re-verifies here); also an
+    # r8-tail spill
+    "llm_video_ipp_stats",
     # re-verification backlog: the rest of the r7 cohort (last driver
     # check r7), alphabetical
     "llm_corpus_curate",
@@ -89,8 +98,6 @@ registry.PRIORITY = [
     "llm_chunk_documents",
     "llm_dedup_apply",
     "llm_dedup_clusters",
-    "llm_dedup_ngram_jaccard",
-    "llm_sim_ivf_multiprobe",
 ]
 
 # Round-12 driver-window rotation (HISTORICAL — superseded by the r13

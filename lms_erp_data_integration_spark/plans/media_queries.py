@@ -1119,7 +1119,7 @@ _VIDEO_PAYLOAD_SCHEMA = T.StructType(
 )
 
 
-_N_CODEC_VIDEOS = 20
+_N_CODEC_VIDEOS = 24
 
 
 def _mux_codec_fixture(vid: int) -> bytes:
@@ -1131,16 +1131,34 @@ def _mux_codec_fixture(vid: int) -> bytes:
     entry with a real avcC record, ``operators/h264.py`` +
     ``multimodal.build_mp4_avc``); ids 16-19 are H.264 with the
     IN-LOOP DEBLOCKING filter signalled ON (idc 0 + 8.7 strong and
-    normal edge filters in both loops) — one corpus exercising all
-    four decodable codec paths."""
+    normal edge filters in both loops); ids 20-23 (r13) are H.264
+    with CABAC entropy coding (``operators/cabac.py`` — Main-profile
+    arithmetic-coded intra slices, the shared-context SEI marker
+    riding every access unit) — one corpus exercising all five
+    decodable codec paths."""
     import numpy as np
 
     from ..operators import avi
+    from ..operators import cabac
     from ..operators import h264
     from ..operators import multimodal as mm
     from ..operators.jpeg import encode_jpeg
 
     rng = np.random.default_rng(7000 + vid)
+    if vid >= 20:  # H.264 CABAC intra (arithmetic entropy coding)
+        w = 16 * (1 + vid % 2)
+        h = 16 * (1 + (vid // 2) % 2)
+        n = 2 + vid % 3
+        fps = 4 + vid % 3
+        frames = [
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        stream, _ = cabac.encode_h264_annexb_cabac(
+            frames, qp=18 + 5 * (vid % 4), chroma_qp_offset=vid % 3 - 1,
+        )
+        avcc, samples = h264.annexb_to_avcc(stream)
+        return mm.build_mp4_avc(samples, avcc, w, h, fps=fps)
     if vid >= 12:  # H.264: MB-aligned geometry, per-id QP spread;
         # ids 16-19 signal the in-loop deblocking filter ON
         w = 16 * (1 + vid % 2)
@@ -1192,20 +1210,27 @@ SELECT * FROM (VALUES
   (16, 'avc1', 3, 16, 16, 400, 7783187973),
   (17, 'avc1', 4, 32, 16, 498, 2276320795),
   (18, 'avc1', 2, 16, 32, 250, 5220596810),
-  (19, 'avc1', 3, 32, 32, 400, 7562168639)
+  (19, 'avc1', 3, 32, 32, 400, 7562168639),
+  (20, 'avc1', 4, 16, 16, 498, 7130927190),
+  (21, 'avc1', 2, 32, 16, 250, 2189176018),
+  (22, 'avc1', 3, 16, 32, 400, 6488284072),
+  (23, 'avc1', 4, 32, 32, 498, 9037371115)
 ) AS t(doc_id, codec, frames_decoded, width, height, dts_last_ms,
        crc_sum)
 """,
 )
 def video_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All FOUR decodable video codec paths through the REAL
-    operator chain (r6 verdict #6; H.264 added r8): 20 fixture
-    videos — AVI rawvideo (uncompressed BI_RGB DIB, even ids 0-7),
-    MJPEG-in-AVI (odd ids 0-7), ``raw ``-in-MP4 (packed top-down RGB
-    with real stsd + sample tables, ids 8-11), and H.264-in-MP4
-    (avc1 + avcC, CAVLC intra streams from the from-scratch encoder,
-    ids 12-15 filter-off, ids 16-19 with the 8.7 in-loop deblocking
-    filter ON) — are muxed, then demuxed by ``extract_video_frames``
+    """All FIVE decodable video codec paths through the REAL
+    operator chain (r6 verdict #6; H.264 added r8, CABAC r13): 24
+    fixture videos — AVI rawvideo (uncompressed BI_RGB DIB, even ids
+    0-7), MJPEG-in-AVI (odd ids 0-7), ``raw ``-in-MP4 (packed
+    top-down RGB with real stsd + sample tables, ids 8-11),
+    H.264-in-MP4 (avc1 + avcC, CAVLC intra streams from the
+    from-scratch encoder, ids 12-15 filter-off, ids 16-19 with the
+    8.7 in-loop deblocking filter ON), and H.264 CABAC-in-MP4 (ids
+    20-23: Main-profile arithmetic-coded intra slices from
+    ``operators/cabac.py``, shared-context SEI marker per access
+    unit) — are muxed, then demuxed by ``extract_video_frames``
     (which attaches the container-declared codec + geometry to every
     frame, and re-prefixes avc1 samples into self-contained Annex B)
     and decoded by ``decode_video_frame_stats`` (codec-dispatched:

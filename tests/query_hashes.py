@@ -85,6 +85,31 @@ def _stable_const(obj: object) -> str | None:
     return None
 
 
+def _name_tokens(src: str) -> set[str]:
+    """NAME tokens of the source via the real tokenizer, so comments
+    and string literals (docstrings, inline SQL) do NOT create
+    closure edges — a comment mentioning ``session``/``get_spark``
+    must not make every Catalog consumer depend on session.py. The
+    full source text still feeds the hash; only EDGE DISCOVERY is
+    comment/string-blind. Falls back to a regex over the whole text
+    when tokenize rejects the snippet (failure direction: extra
+    edges, never missed code)."""
+    import io
+    import textwrap
+    import tokenize
+
+    try:
+        return {
+            t.string
+            for t in tokenize.generate_tokens(
+                io.StringIO(textwrap.dedent(src)).readline
+            )
+            if t.type == tokenize.NAME
+        }
+    except (tokenize.TokenError, IndentationError, SyntaxError):
+        return set(_NAME_RE.findall(src))
+
+
 def _src_and_tokens(obj: object) -> tuple[str, set[str], object] | None:
     """(source, NAME tokens, globals-like namespace) for a pkg object."""
     key = id(obj)
@@ -100,7 +125,7 @@ def _src_and_tokens(obj: object) -> tuple[str, set[str], object] | None:
     else:  # class: resolve tokens against its defining module
         mod = sys.modules.get(getattr(obj, "__module__", ""), None)
         ns = vars(mod) if mod is not None else {}
-    out = (src, set(_NAME_RE.findall(src)), ns)
+    out = (src, _name_tokens(src), ns)
     _SRC_CACHE[key] = out
     return out
 

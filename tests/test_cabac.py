@@ -1,0 +1,178 @@
+"""CABAC (operators/cabac.py) — engine, syntax, and closed-loop
+round-trip tests. The evidence standard is the decoder family's
+fixture pattern: the encoder maintains the decoder's exact
+reconstruction state, and every test asserts decode(encode(x)) equals
+the encoder's reconstruction bit-for-bit."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lms_erp_data_integration_spark.operators import cabac as C
+from lms_erp_data_integration_spark.operators import h264 as H
+
+
+def _frames(seed: int, h: int, w: int, n: int) -> list[np.ndarray]:
+    rng = np.random.default_rng(seed)
+    return [
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)
+    ]
+
+
+# ------------------------------------------------------------- engine
+
+def test_lps_table_structure():
+    """Structural invariants of the LPS range table: 64x4, values in
+    [2, 240], rows non-increasing down each column (higher state =
+    lower LPS probability), columns increasing left to right (larger
+    range quartile = larger LPS share), state-63 floor of 2."""
+    t = C._LPS
+    assert t.shape == (64, 4)
+    assert t.min() == 2 and t.max() == 240
+    assert (np.diff(t[:-1], axis=0) <= 0).all()  # rows 0..62 decay
+    assert (np.diff(t[:-1], axis=1) > 0).all()  # quartile growth
+    assert (t[63] == 2).all()
+    # LPS share stays below half the quartile's minimum range, so the
+    # MPS sub-interval is always the larger one past the early states
+    assert (t[:, 0] <= 128).all()
+
+
+def test_trans_lps_structure():
+    t = C._TRANS_LPS
+    assert t.shape == (64,)
+    assert t[0] == 0 and t[63] == 63
+    # an LPS observation never increases confidence past the current
+    # state (except the absorbing state-63 self-loop)
+    assert (t[:63] <= np.arange(63)).all()
+
+
+def test_engine_roundtrip_random_bins():
+    """Raw engine round trip: random decision/bypass bin sequences
+    with shared context indices encode then decode identically."""
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n = int(rng.integers(1, 400))
+        kinds = rng.integers(0, 2, n)  # 0: decision, 1: bypass
+        ctxs = rng.integers(0, 276, n)
+        bins = rng.integers(0, 2, n)
+        w = H._BitWriter()
+        enc = C._CabacEnc(w)
+        for k, cx, bv in zip(kinds, ctxs, bins):
+            if k:
+                enc.bypass(int(bv))
+            else:
+                enc.decision(int(cx), int(bv))
+        enc.terminate(1)
+        dec = C._CabacDec(H._Bits(w.tobytes()))
+        got = []
+        for k, cx in zip(kinds, ctxs):
+            got.append(dec.bypass() if k else dec.decision(int(cx)))
+        assert got == [int(b) for b in bins], f"trial {trial}"
+        assert dec.terminate() == 1
+
+
+def test_residual_block_roundtrip():
+    """residual_block_cabac round trip across categories, including
+    UEG0 suffix escapes (|level| > 15) and single-coefficient blocks
+    at the last scan position (the inferred-significance path)."""
+    rng = np.random.default_rng(5)
+    cases = []
+    for cat in range(5):
+        m = C._CAT_MAXCOEFF[cat]
+        cases.append((cat, [0] * (m - 1) + [1]))  # inferred last
+        cases.append((cat, [37] + [0] * (m - 1)))  # escape level
+        cases.append((cat, [-1] * m))
+        for _ in range(10):
+            lv = [int(v) for v in rng.integers(-60, 61, m)]
+            if not any(lv):
+                lv[rng.integers(0, m)] = 1
+            cases.append((cat, lv))
+    w = H._BitWriter()
+    enc = C._CabacEnc(w)
+    for cat, lv in cases:
+        C._encode_residual(enc, cat, 0, lv)
+    enc.terminate(1)
+    dec = C._CabacDec(H._Bits(w.tobytes()))
+    for cat, lv in cases:
+        got = C._decode_residual(dec, cat, 0)
+        assert got == lv, (cat, lv, got)
+
+
+# -------------------------------------------------------- closed loop
+
+@pytest.mark.parametrize("qp", [0, 10, 26, 40, 51])
+def test_cabac_closed_loop_qp(qp):
+    frames = _frames(100 + qp, 32, 48, 2)
+    stream, recons = C.encode_h264_annexb_cabac(frames, qp=qp)
+    got = H.decode_h264_annexb(stream)
+    assert got is not None and len(got) == len(recons)
+    for d, r in zip(got, recons):
+        assert np.array_equal(d, r)
+
+
+def test_cabac_closed_loop_smooth_and_offsets():
+    """Smooth content (zero-CBP macroblocks, the I_4x4 cbp==0 branch)
+    and nonzero chroma QP offsets."""
+    g = np.linspace(0, 255, 64, dtype=np.uint8)
+    smooth = np.dstack([np.tile(g, (32, 1))] * 3)
+    frames = [smooth, _frames(9, 32, 64, 1)[0]]
+    for off in (-6, 0, 6):
+        stream, recons = C.encode_h264_annexb_cabac(
+            frames, qp=30, chroma_qp_offset=off
+        )
+        got = H.decode_h264_annexb(stream)
+        assert got is not None
+        for d, r in zip(got, recons):
+            assert np.array_equal(d, r)
+
+
+def test_cabac_avcc_mp4_path():
+    """CABAC survives the MP4 leg: annexb -> avcC + samples (SEI
+    marker riding each sample) -> per-sample decode_h264_frame."""
+    frames = _frames(11, 32, 32, 3)
+    stream, recons = C.encode_h264_annexb_cabac(frames, qp=24)
+    avcc, samples = H.annexb_to_avcc(stream)
+    cfg = H.avcc_config(avcc)
+    assert cfg["pps"]["entropy_cabac"]
+    assert len(samples) == 3
+    for s, r in zip(samples, recons):
+        out = H.decode_h264_frame(s, cfg)
+        assert out is not None and np.array_equal(out, r)
+
+
+# ------------------------------------------------------- reject paths
+
+def test_external_cabac_rejects_without_marker():
+    """The conformance boundary: a CABAC stream WITHOUT the
+    shared-context SEI marker must reject to None (decoding it would
+    depend on init tables this container cannot verify)."""
+    frames = _frames(13, 16, 16, 1)
+    stream, _ = C.encode_h264_annexb_cabac(frames, qp=24)
+    nals = stream.split(b"\x00\x00\x00\x01")
+    stripped = b"".join(
+        b"\x00\x00\x00\x01" + n for n in nals[1:] if (n[0] & 0x1F) != 6
+    )
+    assert H.decode_h264_annexb(stripped) is None
+
+
+def test_cavlc_streams_unaffected():
+    """The CAVLC encoder/decoder pair is untouched: pinned fixture
+    still round-trips and its PPS still parses as non-CABAC."""
+    frames = _frames(17, 32, 32, 2)
+    stream, recons = H.encode_h264_annexb(frames, qp=26)
+    for ntype, rbsp in H.parse_annexb_nals(stream):
+        if ntype == 8:
+            assert H.parse_pps(rbsp)["entropy_cabac"] is False
+    got = H.decode_h264_annexb(stream)
+    assert got is not None
+    for d, r in zip(got, recons):
+        assert np.array_equal(d, r)
+
+
+def test_sei_marker_parser():
+    nal = C._sei_cabac_marker()
+    rbsp = H._rbsp(nal[5:])
+    assert C.sei_has_cabac_marker(rbsp)
+    assert not C.sei_has_cabac_marker(b"\x05\x10" + b"\x00" * 16)
+    assert not C.sei_has_cabac_marker(b"")

@@ -132,14 +132,11 @@ def test_h264_rejects_out_of_scope():
     assert h.decode_h264_annexb(b"") is None
     assert h.decode_h264_annexb(b"\x00\x01\x02garbage") is None
     assert h.decode_h264_annexb(stream[: len(stream) // 2]) is None
-    # CABAC pps: entropy_coding_mode_flag = 1
-    w = h._BitWriter()
-    w.ue(0)
-    w.ue(0)
-    w.u(1, 1)
-    w.rbsp_trailing()
-    with pytest.raises(ValueError):
-        h.parse_pps(w.tobytes())
+    # CABAC pps parses (r13: entropy_coding_mode_flag accepted; the
+    # reject point for unmarked external CABAC streams moved to slice
+    # decode — tests/test_cabac.py pins it)
+    pps = h.parse_pps(h._pps_rbsp(26, 0, cabac=True))
+    assert pps["entropy_cabac"] is True
 
 
 def test_h264_pcm_only_lossless():
