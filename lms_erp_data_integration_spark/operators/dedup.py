@@ -79,6 +79,7 @@ def minhash_signatures(
     sets_col: str | None = None,
     persist: bool = True,
     carry_sets: bool = False,
+    fused: bool = False,
 ) -> DataFrame:
     """(id, sigs: array<long>[num_hashes]) — minhash signature per doc.
 
@@ -126,7 +127,39 @@ def minhash_signatures(
             F.transform(F.col("_hs"), lambda h: (F.lit(a[i]) * h + F.lit(b[i])) % MH_MOD)
         )
 
-    sigs = F.array(*[slot(i) for i in range(num_hashes)])
+    if fused:
+        # ONE single-pass aggregate expression instead of num_hashes
+        # separate slot subtrees: fold over the base-hash array once,
+        # zip_with-updating an array of running minima, with the
+        # affine parameters as array literals. Identical arithmetic ->
+        # identical values (pinned by test_minhash_fused_equals_slots).
+        # Two wins on the streaming paths where ``persist=False``
+        # forces CollapseProject to inline ``_hs``: the md5 base hash
+        # evaluates ONCE per shingle (the per-slot form inlines and
+        # re-evaluates it num_hashes times per shingle), and the
+        # expression tree is constant-size, which is what
+        # per-micro-batch Catalyst analysis + codegen pay (the
+        # measured stream_dedup_lifecycle floor).
+        arr_a = F.array(*[F.lit(x).cast("long") for x in a])
+        arr_b = F.array(*[F.lit(x).cast("long") for x in b])
+        idxs = F.sequence(F.lit(1), F.lit(num_hashes))
+        sigs = F.aggregate(
+            F.col("_hs"),
+            F.array(*[F.lit(MH_MOD).cast("long")] * num_hashes),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.transform(
+                    idxs,
+                    lambda i: (
+                        F.element_at(arr_a, i.cast("int")) * h
+                        + F.element_at(arr_b, i.cast("int"))
+                    ) % MH_MOD,
+                ),
+                lambda x, y: F.least(x, y),
+            ),
+        )
+    else:
+        sigs = F.array(*[slot(i) for i in range(num_hashes)])
     return hashed.where(F.size("_hs") > 0).select(
         F.col(id_col), *carried, sigs.alias("sigs")
     )

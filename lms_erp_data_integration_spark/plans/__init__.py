@@ -62,6 +62,30 @@ registry.PRIORITY = [
     # preserved by pinned oracles, driver re-verifies here); also an
     # r8-tail spill
     "llm_video_ipp_stats",
+    # changed in r13 (r12 verdict #4): fused single-pass minhash
+    # signature expression on the streaming persist=False paths —
+    # bit-identical signatures (test_minhash_fused_equals_slots),
+    # constant-size expression tree per micro-batch; interleaved A/B
+    # 11.97 -> 10.70 s warm, 21.4 -> 11.4 s first-plan
+    "stream_dedup_lifecycle",
+    "stream_dedup_ingest",
+    # changed in r13 (r12 verdict #3): the capstone's PSI leg rides
+    # the persisted logreg feature frame (score == f1 by definition,
+    # pinned by test_psi_score_equals_quality_f1) — one fewer full
+    # corpus text scan; psi family re-enters via the shared
+    # psi_report_from_scores refactor (same semantics, new source)
+    "llm_corpus_curate_calibrated",
+    "llm_quality_psi_by_source",
+    "llm_quality_psi_gate",
+    # minhash_signatures signature change (fused kwarg, default off —
+    # same code path) flips these consumers' closure hashes; driver
+    # re-verifies at current code per the rotation policy
+    "llm_dedup_minhash_lsh",
+    "llm_minhash_accuracy",
+    "llm_dedup_index_compaction",
+    "llm_decontaminate_train",
+    "llm_lsh_bucket_histogram",
+    "llm_dedup_compaction_trigger",
     # re-verification backlog: the rest of the r7 cohort (last driver
     # check r7), alphabetical
     "llm_corpus_curate",
@@ -85,19 +109,9 @@ registry.PRIORITY = [
     "rel_q11_important_parts",
     "rel_q12_priority_class",
     "rel_q13_order_distribution",
-    "rel_q15_top_supplier",
-    "rel_salted_join_revenue",
-    "rel_semi_anti_counts",
-    "rel_session_window_native",
-    "rel_string_surface",
-    "rel_term_successor",
-    "rel_top_orders_per_customer",
-    "rel_unpivot_part_measures",
-    # r8 cohort, alphabetical fill to 50 (displaced first if r13 adds
-    # new/changed rows, which enter ahead of this block)
-    "llm_chunk_documents",
-    "llm_dedup_apply",
-    "llm_dedup_clusters",
+    # (the r7 alphabetical tail from rel_q15_top_supplier onward and
+    # the r8 fill were displaced by the 11 r13-changed rows above —
+    # they lead the r14 backlog)
 ]
 
 # Round-12 driver-window rotation (HISTORICAL — superseded by the r13

@@ -733,9 +733,24 @@ def quality_psi_report(docs: DataFrame) -> DataFrame:
     Split out so tests can pin the identity PSI(corpus || corpus) = 0
     on a single-source frame."""
     from ..caching import tracked_persist
+
+    return psi_report_from_scores(
+        tracked_persist(psi_score_frame(docs))
+    )
+
+
+def psi_report_from_scores(sc_df: DataFrame) -> DataFrame:
+    """PSI report over a prepared (doc_id, source, score) frame — the
+    shared tail of ``quality_psi_report``. The capstone feeds it the
+    PERSISTED logreg feature frame's f1 column instead of re-scanning
+    and re-tokenizing the corpus: the PSI score (stopword-ratio ppm
+    over whitespace tokens) and quality feature f1 are the same
+    integer expression by definition (lowercasing before vs after a
+    whitespace split is equivalent), and
+    ``test_psi_score_equals_quality_f1`` pins that identity so either
+    definition drifting breaks loudly instead of silently."""
     from ..operators import sketches as sk
 
-    sc_df = tracked_persist(psi_score_frame(docs))
     g = sc_df.withColumn("g", F.lit("*"))
     samp = sk.bottomk_sample(g, F.col("doc_id"), "g")
     edges = sk.sample_quantiles(
@@ -1039,8 +1054,15 @@ def corpus_curate_calibrated_frame(
     qth, qmet = _choose_quality_point(
         quality_curve_frame(feats, w, means).collect(), floor_micro
     )  # bounded: one row per _CAL_THRESHOLDS sweep constant
+    # the PSI leg rides the PERSISTED feature frame (score == f1 by
+    # definition, pinned by test_psi_score_equals_quality_f1) instead
+    # of re-scanning + re-tokenizing the corpus (r13: the r12 verdict
+    # #3 shared-persist trim — one fewer full text pass)
     kept_src = psi_kept_sources(
-        quality_psi_report(docs), drift_micro
+        psi_report_from_scores(
+            feats.select("doc_id", "source", F.col("f1").alias("score"))
+        ),
+        drift_micro,
     ).select("source", F.lit(1).alias("_ok_src"))
     st = tracked_persist(_pairs_at_sweep_floor(docs))
     curve = {

@@ -692,7 +692,7 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig_new = dd.minhash_signatures(
         sets_new, num_hashes, sets_col="shset", persist=False,
-        carry_sets=True,
+        carry_sets=True, fused=True,
     )
     bn = sig_new.select(
         F.col("doc_id").alias("new_id"),
@@ -876,7 +876,7 @@ def _run_dedup_lifecycle(
         ingest instead of two."""
         sig = dd.minhash_signatures(
             sets_df, num_hashes, sets_col="shset", carry_sets=True,
-            persist=False,
+            persist=False, fused=True,
         )
         postings = sig.select(
             "doc_id",
@@ -983,7 +983,7 @@ def _run_dedup_lifecycle(
             # index side is NEVER re-signed (append-only state)
             bsig = dd.minhash_signatures(
                 bsets, num_hashes, sets_col="shset", carry_sets=True,
-                persist=False,
+                persist=False, fused=True,
             )
             bn = bsig.select(
                 F.col("doc_id").alias("new_id"),

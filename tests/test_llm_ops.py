@@ -78,6 +78,25 @@ def test_release_cached_unpersists(spark, docs):
     assert not (persistent_ids() & added)  # the new caches were freed
 
 
+def test_minhash_fused_equals_slots(spark, docs):
+    """The fused single-expression signature (one nested transform,
+    affine params as array literals — the streaming paths' narrow
+    per-micro-batch plan since r13) computes bit-identical signatures
+    to the per-slot formulation on every document."""
+    from pyspark.sql import functions as F
+
+    a = dd.minhash_signatures(docs, 16, persist=False)
+    b = dd.minhash_signatures(docs, 16, persist=False, fused=True)
+    diff = (
+        a.alias("a")
+        .join(b.alias("b"), "doc_id")
+        .where(F.expr("a.sigs <> b.sigs"))
+        .count()
+    )
+    assert diff == 0
+    assert a.count() == b.count()
+
+
 def test_minhash_agrees_with_exact_on_high_jaccard(spark, docs):
     exact = {
         (r["i"], r["j"])

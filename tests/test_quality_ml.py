@@ -95,6 +95,32 @@ def test_quality_psi_invariants_and_self_psi_zero(spark, sf_dir):
     assert all(r.psi_term_micro == 0 and r.drifted == 0 for r in self_rows)
 
 
+def test_psi_score_equals_quality_f1(spark, sf_dir):
+    """The identity the capstone's r13 shared-persist trim rests on:
+    the PSI drift score (stopword-ratio ppm over whitespace tokens,
+    ``psi_score_frame``) equals the quality feature f1
+    (``quality_ml.feature_frame``) for EVERY document — lowercasing
+    before vs after a whitespace split is equivalent, and both sides
+    use the same integer div. If either definition drifts, the
+    capstone's PSI leg (fed from the persisted feature frame) would
+    silently diverge from the oracle's — this pins it loudly."""
+    from lms_erp_data_integration_spark.catalog import Catalog
+    from lms_erp_data_integration_spark.operators.quality_ml import (
+        feature_frame,
+    )
+    from lms_erp_data_integration_spark.plans.curation_queries import (
+        psi_score_frame,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    f = feature_frame(docs, keep=("doc_id",)).select(
+        "doc_id", F.col("f1").alias("a")
+    )
+    s = psi_score_frame(docs).select("doc_id", F.col("score").alias("b"))
+    diff = f.join(s, "doc_id").where(F.col("a") != F.col("b")).count()
+    assert diff == 0
+
+
 def test_quality_psi_gate_both_decision_branches(spark, sf_dir):
     """Both branches of the PSI drift gate on the real corpus: a
     generous line retains every document, an impossible line
