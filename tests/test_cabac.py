@@ -176,3 +176,69 @@ def test_sei_marker_parser():
     assert C.sei_has_cabac_marker(rbsp)
     assert not C.sei_has_cabac_marker(b"\x05\x10" + b"\x00" * 16)
     assert not C.sei_has_cabac_marker(b"")
+
+
+# --------------------------------------------- pbshim review guards
+
+
+def test_pbshim_google_is_namespace_portion():
+    """r13 review: pbshim's ``google`` must stay a NAMESPACE portion
+    (no __init__.py) — a regular package would shadow real google.*
+    namespace distributions when the shim is active, and a cached
+    namespace ``google`` from a pre-shim failed probe would never pick
+    the shim up."""
+    import os
+
+    from lms_erp_data_integration_spark.vendor import _PBSHIM_DIR
+
+    assert not os.path.exists(
+        os.path.join(_PBSHIM_DIR, "google", "__init__.py")
+    )
+    assert os.path.exists(
+        os.path.join(_PBSHIM_DIR, "google", "protobuf", "__init__.py")
+    )
+
+
+def test_pbshim_mode_is_sticky_shim():
+    """r13 review: a second ensure_protobuf() call must keep reporting
+    "shim" (classifying by the bound module's location), so late
+    callers still apply the sc.environment PYTHONPATH fallback."""
+    from lms_erp_data_integration_spark.vendor import (
+        _PBSHIM_DIR,
+        ensure_protobuf,
+    )
+
+    m1 = ensure_protobuf()
+    m2 = ensure_protobuf()
+    assert m1 == m2
+    if m1 == "shim":
+        import google.protobuf as gp
+
+        assert (gp.__file__ or "").startswith(_PBSHIM_DIR)
+
+
+def test_pbshim_packageless_proto_scope():
+    """r13 review: a package-less FileDescriptorProto registers types
+    as ".Name" so ".Name" references resolve."""
+    from lms_erp_data_integration_spark.vendor.pbshim.google.protobuf import (
+        wire,
+    )
+
+    def ld(tag, b):
+        out = bytearray()
+        wire._enc_varint(out, (tag << 3) | 2)
+        wire._enc_varint(out, len(b))
+        out += b
+        return bytes(out)
+
+    def vi(tag, v):
+        out = bytearray()
+        wire._enc_varint(out, (tag << 3) | 0)
+        wire._enc_varint(out, v)
+        return bytes(out)
+
+    fld = ld(1, b"m") + vi(3, 1) + vi(4, 1) + vi(5, 11) + ld(6, b".M")
+    msg = ld(1, b"M") + ld(2, fld)
+    fd = wire.parse_file_descriptor(ld(1, b"t.proto") + ld(4, msg))
+    d = fd.message_types_by_name["M"]
+    assert d.fields[0].message_type is d
