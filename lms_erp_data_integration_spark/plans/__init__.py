@@ -53,6 +53,10 @@ registry.PRIORITY = [
     # the vendored protobuf shim — the typed-state twin of
     # stream_stateful_user_totals, same batch oracle
     "stream_tws_user_totals",
+    # NEW in r13 (late): the MapState + ListState legs of the TWS
+    # worker protocol (getValue/containsKey/updateValue/iterator,
+    # appendList/get), per-(user, type) stats + per-user roll-up
+    "stream_tws_by_type",
     # changed in r13: corpus extended with CABAC intra H.264 (ids
     # 20-23, operators/cabac.py) — five decodable codec paths, new
     # CRC pins closed-loop-verified against encoder reconstructions
@@ -108,10 +112,9 @@ registry.PRIORITY = [
     "rel_outlier_iqr",
     "rel_q11_important_parts",
     "rel_q12_priority_class",
-    "rel_q13_order_distribution",
-    # (the r7 alphabetical tail from rel_q15_top_supplier onward and
-    # the r8 fill were displaced by the 11 r13-changed rows above —
-    # they lead the r14 backlog)
+    # (the r7 alphabetical tail from rel_q13_order_distribution onward
+    # and the r8 fill were displaced by the 12 r13-changed/new rows
+    # above — they lead the r14 backlog)
 ]
 
 # Round-12 driver-window rotation (HISTORICAL — superseded by the r13

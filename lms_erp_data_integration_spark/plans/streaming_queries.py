@@ -141,6 +141,75 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_tws_by_type",
+    """
+WITH per AS (
+  SELECT user_id, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS total_value_micros
+  FROM events GROUP BY user_id, event_type
+), u AS (
+  SELECT user_id, CAST(SUM(n_events) AS BIGINT) AS user_rows,
+         CAST(SUM(total_value_micros) AS BIGINT) AS user_total_micros
+  FROM per GROUP BY user_id
+)
+SELECT per.user_id, per.event_type, per.n_events,
+       per.total_value_micros, u.user_rows, u.user_total_micros
+FROM per JOIN u USING (user_id)
+""",
+)
+def stream_tws_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The typed-state surface BEYOND ValueState, driven end to end:
+    per-user MapState (event_type -> exact integer (count, sum)) plus
+    ListState (per-row value log), i.e. the MapState getValue/
+    containsKey/updateValue/iterator and ListState appendList/get
+    legs of the transformWithStateInPandas worker protocol — over the
+    real events stream, hash-checked against the per-(user, type) SQL
+    aggregate with a per-user roll-up (order-independent integers, so
+    the bounded-stream final state equals the batch answer exactly)."""
+    from ..streaming.tws import tws_user_event_type_stats
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_memory_sink(
+            tws_user_event_type_stats(events_stream(spark, sf_dir)),
+            f"stream_tws_by_type_{next(_SINK_SEQ)}",
+            mode="update",
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+    # update-mode sink keeps one row set per (user, micro-batch);
+    # user_rows is strictly increasing per user, so the max struct per
+    # (user, event_type) is that pair's LAST emission
+    return (
+        out.groupBy("user_id", "event_type")
+        .agg(
+            F.max(
+                F.struct(
+                    "user_rows", "n_events", "total_value_micros",
+                    "user_total_micros",
+                )
+            ).alias("_s")
+        )
+        .select(
+            "user_id", "event_type", "_s.n_events",
+            "_s.total_value_micros", "_s.user_rows",
+            "_s.user_total_micros",
+        )
+    )
+
+
+@query(
     "stream_dq_gate",
     """
 SELECT COUNT(*) AS n_events,

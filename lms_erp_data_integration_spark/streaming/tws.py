@@ -106,3 +106,94 @@ def tws_running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+BYTYPE_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, n_events long, "
+    "total_value_micros long, user_rows long, user_total_micros long"
+)
+_MAP_KEY_SCHEMA = "event_type string"
+_MAP_VALUE_SCHEMA = "n long, tot long"
+_LIST_SCHEMA = "v long"
+
+
+class UserByTypeProcessor(StatefulProcessor):
+    """Per-user MAP state (event_type -> exact integer (count, sum))
+    plus LIST state (the per-row micro-value log) — the typed-state
+    surface beyond ValueState, exercised end to end through the
+    protobuf worker protocol: MapState exists/containsKey/getValue/
+    updateValue/iterator and ListState appendList/get. Every
+    accumulator is an order-independent integer, so the final
+    per-(user, event_type) rows equal the SQL aggregate bit-for-bit
+    on a bounded source. Timers are deliberately NOT used here: a
+    processing-time timer fires on wall clock, which would break the
+    oracle's determinism contract (timeMode="None" pins that)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._by_type = handle.getMapState(
+            "by_type", _MAP_KEY_SCHEMA, _MAP_VALUE_SCHEMA
+        )
+        self._vals = handle.getListState("vmicros", _LIST_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in rows:
+            self._vals.appendList(
+                [(int(v),) for v in pdf["v_micros"]]
+            )
+            g = pdf.groupby("event_type")["v_micros"]
+            for et, ser in g:
+                if self._by_type.containsKey((et,)):
+                    n, tot = self._by_type.getValue((et,))
+                else:
+                    n, tot = 0, 0
+                self._by_type.updateValue(
+                    (et,), (n + int(ser.size), tot + int(ser.sum()))
+                )
+        user_rows = 0
+        user_total = 0
+        for row in self._vals.get():  # Iterator[Tuple]
+            user_rows += 1
+            user_total += int(row[0])
+        ets, ns, tots = [], [], []
+        for k, v in self._by_type.iterator():
+            ets.append(k[0])
+            ns.append(int(v[0]))
+            tots.append(int(v[1]))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(ets),
+                "event_type": ets,
+                "n_events": ns,
+                "total_value_micros": tots,
+                "user_rows": [user_rows] * len(ets),
+                "user_total_micros": [user_total] * len(ets),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_user_event_type_stats(events: DataFrame) -> DataFrame:
+    """Per-(user, event_type) exact integer stats + per-user roll-up
+    through MapState + ListState (see ``UserByTypeProcessor``).
+
+    At 100 TB: state shards by user_id; the map fans out by event
+    type WITHIN the user's state entry (bounded domain), and the list
+    state is the per-user value log a real sessionizer would keep —
+    both live in the RocksDB store, nothing corpus-sized crosses the
+    driver."""
+    _ensure_worker_protobuf(events)
+    scaled = events.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micros"),
+    )
+    return scaled.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserByTypeProcessor(),
+        outputStructType=BYTYPE_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

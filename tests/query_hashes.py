@@ -130,6 +130,20 @@ def _src_and_tokens(obj: object) -> tuple[str, set[str], object] | None:
     return out
 
 
+# The registry aggregates are NOT behavior constants of any single
+# query: a plan whose oracle composes other queries' oracle text via
+# ORACLES[...] already hashes the composed result (the registered
+# oracle string), so folding the whole dict in would couple every
+# query to every other query's registration.
+_REGISTRY_AGGREGATES = (plans.QUERIES, plans.ORACLES)
+
+
+def _const_repr(obj: object) -> str | None:
+    if any(obj is agg for agg in _REGISTRY_AGGREGATES):
+        return None
+    return _stable_const(obj)
+
+
 def _walk(obj: object, seen: set[int], pieces: list[str]) -> None:
     if id(obj) in seen:
         return
@@ -170,7 +184,7 @@ def _walk(obj: object, seen: set[int], pieces: list[str]) -> None:
         elif inspect.isfunction(target) or inspect.isclass(target):
             _walk(target, seen, pieces)
         else:
-            const = _stable_const(target)
+            const = _const_repr(target)
             if const is not None:
                 pieces.append(f"{tok}={const}")
     # Pass 2: attrs of referenced pkg modules that the source names.
@@ -188,7 +202,7 @@ def _walk(obj: object, seen: set[int], pieces: list[str]) -> None:
             if inspect.isfunction(target) or inspect.isclass(target):
                 _walk(target, seen, pieces)
             elif not isinstance(target, types.ModuleType):
-                const = _stable_const(target)
+                const = _const_repr(target)
                 if const is not None:
                     pieces.append(f"{mod.__name__}.{tok}={const}")
 

@@ -115,6 +115,43 @@ def test_tws_plan_builds(spark, sf_dir):
 @pytest.mark.skipif(
     not _has_protobuf(), reason="TWS execution needs the protobuf package"
 )
+def test_tws_by_type_map_and_list_state(spark, sf_dir):
+    """The MapState + ListState legs of the TWS protocol execute and
+    the registered row equals the batch aggregate (r13)."""
+    from pyspark.sql import functions as SF
+
+    from lms_erp_data_integration_spark.catalog import Catalog
+    from lms_erp_data_integration_spark.plans.streaming_queries import (
+        stream_tws_by_type,
+    )
+
+    got = {
+        (r["user_id"], r["event_type"]): (
+            r["n_events"], r["total_value_micros"], r["user_rows"],
+            r["user_total_micros"],
+        )
+        for r in stream_tws_by_type(spark, sf_dir).collect()
+    }
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "event_type",
+        SF.round(SF.col("value") * 1_000_000).cast("long").alias("v"),
+    )
+    per = ev.groupBy("user_id", "event_type").agg(
+        SF.count(SF.lit(1)).alias("n"), SF.sum("v").alias("t")
+    )
+    u = per.groupBy("user_id").agg(
+        SF.sum("n").alias("ur"), SF.sum("t").alias("ut")
+    )
+    want = {
+        (r["user_id"], r["event_type"]): (r["n"], r["t"], r["ur"], r["ut"])
+        for r in per.join(u, "user_id").collect()
+    }
+    assert got == want
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(), reason="TWS execution needs the protobuf package"
+)
 def test_tws_executes_matches_batch(spark, sf_dir):
     from pyspark.sql import functions as SF
 
