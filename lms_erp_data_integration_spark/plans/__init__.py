@@ -57,6 +57,10 @@ registry.PRIORITY = [
     # worker protocol (getValue/containsKey/updateValue/iterator,
     # appendList/get), per-(user, type) stats + per-user roll-up
     "stream_tws_by_type",
+    # NEW in r13 (late): EVENT-TIME TIMERS — silent accumulation,
+    # per-user flush when the watermark crosses a fixed absolute
+    # expiry (registerTimer + expiry-iterator protocol legs)
+    "stream_tws_timer_flush",
     # changed in r13: corpus extended with CABAC intra H.264 (ids
     # 20-23, operators/cabac.py) — five decodable codec paths, new
     # CRC pins closed-loop-verified against encoder reconstructions
@@ -111,9 +115,8 @@ registry.PRIORITY = [
     "rel_moving_window_range",
     "rel_outlier_iqr",
     "rel_q11_important_parts",
-    "rel_q12_priority_class",
-    # (the r7 alphabetical tail from rel_q13_order_distribution onward
-    # and the r8 fill were displaced by the 12 r13-changed/new rows
+    # (the r7 alphabetical tail from rel_q12_priority_class onward
+    # and the r8 fill were displaced by the 13 r13-changed/new rows
     # above — they lead the r14 backlog)
 ]
 

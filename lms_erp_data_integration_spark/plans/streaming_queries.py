@@ -210,6 +210,52 @@ def stream_tws_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_tws_timer_flush",
+    """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_value_micros,
+       CAST(946684800000 AS BIGINT) AS fired_at_ms
+FROM events GROUP BY user_id
+""",
+)
+def stream_tws_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME TIMERS through transformWithStateInPandas: totals
+    accumulate silently in ValueState and the ONLY output is the
+    per-user timer flush when the watermark crosses the fixed
+    2000-01-01 expiry (registered idempotently from every batch) —
+    the timer-driven finalize pattern (session close-out) in Append
+    mode, hash-checked against the batch aggregate. Deterministic
+    because the expiry is a fixed ABSOLUTE event-time instant on a
+    watermarked bounded source; processing-time timers would be
+    wall-clock and stay out of the oracle surface."""
+    from ..streaming.tws import tws_timer_flush_totals
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_memory_sink(
+            tws_timer_flush_totals(events_stream(spark, sf_dir)),
+            f"stream_tws_timer_flush_{next(_SINK_SEQ)}",
+            mode="append",
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+    # append-mode sink: exactly one flush row per user, no extraction
+    return out.select(
+        "user_id", "n_events", "total_value_micros", "fired_at_ms"
+    )
+
+
+@query(
     "stream_dq_gate",
     """
 SELECT COUNT(*) AS n_events,

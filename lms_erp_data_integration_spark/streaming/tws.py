@@ -197,3 +197,81 @@ def tws_user_event_type_stats(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+TIMER_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, total_value_micros long, "
+    "fired_at_ms long"
+)
+
+# fixed absolute event-time expiry (2000-01-01T00:00:00Z, inside the
+# events table's 1995-2001 range): registered identically from every
+# micro-batch (re-registering the same timestamp is idempotent), it
+# fires exactly once per user when the final watermark passes it —
+# deterministic on a bounded source, unlike processing-time timers
+TIMER_FLUSH_AT_MS = 946_684_800_000
+
+
+class UserTimerFlushProcessor(StatefulProcessor):
+    """Totals accumulate silently in ValueState; the ONLY emission is
+    the event-time timer flush (``handleExpiredTimer``) — the
+    timer-driven finalize pattern (session close-out, TTL emission) a
+    production stateful pipeline uses, exercising the registerTimer /
+    expiry-iterator legs of the TWS worker protocol."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._tot = handle.getValueState("tot", _STATE_SCHEMA)
+        self._handle = handle
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n, tot = self._tot.get() if self._tot.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            tot += int(pdf["v_micros"].sum())
+        self._tot.update((n, tot))
+        self._handle.registerTimer(TIMER_FLUSH_AT_MS)
+        return iter([])
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        n, tot = self._tot.get() if self._tot.exists() else (0, 0)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_micros": [tot],
+                "fired_at_ms": [
+                    int(expiredTimerInfo.getExpiryTimeInMs())
+                ],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_timer_flush_totals(events: DataFrame) -> DataFrame:
+    """Per-user totals emitted ONLY by an event-time timer (see
+    ``UserTimerFlushProcessor``): watermarked input, Append mode —
+    nothing leaves the operator until the watermark crosses the fixed
+    flush timestamp, then exactly one row per user.
+
+    At 100 TB: identical state sharding to the other TWS rows; timers
+    live in the same RocksDB store keyed by (user, expiry), and the
+    flush batch emits one row per key — the output is key-sized, never
+    event-sized."""
+    _ensure_worker_protobuf(events)
+    scaled = events.withWatermark("ts", "0 seconds").select(
+        "ts",
+        "user_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micros"),
+    )
+    return scaled.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTimerFlushProcessor(),
+        outputStructType=TIMER_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -152,6 +152,45 @@ def test_tws_by_type_map_and_list_state(spark, sf_dir):
 @pytest.mark.skipif(
     not _has_protobuf(), reason="TWS execution needs the protobuf package"
 )
+def test_tws_event_time_timer_flush(spark, sf_dir):
+    """Event-time timers (r13): nothing is emitted until the watermark
+    crosses the fixed absolute expiry, then exactly one flush row per
+    user carrying the batch-equal totals and the expiry timestamp."""
+    from pyspark.sql import functions as SF
+
+    from lms_erp_data_integration_spark.catalog import Catalog
+    from lms_erp_data_integration_spark.plans.streaming_queries import (
+        stream_tws_timer_flush,
+    )
+    from lms_erp_data_integration_spark.streaming.tws import (
+        TIMER_FLUSH_AT_MS,
+    )
+
+    rows = stream_tws_timer_flush(spark, sf_dir).collect()
+    assert all(r["fired_at_ms"] == TIMER_FLUSH_AT_MS for r in rows)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value_micros"])
+        for r in rows
+    }
+    assert len(got) == len(rows)  # exactly one flush per user
+    ev = Catalog(spark, sf_dir).events
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.sum(
+                SF.round(SF.col("value") * 1_000_000).cast("long")
+            ).alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(), reason="TWS execution needs the protobuf package"
+)
 def test_tws_executes_matches_batch(spark, sf_dir):
     from pyspark.sql import functions as SF
 
