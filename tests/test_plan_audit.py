@@ -521,7 +521,7 @@ BROADCAST_SITES = {
         "scalar-agg: 1-row kept-corpus total",
     ("plans/curation_queries.py", "corpus_curate", "rates"):
         "enum-bounded: per-lang keep rates (lang enum)",
-    ("plans/curation_queries.py", "quality_psi_report", "edges"):
+    ("plans/curation_queries.py", "psi_report_from_scores", "edges"):
         "sketch-sized: ONE 9-edge decile row from the bottom-256 sample",
     ("plans/curation_queries.py", "psi_from_bucket_counts", "reft"):
         "scalar-agg: 1-row reference total",
