@@ -160,14 +160,16 @@ FROM per JOIN u USING (user_id)
 """,
 )
 def stream_tws_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The typed-state surface BEYOND ValueState, driven end to end:
-    per-user MapState (event_type -> exact integer (count, sum)) plus
-    ListState (per-row value log), i.e. the MapState getValue/
-    containsKey/updateValue/iterator and ListState appendList/get
-    legs of the transformWithStateInPandas worker protocol — over the
-    real events stream, hash-checked against the per-(user, type) SQL
-    aggregate with a per-user roll-up (order-independent integers, so
-    the bounded-stream final state equals the batch answer exactly)."""
+    """The MapState surface of transformWithStateInPandas, driven end
+    to end: per-user MapState (event_type -> exact integer (count,
+    sum)) via the getValue/containsKey/updateValue/iterator protocol
+    legs, with the per-user roll-up in a ValueState accumulator (the
+    ListState log-read pattern lives in ``stream_tws_timer_flush``,
+    where the log is scanned exactly once at flush instead of per
+    batch) — over the real events stream, hash-checked against the
+    per-(user, type) SQL aggregate with a per-user roll-up
+    (order-independent integers, so the bounded-stream final state
+    equals the batch answer exactly)."""
     from ..streaming.tws import tws_user_event_type_stats
 
     provider_key = "spark.sql.streaming.stateStore.providerClass"
@@ -215,20 +217,26 @@ def stream_tws_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
          AS total_value_micros,
+       CAST(COUNT(*) AS BIGINT) AS logged_rows,
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS logged_total_micros,
        CAST(946684800000 AS BIGINT) AS fired_at_ms
 FROM events GROUP BY user_id
 """,
 )
 def stream_tws_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EVENT-TIME TIMERS through transformWithStateInPandas: totals
-    accumulate silently in ValueState and the ONLY output is the
-    per-user timer flush when the watermark crosses the fixed
-    2000-01-01 expiry (registered idempotently from every batch) —
-    the timer-driven finalize pattern (session close-out) in Append
-    mode, hash-checked against the batch aggregate. Deterministic
-    because the expiry is a fixed ABSOLUTE event-time instant on a
-    watermarked bounded source; processing-time timers would be
-    wall-clock and stay out of the oracle surface."""
+    """EVENT-TIME TIMERS + the one-scan ListState log read: totals
+    accumulate silently in ValueState and an append-only ListState
+    value log, and the ONLY output is the per-user timer flush when
+    the watermark crosses the fixed 2000-01-01 expiry (registered
+    idempotently from every batch) — the timer-driven finalize
+    pattern (session close-out) in Append mode. The flush row carries
+    BOTH the accumulator totals and the log-derived totals and the
+    oracle pins them equal, so a log/accumulator divergence fails the
+    hash. Deterministic because the expiry is a fixed ABSOLUTE
+    event-time instant on a watermarked bounded source;
+    processing-time timers would be wall-clock and stay out of the
+    oracle surface."""
     from ..streaming.tws import tws_timer_flush_totals
 
     provider_key = "spark.sql.streaming.stateStore.providerClass"
@@ -251,7 +259,8 @@ def stream_tws_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(provider_key, prior)
     # append-mode sink: exactly one flush row per user, no extraction
     return out.select(
-        "user_id", "n_events", "total_value_micros", "fired_at_ms"
+        "user_id", "n_events", "total_value_micros", "logged_rows",
+        "logged_total_micros", "fired_at_ms",
     )
 
 

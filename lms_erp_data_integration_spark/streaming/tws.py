@@ -119,29 +119,34 @@ _LIST_SCHEMA = "v long"
 
 class UserByTypeProcessor(StatefulProcessor):
     """Per-user MAP state (event_type -> exact integer (count, sum))
-    plus LIST state (the per-row micro-value log) — the typed-state
-    surface beyond ValueState, exercised end to end through the
-    protobuf worker protocol: MapState exists/containsKey/getValue/
-    updateValue/iterator and ListState appendList/get. Every
-    accumulator is an order-independent integer, so the final
-    per-(user, event_type) rows equal the SQL aggregate bit-for-bit
-    on a bounded source. Timers are deliberately NOT used here: a
-    processing-time timer fires on wall clock, which would break the
-    oracle's determinism contract (timeMode="None" pins that)."""
+    plus a ValueState roll-up — the MapState legs of the protobuf
+    worker protocol (exists/containsKey/getValue/updateValue/
+    iterator). The per-user roll-up lives in ValueState, NOT a
+    re-scanned list: re-reading a value log every micro-batch would
+    cost O(batches x user events) per key at scale, so the log-read
+    pattern belongs to the timer-flush row (one scan, at expiry —
+    ``UserTimerFlushProcessor``). Every accumulator is an
+    order-independent integer, so the final per-(user, event_type)
+    rows equal the SQL aggregate bit-for-bit on a bounded source.
+    Timers are deliberately NOT used here: a processing-time timer
+    fires on wall clock, which would break the oracle's determinism
+    contract (timeMode="None" pins that)."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._by_type = handle.getMapState(
             "by_type", _MAP_KEY_SCHEMA, _MAP_VALUE_SCHEMA
         )
-        self._vals = handle.getListState("vmicros", _LIST_SCHEMA)
+        self._roll = handle.getValueState("roll", _STATE_SCHEMA)
 
     def handleInputRows(
         self, key, rows, timerValues
     ) -> Iterator[pd.DataFrame]:
+        user_rows, user_total = (
+            self._roll.get() if self._roll.exists() else (0, 0)
+        )
         for pdf in rows:
-            self._vals.appendList(
-                [(int(v),) for v in pdf["v_micros"]]
-            )
+            user_rows += len(pdf)
+            user_total += int(pdf["v_micros"].sum())
             g = pdf.groupby("event_type")["v_micros"]
             for et, ser in g:
                 if self._by_type.containsKey((et,)):
@@ -151,11 +156,7 @@ class UserByTypeProcessor(StatefulProcessor):
                 self._by_type.updateValue(
                     (et,), (n + int(ser.size), tot + int(ser.sum()))
                 )
-        user_rows = 0
-        user_total = 0
-        for row in self._vals.get():  # Iterator[Tuple]
-            user_rows += 1
-            user_total += int(row[0])
+        self._roll.update((user_rows, user_total))
         ets, ns, tots = [], [], []
         for k, v in self._by_type.iterator():
             ets.append(k[0])
@@ -178,13 +179,14 @@ class UserByTypeProcessor(StatefulProcessor):
 
 def tws_user_event_type_stats(events: DataFrame) -> DataFrame:
     """Per-(user, event_type) exact integer stats + per-user roll-up
-    through MapState + ListState (see ``UserByTypeProcessor``).
+    through MapState + a ValueState accumulator (see
+    ``UserByTypeProcessor``; the ListState log-read pattern lives in
+    the timer-flush operator, where the log is scanned once).
 
     At 100 TB: state shards by user_id; the map fans out by event
-    type WITHIN the user's state entry (bounded domain), and the list
-    state is the per-user value log a real sessionizer would keep —
-    both live in the RocksDB store, nothing corpus-sized crosses the
-    driver."""
+    type WITHIN the user's state entry (bounded domain) — everything
+    lives in the RocksDB store, nothing corpus-sized crosses the
+    driver and no state is re-scanned per batch."""
     _ensure_worker_protobuf(events)
     scaled = events.select(
         "user_id",
@@ -201,7 +203,7 @@ def tws_user_event_type_stats(events: DataFrame) -> DataFrame:
 
 TIMER_OUTPUT_SCHEMA = (
     "user_id long, n_events long, total_value_micros long, "
-    "fired_at_ms long"
+    "logged_rows long, logged_total_micros long, fired_at_ms long"
 )
 
 # fixed absolute event-time expiry (2000-01-01T00:00:00Z, inside the
@@ -213,14 +215,21 @@ TIMER_FLUSH_AT_MS = 946_684_800_000
 
 
 class UserTimerFlushProcessor(StatefulProcessor):
-    """Totals accumulate silently in ValueState; the ONLY emission is
-    the event-time timer flush (``handleExpiredTimer``) — the
-    timer-driven finalize pattern (session close-out, TTL emission) a
-    production stateful pipeline uses, exercising the registerTimer /
-    expiry-iterator legs of the TWS worker protocol."""
+    """Totals accumulate silently in ValueState AND a ListState value
+    log (appendList per batch — append-only, never re-read on the hot
+    path); the ONLY emission is the event-time timer flush
+    (``handleExpiredTimer``), where the log is scanned exactly ONCE
+    (``ListState.get``) — the timer-driven finalize pattern (session
+    close-out) a production stateful pipeline uses, exercising the
+    registerTimer / expiry-iterator protocol legs plus the
+    one-scan-at-flush log-read pattern. The flush row carries both
+    the ValueState totals and the log-derived totals; the oracle pins
+    them equal (logged_rows == n_events etc.), so a log/accumulator
+    divergence fails the hash."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._tot = handle.getValueState("tot", _STATE_SCHEMA)
+        self._vals = handle.getListState("vmicros", _LIST_SCHEMA)
         self._handle = handle
 
     def handleInputRows(
@@ -230,6 +239,7 @@ class UserTimerFlushProcessor(StatefulProcessor):
         for pdf in rows:
             n += len(pdf)
             tot += int(pdf["v_micros"].sum())
+            self._vals.appendList([(int(v),) for v in pdf["v_micros"]])
         self._tot.update((n, tot))
         self._handle.registerTimer(TIMER_FLUSH_AT_MS)
         return iter([])
@@ -238,11 +248,18 @@ class UserTimerFlushProcessor(StatefulProcessor):
         self, key, timerValues, expiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
         n, tot = self._tot.get() if self._tot.exists() else (0, 0)
+        logged_rows = 0
+        logged_total = 0
+        for row in self._vals.get():  # ONE scan, at flush
+            logged_rows += 1
+            logged_total += int(row[0])
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
                 "total_value_micros": [tot],
+                "logged_rows": [logged_rows],
+                "logged_total_micros": [logged_total],
                 "fired_at_ms": [
                     int(expiredTimerInfo.getExpiryTimeInMs())
                 ],
