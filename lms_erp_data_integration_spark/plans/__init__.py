@@ -120,6 +120,25 @@ registry.PRIORITY = [
     # above — they lead the r14 backlog)
 ]
 
+# r14 rotation plan (committed now so the next round executes it, the
+# discipline every round since r9): keep the 8 sync rows pinned and
+# any r14-new/changed rows ahead of fillers, then fill the
+# re-verification backlog oldest-first — FIRST the displaced r7 tail
+# (rel_q12_priority_class, rel_q13_order_distribution,
+# rel_q15_top_supplier, rel_salted_join_revenue, rel_semi_anti_counts,
+# rel_session_window_native, rel_string_surface, rel_term_successor,
+# rel_top_orders_per_customer, rel_unpivot_part_measures — last
+# driver-checked r7), then sync_pipeline_run_report and the r8 cohort
+# alphabetically (llm_chunk_documents, llm_dedup_apply,
+# llm_dedup_clusters, llm_dedup_ngram_jaccard, llm_sim_ivf_multiprobe,
+# llm_sim_ivf_topk, the llm_sketch_* family, rel_q7/q8/q9,
+# rel_sessionize_events, rel_stats_moments, rel_theta_setops,
+# rel_window_rank_surface, the stream_* r8 rows), then r9. Stamp with
+# scripts/update_checked_hashes.py (window-only, NOT --bootstrap).
+# Bench: probe the tenancy controls at session START (clean floors in
+# BASELINE.md r13 note) and re-record bench_ref.json the moment a
+# clean window appears — it has been pending since r12.
+
 # Round-12 driver-window rotation (HISTORICAL — superseded by the r13
 # window above; kept for the audit trail, per the plan committed at r11
 # close, below): 8 sync rows pinned, then everything new or
