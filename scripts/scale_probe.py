@@ -199,11 +199,13 @@ PROBE_QUERIES = [
     # pass (checkpointed) + one stateless stream pass of flag probes
     # + the batch per-doc merge over the append sink
     "stream_line_dedup",
-    # r13: the transformWithStateInPandas row — per-user typed state
+    # r13: the transformWithStateInPandas rows — per-user typed state
     # through the RocksDB store over the replicated events drop; the
     # expected shape is the v1 stateful row's (streaming machinery
     # dominates at these scales, data term linear in events)
     "stream_tws_user_totals",
+    "stream_tws_by_type",
+    "stream_tws_timer_flush",
 ]
 
 
