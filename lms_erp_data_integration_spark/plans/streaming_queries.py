@@ -90,6 +90,31 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _rocksdb_provider(spark: SparkSession):
+    """TWS requires the RocksDB state-store provider; scope the
+    session conf to the query run and restore whatever was set (one
+    definition for every TWS row — a drifted copy would silently run
+    one query against the wrong provider)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 @query(
     "stream_tws_user_totals",
     """
@@ -113,24 +138,12 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface without changing the partitioning story."""
     from ..streaming.tws import tws_running_user_totals
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prior = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_provider(spark):
         out = run_to_memory_sink(
             tws_running_user_totals(events_stream(spark, sf_dir)),
             f"stream_tws_user_totals_{next(_SINK_SEQ)}",
             mode="update",
         )
-    finally:
-        if prior is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prior)
     # same final-state extraction as the v1 row: update-mode sink keeps
     # one row per (user, micro-batch); n_events is strictly increasing
     return (
@@ -172,24 +185,12 @@ def stream_tws_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch answer exactly)."""
     from ..streaming.tws import tws_user_event_type_stats
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prior = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_provider(spark):
         out = run_to_memory_sink(
             tws_user_event_type_stats(events_stream(spark, sf_dir)),
             f"stream_tws_by_type_{next(_SINK_SEQ)}",
             mode="update",
         )
-    finally:
-        if prior is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prior)
     # update-mode sink keeps one row set per (user, micro-batch);
     # user_rows is strictly increasing per user, so the max struct per
     # (user, event_type) is that pair's LAST emission
@@ -239,24 +240,12 @@ def stream_tws_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle surface."""
     from ..streaming.tws import tws_timer_flush_totals
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prior = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_provider(spark):
         out = run_to_memory_sink(
             tws_timer_flush_totals(events_stream(spark, sf_dir)),
             f"stream_tws_timer_flush_{next(_SINK_SEQ)}",
             mode="append",
         )
-    finally:
-        if prior is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prior)
     # append-mode sink: exactly one flush row per user, no extraction
     return out.select(
         "user_id", "n_events", "total_value_micros", "logged_rows",

@@ -114,7 +114,6 @@ BYTYPE_OUTPUT_SCHEMA = (
 )
 _MAP_KEY_SCHEMA = "event_type string"
 _MAP_VALUE_SCHEMA = "n long, tot long"
-_LIST_SCHEMA = "v long"
 
 
 class UserByTypeProcessor(StatefulProcessor):
@@ -147,7 +146,9 @@ class UserByTypeProcessor(StatefulProcessor):
         for pdf in rows:
             user_rows += len(pdf)
             user_total += int(pdf["v_micros"].sum())
-            g = pdf.groupby("event_type")["v_micros"]
+            # dropna=False: a NULL event_type is a group to the SQL
+            # oracle (GROUP BY keeps it) so it must be one here too
+            g = pdf.groupby("event_type", dropna=False)["v_micros"]
             for et, ser in g:
                 if self._by_type.containsKey((et,)):
                     n, tot = self._by_type.getValue((et,))
@@ -159,7 +160,7 @@ class UserByTypeProcessor(StatefulProcessor):
         self._roll.update((user_rows, user_total))
         ets, ns, tots = [], [], []
         for k, v in self._by_type.iterator():
-            ets.append(k[0])
+            ets.append(k[0])  # None round-trips as SQL NULL
             ns.append(int(v[0]))
             tots.append(int(v[1]))
         yield pd.DataFrame(
@@ -205,12 +206,20 @@ TIMER_OUTPUT_SCHEMA = (
     "user_id long, n_events long, total_value_micros long, "
     "logged_rows long, logged_total_micros long, fired_at_ms long"
 )
+_LIST_SCHEMA = "v long"  # the timer processor's per-row value log
 
-# fixed absolute event-time expiry (2000-01-01T00:00:00Z, inside the
-# events table's 1995-2001 range): registered identically from every
-# micro-batch (re-registering the same timestamp is idempotent), it
-# fires exactly once per user when the final watermark passes it —
-# deterministic on a bounded source, unlike processing-time timers
+# Fixed absolute event-time expiry (2000-01-01T00:00:00Z). The events
+# table's timestamps are ~2024, so the expiry PREDATES every event and
+# the timer becomes eligible the first time the watermark advances at
+# all — i.e. in the no-data pass after the single data micro-batch.
+# That single-batch shape is STRUCTURAL here, not luck: events_stream
+# reads the one-file events table with maxFilesPerTrigger=1, so a
+# bounded run is exactly one data batch + one watermark pass, and the
+# flush always carries FULL totals. A multi-file deployment would use
+# the re-register-on-activity inactivity-gap pattern instead, whose
+# batch-dependent emission lives outside the exact-oracle surface —
+# registered once per key (first sight), not per batch, so a re-fired
+# stale timer cannot double-emit even if batching changes.
 TIMER_FLUSH_AT_MS = 946_684_800_000
 
 
@@ -235,13 +244,15 @@ class UserTimerFlushProcessor(StatefulProcessor):
     def handleInputRows(
         self, key, rows, timerValues
     ) -> Iterator[pd.DataFrame]:
-        n, tot = self._tot.get() if self._tot.exists() else (0, 0)
+        first_sight = not self._tot.exists()
+        n, tot = (0, 0) if first_sight else self._tot.get()
         for pdf in rows:
             n += len(pdf)
             tot += int(pdf["v_micros"].sum())
             self._vals.appendList([(int(v),) for v in pdf["v_micros"]])
         self._tot.update((n, tot))
-        self._handle.registerTimer(TIMER_FLUSH_AT_MS)
+        if first_sight:
+            self._handle.registerTimer(TIMER_FLUSH_AT_MS)
         return iter([])
 
     def handleExpiredTimer(
@@ -253,6 +264,11 @@ class UserTimerFlushProcessor(StatefulProcessor):
         for row in self._vals.get():  # ONE scan, at flush
             logged_rows += 1
             logged_total += int(row[0])
+        # close-out semantics: the flush RECLAIMS the state (the log is
+        # event-sized — leaving it in RocksDB after emission would be
+        # unbounded growth on an unbounded stream)
+        self._vals.clear()
+        self._tot.clear()
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
