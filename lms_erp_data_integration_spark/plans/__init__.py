@@ -14,8 +14,81 @@ from . import curation_queries  # noqa: F401, E402
 from . import media_queries  # noqa: F401, E402
 from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 
-# Round-13 driver-window rotation (per the r12 VERDICT #2 + ADVICE #1
-# plan): 8 sync rows pinned, then `sync_jdbc_mirror_roundtrip` — the
+# Round-14 driver-window rotation (executing the plan committed at r13
+# close, below): 8 sync rows pinned, then the r14-changed rows — the
+# three TWS rows (tws.py changed: never-cleared `flushed` ValueState
+# kills the multi-batch double-emit, NaN->None group-key normalization
+# on the MapState leg — both ADVICE items, oracle semantics unchanged
+# on the fixture, driver re-verifies at the new closure hash) — then
+# the re-verification backlog oldest-first: the displaced r7 tail
+# (last driver check r7), then sync_pipeline_run_report + the r8
+# cohort alphabetically (last check r8), then the r9-oldest rows to
+# fill 50. Rows changed later in r14 (lifecycle trim, codec-stats
+# extension, if they land) swap in for the r9 tail fillers.
+registry.PRIORITY = [
+    # core reference surface — pinned every round
+    "sync_missing_faculty_users",
+    "sync_missing_student_users",
+    "sync_missing_courses",
+    "sync_missing_sections",
+    "sync_daily_enrollment",
+    "sync_ctl_library_courses",
+    "sync_ctl_library_sections",
+    "sync_clean_users",
+    # changed in r14 (ADVICE): flushed-marker single-emit contract +
+    # NULL-group-key normalization in streaming/tws.py
+    "stream_tws_user_totals",
+    "stream_tws_by_type",
+    "stream_tws_timer_flush",
+    # backlog: the r7 alphabetical tail (last driver check r7)
+    "rel_q12_priority_class",
+    "rel_q13_order_distribution",
+    "rel_q15_top_supplier",
+    "rel_salted_join_revenue",
+    "rel_semi_anti_counts",
+    "rel_session_window_native",
+    "rel_string_surface",
+    "rel_term_successor",
+    "rel_top_orders_per_customer",
+    "rel_unpivot_part_measures",
+    # backlog: sync_pipeline_run_report + the r8 cohort (last check
+    # r8), alphabetical
+    "llm_chunk_documents",
+    "llm_dedup_apply",
+    "llm_dedup_clusters",
+    "llm_dedup_ngram_jaccard",
+    "llm_sim_ivf_multiprobe",
+    "llm_sim_ivf_topk",
+    "llm_sketch_cms_heavy_hitters",
+    "llm_sketch_hll_distinct",
+    "llm_sketch_hll_rollup",
+    "rel_bloom_semi_join",
+    "rel_q7_volume_shipping",
+    "rel_q8_market_share",
+    "rel_q9_product_profit",
+    "rel_sessionize_events",
+    "rel_stats_moments",
+    "rel_theta_setops",
+    "rel_window_rank_surface",
+    "stream_attribution_join",
+    "stream_dedup_events",
+    "stream_events_hourly",
+    "stream_session_windows",
+    "stream_sketch_cms",
+    "stream_sketch_distinct",
+    "stream_sliding_counts",
+    "stream_stateful_user_totals",
+    "sync_pipeline_run_report",
+    # backlog: r9-oldest, alphabetical (displaced by any late-r14
+    # changed rows)
+    "llm_contamination_ngram",
+    "llm_corpus_mix",
+    "llm_corpus_stats",
+]
+
+# Round-13 driver-window rotation (HISTORICAL — superseded by the r14
+# window above; kept for the audit trail; per the r12 VERDICT #2 +
+# ADVICE #1 plan): 8 sync rows pinned, then `sync_jdbc_mirror_roundtrip` — the
 # only S5/S8 end-to-end driver row, displaced two rounds running, it
 # leads this window — then the rows whose DECODE HELPERS changed in
 # late r12 without a driver re-check (ADVICE #1: the fixed-point-DCT
@@ -26,7 +99,7 @@ from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 # row now), then any r13-new/changed rows, then the re-verification
 # backlog oldest-first: the rest of the r7 cohort (last checked r7),
 # then r8-cohort rows alphabetically to fill 50.
-registry.PRIORITY = [
+_PRIORITY_R13 = [
     # core reference surface — pinned every round
     "sync_missing_faculty_users",
     "sync_missing_student_users",
@@ -120,7 +193,8 @@ registry.PRIORITY = [
     # above — they lead the r14 backlog)
 ]
 
-# r14 rotation plan (committed now so the next round executes it, the
+# r14 rotation plan (EXECUTED — the r14 window above follows it; kept
+# for the audit trail) (committed at r13 close so the next round executes it, the
 # discipline every round since r9): keep the 8 sync rows pinned and
 # any r14-new/changed rows ahead of fillers, then fill the
 # re-verification backlog oldest-first — FIRST the displaced r7 tail

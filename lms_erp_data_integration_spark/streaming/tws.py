@@ -79,7 +79,18 @@ def _ensure_worker_protobuf(events: DataFrame) -> None:
 
     from ..vendor import _PBSHIM_DIR, ensure_protobuf
 
-    if ensure_protobuf() == "shim":
+    mode = ensure_protobuf()
+    if mode == "missing":
+        # get_spark degrades to "missing" instead of failing session
+        # creation (a regular `google` package without protobuf
+        # shadows the shim's namespace dir); TWS is the one surface
+        # that genuinely needs the runtime, so it raises at use.
+        raise ImportError(
+            "transformWithStateInPandas needs a google.protobuf "
+            "runtime, and an installed non-namespace 'google' package "
+            "shadows both the real distribution and the vendored shim"
+        )
+    if mode == "shim":
         sc = events.sparkSession.sparkContext
         existing = sc.environment.get("PYTHONPATH", "")
         if _PBSHIM_DIR not in existing.split(os.pathsep):
@@ -147,9 +158,15 @@ class UserByTypeProcessor(StatefulProcessor):
             user_rows += len(pdf)
             user_total += int(pdf["v_micros"].sum())
             # dropna=False: a NULL event_type is a group to the SQL
-            # oracle (GROUP BY keeps it) so it must be one here too
+            # oracle (GROUP BY keeps it) so it must be one here too.
+            # pandas yields float('nan') (not None) as the missing
+            # group key on object columns — normalize to None so the
+            # string-keyed MapState stores a real SQL NULL instead of
+            # erroring or minting a spurious 'nan' key
+            # (test_tws_by_type_null_event_type pins this).
             g = pdf.groupby("event_type", dropna=False)["v_micros"]
             for et, ser in g:
+                et = et if pd.notna(et) else None
                 if self._by_type.containsKey((et,)):
                     n, tot = self._by_type.getValue((et,))
                 else:
@@ -215,12 +232,16 @@ _LIST_SCHEMA = "v long"  # the timer processor's per-row value log
 # That single-batch shape is STRUCTURAL here, not luck: events_stream
 # reads the one-file events table with maxFilesPerTrigger=1, so a
 # bounded run is exactly one data batch + one watermark pass, and the
-# flush always carries FULL totals. A multi-file deployment would use
-# the re-register-on-activity inactivity-gap pattern instead, whose
-# batch-dependent emission lives outside the exact-oracle surface —
-# registered once per key (first sight), not per batch, so a re-fired
-# stale timer cannot double-emit even if batching changes.
+# flush always carries FULL totals. If the structure ever changes
+# (multi-file table, a different maxFilesPerTrigger), the one-row-per
+# -user contract is still enforced mechanically: a never-cleared
+# ``flushed`` ValueState marks emission, and post-flush batches are
+# dropped without re-registering the already-past expiry — a second
+# data batch can no longer masquerade as first sight and double-emit
+# partial totals (the flush clears the accumulators, so first-sight
+# detection via ``_tot.exists()`` alone would be wrong exactly then).
 TIMER_FLUSH_AT_MS = 946_684_800_000
+_FLUSHED_SCHEMA = "f long"  # presence == this key already emitted
 
 
 class UserTimerFlushProcessor(StatefulProcessor):
@@ -239,11 +260,22 @@ class UserTimerFlushProcessor(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._tot = handle.getValueState("tot", _STATE_SCHEMA)
         self._vals = handle.getListState("vmicros", _LIST_SCHEMA)
+        # Never cleared: distinguishes "flushed" from "never seen"
+        # after the flush reclaims the accumulators (see the module
+        # comment above TIMER_FLUSH_AT_MS). One int64, key-sized.
+        self._flushed = handle.getValueState("flushed", _FLUSHED_SCHEMA)
         self._handle = handle
 
     def handleInputRows(
         self, key, rows, timerValues
     ) -> Iterator[pd.DataFrame]:
+        if self._flushed.exists():
+            # Post-flush data (only reachable if the single-batch
+            # structure changes): drop it rather than re-register the
+            # already-past expiry and emit a second, partial row.
+            for _ in rows:
+                pass
+            return iter([])
         first_sight = not self._tot.exists()
         n, tot = (0, 0) if first_sight else self._tot.get()
         for pdf in rows:
@@ -258,6 +290,9 @@ class UserTimerFlushProcessor(StatefulProcessor):
     def handleExpiredTimer(
         self, key, timerValues, expiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
+        if self._flushed.exists():  # one emission per key, ever
+            return iter([])
+        self._flushed.update((1,))
         n, tot = self._tot.get() if self._tot.exists() else (0, 0)
         logged_rows = 0
         logged_total = 0

@@ -242,3 +242,61 @@ def test_pbshim_packageless_proto_scope():
     fd = wire.parse_file_descriptor(ld(1, b"t.proto") + ld(4, msg))
     d = fd.message_types_by_name["M"]
     assert d.fields[0].message_type is d
+
+
+def test_pbshim_oneof_read_does_not_vivify():
+    """r14 ADVICE: reading an UNSET oneof member must return a
+    transient default — storing the vivified child would make
+    HasField true, flip WhichOneof, and let SerializeToString emit
+    two members of one oneof (silent corruption on a read-then-
+    serialize client)."""
+    from lms_erp_data_integration_spark.vendor.pbshim.google.protobuf import (
+        wire,
+    )
+
+    def ld(tag, b):
+        out = bytearray()
+        wire._enc_varint(out, (tag << 3) | 2)
+        wire._enc_varint(out, len(b))
+        out += b
+        return bytes(out)
+
+    def vi(tag, v):
+        out = bytearray()
+        wire._enc_varint(out, (tag << 3) | 0)
+        wire._enc_varint(out, v)
+        return bytes(out)
+
+    # message C { int32 x = 1; }
+    c_fld = ld(1, b"x") + vi(3, 1) + vi(4, 1) + vi(5, wire.TYPE_INT32)
+    c_msg = ld(1, b"C") + ld(2, c_fld)
+    # message M { oneof o { C a = 1; C b = 2; } }
+    m_a = (ld(1, b"a") + vi(3, 1) + vi(4, 1) + vi(5, wire.TYPE_MESSAGE)
+           + ld(6, b".C") + vi(9, 0))
+    m_b = (ld(1, b"b") + vi(3, 2) + vi(4, 1) + vi(5, wire.TYPE_MESSAGE)
+           + ld(6, b".C") + vi(9, 0))
+    m_msg = (ld(1, b"M") + ld(2, m_a) + ld(2, m_b)
+             + ld(8, ld(1, b"o")))
+    fd = wire.parse_file_descriptor(
+        ld(1, b"t.proto") + ld(4, c_msg) + ld(4, m_msg)
+    )
+    C = wire.build_message_class(fd.message_types_by_name["C"])
+    M = wire.build_message_class(fd.message_types_by_name["M"])
+
+    m = M(a=C(x=7))
+    assert m.WhichOneof("o") == "a"
+    # the hazard: read the UNSET sibling, then re-check oneof state
+    unset = m.b
+    assert unset.x == 0  # a usable default instance
+    assert m.HasField("b") is False
+    assert m.WhichOneof("o") == "a"
+    # round-trip still carries exactly one member
+    m2 = M()
+    m2.ParseFromString(m.SerializeToString())
+    assert m2.WhichOneof("o") == "a" and m2.a.x == 7
+    assert m2.HasField("b") is False
+    # non-oneof message fields keep the write-through vivify: pyspark's
+    # client does `cmd.ttl.durationMs = n` on a PLAIN field
+    m3 = M(a=C())
+    m3.a.x = 9  # set-member write-through still works
+    assert m3.a.x == 9

@@ -88,13 +88,9 @@ def test_registered_streaming_queries_match_batch(spark, sf_dir):
 def _has_protobuf() -> bool:
     # real distribution or the vendored pbshim — either unblocks the
     # TWS worker protocol (session.get_spark resolves the same way)
-    try:
-        from lms_erp_data_integration_spark.vendor import ensure_protobuf
+    from lms_erp_data_integration_spark.vendor import ensure_protobuf
 
-        ensure_protobuf()
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf() != "missing"
 
 
 def test_tws_plan_builds(spark, sf_dir):
@@ -568,3 +564,114 @@ def test_stream_line_dedup_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(), reason="TWS execution needs the protobuf package"
+)
+def test_tws_by_type_null_event_type(spark, tmp_path):
+    """A NULL event_type is a group to the SQL oracle, so the MapState
+    leg must carry it as a real SQL NULL key (r14, ADVICE): pandas
+    groupby(dropna=False) yields float('nan') — not None — as the
+    missing-group key on object columns, and an un-normalized NaN
+    would either error the string-keyed MapState or mint a spurious
+    'nan' string key."""
+    import datetime as dt
+
+    from lms_erp_data_integration_spark.plans.streaming_queries import (
+        _rocksdb_provider,
+    )
+    from lms_erp_data_integration_spark.streaming.tws import (
+        tws_user_event_type_stats,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "click", base, 1.0),
+        (1, None, base, 2.0),
+        (1, None, base, 3.0),
+        (2, None, base, 5.0),
+    ]
+    src = str(tmp_path / "nullet")
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _rocksdb_provider(spark):
+        out = run_to_memory_sink(
+            tws_user_event_type_stats(stream), "tws_nullet", mode="update"
+        )
+    got = {
+        (r["user_id"], r["event_type"]): (
+            r["n_events"],
+            r["total_value_micros"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "click"): (1, 1_000_000),
+        (1, None): (2, 5_000_000),
+        (2, None): (1, 5_000_000),
+    }
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(), reason="TWS execution needs the protobuf package"
+)
+def test_tws_timer_flush_multi_batch_single_emit(spark, tmp_path):
+    """One flush row per user EVER, even when the source spans several
+    data micro-batches (r14, ADVICE): the flush reclaims the
+    accumulators, so without the never-cleared ``flushed`` marker a
+    post-flush batch would read as first sight, re-register the
+    already-past expiry, and emit a SECOND partial row per user."""
+    import datetime as dt
+
+    from lms_erp_data_integration_spark.plans.streaming_queries import (
+        _rocksdb_provider,
+    )
+    from lms_erp_data_integration_spark.streaming.tws import (
+        TIMER_FLUSH_AT_MS,
+        tws_timer_flush_totals,
+    )
+
+    src = str(tmp_path / "multibatch")
+    base = dt.datetime(2024, 1, 1)
+    # three separate files -> three data micro-batches at
+    # maxFilesPerTrigger=1; every user appears in every file so any
+    # double-emission is per-user visible
+    for i in range(3):
+        spark.createDataFrame(
+            [
+                (u, base + dt.timedelta(hours=i), float(10 * u + i))
+                for u in (1, 2)
+            ],
+            "user_id long, ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _rocksdb_provider(spark):
+        out = run_to_memory_sink(
+            tws_timer_flush_totals(stream), "tws_multibatch", mode="append"
+        )
+    rows = out.collect()
+    # the contract under test: exactly one emission per user
+    assert sorted(r["user_id"] for r in rows) == [1, 2]
+    for r in rows:
+        # internal consistency: the log and the accumulator agree on
+        # whatever was accumulated by flush time (post-flush batches
+        # are dropped by design — the session is closed out)
+        assert r["logged_rows"] == r["n_events"]
+        assert r["logged_total_micros"] == r["total_value_micros"]
+        assert r["fired_at_ms"] == TIMER_FLUSH_AT_MS
+        assert r["n_events"] >= 2  # at least the first file's rows
