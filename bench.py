@@ -228,8 +228,31 @@ def main() -> int:
         if len(line_for(trial)) > budget:
             break
         headline = trial
-    print(line_for(headline))
-    spark.stop()
+    line = line_for(headline)
+
+    # The summary line must be the LAST stdout write (r13: the driver's
+    # tail capture got flooded by TWS/RocksDB shutdown stack traces and
+    # recorded "parsed": null). Quiesce streaming state-store
+    # maintenance, stop the session, give the JVM's async log writers a
+    # moment to drain, THEN print.
+    try:
+        for q in spark.streams.active:  # all bounded runs already
+            q.stop()  # stopped themselves; belt-and-braces
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        # unloads every loaded state-store provider and joins the
+        # maintenance thread pool — the source of the r13 shutdown
+        # stack traces when left racing session teardown
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()  # noqa: E501
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001
+        pass
+    time.sleep(1.5)
+    print(line, flush=True)
     return 0
 
 
