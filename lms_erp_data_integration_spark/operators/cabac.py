@@ -1,21 +1,31 @@
 """CABAC entropy coding for the from-scratch H.264 decoder
-(``h264.py``) — ITU-T H.264 clause 9.3, I slices.
+(``h264.py``) — ITU-T H.264 clause 9.3, I/P/B slices.
 
 Implements the full arithmetic coding ENGINE (9.3.3.2 decoding,
 9.3.4 encoding: 510-range M-coder, 64-state probability ladder, LPS
 range table, bypass and terminate modes, renormalization with
-outstanding-bit carry resolution) and the I-slice SYNTAX layer
+outstanding-bit carry resolution) and the SYNTAX layer
 (9.3.2/9.3.3.1): mb_type binarization with neighbour contexts,
 prev/rem intra-4x4 pred modes, intra_chroma_pred_mode TU,
 coded_block_pattern with per-8x8 neighbour contexts, mb_qp_delta
 unary, and residual_block_cabac for block categories 0-4
-(coded_block_flag neighbour rules, significance + last-significance
-maps, UEG0 level binarization with the Gt1/Eq1 context ladder, bypass
-signs), plus per-MB end_of_slice terminate bins. Both directions are
-implemented — ``decode_islice_cabac`` and the closed-loop fixture
-encoder ``encode_h264_annexb_cabac`` — sharing every context-index
-computation, so encoder reconstruction equals decoder output
-bit-for-bit (the CAVLC / FLAC fixture pattern).
+(coded_block_flag neighbour rules — including the inter availability
+rule — significance + last-significance maps, UEG0 level binarization
+with the Gt1/Eq1 context ladder, bypass signs), plus per-MB
+end_of_slice terminate bins. P/B slices (r14): per-MB mb_skip_flag
+with neighbour conditions, the P and B mb_type trees (intra-in-P/B
+through a shared suffix context block), unary ref_idx with the
+refIdx>0 neighbour increment, and UEG3 mvd (TU prefix over
+|mvd|-sum-conditioned contexts, EG3 bypass suffix, bypass sign) over
+the SAME motion compensation / weighting / reconstruction the CAVLC
+P/B decoder uses. Supported inter shapes mirror CAVLC exactly:
+P_Skip, P_L0_16x16/16x8/8x16, intra-in-P, B_L0/L1/Bi_16x16,
+intra-in-B; P_8x8, B_Direct/B_Skip and B partitions reject cleanly.
+Both directions are implemented — ``decode_islice_cabac`` /
+``decode_pbslice_cabac`` and the closed-loop fixture encoder
+``encode_h264_annexb_cabac`` (all-intra, IPP, IBP GOPs) — sharing
+every context-index computation, so encoder reconstruction equals
+decoder output bit-for-bit (the CAVLC / FLAC fixture pattern).
 
 CONFORMANCE BOUNDARY (read this before pointing the decoder at
 external streams): the spec's context INITIALIZATION tables (Tables
@@ -93,7 +103,11 @@ _TRANS_LPS = np.array([
     33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63,
 ], dtype=np.int64)
 
-_N_CTX = 277  # 0..275 adaptive; 276 is the terminate pseudo-context
+# 0..275 adaptive I-slice layout; 276 terminate pseudo-context;
+# 277..320 the r14 P/B blocks (skip, P/B mb_type, intra-in-P/B
+# suffix, ref_idx, mvd x/y) — appended so pre-existing indices (and
+# therefore the r13 all-intra fixture bitstreams) are unchanged
+_N_CTX = 321
 
 
 def _init_states() -> tuple[np.ndarray, np.ndarray]:
@@ -255,6 +269,28 @@ _CTX_ABS = 227            # + cat offset + Gt1/Eq1 ladder inc
 _ABS_CAT_OFF = (0, 10, 20, 30, 39)
 _CTX_TERMINATE = 276
 
+# P/B context blocks (r14) — appended ABOVE the I-slice layout so every
+# pre-existing index keeps its value and the r13 all-intra fixtures
+# decode bit-identically. Context-index layout notes (closed-loop
+# contract, same as the init tables — see the module docstring): the
+# SELECTION structure below follows the spec's (which syntax element
+# gets neighbour-conditioned increments, which bins share a context);
+# where the spec conditions a bin's increment on an earlier bin value,
+# the polarity used here is documented inline and is a fixed shared
+# choice between this encoder and decoder.
+_CTX_SKIP_P = 277     # mb_skip_flag, P: +inc 0..2 (avail && !skip)
+_CTX_SKIP_B = 280     # mb_skip_flag, B: +inc 0..2
+_CTX_MB_TYPE_P = 283  # bin0 +0; bin1 +1; bin2 +2 (bin1=1) / +3
+_CTX_MB_TYPE_B = 287  # bin0 +inc 0..2; bin1 +3; bin2 +4; bins>=3 +5
+_CTX_MB_TYPE_PB_I = 293  # intra-in-P/B suffix tree: same layout as
+#                          _CTX_MB_TYPE_I but bin0 fixed (+0), suffix
+#                          bins +3..+7
+_CTX_REF_IDX = 301    # bin0 +inc 0..3 (condA + 2*condB); bin1 +4;
+#                       bins>=2 +5
+_CTX_MVD_X = 307      # bin0 +inc 0..2 (|mvd| nb sum); bins 1..3
+#                       +3..+5; bins>=4 +6; EG3 suffix + sign bypass
+_CTX_MVD_Y = 314
+
 # residual block categories
 _CAT_LUMA_DC = 0
 _CAT_LUMA_AC = 1
@@ -280,6 +316,13 @@ class _CState:
         self.cbf_cdc = np.zeros((hmb, wmb, 2), dtype=np.int8)
         self.cbf_c4 = np.zeros((2 * hmb, 2 * wmb, 2), dtype=np.int8)
         self.prev_qp_delta_nz = 0  # previous MB in decoding order
+        # P/B state (r14): skip flags for the mb_skip/B-mb_type
+        # neighbour conditions, and per-4x4 |mvd| per (list, comp)
+        # for the mvd bin-0 increments (intra/skip/unused-list spans
+        # stay 0, which is the spec's contribution for them)
+        self.skip = np.zeros((hmb, wmb), dtype=np.int8)
+        self.mvd_abs = np.zeros((4 * hmb, 4 * wmb, 2, 2),
+                                dtype=np.int64)
 
 
 def _cstate(fr: "H._Frame") -> _CState:
@@ -347,18 +390,21 @@ def _cbp_chroma_inc(cs, fr, sid, mbx, mby, stage) -> int:
     return inc
 
 
-def _cbf_inc(cs, fr, sid, cat, mbx, mby, comp, bx, by) -> int:
+def _cbf_inc(cs, fr, sid, cat, mbx, mby, comp, bx, by,
+             cur_intra: bool = True) -> int:
     """coded_block_flag ctxIdxInc = condA + 2*condB. Neighbour
-    unavailable MB -> 1 (all CABAC MBs here are intra); available MB
-    without that residual block -> 0 (arrays default 0); else the
-    stored flag. (bx, by): absolute 4x4 block coords for cats 1/2/4;
-    ignored for the DC cats."""
+    unavailable MB -> 1 when the CURRENT MB is intra, 0 when inter
+    (9.3.3.1.1.9's availability rule); available MB without that
+    residual block (including skipped MBs) -> 0 (arrays default 0);
+    else the stored flag. (bx, by): absolute 4x4 block coords for
+    cats 1/2/4; ignored for the DC cats."""
+    unavail = 1 if cur_intra else 0
     inc = 0
     for w8, (dx, dy) in ((1, (-1, 0)), (2, (0, -1))):
         if cat in (_CAT_LUMA_DC, _CAT_CHROMA_DC):
             nx, ny = mbx + dx, mby + dy
             if not _mb_avail(cs, fr, sid, nx, ny):
-                inc += w8
+                inc += w8 * unavail
             elif cat == _CAT_LUMA_DC:
                 # DC block exists only in Intra_16x16 neighbours
                 if cs.is_i16[ny, nx]:
@@ -371,15 +417,61 @@ def _cbf_inc(cs, fr, sid, cat, mbx, mby, comp, bx, by) -> int:
                 else cs.cbf_y4
             scale = 2 if cat == _CAT_CHROMA_AC else 4
             if nbx < 0 or nby < 0:
-                inc += w8  # outside the picture: unavailable, intra
+                inc += w8 * unavail  # outside the picture
                 continue
             nmx, nmy = nbx // scale, nby // scale
             if not _mb_avail(cs, fr, sid, nmx, nmy) and \
                     not (nmx == mbx and nmy == mby):
-                inc += w8
+                inc += w8 * unavail
             else:
                 inc += w8 * int(arr[nby, nbx])
     return inc
+
+
+def _skip_inc(cs, fr, sid, mbx, mby) -> int:
+    """mb_skip_flag / B-mb_type bin-0 increment: condTermFlag per
+    neighbour is 1 when the neighbour exists in this slice and is not
+    skipped (no B_Direct MBs are ever decoded here, so "not direct"
+    folds into "not skipped")."""
+    inc = 0
+    for nx, ny in ((mbx - 1, mby), (mbx, mby - 1)):
+        if _mb_avail(cs, fr, sid, nx, ny) and not cs.skip[ny, nx]:
+            inc += 1
+    return inc
+
+
+def _ref_idx_inc(cs, fr, sid, bx, by) -> int:
+    """ref_idx bin-0 increment condA + 2*condB: cond is 1 when the
+    neighbouring 4x4 block belongs to a decoded same-slice MB and
+    carries a list-0 refIdx > 0 (intra spans store -1, skip spans 0 —
+    both contribute 0)."""
+    inc = 0
+    for w8, (nbx, nby) in ((1, (bx - 1, by)), (2, (bx, by - 1))):
+        if nbx < 0 or nby < 0:
+            continue
+        nmx, nmy = nbx // 4, nby // 4
+        same_mb = nmx == bx // 4 and nmy == by // 4
+        if not same_mb and not _mb_avail(cs, fr, sid, nmx, nmy):
+            continue
+        if int(fr.ref4[nby, nbx]) > 0:
+            inc += w8
+    return inc
+
+
+def _mvd_inc(cs, fr, sid, bx, by, lst, comp) -> int:
+    """mvd bin-0 increment from the neighbouring 4x4 blocks' stored
+    |mvd| sum (same list, same component): <3 -> 0, <=32 -> 1,
+    else 2."""
+    s = 0
+    for nbx, nby in ((bx - 1, by), (bx, by - 1)):
+        if nbx < 0 or nby < 0:
+            continue
+        nmx, nmy = nbx // 4, nby // 4
+        same_mb = nmx == bx // 4 and nmy == by // 4
+        if not same_mb and not _mb_avail(cs, fr, sid, nmx, nmy):
+            continue
+        s += int(cs.mvd_abs[nby, nbx, lst, comp])
+    return 0 if s < 3 else (1 if s <= 32 else 2)
 
 
 # ------------------------------------------------- residual (enc/dec)
@@ -599,7 +691,13 @@ def _i4_pred_for_block(fr, abx: int, aby: int, sid: int) -> int:
 # --------------------------------------------------------- MB decode
 
 def _decode_mb_cabac(fr, dec: _CabacDec, mb_addr: int, qp: int,
-                     pps: dict, sid: int) -> int:
+                     pps: dict, sid: int,
+                     mbtype_base: int = _CTX_MB_TYPE_I,
+                     mbtype_inc: bool = True) -> int:
+    """Decode one intra MB. Defaults decode the I-slice mb_type tree;
+    intra-in-P/B callers pass the suffix context block
+    (``_CTX_MB_TYPE_PB_I``, no neighbour increment on bin 0) after
+    consuming the prefix bins — the body is otherwise identical."""
     cs = _cstate(fr)
     mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
     fr.slice_of_mb[mby, mbx] = sid
@@ -607,20 +705,20 @@ def _decode_mb_cabac(fr, dec: _CabacDec, mb_addr: int, qp: int,
     fr.ref4[mby * 4: mby * 4 + 4, mbx * 4: mbx * 4 + 4] = -1
     fr.ref4b[mby * 4: mby * 4 + 4, mbx * 4: mbx * 4 + 4] = -1
 
-    # ---- mb_type (I-slice binarization)
-    if not dec.decision(_CTX_MB_TYPE_I + _mb_type_inc(cs, fr, sid,
-                                                      mbx, mby)):
+    # ---- mb_type (I-slice binarization / intra suffix in P and B)
+    inc0 = _mb_type_inc(cs, fr, sid, mbx, mby) if mbtype_inc else 0
+    if not dec.decision(mbtype_base + inc0):
         mb_is_i4 = True
     else:
         if dec.terminate():
             raise ValueError("I_PCM inside CABAC unsupported")
         mb_is_i4 = False
-        b_cbp_l = dec.decision(_CTX_MB_TYPE_I + 3)
+        b_cbp_l = dec.decision(mbtype_base + 3)
         cbp_c = 0
-        if dec.decision(_CTX_MB_TYPE_I + 4):
-            cbp_c = 2 if dec.decision(_CTX_MB_TYPE_I + 5) else 1
-        pred_mode = (dec.decision(_CTX_MB_TYPE_I + 6) << 1) | \
-            dec.decision(_CTX_MB_TYPE_I + 7)
+        if dec.decision(mbtype_base + 4):
+            cbp_c = 2 if dec.decision(mbtype_base + 5) else 1
+        pred_mode = (dec.decision(mbtype_base + 6) << 1) | \
+            dec.decision(mbtype_base + 7)
         cbp_l = 15 if b_cbp_l else 0
     cs.is_i4[mby, mbx] = 1 if mb_is_i4 else 0
     cs.is_i16[mby, mbx] = not mb_is_i4
@@ -783,15 +881,380 @@ def decode_islice_cabac(fr, b: "H._Bits", pps: dict, qp: int,
             break
 
 
+# ------------------------------------------------ P/B syntax (r14)
+#
+# The inter entropy layer over the SAME prediction/reconstruction
+# machinery the CAVLC P/B decoder uses (h264.py: _mv_pred, _skip_mv,
+# _partition_mc, _wp_planes, _reconstruct_chroma): per-MB mb_skip_flag
+# (no mb_skip_run under CABAC), P/B mb_type trees, unary ref_idx, UEG3
+# mvd with |mvd|-sum neighbour increments, and the shared CBP/qp/
+# residual tail with the inter coded_block_flag availability rule.
+# Supported surface mirrors CAVLC exactly: P_Skip, P_L0_16x16,
+# P_L0_L0_16x8, P_L0_L0_8x16, intra-in-P; B_L0_16x16, B_L1_16x16,
+# B_Bi_16x16, intra-in-B. P_8x8, B_Direct/B_Skip and B partitions
+# reject cleanly, as in the CAVLC paths.
+
+_MVD_UCOFF = 9  # UEG3 prefix cutoff
+
+
+def _decode_mvd(dec: _CabacDec, cs, fr, sid, bx, by, lst, comp) -> int:
+    base = _CTX_MVD_X if comp == 0 else _CTX_MVD_Y
+    if not dec.decision(base + _mvd_inc(cs, fr, sid, bx, by, lst,
+                                        comp)):
+        return 0
+    v = 1
+    while v < _MVD_UCOFF and \
+            dec.decision(base + 3 + min(v - 1, 3)):
+        v += 1
+    if v == _MVD_UCOFF:  # EG3 suffix, bypass
+        k = 3
+        while dec.bypass():
+            v += 1 << k
+            k += 1
+        while k:
+            k -= 1
+            v += dec.bypass() << k
+    return -v if dec.bypass() else v
+
+
+def _encode_mvd(enc: _CabacEnc, cs, fr, sid, bx, by, lst, comp,
+                mvd: int) -> None:
+    base = _CTX_MVD_X if comp == 0 else _CTX_MVD_Y
+    inc = _mvd_inc(cs, fr, sid, bx, by, lst, comp)
+    a = abs(mvd)
+    if a == 0:
+        enc.decision(base + inc, 0)
+        return
+    enc.decision(base + inc, 1)
+    for v in range(1, min(a, _MVD_UCOFF)):
+        enc.decision(base + 3 + min(v - 1, 3), 1)
+    if a < _MVD_UCOFF:
+        enc.decision(base + 3 + min(a - 1, 3), 0)
+    else:  # EG3 suffix
+        rem = a - _MVD_UCOFF
+        k = 3
+        while rem >= (1 << k):
+            enc.bypass(1)
+            rem -= 1 << k
+            k += 1
+        enc.bypass(0)
+        while k:
+            k -= 1
+            enc.bypass((rem >> k) & 1)
+    enc.bypass(1 if mvd < 0 else 0)
+
+
+def _decode_ref_idx(dec: _CabacDec, cs, fr, sid, bx, by,
+                    n_active: int) -> int:
+    if n_active == 1:
+        return 0
+    if not dec.decision(_CTX_REF_IDX + _ref_idx_inc(cs, fr, sid,
+                                                    bx, by)):
+        return 0
+    v = 1
+    while dec.decision(_CTX_REF_IDX + (4 if v == 1 else 5)):
+        v += 1
+        if v >= 32:
+            raise ValueError("runaway ref_idx")
+    if v >= n_active:
+        raise ValueError("ref_idx out of range")
+    return v
+
+
+def _encode_ref_idx(enc: _CabacEnc, cs, fr, sid, bx, by,
+                    n_active: int, ri: int) -> None:
+    if n_active == 1:
+        return
+    inc = _ref_idx_inc(cs, fr, sid, bx, by)
+    if ri == 0:
+        enc.decision(_CTX_REF_IDX + inc, 0)
+        return
+    enc.decision(_CTX_REF_IDX + inc, 1)
+    for v in range(1, ri):
+        enc.decision(_CTX_REF_IDX + (4 if v == 1 else 5), 1)
+    enc.decision(_CTX_REF_IDX + (4 if ri == 1 else 5), 0)
+
+
+def _mark_inter_cs(cs, mbx, mby, cbp_l, cbp_c) -> None:
+    cs.is_i4[mby, mbx] = 0
+    cs.is_i16[mby, mbx] = False
+    cs.chroma_mode[mby, mbx] = 0
+    cs.cbp_luma[mby, mbx] = cbp_l
+    cs.cbp_chroma[mby, mbx] = cbp_c
+    cs.mb_done[mby, mbx] = True
+
+
+def _mark_skip_cs(cs, mbx, mby) -> None:
+    cs.skip[mby, mbx] = 1
+    cs.prev_qp_delta_nz = 0
+    _mark_inter_cs(cs, mbx, mby, 0, 0)
+
+
+def _inter_residual_recon_cabac(fr, dec: _CabacDec, cs, mbx, mby,
+                                qp, pps, sid, pred_y, pred_cb,
+                                pred_cr) -> int:
+    """CABAC twin of h264._inter_residual_recon: CBP bins (same tree
+    as intra — CABAC has no Table 9-4 me(v) mapping), optional
+    mb_qp_delta, residual blocks with the inter coded_block_flag
+    availability rule, reconstruction over the MC prediction."""
+    ox, oy = mbx * 16, mby * 16
+    cbp_l, cbp_c = _decode_cbp(dec, cs, fr, sid, mbx, mby)
+    if cbp_l | cbp_c:
+        qp = (qp + _decode_qp_delta(dec, cs) + 52) % 52
+    else:
+        cs.prev_qp_delta_nz = 0
+    fr.qp_deblock[mby, mbx] = qp
+    fr.i4_mode[mby * 4: mby * 4 + 4, mbx * 4: mbx * 4 + 4] = -1
+    luma_blocks: list[np.ndarray] = []
+    for blk in range(16):
+        bx4, by4 = H._BLK_POS[blk]
+        abx, aby = mbx * 4 + bx4, mby * 4 + by4
+        if cbp_l & (1 << (blk >> 2)):
+            lv = _decode_residual(
+                dec, _CAT_LUMA_4X4,
+                _cbf_inc(cs, fr, sid, _CAT_LUMA_4X4, mbx, mby, 0,
+                         abx, aby, cur_intra=False),
+            )
+            cs.cbf_y4[aby, abx] = 1 if lv else 0
+            mat = H._zig_to_nat(lv) if lv else \
+                np.zeros((4, 4), dtype=np.int64)
+            luma_blocks.append(mat)
+            fr.nc_y[aby, abx] = int(np.count_nonzero(mat))
+        else:
+            cs.cbf_y4[aby, abx] = 0
+            fr.nc_y[aby, abx] = 0
+            luma_blocks.append(np.zeros((4, 4), dtype=np.int64))
+    dc_cb = dc_cr = [0, 0, 0, 0]
+    ac_cb: list[np.ndarray] = []
+    ac_cr: list[np.ndarray] = []
+    if cbp_c:
+        dcs = []
+        for comp in range(2):
+            lv = _decode_residual(
+                dec, _CAT_CHROMA_DC,
+                _cbf_inc(cs, fr, sid, _CAT_CHROMA_DC, mbx, mby, comp,
+                         0, 0, cur_intra=False),
+            )
+            cs.cbf_cdc[mby, mbx, comp] = 1 if lv else 0
+            dcs.append(lv if lv else [0, 0, 0, 0])
+        dc_cb, dc_cr = dcs
+    for comp, (nc_map, sink) in enumerate(
+        ((fr.nc_cb, ac_cb), (fr.nc_cr, ac_cr))
+    ):
+        for blk in range(4):
+            bx2, by2 = blk % 2, blk // 2
+            abx, aby = mbx * 2 + bx2, mby * 2 + by2
+            if cbp_c == 2:
+                lv = _decode_residual(
+                    dec, _CAT_CHROMA_AC,
+                    _cbf_inc(cs, fr, sid, _CAT_CHROMA_AC, mbx, mby,
+                             comp, abx, aby, cur_intra=False),
+                )
+                cs.cbf_c4[aby, abx, comp] = 1 if lv else 0
+                mat = H._zig_to_nat([0] + lv) if lv else \
+                    np.zeros((4, 4), dtype=np.int64)
+                nc_map[aby, abx] = int(np.count_nonzero(mat))
+            else:
+                cs.cbf_c4[aby, abx, comp] = 0
+                nc_map[aby, abx] = 0
+                mat = np.zeros((4, 4), dtype=np.int64)
+            sink.append(mat)
+    for blk in range(16):
+        bx4, by4 = H._BLK_POS[blk]
+        px, py = ox + bx4 * 4, oy + by4 * 4
+        if luma_blocks[blk].any():
+            res = H._itransform4x4(
+                H._dequant4x4(luma_blocks[blk], qp, skip_dc=False)
+            )
+        else:
+            res = 0
+        fr.y[py: py + 4, px: px + 4] = H._clip8(
+            pred_y[by4 * 4: by4 * 4 + 4, bx4 * 4: bx4 * 4 + 4] + res
+        )
+        fr.done4[py // 4, px // 4] = True
+    H._reconstruct_chroma(
+        fr, mbx, mby, 0, qp, pps, list(dc_cb), list(dc_cr),
+        ac_cb, ac_cr, sid, preds=(pred_cb, pred_cr),
+    )
+    _mark_inter_cs(cs, mbx, mby, cbp_l, cbp_c)
+    return qp
+
+
+def _decode_mb_inter_cabac(fr, dec: _CabacDec, mb_addr, qp, pps, sid,
+                           mb_type, refs, n_active, wp) -> int:
+    """P_L0_16x16 / 16x8 / 8x16: CABAC ref_idx + mvd syntax over the
+    CAVLC decoder's exact MC/weighting/reconstruction."""
+    cs = _cstate(fr)
+    mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
+    fr.slice_of_mb[mby, mbx] = sid
+    parts = H._P_PARTS[mb_type]
+    # ref_idx loop first (spec syntax order); each partition's ref4
+    # span is stored IMMEDIATELY so the next partition's bin-0
+    # increment sees it — the encoder mirrors this exactly
+    ris: list[int] = []
+    for (pbx, pby, w4, h4, kind) in parts:
+        bx, by = mbx * 4 + pbx, mby * 4 + pby
+        ri = _decode_ref_idx(dec, cs, fr, sid, bx, by, n_active)
+        ris.append(ri)
+        fr.ref4[by: by + h4, bx: bx + w4] = ri
+        fr.ref4b[by: by + h4, bx: bx + w4] = -1
+    mvs: list[tuple[int, int]] = []
+    for (pbx, pby, w4, h4, kind), ri in zip(parts, ris):
+        bx, by = mbx * 4 + pbx, mby * 4 + pby
+        dx = _decode_mvd(dec, cs, fr, sid, bx, by, 0, 0)
+        dy = _decode_mvd(dec, cs, fr, sid, bx, by, 0, 1)
+        px_, py_ = H._mv_pred(fr, bx, by, w4, h4, sid, kind, 0, ri)
+        mv = (px_ + dx, py_ + dy)
+        mvs.append(mv)
+        fr.mv4[by: by + h4, bx: bx + w4] = mv
+        cs.mvd_abs[by: by + h4, bx: bx + w4, 0, 0] = abs(dx)
+        cs.mvd_abs[by: by + h4, bx: bx + w4, 0, 1] = abs(dy)
+    pred_y = np.empty((16, 16), dtype=np.int64)
+    pred_cb = np.empty((8, 8), dtype=np.int64)
+    pred_cr = np.empty((8, 8), dtype=np.int64)
+    for (pbx, pby, w4, h4, kind), mv, ri in zip(parts, mvs, ris):
+        py_, pcb, pcr = H._wp_planes(
+            *H._partition_mc(fr, mbx, mby, pbx, pby, w4, h4, mv,
+                             refs[ri]),
+            wp, ri,
+        )
+        pred_y[pby * 4: pby * 4 + h4 * 4,
+               pbx * 4: pbx * 4 + w4 * 4] = py_
+        pred_cb[pby * 2: pby * 2 + h4 * 2,
+                pbx * 2: pbx * 2 + w4 * 2] = pcb
+        pred_cr[pby * 2: pby * 2 + h4 * 2,
+                pbx * 2: pbx * 2 + w4 * 2] = pcr
+    return _inter_residual_recon_cabac(
+        fr, dec, cs, mbx, mby, qp, pps, sid, pred_y, pred_cb, pred_cr
+    )
+
+
+def _decode_mb_inter_b_cabac(fr, dec: _CabacDec, mb_addr, qp, pps,
+                             sid, mb_type, refs) -> int:
+    """B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 with the CAVLC decoder's
+    default unweighted bi-prediction."""
+    cs = _cstate(fr)
+    mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
+    fr.slice_of_mb[mby, mbx] = sid
+    use_l0 = mb_type in (1, 3)
+    use_l1 = mb_type in (2, 3)
+    b4x, b4y = mbx * 4, mby * 4
+    parts = H._P_PARTS[0]
+    preds = []
+    for lx, used, ref_arr, mv_arr, ref in (
+        (0, use_l0, fr.ref4, fr.mv4, refs[0]),
+        (1, use_l1, fr.ref4b, fr.mv4b, refs[1]),
+    ):
+        if not used:
+            ref_arr[b4y: b4y + 4, b4x: b4x + 4] = -1
+            continue
+        dx = _decode_mvd(dec, cs, fr, sid, b4x, b4y, lx, 0)
+        dy = _decode_mvd(dec, cs, fr, sid, b4x, b4y, lx, 1)
+        px_, py_ = H._mv_pred(fr, b4x, b4y, 4, 4, sid, "16x16", lx)
+        mv = (px_ + dx, py_ + dy)
+        mv_arr[b4y: b4y + 4, b4x: b4x + 4] = mv
+        ref_arr[b4y: b4y + 4, b4x: b4x + 4] = 0
+        cs.mvd_abs[b4y: b4y + 4, b4x: b4x + 4, lx, 0] = abs(dx)
+        cs.mvd_abs[b4y: b4y + 4, b4x: b4x + 4, lx, 1] = abs(dy)
+        preds.append(H._inter_pred_planes(fr, mbx, mby, parts, [mv],
+                                          ref))
+    if len(preds) == 2:
+        pred_y = (preds[0][0] + preds[1][0] + 1) >> 1
+        pred_cb = (preds[0][1] + preds[1][1] + 1) >> 1
+        pred_cr = (preds[0][2] + preds[1][2] + 1) >> 1
+    else:
+        pred_y, pred_cb, pred_cr = preds[0]
+    return _inter_residual_recon_cabac(
+        fr, dec, cs, mbx, mby, qp, pps, sid, pred_y, pred_cb, pred_cr
+    )
+
+
+def decode_pbslice_cabac(fr, b: "H._Bits", pps: dict, qp: int,
+                         sid: int, first_mb: int, is_b: bool,
+                         refs: list, n_active: int,
+                         wp: dict | None) -> None:
+    """CABAC P/B slice data: per-MB mb_skip_flag, P/B mb_type trees,
+    intra-in-P/B via the shared suffix block, end_of_slice terminate
+    bins. Unsupported inter shapes (P_8x8, B_Direct/B_Skip, B
+    partitions) reject cleanly — same surface as the CAVLC paths."""
+    while b.pos & 7:
+        if b.u(1) != 1:
+            raise ValueError("bad cabac_alignment_one_bit")
+    dec = _CabacDec(b)
+    cs = _cstate(fr)
+    n_mbs = fr.wmb * fr.hmb
+    skip_base = _CTX_SKIP_B if is_b else _CTX_SKIP_P
+    for mb_addr in range(first_mb, n_mbs):
+        mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
+        if dec.decision(skip_base + _skip_inc(cs, fr, sid, mbx, mby)):
+            if is_b:
+                raise ValueError("B_Skip (direct prediction) "
+                                 "unsupported")
+            H._decode_skip_mb(fr, mb_addr, qp, sid, refs[0], wp)
+            fr.slice_of_mb[mby, mbx] = sid
+            _mark_skip_cs(cs, mbx, mby)
+        elif is_b:
+            if not dec.decision(_CTX_MB_TYPE_B +
+                                _skip_inc(cs, fr, sid, mbx, mby)):
+                raise ValueError("B_Direct_16x16 unsupported")
+            if not dec.decision(_CTX_MB_TYPE_B + 3):
+                mb_type = 1 + dec.decision(_CTX_MB_TYPE_B + 4)
+                qp = _decode_mb_inter_b_cabac(
+                    fr, dec, mb_addr, qp, pps, sid, mb_type, refs
+                )
+            else:
+                u = dec.decision(_CTX_MB_TYPE_B + 4)
+                for _ in range(3):
+                    u = (u << 1) | dec.decision(_CTX_MB_TYPE_B + 5)
+                if u == 0:  # '110000' -> B_Bi_16x16
+                    qp = _decode_mb_inter_b_cabac(
+                        fr, dec, mb_addr, qp, pps, sid, 3, refs
+                    )
+                elif u == 13:  # '111101' -> intra suffix follows
+                    qp = _decode_mb_cabac(
+                        fr, dec, mb_addr, qp, pps, sid,
+                        mbtype_base=_CTX_MB_TYPE_PB_I,
+                        mbtype_inc=False,
+                    )
+                else:
+                    raise ValueError(
+                        "B partitions / B_8x8 unsupported"
+                    )
+        else:
+            if dec.decision(_CTX_MB_TYPE_P):  # prefix: intra-in-P
+                qp = _decode_mb_cabac(
+                    fr, dec, mb_addr, qp, pps, sid,
+                    mbtype_base=_CTX_MB_TYPE_PB_I, mbtype_inc=False,
+                )
+            else:
+                b1 = dec.decision(_CTX_MB_TYPE_P + 1)
+                b2 = dec.decision(_CTX_MB_TYPE_P + (2 if b1 else 3))
+                # (b1,b2): (0,0)->16x16, (1,1)->16x8, (1,0)->8x16,
+                # (0,1)->P_8x8
+                if not b1 and b2:
+                    raise ValueError("P_8x8 sub-partitions "
+                                     "unsupported")
+                mb_type = 0 if not b1 else (1 if b2 else 2)
+                qp = _decode_mb_inter_cabac(
+                    fr, dec, mb_addr, qp, pps, sid, mb_type, refs,
+                    n_active, wp,
+                )
+        if dec.terminate():  # end_of_slice_flag
+            break
+
+
 # --------------------------------------------------------- MB encode
 
 def _encode_mb_cabac(fr, enc: _CabacEnc, mb_addr: int, qp: int,
-                     pps: dict, y, cb, cr, fi: int, sid: int = 0
-                     ) -> int:
+                     pps: dict, y, cb, cr, fi: int, sid: int = 0,
+                     mbtype_base: int = _CTX_MB_TYPE_I,
+                     mbtype_inc: bool = True) -> int:
     """Encode one intra MB (closed-loop reconstruction into ``fr``).
     Policy mirrors ``h264._encode_mb`` with I_PCM replaced by
     Intra_16x16 (I_PCM's raw-byte escape needs an engine re-init the
-    decoder deliberately rejects under CABAC)."""
+    decoder deliberately rejects under CABAC). Intra-in-P/B callers
+    emit the prefix bins themselves, then pass the suffix context
+    block (``_CTX_MB_TYPE_PB_I``, no neighbour increment) here."""
     cs = _cstate(fr)
     mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
     fr.slice_of_mb[mby, mbx] = sid
@@ -903,16 +1366,15 @@ def _encode_mb_cabac(fr, enc: _CabacEnc, mb_addr: int, qp: int,
         qpc = H._chroma_qp(qp, pps["chroma_qp_index_offset"])
         dc_cb_l, dc_cr_l, acs_cb, acs_cr, cbp_c = chroma_encode(qpc)
         # mb_type bins
-        enc.decision(
-            _CTX_MB_TYPE_I + _mb_type_inc(cs, fr, sid, mbx, mby), 1
-        )
+        inc0 = _mb_type_inc(cs, fr, sid, mbx, mby) if mbtype_inc else 0
+        enc.decision(mbtype_base + inc0, 1)
         enc.terminate(0)  # not I_PCM
-        enc.decision(_CTX_MB_TYPE_I + 3, 1 if cbp_l else 0)
-        enc.decision(_CTX_MB_TYPE_I + 4, 1 if cbp_c else 0)
+        enc.decision(mbtype_base + 3, 1 if cbp_l else 0)
+        enc.decision(mbtype_base + 4, 1 if cbp_c else 0)
         if cbp_c:
-            enc.decision(_CTX_MB_TYPE_I + 5, 1 if cbp_c == 2 else 0)
-        enc.decision(_CTX_MB_TYPE_I + 6, (mode >> 1) & 1)
-        enc.decision(_CTX_MB_TYPE_I + 7, mode & 1)
+            enc.decision(mbtype_base + 5, 1 if cbp_c == 2 else 0)
+        enc.decision(mbtype_base + 6, (mode >> 1) & 1)
+        enc.decision(mbtype_base + 7, mode & 1)
         fr.i4_mode[mby * 4: mby * 4 + 4, mbx * 4: mbx * 4 + 4] = -1
         cmode = acs_cb[0]
         _encode_chroma_pred(
@@ -974,9 +1436,8 @@ def _encode_mb_cabac(fr, enc: _CabacEnc, mb_addr: int, qp: int,
         return qp
 
     # ---------------- Intra_4x4
-    enc.decision(
-        _CTX_MB_TYPE_I + _mb_type_inc(cs, fr, sid, mbx, mby), 0
-    )
+    inc0 = _mb_type_inc(cs, fr, sid, mbx, mby) if mbtype_inc else 0
+    enc.decision(mbtype_base + inc0, 0)
     mode_infos: list[tuple[int, int]] = []  # (prev_flag, rem)
     blk_levels: list[np.ndarray] = []
     for blk in range(16):
@@ -1064,6 +1525,256 @@ def _encode_mb_cabac(fr, enc: _CabacEnc, mb_addr: int, qp: int,
     return qp
 
 
+def _emit_inter_residual_cabac(fr, enc: _CabacEnc, cs, mbx, mby, qp,
+                               pps, pred_y, pred_cb, pred_cr,
+                               src_y, src_cb, src_cr, sid) -> None:
+    """CABAC twin of h264._emit_inter_residual: same forward
+    transform/quant math and closed-loop reconstruction, CABAC bins
+    instead of CAVLC codes."""
+    ox, oy = mbx * 16, mby * 16
+    res = src_y - pred_y
+    blk_levels: list[np.ndarray] = []
+    for blk in range(16):
+        bx4, by4 = H._BLK_POS[blk]
+        blk_levels.append(
+            H._quant4x4(
+                H._fwd4x4(res[by4 * 4: by4 * 4 + 4,
+                              bx4 * 4: bx4 * 4 + 4]),
+                qp, skip_dc=False,
+            )
+        )
+    cbp_l = 0
+    for g in range(4):
+        if any(blk_levels[g * 4 + k].any() for k in range(4)):
+            cbp_l |= 1 << g
+    qpc = H._chroma_qp(qp, pps["chroma_qp_index_offset"])
+    dcs: list[list[int]] = []
+    acs: list[list[np.ndarray]] = []
+    for src, pred in ((src_cb, pred_cb), (src_cr, pred_cr)):
+        resc = src - pred
+        dcmat = np.zeros((2, 2), dtype=np.int64)
+        blocks = []
+        for blk in range(4):
+            bx2, by2 = blk % 2, blk // 2
+            wmat = H._fwd4x4(
+                resc[by2 * 4: by2 * 4 + 4, bx2 * 4: bx2 * 4 + 4]
+            )
+            dcmat[by2, bx2] = wmat[0, 0]
+            blocks.append(H._quant4x4(wmat, qpc, skip_dc=True))
+        h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+        dc_lv = H._quant_dc(h2 @ dcmat @ h2, qpc)
+        dcs.append([int(dc_lv[0, 0]), int(dc_lv[0, 1]),
+                    int(dc_lv[1, 0]), int(dc_lv[1, 1])])
+        acs.append(blocks)
+    any_ac = any(b_.any() for bl in acs for b_ in bl)
+    any_dc = any(any(d) for d in dcs)
+    cbp_c = 2 if any_ac else (1 if any_dc else 0)
+    _encode_cbp(enc, cs, fr, sid, mbx, mby, cbp_l, cbp_c)
+    if cbp_l | cbp_c:
+        _encode_qp_delta(enc, cs, 0)  # mirrors the CAVLC se(0)
+    else:
+        cs.prev_qp_delta_nz = 0
+    fr.qp_deblock[mby, mbx] = qp
+    fr.i4_mode[mby * 4: mby * 4 + 4, mbx * 4: mbx * 4 + 4] = -1
+    kept: list[np.ndarray] = []
+    for blk in range(16):
+        bx4, by4 = H._BLK_POS[blk]
+        abx, aby = mbx * 4 + bx4, mby * 4 + by4
+        if cbp_l & (1 << (blk >> 2)):
+            cbf = _encode_residual(
+                enc, _CAT_LUMA_4X4,
+                _cbf_inc(cs, fr, sid, _CAT_LUMA_4X4, mbx, mby, 0,
+                         abx, aby, cur_intra=False),
+                list(H._nat_to_zig(blk_levels[blk])),
+            )
+            cs.cbf_y4[aby, abx] = cbf
+            fr.nc_y[aby, abx] = int(np.count_nonzero(blk_levels[blk]))
+            kept.append(blk_levels[blk])
+        else:
+            cs.cbf_y4[aby, abx] = 0
+            fr.nc_y[aby, abx] = 0
+            kept.append(np.zeros((4, 4), dtype=np.int64))
+    if cbp_c:
+        for comp, dcl in enumerate(dcs):
+            cbf = _encode_residual(
+                enc, _CAT_CHROMA_DC,
+                _cbf_inc(cs, fr, sid, _CAT_CHROMA_DC, mbx, mby, comp,
+                         0, 0, cur_intra=False),
+                dcl,
+            )
+            cs.cbf_cdc[mby, mbx, comp] = cbf
+    ac_nat_cb: list[np.ndarray] = []
+    ac_nat_cr: list[np.ndarray] = []
+    for comp, (nc_map, blocks) in enumerate(
+        ((fr.nc_cb, acs[0]), (fr.nc_cr, acs[1]))
+    ):
+        for blk in range(4):
+            bx2, by2 = blk % 2, blk // 2
+            abx, aby = mbx * 2 + bx2, mby * 2 + by2
+            blkmat = blocks[blk]
+            if cbp_c == 2:
+                cbf = _encode_residual(
+                    enc, _CAT_CHROMA_AC,
+                    _cbf_inc(cs, fr, sid, _CAT_CHROMA_AC, mbx, mby,
+                             comp, abx, aby, cur_intra=False),
+                    list(H._nat_to_zig(blkmat))[1:],
+                )
+                cs.cbf_c4[aby, abx, comp] = cbf
+                nc_map[aby, abx] = int(np.count_nonzero(blkmat))
+            else:
+                cs.cbf_c4[aby, abx, comp] = 0
+                nc_map[aby, abx] = 0
+                blkmat = np.zeros((4, 4), dtype=np.int64)
+            (ac_nat_cb if comp == 0 else ac_nat_cr).append(blkmat)
+    for blk in range(16):
+        bx4, by4 = H._BLK_POS[blk]
+        px, py = ox + bx4 * 4, oy + by4 * 4
+        if kept[blk].any():
+            resd = H._itransform4x4(
+                H._dequant4x4(kept[blk], qp, skip_dc=False)
+            )
+        else:
+            resd = 0
+        fr.y[py: py + 4, px: px + 4] = H._clip8(
+            pred_y[by4 * 4: by4 * 4 + 4, bx4 * 4: bx4 * 4 + 4] + resd
+        )
+        fr.done4[py // 4, px // 4] = True
+    H._reconstruct_chroma(
+        fr, mbx, mby, 0, qp, pps,
+        dcs[0] if cbp_c else [0, 0, 0, 0],
+        dcs[1] if cbp_c else [0, 0, 0, 0],
+        ac_nat_cb, ac_nat_cr, sid, preds=(pred_cb, pred_cr),
+    )
+    _mark_inter_cs(cs, mbx, mby, cbp_l, cbp_c)
+
+
+def _encode_mb_inter_cabac(fr, enc: _CabacEnc, mb_addr, qp, pps,
+                           y, cb, cr, fi, refs, mb_type, sid=0,
+                           n_active=1) -> int:
+    """CABAC twin of h264._encode_mb_inter: SAME deterministic MV /
+    ref_idx policy, CABAC mb_type + ref_idx + mvd bins."""
+    cs = _cstate(fr)
+    mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
+    fr.slice_of_mb[mby, mbx] = sid
+    ox, oy = mbx * 16, mby * 16
+    cx, cy = mbx * 8, mby * 8
+    src_y = y[oy: oy + 16, ox: ox + 16].astype(np.int64)
+    src_cb = cb[cy: cy + 8, cx: cx + 8].astype(np.int64)
+    src_cr = cr[cy: cy + 8, cx: cx + 8].astype(np.int64)
+    parts = H._P_PARTS[mb_type]
+    ris = [(mb_addr + fi + pi) % n_active for pi in range(len(parts))]
+    # mb_type bins: '000' 16x16, '011' 16x8, '010' 8x16
+    enc.decision(_CTX_MB_TYPE_P, 0)
+    b1 = 0 if mb_type == 0 else 1
+    b2 = 1 if mb_type == 1 else 0
+    enc.decision(_CTX_MB_TYPE_P + 1, b1)
+    enc.decision(_CTX_MB_TYPE_P + (2 if b1 else 3), b2)
+    # ref_idx loop: store each partition's ref4 span immediately so
+    # the next partition's increment sees it (decoder mirrors)
+    for (pbx, pby, w4, h4, kind), ri in zip(parts, ris):
+        bx, by = mbx * 4 + pbx, mby * 4 + pby
+        _encode_ref_idx(enc, cs, fr, sid, bx, by, n_active, ri)
+        fr.ref4[by: by + h4, bx: bx + w4] = ri
+        fr.ref4b[by: by + h4, bx: bx + w4] = -1
+    mvs: list[tuple[int, int]] = []
+    for pi, ((pbx, pby, w4, h4, kind), ri) in enumerate(
+            zip(parts, ris)):
+        bx, by = mbx * 4 + pbx, mby * 4 + pby
+        mvp = H._mv_pred(fr, bx, by, w4, h4, sid, kind, 0, ri)
+        mv = (
+            ((mb_addr * 7 + fi * 3 + pi * 5) % 17) - 8,
+            ((mb_addr * 11 + fi * 5 + pi * 13) % 17) - 8,
+        )
+        dx, dy = mv[0] - mvp[0], mv[1] - mvp[1]
+        _encode_mvd(enc, cs, fr, sid, bx, by, 0, 0, dx)
+        _encode_mvd(enc, cs, fr, sid, bx, by, 0, 1, dy)
+        mvs.append(mv)
+        fr.mv4[by: by + h4, bx: bx + w4] = mv
+        cs.mvd_abs[by: by + h4, bx: bx + w4, 0, 0] = abs(dx)
+        cs.mvd_abs[by: by + h4, bx: bx + w4, 0, 1] = abs(dy)
+    pred_y = np.empty((16, 16), dtype=np.int64)
+    pred_cb = np.empty((8, 8), dtype=np.int64)
+    pred_cr = np.empty((8, 8), dtype=np.int64)
+    for (pbx, pby, w4, h4, kind), mv, ri in zip(parts, mvs, ris):
+        py_, pcb, pcr = H._wp_planes(
+            *H._partition_mc(fr, mbx, mby, pbx, pby, w4, h4, mv,
+                             refs[ri]),
+            None, ri,
+        )
+        pred_y[pby * 4: pby * 4 + h4 * 4,
+               pbx * 4: pbx * 4 + w4 * 4] = py_
+        pred_cb[pby * 2: pby * 2 + h4 * 2,
+                pbx * 2: pbx * 2 + w4 * 2] = pcb
+        pred_cr[pby * 2: pby * 2 + h4 * 2,
+                pbx * 2: pbx * 2 + w4 * 2] = pcr
+    _emit_inter_residual_cabac(
+        fr, enc, cs, mbx, mby, qp, pps, pred_y, pred_cb, pred_cr,
+        src_y, src_cb, src_cr, sid,
+    )
+    return qp
+
+
+def _encode_mb_inter_b_cabac(fr, enc: _CabacEnc, mb_addr, qp, pps,
+                             y, cb, cr, fi, refs, mb_type,
+                             sid=0) -> int:
+    """CABAC twin of h264._encode_mb_inter_b (same MV policy)."""
+    cs = _cstate(fr)
+    mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
+    fr.slice_of_mb[mby, mbx] = sid
+    ox, oy = mbx * 16, mby * 16
+    cx, cy = mbx * 8, mby * 8
+    src_y = y[oy: oy + 16, ox: ox + 16].astype(np.int64)
+    src_cb = cb[cy: cy + 8, cx: cx + 8].astype(np.int64)
+    src_cr = cr[cy: cy + 8, cx: cx + 8].astype(np.int64)
+    use_l0 = mb_type in (1, 3)
+    use_l1 = mb_type in (2, 3)
+    b4x, b4y = mbx * 4, mby * 4
+    parts = H._P_PARTS[0]
+    # mb_type bins: '100' L0, '101' L1, '110000' Bi
+    enc.decision(_CTX_MB_TYPE_B + _skip_inc(cs, fr, sid, mbx, mby), 1)
+    if mb_type in (1, 2):
+        enc.decision(_CTX_MB_TYPE_B + 3, 0)
+        enc.decision(_CTX_MB_TYPE_B + 4, mb_type - 1)
+    else:  # Bi
+        enc.decision(_CTX_MB_TYPE_B + 3, 1)
+        enc.decision(_CTX_MB_TYPE_B + 4, 0)
+        for _ in range(3):
+            enc.decision(_CTX_MB_TYPE_B + 5, 0)
+    preds = []
+    for lx, used, ref_arr, mv_arr, ref in (
+        (0, use_l0, fr.ref4, fr.mv4, refs[0]),
+        (1, use_l1, fr.ref4b, fr.mv4b, refs[1]),
+    ):
+        if not used:
+            ref_arr[b4y: b4y + 4, b4x: b4x + 4] = -1
+            continue
+        mvp = H._mv_pred(fr, b4x, b4y, 4, 4, sid, "16x16", lx)
+        mv = (
+            ((mb_addr * 5 + fi * 7 + lx * 3) % 17) - 8,
+            ((mb_addr * 13 + fi * 3 + lx * 11) % 17) - 8,
+        )
+        dx, dy = mv[0] - mvp[0], mv[1] - mvp[1]
+        _encode_mvd(enc, cs, fr, sid, b4x, b4y, lx, 0, dx)
+        _encode_mvd(enc, cs, fr, sid, b4x, b4y, lx, 1, dy)
+        mv_arr[b4y: b4y + 4, b4x: b4x + 4] = mv
+        ref_arr[b4y: b4y + 4, b4x: b4x + 4] = 0
+        cs.mvd_abs[b4y: b4y + 4, b4x: b4x + 4, lx, 0] = abs(dx)
+        cs.mvd_abs[b4y: b4y + 4, b4x: b4x + 4, lx, 1] = abs(dy)
+        preds.append(H._inter_pred_planes(fr, mbx, mby, parts, [mv],
+                                          ref))
+    if len(preds) == 2:
+        pred_y = (preds[0][0] + preds[1][0] + 1) >> 1
+        pred_cb = (preds[0][1] + preds[1][1] + 1) >> 1
+        pred_cr = (preds[0][2] + preds[1][2] + 1) >> 1
+    else:
+        pred_y, pred_cb, pred_cr = preds[0]
+    _emit_inter_residual_cabac(
+        fr, enc, cs, mbx, mby, qp, pps, pred_y, pred_cb, pred_cr,
+        src_y, src_cb, src_cr, sid,
+    )
+    return qp
+
+
 def _sei_cabac_marker() -> bytes:
     """user_data_unregistered SEI (payloadType 5) carrying
     CABAC_SEI_UUID — the shared-context-init marker."""
@@ -1106,15 +1817,34 @@ def encode_h264_annexb_cabac(
     frames_rgb: list[np.ndarray],
     qp: int = 26,
     chroma_qp_offset: int = 0,
+    gop: str = "all-intra",
 ) -> tuple[bytes, list[np.ndarray]]:
-    """All-intra Annex B stream with CABAC entropy coding
+    """Annex B stream with CABAC entropy coding
     (entropy_coding_mode_flag = 1, Main profile) plus the
     shared-context SEI marker. Returns (stream, reconstructions);
     ``decode_h264_annexb(stream)`` must equal the reconstructions
-    bit-for-bit. Per-MB policy mirrors the CAVLC fixture encoder with
-    I_PCM replaced by Intra_16x16: (frame + mb) % 6 -> 0/1/2
-    Intra_16x16 (pred modes cycling, qp wobble +-1), 3/4/5 Intra_4x4
-    (all 9 pred modes cycle)."""
+    bit-for-bit.
+
+    ``gop="all-intra"`` (default, byte-identical to the r13 output):
+    per-MB policy mirrors the CAVLC fixture encoder with I_PCM
+    replaced by Intra_16x16: (frame + mb) % 6 -> 0/1/2 Intra_16x16
+    (pred modes cycling, qp wobble +-1), 3/4/5 Intra_4x4 (all 9 pred
+    modes cycle).
+
+    ``gop="ipp"`` (r14): IDR then P pictures, the CAVLC IPP policy —
+    (frame + mb) % 8 -> 0/4 P_Skip (per-MB mb_skip_flag under CABAC,
+    no skip runs), 1/2/3 P_L0_16x16 / 16x8 / 8x16, 5/6/7 intra-in-P —
+    with n_active ramping to 2 once two references exist, so the
+    CABAC ref_idx syntax (unary, neighbour-conditioned bin 0) is on
+    the wire.
+
+    ``gop="ibp"`` (r14): the CAVLC IBP shape — P references alternate
+    with non-reference B pictures, (frame + mb) % 4 -> B_L0_16x16 /
+    B_L1_16x16 / B_Bi_16x16 / intra-in-B; poc_type 0 as B requires."""
+    if gop not in ("all-intra", "ipp", "ibp"):
+        raise ValueError(f"unknown gop {gop!r}")
+    if gop != "all-intra":
+        return _encode_cabac_gop(frames_rgb, qp, chroma_qp_offset, gop)
     h, w = frames_rgb[0].shape[:2]
     if h % 16 or w % 16:
         raise ValueError("fixture frames must be MB-aligned")
@@ -1159,6 +1889,160 @@ def encode_h264_annexb_cabac(
             )
             enc.terminate(1 if mb_addr == n_mbs - 1 else 0)
         out.append(H._nal(5, wtr.tobytes(), ref_idc=3))
+        recons.append(
+            H._yuv420_to_rgb(fr.y[:h, :w], fr.cb[: h // 2, : w // 2],
+                             fr.cr[: h // 2, : w // 2])
+        )
+    return b"".join(out), recons
+
+
+def _encode_cabac_gop(
+    frames_rgb: list[np.ndarray], qp: int, chroma_qp_offset: int,
+    gop: str,
+) -> tuple[bytes, list[np.ndarray]]:
+    """IPP / IBP CABAC fixture encoder (see encode_h264_annexb_cabac).
+    Slice headers, reference-list maintenance, and per-MB policies
+    mirror h264.encode_h264_annexb's GOP branch (deblocking signalled
+    off, as in the all-intra CABAC path)."""
+    h, w = frames_rgb[0].shape[:2]
+    if h % 16 or w % 16:
+        raise ValueError("fixture frames must be MB-aligned")
+    wmb, hmb = w // 16, h // 16
+    poc_type = 0 if gop == "ibp" else 2
+    sps_d = {
+        "width_mbs": wmb, "height_mbs": hmb, "width": w, "height": h,
+        "poc_type": poc_type, "log2_max_frame_num": 4,
+        "log2_max_poc_lsb": 8,
+    }
+    pps_d = {
+        "pic_init_qp": qp, "chroma_qp_index_offset": chroma_qp_offset,
+        "deblocking_control_present": True, "constrained_intra": False,
+    }
+    out = [
+        H._nal(7, H._sps_rbsp(wmb, hmb, poc_type, profile=77)),
+        H._nal(8, H._pps_rbsp(qp, chroma_qp_offset, cabac=True)),
+    ]
+    recons: list[np.ndarray] = []
+    refs: list = []
+    ref_count = 0
+    n_mbs = wmb * hmb
+    for fi, rgb in enumerate(frames_rgb):
+        if fi == 0:
+            kind = "i"
+        elif gop == "ipp":
+            kind = "p"
+        else:
+            kind = "p" if fi % 2 == 1 else "b"
+        is_ref = kind != "b"
+        n_active = min(2, len(refs)) if (kind == "p" and gop == "ipp") \
+            else 1
+        out.append(_sei_cabac_marker())
+        y, cb, cr = H._rgb_to_yuv420(np.asarray(rgb, dtype=np.uint8))
+        fr = H._Frame(sps_d)
+        cs = _cstate(fr)
+        wtr = H._BitWriter()
+        wtr.ue(0)  # first_mb
+        if kind == "i":
+            wtr.ue(7)  # slice_type I (all slices)
+            wtr.ue(0)  # pps_id
+            wtr.u(4, 0)  # frame_num
+            wtr.ue(fi % 8)  # idr_pic_id
+            if poc_type == 0:
+                wtr.u(8, (2 * fi) % 256)  # pic_order_cnt_lsb
+            wtr.u(1, 0)  # no_output_of_prior_pics
+            wtr.u(1, 0)  # long_term_reference
+        else:
+            wtr.ue(5 if kind == "p" else 6)  # slice_type P / B
+            wtr.ue(0)  # pps_id
+            wtr.u(4, ref_count % 16)  # frame_num
+            if poc_type == 0:
+                wtr.u(8, (2 * fi) % 256)  # pic_order_cnt_lsb
+            if kind == "b":
+                wtr.u(1, 0)  # direct_spatial_mv_pred_flag
+            if kind == "p" and n_active == 2:
+                wtr.u(1, 1)  # num_ref_idx_active_override_flag
+                wtr.ue(n_active - 1)
+            else:
+                wtr.u(1, 0)  # num_ref_idx_active_override_flag
+            wtr.u(1, 0)  # ref_pic_list_modification_flag_l0
+            if kind == "b":
+                wtr.u(1, 0)  # ref_pic_list_modification_flag_l1
+            if is_ref:
+                wtr.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
+        wtr.se(0)  # slice_qp_delta
+        wtr.ue(1)  # disable_deblocking_filter_idc: off
+        while len(wtr.bits) % 8:  # cabac_alignment_one_bit
+            wtr.u(1, 1)
+        enc = _CabacEnc(wtr)
+        cur_qp = qp
+        if kind == "i":
+            for mb_addr in range(n_mbs):
+                cur_qp = _encode_mb_cabac(
+                    fr, enc, mb_addr, cur_qp, pps_d, y, cb, cr, fi
+                )
+                enc.terminate(1 if mb_addr == n_mbs - 1 else 0)
+        elif kind == "p":
+            for mb_addr in range(n_mbs):
+                mbx, mby = mb_addr % wmb, mb_addr // wmb
+                choice = (fi + mb_addr) % 8
+                sinc = _skip_inc(cs, fr, 0, mbx, mby)
+                if choice in (0, 4):  # P_Skip
+                    enc.decision(_CTX_SKIP_P + sinc, 1)
+                    H._decode_skip_mb(fr, mb_addr, cur_qp, 0,
+                                      refs[0], None)
+                    _mark_skip_cs(cs, mbx, mby)
+                else:
+                    enc.decision(_CTX_SKIP_P + sinc, 0)
+                    if choice in (1, 2, 3):
+                        cur_qp = _encode_mb_inter_cabac(
+                            fr, enc, mb_addr, cur_qp, pps_d, y, cb,
+                            cr, fi, refs, choice - 1,
+                            n_active=n_active,
+                        )
+                    else:  # 5/6/7: intra-in-P
+                        enc.decision(_CTX_MB_TYPE_P, 1)  # prefix
+                        cur_qp = _encode_mb_cabac(
+                            fr, enc, mb_addr, cur_qp, pps_d, y, cb,
+                            cr, fi,
+                            mbtype_base=_CTX_MB_TYPE_PB_I,
+                            mbtype_inc=False,
+                        )
+                enc.terminate(1 if mb_addr == n_mbs - 1 else 0)
+        else:  # B
+            for mb_addr in range(n_mbs):
+                mbx, mby = mb_addr % wmb, mb_addr // wmb
+                enc.decision(
+                    _CTX_SKIP_B + _skip_inc(cs, fr, 0, mbx, mby), 0
+                )  # no B_Skip (direct prediction unsupported)
+                choice = (fi + mb_addr) % 4
+                if choice < 3:
+                    cur_qp = _encode_mb_inter_b_cabac(
+                        fr, enc, mb_addr, cur_qp, pps_d, y, cb, cr,
+                        fi, refs, choice + 1,
+                    )
+                else:  # intra-in-B: prefix '111101'
+                    enc.decision(
+                        _CTX_MB_TYPE_B +
+                        _skip_inc(cs, fr, 0, mbx, mby), 1,
+                    )
+                    enc.decision(_CTX_MB_TYPE_B + 3, 1)
+                    enc.decision(_CTX_MB_TYPE_B + 4, 1)
+                    enc.decision(_CTX_MB_TYPE_B + 5, 1)
+                    enc.decision(_CTX_MB_TYPE_B + 5, 0)
+                    enc.decision(_CTX_MB_TYPE_B + 5, 1)
+                    cur_qp = _encode_mb_cabac(
+                        fr, enc, mb_addr, cur_qp, pps_d, y, cb, cr,
+                        fi, mbtype_base=_CTX_MB_TYPE_PB_I,
+                        mbtype_inc=False,
+                    )
+                enc.terminate(1 if mb_addr == n_mbs - 1 else 0)
+        ntype = 5 if kind == "i" else 1
+        out.append(H._nal(ntype, wtr.tobytes(),
+                          ref_idc=3 if is_ref else 0))
+        if is_ref:
+            planes = (fr.y, fr.cb, fr.cr)
+            refs = [planes] if kind == "i" else [planes] + refs[:1]
+            ref_count += 1
         recons.append(
             H._yuv420_to_rgb(fr.y[:h, :w], fr.cb[: h // 2, : w // 2],
                              fr.cr[: h // 2, : w // 2])

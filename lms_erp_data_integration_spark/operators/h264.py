@@ -1229,13 +1229,17 @@ def _decode_slice(
     fr.slice_params[slice_id] = (idc, off_a, off_b)
     n_mbs = fr.wmb * fr.hmb
     if pps.get("entropy_cabac"):
-        if is_p or is_b:
-            raise ValueError("CABAC P/B slices unsupported")
         if not pps.get("_cabac_marker_seen"):
             # conformance boundary: external CABAC streams reject
             # cleanly; only streams carrying the shared-context SEI
             # marker decode (see operators/cabac.py)
             raise ValueError("CABAC without shared-context SEI marker")
+        if is_p or is_b:
+            from .cabac import decode_pbslice_cabac
+
+            decode_pbslice_cabac(fr, b, pps, qp, slice_id, first_mb,
+                                 is_b, refs, n_active, wp)
+            return
         from .cabac import decode_islice_cabac
 
         decode_islice_cabac(fr, b, pps, qp, slice_id, first_mb)

@@ -79,11 +79,14 @@ registry.PRIORITY = [
     "stream_sliding_counts",
     "stream_stateful_user_totals",
     "sync_pipeline_run_report",
-    # backlog: r9-oldest, alphabetical (displaced by any late-r14
-    # changed rows)
-    "llm_contamination_ngram",
-    "llm_corpus_mix",
-    "llm_corpus_stats",
+    # changed in r14: CABAC P/B slices landed (operators/cabac.py
+    # decode_pbslice_cabac + the IPP/IBP fixture encoder; h264.py
+    # _decode_slice dispatch) — llm_video_ipp_stats grew 6 CABAC
+    # temporal fixtures (ids 8-13), the other two rows re-enter via
+    # the h264/cabac helper closure
+    "llm_video_ipp_stats",
+    "llm_video_codec_stats",
+    "llm_video_visual_dedup",
 ]
 
 # Round-13 driver-window rotation (HISTORICAL — superseded by the r14

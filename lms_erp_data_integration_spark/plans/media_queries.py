@@ -1281,7 +1281,7 @@ def video_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_IPP_VIDEOS = 8
+_N_IPP_VIDEOS = 14
 
 
 def _mux_ipp_fixture(vid: int) -> bytes:
@@ -1296,7 +1296,14 @@ def _mux_ipp_fixture(vid: int) -> bytes:
     active L0 references — per-partition te(v) ref_idx — and explicit
     per-slice pred_weight_tables incl. weighted P_Skip; id 7
     deblocked), all from the from-scratch encoder's temporal modes,
-    muxed as avc1-in-MP4."""
+    muxed as avc1-in-MP4. Ids 8-13 (r14) are the CABAC temporal
+    modes from ``operators/cabac.py``: 8-10 CABAC IPP (per-MB
+    mb_skip_flag — no skip runs under CABAC — UEG3 mvd with EG3
+    escapes, unary ref_idx once two references are active,
+    intra-in-P through the shared suffix context block) and 11-13
+    CABAC IBP (B_L0/B_L1/B_Bi_16x16 bi-prediction, intra-in-B),
+    gradient-plus-noise content so inter prediction finds real
+    structure and the low-CBP paths are exercised."""
     import numpy as np
 
     from ..operators import h264
@@ -1305,6 +1312,26 @@ def _mux_ipp_fixture(vid: int) -> bytes:
     rng = np.random.default_rng(7700 + vid)
     w = 16 * (1 + vid % 2)
     h = 16 * (1 + (vid // 2) % 2)
+    if vid >= 8:  # CABAC IPP / IBP (r14)
+        from ..operators import cabac
+
+        n = 4 + vid % 3  # >= 4 frames: the P ref list reaches depth 2
+        frames = [
+            np.clip(
+                np.add.outer(np.arange(h) * 3 + f * 9,
+                             np.arange(w) * 2)[..., None]
+                + rng.integers(0, 48, (h, w, 3)),
+                0, 255,
+            ).astype(np.uint8)
+            for f in range(n)
+        ]
+        stream, _ = cabac.encode_h264_annexb_cabac(
+            frames, qp=18 + 5 * (vid % 4),
+            chroma_qp_offset=(vid % 3) - 1,
+            gop="ipp" if vid < 11 else "ibp",
+        )
+        avcc, samples = h264.annexb_to_avcc(stream)
+        return mm.build_mp4_avc(samples, avcc, w, h, fps=4 + vid)
     n = 3 + vid % 3
     frames = [
         rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)
@@ -1330,12 +1357,18 @@ SELECT * FROM (VALUES
   (4, 4, 16, 16, 375, 8406193680),
   (5, 5, 32, 16, 444, 15211029894),
   (6, 3, 16, 32, 200, 9062735757),
-  (7, 4, 32, 32, 270, 8581016192)
+  (7, 4, 32, 32, 270, 8581016192),
+  (8, 6, 16, 16, 415, 10072939317),
+  (9, 4, 32, 16, 228, 7693237634),
+  (10, 5, 16, 32, 284, 10150104067),
+  (11, 6, 32, 32, 330, 8008705006),
+  (12, 4, 16, 16, 186, 12139947276),
+  (13, 5, 32, 16, 232, 15531645836)
 ) AS t(doc_id, frames_decoded, width, height, dts_last_ms, crc_sum)
 """,
 )
 def video_ipp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TEMPORAL (inter-predicted) H.264 under the driver CRC gate: 8
+    """TEMPORAL (inter-predicted) H.264 under the driver CRC gate: 14
     fixture videos — ids 0-3 IPP GOPs (IDR + P pictures with P_Skip/
     16x16/16x8/8x16/intra-in-P macroblocks and quarter-pel motion
     sweeping all 16 fractional positions), ids 4-5 IBP GOPs
@@ -1344,7 +1377,13 @@ def video_ipp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra-in-B macroblocks), ids 6-7 IPPW chains (TWO active L0
     references with per-partition te(v) ref_idx + explicit per-slice
     pred_weight_tables, 8.4.2.3.3 weighted samples incl. weighted
-    P_Skip) — are muxed as avc1-in-MP4, converted to one Annex B
+    P_Skip), and — r14 — ids 8-10 CABAC IPP / ids 11-13 CABAC IBP
+    (``operators/cabac.py``: per-MB mb_skip_flag, P/B mb_type trees,
+    unary ref_idx under two active references, UEG3 mvd with EG3
+    escapes, intra-in-P/B through the shared suffix context block,
+    inter coded_block_flag availability rule — the arithmetic-coded
+    temporal modes over the same MC/reconstruction machinery) — are
+    muxed as avc1-in-MP4, converted to one Annex B
     stream per video (``mp4_avc_full_annexb``) and decoded through
     the reference chain by ``decode_video_gop_stats``: each P/B
     picture motion-compensates from decoded reference pictures
