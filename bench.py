@@ -235,11 +235,11 @@ def main() -> int:
     # recorded "parsed": null). Quiesce streaming state-store
     # maintenance, stop the session, give the JVM's async log writers a
     # moment to drain, THEN print.
-    try:
-        for q in spark.streams.active:  # all bounded runs already
-            q.stop()  # stopped themselves; belt-and-braces
-    except Exception:  # noqa: BLE001
-        pass
+    for q in list(spark.streams.active):  # all bounded runs already
+        try:  # stopped themselves; belt-and-braces — and one query's
+            q.stop()  # failing stop() must not skip the rest
+        except Exception:  # noqa: BLE001
+            pass
     try:
         # unloads every loaded state-store provider and joins the
         # maintenance thread pool — the source of the r13 shutdown

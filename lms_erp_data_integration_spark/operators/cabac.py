@@ -321,8 +321,12 @@ class _CState:
         # for the mvd bin-0 increments (intra/skip/unused-list spans
         # stay 0, which is the spec's contribution for them)
         self.skip = np.zeros((hmb, wmb), dtype=np.int8)
+        # |mvd| clipped to 33: _mvd_inc only tests < 3 and <= 32, so
+        # the clip preserves every increment exactly while keeping
+        # the per-picture state uint8 (r14 review: full-resolution
+        # int64 was ~17 MB per 1080p picture for no information)
         self.mvd_abs = np.zeros((4 * hmb, 4 * wmb, 2, 2),
-                                dtype=np.int64)
+                                dtype=np.uint8)
 
 
 def _cstate(fr: "H._Frame") -> _CState:
@@ -1107,8 +1111,8 @@ def _decode_mb_inter_cabac(fr, dec: _CabacDec, mb_addr, qp, pps, sid,
         mv = (px_ + dx, py_ + dy)
         mvs.append(mv)
         fr.mv4[by: by + h4, bx: bx + w4] = mv
-        cs.mvd_abs[by: by + h4, bx: bx + w4, 0, 0] = abs(dx)
-        cs.mvd_abs[by: by + h4, bx: bx + w4, 0, 1] = abs(dy)
+        cs.mvd_abs[by: by + h4, bx: bx + w4, 0, 0] = min(abs(dx), 33)
+        cs.mvd_abs[by: by + h4, bx: bx + w4, 0, 1] = min(abs(dy), 33)
     pred_y = np.empty((16, 16), dtype=np.int64)
     pred_cb = np.empty((8, 8), dtype=np.int64)
     pred_cr = np.empty((8, 8), dtype=np.int64)
@@ -1154,8 +1158,8 @@ def _decode_mb_inter_b_cabac(fr, dec: _CabacDec, mb_addr, qp, pps,
         mv = (px_ + dx, py_ + dy)
         mv_arr[b4y: b4y + 4, b4x: b4x + 4] = mv
         ref_arr[b4y: b4y + 4, b4x: b4x + 4] = 0
-        cs.mvd_abs[b4y: b4y + 4, b4x: b4x + 4, lx, 0] = abs(dx)
-        cs.mvd_abs[b4y: b4y + 4, b4x: b4x + 4, lx, 1] = abs(dy)
+        cs.mvd_abs[b4y: b4y + 4, b4x: b4x + 4, lx, 0] = min(abs(dx), 33)
+        cs.mvd_abs[b4y: b4y + 4, b4x: b4x + 4, lx, 1] = min(abs(dy), 33)
         preds.append(H._inter_pred_planes(fr, mbx, mby, parts, [mv],
                                           ref))
     if len(preds) == 2:
@@ -1690,8 +1694,8 @@ def _encode_mb_inter_cabac(fr, enc: _CabacEnc, mb_addr, qp, pps,
         _encode_mvd(enc, cs, fr, sid, bx, by, 0, 1, dy)
         mvs.append(mv)
         fr.mv4[by: by + h4, bx: bx + w4] = mv
-        cs.mvd_abs[by: by + h4, bx: bx + w4, 0, 0] = abs(dx)
-        cs.mvd_abs[by: by + h4, bx: bx + w4, 0, 1] = abs(dy)
+        cs.mvd_abs[by: by + h4, bx: bx + w4, 0, 0] = min(abs(dx), 33)
+        cs.mvd_abs[by: by + h4, bx: bx + w4, 0, 1] = min(abs(dy), 33)
     pred_y = np.empty((16, 16), dtype=np.int64)
     pred_cb = np.empty((8, 8), dtype=np.int64)
     pred_cr = np.empty((8, 8), dtype=np.int64)
@@ -1758,8 +1762,8 @@ def _encode_mb_inter_b_cabac(fr, enc: _CabacEnc, mb_addr, qp, pps,
         _encode_mvd(enc, cs, fr, sid, b4x, b4y, lx, 1, dy)
         mv_arr[b4y: b4y + 4, b4x: b4x + 4] = mv
         ref_arr[b4y: b4y + 4, b4x: b4x + 4] = 0
-        cs.mvd_abs[b4y: b4y + 4, b4x: b4x + 4, lx, 0] = abs(dx)
-        cs.mvd_abs[b4y: b4y + 4, b4x: b4x + 4, lx, 1] = abs(dy)
+        cs.mvd_abs[b4y: b4y + 4, b4x: b4x + 4, lx, 0] = min(abs(dx), 33)
+        cs.mvd_abs[b4y: b4y + 4, b4x: b4x + 4, lx, 1] = min(abs(dy), 33)
         preds.append(H._inter_pred_planes(fr, mbx, mby, parts, [mv],
                                           ref))
     if len(preds) == 2:

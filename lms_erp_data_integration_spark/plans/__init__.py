@@ -89,613 +89,10 @@ registry.PRIORITY = [
     "llm_video_visual_dedup",
 ]
 
-# Round-13 driver-window rotation (HISTORICAL — superseded by the r14
-# window above; kept for the audit trail; per the r12 VERDICT #2 +
-# ADVICE #1 plan): 8 sync rows pinned, then `sync_jdbc_mirror_roundtrip` — the
-# only S5/S8 end-to-end driver row, displaced two rounds running, it
-# leads this window — then the rows whose DECODE HELPERS changed in
-# late r12 without a driver re-check (ADVICE #1: the fixed-point-DCT
-# pHash and int64-LPC edits flipped behavior-relevant helpers that the
-# v1 source hash did not cover; `tests/query_hashes.py` v2 now walks
-# the transitive helper closure so this class of escape is mechanized
-# away — these five rows plus llm_audio_decode_stats get their driver
-# row now), then any r13-new/changed rows, then the re-verification
-# backlog oldest-first: the rest of the r7 cohort (last checked r7),
-# then r8-cohort rows alphabetically to fill 50.
-_PRIORITY_R13 = [
-    # core reference surface — pinned every round
-    "sync_missing_faculty_users",
-    "sync_missing_student_users",
-    "sync_missing_courses",
-    "sync_missing_sections",
-    "sync_daily_enrollment",
-    "sync_ctl_library_courses",
-    "sync_ctl_library_sections",
-    "sync_clean_users",
-    # r7 spill, two rounds displaced — the only end-to-end JDBC
-    # (S5 source + S8 truncate-and-append mirror sink) driver row
-    "sync_jdbc_mirror_roundtrip",
-    # ADVICE #1: consumers of the r12 fixed-point-DCT pHash rework
-    # (llm_image/video_visual_dedup, crossmodal family) and the int64
-    # LPC autocorrelation (llm_audio_decode_stats) — helper-level
-    # behavior changes that escaped the r12 window
-    "llm_image_visual_dedup",
-    "llm_video_visual_dedup",
-    "llm_crossmodal_dedup",
-    "llm_crossmodal_components",
-    "llm_crossmodal_apply",
-    "llm_audio_decode_stats",
-    # NEW in r13: transformWithStateInPandas execution unblocked by
-    # the vendored protobuf shim — the typed-state twin of
-    # stream_stateful_user_totals, same batch oracle
-    "stream_tws_user_totals",
-    # NEW in r13 (late): the MapState + ListState legs of the TWS
-    # worker protocol (getValue/containsKey/updateValue/iterator,
-    # appendList/get), per-(user, type) stats + per-user roll-up
-    "stream_tws_by_type",
-    # NEW in r13 (late): EVENT-TIME TIMERS — silent accumulation,
-    # per-user flush when the watermark crosses a fixed absolute
-    # expiry (registerTimer + expiry-iterator protocol legs)
-    "stream_tws_timer_flush",
-    # changed in r13: corpus extended with CABAC intra H.264 (ids
-    # 20-23, operators/cabac.py) — five decodable codec paths, new
-    # CRC pins closed-loop-verified against encoder reconstructions
-    "llm_video_codec_stats",
-    # helper-closure re-check (h264.py touched for CABAC: parse_pps
-    # CABAC acceptance, SEI-in-sample muxing — CAVLC behavior
-    # preserved by pinned oracles, driver re-verifies here); also an
-    # r8-tail spill
-    "llm_video_ipp_stats",
-    # changed in r13 (r12 verdict #4): fused single-pass minhash
-    # signature expression on the streaming persist=False paths —
-    # bit-identical signatures (test_minhash_fused_equals_slots),
-    # constant-size expression tree per micro-batch; interleaved A/B
-    # 11.97 -> 10.70 s warm, 21.4 -> 11.4 s first-plan
-    "stream_dedup_lifecycle",
-    "stream_dedup_ingest",
-    # changed in r13 (r12 verdict #3): the capstone's PSI leg rides
-    # the persisted logreg feature frame (score == f1 by definition,
-    # pinned by test_psi_score_equals_quality_f1) — one fewer full
-    # corpus text scan; psi family re-enters via the shared
-    # psi_report_from_scores refactor (same semantics, new source)
-    "llm_corpus_curate_calibrated",
-    "llm_quality_psi_by_source",
-    "llm_quality_psi_gate",
-    # minhash_signatures signature change (fused kwarg, default off —
-    # same code path) flips these consumers' closure hashes; driver
-    # re-verifies at current code per the rotation policy
-    "llm_dedup_minhash_lsh",
-    "llm_minhash_accuracy",
-    "llm_dedup_index_compaction",
-    "llm_decontaminate_train",
-    "llm_lsh_bucket_histogram",
-    "llm_dedup_compaction_trigger",
-    # re-verification backlog: the rest of the r7 cohort (last driver
-    # check r7), alphabetical
-    "llm_corpus_curate",
-    "llm_dedup_containment",
-    "llm_dedup_incremental",
-    "llm_sim_lsh_hyperplane",
-    "llm_sim_near_dup_embeddings",
-    "llm_sim_pq_adc_topk",
-    "llm_sim_pq_codes",
-    "llm_sim_pq_recall",
-    "llm_sim_topk_bruteforce",
-    "llm_warc_ingest_stats",
-    "llm_winnow_pairs",
-    "rel_array_hof_surface",
-    "rel_cohort_retention",
-    "rel_events_props_json",
-    "rel_funnel_conversion",
-    "rel_fuzzy_part_match",
-    "rel_moving_window_range",
-    "rel_outlier_iqr",
-    "rel_q11_important_parts",
-    # (the r7 alphabetical tail from rel_q12_priority_class onward
-    # and the r8 fill were displaced by the 13 r13-changed/new rows
-    # above — they lead the r14 backlog)
-]
-
-# r14 rotation plan (EXECUTED — the r14 window above follows it; kept
-# for the audit trail) (committed at r13 close so the next round executes it, the
-# discipline every round since r9): keep the 8 sync rows pinned and
-# any r14-new/changed rows ahead of fillers, then fill the
-# re-verification backlog oldest-first — FIRST the displaced r7 tail
-# (rel_q12_priority_class, rel_q13_order_distribution,
-# rel_q15_top_supplier, rel_salted_join_revenue, rel_semi_anti_counts,
-# rel_session_window_native, rel_string_surface, rel_term_successor,
-# rel_top_orders_per_customer, rel_unpivot_part_measures — last
-# driver-checked r7), then sync_pipeline_run_report and the r8 cohort
-# alphabetically (llm_chunk_documents, llm_dedup_apply,
-# llm_dedup_clusters, llm_dedup_ngram_jaccard, llm_sim_ivf_multiprobe,
-# llm_sim_ivf_topk, the llm_sketch_* family, rel_q7/q8/q9,
-# rel_sessionize_events, rel_stats_moments, rel_theta_setops,
-# rel_window_rank_surface, the stream_* r8 rows), then r9. Stamp with
-# scripts/update_checked_hashes.py (window-only, NOT --bootstrap).
-# Bench: probe the tenancy controls at session START (clean floors in
-# BASELINE.md r13 note) and re-record bench_ref.json the moment a
-# clean window appears — it has been pending since r12.
-
-# Round-12 driver-window rotation (HISTORICAL — superseded by the r13
-# window above; kept for the audit trail, per the plan committed at r11
-# close, below): 8 sync rows pinned, then everything new or
-# behavior-changed in r12 — the calibrate->apply composition row
-# closing the dedup calibration loop (r11 verdict #3), the PSI
-# drift->action gate closing the quality loop (r11 verdict #5), the
-# threshold curve (body/oracle factored into the shared _CURVE_CTES
-# the composition row interpolates + the ADVICE-#3 drop-definition
-# docstring — same semantics, new source text), the replay-exact
-# dedup-index lifecycle (ADVICE #2: retried foreachBatch stages now
-# reproduce their original counts bit-identically), and the seven
-# rows whose mandatory corpus-proportional broadcast hints the r11
-# verdict-#2 plan audit removed (q2/q16/q17/q20/q21,
-# stream_static_enrich, rel_pagerank_parts — AQE still upgrades the
-# joins while the build sides are genuinely small), plus the late-r12
-# additions: the line-dedup and takedown-retract rows and the two
-# DCT-family media rows re-pinned under the deterministic fixed-point
-# integer DCT (llm_video_codec_stats, also re-pinned, already sits in
-# the r7 cohort below) and the line-dedup ingest twin — then the
-# FIFTEEN r6 rows the r11 window displaced (finishing r6) and the r7
-# cohort (3 of 4; sync_jdbc_mirror_roundtrip spills to r13) to fill 50.
-_PRIORITY_R12 = [
-    # core reference surface — pinned every round
-    "sync_missing_faculty_users",
-    "sync_missing_student_users",
-    "sync_missing_courses",
-    "sync_missing_sections",
-    "sync_daily_enrollment",
-    "sync_ctl_library_courses",
-    "sync_ctl_library_sections",
-    "sync_clean_users",
-    # NEW in r12: curve -> chosen operating point -> production apply
-    # AT that point; the oracle re-derives the choice as a scalar
-    # subquery over the byte-identical _CURVE_CTES block
-    "llm_dedup_calibrated_apply",
-    # NEW in r12: PSI drift verdict -> quarantine action over the
-    # byte-identical _PSI_CTES block the monitor oracle interpolates
-    "llm_quality_psi_gate",
-    # NEW in r12: nprobe curve -> chosen probe count -> production
-    # ivf_topk AT that point (the ANN leg of the calibration closure)
-    "llm_sim_ivf_calibrated_search",
-    # NEW in r12: threshold-sweep curve -> precision-floor/argmax-F1
-    # choice -> production quality gate AT that point (the quality
-    # leg; one _cal_curve_parts definition serves curve and gate)
-    "llm_quality_calibrated_gate",
-    # changed in r12: nprobe-curve oracle factored into the shared
-    # _NPROBE_CURVE_CTES block + body into nprobe_curve_frame (same
-    # semantics, new source text)
-    "llm_sim_ivf_nprobe_curve",
-    # changed in r12: calibration oracle restructured into the shared
-    # curve CTE + body into quality_curve_frame (same semantics, new
-    # source text)
-    "llm_quality_calibration",
-    # NEW in r12: the quarantine gate driven on the ingest stream —
-    # shared monitor report -> kept-source verdict -> stream-static
-    # join; shares the batch gate oracle bit-for-bit
-    "stream_quality_psi_gate",
-    # changed in r12: monitor body factored into the shared
-    # _stream_psi_report the streaming gate acts on (same semantics,
-    # new source text)
-    "stream_quality_psi",
-    # NEW in r12 (late): the curation pipeline AT its calibrated
-    # operating points — quality/drift/dedup drop sets intersected,
-    # stage-attributed counts + every chosen point in one row; the
-    # oracle nests each family's exact shared block as its own scope
-    "llm_corpus_curate_calibrated",
-    # NEW in r12 (late): ANN SERVING on a query stream — stateless
-    # literal multi-probe assignment, stream-static candidate join
-    # against the persisted index at the calibrated nprobe, batch
-    # top-k merge; shares the batch calibrate->search oracle
-    "stream_sim_ivf_search",
-    # changed in r12: factored into _CURVE_CTES + the ADVICE-#3
-    # direct-neighbor-vs-closure drop-definition docstring
-    "llm_dedup_threshold_curve",
-    # changed in r12 (ADVICE #2): replay-exact ingest across the
-    # checkpoint/results window — a retried stage excludes hits
-    # against already-committed keepers and routes to record-only
-    "stream_dedup_lifecycle",
-    # NEW in r12 (late): cross-document LINE dedup — the C4/
-    # MassiveText boilerplate pass (corpus-wide window-line
-    # frequency -> per-doc retention), the sub-document complement
-    # of the doc-level dedup family
-    "llm_line_dedup",
-    # NEW in r12 (late): takedown/retract propagation — keeper
-    # re-election over the shared _CLUSTERS_REACH component relation,
-    # re-admitting docs whose keeper was taken down (the DELETE edge
-    # of the dedup-index lifecycle)
-    "llm_dedup_retract",
-    # changed in r12 (late): the float-matmul DCT was replaced by an
-    # exact fixed-point int64 DCT (encode+decode) after the pinned
-    # jpeg12 CRC flipped BETWEEN driver hosts (SIMD/FMA-dependent
-    # reduction — the r8 hash_match:false on this row was the same
-    # class); DCT-family pins regenerated, lossless families
-    # untouched
-    "llm_decode_pixel_checksums",
-    "llm_video_frame_stats",
-    # NEW in r12 (late): the line-dedup INGEST twin — batch-learned
-    # boilerplate set checkpointed, stateless line explode +
-    # stream-static flag join on the document stream, per-doc report
-    # as a batch merge over the append sink; shares the batch oracle
-    "stream_line_dedup",
-    # changed in r12 (r11 verdict #2): mandatory broadcast hints on
-    # corpus-proportional build sides removed; AQE upgrades from
-    # observed sizes
-    "rel_q2_min_cost_supplier",
-    "rel_q16_supplier_counts",
-    "rel_q17_small_quantity",
-    "rel_q20_promo_suppliers",
-    "rel_q21_waiting_supplier",
-    "stream_static_enrich",
-    "rel_pagerank_parts",
-    # the FIFTEEN r6 rows the r11 window displaced — finishes r6
-    "rel_left_outer_customer_orders",
-    "rel_parameterized_sql",
-    "rel_pivot_order_status",
-    "rel_q10_returned_items",
-    "rel_q18_large_orders",
-    "rel_q19_disjunctive_filter",
-    "rel_q22_inactive_balance",
-    "rel_q3_shipping_priority",
-    "rel_q4_order_priority",
-    "rel_q5_region_revenue",
-    "rel_q6_revenue_filter",
-    "rel_range_join_balance_bands",
-    "rel_resample_ffill",
-    "rel_rollup_revenue",
-    "rel_running_total_per_user",
-    # r7 cohort, alphabetical (3 of 4; sync_jdbc_mirror_roundtrip was
-    # displaced by the late-r12 stream_line_dedup twin and spills to
-    # r13 ahead of the r8 rows)
-    "llm_quality_classifier",
-    "llm_video_codec_stats",
-    "stream_warc_ingest",
-    # (the r8 alphabetical fill — llm_sketch_cms_heavy_hitters,
-    # llm_sketch_hll_distinct, llm_sketch_hll_rollup,
-    # llm_video_ipp_stats — was displaced by the four late-r12
-    # rows above; all eleven remaining r8 rows spill to r13)
-]
-
-# Round-11 driver-window rotation (HISTORICAL — superseded by the r12
-# window above; kept for the audit trail the judge reads): 8 sync rows
-# pinned, then everything new or behavior-changed in r11 — the IVF
-# recenter-TRIGGER policy row (r10
-# verdict #2), cross-modal connected components (r10 verdict #3), the
-# sampled-slice quantile audit (r10 verdict #5), the late-round
-# compaction-trigger and cross-modal-apply rows, the reworked
-# dedup-index lifecycle (r10 verdict #4 trim + ADVICE #1/#2:
-# replay-idempotent ingest, empty-batch zero rows), llm_crossmodal_dedup
-# (ADVICE #3 contract docstring + body factored into the shared pair
-# frame) and llm_emb_ivf_recenter (body/oracle factored into the
-# shared ivf_recenter_report helper + CTE constants the trigger row
-# reuses — same semantics, new source text) — then the THIRTEEN r5
-# rows the r10 window displaced (finishing r5), then the r6 cohort
-# alphabetically (17 of 32 fit; the tail from
-# rel_left_outer_customer_orders spills to r12).
-_PRIORITY_R11 = [
-    # core reference surface — pinned every round
-    "sync_missing_faculty_users",
-    "sync_missing_student_users",
-    "sync_missing_courses",
-    "sync_missing_sections",
-    "sync_daily_enrollment",
-    "sync_ctl_library_courses",
-    "sync_ctl_library_sections",
-    "sync_clean_users",
-    # NEW in r11: the recenter-TRIGGER policy row closing the ANN
-    # maintenance loop (append audit -> per-list trigger -> global
-    # decision -> gated Lloyd step + churn/shift report)
-    "llm_emb_ivf_recenter_trigger",
-    # NEW in r11: connected components + keeper pick over the UNION
-    # cross-modal pair relation, with per-cluster modality mix
-    "llm_crossmodal_components",
-    # NEW in r11: the sampled-slice audit cadence made executable —
-    # 1-in-8 hash slice ranks each sketch estimate against the stated
-    # 2-sigma bound
-    "rel_quantile_sketch_audit_sampled",
-    # changed in r11 (r10 verdict #4 + ADVICE #1/#2): fused per-batch
-    # actions, single combined state checkpoint, replay-idempotent
-    # ingest, empty-residue zero rows
-    "stream_dedup_lifecycle",
-    # changed in r11 (ADVICE #3): image_id == doc_id attachment
-    # contract documented; body factored into _crossmodal_pair_frame
-    "llm_crossmodal_dedup",
-    # changed in r11: recenter arithmetic factored into the shared
-    # ivf_recenter_report helper / _RC_CTES oracle constants
-    "llm_emb_ivf_recenter",
-    # NEW in r11 (late): the compaction-TRIGGER policy row — cheap
-    # per-band posting-collision signal, global decision, gated
-    # compaction yield (the recenter-trigger's text-side twin)
-    "llm_dedup_compaction_trigger",
-    # NEW in r11 (late): the cross-modal APPLY step — drop every
-    # non-keeper member of the union-relation clusters (pairs ->
-    # components -> cleaned corpus)
-    "llm_crossmodal_apply",
-    # NEW in r11 (late): quality-score drift monitor — per-source PSI
-    # against the pooled corpus over sketch-edged deciles, verdict at
-    # the standard 0.1 investigate line
-    "llm_quality_psi_by_source",
-    # NEW in r11 (late): its STREAMING twin — stateless literal-edge
-    # scoring/bucketing on the document stream, (source x 10)-row
-    # complete-mode state, shared summary tail and shared oracle
-    "stream_quality_psi",
-    # NEW in r11 (late): the nprobe tuning curve — recall@10 + scan
-    # cost per probe count, chosen operating point at the 90% target
-    "llm_sim_ivf_nprobe_curve",
-    # NEW in r11 (late): the dedup threshold curve — pair volume /
-    # drop rate per Jaccard threshold from ONE exact-overlap pass
-    # (integer predicate 100*inter >= t*union)
-    "llm_dedup_threshold_curve",
-    # the THIRTEEN r5 rows the r10 window displaced — finishes r5
-    "rel_interval_overlap",
-    "rel_join_size_profile",
-    "rel_key_skew_profile",
-    "rel_lateral_topk",
-    "rel_mirror_drift_buckets",
-    "rel_mirror_reconcile_rows",
-    "rel_salted_distinct",
-    "rel_scd2_user_history",
-    "rel_temporal_state_join",
-    "rel_triangle_count",
-    "rel_value_histogram",
-    "stream_dq_gate",
-    "stream_value_histogram",
-    # r6 cohort, alphabetical fill to 50 (17 of 32; the remaining 15
-    # from rel_left_outer_customer_orders spill to r12)
-    "llm_bpe_encode",
-    "llm_bpe_train_vocab",
-    "llm_chat_loss_mask",
-    "llm_chat_render_stats",
-    "llm_lm_perplexity",
-    "llm_video_frame_stats",
-    "llm_webdataset_shard_stats",
-    "rel_bitmap_distinct",
-    "rel_cube_order_stats",
-    "rel_customer_order_setops",
-    "rel_date_surface",
-    "rel_distinct_aggregates",
-    "rel_event_deltas",
-    "rel_events_hourly",
-    "rel_events_variant",
-    "rel_full_outer_year_diff",
-    "rel_latest_event_per_user",
-]
-
-# r13 rotation plan (for the next round): keep the 8 sync rows pinned
-# and any r13-new/changed queries ahead of fillers, then the displaced
-# r7 row (sync_jdbc_mirror_roundtrip — finishing r7), then the
-# ELEVEN r8 rows this window displaced (llm_sketch_cms_heavy_hitters,
-# llm_sketch_hll_distinct, llm_sketch_hll_rollup,
-# llm_video_ipp_stats, llm_video_visual_dedup, rel_bloom_semi_join,
-# rel_quantile_sketch, rel_theta_setops, stream_sketch_cms,
-# stream_sketch_distinct, sync_pipeline_run_report — finishing r8),
-# then the SIX r9 rows
-# (llm_decontaminate_train, llm_dedup_index_compaction,
-# llm_emb_matryoshka_recall, llm_image_visual_dedup,
-# rel_quantile_sketch_audit, stream_dedup_ingest — finishing r9),
-# then the r10 cohort alphabetically. Stamp window-only with
-# scripts/update_checked_hashes.py, never --bootstrap.
-
-# Round-10 driver-window rotation (HISTORICAL — superseded by the r11
-# window above; kept for the audit trail the judge reads): 8 sync rows
-# pinned, then everything new or behavior-changed in r10 — the
-# dedup-index LIFECYCLE row (foreachBatch ingest -> append -> compact,
-# r9 verdict #5), the three r9-verdict-#6 LLM-pipeline rows
-# (quality-threshold calibration, cross-modal dedup join, DoReMi
-# domain mix), and llm_corpus_divergence (oracle refactored into the
-# shared KL CTE the DoReMi row reuses — same semantics, new SQL text)
-# — then the EIGHT remaining r4 rows (closing the r4 backlog), then
-# the r5 cohort alphabetically (22 of 36 fit; the tail from
-# rel_interval_overlap spilled to r11).
-_PRIORITY_R10 = [
-    # core reference surface — pinned every round
-    "sync_missing_faculty_users",
-    "sync_missing_student_users",
-    "sync_missing_courses",
-    "sync_missing_sections",
-    "sync_daily_enrollment",
-    "sync_ctl_library_courses",
-    "sync_ctl_library_sections",
-    "sync_clean_users",
-    # NEW in r10: the production dedup-index lifecycle — streaming
-    # foreachBatch ingest against a GROWING index, append of verified
-    # -new signatures, terminal compaction; oracle unrolls the greedy
-    # sequence, pytest pins the final index content
-    "stream_dedup_lifecycle",
-    # NEW in r10: operating-threshold calibration of the learned
-    # quality filter (precision/recall/F1 sweep vs the weak labels)
-    "llm_quality_calibration",
-    # NEW in r10: cross-modal near-dup join (text MinHash pairs ∪
-    # image pHash pairs, shared pinned-pHash VALUES block)
-    "llm_crossmodal_dedup",
-    # NEW in r10: DoReMi-style domain-mix reweighting in exact ppm
-    # arithmetic over the shared per-source KL frame
-    "llm_domain_mix_doremi",
-    # changed in r10: oracle now assembled from the shared KL CTE
-    "llm_corpus_divergence",
-    # changed in r10: the compaction row now signs each side ONCE and
-    # shares the persisted signature frames across its three passes
-    # (warm A/B at sf0.1: 7.0-12.4s -> 4.3-5.1s)
-    "llm_dedup_index_compaction",
-    # changed in r10 (r9 ADVICE): band/dim constants interpolated into
-    # the oracle SQL; the image oracle's VALUES block is now the
-    # shared _PHASH_VALUES_SQL the cross-modal row reuses
-    "llm_image_visual_dedup",
-    "llm_emb_matryoshka_recall",
-    # NEW in r10: longest verbatim train-overlap span per eval doc
-    # (gaps-and-islands over 8-token window hits — the memorization
-    # audit's severity metric, complementing the containment rows)
-    "llm_memorization_span",
-    # NEW in r10: IVF index-append audit (per-list growth + cosine
-    # drift of appended vs existing members — the ANN maintenance
-    # twin of stream_dedup_lifecycle)
-    "llm_emb_ivf_append",
-    # NEW in r10: its STREAMING twin — stateless literal-centroid
-    # assignment on the embeddings stream, k-row complete-mode state;
-    # shares the batch row's oracle (stream must equal batch)
-    "stream_emb_ivf_append",
-    # NEW in r10: the recenter action the append row's drift signal
-    # triggers — one exact-integer Lloyd step + churn/shift report
-    "llm_emb_ivf_recenter",
-    # the EIGHT remaining r4-era rows — closes the r4 backlog
-    "rel_percentiles_acctbal",
-    "rel_profile_columns",
-    "rel_q14_promo_revenue",
-    "rel_q1_pricing_summary",
-    "rel_recursive_month_spine",
-    "rel_try_arithmetic",
-    "rel_udaf_median_value",
-    "rel_window_value_surface",
-    # r5 cohort, alphabetical fill to 50 (llm_corpus_divergence is
-    # already above as a changed row)
-    "llm_bpe_top_pairs",
-    "llm_corpus_rebalance",
-    "llm_dedup_rate_by_source",
-    "llm_dup_span_detect",
-    "llm_emb_label_drift",
-    "llm_emb_norm_stats",
-    "llm_emb_quantize",
-    "llm_lsh_bucket_histogram",
-    "llm_minhash_accuracy",
-    "llm_pack_efficiency",
-    "llm_sample_importance",
-    "llm_sim_ivf_recall",
-    "llm_text_entropy",
-    "llm_tokenizer_fertility",
-    "llm_winnow_fingerprint",
-    "rel_cascade_delete_impact",
-    "rel_cdc_log_compaction",
-    "rel_dim_surrogate_keys",
-    "rel_dq_expectations",
-    "rel_event_burst_pairs",
-    "rel_grouping_sets",
-    "rel_incremental_agg_merge",
-]
-
-# (The r11 plan committed here at r10 close — 8 sync + r11
-# new/changed + the thirteen displaced r5 rows + r6 cohort
-# alphabetically — is exactly the r11 window now active above.)
-
-# Round-9 rotation (HISTORICAL — superseded by the r10 window above;
-# kept for the audit trail the judge reads).
-# The driver's correctness gate hashes only the first 50 ``queries()``
-# entries per round. The r9 window covered: the 8 sync queries (pinned
-# every round), everything new or behavior-changed in r9 — the
-# corrected jpeg12 id-50 oracle pin, the H.264 multi-ref deblock fix
-# (llm_video_ipp_stats id 7 regenerated), the NEW mixed-format image
-# near-dup row, the quantile-sketch production/audit split, and the
-# k-means small-n crossover gate (flat scan below n=8192; oracle g=k
-# there, proven equal) — then the r4-era re-verification backlog:
-# FIRST the sixteen fillers the late-r8 sketch/k-means/H.264 work
-# displaced from the r8 window, then the remaining r4 rows
-# alphabetically to fill. The video rows whose decode helpers were
-# touched but whose behavior is pinned unchanged
-# (llm_video_codec_stats, llm_video_frame_stats,
-# llm_video_visual_dedup) are continuously guarded by
-# tests/test_oracle_parity.py (every literal-VALUES oracle vs a live
-# operator run), which also re-verified them green at HEAD.
-# Manifest policy (r4 ADVICE): stamps are only written for queries
-# sitting in the current window —
-# test_manifest_entries_were_driver_windowed rejects pre-stamped
-# never-checked queries.
-_PRIORITY_R9 = [
-    # core reference surface — pinned every round
-    "sync_missing_faculty_users",
-    "sync_missing_student_users",
-    "sync_missing_courses",
-    "sync_missing_sections",
-    "sync_daily_enrollment",
-    "sync_ctl_library_courses",
-    "sync_ctl_library_sections",
-    "sync_clean_users",
-    # changed in r9: the mis-stamped jpeg12 id-50 CRC corrected
-    # (decoder was right all along — r8 verdict #1), and the H.264
-    # _bs_blocks multi-ref inter classification fix (ADVICE high)
-    # regenerated llm_video_ipp_stats id 7
-    "llm_decode_pixel_checksums",
-    "llm_video_ipp_stats",
-    # NEW in r9: mixed-format image-corpus near-dup — perceptual_hash
-    # across JPEG/PNG/QOI/TIFF/JPEG-LS payloads, banded-LSH candidate
-    # generation, Hamming verify (r8 verdict #6)
-    "llm_image_visual_dedup",
-    # changed in r9: quantile sketch split into production (sketch
-    # columns only) + audit rows (r8 verdict #3)
-    "rel_quantile_sketch",
-    "rel_quantile_sketch_audit",
-    # changed in r9: k-means small-n crossover — Spark takes the flat
-    # scan below n=8192 (measured crossover), the oracle's single
-    # two-level SQL shape sets g=k there (pruning-free, bit-equal;
-    # r8 verdict #5) — every query embedding the k-means oracle
-    # re-enters the window
-    "llm_sim_kmeans_assign",
-    "llm_dedup_semantic_kmeans",
-    "llm_dedup_cluster_histogram",
-    "llm_dedup_semantic_verified",
-    "llm_sim_kmeans_purity",
-    # NEW in r9: cross-run dedup-index state compaction — keeper-only
-    # index rewrite proven safe by re-running the ingest batch against
-    # both index states (full recursive-closure oracle)
-    "llm_dedup_index_compaction",
-    # NEW in r9: continuous-ingest dedup — stateless streaming MinHash
-    # + stream-static band join against the persisted index postings;
-    # shares the batch incremental row's oracle (bounded stream must
-    # equal the batch answer)
-    "stream_dedup_ingest",
-    # NEW in r9: near-dup eval decontamination of the train split
-    # (MinHash-LSH leakage guard + anti-join removal, per-source
-    # accounting)
-    "llm_decontaminate_train",
-    # NEW in r9: Matryoshka-truncation recall audit (16/64-dim prefix
-    # search vs full-dim exact top-10)
-    "llm_emb_matryoshka_recall",
-    # r4-era re-verification backlog: the sixteen fillers displaced
-    # by the late-r8 sketch + two-level-k-means + H.264-gate work
-    "llm_contamination_ngram",
-    "llm_corpus_mix",
-    "llm_corpus_stats",
-    "llm_dedup_exact",
-    "llm_dedup_minhash_lsh",
-    "llm_dedup_simhash",
-    "llm_heavy_hitters_cms",
-    "llm_multimodal_frame_sample",
-    "llm_multimodal_payload_meta",
-    "llm_pack_sequences",
-    "llm_pii_redaction",
-    "llm_quality_gate",
-    "llm_sample_stratified",
-    "llm_shard_assignment",
-    "llm_text_fingerprint",
-    "llm_text_language_id",
-    # remaining r4 rows, alphabetical fill to 50
-    "llm_text_quality",
-    "llm_text_repetition",
-    "llm_text_sentiment",
-    "llm_text_tfidf_top_terms",
-    "llm_text_token_counts",
-    "llm_text_top_terms",
-    "llm_text_unigram_lm",
-    "rel_approx_distinct",
-    "rel_approx_percentile_contract",
-    "rel_asof_last_purchase",
-    "rel_event_transitions",
-    "rel_pagerank_parts",
-]
-
-# r10 rotation plan as committed at r9 close (EXECUTED — the live
-# window above follows it: 12 r10-new/changed rows (8 new + 4
-# changed) ahead of the eight r4 rows, then 22 of the 36 r5 rows
-# alphabetically; the judge can diff the two):
-# keep the 8 sync queries
-# pinned and any r10-new/changed queries ahead of fillers, then fill
-# from the re-verification backlog oldest-first — FIRST the EIGHT
-# remaining r4 rows (rel_percentiles_acctbal, rel_profile_columns,
-# rel_q14_promo_revenue, rel_q1_pricing_summary,
-# rel_recursive_month_spine, rel_try_arithmetic,
-# rel_udaf_median_value, rel_window_value_surface — four never fit
-# this window, four were displaced late in r9 by the compaction,
-# streaming-ingest, decontamination and matryoshka rows), then the r5
-# cohort alphabetically (llm_bpe_top_pairs onward — 36 rows, so r10
-# closes r4 and makes a large dent in r5; r11 finishes r5 and starts
-# r6). The stamped-hash policy stays as is; stamp with
-# scripts/update_checked_hashes.py (window-only, NOT --bootstrap — a
-# bootstrap restamp would exempt changed non-window queries from
-# re-verification).
+# Historical driver windows (audit trail): each round's PRIORITY list
+# is preserved verbatim in git history at that round's artifact commit
+# (r9 b0d794f, r10 c328d10, r11 8b57e9f, r12 95d6b8a, r13 784334b).
+# The dead module-level copies the file used to carry (r14 review:
+# ~450 never-read lines growing every round) were removed; the
+# CORRECTNESS_r*.json artifacts remain the authoritative record of
+# what each window verified.

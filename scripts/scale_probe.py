@@ -264,33 +264,49 @@ def build_sf1(
             ) TO '{out_dir}/embeddings.parquet' (FORMAT parquet)
             """
         )
+    def replicate_keyed(table: str, keyed: dict[str, str]) -> None:
+        if os.path.exists(f"{out_dir}/{table}.parquet"):
+            return
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{SRC}/{table}.parquet'"
+            ).fetchall()
+        ]
+        sel = ", ".join(f"{keyed.get(c, 'l.' + c)} AS {c}" for c in cols)
+        con.execute(
+            f"""
+            COPY (SELECT {sel} FROM '{SRC}/{table}.parquet' l, ks)
+            TO '{out_dir}/{table}.parquet' (FORMAT parquet)
+            """
+        )
+
     if doc_emb_only:
         # second-decade drop: the document/embedding family plus
         # ORDERS (r9 verdict #3: rel_quantile_sketch_audit is the one
         # >0.5-exponent row outside the doc family; its only input is
         # orders, replicated here with the standard key stride — 15M
-        # rows at 100x, still /tmp-sized). Fixed-cardinality dims are
-        # copied so Catalog.register_all() still resolves.
-        if not os.path.exists(f"{out_dir}/orders.parquet"):
-            cols = [
-                r[0]
-                for r in con.execute(
-                    f"DESCRIBE SELECT * FROM '{SRC}/orders.parquet'"
-                ).fetchall()
-            ]
-            keyed = {
+        # rows at 100x, still /tmp-sized) plus EVENTS (r14, r13
+        # verdict #4: stream_tws_by_type's 0.72 decade-1 exponent is
+        # the one over-0.5 row previously closed by a linearity
+        # argument instead of a measurement — the events drop at 100x
+        # lets the decade-2 rule be satisfied by data). Fixed-
+        # cardinality dims are copied so Catalog.register_all() still
+        # resolves.
+        replicate_keyed(
+            "events",
+            {
+                "event_id": "l.event_id + k * 10000000",
+                "user_id": "l.user_id + k * 10000000",
+            },
+        )
+        replicate_keyed(
+            "orders",
+            {
                 "o_orderkey": "l.o_orderkey + k * 10000000",
                 "o_custkey": "l.o_custkey + k * 10000000",
-            }
-            sel = ", ".join(
-                f"{keyed.get(c, 'l.' + c)} AS {c}" for c in cols
-            )
-            con.execute(
-                f"""
-                COPY (SELECT {sel} FROM '{SRC}/orders.parquet' l, ks)
-                TO '{out_dir}/orders.parquet' (FORMAT parquet)
-                """
-            )
+            },
+        )
         for t in ("region", "nation"):
             if not os.path.exists(f"{out_dir}/{t}.parquet"):
                 con.execute(
@@ -320,23 +336,6 @@ def build_sf1(
             f"""
             COPY (SELECT {sel} FROM '{SRC}/lineitem.parquet' l, ks)
             TO '{out_dir}/lineitem.parquet' (FORMAT parquet)
-            """
-        )
-
-    def replicate_keyed(table: str, keyed: dict[str, str]) -> None:
-        if os.path.exists(f"{out_dir}/{table}.parquet"):
-            return
-        cols = [
-            r[0]
-            for r in con.execute(
-                f"DESCRIBE SELECT * FROM '{SRC}/{table}.parquet'"
-            ).fetchall()
-        ]
-        sel = ", ".join(f"{keyed.get(c, 'l.' + c)} AS {c}" for c in cols)
-        con.execute(
-            f"""
-            COPY (SELECT {sel} FROM '{SRC}/{table}.parquet' l, ks)
-            TO '{out_dir}/{table}.parquet' (FORMAT parquet)
             """
         )
 
@@ -448,6 +447,12 @@ DECADE2_QUERIES = [
     # decade 1 (its dedup stage is the same linear-by-design term) —
     # above the bar
     "llm_corpus_curate_calibrated",
+    # r14 (r13 verdict #4): the TWS MapState row read 0.72 over
+    # decade 1 — the data term is per-key pandas work in the Python
+    # TWS worker, linear in events by construction; the events table
+    # now replicates into the sf10 drop so the claim is measured,
+    # not argued
+    "stream_tws_by_type",
 ]
 
 
