@@ -143,7 +143,11 @@ def test_video_ipp_stats_decodes_every_p_frame(spark, sf_dir):
     }
     assert set(rows) == set(range(media_queries._N_IPP_VIDEOS))
     for vid, r in rows.items():
-        assert r["frames_decoded"] == 3 + vid % 3  # every P frame decoded
+        # every P/B frame decoded (the per-sample intra path would
+        # drop them): CAVLC ids 0-7 carry 3+vid%3 frames, the r14
+        # CABAC GOP ids 8-13 carry 4+vid%3
+        want_n = (3 if vid < 8 else 4) + vid % 3
+        assert r["frames_decoded"] == want_n
         assert r["width"] == 16 * (1 + vid % 2)
         assert r["height"] == 16 * (1 + (vid // 2) % 2)
         assert r["crc_sum"] > 0
