@@ -89,6 +89,35 @@ registry.PRIORITY = [
     "llm_video_visual_dedup",
 ]
 
+# r15 rotation plan (committed now so the next round executes it, the
+# discipline every round since r9): keep the 8 sync rows pinned and
+# any r15-new/changed rows ahead of fillers, then fill the
+# re-verification backlog oldest-first — the r9 cohort alphabetically
+# (last driver check r9, 33 rows: llm_contamination_ngram,
+# llm_corpus_mix, llm_corpus_stats, llm_dedup_cluster_histogram,
+# llm_dedup_exact, llm_dedup_semantic_kmeans,
+# llm_dedup_semantic_verified, llm_dedup_simhash,
+# llm_heavy_hitters_cms, llm_multimodal_frame_sample,
+# llm_multimodal_payload_meta, llm_pack_sequences, llm_pii_redaction,
+# llm_quality_gate, llm_sample_stratified, llm_shard_assignment,
+# llm_sim_kmeans_assign, llm_sim_kmeans_purity, llm_text_fingerprint,
+# llm_text_language_id, llm_text_quality, llm_text_repetition,
+# llm_text_sentiment, llm_text_tfidf_top_terms, llm_text_token_counts,
+# llm_text_top_terms, llm_text_unigram_lm, rel_approx_distinct,
+# rel_approx_percentile_contract, rel_asof_last_purchase,
+# rel_event_transitions, rel_quantile_sketch,
+# rel_quantile_sketch_audit), then r10-oldest alphabetically
+# (llm_bpe_top_pairs onward) to fill 50. Stamp with
+# scripts/update_checked_hashes.py (window-only, NOT --bootstrap).
+# Bench: probe the tenancy controls at session START (llm_dedup_apply
+# within ~1.3x of 2.49 s -> run scripts/record_bench_ref.py
+# immediately, same session) — the clean-window re-record is THREE
+# rounds pending; r14 probed 8 times across its whole session
+# (controls 3-16x floors throughout, BASELINE.md r14 notes) and
+# pre-adjudicated every above-ref row instead. Coverage candidate if
+# capacity allows: H.264 P_8x8 sub-partitions (CAVLC + CABAC), the
+# largest remaining inter shape both entropy layers reject.
+
 # Historical driver windows (audit trail): each round's PRIORITY list
 # is preserved verbatim in git history at that round's artifact commit
 # (r9 b0d794f, r10 c328d10, r11 8b57e9f, r12 95d6b8a, r13 784334b).
