@@ -104,10 +104,11 @@ _TRANS_LPS = np.array([
 ], dtype=np.int64)
 
 # 0..275 adaptive I-slice layout; 276 terminate pseudo-context;
-# 277..320 the r14 P/B blocks (skip, P/B mb_type, intra-in-P/B
-# suffix, ref_idx, mvd x/y) — appended so pre-existing indices (and
-# therefore the r13 all-intra fixture bitstreams) are unchanged
-_N_CTX = 321
+# 277..323 the r14 P/B blocks (skip, P/B mb_type, intra-in-P/B
+# suffix, ref_idx, mvd x/y, P sub_mb_type) — appended so pre-existing
+# indices (and therefore the r13 all-intra fixture bitstreams) are
+# unchanged
+_N_CTX = 324
 
 
 def _init_states() -> tuple[np.ndarray, np.ndarray]:
@@ -290,6 +291,7 @@ _CTX_REF_IDX = 301    # bin0 +inc 0..3 (condA + 2*condB); bin1 +4;
 _CTX_MVD_X = 307      # bin0 +inc 0..2 (|mvd| nb sum); bins 1..3
 #                       +3..+5; bins>=4 +6; EG3 suffix + sign bypass
 _CTX_MVD_Y = 314
+_CTX_SUB_MB_P = 321  # P sub_mb_type: bin0 +0, bin1 +1, bin2 +2
 
 # residual block categories
 _CAT_LUMA_DC = 0
@@ -1234,11 +1236,22 @@ def decode_pbslice_cabac(fr, b: "H._Bits", pps: dict, qp: int,
                 b1 = dec.decision(_CTX_MB_TYPE_P + 1)
                 b2 = dec.decision(_CTX_MB_TYPE_P + (2 if b1 else 3))
                 # (b1,b2): (0,0)->16x16, (1,1)->16x8, (1,0)->8x16,
-                # (0,1)->P_8x8
+                # (0,1)->P_8x8 (r14; P_8x8ref0 is CAVLC-only — the
+                # CABAC binarization has no code for mb_type 4)
                 if not b1 and b2:
-                    raise ValueError("P_8x8 sub-partitions "
-                                     "unsupported")
-                mb_type = 0 if not b1 else (1 if b2 else 2)
+                    # sub_mb_type per quadrant, Table 9-38 strings
+                    # 0:'1' 1:'00' 2:'011' 3:'010' — only P_L0_8x8
+                    # (one MV per quadrant) decodes
+                    for _ in range(4):
+                        if dec.decision(_CTX_SUB_MB_P):
+                            continue  # '1' -> P_L0_8x8
+                        dec.decision(_CTX_SUB_MB_P + 1)
+                        raise ValueError(
+                            "P_8x8 sub-shapes below 8x8 unsupported"
+                        )
+                    mb_type = 3
+                else:
+                    mb_type = 0 if not b1 else (1 if b2 else 2)
                 qp = _decode_mb_inter_cabac(
                     fr, dec, mb_addr, qp, pps, sid, mb_type, refs,
                     n_active, wp,
@@ -1667,12 +1680,15 @@ def _encode_mb_inter_cabac(fr, enc: _CabacEnc, mb_addr, qp, pps,
     src_cr = cr[cy: cy + 8, cx: cx + 8].astype(np.int64)
     parts = H._P_PARTS[mb_type]
     ris = [(mb_addr + fi + pi) % n_active for pi in range(len(parts))]
-    # mb_type bins: '000' 16x16, '011' 16x8, '010' 8x16
+    # mb_type bins: '000' 16x16, '011' 16x8, '010' 8x16, '001' P_8x8
     enc.decision(_CTX_MB_TYPE_P, 0)
-    b1 = 0 if mb_type == 0 else 1
-    b2 = 1 if mb_type == 1 else 0
+    b1 = 1 if mb_type in (1, 2) else 0
+    b2 = 1 if mb_type in (1, 3) else 0
     enc.decision(_CTX_MB_TYPE_P + 1, b1)
     enc.decision(_CTX_MB_TYPE_P + (2 if b1 else 3), b2)
+    if mb_type == 3:
+        for _ in parts:
+            enc.decision(_CTX_SUB_MB_P, 1)  # sub_mb_type P_L0_8x8
     # ref_idx loop: store each partition's ref4 span immediately so
     # the next partition's increment sees it (decoder mirrors)
     for (pbx, pby, w4, h4, kind), ri in zip(parts, ris):
@@ -1845,7 +1861,7 @@ def encode_h264_annexb_cabac(
     ``gop="ibp"`` (r14): the CAVLC IBP shape — P references alternate
     with non-reference B pictures, (frame + mb) % 4 -> B_L0_16x16 /
     B_L1_16x16 / B_Bi_16x16 / intra-in-B; poc_type 0 as B requires."""
-    if gop not in ("all-intra", "ipp", "ibp"):
+    if gop not in ("all-intra", "ipp", "ipp8", "ibp"):
         raise ValueError(f"unknown gop {gop!r}")
     if gop != "all-intra":
         return _encode_cabac_gop(frames_rgb, qp, chroma_qp_offset, gop)
@@ -1933,13 +1949,16 @@ def _encode_cabac_gop(
     for fi, rgb in enumerate(frames_rgb):
         if fi == 0:
             kind = "i"
-        elif gop == "ipp":
+        elif gop in ("ipp", "ipp8"):
             kind = "p"
         else:
             kind = "p" if fi % 2 == 1 else "b"
         is_ref = kind != "b"
-        n_active = min(2, len(refs)) if (kind == "p" and gop == "ipp") \
+        n_active = (
+            min(2, len(refs))
+            if (kind == "p" and gop in ("ipp", "ipp8"))
             else 1
+        )
         out.append(_sei_cabac_marker())
         y, cb, cr = H._rgb_to_yuv420(np.asarray(rgb, dtype=np.uint8))
         fr = H._Frame(sps_d)
@@ -1990,17 +2009,24 @@ def _encode_cabac_gop(
                 mbx, mby = mb_addr % wmb, mb_addr // wmb
                 choice = (fi + mb_addr) % 8
                 sinc = _skip_inc(cs, fr, 0, mbx, mby)
-                if choice in (0, 4):  # P_Skip
-                    enc.decision(_CTX_SKIP_P + sinc, 1)
+                if choice == 0 or (choice == 4 and gop != "ipp8"):
+                    enc.decision(_CTX_SKIP_P + sinc, 1)  # P_Skip
                     H._decode_skip_mb(fr, mb_addr, cur_qp, 0,
                                       refs[0], None)
                     _mark_skip_cs(cs, mbx, mby)
                 else:
                     enc.decision(_CTX_SKIP_P + sinc, 0)
-                    if choice in (1, 2, 3):
+                    if choice in (1, 2, 3) or (
+                        gop == "ipp8" and choice in (4, 5)
+                    ):
+                        # ipp8 folds P_8x8 into the rotation (4 and 5
+                        # both map to mb_type 3: CABAC has no ref0
+                        # variant — quadrant ref_idx carries the
+                        # reference choice instead)
+                        mbt = choice - 1 if choice <= 3 else 3
                         cur_qp = _encode_mb_inter_cabac(
                             fr, enc, mb_addr, cur_qp, pps_d, y, cb,
-                            cr, fi, refs, choice - 1,
+                            cr, fi, refs, mbt,
                             n_active=n_active,
                         )
                     else:  # 5/6/7: intra-in-P

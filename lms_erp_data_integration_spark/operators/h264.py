@@ -1283,7 +1283,20 @@ def _decode_slice(
                 n_active, wp,
             )
         elif mb_type in (3, 4):
-            raise ValueError("P_8x8 sub-partitions unsupported")
+            # P_8x8 / P_8x8ref0 (r14): sub_mb_type per quadrant comes
+            # FIRST (7.3.5.2); only P_L0_8x8 (one MV per quadrant)
+            # decodes — 8x4/4x8/4x4 sub-shapes reject cleanly. The
+            # ref0 variant suppresses ref_idx syntax (all quadrants
+            # reference 0), which is exactly n_active = 1.
+            for _ in range(4):
+                if b.ue() != 0:
+                    raise ValueError(
+                        "P_8x8 sub-shapes below 8x8 unsupported"
+                    )
+            qp = _decode_mb_inter(
+                fr, b, mb_addr, qp, pps, slice_id, 3, refs,
+                n_active if mb_type == 3 else 1, wp,
+            )
         else:
             qp = _decode_mb(
                 fr, b, mb_addr, qp, pps, slice_id, mb_type - 5
@@ -1630,6 +1643,11 @@ _P_PARTS = {
     0: [(0, 0, 4, 4, "16x16")],
     1: [(0, 0, 4, 2, "16x8t"), (0, 2, 4, 2, "16x8b")],
     2: [(0, 0, 2, 4, "8x16l"), (2, 0, 2, 4, "8x16r")],
+    # P_8x8 quadrants (sub_mb_type 0 only — one MV per 8x8; the
+    # "8x8" kind takes the generic median predictor, no directional
+    # override applies at this partition shape)
+    3: [(0, 0, 2, 2, "8x8"), (2, 0, 2, 2, "8x8"),
+        (0, 2, 2, 2, "8x8"), (2, 2, 2, 2, "8x8")],
 }
 
 
@@ -2471,14 +2489,16 @@ def encode_h264_annexb(
     for fi, rgb in enumerate(frames_rgb):
         if fi == 0:
             kind = "i"
-        elif gop in ("ipp", "ippw"):
+        elif gop in ("ipp", "ippw", "ipp8"):
             kind = "p"
         elif gop == "ibp":
             kind = "p" if fi % 2 == 1 else "b"
         else:
             kind = "i"
         is_ref = kind != "b"
-        n_active = min(2, len(refs)) if weighted else 1
+        n_active = (
+            min(2, len(refs)) if (weighted or gop == "ipp8") else 1
+        )
         wp: dict | None = None
         if weighted and kind == "p":
             wp = {
@@ -2556,7 +2576,7 @@ def encode_h264_annexb(
             skip_run = 0
             for mb_addr in range(wmb * hmb):
                 choice = (fi + mb_addr) % 8
-                if choice in (0, 4):  # P_Skip
+                if choice == 0 or (choice == 4 and gop != "ipp8"):
                     _decode_skip_mb(fr, mb_addr, cur_qp, 0, refs[0], wp)
                     skip_run += 1
                     continue
@@ -2567,7 +2587,19 @@ def encode_h264_annexb(
                         fr, wtr, mb_addr, cur_qp, pps_d, y, cb, cr, fi,
                         refs, choice - 1, n_active=n_active, wp=wp,
                     )
-                else:  # 5/6/7: intra-in-P, mb_type offset +5
+                elif gop == "ipp8" and choice == 4:
+                    # P_8x8: four quadrant MVs, per-quadrant ref_idx
+                    cur_qp = _encode_mb_inter(
+                        fr, wtr, mb_addr, cur_qp, pps_d, y, cb, cr, fi,
+                        refs, 3, n_active=n_active, wp=wp,
+                    )
+                elif gop == "ipp8" and choice == 5:
+                    # P_8x8ref0: no ref_idx syntax, all quadrants ref 0
+                    cur_qp = _encode_mb_inter(
+                        fr, wtr, mb_addr, cur_qp, pps_d, y, cb, cr, fi,
+                        refs, 4, n_active=1, wp=wp,
+                    )
+                else:  # intra-in-P, mb_type offset +5
                     cur_qp = _encode_mb(
                         fr, wtr, mb_addr, cur_qp, pps_d, y, cb, cr, fi,
                         mb_type_offset=5,
@@ -2881,7 +2913,7 @@ def _encode_mb_inter(
     src_y = y[oy : oy + 16, ox : ox + 16].astype(np.int64)
     src_cb = cb[cy : cy + 8, cx : cx + 8].astype(np.int64)
     src_cr = cr[cy : cy + 8, cx : cx + 8].astype(np.int64)
-    parts = _P_PARTS[mb_type]
+    parts = _P_PARTS[min(mb_type, 3)]
     ris = [
         (mb_addr + fi + pi) % n_active for pi in range(len(parts))
     ]
@@ -2911,6 +2943,9 @@ def _encode_mb_inter(
         pred_cb[pby * 2 : pby * 2 + h4 * 2, pbx * 2 : pbx * 2 + w4 * 2] = pcb
         pred_cr[pby * 2 : pby * 2 + h4 * 2, pbx * 2 : pbx * 2 + w4 * 2] = pcr
     w.ue(mb_type)
+    if mb_type >= 3:
+        for _ in parts:
+            w.ue(0)  # sub_mb_type: P_L0_8x8 per quadrant
     if n_active == 2:
         for ri in ris:
             w.u(1, 1 - ri)  # te(v), range 0..1: inverted single bit

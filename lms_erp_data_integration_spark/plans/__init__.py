@@ -114,9 +114,10 @@ registry.PRIORITY = [
 # immediately, same session) — the clean-window re-record is THREE
 # rounds pending; r14 probed 8 times across its whole session
 # (controls 3-16x floors throughout, BASELINE.md r14 notes) and
-# pre-adjudicated every above-ref row instead. Coverage candidate if
-# capacity allows: H.264 P_8x8 sub-partitions (CAVLC + CABAC), the
-# largest remaining inter shape both entropy layers reject.
+# pre-adjudicated every above-ref row instead. (The P_8x8 coverage
+# candidate named here LANDED late in r14 itself — both entropy
+# layers, llm_video_ipp_stats ids 14-17; the remaining codec
+# rejections are the sub-8x8 shapes and B partitions/direct.)
 
 # Historical driver windows (audit trail): each round's PRIORITY list
 # is preserved verbatim in git history at that round's artifact commit

@@ -1281,7 +1281,7 @@ def video_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_IPP_VIDEOS = 14
+_N_IPP_VIDEOS = 18
 
 
 def _mux_ipp_fixture(vid: int) -> bytes:
@@ -1303,7 +1303,13 @@ def _mux_ipp_fixture(vid: int) -> bytes:
     intra-in-P through the shared suffix context block) and 11-13
     CABAC IBP (B_L0/B_L1/B_Bi_16x16 bi-prediction, intra-in-B),
     gradient-plus-noise content so inter prediction finds real
-    structure and the low-CBP paths are exercised."""
+    structure and the low-CBP paths are exercised. Ids 14-17 (late
+    r14) carry P_8x8: 14-15 CAVLC ``gop="ipp8"`` (four quadrant MVs
+    per MB, per-quadrant te(v) ref_idx under two active references,
+    P_8x8ref0's suppressed-ref_idx form, 15 with the in-loop
+    deblocking filter ON) and 16-17 CABAC ipp8 (the '001' mb_type
+    leaf + per-quadrant sub_mb_type bins + quadrant-granular
+    neighbour contexts for ref_idx/mvd)."""
     import numpy as np
 
     from ..operators import h264
@@ -1312,6 +1318,33 @@ def _mux_ipp_fixture(vid: int) -> bytes:
     rng = np.random.default_rng(7700 + vid)
     w = 16 * (1 + vid % 2)
     h = 16 * (1 + (vid // 2) % 2)
+    if vid >= 14:  # P_8x8 GOPs (late r14): CAVLC 14-15, CABAC 16-17
+        from ..operators import cabac
+
+        n = 4 + vid % 3
+        frames = [
+            np.clip(
+                np.add.outer(np.arange(h) * 3 + f * 9,
+                             np.arange(w) * 2)[..., None]
+                + rng.integers(0, 48, (h, w, 3)),
+                0, 255,
+            ).astype(np.uint8)
+            for f in range(n)
+        ]
+        if vid < 16:
+            stream, _ = h264.encode_h264_annexb(
+                frames, qp=18 + 5 * (vid % 4),
+                chroma_qp_offset=(vid % 3) - 1,
+                gop="ipp8", deblock=vid == 15,
+            )
+        else:
+            stream, _ = cabac.encode_h264_annexb_cabac(
+                frames, qp=18 + 5 * (vid % 4),
+                chroma_qp_offset=(vid % 3) - 1,
+                gop="ipp8",
+            )
+        avcc, samples = h264.annexb_to_avcc(stream)
+        return mm.build_mp4_avc(samples, avcc, w, h, fps=4 + vid)
     if vid >= 8:  # CABAC IPP / IBP (r14)
         from ..operators import cabac
 
@@ -1363,12 +1396,16 @@ SELECT * FROM (VALUES
   (10, 5, 16, 32, 284, 10150104067),
   (11, 6, 32, 32, 330, 8008705006),
   (12, 4, 16, 16, 186, 12139947276),
-  (13, 5, 32, 16, 232, 15531645836)
+  (13, 5, 32, 16, 232, 15531645836),
+  (14, 6, 16, 32, 275, 11986862349),
+  (15, 4, 32, 32, 156, 12749088506),
+  (16, 5, 16, 16, 200, 13218014441),
+  (17, 6, 32, 16, 235, 10831775421)
 ) AS t(doc_id, frames_decoded, width, height, dts_last_ms, crc_sum)
 """,
 )
 def video_ipp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TEMPORAL (inter-predicted) H.264 under the driver CRC gate: 14
+    """TEMPORAL (inter-predicted) H.264 under the driver CRC gate: 18
     fixture videos — ids 0-3 IPP GOPs (IDR + P pictures with P_Skip/
     16x16/16x8/8x16/intra-in-P macroblocks and quarter-pel motion
     sweeping all 16 fractional positions), ids 4-5 IBP GOPs
@@ -1382,7 +1419,13 @@ def video_ipp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     unary ref_idx under two active references, UEG3 mvd with EG3
     escapes, intra-in-P/B through the shared suffix context block,
     inter coded_block_flag availability rule — the arithmetic-coded
-    temporal modes over the same MC/reconstruction machinery) — are
+    temporal modes over the same MC/reconstruction machinery), and —
+    late r14 — ids 14-17 P_8x8 GOPs (sub_mb_type syntax, four
+    quadrant MVs per MB with the generic median predictor,
+    per-quadrant ref_idx under two active references; 14-15 CAVLC
+    incl. P_8x8ref0 and one deblocked stream, 16-17 CABAC with the
+    '001' mb_type leaf + per-quadrant sub_mb_type bins; 8x4/4x8/4x4
+    sub-shapes reject cleanly in both entropy layers) — are
     muxed as avc1-in-MP4, converted to one Annex B
     stream per video (``mp4_avc_full_annexb``) and decoded through
     the reference chain by ``decode_video_gop_stats``: each P/B

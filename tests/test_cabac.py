@@ -420,3 +420,47 @@ def test_cabac_all_intra_bytes_unchanged_by_pb_extension():
 
 
 _ALL_INTRA_STREAM_DIGEST = 'a57d311797dc9e1b'
+
+
+def test_cabac_p8x8_closed_loop():
+    """P_8x8 under CABAC (late r14): the '001' mb_type leaf,
+    per-quadrant sub_mb_type bins, quadrant-granular ref_idx/mvd
+    neighbour contexts — decode(encode(x, 'ipp8')) equals the encoder
+    reconstruction bit-for-bit, and the quadrant ref_idx leg is
+    actually on the wire under two active references."""
+    refs_seen = {"r0": 0, "r1": 0}
+    orig = C._encode_ref_idx
+
+    def spy(enc, cs, fr, sid, bx, by, n_active, ri):
+        if n_active == 2:
+            refs_seen["r1" if ri else "r0"] += 1
+        return orig(enc, cs, fr, sid, bx, by, n_active, ri)
+
+    C._encode_ref_idx = spy
+    try:
+        frames = _gradient_frames(11, 48, 64, 6)
+        stream, recons = C.encode_h264_annexb_cabac(
+            frames, qp=24, gop="ipp8"
+        )
+        got = H.decode_h264_annexb(stream)
+    finally:
+        C._encode_ref_idx = orig
+    assert got is not None and len(got) == len(recons)
+    for g, r in zip(got, recons):
+        assert np.array_equal(g, r)
+    assert refs_seen["r0"] > 0 and refs_seen["r1"] > 0
+
+
+def test_cavlc_p8x8_closed_loop():
+    """P_8x8 under CAVLC (late r14): sub_mb_type ue syntax, four
+    quadrant MVs, per-quadrant te(v) ref_idx, the P_8x8ref0
+    suppressed-ref_idx form — with and without the in-loop filter."""
+    frames = _gradient_frames(13, 48, 64, 6)
+    for deblock in (False, True):
+        stream, recons = H.encode_h264_annexb(
+            frames, qp=24, gop="ipp8", deblock=deblock
+        )
+        got = H.decode_h264_annexb(stream)
+        assert got is not None and len(got) == len(recons)
+        for g, r in zip(got, recons):
+            assert np.array_equal(g, r)
