@@ -173,6 +173,19 @@ class _CabacDec:
             self.offset = ((self.offset << 1) | self._bit()) & 0x3FFFF
         return 0
 
+    def restart(self) -> None:
+        """Re-initialize the arithmetic engine mid-slice (9.3.1.2,
+        after I_PCM raw samples): fresh range/offset from the
+        now-byte-aligned reader; CONTEXT state persists — contexts
+        are initialized once per slice, not per engine restart.
+        Empirical invariant the PCM escape relies on (pinned by
+        test_cabac_flush_resync_boundary): after ``terminate()``
+        returns 1 the reader sits exactly at the encoder's pre-
+        padding flush boundary, so skipping to the next byte edge
+        aligns both sides bit-for-bit."""
+        self.range = 510
+        self.offset = self.b.u(9)
+
 
 class _CabacEnc:
     """Arithmetic encoding engine (9.3.4) writing into an
@@ -250,6 +263,15 @@ class _CabacEnc:
             self.w.byte_align_zero()
         else:
             self._renorm()
+
+    def restart(self) -> None:
+        """Encoder twin of ``_CabacDec.restart`` (9.3.1.2): fresh
+        arithmetic registers after the byte-aligned I_PCM escape;
+        context state persists."""
+        self.low = 0
+        self.range = 510
+        self.outstanding = 0
+        self.first = True
 
 
 # --------------------------------------------------- context indices
@@ -696,6 +718,85 @@ def _i4_pred_for_block(fr, abx: int, aby: int, sid: int) -> int:
 
 # --------------------------------------------------------- MB decode
 
+def _mark_ipcm_cs(cs, fr, mbx, mby, sid) -> None:
+    """Shared I_PCM bookkeeping (encoder and decoder walk identical
+    state): neighbours see an all-coded intra MB — cbf flags 1,
+    CBP 15/2, nC 16 (9.3.3.1.1.9 treats I_PCM as coded; the CAVLC
+    path's nc=16 rule is the same statement). chroma_mode is kept 0
+    (documented closed-loop choice; no chroma pred mode exists for
+    I_PCM). QP-delta accumulation resets; QPY for deblocking is 0,
+    matching the CAVLC I_PCM path."""
+    fr.slice_of_mb[mby, mbx] = sid
+    fr.ref4[mby * 4: mby * 4 + 4, mbx * 4: mbx * 4 + 4] = -1
+    fr.ref4b[mby * 4: mby * 4 + 4, mbx * 4: mbx * 4 + 4] = -1
+    fr.i4_mode[mby * 4: mby * 4 + 4, mbx * 4: mbx * 4 + 4] = -1
+    fr.nc_y[mby * 4: mby * 4 + 4, mbx * 4: mbx * 4 + 4] = 16
+    fr.nc_cb[mby * 2: mby * 2 + 2, mbx * 2: mbx * 2 + 2] = 16
+    fr.nc_cr[mby * 2: mby * 2 + 2, mbx * 2: mbx * 2 + 2] = 16
+    fr.done4[mby * 4: mby * 4 + 4, mbx * 4: mbx * 4 + 4] = True
+    fr.qp_deblock[mby, mbx] = 0
+    cs.is_i4[mby, mbx] = 0
+    cs.is_i16[mby, mbx] = True  # LUMA_DC cbf inc reads cbf_ydc
+    cs.cbf_ydc[mby, mbx] = 1
+    cs.cbf_y4[mby * 4: mby * 4 + 4, mbx * 4: mbx * 4 + 4] = 1
+    cs.cbf_cdc[mby, mbx, :] = 1
+    cs.cbf_c4[mby * 2: mby * 2 + 2, mbx * 2: mbx * 2 + 2, :] = 1
+    cs.cbp_luma[mby, mbx] = 15
+    cs.cbp_chroma[mby, mbx] = 2
+    cs.chroma_mode[mby, mbx] = 0
+    cs.prev_qp_delta_nz = 0
+    cs.mb_done[mby, mbx] = True
+
+
+def _decode_ipcm_cabac(fr, dec: _CabacDec, cs, mbx, mby, qp, sid
+                       ) -> int:
+    b = dec.b
+    while b.pos & 7:  # pcm alignment (flush stop bit + zero padding)
+        b.u(1)
+    ox, oy = mbx * 16, mby * 16
+    cx, cy = mbx * 8, mby * 8
+    y = np.frombuffer(b.bytes_(256), dtype=np.uint8).reshape(16, 16)
+    cb = np.frombuffer(b.bytes_(64), dtype=np.uint8).reshape(8, 8)
+    cr = np.frombuffer(b.bytes_(64), dtype=np.uint8).reshape(8, 8)
+    fr.y[oy: oy + 16, ox: ox + 16] = y
+    fr.cb[cy: cy + 8, cx: cx + 8] = cb
+    fr.cr[cy: cy + 8, cx: cx + 8] = cr
+    _mark_ipcm_cs(cs, fr, mbx, mby, sid)
+    dec.restart()
+    return qp  # QPY_prev for the next MB's delta is unchanged
+
+
+def _encode_mb_ipcm_cabac(fr, enc: _CabacEnc, mb_addr: int, qp: int,
+                          y, cb, cr, sid: int = 0,
+                          mbtype_base: int = _CTX_MB_TYPE_I,
+                          mbtype_inc: bool = True) -> int:
+    """I_PCM under CABAC: prefix bin 1 (not I_4x4), the terminate-
+    class pcm flag = 1 (which IS the engine flush + byte alignment),
+    raw source samples, engine restart — lossless by construction, so
+    the closed-loop reconstruction is the source MB itself."""
+    cs = _cstate(fr)
+    mbx, mby = mb_addr % fr.wmb, mb_addr // fr.wmb
+    inc0 = _mb_type_inc(cs, fr, sid, mbx, mby) if mbtype_inc else 0
+    enc.decision(mbtype_base + inc0, 1)
+    enc.terminate(1)  # pcm flag: flush + align
+    ox, oy = mbx * 16, mby * 16
+    cx, cy = mbx * 8, mby * 8
+    w = enc.w
+    for row in y[oy: oy + 16, ox: ox + 16]:
+        for v in row:
+            w.u(8, int(v))
+    for plane in (cb, cr):
+        for row in plane[cy: cy + 8, cx: cx + 8]:
+            for v in row:
+                w.u(8, int(v))
+    fr.y[oy: oy + 16, ox: ox + 16] = y[oy: oy + 16, ox: ox + 16]
+    fr.cb[cy: cy + 8, cx: cx + 8] = cb[cy: cy + 8, cx: cx + 8]
+    fr.cr[cy: cy + 8, cx: cx + 8] = cr[cy: cy + 8, cx: cx + 8]
+    _mark_ipcm_cs(cs, fr, mbx, mby, sid)
+    enc.restart()
+    return qp
+
+
 def _decode_mb_cabac(fr, dec: _CabacDec, mb_addr: int, qp: int,
                      pps: dict, sid: int,
                      mbtype_base: int = _CTX_MB_TYPE_I,
@@ -717,7 +818,11 @@ def _decode_mb_cabac(fr, dec: _CabacDec, mb_addr: int, qp: int,
         mb_is_i4 = True
     else:
         if dec.terminate():
-            raise ValueError("I_PCM inside CABAC unsupported")
+            # I_PCM (r14): the terminate-class pcm flag flushed the
+            # engine; skip the alignment padding, read the raw MB
+            # samples directly from the bitstream, then re-init the
+            # arithmetic engine (contexts persist) — 9.3.1.2
+            return _decode_ipcm_cabac(fr, dec, cs, mbx, mby, qp, sid)
         mb_is_i4 = False
         b_cbp_l = dec.decision(mbtype_base + 3)
         cbp_c = 0
@@ -1268,8 +1373,10 @@ def _encode_mb_cabac(fr, enc: _CabacEnc, mb_addr: int, qp: int,
                      mbtype_inc: bool = True) -> int:
     """Encode one intra MB (closed-loop reconstruction into ``fr``).
     Policy mirrors ``h264._encode_mb`` with I_PCM replaced by
-    Intra_16x16 (I_PCM's raw-byte escape needs an engine re-init the
-    decoder deliberately rejects under CABAC). Intra-in-P/B callers
+    Intra_16x16 (the default all-intra fixture predates the r14
+    flush/restart escape and its bitstreams are digest-pinned; the
+    ``intra-pcm`` GOP restores real I_PCM MBs via
+    ``_encode_mb_ipcm_cabac``). Intra-in-P/B callers
     emit the prefix bins themselves, then pass the suffix context
     block (``_CTX_MB_TYPE_PB_I``, no neighbour increment) here."""
     cs = _cstate(fr)
@@ -1861,10 +1968,11 @@ def encode_h264_annexb_cabac(
     ``gop="ibp"`` (r14): the CAVLC IBP shape — P references alternate
     with non-reference B pictures, (frame + mb) % 4 -> B_L0_16x16 /
     B_L1_16x16 / B_Bi_16x16 / intra-in-B; poc_type 0 as B requires."""
-    if gop not in ("all-intra", "ipp", "ipp8", "ibp"):
+    if gop not in ("all-intra", "intra-pcm", "ipp", "ipp8", "ibp"):
         raise ValueError(f"unknown gop {gop!r}")
-    if gop != "all-intra":
+    if gop not in ("all-intra", "intra-pcm"):
         return _encode_cabac_gop(frames_rgb, qp, chroma_qp_offset, gop)
+    pcm = gop == "intra-pcm"
     h, w = frames_rgb[0].shape[:2]
     if h % 16 or w % 16:
         raise ValueError("fixture frames must be MB-aligned")
@@ -1904,9 +2012,17 @@ def encode_h264_annexb_cabac(
         cur_qp = qp
         n_mbs = wmb * hmb
         for mb_addr in range(n_mbs):
-            cur_qp = _encode_mb_cabac(
-                fr, enc, mb_addr, cur_qp, pps_d, y, cb, cr, fi
-            )
+            if pcm and (fi + mb_addr) % 6 == 0:
+                # intra-pcm (r14): the CAVLC fixture policy's I_PCM
+                # slot, restored under CABAC via the flush/restart
+                # escape; remaining MBs keep the all-intra policy
+                cur_qp = _encode_mb_ipcm_cabac(
+                    fr, enc, mb_addr, cur_qp, y, cb, cr
+                )
+            else:
+                cur_qp = _encode_mb_cabac(
+                    fr, enc, mb_addr, cur_qp, pps_d, y, cb, cr, fi
+                )
             enc.terminate(1 if mb_addr == n_mbs - 1 else 0)
         out.append(H._nal(5, wtr.tobytes(), ref_idc=3))
         recons.append(

@@ -1119,7 +1119,7 @@ _VIDEO_PAYLOAD_SCHEMA = T.StructType(
 )
 
 
-_N_CODEC_VIDEOS = 24
+_N_CODEC_VIDEOS = 26
 
 
 def _mux_codec_fixture(vid: int) -> bytes:
@@ -1134,8 +1134,11 @@ def _mux_codec_fixture(vid: int) -> bytes:
     normal edge filters in both loops); ids 20-23 (r13) are H.264
     with CABAC entropy coding (``operators/cabac.py`` — Main-profile
     arithmetic-coded intra slices, the shared-context SEI marker
-    riding every access unit) — one corpus exercising all five
-    decodable codec paths."""
+    riding every access unit); ids 24-25 (late r14) are CABAC
+    ``intra-pcm`` streams — real I_PCM macroblocks under arithmetic
+    coding via the 9.3.1.2 flush/byte-align/raw-samples/engine-restart
+    escape — one corpus exercising all five decodable codec paths,
+    CAVLC and CABAC entropy layers, transform and PCM macroblocks."""
     import numpy as np
 
     from ..operators import avi
@@ -1145,6 +1148,21 @@ def _mux_codec_fixture(vid: int) -> bytes:
     from ..operators.jpeg import encode_jpeg
 
     rng = np.random.default_rng(7000 + vid)
+    if vid >= 24:  # CABAC intra with real I_PCM MBs (late r14)
+        w = 16 * (1 + vid % 2)
+        h = 16 * (1 + (vid // 2) % 2)
+        n = 2 + vid % 3
+        fps = 4 + vid % 3
+        frames = [
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        stream, _ = cabac.encode_h264_annexb_cabac(
+            frames, qp=18 + 5 * (vid % 4), chroma_qp_offset=vid % 3 - 1,
+            gop="intra-pcm",
+        )
+        avcc, samples = h264.annexb_to_avcc(stream)
+        return mm.build_mp4_avc(samples, avcc, w, h, fps=fps)
     if vid >= 20:  # H.264 CABAC intra (arithmetic entropy coding)
         w = 16 * (1 + vid % 2)
         h = 16 * (1 + (vid // 2) % 2)
@@ -1214,7 +1232,9 @@ SELECT * FROM (VALUES
   (20, 'avc1', 4, 16, 16, 498, 7130927190),
   (21, 'avc1', 2, 32, 16, 250, 2189176018),
   (22, 'avc1', 3, 16, 32, 400, 6488284072),
-  (23, 'avc1', 4, 32, 32, 498, 9037371115)
+  (23, 'avc1', 4, 32, 32, 498, 9037371115),
+  (24, 'avc1', 2, 16, 16, 250, 2581989316),
+  (25, 'avc1', 3, 32, 16, 400, 9650955423)
 ) AS t(doc_id, codec, frames_decoded, width, height, dts_last_ms,
        crc_sum)
 """,
@@ -1230,7 +1250,10 @@ def video_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     8.7 in-loop deblocking filter ON), and H.264 CABAC-in-MP4 (ids
     20-23: Main-profile arithmetic-coded intra slices from
     ``operators/cabac.py``, shared-context SEI marker per access
-    unit) — are muxed, then demuxed by ``extract_video_frames``
+    unit; ids 24-25, late r14: real I_PCM macroblocks under CABAC —
+    the 9.3.1.2 flush / byte-align / raw-samples / engine-restart
+    escape, contexts persisting across the restart) — are muxed,
+    then demuxed by ``extract_video_frames``
     (which attaches the container-declared codec + geometry to every
     frame, and re-prefixes avc1 samples into self-contained Annex B)
     and decoded by ``decode_video_frame_stats`` (codec-dispatched:
