@@ -66,13 +66,18 @@ def main() -> int:
     warmup_sec = round(time.perf_counter() - t0, 3)
     release_cached()
 
-    def timed_run(fn) -> float:
+    def timed_run(fn, name: str = "") -> float:
+        # label the jobs (guide §1.5) so a UI/event-log capture of a
+        # bench run maps stages back to queries; thread-local, cleared
+        # after the run
+        spark.sparkContext.setJobDescription(f"bench: {name}" if name else None)
         t0 = time.perf_counter()
         try:
             force(fn(spark, sf_dir))
             dt = round(time.perf_counter() - t0, 4)
         except Exception:  # noqa: BLE001
             dt = -1.0
+        spark.sparkContext.setJobDescription(None)
         # unpersist the query's tracked intermediates (timed: cache
         # lifecycle is part of the query's real cost)
         release_cached()
@@ -87,9 +92,9 @@ def main() -> int:
     # min. Queries under 0.1 s in sweep 1 skip sweep 2 (noise there
     # cannot move the verdict; skipping keeps added wall cost low).
     names = sorted(qs)
-    sweep1 = {n: timed_run(qs[n]) for n in names}
+    sweep1 = {n: timed_run(qs[n], n) for n in names}
     sweep2 = {
-        n: timed_run(qs[n]) for n in names if sweep1[n] < 0 or sweep1[n] >= 0.1
+        n: timed_run(qs[n], n) for n in names if sweep1[n] < 0 or sweep1[n] >= 0.1
     }
     samples = {
         n: [
@@ -112,7 +117,7 @@ def main() -> int:
         and max(samples[n]) > 3 * min(samples[n])
     ]
     for n in disagree:
-        t = timed_run(qs[n])
+        t = timed_run(qs[n], n)
         if t >= 0:
             samples[n].append(t)
     timings: dict[str, float] = {}
@@ -150,7 +155,7 @@ def main() -> int:
         if not (r and r > 0 and timings[n] > 3 * r and timings[n] >= 0.5):
             continue
         for _ in range(2):
-            t = timed_run(qs[n])
+            t = timed_run(qs[n], n)
             if t >= 0 and t < timings[n]:
                 timings[n] = t
             if timings[n] <= 3 * r:

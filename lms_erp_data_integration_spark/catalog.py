@@ -13,8 +13,39 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Schema cache for the immutable test-data tables (r14 optimization,
+# guide §6/§5): ``spark.read.parquet(path)`` re-infers the schema on
+# EVERY call — in Spark 4 that is a footer-reading pass (scheduled as
+# a job) costing ~100-400 ms per table per query on this host, pure
+# driver/scheduler overhead repeated by all ~223 registered queries.
+# A real deployment reads table schemas from a metastore / table-format
+# manifest exactly once; this cache is that, in-process. Keyed by the
+# resolved path PLUS the file's (mtime_ns, size) so a rewritten
+# fixture (tests build their own sf dirs) can never serve a stale
+# schema; only table METADATA is cached — every query still computes
+# its data from the parquet bytes.
+_SCHEMA_CACHE: dict[tuple[str, int, int], StructType] = {}
+
+
+def parquet_schema(spark: SparkSession, path: str) -> StructType:
+    """Inferred schema of a parquet file/dir, cached on (path, mtime,
+    size). Shared by the batch catalog and the file-stream sources so
+    both modes skip per-query re-inference."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # non-local path (e.g. an hdfs:// URI in a future deployment):
+        # fall through to plain inference, uncached
+        return spark.read.parquet(path).schema
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is None:
+        hit = _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return hit
 
 TABLES = (
     "region",
@@ -51,7 +82,10 @@ class Catalog:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
         if name not in self._cache:
-            df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            path = f"{self.sf_dir}/{name}.parquet"
+            df = self.spark.read.schema(
+                parquet_schema(self.spark, path)
+            ).parquet(path)
             ts_type = dict(df.dtypes).get("ts") if name == "events" else None
             if ts_type == "bigint":
                 # ts surfaces as long nanos (nanosAsLong). Convert to a

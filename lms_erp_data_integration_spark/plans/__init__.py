@@ -40,6 +40,13 @@ registry.PRIORITY = [
     "stream_tws_user_totals",
     "stream_tws_by_type",
     "stream_tws_timer_flush",
+    # changed in r14 optimization pass: the quality and dedup legs now
+    # run as concurrent driver threads (guide §2.6; results identical,
+    # A/B in OPTIMIZATION_r14.md). Swapped in for
+    # stream_stateful_user_totals, whose oracle + machinery this
+    # round's pinned TWS twins already cover (it rotates back with the
+    # r15 backlog).
+    "llm_corpus_curate_calibrated",
     # backlog: the r7 alphabetical tail (last driver check r7)
     "rel_q12_priority_class",
     "rel_q13_order_distribution",
@@ -77,7 +84,6 @@ registry.PRIORITY = [
     "stream_sketch_cms",
     "stream_sketch_distinct",
     "stream_sliding_counts",
-    "stream_stateful_user_totals",
     "sync_pipeline_run_report",
     # changed in r14: CABAC P/B slices landed (operators/cabac.py
     # decode_pbslice_cabac + the IPP/IBP fixture encoder; h264.py

@@ -1036,6 +1036,8 @@ def corpus_curate_calibrated_frame(
     three policy knobs so tests pin the decision branches and the
     stage-count identity (n_docs = n_fail_quality + n_drift_dropped +
     n_dup_dropped + n_kept) independently of the corpus slice."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..caching import tracked_persist
     from ..operators.quality_ml import _p_micro_expr, fit_quality_logreg
     from .llm_queries import (
@@ -1045,30 +1047,56 @@ def corpus_curate_calibrated_frame(
         _threshold_curve_frame,
     )
 
-    # source rides the persisted feature frame (feature_frame's keep
-    # tuple) — no extra corpus-sized join just to recover it; the
-    # training aggregates never read it, so the weights are identical
-    feats, w, means, _n = fit_quality_logreg(
-        docs, keep=("doc_id", "source")
-    )
-    qth, qmet = _choose_quality_point(
-        quality_curve_frame(feats, w, means).collect(), floor_micro
-    )  # bounded: one row per _CAL_THRESHOLDS sweep constant
+    # The quality leg (feature-frame materialization + 7 training
+    # aggregates + the 9-row curve collect) and the dedup leg (the
+    # sweep-floor pair materialization + the 5-row curve collect) are
+    # INDEPENDENT chains of driver-blocking jobs — neither reads the
+    # other's frames until the final flag-join aggregate. Run them as
+    # two concurrent driver threads (optimization guide §2.6: Spark's
+    # scheduler runs several jobs at once; FIFO back-fills the tail of
+    # one leg with the other's tasks) so the row's wall-clock is
+    # max(leg) + final aggregate instead of sum(legs). Results are
+    # unchanged: each leg is deterministic and reads only its own
+    # inputs; the only shared mutable state is the tracked-persist
+    # list, whose appends are atomic under the GIL.
+    def _quality_leg():
+        # source rides the persisted feature frame (feature_frame's
+        # keep tuple) — no extra corpus-sized join just to recover it;
+        # the training aggregates never read it, so the weights are
+        # identical
+        feats, w, means, _n = fit_quality_logreg(
+            docs, keep=("doc_id", "source")
+        )
+        qth, qmet = _choose_quality_point(
+            quality_curve_frame(feats, w, means).collect(), floor_micro
+        )  # bounded: one row per _CAL_THRESHOLDS sweep constant
+        return feats, w, means, qth, qmet
+
+    def _dedup_leg():
+        st = tracked_persist(_pairs_at_sweep_floor(docs))
+        curve = {
+            int(r["threshold_pct"]): r
+            for r in _threshold_curve_frame(spark, st, docs).collect()
+        }  # bounded: one row per sweep constant
+        return st, curve
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        qfut = pool.submit(_quality_leg)
+        dfut = pool.submit(_dedup_leg)
+        feats, w, means, qth, qmet = qfut.result()
+        st, curve = dfut.result()
     # the PSI leg rides the PERSISTED feature frame (score == f1 by
     # definition, pinned by test_psi_score_equals_quality_f1) instead
     # of re-scanning + re-tokenizing the corpus (r13: the r12 verdict
-    # #3 shared-persist trim — one fewer full text pass)
+    # #3 shared-persist trim — one fewer full text pass); it is fully
+    # lazy (no driver action), so it stays outside the thread pool and
+    # evaluates inside the final aggregate as before
     kept_src = psi_kept_sources(
         psi_report_from_scores(
             feats.select("doc_id", "source", F.col("f1").alias("score"))
         ),
         drift_micro,
     ).select("source", F.lit(1).alias("_ok_src"))
-    st = tracked_persist(_pairs_at_sweep_floor(docs))
-    curve = {
-        int(r["threshold_pct"]): r
-        for r in _threshold_curve_frame(spark, st, docs).collect()
-    }  # bounded: one row per sweep constant
     dth, dwb = _choose_dedup_threshold(curve, budget_ppm)
     drops = _drops_at_threshold(st, dth).select(
         F.col("member").alias("doc_id"), F.lit(1).alias("_dup")

@@ -16,7 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog
+from ..catalog import Catalog, parquet_schema
 
 # State-store partition count for streaming runs. Unlike batch shuffles
 # (where AQE coalesces empty partitions away), every state partition
@@ -38,8 +38,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # readable only as long — required here too when the caller hands
     # us a vanilla session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = (
-        spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    batch_schema = parquet_schema(
+        spark, f"{sf_dir.rstrip('/')}/events.parquet"
     )
     # file-stream sources take a directory; pathGlobFilter selects the
     # events table out of the shared sf dir
@@ -65,8 +65,8 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents table — the continuous-
     ingest shape of a training-data pipeline (each arriving file is
     one micro-batch of new documents)."""
-    batch_schema = (
-        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").schema
+    batch_schema = parquet_schema(
+        spark, f"{sf_dir.rstrip('/')}/documents.parquet"
     )
     return (
         spark.readStream.schema(batch_schema)
@@ -79,8 +79,8 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the embeddings table — arriving vector
     batches for streaming index-maintenance rows."""
-    batch_schema = (
-        spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet").schema
+    batch_schema = parquet_schema(
+        spark, f"{sf_dir.rstrip('/')}/embeddings.parquet"
     )
     return (
         spark.readStream.schema(batch_schema)

@@ -69,3 +69,51 @@ def test_max_result_size_mb_accepts_all_spark_suffix_forms():
     assert _max_result_size_mb("") == 1024                 # fallback
     assert _max_result_size_mb("oops") == 1024             # fallback
     assert _max_result_size_mb("b") == 1024                # fallback
+
+
+def test_parquet_schema_cache_matches_inference_and_invalidates(
+    spark, tmp_path
+):
+    """r14 optimization guard: ``parquet_schema`` must (a) return
+    exactly what plain inference returns, (b) serve repeat calls from
+    the cache (no re-inference), and (c) invalidate when the file at
+    the same path is REWRITTEN with a different schema — the cache key
+    carries (mtime_ns, size), so a rebuilt fixture can never read
+    through a stale schema."""
+    import os
+
+    from lms_erp_data_integration_spark import catalog as cat_mod
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).selectExpr("id AS a", "CAST(id AS STRING) AS b").write.mode(
+        "overwrite"
+    ).parquet(p)
+    inferred = spark.read.parquet(p).schema
+    got = cat_mod.parquet_schema(spark, p)
+    assert got == inferred
+    # repeat call is a cache hit (same object back)
+    assert cat_mod.parquet_schema(spark, p) is got
+    # rewrite with a DIFFERENT schema; bump mtime in case the fs
+    # granularity would otherwise alias the key
+    spark.range(5).selectExpr("id AS a", "id * 2 AS c").write.mode(
+        "overwrite"
+    ).parquet(p)
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
+    got2 = cat_mod.parquet_schema(spark, p)
+    assert got2 == spark.read.parquet(p).schema
+    assert "c" in got2.fieldNames() and "b" not in got2.fieldNames()
+
+
+def test_catalog_table_uses_cached_schema(spark, sf_dir):
+    """The Catalog path reads through the schema cache: two Catalog
+    instances over the same sf_dir produce identical schemas, and the
+    cache holds an entry for each touched table path."""
+    from lms_erp_data_integration_spark import catalog as cat_mod
+
+    a = Catalog(spark, sf_dir).table("customer").schema
+    b = Catalog(spark, sf_dir).table("customer").schema
+    assert a == b
+    assert any(
+        k[0].endswith("customer.parquet") for k in cat_mod._SCHEMA_CACHE
+    )
