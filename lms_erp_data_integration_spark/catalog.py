@@ -47,6 +47,50 @@ def parquet_schema(spark: SparkSession, path: str) -> StructType:
         hit = _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
     return hit
 
+
+def _base_table(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """The base (unresolved, lazy) DataFrame for one table path, cached
+    PER SESSION on the same (path, mtime_ns, size) key as the schema
+    cache. ``spark.read.schema(s).parquet(path)`` still costs a
+    measured ~35-80 ms per call (relation construction: py4j round
+    trips + file listing + DataSource resolution) even with the schema
+    cache — paid once per table per query by every registered query.
+    A logical plan is immutable, so handing every query the SAME lazy
+    frame is plan-metadata reuse, never result caching: each action
+    still scans the parquet bytes. The cache hangs off the session
+    object itself (dies with it; a restarted session can never serve
+    frames bound to a stopped context), and the stat-key invalidates
+    on rewrite exactly like the schema cache."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    cache = getattr(spark, "_lms_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._lms_table_cache = cache
+    if key is not None and key in cache:
+        return cache[key]
+    df = spark.read.schema(parquet_schema(spark, path)).parquet(path)
+    ts_type = dict(df.dtypes).get("ts") if name == "events" else None
+    if ts_type == "bigint":
+        # ts surfaces as long nanos (nanosAsLong). Convert to a
+        # microsecond timestamp with integer division — NOT float
+        # division, which loses precision above 2^53 ns.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Newer driver data stores ts as TIMESTAMP(MICROS) without
+        # isAdjustedToUTC, which Spark surfaces as TIMESTAMP_NTZ.
+        # The session timezone is pinned to UTC (session.py), so
+        # casting to the session-local TIMESTAMP is value-preserving
+        # and keeps every downstream plan, window, and DuckDB oracle
+        # on the semantics verified in rounds 1-3.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if key is not None:
+        cache[key] = df
+    return df
+
 TABLES = (
     "region",
     "nation",
@@ -83,26 +127,7 @@ class Catalog:
             raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
         if name not in self._cache:
             path = f"{self.sf_dir}/{name}.parquet"
-            df = self.spark.read.schema(
-                parquet_schema(self.spark, path)
-            ).parquet(path)
-            ts_type = dict(df.dtypes).get("ts") if name == "events" else None
-            if ts_type == "bigint":
-                # ts surfaces as long nanos (nanosAsLong). Convert to a
-                # microsecond timestamp with integer division — NOT float
-                # division, which loses precision above 2^53 ns.
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
-            elif ts_type == "timestamp_ntz":
-                # Newer driver data stores ts as TIMESTAMP(MICROS) without
-                # isAdjustedToUTC, which Spark surfaces as TIMESTAMP_NTZ.
-                # The session timezone is pinned to UTC (session.py), so
-                # casting to the session-local TIMESTAMP is value-preserving
-                # and keeps every downstream plan, window, and DuckDB oracle
-                # on the semantics verified in rounds 1-3.
-                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-            self._cache[name] = df
+            self._cache[name] = _base_table(self.spark, path, name)
         return self._cache[name]
 
     def register_all(self) -> None:

@@ -105,6 +105,44 @@ def test_parquet_schema_cache_matches_inference_and_invalidates(
     assert "c" in got2.fieldNames() and "b" not in got2.fieldNames()
 
 
+def test_base_table_cache_shares_frame_and_invalidates(spark, tmp_path):
+    """r14 optimization guard for the base-DataFrame cache: (a) two
+    Catalog instances over the same path get the SAME lazy frame (the
+    relation is built once per session), (b) rewriting the file at the
+    same path invalidates (stat-keyed, like the schema cache), and
+    (c) the cached frame is plan metadata only — a rewrite with
+    different DATA under an unchanged schema is picked up by the next
+    action on a fresh key, i.e. results always come from the parquet
+    bytes on disk."""
+    import os
+    import shutil
+
+    from lms_erp_data_integration_spark import catalog as cat_mod
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    p = str(d / "customer.parquet")
+    spark.range(3).selectExpr(
+        "id AS c_custkey", "CAST(id AS STRING) AS c_name"
+    ).write.mode("overwrite").parquet(p)
+    a = Catalog(spark, str(d)).table("customer")
+    b = Catalog(spark, str(d)).table("customer")
+    assert a is b  # same session + same (path, mtime, size) -> one frame
+    assert a.count() == 3
+    # rewrite with different data, same schema; bump mtime past fs
+    # granularity so the stat key must change
+    spark.range(7).selectExpr(
+        "id AS c_custkey", "CAST(id AS STRING) AS c_name"
+    ).write.mode("overwrite").parquet(str(tmp_path / "v2.parquet"))
+    shutil.rmtree(p)
+    shutil.move(str(tmp_path / "v2.parquet"), p)
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
+    c = Catalog(spark, str(d)).table("customer")
+    assert c is not a
+    assert c.count() == 7
+
+
 def test_catalog_table_uses_cached_schema(spark, sf_dir):
     """The Catalog path reads through the schema cache: two Catalog
     instances over the same sf_dir produce identical schemas, and the
