@@ -83,7 +83,14 @@ registry.PRIORITY = [
     "stream_session_windows",
     "stream_sketch_cms",
     "stream_sketch_distinct",
-    "stream_sliding_counts",
+    # changed in r14 optimization pass (guide §2.6 leg overlap: the
+    # calibration and serving-index legs now run as concurrent driver
+    # threads, A/B 0.70x with rows equal — OPTIMIZATION_r14.md #5).
+    # Swapped in for stream_sliding_counts, whose watermarked-window
+    # machinery this window still covers via stream_events_hourly,
+    # stream_session_windows and stream_attribution_join; it rotates
+    # back with the r15 backlog.
+    "stream_sim_ivf_search",
     "sync_pipeline_run_report",
     # changed in r14: CABAC P/B slices landed (operators/cabac.py
     # decode_pbslice_cabac + the IPP/IBP fixture encoder; h264.py

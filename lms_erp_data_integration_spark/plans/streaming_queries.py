@@ -1605,23 +1605,49 @@ def stream_sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = Catalog(spark, sf_dir).embeddings
-    chosen, met = _choose_nprobe(
-        nprobe_curve_frame(spark, emb).collect(), IVF_TARGET_RECALL_PCT
-    )  # bounded: one row per probe count 1..IVF_NPROBE_MAX
-    centroids_df = emb.groupBy(F.col("label").alias("centroid_id")).agg(
-        F.min_by("embedding", "vec_id").alias("embedding")
-    )
-    cents = [
-        (int(r["centroid_id"]), list(r["embedding"]))
-        for r in centroids_df.collect()
-    ]  # k rows: the documented closure-broadcast constant
-    assigned = tracked_persist(
-        sim.ivf_assign(emb, centroids_df).select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("_nv"),
-            "centroid_id",
+
+    # The calibration leg (nprobe curve -> chosen probe count, measured
+    # 2.1-2.5 s warm) and the serving-index leg (k-row centroid collect
+    # + assigned-index persist materialization, 0.9-1.3 s warm) are
+    # INDEPENDENT chains of driver-blocking jobs that only meet when
+    # the stream is wired up. Run them as two concurrent driver threads
+    # (optimization guide §2.6 — the r14 curate-capstone pattern) so
+    # the pre-stream setup costs max(leg), not sum(legs). Results are
+    # unchanged: each leg reads only its own inputs; the tracked-
+    # persist list appends are GIL-atomic.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _calibration_leg():
+        return _choose_nprobe(
+            nprobe_curve_frame(spark, emb).collect(), IVF_TARGET_RECALL_PCT
+        )  # bounded: one row per probe count 1..IVF_NPROBE_MAX
+
+    def _index_leg():
+        centroids_df = emb.groupBy(F.col("label").alias("centroid_id")).agg(
+            F.min_by("embedding", "vec_id").alias("embedding")
         )
-    )
+        cents = [
+            (int(r["centroid_id"]), list(r["embedding"]))
+            for r in centroids_df.collect()
+        ]  # k rows: the documented closure-broadcast constant
+        assigned = tracked_persist(
+            sim.ivf_assign(emb, centroids_df).select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("_nv"),
+                "centroid_id",
+            )
+        )
+        # materialize the persisted serving index NOW, inside the
+        # overlap window (the stream-static join would otherwise pay
+        # for it serially on the stream's first micro-batch)
+        assigned.write.format("noop").mode("overwrite").save()
+        return cents, assigned
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cal_fut = pool.submit(_calibration_leg)
+        idx_fut = pool.submit(_index_leg)
+        chosen, met = cal_fut.result()
+        cents, assigned = idx_fut.result()
     arriving = embeddings_stream(spark, sf_dir).where(F.col("vec_id") < 5)
     cand = (
         sim.ivf_probe_assign_literal(arriving, cents, chosen)

@@ -550,6 +550,27 @@ def pipeline_run_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    # Materialize the three INDEPENDENT persisted mirror frames
+    # concurrently before the FK-ordered apply (optimization guide
+    # §2.6, the curate-capstone pattern): sequentially each would be
+    # computed inside the first sink action that reads it (users by
+    # faculty_users, pairs by courses, bts by ctl_library_courses),
+    # serializing three unrelated scan+distinct jobs onto the apply's
+    # critical path. Forcing them from a 3-thread pool costs
+    # max(frame) instead of sum(frames); the apply itself — the
+    # FK-ordering contract O1 — stays strictly sequential and
+    # unchanged, and each sink action now reads a warm cache.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _materialize(df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(
+            pool.map(
+                _materialize, (mirror_users, mirror_pairs, mirror_bts)
+            )
+        )
     updates = {
         "faculty_users": missing_faculty_users(spark, sf_dir, mirror_users),
         "student_users": missing_student_users(spark, sf_dir, mirror_users),
