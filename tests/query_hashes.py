@@ -44,6 +44,18 @@ PKG = "lms_erp_data_integration_spark"
 MANIFEST_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "checked_hashes.json"
 )
+# v1 (plan-function source + oracle only, NO closure walk) manifest —
+# the bootstrap-restamp guard (r14 ADVICE, medium): a shared-helper
+# change (catalog.py etc.) flips nearly every v2 closure hash, and the
+# only safe way to restamp the ~170 rows outside the driver window is
+# to PROVE their own plan source didn't change. This manifest records
+# each query's v1 hash as of its last stamp; update_checked_hashes.py
+# refuses --bootstrap while any non-window row's v1 hash has drifted,
+# and test_plan_source_changes_enter_driver_window keeps the manifest
+# honest between stamps.
+V1_MANIFEST_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "plan_v1_hashes.json"
+)
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
@@ -214,4 +226,21 @@ def query_source_hash(name: str) -> str:
     oracle = plans.ORACLES.get(name, "")
     return hashlib.sha256(
         ("\x00".join(pieces) + "\x00ORACLE\x00" + oracle).encode()
+    ).hexdigest()[:16]
+
+
+def query_v1_hash(name: str) -> str:
+    """v1 hash: the plan function's OWN source + oracle SQL, no
+    closure walk — deliberately blind to shared-helper changes, so it
+    distinguishes "this row's plan code changed" from "a helper in
+    its closure changed". The v2 hash (``query_source_hash``) governs
+    window entry; this one governs bootstrap restamps."""
+    fn = plans.QUERIES[name]
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = ""
+    oracle = plans.ORACLES.get(name, "")
+    return hashlib.sha256(
+        (src + "\x00ORACLE\x00" + oracle).encode()
     ).hexdigest()[:16]

@@ -56,6 +56,34 @@ def test_changed_queries_enter_driver_window():
     )
 
 
+def test_plan_source_changes_enter_driver_window():
+    """Bootstrap-restamp guard backstop (r14 ADVICE, medium): the v1
+    manifest (plan-function source + oracle, no closure walk) records
+    each query's own-source fingerprint as of its last stamp. Any
+    query whose v1 hash drifted must be in the current window — this
+    is what makes a ``--bootstrap`` v2 restamp after a shared-helper
+    change PROVABLY closure-only for the ~170 rows outside the
+    window, replacing the r14 round's manual byte-audit claim."""
+    import json
+
+    from tests.query_hashes import V1_MANIFEST_PATH, query_v1_hash
+
+    with open(V1_MANIFEST_PATH) as f:
+        manifest = json.load(f)
+    stale = [
+        n
+        for n in plans.QUERIES
+        if manifest.get(n) != query_v1_hash(n)
+        and n not in registry.PRIORITY
+    ]
+    assert not stale, (
+        "plan-function source changed since the last stamp for queries "
+        f"outside the current driver window: {stale} — add them to "
+        "PRIORITY (scripts/update_checked_hashes.py refuses --bootstrap "
+        "until then)"
+    )
+
+
 def test_manifest_entries_were_driver_windowed():
     """Manifest-integrity policy (r4 ADVICE, medium): a stamp in
     checked_hashes.json means "the driver verified this query at this
