@@ -14,17 +14,14 @@ from . import curation_queries  # noqa: F401, E402
 from . import media_queries  # noqa: F401, E402
 from . import sketch_queries  # noqa: F401, E402  (r8: HLL / Count-Min / Bloom)
 
-# Round-14 driver-window rotation (executing the plan committed at r13
-# close, below): 8 sync rows pinned, then the r14-changed rows — the
-# three TWS rows (tws.py changed: never-cleared `flushed` ValueState
-# kills the multi-batch double-emit, NaN->None group-key normalization
-# on the MapState leg — both ADVICE items, oracle semantics unchanged
-# on the fixture, driver re-verifies at the new closure hash) — then
-# the re-verification backlog oldest-first: the displaced r7 tail
-# (last driver check r7), then sync_pipeline_run_report + the r8
-# cohort alphabetically (last check r8), then the r9-oldest rows to
-# fill 50. Rows changed later in r14 (lifecycle trim, codec-stats
-# extension, if they land) swap in for the r9 tail fillers.
+# Round-15 driver-window rotation (executing the plan committed at r14
+# close, below): 8 sync rows pinned, then the rows whose plan source
+# changes in THIS round's optimization pass (swapped in ahead of
+# fillers as they land), then the re-verification backlog
+# oldest-first: the two rows displaced to r8-last-checked
+# (stream_sliding_counts, stream_stateful_user_totals — swapped out of
+# the r14 window for that round's changed rows), the full r9 cohort
+# alphabetically, then r10-oldest alphabetically to fill 50.
 registry.PRIORITY = [
     # core reference surface — pinned every round
     "sync_missing_faculty_users",
@@ -35,102 +32,63 @@ registry.PRIORITY = [
     "sync_ctl_library_courses",
     "sync_ctl_library_sections",
     "sync_clean_users",
-    # changed in r14 (ADVICE): flushed-marker single-emit contract +
-    # NULL-group-key normalization in streaming/tws.py
-    "stream_tws_user_totals",
-    "stream_tws_by_type",
-    "stream_tws_timer_flush",
-    # changed in r14 optimization pass: the quality and dedup legs now
-    # run as concurrent driver threads (guide §2.6; results identical,
-    # A/B in OPTIMIZATION_r14.md). Swapped in for
-    # stream_stateful_user_totals, whose oracle + machinery this
-    # round's pinned TWS twins already cover (it rotates back with the
-    # r15 backlog).
-    "llm_corpus_curate_calibrated",
-    # backlog: the r7 alphabetical tail (last driver check r7)
-    "rel_q12_priority_class",
-    "rel_q13_order_distribution",
-    "rel_q15_top_supplier",
-    "rel_salted_join_revenue",
-    "rel_semi_anti_counts",
-    "rel_session_window_native",
-    "rel_string_surface",
-    "rel_term_successor",
-    "rel_top_orders_per_customer",
-    "rel_unpivot_part_measures",
-    # backlog: sync_pipeline_run_report + the r8 cohort (last check
-    # r8), alphabetical
-    "llm_chunk_documents",
-    "llm_dedup_apply",
-    "llm_dedup_clusters",
-    "llm_dedup_ngram_jaccard",
-    "llm_sim_ivf_multiprobe",
-    "llm_sim_ivf_topk",
-    "llm_sketch_cms_heavy_hitters",
-    "llm_sketch_hll_distinct",
-    "llm_sketch_hll_rollup",
-    "rel_bloom_semi_join",
-    "rel_q7_volume_shipping",
-    "rel_q8_market_share",
-    "rel_q9_product_profit",
-    "rel_sessionize_events",
-    "rel_stats_moments",
-    "rel_theta_setops",
-    "rel_window_rank_surface",
-    "stream_attribution_join",
-    "stream_dedup_events",
-    "stream_events_hourly",
-    "stream_session_windows",
-    "stream_sketch_cms",
-    "stream_sketch_distinct",
-    # changed in r14 optimization pass (guide §2.6 leg overlap: the
-    # calibration and serving-index legs now run as concurrent driver
-    # threads, A/B 0.70x with rows equal — OPTIMIZATION_r14.md #5).
-    # Swapped in for stream_sliding_counts, whose watermarked-window
-    # machinery this window still covers via stream_events_hourly,
-    # stream_session_windows and stream_attribution_join; it rotates
-    # back with the r15 backlog.
-    "stream_sim_ivf_search",
-    "sync_pipeline_run_report",
-    # changed in r14: CABAC P/B slices landed (operators/cabac.py
-    # decode_pbslice_cabac + the IPP/IBP fixture encoder; h264.py
-    # _decode_slice dispatch) — llm_video_ipp_stats grew 6 CABAC
-    # temporal fixtures (ids 8-13), the other two rows re-enter via
-    # the h264/cabac helper closure
-    "llm_video_ipp_stats",
-    "llm_video_codec_stats",
-    "llm_video_visual_dedup",
+    # backlog: last driver check r8 (displaced by the r14 swaps)
+    "stream_sliding_counts",
+    "stream_stateful_user_totals",
+    # backlog: the r9 cohort (last driver check r9), alphabetical
+    "llm_contamination_ngram",
+    "llm_corpus_mix",
+    "llm_corpus_stats",
+    "llm_dedup_cluster_histogram",
+    "llm_dedup_exact",
+    "llm_dedup_semantic_kmeans",
+    "llm_dedup_semantic_verified",
+    "llm_dedup_simhash",
+    "llm_heavy_hitters_cms",
+    "llm_multimodal_frame_sample",
+    "llm_multimodal_payload_meta",
+    "llm_pack_sequences",
+    "llm_pii_redaction",
+    "llm_quality_gate",
+    "llm_sample_stratified",
+    "llm_shard_assignment",
+    "llm_sim_kmeans_assign",
+    "llm_sim_kmeans_purity",
+    "llm_text_fingerprint",
+    "llm_text_language_id",
+    "llm_text_quality",
+    "llm_text_repetition",
+    "llm_text_sentiment",
+    "llm_text_tfidf_top_terms",
+    "llm_text_token_counts",
+    "llm_text_top_terms",
+    "llm_text_unigram_lm",
+    "rel_approx_distinct",
+    "rel_approx_percentile_contract",
+    "rel_asof_last_purchase",
+    "rel_event_transitions",
+    "rel_quantile_sketch",
+    "rel_quantile_sketch_audit",
+    # fillers: r10-oldest alphabetically — each is displaced (rotating
+    # back with the r16 backlog) when an r15-changed row needs the slot
+    "llm_bpe_top_pairs",
+    "llm_corpus_divergence",
+    "llm_corpus_rebalance",
+    "llm_dedup_rate_by_source",
+    "llm_domain_mix_doremi",
+    "llm_dup_span_detect",
+    "llm_emb_ivf_append",
 ]
 
-# r15 rotation plan (committed now so the next round executes it, the
+# r16 rotation plan (committed now so the next round executes it, the
 # discipline every round since r9): keep the 8 sync rows pinned and
-# any r15-new/changed rows ahead of fillers, then fill the
-# re-verification backlog oldest-first — the r9 cohort alphabetically
-# (last driver check r9, 33 rows: llm_contamination_ngram,
-# llm_corpus_mix, llm_corpus_stats, llm_dedup_cluster_histogram,
-# llm_dedup_exact, llm_dedup_semantic_kmeans,
-# llm_dedup_semantic_verified, llm_dedup_simhash,
-# llm_heavy_hitters_cms, llm_multimodal_frame_sample,
-# llm_multimodal_payload_meta, llm_pack_sequences, llm_pii_redaction,
-# llm_quality_gate, llm_sample_stratified, llm_shard_assignment,
-# llm_sim_kmeans_assign, llm_sim_kmeans_purity, llm_text_fingerprint,
-# llm_text_language_id, llm_text_quality, llm_text_repetition,
-# llm_text_sentiment, llm_text_tfidf_top_terms, llm_text_token_counts,
-# llm_text_top_terms, llm_text_unigram_lm, rel_approx_distinct,
-# rel_approx_percentile_contract, rel_asof_last_purchase,
-# rel_event_transitions, rel_quantile_sketch,
-# rel_quantile_sketch_audit), then r10-oldest alphabetically
-# (llm_bpe_top_pairs onward) to fill 50. Stamp with
-# scripts/update_checked_hashes.py (window-only, NOT --bootstrap).
-# Bench: probe the tenancy controls at session START (llm_dedup_apply
-# within ~1.3x of 2.49 s -> run scripts/record_bench_ref.py
-# immediately, same session) — the clean-window re-record is THREE
-# rounds pending; r14 probed 8 times across its whole session
-# (controls 3-16x floors throughout, BASELINE.md r14 notes) and
-# pre-adjudicated every above-ref row instead. (The P_8x8 coverage
-# candidate named here LANDED late in r14 itself — both entropy
-# layers, llm_video_ipp_stats ids 14-17; the remaining codec
-# rejections are the sub-8x8 shapes and B partitions/direct.)
+# any r16-new/changed rows ahead of fillers, then fill the
+# re-verification backlog oldest-first — the remaining r10 cohort
+# alphabetically (last driver check r10, minus whatever r15 fillers
+# already covered), then the r11 cohort alphabetically to fill 50,
+# plus any r15-window fillers displaced by late r15 changes. Stamp
+# with scripts/update_checked_hashes.py (window-only, NOT
+# --bootstrap; --bootstrap now self-guards on the v1 manifest).
 
 # Historical driver windows (audit trail): each round's PRIORITY list
 # is preserved verbatim in git history at that round's artifact commit
