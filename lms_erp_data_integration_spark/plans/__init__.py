@@ -32,6 +32,16 @@ registry.PRIORITY = [
     "sync_ctl_library_courses",
     "sync_ctl_library_sections",
     "sync_clean_users",
+    # changed in r15 optimization pass: the calibrate->search
+    # composition serves the chosen-point search from the persisted
+    # curve candidate relation (the oracle's own ranked-CTE slice)
+    # instead of a second full ivf_topk pass — A/B 0.69x, rows equal,
+    # equivalence pinned by the strengthened both-branches test. The
+    # other two rows enter via the _nprobe_curve_and_candidates
+    # closure (their plans are bit-identical: persist=False path).
+    "llm_sim_ivf_calibrated_search",
+    "llm_sim_ivf_nprobe_curve",
+    "stream_sim_ivf_search",
     # backlog: last driver check r8 (displaced by the r14 swaps)
     "stream_sliding_counts",
     "stream_stateful_user_totals",
@@ -75,9 +85,6 @@ registry.PRIORITY = [
     "llm_corpus_divergence",
     "llm_corpus_rebalance",
     "llm_dedup_rate_by_source",
-    "llm_domain_mix_doremi",
-    "llm_dup_span_detect",
-    "llm_emb_ivf_append",
 ]
 
 # r16 rotation plan (committed now so the next round executes it, the

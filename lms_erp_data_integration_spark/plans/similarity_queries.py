@@ -1646,7 +1646,47 @@ def nprobe_curve_frame(
     composition (unordered; callers sort), parameterized on the
     recall target so tests pin both decision branches. Mirrors the
     shared ``_NPROBE_CURVE_CTES`` block on the oracle side."""
+    curve, _cand = _nprobe_curve_and_candidates(
+        spark, emb, target_pct, persist=False
+    )
+    return curve
+
+
+def _nprobe_curve_and_candidates(
+    spark: SparkSession,
+    emb: DataFrame,
+    target_pct: int = IVF_TARGET_RECALL_PCT,
+    persist: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Curve frame PLUS the scored-candidate relation it is
+    aggregated from — ``cand``: (query_id, rnc, neighbor_id, score),
+    one row per (probe query, rank-rnc-list member). Split out in r15
+    (guide §2.4 "remove shuffles outright" / §5 persist-on-reuse):
+
+    - The calibrate->search composition's production search at the
+      chosen point is exactly ``cand`` filtered to ``rnc <= chosen``
+      and ranked — the same slice the oracle's ``ranked`` CTE takes —
+      so the composition reuses the (then persisted) relation instead
+      of re-running the full ``ivf_topk`` scan+score chain
+      (``sim_ivf_calibrated_search_frame``).
+    - ``persist`` stays False for the plain curve consumers
+      (``llm_sim_ivf_nprobe_curve`` and the streaming twin's
+      calibration leg): their plans are bit-identical to the r14
+      shape. Measured at sf0.1: persisting for the curve's own two
+      aggregates reads 1.12x WORSE interleaved (the materialization
+      barrier costs more than the deduped recompute at this scale),
+      so only the three-consumer calibrated path persists.
+
+    Equivalence of the slice to ``ivf_topk`` at nprobe=chosen: ``qc``
+    ranks centroids per query with the identical window ordering as
+    ``ivf_probe_assign`` (cosine DESC, centroid_id), ``assigned`` is
+    the same ``ivf_assign``, the join/exclusion/score expressions are
+    byte-identical per-row expressions (no accumulation-order float
+    exposure), and the final rank window matches. The shared
+    calibrate->search oracle pins that equality every driver round."""
     from pyspark.sql import Window as W
+
+    from ..caching import tracked_persist
 
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
@@ -1679,6 +1719,8 @@ def nprobe_curve_frame(
             sim.cosine(F.col("embedding"), F.col("_qv")).alias("score"),
         )
     )
+    if persist:
+        cand = tracked_persist(cand)
     ex = cand.select(
         "query_id",
         "neighbor_id",
@@ -1737,9 +1779,12 @@ def nprobe_curve_frame(
             F.col("nprobe"),
         )
     ).over(w_all)
-    return curve.withColumn(
-        "chosen",
-        (F.col("nprobe") == chosen_np).cast("long"),
+    return (
+        curve.withColumn(
+            "chosen",
+            (F.col("nprobe") == chosen_np).cast("long"),
+        ),
+        cand,
     )
 
 
@@ -1823,23 +1868,38 @@ def sim_ivf_calibrated_search_frame(
     """Body of ``llm_sim_ivf_calibrated_search``, parameterized on
     the recall target so tests pin BOTH decision branches (target 0
     -> nprobe 1 qualifies, ``met_target = 1``; target 101 -> nothing
-    qualifies, the IVF_NPROBE_MAX fallback with ``met_target = 0``)."""
-    rows = nprobe_curve_frame(spark, emb, target_pct).collect()
+    qualifies, the IVF_NPROBE_MAX fallback with ``met_target = 0``).
+
+    r15 restructure (guide §2.4/§5): the chosen-point search is the
+    persisted curve candidate relation filtered to ``rnc <= chosen``
+    and ranked — the exact slice the shared oracle's ``ranked`` CTE
+    takes — instead of a second full ``ivf_topk`` scan+score pass
+    over the corpus. Expression-level equivalence to ``ivf_topk`` at
+    nprobe=chosen is argued at ``_nprobe_curve_and_candidates`` and
+    pinned by the oracle hash plus the explicit search-side ==
+    ``ivf_topk`` comparison in
+    ``test_ivf_calibrated_search_both_decision_branches``."""
+    from pyspark.sql import Window as W
+
+    curve, cand = _nprobe_curve_and_candidates(
+        spark, emb, target_pct, persist=True
+    )
+    rows = curve.collect()
     # bounded: one row per probe count 1..IVF_NPROBE_MAX
     chosen, met = _choose_nprobe(rows, target_pct)
-    centroids = emb.groupBy(F.col("label").alias("centroid_id")).agg(
-        F.min_by("embedding", "vec_id").alias("embedding")
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
     )
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return sim.ivf_topk(
-        emb, queries, centroids, k=10, nprobe=chosen
-    ).select(
-        "query_id",
-        "neighbor_id",
-        "score",
-        "rank",
-        F.lit(int(chosen)).cast("long").alias("chosen_nprobe"),
-        F.lit(int(met)).cast("long").alias("met_target"),
+    return (
+        cand.where(F.col("rnc") <= F.lit(int(chosen)))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            "rank",
+            F.lit(int(chosen)).cast("long").alias("chosen_nprobe"),
+            F.lit(int(met)).cast("long").alias("met_target"),
+        )
     )

@@ -1,14 +1,23 @@
-"""Record the clean-solo benchmark reference (``bench_ref.json``).
+"""Record the benchmark reference (``bench_ref.json``).
 
-Run this SOLO — no concurrent Spark sessions, idle host — after any
-round that changes query plans. It executes the standard two-sweep
-bench (bench.py) and snapshots the per-query mins as the reference
-that future captures compare themselves against (``ref_flagged`` in
-bench_full.json). Keeping the reference committed turns the driver's
-one-shot capture from "a number someone must adjudicate later" into a
-self-labeling measurement.
+Gate (r14 VERDICT #1): a capture qualifies as the reference iff the
+full ``bench.py`` run reports ZERO noise flags and ZERO ref flags —
+i.e. every query's two best samples agree within 3x AND nothing reads
+>3x the previous committed reference after dedicated re-measures. The
+old gate (a single-shot solo probe within ~1.3x of a 2.49 s floor)
+blocked the re-record for four rounds while the min-across-sweeps
+bench itself rode through the same windows with zero flags twice: the
+sweep methodology is more robust than the probe that was guarding it,
+so the bench's own self-labeling is now the gate.
 
-Usage: python scripts/record_bench_ref.py
+Run it on as idle a host as you can get; if the window is bad the
+flags fire and the script refuses to record. Keeping the reference
+committed turns the driver's one-shot capture from "a number someone
+must adjudicate later" into a self-labeling measurement.
+
+Usage: python scripts/record_bench_ref.py [--dry-run]
+  --dry-run: run the bench and report whether the capture qualifies,
+  but do not write bench_ref.json.
 """
 
 from __future__ import annotations
@@ -23,24 +32,45 @@ import bench  # noqa: E402
 
 
 def main() -> int:
+    dry = "--dry-run" in sys.argv[1:]
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rc = bench.main()
     if rc != 0:
         return rc
     with open(os.path.join(here, "bench_full.json")) as f:
         full = json.load(f)
+    noise, ref = full["noise_flagged"], full["ref_flagged"]
+    if noise or ref:
+        print(
+            f"capture does NOT qualify: noise_flagged={noise} "
+            f"ref_flagged={ref} — not recording"
+        )
+        return 1
+    if dry:
+        print(
+            f"capture qualifies (0 noise / 0 ref flags, "
+            f"total {full['total_sec']} s) — dry run, not recorded"
+        )
+        return 0
     with open(os.path.join(here, "bench_ref.json"), "w") as f:
         json.dump(
             {
                 "sf": full["sf"],
-                "recorded_as": "solo min across 2 separated sweeps",
+                "recorded_as": (
+                    "full bench.py capture with 0 noise flags and 0 ref "
+                    "flags (min across sweeps + ref adjudication); gate "
+                    "per r14 VERDICT #1"
+                ),
                 "total_sec": full["total_sec"],
                 "queries": full["queries"],
             },
             f,
             indent=1,
         )
-    print(f"bench_ref.json written ({len(full['queries'])} queries)")
+    print(
+        f"bench_ref.json written ({len(full['queries'])} queries, "
+        f"total {full['total_sec']} s)"
+    )
     return 0
 
 

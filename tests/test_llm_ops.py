@@ -3658,13 +3658,16 @@ def test_ivf_calibrated_search_both_decision_branches(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     expected = {
-        (r.query_id, r.rank): r.neighbor_id
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
         for r in sim.ivf_topk(
             emb, queries, centroids, k=10, nprobe=IVF_NPROBE_MAX
         ).collect()
     }
+    # bit-exact including the float score: the r15 restructure serves
+    # the search from the persisted curve candidate relation, and this
+    # pins that slice == the production ivf_topk chain
     assert {
-        (r.query_id, r.rank): r.neighbor_id for r in frows
+        (r.query_id, r.rank): (r.neighbor_id, r.score) for r in frows
     } == expected
 
     # recall monotonicity over the curve: hits never drop as nprobe
