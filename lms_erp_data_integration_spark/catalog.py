@@ -24,28 +24,53 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # driver/scheduler overhead repeated by all ~223 registered queries.
 # A real deployment reads table schemas from a metastore / table-format
 # manifest exactly once; this cache is that, in-process. Keyed by the
-# resolved path PLUS the file's (mtime_ns, size) so a rewritten
-# fixture (tests build their own sf dirs) can never serve a stale
-# schema; only table METADATA is cached — every query still computes
-# its data from the parquet bytes.
-_SCHEMA_CACHE: dict[tuple[str, int, int], StructType] = {}
+# resolved path, VALIDATED against the table's stat fingerprint so a
+# rewritten fixture (tests build their own sf dirs) can never serve a
+# stale schema, and single-entry-per-path (r14 ADVICE: a rewrite
+# EVICTS the stale entry instead of accumulating beside it); only
+# table METADATA is cached — every query still computes its data from
+# the parquet bytes.
+_SCHEMA_CACHE: dict[str, tuple[tuple, StructType]] = {}
+
+
+def _stat_fingerprint(path: str) -> tuple | None:
+    """Change fingerprint for a parquet file OR directory table. For a
+    plain file: (mtime_ns, size). For a directory (Spark-written
+    table), the directory's own stat does not change when a part-file
+    is rewritten in place (r14 ADVICE #4), so fold every child
+    entry's (name, mtime_ns, size) into the fingerprint — one scandir,
+    no file reads. Returns None when the path cannot be stat'ed (e.g.
+    a non-local URI): callers then skip caching entirely."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        entries = []
+        with os.scandir(path) as it:
+            for e in it:
+                es = e.stat()
+                entries.append((e.name, es.st_mtime_ns, es.st_size))
+        return (st.st_mtime_ns, st.st_size, tuple(sorted(entries)))
+    except OSError:
+        return None
 
 
 def parquet_schema(spark: SparkSession, path: str) -> StructType:
-    """Inferred schema of a parquet file/dir, cached on (path, mtime,
-    size). Shared by the batch catalog and the file-stream sources so
-    both modes skip per-query re-inference."""
-    try:
-        st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
-    except OSError:
+    """Inferred schema of a parquet file/dir, cached per path and
+    invalidated on any stat-fingerprint change. Shared by the batch
+    catalog and the file-stream sources so both modes skip per-query
+    re-inference."""
+    fp = _stat_fingerprint(path)
+    if fp is None:
         # non-local path (e.g. an hdfs:// URI in a future deployment):
         # fall through to plain inference, uncached
         return spark.read.parquet(path).schema
-    hit = _SCHEMA_CACHE.get(key)
-    if hit is None:
-        hit = _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
-    return hit
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is None or hit[0] != fp:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = (fp, schema)
+        return schema
+    return hit[1]
 
 
 def _base_table(spark: SparkSession, path: str, name: str) -> DataFrame:
@@ -59,19 +84,19 @@ def _base_table(spark: SparkSession, path: str, name: str) -> DataFrame:
     frame is plan-metadata reuse, never result caching: each action
     still scans the parquet bytes. The cache hangs off the session
     object itself (dies with it; a restarted session can never serve
-    frames bound to a stopped context), and the stat-key invalidates
-    on rewrite exactly like the schema cache."""
-    try:
-        st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = None
+    frames bound to a stopped context), is single-entry-per-path (a
+    rewrite EVICTS the stale frame — r14 ADVICE #3), and the stat
+    fingerprint invalidates on rewrite exactly like the schema cache
+    (directory tables fold child-entry stats in — ADVICE #4)."""
+    fp = _stat_fingerprint(path)
     cache = getattr(spark, "_lms_table_cache", None)
     if cache is None:
         cache = {}
         spark._lms_table_cache = cache
-    if key is not None and key in cache:
-        return cache[key]
+    if fp is not None:
+        hit = cache.get(path)
+        if hit is not None and hit[0] == fp:
+            return hit[1]
     df = spark.read.schema(parquet_schema(spark, path)).parquet(path)
     ts_type = dict(df.dtypes).get("ts") if name == "events" else None
     if ts_type == "bigint":
@@ -87,8 +112,8 @@ def _base_table(spark: SparkSession, path: str, name: str) -> DataFrame:
         # and keeps every downstream plan, window, and DuckDB oracle
         # on the semantics verified in rounds 1-3.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    if key is not None:
-        cache[key] = df
+    if fp is not None:
+        cache[path] = (fp, df)
     return df
 
 TABLES = (

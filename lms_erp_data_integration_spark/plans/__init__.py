@@ -42,6 +42,12 @@ registry.PRIORITY = [
     "llm_sim_ivf_calibrated_search",
     "llm_sim_ivf_nprobe_curve",
     "stream_sim_ivf_search",
+    # changed in r15 (r14 ADVICE): the three §2.6 overlap sites now
+    # run their legs through concurrency.run_legs (shared
+    # InheritableThread-wrapped pool) — results pinned identical by
+    # the neutrality tests + overlap A/B (run_report 0.81x retained)
+    "sync_pipeline_run_report",
+    "llm_corpus_curate_calibrated",
     # backlog: last driver check r8 (displaced by the r14 swaps)
     "stream_sliding_counts",
     "stream_stateful_user_totals",
@@ -83,8 +89,6 @@ registry.PRIORITY = [
     # back with the r16 backlog) when an r15-changed row needs the slot
     "llm_bpe_top_pairs",
     "llm_corpus_divergence",
-    "llm_corpus_rebalance",
-    "llm_dedup_rate_by_source",
 ]
 
 # r16 rotation plan (committed now so the next round executes it, the

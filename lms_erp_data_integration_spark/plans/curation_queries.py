@@ -1036,9 +1036,8 @@ def corpus_curate_calibrated_frame(
     three policy knobs so tests pin the decision branches and the
     stage-count identity (n_docs = n_fail_quality + n_drift_dropped +
     n_dup_dropped + n_kept) independently of the corpus slice."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from ..caching import tracked_persist
+    from ..concurrency import run_legs
     from ..operators.quality_ml import _p_micro_expr, fit_quality_logreg
     from .llm_queries import (
         _choose_dedup_threshold,
@@ -1080,11 +1079,12 @@ def corpus_curate_calibrated_frame(
         }  # bounded: one row per sweep constant
         return st, curve
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        qfut = pool.submit(_quality_leg)
-        dfut = pool.submit(_dedup_leg)
-        feats, w, means, qth, qmet = qfut.result()
-        st, curve = dfut.result()
+    # shared InheritableThread-wrapped pool (concurrency.run_legs,
+    # r14 ADVICE): job properties inherit into the legs and repeat
+    # invocations reuse one pool instead of leaking paired JVM threads
+    (feats, w, means, qth, qmet), (st, curve) = run_legs(
+        _quality_leg, _dedup_leg
+    )
     # the PSI leg rides the PERSISTED feature frame (score == f1 by
     # definition, pinned by test_psi_score_equals_quality_f1) instead
     # of re-scanning + re-tokenizing the corpus (r13: the r12 verdict

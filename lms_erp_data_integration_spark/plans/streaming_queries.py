@@ -1615,7 +1615,7 @@ def stream_sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pre-stream setup costs max(leg), not sum(legs). Results are
     # unchanged: each leg reads only its own inputs; the tracked-
     # persist list appends are GIL-atomic.
-    from concurrent.futures import ThreadPoolExecutor
+    from ..concurrency import run_legs
 
     def _calibration_leg():
         return _choose_nprobe(
@@ -1643,11 +1643,11 @@ def stream_sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.write.format("noop").mode("overwrite").save()
         return cents, assigned
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        cal_fut = pool.submit(_calibration_leg)
-        idx_fut = pool.submit(_index_leg)
-        chosen, met = cal_fut.result()
-        cents, assigned = idx_fut.result()
+    # shared InheritableThread-wrapped pool (concurrency.run_legs,
+    # r14 ADVICE): no fresh paired JVM threads per invocation
+    (chosen, met), (cents, assigned) = run_legs(
+        _calibration_leg, _index_leg
+    )
     arriving = embeddings_stream(spark, sf_dir).where(F.col("vec_id") < 5)
     cand = (
         sim.ivf_probe_assign_literal(arriving, cents, chosen)

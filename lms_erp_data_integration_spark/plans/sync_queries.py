@@ -556,21 +556,21 @@ def pipeline_run_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computed inside the first sink action that reads it (users by
     # faculty_users, pairs by courses, bts by ctl_library_courses),
     # serializing three unrelated scan+distinct jobs onto the apply's
-    # critical path. Forcing them from a 3-thread pool costs
-    # max(frame) instead of sum(frames); the apply itself — the
-    # FK-ordering contract O1 — stays strictly sequential and
-    # unchanged, and each sink action now reads a warm cache.
-    from concurrent.futures import ThreadPoolExecutor
+    # critical path. Forcing them concurrently costs max(frame)
+    # instead of sum(frames); the apply itself — the FK-ordering
+    # contract O1 — stays strictly sequential and unchanged, and each
+    # sink action now reads a warm cache. run_legs (r14 ADVICE) wraps
+    # the legs in inheritable_thread_target on a shared pool.
+    from ..concurrency import run_legs
 
-    def _materialize(df: DataFrame) -> None:
-        df.write.format("noop").mode("overwrite").save()
+    def _materialize(df: DataFrame):
+        return lambda: df.write.format("noop").mode("overwrite").save()
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        list(
-            pool.map(
-                _materialize, (mirror_users, mirror_pairs, mirror_bts)
-            )
-        )
+    run_legs(
+        _materialize(mirror_users),
+        _materialize(mirror_pairs),
+        _materialize(mirror_bts),
+    )
     updates = {
         "faculty_users": missing_faculty_users(spark, sf_dir, mirror_users),
         "student_users": missing_student_users(spark, sf_dir, mirror_users),

@@ -103,6 +103,39 @@ def test_parquet_schema_cache_matches_inference_and_invalidates(
     got2 = cat_mod.parquet_schema(spark, p)
     assert got2 == spark.read.parquet(p).schema
     assert "c" in got2.fieldNames() and "b" not in got2.fieldNames()
+    # single entry per path (r15, r14 ADVICE #3): the rewrite EVICTED
+    # the stale schema instead of accumulating beside it
+    assert sum(1 for k in cat_mod._SCHEMA_CACHE if k == p) == 1
+
+
+def test_schema_cache_invalidates_on_in_place_part_file_change(
+    spark, tmp_path
+):
+    """r14 ADVICE #4: for a DIRECTORY table, an in-place change to
+    bytes inside an existing part-file (same file names, directory
+    mtime/size untouched) must still invalidate — the fingerprint
+    folds child-entry stats in, not just the directory's own stat."""
+    import os
+
+    from lms_erp_data_integration_spark import catalog as cat_mod
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).selectExpr("id AS a").write.mode("overwrite").parquet(p)
+    got = cat_mod.parquet_schema(spark, p)
+    assert got == spark.read.parquet(p).schema
+    # touch one part-file's mtime WITHOUT renaming anything and pin
+    # the directory's own stat back to its original values
+    dstat = os.stat(p)
+    part = next(
+        os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+    )
+    ps = os.stat(part)
+    os.utime(part, ns=(ps.st_atime_ns, ps.st_mtime_ns + 5_000_000))
+    os.utime(p, ns=(dstat.st_atime_ns, dstat.st_mtime_ns))
+    fp_before = cat_mod._SCHEMA_CACHE[p][0]
+    got2 = cat_mod.parquet_schema(spark, p)
+    assert got2 == got  # same schema content either way
+    assert cat_mod._SCHEMA_CACHE[p][0] != fp_before  # but re-validated
 
 
 def test_base_table_cache_shares_frame_and_invalidates(spark, tmp_path):
@@ -153,5 +186,5 @@ def test_catalog_table_uses_cached_schema(spark, sf_dir):
     b = Catalog(spark, sf_dir).table("customer").schema
     assert a == b
     assert any(
-        k[0].endswith("customer.parquet") for k in cat_mod._SCHEMA_CACHE
+        k.endswith("customer.parquet") for k in cat_mod._SCHEMA_CACHE
     )
